@@ -1,13 +1,623 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+import graft.ts.{AsOfJoin, TS}
+import graft.target.Targets
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import graft.similarity.Similarity
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the large-scale data-pipeline extensions), each with a
+  * DuckDB-equivalent `oracleSql` on the same parquet tables.
+  *
+  * Determinism engineering (so a DuckDB hash-compare is exact):
+  *  - big-sum aggregates go through a per-row DECIMAL(18,s) cast, summed
+  *    exactly, cast back to double (associative ⇒ order-independent);
+  *  - per-row transcendental results are rounded to 6 dp (libm vs JVM can
+  *    differ in the last ulp);
+  *  - every window order has a total tie-break key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  /** Order-independent exact sum: per-row decimal cast → exact decimal sum
+    * → double. Matches `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`.
+    */
+  private def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Per-user-series ordered window over `events` with total ordering. */
+  private def evWindow =
+    Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  // ───────────────────────── relational core ─────────────────────────
+
+  /** A7-style grouped aggregate + P4 filter pushdown (TPC-H Q1 shape). */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1999-12-31"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      | COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** P1-P4: projection + predicate pushdown into the parquet scan. */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(lit("1998-01-01"), lit("1998-03-31")) &&
+        col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '1998-03-31'
+      |  AND l_discount > 0.05""".stripMargin
+
+  /** J5 star-schema joins, dims broadcast (revenue per region/nation). */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+
+  private val q03Sql =
+    """SELECT r_name, n_name,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** W15/top-k: global ordered limit with total tie-break. */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private val q04Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** A12/distinct: exact dedup cardinality on a compound key. */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .distinct()
+      .agg(count(lit(1)).as("n"))
+
+  private val q05Sql =
+    """SELECT COUNT(*) AS n FROM
+      |(SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem)""".stripMargin
+
+  /** Set-op union (unionByName) then re-aggregate. */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderdate") < lit("1998-01-01"))
+      .unionByName(o.filter(col("o_orderdate") >= lit("1998-01-01")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+  }
+
+  private val q06Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |      UNION ALL
+      |      SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+      |GROUP BY o_orderstatus""".stripMargin
+
+  /** Semi/anti joins (J1 intersection semantics). */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with_orders"))
+    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_without_orders"))
+    withO.crossJoin(withoutO)
+  }
+
+  private val q07Sql =
+    """SELECT
+      | (SELECT COUNT(*) FROM customer c WHERE EXISTS
+      |   (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+      | (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+      |   (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders""".stripMargin
+
+  /** Ranked window (row_number) — biggest order per customer. */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  private val q08Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM
+      |(SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders) WHERE rn = 1""".stripMargin
+
+  // ──────────────────── time-series kernel (events) ────────────────────
+
+  /** F9 log returns per user series. */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      round(TS.logReturn(col("value"), evWindow), 6).as("log_ret"))
+
+  private val q10Sql =
+    """SELECT event_id, user_id,
+      | ROUND(CASE WHEN prev IS NULL OR prev <= 0 OR value <= 0 THEN 0
+      |            ELSE LN(value / prev) END, 6) AS log_ret
+      |FROM (SELECT event_id, user_id, value,
+      |        LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |      FROM events)""".stripMargin
+
+  /** F10 first difference per user series (exact doubles, no rounding). */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      TS.firstDiff(col("value"), evWindow).as("diff"))
+
+  private val q11Sql =
+    """SELECT event_id, user_id,
+      | COALESCE(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS diff
+      |FROM events""".stripMargin
+
+  /** W6 multi-horizon direct targets with common max-horizon trim. */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Targets.multiHorizon(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        "value", Seq(1, 3, 6), evWindow)
+      .select("event_id", "user_id", "value", "target_h1", "target_h3", "target_h6")
+
+  private val q12Sql =
+    """SELECT event_id, user_id, value, target_h1, target_h3, target_h6 FROM
+      |(SELECT event_id, user_id, value,
+      |  LEAD(value, 1) OVER w AS target_h1,
+      |  LEAD(value, 3) OVER w AS target_h3,
+      |  LEAD(value, 6) OVER w AS target_h6
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |WHERE target_h6 IS NOT NULL""".stripMargin
+
+  /** W7 return targets value(t+h) − value(t) with trim. */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    Targets.multiHorizonReturns(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        "value", Seq(1, 3), evWindow)
+      .select("event_id", "user_id", "ret_h1", "ret_h3")
+
+  private val q13Sql =
+    """SELECT event_id, user_id, ret_h1, ret_h3 FROM
+      |(SELECT event_id, user_id,
+      |  LEAD(value, 1) OVER w - value AS ret_h1,
+      |  LEAD(value, 3) OVER w - value AS ret_h3,
+      |  LEAD(value, 3) OVER w AS trim3
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |WHERE trim3 IS NOT NULL""".stripMargin
+
+  /** W13 rolling stats (trailing 12 rows) + multi-scale period return. */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      round(TS.rollingAvg(col("value"), evWindow, 12), 6).as("roll_avg_12"),
+      round(coalesce(TS.rollingStd(col("value"), evWindow, 12), lit(0.0)), 6).as("roll_std_12"),
+      coalesce(TS.periodReturn(col("value"), evWindow, 6), lit(0.0)).as("ret_6"))
+
+  private val q14Sql =
+    """SELECT event_id, user_id,
+      | ROUND(AVG(value) OVER w12, 6) AS roll_avg_12,
+      | ROUND(COALESCE(STDDEV_POP(value) OVER w12, 0), 6) AS roll_std_12,
+      | COALESCE(value - LAG(value, 6) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS ret_6
+      |FROM events
+      |WINDOW w12 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** F11 cyclic time encodings. */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      round(TS.cyclicSin(hour(col("ts")), 24), 6).as("hod_sin"),
+      round(TS.cyclicCos(hour(col("ts")), 24), 6).as("hod_cos"),
+      round(TS.cyclicSin(dayofweek(col("ts")) - 1, 7), 6).as("dow_sin"))
+
+  private val q15Sql =
+    """SELECT event_id,
+      | ROUND(SIN(EXTRACT(hour FROM ts) * (2 * PI() / 24)), 6) AS hod_sin,
+      | ROUND(COS(EXTRACT(hour FROM ts) * (2 * PI() / 24)), 6) AS hod_cos,
+      | ROUND(SIN(EXTRACT(dow FROM ts) * (2 * PI() / 7)), 6) AS dow_sin
+      |FROM events""".stripMargin
+
+  /** F7/F8 log1p variants. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      round(TS.symLog1p(col("value") - 100), 6).as("symlog"),
+      round(TS.log1pClamp(col("value") - 100), 6).as("logclamp"))
+
+  private val q16Sql =
+    """SELECT event_id,
+      | ROUND(SIGN(value - 100) * LN(1 + ABS(value - 100)), 6) AS symlog,
+      | ROUND(LN(1 + GREATEST(0, value - 100)), 6) AS logclamp
+      |FROM events""".stripMargin
+
+  /** A1/F3/J3: z-score with stats fit on the "train" date range only,
+    * applied to all rows via broadcast join (no leakage).
+    */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val stats = ev.filter(col("ts") < lit("2024-01-20"))
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("mu")) /
+          when(col("sigma") < 1e-8, 1.0).otherwise(col("sigma")), 6).as("z"))
+  }
+
+  private val q17Sql =
+    """SELECT event_id, e.event_type,
+      | ROUND((value - mu) / (CASE WHEN sigma < 1e-8 THEN 1 ELSE sigma END), 6) AS z
+      |FROM events e JOIN
+      | (SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY event_type) s
+      |ON e.event_type = s.event_type""".stripMargin
+
+  /** W16/A2 naive-forecast MAE per series (exact via decimal sums). */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .withColumn("nxt", lead(col("value"), 1).over(evWindow))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        (dsum(abs(col("nxt") - col("value"))) / count(lit(1))).as("naive_mae"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q18Sql =
+    """SELECT user_id,
+      | CAST(SUM(CAST(ABS(nxt - value) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS naive_mae,
+      | COUNT(*) AS n
+      |FROM (SELECT user_id, value,
+      |        LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |      FROM events)
+      |WHERE nxt IS NOT NULL GROUP BY user_id""".stripMargin
+
+  /** F2 hourly resample: date_trunc + aggregate. */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  private val q19Sql =
+    """SELECT user_id, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id, date_trunc('hour', ts)""".stripMargin
+
+  /** J6 backward as-of join: latest prior 'error' value at each purchase. */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "value")
+    AsOfJoin.backward(purchases, errors, Seq("user_id"), "ts", "value", "last_error_value")
+      .select("event_id", "user_id", "value", "last_error_value")
+  }
+
+  private val q21Sql =
+    """SELECT p.event_id, p.user_id, p.value, e.value AS last_error_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin
+
+  /** A11 rolling event-time count: purchases per user in trailing 5 days. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-432000000000L, 0)
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), count(lit(1)).over(w).as("n_5d"))
+  }
+
+  private val q22Sql =
+    """SELECT event_id, user_id,
+      | COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 432000000000 PRECEDING AND CURRENT ROW) AS n_5d
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  /** J5 JSON config extraction + aggregate. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("n"))
+
+  private val q23Sql =
+    """SELECT event_type,
+      | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** F14/S10/A7: metric-string regex parse → (split, metric, horizon) cube. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val re = "^(Train|Validation|Test) (.+?) H(\\d+)$"
+    val m = t(s, dir, "events").select(
+      concat(
+        when(col("event_id") % 3 === 0, "Train")
+          .when(col("event_id") % 3 === 1, "Validation")
+          .otherwise("Test"),
+        lit(" "),
+        when(col("event_id") % 2 === 0, "MAE").otherwise("R2"),
+        lit(" H"), (col("event_id") % 6 + 1).cast("string")).as("metric"),
+      col("value"))
+    m.select(
+        regexp_extract(col("metric"), re, 1).as("split"),
+        regexp_extract(col("metric"), re, 2).as("metric_name"),
+        regexp_extract(col("metric"), re, 3).cast("int").as("horizon"),
+        col("value"))
+      .groupBy(col("split"), col("metric_name"), col("horizon"))
+      .agg(
+        count(lit(1)).as("n"),
+        (dsum(col("value")) / count(lit(1))).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+  }
+
+  private val q24Sql =
+    """WITH m AS (SELECT
+      |  (CASE WHEN event_id % 3 = 0 THEN 'Train'
+      |        WHEN event_id % 3 = 1 THEN 'Validation' ELSE 'Test' END
+      |   || ' ' || CASE WHEN event_id % 2 = 0 THEN 'MAE' ELSE 'R2' END
+      |   || ' H' || CAST(event_id % 6 + 1 AS VARCHAR)) AS metric, value
+      | FROM events)
+      |SELECT regexp_extract(metric, '^(Train|Validation|Test) (.+?) H(\d+)$', 1) AS split,
+      |  regexp_extract(metric, '^(Train|Validation|Test) (.+?) H(\d+)$', 2) AS metric_name,
+      |  CAST(regexp_extract(metric, '^(Train|Validation|Test) (.+?) H(\d+)$', 3) AS INT) AS horizon,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM m GROUP BY 1, 2, 3""".stripMargin
+
+  // ─────────────────── text analysis (documents) ───────────────────
+
+  /** Quality-scoring primitives: token count, avg token length,
+    * punctuation ratio, stopword ratio.
+    */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
+
+  private val q30Sql = {
+    val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       | len(string_split(text, ' ')) AS n_tokens,
+       | CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+       |   / len(string_split(text, ' ')) AS avg_token_len,
+       | CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+       |   / length(text) AS punct_ratio,
+       | CAST(len(list_filter(string_split(text, ' '),
+       |        x -> list_contains([$sw], x))) AS DOUBLE)
+       |   / len(string_split(text, ' ')) AS stopword_ratio
+       |FROM documents""".stripMargin
+  }
+
+  /** Exact dedup via content digest + per-digest group size. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("digest"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .withColumn("n_dups", count(lit(1)).over(w))
+  }
+
+  private val q32Sql =
+    """SELECT doc_id, digest, n_dups FROM
+      |(SELECT doc_id, md5(text) AS digest,
+      |  COUNT(*) OVER (PARTITION BY md5(text)) AS n_dups
+      | FROM documents)""".stripMargin
+
+  /** MinHash signatures (engine-agnostic md5 permutations, k=4, 3-shingles). */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id") +: Dedup.minhashSignature(col("text"), 3, 4): _*)
+
+  private val q33Sql = {
+    def sig(i: Int) =
+      s"list_aggregate(list_transform(sh, x -> md5('seed$i:' || x)), 'min') AS sig$i"
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(t) >= 3
+      |       THEN list_transform(range(0, len(t) - 2),
+      |              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |       ELSE [array_to_string(t, ' ')] END AS sh
+      | FROM tok)
+      |SELECT doc_id, """.stripMargin +
+      (0 until 4).map(sig).mkString(", ") + " FROM sh"
+  }
+
+  /** n-gram Jaccard similarity over all pairs of a doc subset. */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 15).select("doc_id", "text")
+    val a = d.toDF("doc_a", "text_a")
+    val b = d.toDF("doc_b", "text_b")
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6).as("jaccard"))
+  }
+
+  private val q35Sql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 15),
+      |sh AS (SELECT doc_id, list_distinct(
+      |  CASE WHEN len(t) >= 3
+      |       THEN list_transform(range(0, len(t) - 2),
+      |              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |       ELSE [array_to_string(t, ' ')] END) AS s
+      | FROM tok)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | ROUND(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+      |   / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id""".stripMargin
+
+  // ─────────────── similarity search (embeddings) ───────────────
+
+  /** Brute-force cosine top-k ANN baseline (queries broadcast). */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(Similarity.dot(col("qv"), col("v")) /
+          (Similarity.l2norm(col("qv")) * Similarity.l2norm(col("v"))), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  private val q40Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v, SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+      |          / (q.nrm * c.nrm), 6) AS cos_sim
+      |      FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM
+      |(SELECT query_id, neighbor_id, cos_sim,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      | FROM p)
+      |WHERE rank <= 3""".stripMargin
+
+  // ─────────────── rows-only (non-SQL-expressible) ───────────────
+
+  /** Language-ID heuristic (stopword-profile voting) — rows-only check. */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  /** SimHash 64-bit near-dup fingerprint (JVM xxhash64) — rows-only. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      Dedup.simhash64(col("text")).as("simhash"))
+
+  /** LSH-bucketed ANN (scale path of q40) — rows-only. */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLsh(
+      t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
+      "vec_id", "v", nPlanes = 8, k = 3)
+
+  // ───────────────────────── driver contract ─────────────────────────
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q03(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_star_join" -> (q03 _),
+    "q04_topk_orders" -> (q04 _),
+    "q05_distinct_triples" -> (q05 _),
+    "q06_union_splits" -> (q06 _),
+    "q07_semi_anti" -> (q07 _),
+    "q08_window_rank" -> (q08 _),
+    "q10_log_return" -> (q10 _),
+    "q11_first_diff" -> (q11 _),
+    "q12_multi_horizon" -> (q12 _),
+    "q13_return_targets" -> (q13 _),
+    "q14_rolling_stats" -> (q14 _),
+    "q15_cyclic_encode" -> (q15 _),
+    "q16_symlog" -> (q16 _),
+    "q17_zscore_join" -> (q17 _),
+    "q18_naive_mae" -> (q18 _),
+    "q19_hourly_agg" -> (q19 _),
+    "q21_asof_join" -> (q21 _),
+    "q22_rolling_count_5d" -> (q22 _),
+    "q23_json_extract" -> (q23 _),
+    "q24_metric_regex_cube" -> (q24 _),
+    "q30_text_quality" -> (q30 _),
+    "q32_exact_dup" -> (q32 _),
+    "q33_minhash_sig" -> (q33 _),
+    "q35_ngram_jaccard" -> (q35 _),
+    "q40_knn_cosine" -> (q40 _),
+    "q41_langid" -> (q41 _),
+    "q42_simhash" -> (q42 _),
+    "q43_lsh_ann" -> (q43 _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_star_join" -> q03Sql,
+    "q04_topk_orders" -> q04Sql,
+    "q05_distinct_triples" -> q05Sql,
+    "q06_union_splits" -> q06Sql,
+    "q07_semi_anti" -> q07Sql,
+    "q08_window_rank" -> q08Sql,
+    "q10_log_return" -> q10Sql,
+    "q11_first_diff" -> q11Sql,
+    "q12_multi_horizon" -> q12Sql,
+    "q13_return_targets" -> q13Sql,
+    "q14_rolling_stats" -> q14Sql,
+    "q15_cyclic_encode" -> q15Sql,
+    "q16_symlog" -> q16Sql,
+    "q17_zscore_join" -> q17Sql,
+    "q18_naive_mae" -> q18Sql,
+    "q19_hourly_agg" -> q19Sql,
+    "q21_asof_join" -> q21Sql,
+    "q22_rolling_count_5d" -> q22Sql,
+    "q23_json_extract" -> q23Sql,
+    "q24_metric_regex_cube" -> q24Sql,
+    "q30_text_quality" -> q30Sql,
+    "q32_exact_dup" -> q32Sql,
+    "q33_minhash_sig" -> q33Sql,
+    "q35_ngram_jaccard" -> q35Sql,
+    "q40_knn_cosine" -> q40Sql
+  )
 }

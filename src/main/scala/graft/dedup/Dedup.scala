@@ -1,0 +1,91 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: everything reduces to hash → groupBy/join on the hash —
+  * the shuffle is on compact fixed-width keys, never on document text.
+  * MinHash banding turns O(n²) similarity into an equi-join on band keys.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content digest. Returns one surviving
+    * row per digest (min orderCol wins — deterministic).
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-duplicate groups: digest → member count (>1 ⇒ duplicates). */
+  def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** MinHash signature as `k` engine-agnostic hashes: permutation i is
+    * simulated by md5(seed_i ‖ shingle); the signature element is the
+    * lexicographic min digest. Deterministic and reproducible in any
+    * engine with md5 — no JVM-specific hash in the contract.
+    */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Seq[Column] = {
+    val sh = TextAnalysis.shingles(text, shingleN)
+    (0 until k).map { i =>
+      array_min(transform(sh, s => md5(concat(lit(s"seed$i:"), s)))).as(s"sig$i")
+    }
+  }
+
+  /** MinHash+LSH candidate pairs: band on one signature element (bands of
+    * width 1 = most permissive), equi-join docs sharing a band value.
+    * Output is (band, sig, doc_a, doc_b) candidate pairs with a < b.
+    */
+  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String, shingleN: Int, k: Int): DataFrame = {
+    val sigs = minhashSignature(col(textCol), shingleN, k)
+    val withSig = df.select((col(idCol) +: sigs): _*)
+    val banded = withSig.select(
+      col(idCol),
+      posexplode(array((0 until k).map(i => col(s"sig$i")): _*)).as(Seq("band", "sig")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col("a.band").as("band"), col("a.sig").as("sig"),
+        col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash (64-bit): per token take xxhash64, accumulate ±1 per bit
+    * position, sign → bit. Near-dups differ in few bits (Hamming).
+    * JVM-hash based → verified structurally (rows-only) not by oracle.
+    */
+  def simhash64(text: Column): Column = {
+    val t = TextAnalysis.tokens(text)
+    val hashes = transform(t, x => xxhash64(x))
+    // For each bit position, count tokens with that bit set; bit survives
+    // when count*2 > n_tokens (majority).
+    val n = size(t)
+    val bits = (0 until 64).map { b =>
+      val cnt = aggregate(hashes, lit(0L), (acc, h) => acc + shiftright(h, b).bitwiseAND(1L))
+      when(cnt * 2 > n, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** n-gram Jaccard similarity between two texts: |A∩B| / |A∪B| over
+    * word-shingle sets — used to verify LSH candidate pairs.
+    */
+  def ngramJaccard(textA: Column, textB: Column, n: Int): Column = {
+    val a = array_distinct(TextAnalysis.shingles(textA, n))
+    val b = array_distinct(TextAnalysis.shingles(textB, n))
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.feature
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+
+/** Sliding-window featurization (SURVEY §2.4, W1–W5, W10–W12).
+  *
+  * Windows are built with `collect_list(...).over(w.rowsBetween(...))` —
+  * Spark's sort-based WindowExec spills, so a series far longer than memory
+  * still works; across series the work distributes by the window's
+  * partition keys. At 100 TB the long format (one row per (t, step)) is
+  * preferred over materialized arrays; both entry points are provided.
+  */
+object Windows {
+
+  /** W2 `_create_sliding_windows_single_df`: multivariate trailing windows
+    * INCLUSIVE of t — `[t−ws+1, t]`, baseline = last element
+    * (`sliding_windows.py:85-121`). Rows with fewer than `ws` trailing
+    * elements are dropped (reference emits zero windows for short series,
+    * `sliding_windows.py:42-44`).
+    *
+    * Output: input columns + `window` ArrayType(ArrayType(Double)) of shape
+    * (ws, n_features) in time order.
+    */
+  def slidingInclusive(df: DataFrame, featureCols: Seq[String], ws: Int, w: WindowSpec): DataFrame =
+    sliding(df, featureCols, w.rowsBetween(-(ws - 1), 0), ws)
+
+  /** W3 strict-causal windows EXCLUSIVE of t — `[t−ws, t)`, prediction
+    * timestamp = t (`phase2_6_preprocessor.py:120-198`). Trailing-horizon
+    * trim is the target side's job (Targets.multiHorizon).
+    */
+  def slidingCausal(df: DataFrame, featureCols: Seq[String], ws: Int, w: WindowSpec): DataFrame =
+    sliding(df, featureCols, w.rowsBetween(-ws, -1), ws)
+
+  private def sliding(df: DataFrame, featureCols: Seq[String], frame: WindowSpec, ws: Int): DataFrame =
+    df.withColumn("window", collect_list(array(featureCols.map(col): _*)).over(frame))
+      .filter(size(col("window")) === ws)
+
+  /** W4 strided windows: keep every `stride`-th window
+    * (`data_processor copy.py:23-48`). Apply AFTER a sliding* call.
+    */
+  def strided(df: DataFrame, w: WindowSpec, stride: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % stride === 0)
+      .drop("__rn")
+
+  /** W5 baseline: value of the target column at prediction time t — in the
+    * declarative layout this is just the column itself
+    * (`sliding_windows.py:124-163`).
+    */
+  def baseline(targetCol: String): Column = col(targetCol)
+
+  /** W14 time-axis reversal of a materialized window (`stl_preprocessor.py:35`). */
+  def reverseWindow(windowCol: Column): Column = reverse(windowCol)
+
+  /** W12 overlap-add un-windowing: reconstruct a series from overlapping
+    * single-feature windows — sum of shifted windows / coverage count
+    * (`app/reconstruction.py:4-45`). Input: (windowId: Long ascending by
+    * window start, window: Array[Double]). Output: (pos, value) where
+    * pos = windowId + offset-in-window.
+    *
+    * Fully distributed: posexplode + hash aggregation, no driver loop.
+    */
+  def overlapAdd(df: DataFrame, windowIdCol: String, windowCol: String): DataFrame =
+    df.select(col(windowIdCol), posexplode(col(windowCol)).as(Seq("pos", "v")))
+      .groupBy((col(windowIdCol) + col("pos")).as("pos"))
+      .agg((sum("v") / count("v")).as("value"))
+
+  /** W11 index-intersection alignment: inner equi-join on the time key
+    * (`data_processor copy.py:170-182`).
+    */
+  def alignByTime(x: DataFrame, y: DataFrame, tsCol: String): DataFrame =
+    x.join(y, Seq(tsCol), "inner")
+}

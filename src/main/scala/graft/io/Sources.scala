@@ -1,0 +1,111 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources & sinks (SURVEY §2.1).
+  *
+  * Reference semantics: `app/data_handler.py:12-77` (S1 `load_csv`),
+  * `preprocessor_plugins/helpers.py:6-86` (S2), `app/data_handler.py:81-115`
+  * (S6 `write_csv`). Re-expressed Spark-first: scans stay declarative so
+  * Catalyst pushes limits/filters/pruning into the file source.
+  */
+object Sources {
+
+  /** Parquet table of the driver testdata star schema ( TESTDATA.md ).
+    *
+    * Spark 4 rejects parquet TIMESTAMP(NANOS) (`events.ts`); we read nanos
+    * as long (legacy conf) and rebuild a microsecond timestamp with exact
+    * integer division — values in the testdata are µs-aligned.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None    => df
+    }
+  }
+
+  /** S1 `load_csv`: CSV scan with optional header, case-insensitive
+    * `DATE_TIME` detection → timestamp column `ts`, every other column cast
+    * to double with NaN/unparseable → 0.0, optional row limit.
+    *
+    * Reference: `app/data_handler.py:39-64` — case-insensitive DATE_TIME
+    * detection, `pd.to_numeric(errors='coerce').fillna(0)`, `nrows` pushdown.
+    * The `limit` is applied before casts so Catalyst pushes it into the scan.
+    */
+  def loadCsv(
+      spark: SparkSession,
+      path: String,
+      header: Boolean = true,
+      maxRows: Option[Int] = None,
+      tsColumn: String = "DATE_TIME"
+  ): DataFrame = {
+    var df = spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+    if (!header) {
+      // Headerless → synthetic col_{i} names (data_handler.py:59-60).
+      df = df.toDF(df.columns.indices.map(i => s"col_$i"): _*)
+    }
+    maxRows.foreach(n => df = df.limit(n))
+    // Case-insensitive DATE_TIME detection; keep FIRST occurrence only
+    // (duplicate-column drop, data_handler.py:47-51).
+    val lowerTs = tsColumn.toLowerCase
+    val tsMatches = df.columns.filter(_.toLowerCase == lowerTs)
+    val keepTs = tsMatches.headOption
+    val cols = df.columns.zipWithIndex.collect {
+      case (c, i) if keepTs.contains(c) && df.columns.indexOf(c) == i =>
+        to_timestamp(col(c)).as("ts")
+      case (c, _) if !tsMatches.contains(c) =>
+        // numeric coercion with null→0.0 fallback (data_handler.py:63-64)
+        coalesce(col(c).cast(DoubleType), lit(0.0)).as(c)
+    }
+    val out = df.select(cols.toIndexedSeq: _*)
+    out.na.fill(0.0, out.columns.filter(_ != "ts").toIndexedSeq)
+  }
+
+  /** S4: normalization-metadata JSON → Map(col -> (a, b)) where (a,b) is
+    * (mean,std) or (min,max). Driver-side tiny read, broadcast by Catalyst
+    * as literals once folded into expressions (`helpers.py:88-101`).
+    */
+  def loadNormStats(spark: SparkSession, path: String): Map[String, (Double, Double)] = {
+    val df = spark.read.option("multiLine", "true").json(path)
+    val schema = df.schema
+    val row = df.head()
+    schema.fields.map { f =>
+      val struct = row.getStruct(schema.fieldIndex(f.name))
+      val names = f.dataType.asInstanceOf[StructType].fieldNames.toSet
+      val (a, b) =
+        if (names.contains("mean")) ("mean", "std") else ("min", "max")
+      def num(field: String): Double = {
+        val i = struct.schema.fieldIndex(field)
+        struct.get(i) match {
+          case d: java.lang.Double => d.doubleValue
+          case l: java.lang.Long   => l.doubleValue
+          case s: String           => s.toDouble
+          case other               => other.toString.toDouble
+        }
+      }
+      f.name -> (num(a), num(b))
+    }.toMap
+  }
+
+  /** S6 `write_csv`: deterministic single-file CSV sink — explicit
+    * `orderBy` then coalesce(1) so golden files are reproducible
+    * (`data_handler.py:81-115`; determinism per SURVEY §4).
+    */
+  def writeCsv(df: DataFrame, path: String, orderCols: Seq[String], header: Boolean = true): Unit = {
+    val ordered =
+      if (orderCols.nonEmpty) df.orderBy(orderCols.map(col).toIndexedSeq: _*) else df
+    ordered
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .option("header", header.toString)
+      .csv(path)
+  }
+}

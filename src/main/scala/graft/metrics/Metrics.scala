@@ -1,0 +1,60 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Forecast-quality aggregates (SURVEY §2.6 A2–A7, W16).
+  *
+  * Each metric is a single declarative aggregate — partial (map-side)
+  * aggregation is free from HashAggregateExec, so these scale linearly.
+  * R² uses the sum-of-squares identity so one pass suffices.
+  */
+object Metrics {
+
+  /** A2 MAE: mean |pred − target| (`stl_metrics.py:72`). */
+  def mae(pred: Column, target: Column): Column = avg(abs(pred - target))
+
+  /** A4/W16 naive MAE: mean |baseline − target| where baseline = current
+    * value ⇒ naive forecast of zero change (`stl_metrics.py:77-81`).
+    */
+  def naiveMae(baseline: Column, target: Column): Column = avg(abs(baseline - target))
+
+  /** A3 R² = 1 − Σ(t−p)² / Σ(t−mean(t))², single pass via
+    * Σ(t−mean)² = Σt² − (Σt)²/n (`losses.py:29-38`).
+    */
+  def r2(pred: Column, target: Column): Column = {
+    val ssRes = sum(pow(target - pred, 2))
+    val ssTot = sum(pow(target, 2)) - pow(sum(target), 2) / count(target)
+    lit(1.0) - ssRes / ssTot
+  }
+
+  /** A5 uncertainty mean: mean |unc·σ| (`stl_metrics.py:74`). */
+  def uncertaintyMean(unc: Column, sigma: Double): Column = avg(abs(unc * lit(sigma)))
+
+  /** A6 SNR: mean(pred) / (mean(|unc|) + 1e-9) (`stl_metrics.py:75`). */
+  def snr(pred: Column, unc: Column): Column = avg(pred) / (avg(abs(unc)) + lit(1e-9))
+
+  /** A7 cross-iteration stats: avg/std/min/max per (split, metric, horizon)
+    * (`stl_metrics.py:164-201`). One groupBy plan, NaNs filtered like the
+    * reference.
+    */
+  def aggregateResults(df: DataFrame, splitCol: String, metricCol: String, horizonCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    df.filter(!isnan(v) && v.isNotNull)
+      .groupBy(col(splitCol), col(metricCol), col(horizonCol))
+      .agg(
+        avg(v).as("avg_value"),
+        coalesce(stddev_pop(v), lit(0.0)).as("std_dev"),
+        min(v).as("min_value"),
+        max(v).as("max_value")
+      )
+  }
+
+  /** A8 Welford-equivalent MC stats: per-key mean/std over exploded
+    * samples — Spark's stddev_pop is already single-pass/merging, which is
+    * the distributed analog of Welford (`common/bayesian.py:70-134`).
+    */
+  def mcStats(samples: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
+    samples.groupBy(keyCols.map(col): _*)
+      .agg(avg(col(valueCol)).as("mc_mean"), stddev_pop(col(valueCol)).as("mc_std"))
+}

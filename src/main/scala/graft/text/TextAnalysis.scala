@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All pure Catalyst expressions (split / higher-order functions / regex) —
+  * codegen'd, no UDFs, embarrassingly parallel per document, so they scale
+  * to 100 TB corpora limited only by scan throughput.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word token estimate: word-boundary + punctuation regex —
+    * counts runs of letters, digits, or single punctuation marks.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(split(text, "\\s+|(?=[^\\sA-Za-z0-9])"))
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0.0), (acc, x) => acc + length(x)) / size(t)
+  }
+
+  /** Punctuation ratio: punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / length(text)
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Stopword ratio: fraction of tokens in the stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val t = tokens(text)
+    size(filter(t, x => x.isin(stopwords.map(lit): _*))).cast("double") / size(t)
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * moderate token length, penalizes punctuation excess — the shape of
+    * C4/Gopher-style quality heuristics expressed as one codegen'd column.
+    */
+  def qualityScore(text: Column): Column = {
+    val sw = stopwordRatio(text)
+    val pr = punctRatio(text)
+    val tl = avgTokenLen(text)
+    greatest(lit(0.0), least(lit(1.0),
+      lit(0.5) * least(sw * 4.0, lit(1.0)) +
+        lit(0.3) * when(tl.between(3.0, 10.0), 1.0).otherwise(0.0) +
+        lit(0.2) * (lit(1.0) - least(pr * 10.0, lit(1.0)))))
+  }
+
+  /** Language-ID by stopword-profile voting: score the text against each
+    * language's closed-class word list; arg-max wins, 'und' when nothing
+    * matches. N-gram-free heuristic good enough for coarse routing.
+    */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit", "auf", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que", "pour", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他")
+  )
+
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scored = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(t, x => x.isin(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Word n-gram shingles: `concat_ws(" ", tokens[i..i+n-1])` for each
+    * window start — pure higher-order-function expression.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
+    ).otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** Document fingerprint: lexicographic min/max md5 over word shingles —
+    * a deterministic rolling-hash analog that two engines can agree on.
+    */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+}

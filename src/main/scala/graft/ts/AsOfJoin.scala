@@ -1,0 +1,43 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join (SURVEY §2.7 J6): for each left row, attach the
+  * latest right-side value with right.ts ≤ left.ts within the same key.
+  *
+  * Spark-first formulation: instead of a per-row lookup (the reference's
+  * pandas `heuristic_strategy.py:111,123` does a dict lookup per bar), we
+  * UNION the two sides, sort once per key, and propagate the right value
+  * with `last(..., ignoreNulls).over(unboundedPreceding→current)`. One
+  * shuffle on the key, one sort — the same cost as a sort-merge join, no
+  * driver loop, skew-safe via the key partitioning.
+  */
+object AsOfJoin {
+
+  /** @param left       left rows (kept 1:1 in the output)
+    * @param right      right rows supplying `valueCol`
+    * @param keyCols    equi-key (e.g. series / user id)
+    * @param tsCol      event-time column present on both sides
+    * @param valueCol   right column to carry (renamed `asofCol` in output)
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valueCol: String, asofCol: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select((keyCols :+ tsCol).map(col) :+ col(valueCol).as("__rv"): _*)
+      .withColumn("__side", lit(0))
+    // At equal ts the right row sorts first (side 0 < 1) ⇒ inclusive ≤.
+    val unioned = l.select((keyCols :+ tsCol).map(col) ++ Seq(col("__side"), col("__rv")) ++
+      left.columns.filterNot(c => keyCols.contains(c) || c == tsCol).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(asofCol, last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rv")
+  }
+}
