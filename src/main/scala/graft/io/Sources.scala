@@ -59,10 +59,11 @@ object Sources {
     val keepTs = tsMatches.headOption
     val cols = df.columns.zipWithIndex.collect {
       case (c, i) if keepTs.contains(c) && df.columns.indexOf(c) == i =>
-        to_timestamp(col(c)).as("ts")
+        try_to_timestamp(col(c)).as("ts")
       case (c, _) if !tsMatches.contains(c) =>
-        // numeric coercion with null→0.0 fallback (data_handler.py:63-64)
-        coalesce(col(c).cast(DoubleType), lit(0.0)).as(c)
+        // numeric coercion with null→0.0 fallback (data_handler.py:63-64);
+        // try_cast: ANSI mode (Spark 4 default) would throw on 'abc'
+        coalesce(col(c).try_cast(DoubleType), lit(0.0)).as(c)
     }
     val out = df.select(cols.toIndexedSeq: _*)
     out.na.fill(0.0, out.columns.filter(_ != "ts").toIndexedSeq)

@@ -1,0 +1,75 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"),      // near dup
+    (3L, "completely different content about spark engines here")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps one row per digest, min id wins") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(out.count() == 3)
+    assert(out.filter($"doc_id" === 1L).count() == 0)
+  }
+
+  test("exactDupGroups finds the duplicate pair") {
+    val g = Dedup.exactDupGroups(docs, "text").collect()
+    assert(g.length == 1 && g(0).getAs[Long]("n_docs") == 2 &&
+      g(0).getAs[Long]("min_doc_id") == 0L)
+  }
+
+  test("minhash: identical docs share full signature; near-dups share some") {
+    val k = 16 // k=16: the near-dup pair deterministically collides on 3 bands
+    val sigs = docs.select(($"doc_id" +: Dedup.minhashSignature($"text", 3, k)): _*)
+      .orderBy("doc_id").collect()
+    val s0 = (1 to k).map(i => sigs(0).getString(i))
+    val s1 = (1 to k).map(i => sigs(1).getString(i))
+    val s2 = (1 to k).map(i => sigs(2).getString(i))
+    val s3 = (1 to k).map(i => sigs(3).getString(i))
+    assert(s0 == s1)
+    assert(s0.zip(s2).count { case (a, b) => a == b } >= 2) // near-dup collides on some bands
+    assert(s0.zip(s3).count { case (a, b) => a == b } == 0)
+  }
+
+  test("minhashCandidatePairs surfaces dup and near-dup pairs") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id", 3, 16)
+      .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    val h = docs.select(Dedup.simhash64($"text").as("h")).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(1)) == 0)
+    assert(ham(h(0), h(2)) < ham(h(0), h(3)))
+  }
+
+  test("ngramJaccard: 1 for identical, high for near-dup, low for unrelated") {
+    val pairs = docs.toDF("doc_id", "text")
+    val j01 = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") === 0L && col("b.doc_id") === 1L)
+      .select(Dedup.ngramJaccard(col("a.text"), col("b.text"), 3).as("j"))
+      .as[Double].head()
+    val j02 = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") === 0L && col("b.doc_id") === 2L)
+      .select(Dedup.ngramJaccard(col("a.text"), col("b.text"), 3).as("j"))
+      .as[Double].head()
+    val j03 = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") === 0L && col("b.doc_id") === 3L)
+      .select(Dedup.ngramJaccard(col("a.text"), col("b.text"), 3).as("j"))
+      .as[Double].head()
+    assert(j01 == 1.0)
+    assert(j02 > 0.3 && j02 < 1.0)
+    assert(j03 == 0.0)
+  }
+}

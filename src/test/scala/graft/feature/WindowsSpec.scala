@@ -1,0 +1,57 @@
+package graft.feature
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.ts.TS
+
+class WindowsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def series(n: Int) =
+    (0 until n).map(i => (1L, i.toLong, i.toDouble)).toDF("sid", "t", "v")
+
+  private val w = TS.seriesWindow(Seq("sid"), Seq("t"))
+
+  test("slidingInclusive: count n-ws+1, window includes t") {
+    val out = Windows.slidingInclusive(series(10), Seq("v"), 4, w)
+    assert(out.count() == 7)
+    val first = out.orderBy("t").select("window").as[Seq[Seq[Double]]].head()
+    assert(first.map(_.head) == Seq(0.0, 1.0, 2.0, 3.0)) // [t-3, t]
+  }
+
+  test("slidingCausal: excludes t, count n-ws") {
+    val out = Windows.slidingCausal(series(10), Seq("v"), 4, w)
+    assert(out.count() == 6)
+    val first = out.orderBy("t").select($"t", $"window").head()
+    assert(first.getLong(0) == 4)  // first full causal window is at t=4
+    val win = first.getSeq[scala.collection.Seq[Double]](1).toSeq.map(_.head)
+    assert(win == Seq(0.0, 1.0, 2.0, 3.0)) // [t-4, t)
+  }
+
+  test("short series yields zero windows, no error") {
+    assert(Windows.slidingInclusive(series(3), Seq("v"), 5, w).count() == 0)
+  }
+
+  test("strided keeps every k-th window") {
+    val out = Windows.strided(Windows.slidingInclusive(series(10), Seq("v"), 2, w), w, 3)
+    assert(out.select("t").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 7L))
+  }
+
+  test("overlapAdd reconstructs the series from overlapping windows") {
+    // windows of ws=3 over 0..9: windowId = start index
+    val win = Windows.slidingInclusive(series(10), Seq("v"), 3, w)
+      .select(($"t" - 2).as("wid"), flatten($"window").as("win"))
+    val rec = Windows.overlapAdd(win, "wid", "win")
+      .orderBy("pos").select("value").as[Double].collect()
+    assert(rec.length == 10)
+    rec.zipWithIndex.foreach { case (v, i) => assert(math.abs(v - i) < 1e-9) }
+  }
+
+  test("alignByTime inner-joins on the time key") {
+    val x = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "x")
+    val y = Seq((2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("t", "y")
+    assert(Windows.alignByTime(x, y, "t").count() == 2)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0)),
+    (1L, Seq(0.9, 0.1, 0.0)),   // close to 0
+    (2L, Seq(0.0, 1.0, 0.0)),   // orthogonal to 0
+    (3L, Seq(-1.0, 0.0, 0.0))   // opposite of 0
+  ).toDF("vec_id", "v")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val self = vecs.as("a").join(vecs.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .select(Similarity.cosine(col("a.v"), col("b.v")).as("c")).as[Double].collect()
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
+    def cos(i: Long, j: Long) = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") === i && col("b.vec_id") === j)
+      .select(Similarity.cosine(col("a.v"), col("b.v")).as("c")).as[Double].head()
+    assert(math.abs(cos(0, 2)) < 1e-12)
+    assert(math.abs(cos(0, 3) + 1.0) < 1e-12)
+  }
+
+  test("knnBruteForce: nearest neighbor of 0 is 1") {
+    val q = vecs.filter($"vec_id" === 0L).select($"vec_id".as("qid"), $"v".as("qv"))
+    val out = Similarity.knnBruteForce(q, vecs, "qid", "vec_id", "qv", "v", 2).collect()
+    assert(out.length == 2)
+    assert(out.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("lshBucket: identical vectors share buckets, opposite vectors differ") {
+    val b = vecs.select($"vec_id", Similarity.lshBucket($"v", 8).as("b"))
+      .orderBy("vec_id").as[(Long, Long)].collect().map(_._2)
+    val bAgain = vecs.select(Similarity.lshBucket($"v", 8).as("b"))
+      .orderBy("b").as[Long].collect()
+    assert(b(0) != b(3))                       // opposite signs on every plane
+    assert(b.toSet.size >= 2)                  // buckets actually discriminate
+    // deterministic across evaluations
+    val b2 = vecs.select($"vec_id", Similarity.lshBucket($"v", 8).as("b"))
+      .orderBy("vec_id").as[(Long, Long)].collect().map(_._2)
+    assert(b.toSeq == b2.toSeq)
+  }
+}

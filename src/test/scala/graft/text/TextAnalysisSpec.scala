@@ -1,0 +1,50 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token count, avg len, punct ratio on a known string") {
+    val df = Seq("ab cd, ef!").toDF("text") // tokens: [ab, cd,, ef!]
+    val r = df.select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.punctRatio($"text").as("p")).head()
+    assert(r.getInt(0) == 3)
+    assert(math.abs(r.getDouble(1) - 2.0 / 10.0) < 1e-12) // ','+'!' over 10 chars
+  }
+
+  test("stopword ratio") {
+    val df = Seq("the cat and the dog").toDF("text")
+    val r = df.select(TextAnalysis.stopwordRatio($"text").as("s")).as[Double].head()
+    assert(math.abs(r - 3.0 / 5.0) < 1e-12)
+  }
+
+  test("langId picks the profile with most hits") {
+    val en = Seq("the cat sat on the mat and it is happy").toDF("text")
+    val es = Seq("el gato que vive en la casa de los vecinos").toDF("text")
+    val und = Seq("zzz qqq xxx").toDF("text")
+    assert(en.select(TextAnalysis.langId($"text")).as[String].head() == "en")
+    assert(es.select(TextAnalysis.langId($"text")).as[String].head() == "es")
+    assert(und.select(TextAnalysis.langId($"text")).as[String].head() == "und")
+  }
+
+  test("shingles: n-grams for long text, whole text when short") {
+    val df = Seq("a b c d").toDF("text")
+    val sh = df.select(TextAnalysis.shingles($"text", 3).as("s")).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(TextAnalysis.shingles($"text", 3).as("s")).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("quality score in [0,1], higher for natural text") {
+    val good = Seq("the cat is on the mat and it is a good day for all of us").toDF("text")
+    val bad = Seq("!!! ??? ... ;;; ::: !!!").toDF("text")
+    val g = good.select(TextAnalysis.qualityScore($"text")).as[Double].head()
+    val b = bad.select(TextAnalysis.qualityScore($"text")).as[Double].head()
+    assert(g >= 0.0 && g <= 1.0 && b >= 0.0 && b <= 1.0 && g > b)
+  }
+}
