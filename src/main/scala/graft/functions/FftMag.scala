@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** `fft_mag(array<double>, k)` → first k DFT magnitude bins (SURVEY §2.5
+  * D3; reference `phase2_6_preprocessor.py:200-294` takes `|fft|[0:5]` of
+  * each trailing window).
+  *
+  * A native Catalyst `Expression` (not a Scala UDF): no SerDe through the
+  * UDF boundary, null-safe, usable from SQL after
+  * `GraftFunctions.register`. Direct O(n·k) DFT — the reference keeps
+  * k=5 bins of windows of a few hundred points, where the direct form
+  * beats an FFT's bookkeeping and stays allocation-free per bin.
+  */
+case class FftMag(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "fft_mag"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"fft_mag expects (array<double>, int), got (${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
+
+  override def nullSafeEval(arr: Any, kAny: Any): Any = {
+    val xs = arr.asInstanceOf[ArrayData].toDoubleArray()
+    val k = kAny.asInstanceOf[Int]
+    val n = xs.length
+    val bins = math.min(k, math.max(n, 0))
+    val out = new Array[Double](bins)
+    var j = 0
+    while (j < bins) {
+      var re = 0.0
+      var im = 0.0
+      var i = 0
+      val base = -2.0 * math.Pi * j / math.max(n, 1)
+      while (i < n) {
+        val a = base * i
+        re += xs(i) * math.cos(a)
+        im += xs(i) * math.sin(a)
+        i += 1
+      }
+      out(j) = math.sqrt(re * re + im * im)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration + Column façade for the custom expressions. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fft_mag", exprs => FftMag(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** First k DFT magnitude bins of an array<double> column. Requires
+    * `register(spark)` once per session.
+    */
+  def fft_mag(arr: Column, k: Column): Column = call_function("fft_mag", arr, k)
+
+  /** D3 composite: normalize the k bins to sum 1 (reference divides the
+    * magnitude vector by its sum, `phase2_6_preprocessor.py:253-257`).
+    */
+  def fft_mag_norm(arr: Column, k: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val m = call_function("fft_mag", arr, k)
+    val s = aggregate(m, lit(0.0), (acc, x) => acc + x)
+    transform(m, x => x / when(s > 0.0, s).otherwise(lit(1.0)))
+  }
+}
