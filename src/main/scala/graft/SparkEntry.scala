@@ -5,12 +5,17 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.io.Sources
-import graft.ts.{AsOfJoin, TS}
-import graft.target.Targets
+import graft.backtest.Backtest
+import graft.decomp.Stl
 import graft.dedup.Dedup
-import graft.text.TextAnalysis
+import graft.feature.Windows
+import graft.functions.GraftFunctions
+import graft.io.Sources
+import graft.olap.OlapEtl
 import graft.similarity.Similarity
+import graft.target.Targets
+import graft.text.TextAnalysis
+import graft.ts.{AsOfJoin, TS}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the large-scale data-pipeline extensions), each with a
@@ -358,6 +363,51 @@ object SparkEntry {
       |   RANGE BETWEEN 432000000000 PRECEDING AND CURRENT ROW) AS n_5d
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
+  /** W12 overlap-add un-windowing: embeddings as overlapping windows
+    * (windowId = vec_id), reconstruct sum/coverage per position.
+    */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val win = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("win"))
+    Windows.overlapAdd(win, "vec_id", "win")
+      .select(col("pos"), round(col("value"), 6).as("value"))
+  }
+
+  private val q20Sql =
+    """SELECT vec_id + i - 1 AS pos,
+      | ROUND(SUM(CAST(x AS DOUBLE)) / COUNT(*), 6) AS value
+      |FROM (SELECT vec_id, unnest(embedding) AS x,
+      |        generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings)
+      |GROUP BY vec_id + i - 1""".stripMargin
+
+  /** A3 R² of the naive zero-return forecast, per series (exact via
+    * decimal sums: R² = 1 − Σr² / (Σr² − (Σr)²/n)).
+    */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val withRet = t(s, dir, "events")
+      .withColumn("r", lead(col("value"), 1).over(evWindow) - col("value"))
+      .filter(col("r").isNotNull)
+    withRet.groupBy(col("user_id"))
+      .agg(
+        (lit(1.0) - dsum(col("r") * col("r")) /
+          (dsum(col("r") * col("r")) - dsum(col("r")) * dsum(col("r")) / count(lit(1))))
+          .as("r2_naive"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q25Sql =
+    """SELECT user_id,
+      | 1.0 - CAST(SUM(CAST(r * r AS DECIMAL(18,6))) AS DOUBLE)
+      |   / (CAST(SUM(CAST(r * r AS DECIMAL(18,6))) AS DOUBLE)
+      |      - CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE)
+      |        * CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) AS r2_naive,
+      | COUNT(*) AS n
+      |FROM (SELECT user_id,
+      |        LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value AS r
+      |      FROM events)
+      |WHERE r IS NOT NULL GROUP BY user_id""".stripMargin
+
   /** J5 JSON config extraction + aggregate. */
   private def q23(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -413,7 +463,107 @@ object SparkEntry {
       |  MAX(value) AS max_value
       |FROM m GROUP BY 1, 2, 3""".stripMargin
 
+  /** J5 config flatten: JSON map → (key, value) rows (Metabase
+    * `jsonb_deep_each` analog via OlapEtl.configKv).
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    OlapEtl.configKv(t(s, dir, "events"), "event_id", "props")
+
+  private val q26Sql =
+    """SELECT event_id, k AS conf_key,
+      | json_extract_string(props, '$.' || k) AS conf_value
+      |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)""".stripMargin
+
+  /** F14/S10: results-row parse through OlapEtl.parseResults — regex
+    * split/metric/horizon + metric-key canonicalization.
+    */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val results = t(s, dir, "events").select(
+      concat(
+        when(col("event_id") % 3 === 0, "Train")
+          .when(col("event_id") % 3 === 1, "Validation")
+          .otherwise("Test"),
+        lit(" "),
+        when(col("event_id") % 2 === 0, "MAE").otherwise("Naive MAE"),
+        lit(" H"), (col("event_id") % 6 + 1).cast("string")).as("Metric"),
+      col("value").as("Average"),
+      lit(0.0).as("Std Dev"),
+      col("value").as("Min"),
+      col("value").as("Max"))
+    OlapEtl.parseResults(results)
+      .groupBy(col("split_key"), col("metric_key"), col("horizon_key"))
+      .agg(count(lit(1)).as("n"),
+        (dsum(col("avg_value")) / count(lit(1))).as("mean_avg"))
+  }
+
+  private val q36Sql =
+    """WITH m AS (SELECT
+      |  (CASE WHEN event_id % 3 = 0 THEN 'Train'
+      |        WHEN event_id % 3 = 1 THEN 'Validation' ELSE 'Test' END
+      |   || ' ' || CASE WHEN event_id % 2 = 0 THEN 'MAE' ELSE 'Naive MAE' END
+      |   || ' H' || CAST(event_id % 6 + 1 AS VARCHAR)) AS metric, value
+      | FROM events)
+      |SELECT lower(regexp_extract(metric, '^(Train|Validation|Test) (.+?) H(\d+)$', 1)) AS split_key,
+      |  CASE regexp_extract(metric, '^(Train|Validation|Test) (.+?) H(\d+)$', 2)
+      |    WHEN 'MAE' THEN 'mae' WHEN 'Naive MAE' THEN 'naive_mae' END AS metric_key,
+      |  CAST(regexp_extract(metric, '^(Train|Validation|Test) (.+?) H(\d+)$', 3) AS INT) AS horizon_key,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_avg
+      |FROM m GROUP BY 1, 2, 3""".stripMargin
+
   // ─────────────────── text analysis (documents) ───────────────────
+
+  /** Composite quality score (C4/Gopher-style heuristic, one codegen'd
+    * expression).
+    */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+
+  private val q31Sql = {
+    val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |         x -> list_contains([$sw], x))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS sw_ratio,
+       |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS punct_ratio,
+       |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS tok_len
+       | FROM documents)
+       |SELECT doc_id, ROUND(GREATEST(0.0, LEAST(1.0,
+       |  0.5 * LEAST(sw_ratio * 4.0, 1.0)
+       |  + 0.3 * (CASE WHEN tok_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+       |  + 0.2 * (1.0 - LEAST(punct_ratio * 10.0, 1.0)))), 6) AS quality
+       |FROM f""".stripMargin
+  }
+
+  /** MinHash+LSH candidate pairs: docs sharing any of the 4 signature
+    * bands (the equi-join that replaces O(n²) similarity at scale).
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(t(s, dir, "documents"), "text", "doc_id", 3, 4)
+      .select("doc_a", "doc_b").distinct()
+
+  private val q34Sql = {
+    def sig(i: Int) =
+      s"list_aggregate(list_transform(sh, x -> md5('seed$i:' || x)), 'min') AS sig$i"
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shl AS (SELECT doc_id,
+      |  CASE WHEN len(t) >= 3
+      |       THEN list_transform(range(0, len(t) - 2),
+      |              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |       ELSE [array_to_string(t, ' ')] END AS sh
+      | FROM tok),
+      |sig AS (SELECT doc_id, """.stripMargin +
+      (0 until 4).map(sig).mkString(", ") +
+      """ FROM shl)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        | AND (a.sig0 = b.sig0 OR a.sig1 = b.sig1 OR a.sig2 = b.sig2 OR a.sig3 = b.sig3)""".stripMargin
+  }
+
 
   /** Quality-scoring primitives: token count, avg token length,
     * punctuation ratio, stopword ratio.
@@ -456,8 +606,7 @@ object SparkEntry {
 
   /** MinHash signatures (engine-agnostic md5 permutations, k=4, 3-shingles). */
   private def q33(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id") +: Dedup.minhashSignature(col("text"), 3, 4): _*)
+    Dedup.withMinhashSignature(t(s, dir, "documents"), "text", "doc_id", 3, 4)
 
   private val q33Sql = {
     def sig(i: Int) =
@@ -552,6 +701,57 @@ object SparkEntry {
         transform(col("embedding"), x => x.cast("double")).as("v")),
       "vec_id", "v", nPlanes = 8, k = 3)
 
+  /** D1 STL decomposition per user series (period 24) — rows-only
+    * (iterative LOESS has no SQL equivalent).
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    Stl.decomposeDF(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), "ts", "value", period = 24)
+      .select(col("event_id"), col("user_id"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("resid"), 6).as("resid"))
+
+  /** D3 causal FFT features: trailing 16-value window per series →
+    * first 5 normalized DFT magnitude bins — rows-only (native
+    * Catalyst expression `fft_mag`).
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val withWin = t(s, dir, "events")
+      .withColumn("win", collect_list(col("value")).over(evWindow.rowsBetween(-15, 0)))
+      .filter(size(col("win")) === 16)
+    val m = GraftFunctions.fft_mag_norm(col("win"), lit(5))
+    val outCols = Seq(col("event_id"), col("user_id")) ++
+      (0 until 5).map(i => round(element_at(m, i + 1), 6).as(s"f$i"))
+    withWin.select(outCols: _*)
+  }
+
+  /** §2.10 backtest state machine on per-user event series (close=value,
+    * pseudo-prediction from the JSON payload) — rows-only.
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bars = t(s, dir, "events").select(
+      col("user_id").cast("string").as("symbol"),
+      unix_micros(col("ts")).as("ts"),
+      col("value").as("open"),
+      (col("value") * 1.01).as("high"),
+      (col("value") * 0.99).as("low"),
+      col("value").as("close"),
+      (col("value") + (get_json_object(col("props"), "$.k").cast("double") - 50.0) / 2.0)
+        .as("pred")).as[Backtest.Bar]
+    Backtest.run(bars, Backtest.Params(threshold = 10.0, tp = 20.0, sl = 10.0))
+      .toDF()
+  }
+
+  /** A10 backtest trade summary per symbol — rows-only. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Backtest.summary(q46(s, dir).as[Backtest.Trade])
+  }
+
   // ───────────────────────── driver contract ─────────────────────────
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -577,18 +777,28 @@ object SparkEntry {
     "q17_zscore_join" -> (q17 _),
     "q18_naive_mae" -> (q18 _),
     "q19_hourly_agg" -> (q19 _),
+    "q20_overlap_add" -> (q20 _),
     "q21_asof_join" -> (q21 _),
     "q22_rolling_count_5d" -> (q22 _),
     "q23_json_extract" -> (q23 _),
     "q24_metric_regex_cube" -> (q24 _),
+    "q25_r2_naive" -> (q25 _),
+    "q26_config_kv" -> (q26 _),
     "q30_text_quality" -> (q30 _),
+    "q31_quality_score" -> (q31 _),
     "q32_exact_dup" -> (q32 _),
     "q33_minhash_sig" -> (q33 _),
+    "q34_minhash_pairs" -> (q34 _),
     "q35_ngram_jaccard" -> (q35 _),
+    "q36_olap_parse" -> (q36 _),
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
     "q42_simhash" -> (q42 _),
-    "q43_lsh_ann" -> (q43 _)
+    "q43_lsh_ann" -> (q43 _),
+    "q44_stl_decompose" -> (q44 _),
+    "q45_fft_features" -> (q45 _),
+    "q46_backtest_trades" -> (q46 _),
+    "q47_backtest_summary" -> (q47 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -610,14 +820,20 @@ object SparkEntry {
     "q17_zscore_join" -> q17Sql,
     "q18_naive_mae" -> q18Sql,
     "q19_hourly_agg" -> q19Sql,
+    "q20_overlap_add" -> q20Sql,
     "q21_asof_join" -> q21Sql,
     "q22_rolling_count_5d" -> q22Sql,
     "q23_json_extract" -> q23Sql,
     "q24_metric_regex_cube" -> q24Sql,
+    "q25_r2_naive" -> q25Sql,
+    "q26_config_kv" -> q26Sql,
     "q30_text_quality" -> q30Sql,
+    "q31_quality_score" -> q31Sql,
     "q32_exact_dup" -> q32Sql,
     "q33_minhash_sig" -> q33Sql,
+    "q34_minhash_pairs" -> q34Sql,
     "q35_ngram_jaccard" -> q35Sql,
+    "q36_olap_parse" -> q36Sql,
     "q40_knn_cosine" -> q40Sql
   )
 }

@@ -35,27 +35,45 @@ object Dedup {
     */
   def minhashSignature(text: Column, shingleN: Int, k: Int): Seq[Column] = {
     val sh = TextAnalysis.shingles(text, shingleN)
+    minhashFromShingles(sh, k)
+  }
+
+  private def minhashFromShingles(sh: Column, k: Int): Seq[Column] =
     (0 until k).map { i =>
       array_min(transform(sh, s => md5(concat(lit(s"seed$i:"), s)))).as(s"sig$i")
     }
-  }
+
+  /** DataFrame form: id + sig0..sig{k-1}. Shingles are materialized into
+    * one intermediate column first — higher-order functions don't enter
+    * whole-stage codegen, so common-subexpression elimination never fires
+    * and the per-seed columns would otherwise re-tokenize the text k
+    * times.
+    */
+  def withMinhashSignature(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int): DataFrame =
+    df.select(col(idCol), TextAnalysis.shingles(col(textCol), shingleN).as("__sh"))
+      .select(col(idCol) +: minhashFromShingles(col("__sh"), k): _*)
 
   /** MinHash+LSH candidate pairs: band on one signature element (bands of
     * width 1 = most permissive), equi-join docs sharing a band value.
-    * Output is (band, sig, doc_a, doc_b) candidate pairs with a < b.
+    * Output: distinct (doc_a, doc_b) with a < b.
+    *
+    * The banded signature relation is persisted before the self-join —
+    * signature hashing is the dominant cost and a self-join would
+    * evaluate it once per side; at scale this is also the relation you
+    * bucket/write once and reuse across dedup rounds.
     */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String, shingleN: Int, k: Int): DataFrame = {
-    val sigs = minhashSignature(col(textCol), shingleN, k)
-    val withSig = df.select((col(idCol) +: sigs): _*)
+    val withSig = withMinhashSignature(df, textCol, idCol, shingleN, k)
     val banded = withSig.select(
       col(idCol),
       posexplode(array((0 until k).map(i => col(s"sig$i")): _*)).as(Seq("band", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col("a.band").as("band"), col("a.sig").as("sig"),
-        col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
   }
 

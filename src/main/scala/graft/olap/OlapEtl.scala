@@ -1,0 +1,114 @@
+package graft.olap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OLAP star-schema ETL (SURVEY §2.1 S9-S10, §2.6 A12, §2.3 F14;
+  * reference `olap/etl_migrate_v2.py`).
+  *
+  * The reference upserts row-at-a-time into Postgres; here each load is
+  * one set-oriented plan: parse → conform dims → keyed upsert. Parquet
+  * stands in for the warehouse table; `upsert` emulates `MERGE INTO` as
+  * union + row_number-keep-newest — idempotent, no per-row round trips.
+  */
+object OlapEtl {
+
+  /** F14: the reference's metric-row regex `^(Train|Validation|Test) (.+?) H(\d+)$`
+    * (`etl_migrate_v2.py:35`) applied to a results table with columns
+    * `Metric, Average, Std Dev, Min, Max` (S8 output shape).
+    */
+  def parseResults(results: DataFrame): DataFrame = {
+    val re = "^(Train|Validation|Test) (.+?) H(\\d+)$"
+    results
+      .withColumn("split_key", lower(regexp_extract(col("Metric"), re, 1)))
+      .withColumn("metric_key", canonicalMetric(regexp_extract(col("Metric"), re, 2)))
+      .withColumn("horizon_key",
+        // F15 numeric coercion with null fallback (ANSI cast would throw
+        // on the '' a non-matching regex yields)
+        regexp_extract(col("Metric"), re, 3).try_cast(org.apache.spark.sql.types.IntegerType))
+      .filter(col("split_key") =!= "" && col("horizon_key").isNotNull)
+      .select(
+        col("split_key"), col("metric_key"), col("horizon_key"),
+        col("Average").cast("double").as("avg_value"),
+        col("`Std Dev`").cast("double").as("std_dev"),
+        col("Min").cast("double").as("min_value"),
+        col("Max").cast("double").as("max_value"))
+  }
+
+  /** Metric-key canonicalization (`etl_migrate_v2.py:515-527`). */
+  def canonicalMetric(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c === "MAE", "mae")
+      .when(c === "Naive MAE", "naive_mae")
+      .when(c === "R2", "r2")
+      .when(c === "Uncertainty", "uncertainty")
+      .when(c === "SNR", "snr")
+      .otherwise(lower(regexp_replace(c, "\\s+", "_")))
+
+  /** Seeded dimensions (`etl_migrate_v2.py:249-269`). */
+  def dimDatasetSplit(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq("train", "validation", "test").toDF("split_key")
+  }
+  def dimHorizon(spark: SparkSession, maxHorizon: Int = 6): DataFrame = {
+    import spark.implicits._
+    (1 to maxHorizon).toDF("horizon_key")
+  }
+  def dimMetric(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("mae", "error", "lower_better"),
+      ("naive_mae", "error", "lower_better"),
+      ("r2", "fit", "higher_better"),
+      ("uncertainty", "uncertainty", "lower_better"),
+      ("snr", "signal", "higher_better")
+    ).toDF("metric_key", "metric_type", "direction")
+  }
+
+  /** MERGE INTO emulation: keep the newest row per key across
+    * (existing ∪ updates). `precedence` 0 = existing, 1 = update — update
+    * wins on key collision (the `ON CONFLICT DO UPDATE` semantics of
+    * `etl_migrate_v2.py:292-397`); A12 duplicate purge falls out of the
+    * same row_number pattern.
+    */
+  def upsert(existing: Option[DataFrame], updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val unioned = existing match {
+      case Some(e) => e.withColumn("__prec", lit(0))
+        .unionByName(updates.withColumn("__prec", lit(1)), allowMissingColumns = true)
+      case None => updates.withColumn("__prec", lit(1))
+    }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prec").desc)
+    unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__prec", "__rn")
+  }
+
+  /** Load fact_performance: parse a results table and upsert into the
+    * parquet-backed fact on the star-schema grain
+    * (`load_performance_metrics`, `etl_migrate_v2.py:455-619`).
+    */
+  def loadFactPerformance(spark: SparkSession, results: DataFrame,
+      experimentKey: String, factPath: String): DataFrame = {
+    val updates = parseResults(results)
+      .withColumn("experiment_key", lit(experimentKey))
+    val existing =
+      try Some(spark.read.parquet(factPath)) catch { case _: Exception => None }
+    val merged = upsert(existing, updates,
+      Seq("experiment_key", "split_key", "metric_key", "horizon_key"))
+    // write via temp + move-free overwrite: parquet overwrite is atomic
+    // enough for the single-writer ETL the reference runs
+    merged.cache().count()
+    merged.write.mode("overwrite").parquet(factPath)
+    merged
+  }
+
+  /** The Metabase config-flatten view analog (J5): explode a JSON config
+    * column into (key, value) rows (`olap_metabase_helpers.sql:4-23`).
+    */
+  def configKv(experiments: DataFrame, keyCol: String, configJsonCol: String): DataFrame =
+    experiments.select(col(keyCol),
+      explode(from_json(col(configJsonCol),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as(Seq("conf_key", "conf_value")))
+}

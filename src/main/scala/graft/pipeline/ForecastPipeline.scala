@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+import graft.metrics.Metrics
+import graft.target.Targets
+import graft.ts.TS
+
+/** SURVEY §7 minimum end-to-end slice — the reference's flagship dataflow
+  * with a naive predictor and zero ML:
+  *
+  *   read (S1) → z-denormalize target (F3/S4) → log-return feature (F9)
+  *   → multi-horizon return targets (W7) → naive forecast (W16)
+  *   → metrics MAE / naive MAE / R² per split×horizon (A2-A4)
+  *   → results rows `Metric,Average,Std Dev,Min,Max` (S8 shape).
+  *
+  * One Catalyst plan per split: scan → project → one ordered window (all
+  * leads collapse into a single WindowExec) → aggregate. The per-split
+  * frames never hit the driver.
+  */
+object ForecastPipeline {
+
+  case class Config(
+      splits: Map[String, String],           // split name → csv path
+      targetColumn: String,
+      horizons: Seq[Int],
+      normStats: Map[String, (Double, Double)] = Map.empty, // col → (mean, std)
+      maxSteps: Option[Int] = None)
+
+  /** Per-split naive-forecast metrics on the denormalized target.
+    * Output: one row per (split, metric, horizon) with the metric value —
+    * the "iteration" grain of `stl_metrics.py:18-110` for the naive model.
+    */
+  def naiveMetrics(spark: SparkSession, config: Config): DataFrame = {
+    val perSplit = config.splits.toSeq.sortBy(_._1).map { case (split, path) =>
+      val raw = Sources.loadCsv(spark, path, maxRows = config.maxSteps)
+      val denorm = config.normStats.get(config.targetColumn) match {
+        case Some((mean, std)) =>
+          raw.withColumn(config.targetColumn,
+            TS.zDenorm(col(config.targetColumn), mean, std))
+        case None => raw
+      }
+      val w = Window.orderBy(col("ts")) // single series per file, like the reference
+      val targets = Targets.multiHorizonReturns(denorm, config.targetColumn, config.horizons, w)
+      // naive forecast of returns = 0 ⇒ MAE_naive = mean|ret|; predictions
+      // equal baseline ⇒ pred_return = 0 as well for the naive model
+      val aggs = config.horizons.flatMap { h =>
+        Seq(
+          Metrics.naiveMae(lit(0.0), col(s"ret_h$h")).as(s"naive_mae_h$h"),
+          Metrics.mae(lit(0.0), col(s"ret_h$h")).as(s"mae_h$h"),
+          Metrics.r2(lit(0.0), col(s"ret_h$h")).as(s"r2_h$h"))
+      }
+      val row = targets.agg(aggs.head, aggs.tail: _*)
+        .withColumn("split", lit(split))
+      row
+    }
+    val wide = perSplit.reduce(_.unionByName(_))
+    // unpivot to (split, metric, horizon, value)
+    val metricCols = config.horizons.flatMap { h =>
+      Seq(s"mae_h$h" -> ("MAE", h), s"naive_mae_h$h" -> ("Naive MAE", h),
+        s"r2_h$h" -> ("R2", h))
+    }
+    val stacked = metricCols.map { case (c, (name, h)) =>
+      wide.select(col("split"), lit(name).as("metric"), lit(h).as("horizon"),
+        col(c).as("value"))
+    }.reduce(_.unionByName(_))
+    stacked
+  }
+
+  /** S8 results sink shape: aggregate the (split, metric, horizon, value)
+    * rows across iterations into `Metric,Average,Std Dev,Min,Max` with
+    * the reference's metric-string format `<Split> <Name> H<h>`
+    * (`stl_metrics.py:164-201`).
+    */
+  def resultsTable(metricRows: DataFrame): DataFrame =
+    Metrics.aggregateResults(metricRows, "split", "metric", "horizon", "value")
+      .select(
+        concat(initcap(col("split")), lit(" "), col("metric"), lit(" H"), col("horizon"))
+          .as("Metric"),
+        col("avg_value").as("Average"),
+        col("std_dev").as("Std Dev"),
+        col("min_value").as("Min"),
+        col("max_value").as("Max"))
+
+  /** Full slice: metrics → results rows → optional CSV sink. */
+  def run(spark: SparkSession, config: Config, outCsv: Option[String] = None): DataFrame = {
+    val results = resultsTable(naiveMetrics(spark, config))
+    outCsv.foreach(p => Sources.writeCsv(results, p, Seq("Metric")))
+    results
+  }
+}
