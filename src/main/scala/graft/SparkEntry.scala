@@ -511,6 +511,61 @@ object SparkEntry {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_avg
       |FROM m GROUP BY 1, 2, 3""".stripMargin
 
+  /** A9 MMD (Gaussian kernel) between two deterministic 256-row samples
+    * (purchase vs error values) — the reference's subsample-then-kernel
+    * shape with a by-id sample instead of a random one so the oracle is
+    * exact. σ = 50.
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def sample(tpe: String, alias: String) =
+      ev.filter(col("event_type") === tpe).orderBy(col("event_id")).limit(256)
+        .select(col("value").as(alias))
+    def meanK(a: DataFrame, ca: String, b: DataFrame, cb: String) = {
+      val d = col(ca) - col(cb)
+      a.crossJoin(b).agg(
+        (sum(exp(d * d / lit(-2.0 * 50.0 * 50.0)).cast(DecimalType(18, 12)))
+          .cast("double") / count(lit(1))).as("k"))
+    }
+    val kxx = meanK(sample("purchase", "xa"), "xa", sample("purchase", "xb"), "xb")
+      .withColumnRenamed("k", "kxx")
+    val kyy = meanK(sample("error", "ya"), "ya", sample("error", "yb"), "yb")
+      .withColumnRenamed("k", "kyy")
+    val kxy = meanK(sample("purchase", "xa"), "xa", sample("error", "yb"), "yb")
+      .withColumnRenamed("k", "kxy")
+    kxx.crossJoin(kyy).crossJoin(kxy)
+      .select(round(col("kxx") + col("kyy") - lit(2.0) * col("kxy"), 9).as("mmd"))
+  }
+
+  private val q37Sql =
+    """WITH x AS (SELECT value FROM events WHERE event_type = 'purchase'
+      |           ORDER BY event_id LIMIT 256),
+      |y AS (SELECT value FROM events WHERE event_type = 'error'
+      |      ORDER BY event_id LIMIT 256),
+      |kxx AS (SELECT CAST(SUM(CAST(EXP(-(a.value - b.value) * (a.value - b.value)
+      |          / (2.0 * 50.0 * 50.0)) AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS k
+      |        FROM x a, x b),
+      |kyy AS (SELECT CAST(SUM(CAST(EXP(-(a.value - b.value) * (a.value - b.value)
+      |          / (2.0 * 50.0 * 50.0)) AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS k
+      |        FROM y a, y b),
+      |kxy AS (SELECT CAST(SUM(CAST(EXP(-(a.value - b.value) * (a.value - b.value)
+      |          / (2.0 * 50.0 * 50.0)) AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS k
+      |        FROM x a, y b)
+      |SELECT ROUND(kxx.k + kyy.k - 2.0 * kxy.k, 9) AS mmd FROM kxx, kyy, kxy""".stripMargin
+
+  /** W4 strided windows: keep every 3rd row per series. */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Windows.strided(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        evWindow, 3)
+      .select("event_id", "user_id", "value")
+
+  private val q38Sql =
+    """SELECT event_id, user_id, value FROM
+      |(SELECT event_id, user_id, value,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      | FROM events) WHERE (rn - 1) % 3 = 0""".stripMargin
+
   // ─────────────────── text analysis (documents) ───────────────────
 
   /** Composite quality score (C4/Gopher-style heuristic, one codegen'd
@@ -784,6 +839,8 @@ object SparkEntry {
     "q24_metric_regex_cube" -> (q24 _),
     "q25_r2_naive" -> (q25 _),
     "q26_config_kv" -> (q26 _),
+    "q37_mmd" -> (q37 _),
+    "q38_strided" -> (q38 _),
     "q30_text_quality" -> (q30 _),
     "q31_quality_score" -> (q31 _),
     "q32_exact_dup" -> (q32 _),
@@ -827,6 +884,8 @@ object SparkEntry {
     "q24_metric_regex_cube" -> q24Sql,
     "q25_r2_naive" -> q25Sql,
     "q26_config_kv" -> q26Sql,
+    "q37_mmd" -> q37Sql,
+    "q38_strided" -> q38Sql,
     "q30_text_quality" -> q30Sql,
     "q31_quality_score" -> q31Sql,
     "q32_exact_dup" -> q32Sql,

@@ -1,0 +1,111 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.metrics.Metrics
+
+/** ML-boundary operators (SURVEY §2.9): per-horizon estimators (M8),
+  * bootstrap-ensemble uncertainty (M7 ≙ MC-dropout variance, aggregated
+  * with the A8 groupBy pattern), naive-relative fitness (the optimizer's
+  * objective, `default_optimizer.py` fitness = val MAE − naive MAE).
+  *
+  * Spark-first: features assemble into MLlib vectors, one distributed
+  * `LinearRegression` fit per horizon (normal-equation solver — one pass
+  * over the data per fit), predictions stay in the same plan for metric
+  * aggregation. The reference's Keras heads become pluggable Estimators.
+  */
+object Forecaster {
+
+  /** Lagged-feature builder: lag 1..nLags of the target as feature
+    * columns (the declarative analog of the W2 window tensor for
+    * regression-style models).
+    */
+  def withLagFeatures(df: DataFrame, targetCol: String, nLags: Int,
+      partCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w =
+      (if (partCols.isEmpty) Window.partitionBy() else Window.partitionBy(partCols.map(col): _*))
+        .orderBy(orderCols.map(col): _*)
+    val withL = (1 to nLags).foldLeft(df) { (d, i) =>
+      d.withColumn(s"lag_$i", lag(col(targetCol), i).over(w))
+    }
+    withL.na.drop((1 to nLags).map(i => s"lag_$i"))
+  }
+
+  /** M8: one fitted model per horizon (label = `target_h{h}`). */
+  def fitPerHorizon(train: DataFrame, featureCols: Seq[String],
+      horizons: Seq[Int], regParam: Double = 0.0): Map[Int, LinearRegressionModel] = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+    val assembled = assembler.transform(train).cache()
+    try {
+      horizons.map { h =>
+        val lr = new LinearRegression()
+          .setFeaturesCol("features").setLabelCol(s"target_h$h")
+          .setRegParam(regParam).setSolver("normal")
+        h -> lr.fit(assembled.filter(col(s"target_h$h").isNotNull))
+      }.toMap
+    } finally assembled.unpersist()
+  }
+
+  /** Apply the per-horizon models: adds `pred_h{h}` columns. */
+  def predict(models: Map[Int, LinearRegressionModel], df: DataFrame,
+      featureCols: Seq[String]): DataFrame = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(df)
+    models.toSeq.sortBy(_._1).foldLeft(assembled) { case (d, (h, m)) =>
+      m.setPredictionCol(s"pred_h$h").transform(d)
+    }
+  }
+
+  /** M7: bootstrap-ensemble uncertainty — K models on seeded resamples;
+    * per-row ensemble mean/std via the A8 groupBy pattern (exploded
+    * sample → avg/stddev_pop), the distributed analog of MC-dropout
+    * (`common/bayesian.py:70-134`).
+    */
+  def ensembleUncertainty(train: DataFrame, score: DataFrame, featureCols: Seq[String],
+      labelCol: String, idCol: String, k: Int, seed: Long = 42L): DataFrame = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+    val assembledTrain = assembler.transform(train).cache()
+    val assembledScore = assembler.transform(score).cache()
+    try {
+      val preds = (0 until k).map { i =>
+        val boot = assembledTrain.sample(withReplacement = true, 1.0, seed + i)
+        val m = new LinearRegression()
+          .setFeaturesCol("features").setLabelCol(labelCol).setSolver("normal")
+          .fit(boot)
+        m.setPredictionCol("sample_pred").transform(assembledScore)
+          .select(col(idCol), col("sample_pred"))
+      }
+      val all = preds.reduce(_.unionByName(_))
+      Metrics.mcStats(all, Seq(idCol), "sample_pred")
+        .withColumnRenamed("mc_mean", "pred_mean")
+        .withColumnRenamed("mc_std", "pred_unc")
+    } finally { assembledTrain.unpersist(); assembledScore.unpersist() }
+  }
+
+  /** Optimizer objective (M10 fitness): val MAE − val naive MAE on a
+    * horizon (`optimization_stats.json` semantics: negative = beats
+    * naive).
+    */
+  def naiveRelativeFitness(pred: DataFrame, predCol: String, targetCol: String,
+      baselineCol: String): Double = {
+    val row = pred.agg(
+      Metrics.mae(col(predCol), col(targetCol)).as("mae"),
+      Metrics.naiveMae(col(baselineCol), col(targetCol)).as("naive")).head()
+    row.getDouble(0) - row.getDouble(1)
+  }
+
+  /** M10: driver-side hyper-parameter search — each candidate evaluated
+    * by a Spark job, best (lowest fitness) wins. The GA loop of the
+    * reference reduces to this dispatch shape; generations = repeated
+    * calls with a mutated candidate set.
+    */
+  def search[C](candidates: Seq[C], evaluate: C => Double): (C, Double) =
+    candidates.map(c => c -> evaluate(c)).minBy(_._2)
+}
