@@ -43,16 +43,19 @@ object Dedup {
       array_min(transform(sh, s => md5(concat(lit(s"seed$i:"), s)))).as(s"sig$i")
     }
 
-  /** DataFrame form: id + sig0..sig{k-1}. Shingles are materialized into
-    * one intermediate column first — higher-order functions don't enter
-    * whole-stage codegen, so common-subexpression elimination never fires
-    * and the per-seed columns would otherwise re-tokenize the text k
-    * times.
+  /** DataFrame form: id + sig0..sig{k-1}, via the one-pass native
+    * `minhash_sigs` expression (bit-identical to `minhashSignature` but
+    * ~k× cheaper: higher-order functions don't codegen, so the per-seed
+    * column spelling pays interpreted-eval overhead k times per row).
     */
   def withMinhashSignature(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int, k: Int): DataFrame =
-    df.select(col(idCol), TextAnalysis.shingles(col(textCol), shingleN).as("__sh"))
-      .select(col(idCol) +: minhashFromShingles(col("__sh"), k): _*)
+      shingleN: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sigs = graft.functions.GraftFunctions
+      .minhash_shingle_sigs(TextAnalysis.tokens(col(textCol)), lit(shingleN), lit(k))
+    df.select(col(idCol), sigs.as("__sigs"))
+      .select(col(idCol) +: (0 until k).map(i => element_at(col("__sigs"), i + 1).as(s"sig$i")): _*)
+  }
 
   /** MinHash+LSH candidate pairs: band on one signature element (bands of
     * width 1 = most permissive), equi-join docs sharing a band value.

@@ -65,7 +65,24 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fft_mag", exprs => FftMag(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => MinhashSigs(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_shingle_sigs",
+      exprs => MinhashShingleSigs(exprs(0), exprs(1), exprs(2)), "built-in")
   }
+
+  /** Shingle + k-seed MinHash signature in one native pass. Requires
+    * `register(spark)` once per session.
+    */
+  def minhash_shingle_sigs(tokens: Column, n: Column, k: Column): Column =
+    call_function("minhash_shingle_sigs", tokens, n, k)
+
+  /** One-pass k-seed MinHash signature of a shingle array. Requires
+    * `register(spark)` once per session.
+    */
+  def minhash_sigs(shingles: Column, k: Column): Column =
+    call_function("minhash_sigs", shingles, k)
 
   /** First k DFT magnitude bins of an array<double> column. Requires
     * `register(spark)` once per session.

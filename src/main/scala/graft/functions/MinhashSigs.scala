@@ -1,0 +1,158 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `minhash_sigs(shingles array<string>, k)` → array of k hex digests,
+  * element i = min over shingles of md5("seed{i}:" ‖ shingle).
+  *
+  * Bit-identical to the composable form
+  * `array_min(transform(sh, s -> md5(concat('seed{i}:', s))))` (the DuckDB
+  * oracle keeps that spelling) but evaluated in ONE pass: higher-order
+  * functions don't enter whole-stage codegen, so the k-column spelling
+  * pays interpreted-eval overhead k times per row. This is the
+  * SURVEY §2 preference-(b) move: a custom scalar Expression where the
+  * built-in composition can't be made fast.
+  */
+case class MinhashSigs(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sigs expects (array<string>, int), got (${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = hexChars(b >> 4)
+      out(i * 2 + 1) = hexChars(b & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(arr: Any, kAny: Any): Any = {
+    val shingles = arr.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val n = shingles.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[UTF8String](k)
+    var i = 0
+    while (i < k) {
+      val seed = s"seed$i:".getBytes("UTF-8")
+      var best: String = null
+      var j = 0
+      while (j < n) {
+        val s = shingles.getUTF8String(j)
+        if (s != null) {
+          md.reset()
+          md.update(seed)
+          md.update(s.getBytes)
+          val h = hex(md.digest())
+          if (best == null || h.compareTo(best) < 0) best = h
+        }
+        j += 1
+      }
+      out(i) = UTF8String.fromString(if (best == null) "" else best)
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `minhash_shingle_sigs(tokens array<string>, n, k)` — builds word
+  * n-gram shingles AND the k-seed MinHash signature in one native pass.
+  * Shingle semantics match `TextAnalysis.shingles` exactly (short token
+  * lists collapse to one whole-text shingle), so results stay
+  * bit-identical to the composable spelling the DuckDB oracle uses —
+  * this exists purely because interpreted higher-order `transform`s are
+  * the hot path's cost at scale.
+  */
+case class MinhashShingleSigs(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_shingle_sigs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"minhash_shingle_sigs expects (array<string>, int, int), got " +
+          s"(${a.simpleString(10)}, ${b.simpleString(10)}, ${c.simpleString(10)})")
+    }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = hexChars(b >> 4)
+      out(i * 2 + 1) = hexChars(b & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(tokAny: Any, nAny: Any, kAny: Any): Any = {
+    val toks = tokAny.asInstanceOf[ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    val k = kAny.asInstanceOf[Int]
+    val nt = toks.numElements()
+    val words = new Array[String](nt)
+    var i = 0
+    while (i < nt) {
+      val u = toks.getUTF8String(i)
+      words(i) = if (u == null) "" else u.toString
+      i += 1
+    }
+    val shingles: Array[String] =
+      if (nt >= n) Array.tabulate(nt - n + 1)(j => words.slice(j, j + n).mkString(" "))
+      else Array(words.mkString(" "))
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[UTF8String](k)
+    var s = 0
+    while (s < k) {
+      val seed = ("seed" + s + ":").getBytes("UTF-8")
+      var best: String = null
+      var j = 0
+      while (j < shingles.length) {
+        md.reset()
+        md.update(seed)
+        md.update(shingles(j).getBytes("UTF-8"))
+        val h = hex(md.digest())
+        if (best == null || h.compareTo(best) < 0) best = h
+        j += 1
+      }
+      out(s) = UTF8String.fromString(if (best == null) "" else best)
+      s += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
