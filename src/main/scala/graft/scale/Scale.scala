@@ -1,0 +1,50 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew & layout helpers for the 100 TB deployment shape (SURVEY §4 /
+  * prompt's scale mandate). Small utilities, but they encode the physical
+  * decisions: salt a skewed join key, bucket for co-located joins, size
+  * shuffle partitions from bytes instead of folklore.
+  */
+object Scale {
+
+  /** Salted inner equi-join for a skewed key: the large side gets a
+    * deterministic per-row salt in [0, buckets), the small side is
+    * replicated once per salt, and the join runs on (key, salt) —
+    * splitting a hot key across `buckets` reducers. Result set is
+    * identical to `large.join(small, key)`.
+    *
+    * (AQE's skew-join handles sort-merge skew automatically; this is for
+    * the cases AQE can't see — e.g. aggregations after the join keep the
+    * skewed partitioning.)
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+
+  /** Bucketed write for shuffle-free co-located joins on `key`: both
+    * sides bucketed by the same key and count join without exchanging.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Shuffle-partition sizing: one partition per `targetBytes` of input
+    * (default 128 MiB), clamped to [cores, 4×cores·32] — the knob the
+    * prompt says to size instead of leaving at 200.
+    */
+  def suggestShufflePartitions(totalInputBytes: Long, cores: Int,
+      targetBytes: Long = 128L << 20): Int = {
+    val byBytes = math.ceil(totalInputBytes.toDouble / targetBytes).toInt
+    math.min(math.max(byBytes, cores), cores * 128)
+  }
+}

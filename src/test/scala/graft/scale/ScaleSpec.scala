@@ -1,0 +1,36 @@
+package graft.scale
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin result set equals the plain join on a skewed key") {
+    // 90% of rows share key 1 (skew), dim has 3 keys
+    val large = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (2L + i % 2, i)))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = large.join(small, Seq("k")).select("k", "v", "name")
+    val salted = Scale.saltedJoin(large, small, "k", 8).select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("suggestShufflePartitions scales with bytes, clamps to cores") {
+    assert(Scale.suggestShufflePartitions(0L, 32) == 32)              // floor at cores
+    assert(Scale.suggestShufflePartitions(64L << 30, 32) == 512)      // 64 GiB / 128 MiB
+    assert(Scale.suggestShufflePartitions(1L << 50, 32) == 32 * 128)  // ceiling
+  }
+
+  test("writeBucketed produces a joinable bucketed table") {
+    spark.sql("DROP TABLE IF EXISTS bt_test")
+    val df = (1 to 100).map(i => (i.toLong % 10, i)).toDF("k", "v")
+    Scale.writeBucketed(df, "bt_test", "k", 4)
+    val back = spark.table("bt_test")
+    assert(back.count() == 100)
+    assert(spark.sql("DESCRIBE EXTENDED bt_test").collect()
+      .exists(r => r.getString(0).contains("Num Buckets")))
+  }
+}
