@@ -743,11 +743,12 @@ object SparkEntry {
       col("doc_id"), col("lang"),
       TextAnalysis.langId(col("text")).as("lang_pred"))
 
-  /** SimHash 64-bit near-dup fingerprint (JVM xxhash64) — rows-only. */
+  /** SimHash 64-bit near-dup fingerprint (md5-based, native expression)
+    * — rows-only.
+    */
   private def q42(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      Dedup.simhash64(col("text")).as("simhash"))
+    Dedup.withSimhash(t(s, dir, "documents").select("doc_id", "text"), "text")
+      .select("doc_id", "simhash")
 
   /** LSH-bucketed ANN (scale path of q40) — rows-only. */
   private def q43(s: SparkSession, dir: String): DataFrame =
@@ -807,6 +808,37 @@ object SparkEntry {
     Backtest.summary(q46(s, dir).as[Backtest.Trade])
   }
 
+  /** The BASELINE-comparable preprocessing+metrics path (SURVEY §7 slice
+    * at the reference's 25,200-row scale): per-series symlog feature +
+    * log return, strict-causal ws=144 window tensors (materialized — the
+    * reference's hot spot), H∈1..6 return targets, per-series naive
+    * MAE/R² — rows-only (shape benchmark, verified piecewise by
+    * q10/q13/q18/q25 oracles).
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
+      .withColumn("log_ret", TS.logReturn(col("value"), evWindow))
+      .withColumn("symlog", TS.symLog1p(col("value") - 100))
+    // ws=24: events series are ~67 rows/user at sf0.01 — the reference's
+    // ws=144 would produce zero windows below sf0.1; same plan shape.
+    val windowed = graft.feature.Windows.slidingCausal(
+      ev, Seq("value", "log_ret", "symlog"), 24, evWindow)
+    val targets = Targets.multiHorizonReturns(windowed, "value", 1 to 6, evWindow)
+    // checksum forces the window tensors to actually materialize under a
+    // pruning sink; metrics mirror the reference's naive evaluation
+    targets
+      .withColumn("win_sum", aggregate(flatten(col("window")), lit(0.0), (a, x) => a + x))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(col("win_sum")).as("tensor_checksum"),
+        avg(abs(col("ret_h1"))).as("naive_mae_h1"),
+        avg(abs(col("ret_h6"))).as("naive_mae_h6"),
+        (lit(1.0) - sum(col("ret_h1") * col("ret_h1")) /
+          (sum(col("ret_h1") * col("ret_h1")) -
+            sum(col("ret_h1")) * sum(col("ret_h1")) / count(lit(1)))).as("r2_naive_h1"))
+  }
+
   // ───────────────────────── driver contract ─────────────────────────
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -855,7 +887,8 @@ object SparkEntry {
     "q44_stl_decompose" -> (q44 _),
     "q45_fft_features" -> (q45 _),
     "q46_backtest_trades" -> (q46 _),
-    "q47_backtest_summary" -> (q47 _)
+    "q47_backtest_summary" -> (q47 _),
+    "q48_preprocess_slice" -> (q48 _)
   )
 
   def oracleSql: Map[String, String] = Map(

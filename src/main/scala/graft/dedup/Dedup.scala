@@ -80,21 +80,22 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash (64-bit): per token take xxhash64, accumulate ±1 per bit
-    * position, sign → bit. Near-dups differ in few bits (Hamming).
-    * JVM-hash based → verified structurally (rows-only) not by oracle.
+  /** SimHash (64-bit): per token take the first 8 bytes of md5
+    * (engine-agnostic), majority-vote each bit position. Near-dups differ
+    * in few bits (Hamming). Evaluated by the native `simhash64`
+    * expression — the composable spelling would pay 64 interpreted
+    * per-bit aggregate passes per row.
+    *
+    * NOTE: callers must have run `GraftFunctions.register(spark)`; the
+    * DataFrame entry points in this object handle that.
     */
-  def simhash64(text: Column): Column = {
-    val t = TextAnalysis.tokens(text)
-    val hashes = transform(t, x => xxhash64(x))
-    // For each bit position, count tokens with that bit set; bit survives
-    // when count*2 > n_tokens (majority).
-    val n = size(t)
-    val bits = (0 until 64).map { b =>
-      val cnt = aggregate(hashes, lit(0L), (acc, h) => acc + shiftright(h, b).bitwiseAND(1L))
-      when(cnt * 2 > n, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, c) => a.bitwiseOR(c))
+  def simhash64(text: Column): Column =
+    graft.functions.GraftFunctions.simhash64(TextAnalysis.tokens(text))
+
+  /** DataFrame form (handles function registration). */
+  def withSimhash(df: DataFrame, textCol: String, outCol: String = "simhash"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn(outCol, simhash64(col(textCol)))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -70,7 +70,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_shingle_sigs",
       exprs => MinhashShingleSigs(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
   }
+
+  /** 64-bit SimHash of a token array (md5-based, engine-agnostic).
+    * Requires `register(spark)` once per session.
+    */
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
 
   /** Shingle + k-seed MinHash signature in one native pass. Requires
     * `register(spark)` once per session.

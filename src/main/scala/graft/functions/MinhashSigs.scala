@@ -156,3 +156,57 @@ case class MinhashShingleSigs(first: Expression, second: Expression, third: Expr
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
 }
+
+/** `simhash64(tokens array<string>)` → 64-bit SimHash: per token take the
+  * first 8 bytes of md5 (big-endian, engine-agnostic — reproducible from
+  * SQL as `('0x' || substr(md5(t), 1, 16))::UBIGINT`), majority-vote each
+  * bit. One native pass instead of 64 interpreted per-bit aggregates.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects array<string>, got ${t.simpleString(10)}")
+    }
+
+  override def nullSafeEval(arr: Any): Any = {
+    val toks = arr.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val counts = new Array[Int](64)
+    val md = MessageDigest.getInstance("MD5")
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1
+          bit += 1
+        }
+        total += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) * 2 > total) out |= (1L << bit)
+      bit += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -48,7 +48,8 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash: near-dups have small hamming distance, unrelated large") {
-    val h = docs.select(Dedup.simhash64($"text").as("h")).as[Long].collect()
+    val h = Dedup.withSimhash(docs, "text", "h").orderBy("doc_id")
+      .select("h").as[Long].collect()
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(h(0), h(1)) == 0)
     assert(ham(h(0), h(2)) < ham(h(0), h(3)))
