@@ -839,6 +839,18 @@ object SparkEntry {
             sum(col("ret_h1")) * sum(col("ret_h1")) / count(lit(1)))).as("r2_naive_h1"))
   }
 
+  /** M9 Prophet-analog: per-series trend + daily-Fourier regression fit
+    * (closed-form, one streaming pass per series) — rows-only.
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    graft.ml.SeasonalRegression.fitPredict(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) / 1e6).as("t_sec"), col("value")),
+        Seq("user_id"), "t_sec", "value", period = 86400.0, harmonics = 2)
+      .select(col("event_id"), col("user_id"),
+        round(col("fitted"), 6).as("fitted"), round(col("resid"), 6).as("resid"))
+
   // ───────────────────────── driver contract ─────────────────────────
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -888,7 +900,8 @@ object SparkEntry {
     "q45_fft_features" -> (q45 _),
     "q46_backtest_trades" -> (q46 _),
     "q47_backtest_summary" -> (q47 _),
-    "q48_preprocess_slice" -> (q48 _)
+    "q48_preprocess_slice" -> (q48 _),
+    "q49_seasonal_fit" -> (q49 _)
   )
 
   def oracleSql: Map[String, String] = Map(

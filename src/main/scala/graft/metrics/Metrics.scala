@@ -50,6 +50,21 @@ object Metrics {
       )
   }
 
+  /** M1 Huber loss (elementwise → mean): ½e² below δ, δ(|e|−½δ) above
+    * (`losses.py:120-125`).
+    */
+  def huberLoss(pred: Column, target: Column, delta: Double): Column = {
+    val err = abs(pred - target)
+    avg(when(err <= delta, lit(0.5) * err * err)
+      .otherwise(lit(delta) * (err - lit(0.5 * delta))))
+  }
+
+  /** M4 Pearson structural loss: MAE + α(1 − corr(pred, target))
+    * (`losses.py:153-169`).
+    */
+  def pearsonStructural(pred: Column, target: Column, alpha: Double): Column =
+    mae(pred, target) + lit(alpha) * (lit(1.0) - corr(pred, target))
+
   /** A8 Welford-equivalent MC stats: per-key mean/std over exploded
     * samples — Spark's stddev_pop is already single-pass/merging, which is
     * the distributed analog of Welford (`common/bayesian.py:70-134`).

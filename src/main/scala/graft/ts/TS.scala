@@ -100,6 +100,23 @@ object TS {
     when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity, 0.0)
       .otherwise(coalesce(c, lit(0.0)))
 
+  /** F12 sinusoidal positional-encoding table
+    * (`common/positional_encoding.py`): PE(pos, 2i) = sin(pos/10000^(2i/d)),
+    * PE(pos, 2i+1) = cos(...). A literal table — built driver-side once,
+    * joined or crossed in as needed.
+    */
+  def positionalEncoding(spark: org.apache.spark.sql.SparkSession,
+      maxLen: Int, dModel: Int): DataFrame = {
+    import spark.implicits._
+    (0 until maxLen).map { pos =>
+      val enc = (0 until dModel).map { j =>
+        val angle = pos / math.pow(10000.0, (2 * (j / 2)).toDouble / dModel)
+        if (j % 2 == 0) math.sin(angle) else math.cos(angle)
+      }
+      (pos.toLong, enc)
+    }.toDF("pos", "encoding")
+  }
+
   /** W13 rolling stats over the trailing `n` rows (inclusive of t):
     * `stl_preprocessor.py:33-38` (`window_stats_periods`).
     */
