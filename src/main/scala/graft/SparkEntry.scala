@@ -700,6 +700,43 @@ object SparkEntry {
       |   / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6) AS jaccard
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id""".stripMargin
 
+  /** End-to-end near-dedup: LSH candidates → Jaccard ≥ 0.5 → keep-best
+    * (longer text wins, ties to lower id) → surviving doc ids.
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDedup(t(s, dir, "documents"), "text", "doc_id", 3, 4, 0.5)
+      .select("doc_id", "n_chars")
+
+  private val q50Sql = {
+    def sig(i: Int) =
+      s"list_aggregate(list_transform(sh, x -> md5('seed$i:' || x)), 'min') AS sig$i"
+    """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      |shl AS (SELECT doc_id, text,
+      |  CASE WHEN len(t) >= 3
+      |       THEN list_transform(range(0, len(t) - 2),
+      |              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |       ELSE [array_to_string(t, ' ')] END AS sh
+      | FROM tok),
+      |sig AS (SELECT doc_id, text, list_distinct(sh) AS shd, """.stripMargin +
+      (0 until 4).map(sig).mkString(", ") +
+      """ FROM shl),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.text AS text_a, b.text AS text_b, a.shd AS sa, b.shd AS sb
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |   AND (a.sig0 = b.sig0 OR a.sig1 = b.sig1 OR a.sig2 = b.sig2 OR a.sig3 = b.sig3)),
+        |verified AS (SELECT *,
+        |    CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+        |      / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) AS jac
+        |  FROM pairs),
+        |losers AS (SELECT DISTINCT
+        |    CASE WHEN length(text_a) > length(text_b) THEN doc_b
+        |         WHEN length(text_a) < length(text_b) THEN doc_a
+        |         ELSE GREATEST(doc_a, doc_b) END AS doc_id
+        |  FROM verified WHERE jac >= 0.5)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+  }
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -892,6 +929,7 @@ object SparkEntry {
     "q34_minhash_pairs" -> (q34 _),
     "q35_ngram_jaccard" -> (q35 _),
     "q36_olap_parse" -> (q36 _),
+    "q50_near_dedup" -> (q50 _),
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
     "q42_simhash" -> (q42 _),
@@ -939,6 +977,7 @@ object SparkEntry {
     "q34_minhash_pairs" -> q34Sql,
     "q35_ngram_jaccard" -> q35Sql,
     "q36_olap_parse" -> q36Sql,
-    "q40_knn_cosine" -> q40Sql
+    "q40_knn_cosine" -> q40Sql,
+    "q50_near_dedup" -> q50Sql
   )
 }

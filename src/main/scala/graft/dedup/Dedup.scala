@@ -101,6 +101,57 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Full near-dedup pipeline: MinHash+LSH candidates → n-gram Jaccard
+    * verification → keep-best survivor selection → anti-join.
+    *
+    * Loser rule (deterministic, pairwise-greedy): for each verified pair
+    * the shorter text loses; equal lengths → the higher id loses. Note
+    * the rule is applied per PAIR, not per connected component — a doc
+    * can lose to one near-dup while an unrelated doc survives; this
+    * matches the SQL-expressible (oracle-checkable) semantics and is the
+    * usual first pass before a transitive-closure round at scale.
+    *
+    * Plan shape: signature equi-join (no O(n²)), Jaccard only on
+    * candidates, one broadcast-able anti-join at the end.
+    */
+  def nearDedup(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // One pass per doc: text length, distinct shingle set, native minhash
+    // signature — persisted, because every candidate pair reuses it (the
+    // naive spelling re-shingles both texts per pair: O(pairs·doclen)).
+    val base = df.select(
+      col(idCol),
+      length(col(textCol)).as("__tlen"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("__shd"),
+      graft.functions.GraftFunctions
+        .minhash_shingle_sigs(TextAnalysis.tokens(col(textCol)), lit(shingleN), lit(k))
+        .as("__sigs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col(idCol),
+      posexplode(col("__sigs")).as(Seq("band", "sig")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val side = base.select(col(idCol), col("__tlen"), col("__shd"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val verified = pairs
+      .join(side.toDF("doc_a", "len_a", "sa"), "doc_a")
+      .join(side.toDF("doc_b", "len_b", "sb"), "doc_b")
+      .withColumn("__inter", inter)
+      .withColumn("jac",
+        col("__inter") / (size(col("sa")) + size(col("sb")) - col("__inter")))
+      .filter(col("jac") >= threshold)
+    val losers = verified.select(
+      when(col("len_a") > col("len_b"), col("doc_b"))
+        .when(col("len_a") < col("len_b"), col("doc_a"))
+        .otherwise(greatest(col("doc_a"), col("doc_b"))).as(idCol))
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard similarity between two texts: |A∩B| / |A∪B| over
     * word-shingle sets — used to verify LSH candidate pairs.
     */
