@@ -553,6 +553,54 @@ object SparkEntry {
       |        FROM x a, y b)
       |SELECT ROUND(kxx.k + kyy.k - 2.0 * kxy.k, 9) AS mmd FROM kxx, kyy, kxy""".stripMargin
 
+  /** M1 Huber loss of the naive forecast per event_type (δ=10), exact
+    * via decimal sums.
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val withE = t(s, dir, "events")
+      .withColumn("e", abs(lead(col("value"), 1).over(evWindow) - col("value")))
+      .filter(col("e").isNotNull)
+    val h = when(col("e") <= 10.0, lit(0.5) * col("e") * col("e"))
+      .otherwise(lit(10.0) * (col("e") - lit(5.0)))
+    withE.groupBy(col("event_type"))
+      .agg((dsum(h, 6) / count(lit(1))).as("huber"), count(lit(1)).as("n"))
+  }
+
+  private val q51Sql =
+    """SELECT event_type,
+      | CAST(SUM(CAST(CASE WHEN e <= 10.0 THEN 0.5 * e * e
+      |                    ELSE 10.0 * (e - 5.0) END AS DECIMAL(18,6))) AS DOUBLE)
+      |   / COUNT(*) AS huber,
+      | COUNT(*) AS n
+      |FROM (SELECT event_type,
+      |        ABS(LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value) AS e
+      |      FROM events)
+      |WHERE e IS NOT NULL GROUP BY event_type""".stripMargin
+
+  /** A5/A6 uncertainty mean + SNR per event_type (pseudo-uncertainty =
+    * |k−50| from the JSON payload), exact via decimal sums.
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("unc",
+        abs(get_json_object(col("props"), "$.k").cast("double") - 50.0))
+    ev.groupBy(col("event_type"))
+      .agg(
+        (dsum(col("unc")) / count(lit(1))).as("unc_mean"),
+        ((dsum(col("value")) / count(lit(1))) /
+          (dsum(col("unc")) / count(lit(1)) + lit(1e-9))).as("snr"))
+  }
+
+  private val q52Sql =
+    """SELECT event_type,
+      | CAST(SUM(CAST(unc AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS unc_mean,
+      | (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+      |   / (CAST(SUM(CAST(unc AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) + 1e-9) AS snr
+      |FROM (SELECT event_type, value,
+      |        ABS(CAST(json_extract_string(props, '$.k') AS DOUBLE) - 50.0) AS unc
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
   /** W4 strided windows: keep every 3rd row per series. */
   private def q38(s: SparkSession, dir: String): DataFrame =
     Windows.strided(
@@ -922,6 +970,8 @@ object SparkEntry {
     "q26_config_kv" -> (q26 _),
     "q37_mmd" -> (q37 _),
     "q38_strided" -> (q38 _),
+    "q51_huber_naive" -> (q51 _),
+    "q52_snr" -> (q52 _),
     "q30_text_quality" -> (q30 _),
     "q31_quality_score" -> (q31 _),
     "q32_exact_dup" -> (q32 _),
@@ -970,6 +1020,8 @@ object SparkEntry {
     "q26_config_kv" -> q26Sql,
     "q37_mmd" -> q37Sql,
     "q38_strided" -> q38Sql,
+    "q51_huber_naive" -> q51Sql,
+    "q52_snr" -> q52Sql,
     "q30_text_quality" -> q30Sql,
     "q31_quality_score" -> q31Sql,
     "q32_exact_dup" -> q32Sql,

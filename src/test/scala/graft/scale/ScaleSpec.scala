@@ -24,6 +24,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(Scale.suggestShufflePartitions(1L << 50, 32) == 32 * 128)  // ceiling
   }
 
+  test("writePartitionedByDate: time-range scans prune partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpart").toString + "/events"
+    val ev = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "events")
+    Scale.writePartitionedByDate(ev, "ts", dir)
+    val back = spark.read.parquet(dir)
+      .filter($"p_date" === "2024-01-05")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_date"))
+    // pruned count matches a direct date filter on the source
+    val expected = ev.filter(org.apache.spark.sql.functions.to_date($"ts") === "2024-01-05").count()
+    assert(back.count() == expected && expected > 0)
+  }
+
   test("writeBucketed produces a joinable bucketed table") {
     spark.sql("DROP TABLE IF EXISTS bt_test")
     val df = (1 to 100).map(i => (i.toLong % 10, i)).toDF("k", "v")
