@@ -797,9 +797,7 @@ object SparkEntry {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim",
-        round(Similarity.dot(col("qv"), col("v")) /
-          (Similarity.l2norm(col("qv")) * Similarity.l2norm(col("v"))), 6))
+      .withColumn("cos_sim", round(Similarity.cosine(col("qv"), col("v")), 6))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("rank"))
@@ -924,6 +922,16 @@ object SparkEntry {
             sum(col("ret_h1")) * sum(col("ret_h1")) / count(lit(1)))).as("r2_naive_h1"))
   }
 
+  /** IVF ANN (scale path of q40): seeded KMeans cells, 2-probe cosine
+    * top-3 — rows-only.
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnIvf(
+      t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
+      "vec_id", "v", nCells = 16, nProbe = 2, k = 3,
+      fitSample = 0.25, maxIter = 5)
+
   /** M9 Prophet-analog: per-series trend + daily-Fourier regression fit
     * (closed-form, one streaming pass per series) — rows-only.
     */
@@ -989,7 +997,8 @@ object SparkEntry {
     "q46_backtest_trades" -> (q46 _),
     "q47_backtest_summary" -> (q47 _),
     "q48_preprocess_slice" -> (q48 _),
-    "q49_seasonal_fit" -> (q49 _)
+    "q49_seasonal_fit" -> (q49 _),
+    "q53_ivf_ann" -> (q53 _)
   )
 
   def oracleSql: Map[String, String] = Map(

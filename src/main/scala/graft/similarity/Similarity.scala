@@ -21,8 +21,16 @@ object Similarity {
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity in double precision — native one-pass expression
+    * (sequential fold order matches the composable spelling exactly).
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
+
+  /** Composable (pure built-ins) spelling; kept as the semantic
+    * reference for `cosine` and for engines without the native expr.
+    */
+  def cosineComposable(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries are broadcast (small side); corpus streams — at
@@ -59,6 +67,53 @@ object Similarity {
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** IVF-style ANN: a seeded KMeans coarse quantizer assigns every vector
+    * to a cell; each query probes its `nProbe` nearest cells and ranks
+    * exact cosine only within them. The join is an equi-join on cell id —
+    * the 100 TB shape: centroids broadcast, corpus shuffles once by cell,
+    * per-query work shrinks by ~nCells/nProbe versus brute force.
+    */
+  def knnIvf(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, nProbe: Int, k: Int,
+      fitSample: Double = 1.0, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.clustering.KMeans
+    val withVec = df.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("features"))
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    // at corpus scale the coarse quantizer is fit on a seeded sample;
+    // assignment still covers every vector
+    val fitData =
+      if (fitSample >= 1.0) withVec else withVec.sample(fitSample, 42L)
+    val model = km.fit(fitData)
+    val assigned = model.transform(withVec).drop("features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // query → its nProbe nearest centroids (small: nQueries × nCells)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toSeq.toDF("probe_cell", "centroid")
+    val wProbe = Window.partitionBy(col(s"q.$idCol"))
+      .orderBy(col("cent_sim").desc, col("probe_cell").asc)
+    val probes = assigned.as("q").crossJoin(broadcast(centDf))
+      .withColumn("cent_sim", cosine(col(s"q.$vecCol"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col(s"q.$idCol").as("query_id"), col(s"q.$vecCol").as("qv"),
+        col("probe_cell").as("cell"))
+    val wK = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    probes.join(assigned.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("nv"), col("cell")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
   /** LSH-bucketed ANN: equi-join on bucket, then exact cosine within

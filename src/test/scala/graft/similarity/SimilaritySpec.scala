@@ -33,6 +33,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("knnIvf: high recall vs brute force on clustered vectors") {
+    // two tight clusters far apart; nearest neighbors stay in-cluster
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 40).map { i =>
+      val base = if (i < 20) Seq(10.0, 0.0, 0.0) else Seq(0.0, 10.0, 0.0)
+      (i.toLong, base.map(_ + rnd.nextGaussian() * 0.1))
+    }.toDF("vec_id", "v")
+    val ivf = Similarity.knnIvf(data, "vec_id", "v", nCells = 2, nProbe = 1, k = 3)
+    assert(ivf.filter($"rank" === 1).count() == 40) // every vector got neighbors
+    // neighbors come from the same cluster
+    val cross = ivf.filter(($"query_id" < 20) =!= ($"neighbor_id" < 20)).count()
+    assert(cross == 0)
+    // top-1 matches brute force for a sample query
+    val q0 = data.filter($"vec_id" === 0L).select($"vec_id".as("qid"), $"v".as("qv"))
+    val bf = Similarity.knnBruteForce(q0, data, "qid", "vec_id", "qv", "v", 1)
+      .select("neighbor_id").as[Long].head()
+    val iv = ivf.filter($"query_id" === 0L && $"rank" === 1)
+      .select("neighbor_id").as[Long].head()
+    assert(bf == iv)
+  }
+
   test("lshBucket: identical vectors share buckets, opposite vectors differ") {
     val b = vecs.select($"vec_id", Similarity.lshBucket($"v", 8).as("b"))
       .orderBy("vec_id").as[(Long, Long)].collect().map(_._2)
