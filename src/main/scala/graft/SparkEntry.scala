@@ -601,6 +601,40 @@ object SparkEntry {
       |      FROM events)
       |GROUP BY event_type""".stripMargin
 
+  /** A13 group correlation: corr(value, k) per event_type (both engines
+    * compute Pearson; round 6 absorbs the 1-ulp formula differences).
+    */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy(col("event_type"))
+      .agg(round(corr(col("value"), col("k")), 6).as("corr_vk"),
+        count(lit(1)).as("n"))
+
+  private val q54Sql =
+    """SELECT event_type,
+      | ROUND(CORR(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
+      | COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Exact distinct-count aggregate per group (expands to the two-phase
+    * distinct aggregation plan).
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+
+  private val q55Sql =
+    """SELECT l_suppkey,
+      | COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_orderkey) AS n_orders,
+      | COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_suppkey""".stripMargin
+
   /** W4 strided windows: keep every 3rd row per series. */
   private def q38(s: SparkSession, dir: String): DataFrame =
     Windows.strided(
@@ -932,6 +966,15 @@ object SparkEntry {
       "vec_id", "v", nCells = 16, nProbe = 2, k = 3,
       fitSample = 0.25, maxIter = 5)
 
+  /** Transitive-closure dedup clusters: minhash candidate pairs →
+    * iterative connected components → (doc_id, component) for every doc
+    * in a dup cluster — rows-only (iterative min-label propagation has no
+    * single-query SQL form).
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashCandidatePairs(t(s, dir, "documents"), "text", "doc_id", 3, 4))
+
   /** M9 Prophet-analog: per-series trend + daily-Fourier regression fit
     * (closed-form, one streaming pass per series) — rows-only.
     */
@@ -980,6 +1023,9 @@ object SparkEntry {
     "q38_strided" -> (q38 _),
     "q51_huber_naive" -> (q51 _),
     "q52_snr" -> (q52 _),
+    "q54_group_corr" -> (q54 _),
+    "q55_count_distinct" -> (q55 _),
+    "q56_dedup_clusters" -> (q56 _),
     "q30_text_quality" -> (q30 _),
     "q31_quality_score" -> (q31 _),
     "q32_exact_dup" -> (q32 _),
@@ -1031,6 +1077,8 @@ object SparkEntry {
     "q38_strided" -> q38Sql,
     "q51_huber_naive" -> q51Sql,
     "q52_snr" -> q52Sql,
+    "q54_group_corr" -> q54Sql,
+    "q55_count_distinct" -> q55Sql,
     "q30_text_quality" -> q30Sql,
     "q31_quality_score" -> q31Sql,
     "q32_exact_dup" -> q32Sql,

@@ -152,6 +152,48 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected pair list (doc_a, doc_b) by
+    * iterative min-label propagation: each node's component label is the
+    * smallest id reachable from it. Converges in O(diameter) joins; dup
+    * clusters have tiny diameters, so `maxIter` ~10 is ample. This is the
+    * transitive-closure pass that turns pairwise near-dup hits into
+    * whole clusters (one survivor per cluster at 100 TB).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // symmetric edge list + self-loops
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint per iteration: truncates the lineage that would
+    // otherwise grow exponentially across the loop (plans, not data).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label per node = min(own, min over neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nbr_component"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** n-gram Jaccard similarity between two texts: |A∩B| / |A∪B| over
     * word-shingle sets — used to verify LSH candidate pairs.
     */
