@@ -26,6 +26,23 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Micro-batch featurization via foreachBatch (SURVEY §2.10: the
+    * sliding-window ops need exact trailing row counts, which streaming
+    * window frames can't express — so each micro-batch runs the BATCH
+    * featurizer and appends to a sink). `featurize` is any batch
+    * DataFrame→DataFrame transform (e.g. Windows.slidingCausal ∘
+    * Targets.multiHorizon).
+    */
+  def featurizeMicroBatches(stream: DataFrame,
+      featurize: DataFrame => DataFrame,
+      sinkPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        featurize(batch.toDF()).write.mode("append").parquet(sinkPath)
+      }
+      .start()
+
   case class Tick(userId: Long, ts: Long, value: Double)
   case class Position(userId: Long, nTicks: Long, total: Double, lastValue: Double)
 

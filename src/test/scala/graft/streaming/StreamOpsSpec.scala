@@ -32,6 +32,29 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("featurizeMicroBatches: batch featurizer runs per micro-batch into a sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ts.TS
+    val sink = java.nio.file.Files.createTempDirectory("feat").toString + "/out"
+    val mem = MemoryStream[(Long, Long, Double)]
+    val stream = mem.toDF().toDF("sid", "t", "v")
+    val q = StreamOps.featurizeMicroBatches(stream,
+      batch => batch.withColumn("diff",
+        TS.firstDiff(col("v"), TS.seriesWindow(Seq("sid"), Seq("t")))),
+      sink)
+    try {
+      mem.addData((1L, 1L, 10.0), (1L, 2L, 12.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, 15.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(sink)
+      assert(out.count() == 3)
+      assert(out.columns.contains("diff"))
+      // per-micro-batch semantics: batch 2 sees only its own rows
+      assert(out.filter($"t" === 3L).select("diff").as[Double].head() == 0.0)
+    } finally q.stop()
+  }
+
   test("trackPositions: state survives across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Tick]
