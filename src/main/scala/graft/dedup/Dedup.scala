@@ -23,9 +23,9 @@ object Dedup {
   }
 
   /** Exact-duplicate groups: digest → member count (>1 ⇒ duplicates). */
-  def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame =
     df.groupBy(md5(col(textCol)).as("digest"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
       .filter(col("n_docs") > 1)
 
   /** MinHash signature as `k` engine-agnostic hashes: permutation i is

@@ -72,4 +72,21 @@ object Windows {
     */
   def alignByTime(x: DataFrame, y: DataFrame, tsCol: String): DataFrame =
     x.join(y, Seq(tsCol), "inner")
+
+  /** J4 horizontal concat by row position (`app/data_processor.py:579-595`):
+    * join frames on their ordered row index. Prefer building all columns
+    * in one plan; this exists for the cases where two independently
+    * produced frames must align positionally (the reference's
+    * predictions ⊕ targets concat). Requires an explicit per-frame
+    * ordering to be meaningful.
+    */
+  def alignByRowNumber(x: DataFrame, y: DataFrame,
+      xOrder: Seq[String], yOrder: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wx = Window.orderBy(xOrder.map(col): _*)
+    val wy = Window.orderBy(yOrder.map(col): _*)
+    x.withColumn("__rn", row_number().over(wx))
+      .join(y.withColumn("__rn", row_number().over(wy)), Seq("__rn"), "inner")
+      .drop("__rn")
+  }
 }

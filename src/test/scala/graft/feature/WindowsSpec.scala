@@ -54,4 +54,20 @@ class WindowsSpec extends AnyFunSuite {
     val y = Seq((2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("t", "y")
     assert(Windows.alignByTime(x, y, "t").count() == 2)
   }
+
+  test("alignByRowNumber joins positionally after per-frame ordering") {
+    val x = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("t", "x")
+    val y = Seq((30L, 3.0), (10L, 1.0), (20L, 2.0)).toDF("u", "y")
+    val out = Windows.alignByRowNumber(x, y, Seq("t"), Seq("u"))
+      .orderBy("t").select("x", "y").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)))
+  }
+
+  test("reverseWindow flips the time axis of a materialized window") {
+    val win = Windows.slidingInclusive(series(5), Seq("v"), 3, w)
+      .orderBy("t").limit(1)
+      .select(Windows.reverseWindow(flatten($"window")).as("r"))
+      .as[Seq[Double]].head()
+    assert(win == Seq(2.0, 1.0, 0.0))
+  }
 }

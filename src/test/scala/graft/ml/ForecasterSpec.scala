@@ -49,6 +49,18 @@ class ForecasterSpec extends AnyFunSuite {
     assert(a == b) // seeded bootstrap → reproducible
   }
 
+  test("S11: fitted model round-trips through save/load") {
+    val df = Targets.multiHorizon(series(100), "v", Seq(1), w)
+    val feat = Forecaster.withLagFeatures(df, "v", 2, Seq("sid"), Seq("t"))
+    val cols = Seq("v", "lag_1", "lag_2")
+    val m = Forecaster.fitPerHorizon(feat, cols, Seq(1))(1)
+    val path = java.nio.file.Files.createTempDirectory("model").toString + "/m1"
+    m.write.overwrite().save(path)
+    val back = org.apache.spark.ml.regression.LinearRegressionModel.load(path)
+    assert(back.coefficients.toArray.toSeq == m.coefficients.toArray.toSeq)
+    assert(back.intercept == m.intercept)
+  }
+
   test("search returns the arg-min candidate") {
     val (best, fit) = Forecaster.search(Seq(1, 2, 3, 4), (c: Int) => math.abs(c - 3).toDouble)
     assert(best == 3 && fit == 0.0)

@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Full local replica of the round gate: specs, correctness at two SFs,
+# bench. Run from /root/repo. Exits non-zero on any failure.
+set -e
+cd "$(dirname "$0")/.."
+
+echo "== sbt test =="
+sbt -batch test 2>&1 | grep -E "Tests:|FAILED" | tail -2
+
+echo "== Verify + DuckDB oracle (sf0.01) =="
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_sf001" >/dev/null 2>&1
+python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gate_sf001 | tail -1
+
+echo "== Verify + DuckDB oracle (sf0.001, edge cases) =="
+sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/gate_sf0001" >/dev/null 2>&1
+python3 tools/check_oracle.py /root/testdata/sf0.001 /tmp/gate_sf0001 | tail -1
+
+echo "== Bench (sf0.1) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 \
+  | grep -oE '\{"metric".*' | python3 -c "
+import json, sys
+d = json.loads(sys.stdin.read())
+print(f\"total {d['value']:.1f}s over {len(d['queries'])} queries\")"
+
+echo "== gate PASSED =="
