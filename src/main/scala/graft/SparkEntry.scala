@@ -347,6 +347,21 @@ object SparkEntry {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
       |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin
 
+  /** J6 again, through the CUSTOM PHYSICAL OPERATOR (AsOfJoinExec:
+    * LogicalPlan + Strategy + one-pass sort-merge SparkPlan) — same
+    * semantics and oracle as q21, different execution path.
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ats"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("ats"), col("value").as("err_v"))
+    graft.plans.AsOfJoinNative
+      .backward(purchases, errors, "user_id", "ats", "err_v", "last_error_value")
+      .select("event_id", "user_id", "value", "last_error_value")
+  }
+
   /** A11 rolling event-time count: purchases per user in trailing 5 days. */
   private def q22(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -1014,6 +1029,7 @@ object SparkEntry {
     "q19_hourly_agg" -> (q19 _),
     "q20_overlap_add" -> (q20 _),
     "q21_asof_join" -> (q21 _),
+    "q57_asof_native" -> (q57 _),
     "q22_rolling_count_5d" -> (q22 _),
     "q23_json_extract" -> (q23 _),
     "q24_metric_regex_cube" -> (q24 _),
@@ -1068,6 +1084,7 @@ object SparkEntry {
     "q19_hourly_agg" -> q19Sql,
     "q20_overlap_add" -> q20Sql,
     "q21_asof_join" -> q21Sql,
+    "q57_asof_native" -> q21Sql,
     "q22_rolling_count_5d" -> q22Sql,
     "q23_json_extract" -> q23Sql,
     "q24_metric_regex_cube" -> q24Sql,
