@@ -23,11 +23,19 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn, "/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn, sfDir) catch { case _: Throwable => () }
+      try run(fn, sfDir) catch {
+        case e: Throwable =>
+          // a crashing query must not masquerade as a fast one
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

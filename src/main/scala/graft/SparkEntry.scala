@@ -390,7 +390,8 @@ object SparkEntry {
 
   private val q20Sql =
     """SELECT vec_id + i - 1 AS pos,
-      | ROUND(SUM(CAST(x AS DOUBLE)) / COUNT(*), 6) AS value
+      | ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+      |   / COUNT(*), 6) AS value
       |FROM (SELECT vec_id, unnest(embedding) AS x,
       |        generate_subscripts(embedding, 1) AS i
       |      FROM embeddings)

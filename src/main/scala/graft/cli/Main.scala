@@ -61,12 +61,18 @@ object Main {
         case Some(p: String) => Sources.loadNormStats(spark, p)
         case _ => Map.empty[String, (Double, Double)]
       }
+      // per-split caps: max_steps_train / max_steps_val / max_steps_test
+      val maxSteps = Seq(
+        "train" -> conf.get("max_steps_train"),
+        "validation" -> conf.get("max_steps_val"),
+        "test" -> conf.get("max_steps_test")
+      ).collect { case (k, Some(v)) => k -> v.toString.toDouble.toInt }.toMap
       val cfg = ForecastPipeline.Config(
         splits = splits,
         targetColumn = conf("target_column").toString,
         horizons = horizons,
         normStats = normStats,
-        maxSteps = conf.get("max_steps_train").map(_.toString.toDouble.toInt))
+        maxSteps = maxSteps)
       val out = conf("results_file").toString
       val results = ForecastPipeline.run(spark, cfg, Some(out))
       println(s"[graft] wrote ${results.count()} result rows to $out")

@@ -65,7 +65,10 @@ object Windows {
   def overlapAdd(df: DataFrame, windowIdCol: String, windowCol: String): DataFrame =
     df.select(col(windowIdCol), posexplode(col(windowCol)).as(Seq("pos", "v")))
       .groupBy((col(windowIdCol) + col("pos")).as("pos"))
-      .agg((sum("v") / count("v")).as("value"))
+      // decimal-cast sum: exact and order-independent, so the result is
+      // deterministic under any partitioning (and oracle-comparable)
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double") / count("v")).as("value"))
 
   /** W11 index-intersection alignment: inner equi-join on the time key
     * (`data_processor copy.py:170-182`).

@@ -96,13 +96,15 @@ object GraftFunctions {
     */
   def fft_mag(arr: Column, k: Column): Column = call_function("fft_mag", arr, k)
 
-  /** D3 composite: normalize the k bins to sum 1 (reference divides the
-    * magnitude vector by its sum, `phase2_6_preprocessor.py:253-257`).
+  /** D3 composite: normalize the k bins to sum 1; an all-zero spectrum
+    * (flat window) yields the UNIFORM 1/k vector, matching the
+    * reference's no-signal fallback (`phase2_6_preprocessor.py:253-267`:
+    * `np.ones(n)/n  # Uniform if no signal`).
     */
   def fft_mag_norm(arr: Column, k: Column): Column = {
     import org.apache.spark.sql.functions._
     val m = call_function("fft_mag", arr, k)
     val s = aggregate(m, lit(0.0), (acc, x) => acc + x)
-    transform(m, x => x / when(s > 0.0, s).otherwise(lit(1.0)))
+    transform(m, x => when(s > 0.0, x / s).otherwise(lit(1.0) / size(m)))
   }
 }

@@ -95,11 +95,13 @@ object OlapEtl {
       try Some(spark.read.parquet(factPath)) catch { case _: Exception => None }
     val merged = upsert(existing, updates,
       Seq("experiment_key", "split_key", "metric_key", "horizon_key"))
-    // write via temp + move-free overwrite: parquet overwrite is atomic
-    // enough for the single-writer ETL the reference runs
-    merged.cache().count()
-    merged.write.mode("overwrite").parquet(factPath)
-    merged
+    // Materialize BEFORE overwriting the path the plan lazily reads:
+    // localCheckpoint truncates the lineage to executor-local blocks, so
+    // the overwrite can't trigger a recompute against deleted files
+    // (cache() alone would recompute from the source on eviction).
+    val stable = merged.localCheckpoint(true)
+    stable.write.mode("overwrite").parquet(factPath)
+    stable
   }
 
   /** The Metabase config-flatten view analog (J5): explode a JSON config

@@ -28,7 +28,9 @@ object ForecastPipeline {
       targetColumn: String,
       horizons: Seq[Int],
       normStats: Map[String, (Double, Double)] = Map.empty, // col → (mean, std)
-      maxSteps: Option[Int] = None)
+      // per-split row caps, reference max_steps_{train,val,test}
+      // semantics (`app/config.py:42-44`) — each split has its own limit
+      maxSteps: Map[String, Int] = Map.empty)
 
   /** Per-split naive-forecast metrics on the denormalized target.
     * Output: one row per (split, metric, horizon) with the metric value —
@@ -36,7 +38,7 @@ object ForecastPipeline {
     */
   def naiveMetrics(spark: SparkSession, config: Config): DataFrame = {
     val perSplit = config.splits.toSeq.sortBy(_._1).map { case (split, path) =>
-      val raw = Sources.loadCsv(spark, path, maxRows = config.maxSteps)
+      val raw = Sources.loadCsv(spark, path, maxRows = config.maxSteps.get(split))
       val denorm = config.normStats.get(config.targetColumn) match {
         case Some((mean, std)) =>
           raw.withColumn(config.targetColumn,

@@ -89,13 +89,22 @@ case class AsOfJoinExec(
 
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
 
-  override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(Seq(byName(left, keyName))),
-      ClusteredDistribution(Seq(byName(right, keyName))))
+  override def requiredChildDistribution: Seq[Distribution] = {
+    // Pin an explicit partition count on BOTH sides: zipPartitions needs
+    // equal counts, and AQE's shuffle coalescing could otherwise shrink
+    // the two exchanges differently.
+    val n = conf.numShufflePartitions
+    Seq(ClusteredDistribution(Seq(byName(left, keyName)), requiredNumPartitions = Some(n)),
+      ClusteredDistribution(Seq(byName(right, keyName)), requiredNumPartitions = Some(n)))
+  }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    // right side adds the payload as the final sort key: among right rows
+    // sharing (key, ts) the LARGEST payload deterministically wins (the
+    // merge keeps the last row consumed), instead of partition-order luck
     Seq(Seq(SortOrder(byName(left, keyName), Ascending), SortOrder(byName(left, tsName), Ascending)),
-      Seq(SortOrder(byName(right, keyName), Ascending), SortOrder(byName(right, tsName), Ascending)))
+      Seq(SortOrder(byName(right, keyName), Ascending), SortOrder(byName(right, tsName), Ascending),
+        SortOrder(byName(right, payloadName), Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(byName(left, keyName), Ascending), SortOrder(byName(left, tsName), Ascending))
@@ -120,14 +129,21 @@ case class AsOfJoinExec(
         private var rHeadVal = 0.0
         private var rHeadValNull = true
         private def advanceRight(): Unit = {
-          if (rIter.hasNext) {
+          // skip right rows with NULL key/ts — SQL as-of semantics never
+          // match them (getLong on a null slot would silently read 0)
+          var found = false
+          while (!found && rIter.hasNext) {
             val r = rIter.next()
-            rHeadKey = r.getLong(keyRIdx)
-            rHeadTs = r.getLong(tsRIdx)
-            rHeadValNull = r.isNullAt(payloadIdx)
-            rHeadVal = if (rHeadValNull) 0.0 else r.getDouble(payloadIdx)
-            rHead = r
-          } else rHead = null
+            if (!r.isNullAt(keyRIdx) && !r.isNullAt(tsRIdx)) {
+              rHeadKey = r.getLong(keyRIdx)
+              rHeadTs = r.getLong(tsRIdx)
+              rHeadValNull = r.isNullAt(payloadIdx)
+              rHeadVal = if (rHeadValNull) 0.0 else r.getDouble(payloadIdx)
+              rHead = r
+              found = true
+            }
+          }
+          if (!found) rHead = null
         }
         advanceRight()
         // carried state: latest right payload for the current key
@@ -138,6 +154,11 @@ case class AsOfJoinExec(
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
+          // left rows with NULL key/ts get a NULL as-of value (no match)
+          if (l.isNullAt(keyLIdx) || l.isNullAt(tsLIdx)) {
+            valueRow.setNullAt(0)
+            return resultProj(joined(l, valueRow))
+          }
           val k = l.getLong(keyLIdx)
           val ts = l.getLong(tsLIdx)
           if (!hasCur || curKey != k) { hasCur = true; curKey = k; curValNull = true; curVal = 0.0 }

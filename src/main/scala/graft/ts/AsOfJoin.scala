@@ -32,8 +32,11 @@ object AsOfJoin {
     val unioned = l.select((keyCols :+ tsCol).map(col) ++ Seq(col("__side"), col("__rv")) ++
       left.columns.filterNot(c => keyCols.contains(c) || c == tsCol).map(col): _*)
       .unionByName(r, allowMissingColumns = true)
+    // __rv as the final sort key: among right rows sharing a timestamp
+    // the LARGEST payload deterministically wins (matches the native
+    // AsOfJoinExec's tie-break), instead of partition-order luck.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(asofCol, last(col("__rv"), ignoreNulls = true).over(w))

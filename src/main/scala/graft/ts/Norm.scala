@@ -44,10 +44,15 @@ object Norm {
 
   /** S7 length reconciliation (`stl_io.py:30-32`): truncate every frame
     * to the shortest count so horizontally-concatenated outputs align.
+    * An explicit per-frame ordering is required — `limit` on an unordered
+    * frame keeps an arbitrary subset, which would silently break the
+    * positional alignment this function exists to guarantee.
     */
-  def reconcileLengths(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+  def reconcileLengths(dfs: Seq[DataFrame], orderCols: Seq[String]): Seq[DataFrame] = {
     if (dfs.isEmpty) return dfs
-    val minLen = dfs.map(_.count()).min.toInt
-    dfs.map(_.limit(minLen))
+    require(orderCols.nonEmpty, "reconcileLengths needs an ordering for determinism")
+    val minLen = dfs.map(_.count()).min
+    require(minLen <= Int.MaxValue, s"limit() cannot express $minLen rows")
+    dfs.map(_.orderBy(orderCols.map(col): _*).limit(minLen.toInt))
   }
 }

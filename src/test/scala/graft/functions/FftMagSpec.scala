@@ -35,13 +35,17 @@ class FftMagSpec extends AnyFunSuite {
     assert(nullRow.head().isNullAt(0))
   }
 
-  test("fft_mag_norm sums to 1") {
+  test("fft_mag_norm sums to 1; flat window → uniform 1/k (reference fallback)") {
     GraftFunctions.register(spark)
     val df = Seq(Tuple1((0 until 32).map(i => math.sin(0.3 * i) + 0.1 * i))).toDF("w")
     val m = df.select(GraftFunctions.fft_mag_norm($"w", lit(5)).as("m"))
       .as[Seq[Double]].head()
     assert(math.abs(m.sum - 1.0) < 1e-9)
     assert(m.forall(_ >= 0.0))
+    val flat = Seq(Tuple1((0 until 16).map(_ => 0.0))).toDF("w")
+      .select(GraftFunctions.fft_mag_norm($"w", lit(5)).as("m"))
+      .as[Seq[Double]].head()
+    assert(flat.forall(_ == 0.2))
   }
 
   test("k larger than window length truncates to n bins") {

@@ -31,10 +31,12 @@ class NormSpec extends AnyFunSuite {
     assert(Norm.fractionInRange(normalized, "x", -2.0, 2.0) == 1.0)
   }
 
-  test("reconcileLengths truncates to the shortest frame") {
+  test("reconcileLengths truncates to the shortest frame, deterministically") {
     val a = (1 to 10).toDF("v")
     val b = (1 to 7).toDF("v")
-    val rec = Norm.reconcileLengths(Seq(a, b))
+    val rec = Norm.reconcileLengths(Seq(a, b), Seq("v"))
     assert(rec.map(_.count()).toSeq == Seq(7L, 7L))
+    // ordered truncation keeps the FIRST 7 by the ordering
+    assert(rec.head.orderBy("v").as[Int].collect().toSeq == (1 to 7))
   }
 }

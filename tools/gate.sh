@@ -1,11 +1,12 @@
 #!/usr/bin/env bash
 # Full local replica of the round gate: specs, correctness at two SFs,
 # bench. Run from /root/repo. Exits non-zero on any failure.
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 
 echo "== sbt test =="
-sbt -batch test 2>&1 | grep -E "Tests:|FAILED" | tail -2
+sbt -batch test > /tmp/gate_test.log 2>&1 || { tail -5 /tmp/gate_test.log; exit 1; }
+grep -E "Tests:" /tmp/gate_test.log | tail -1
 
 echo "== Verify + DuckDB oracle (sf0.01) =="
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_sf001" >/dev/null 2>&1
