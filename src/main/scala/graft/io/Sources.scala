@@ -69,6 +69,27 @@ object Sources {
     out.na.fill(0.0, out.columns.filter(_ != "ts").toIndexedSeq)
   }
 
+  /** S2 `load_normalized_csv`: multi-file scan for the dataset roles with
+    * the reference's JSON auto-recovery — when a role's path points at a
+    * config JSON instead of a CSV, read the embedded path for that role
+    * from the JSON (`preprocessor_plugins/helpers.py:24-52`). Extension
+    * whitelist `.csv/.tsv/.txt` enforced after recovery.
+    */
+  def loadSplitRoles(spark: SparkSession, roles: Map[String, String],
+      maxSteps: Map[String, Int] = Map.empty): Map[String, DataFrame] =
+    roles.map { case (role, path0) =>
+      val path =
+        if (path0.endsWith(".json")) {
+          val row = spark.read.option("multiLine", "true").json(path0).head()
+          val idx = row.schema.fieldNames.indexOf(role)
+          require(idx >= 0, s"config JSON $path0 has no entry for role $role")
+          row.getString(idx)
+        } else path0
+      val ok = Seq(".csv", ".tsv", ".txt").exists(path.endsWith)
+      require(ok, s"role $role resolves to unsupported extension: $path")
+      role -> loadCsv(spark, path, maxRows = maxSteps.get(role))
+    }
+
   /** S4: normalization-metadata JSON → Map(col -> (a, b)) where (a,b) is
     * (mean,std) or (min,max). Driver-side tiny read, broadcast by Catalyst
     * as literals once folded into expressions (`helpers.py:88-101`).

@@ -41,6 +41,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.loadCsv(spark, p, maxRows = Some(2)).count() == 2)
   }
 
+  test("loadSplitRoles: per-role caps and JSON path auto-recovery") {
+    val csv = tmpCsv("DATE_TIME,CLOSE\n2020-01-01 00:00:00,1.0\n2020-01-01 01:00:00,2.0\n2020-01-01 02:00:00,3.0\n")
+    // a role that points at a config JSON with the embedded real path
+    val cfg = Files.createTempFile("cfg", ".json")
+    Files.writeString(cfg, s"""{"x_train_file": "$csv"}""")
+    val roles = Sources.loadSplitRoles(spark,
+      Map("x_train_file" -> cfg.toString, "x_test_file" -> csv),
+      maxSteps = Map("x_test_file" -> 2))
+    assert(roles("x_train_file").count() == 3)   // recovered from JSON
+    assert(roles("x_test_file").count() == 2)    // per-role cap
+    intercept[IllegalArgumentException] {
+      Sources.loadSplitRoles(spark, Map("x" -> "/tmp/nope.parquet"))
+    }
+  }
+
   test("writeCsv produces a deterministic ordered single file") {
     val out = Files.createTempDirectory("graftcsv").toString + "/out"
     val df = Seq((2L, "b"), (1L, "a"), (3L, "c")).toDF("t", "v")
