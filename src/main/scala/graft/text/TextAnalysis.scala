@@ -79,10 +79,16 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** Word n-gram shingles: `concat_ws(" ", tokens[i..i+n-1])` for each
-    * window start — pure higher-order-function expression.
+  /** Word n-gram shingles (native `word_shingles` expression; short token
+    * lists collapse to one whole-text shingle). `shinglesComposable` is
+    * the pure-built-ins spelling kept as the semantic reference — the
+    * two are bit-identical, the native form skips the interpreted
+    * higher-order loop.
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles(tokens(text), lit(n))
+
+  def shinglesComposable(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n),
