@@ -319,14 +319,18 @@ object SparkEntry {
       |      FROM events)
       |WHERE nxt IS NOT NULL GROUP BY user_id""".stripMargin
 
-  /** F2 hourly resample: date_trunc + aggregate. */
+  /** F2 hourly resample: date_trunc + aggregate. The bucket is emitted as
+    * epoch-µs (long): a raw timestamp column would compare tz-aware
+    * (Spark parquet, isAdjustedToUTC) against naive (DuckDB) — same
+    * instant, engine-dependent representation.
+    */
   private def q19(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .groupBy(col("user_id"), unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
 
   private val q19Sql =
-    """SELECT user_id, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+    """SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us, COUNT(*) AS n,
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY user_id, date_trunc('hour', ts)""".stripMargin
 
