@@ -428,6 +428,54 @@ object SparkEntry {
       |      FROM events)
       |WHERE r IS NOT NULL GROUP BY user_id""".stripMargin
 
+  /** Sessionization: 2-hour-gap sessions per user; per-session stats. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 2L * 3600 * 1000000
+    t(s, dir, "events")
+      .withColumn("aus", unix_micros(col("ts")))
+      .withColumn("session_id",
+        TS.sessionId(col("aus"), Window.partitionBy(col("user_id"))
+          .orderBy(col("aus"), col("event_id")), gapUs))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("aus")) - min(col("aus"))).as("duration_us"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  private val q58Sql =
+    """WITH g AS (SELECT user_id, event_id, value, epoch_us(ts) AS aus,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 7200000000
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sess AS (SELECT user_id, value, aus,
+      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY aus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      | MAX(aus) - MIN(aus) AS duration_us,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  /** Deterministic hash-based train/val/test split (80/10/10) with
+    * per-split aggregate — stable across engines/runs by construction.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("split", graft.ml.Splits.assignSplit(col("event_id"), 80, 10))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), (dsum(col("value")) / count(lit(1))).as("avg_value"))
+
+  private val q59Sql =
+    """SELECT CASE WHEN b < 80 THEN 'train'
+      |            WHEN b < 90 THEN 'validation' ELSE 'test' END AS split,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM (SELECT value,
+      |        ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b
+      |      FROM events)
+      |GROUP BY 1""".stripMargin
+
   /** J5 JSON config extraction + aggregate. */
   private def q23(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -1038,6 +1086,8 @@ object SparkEntry {
     "q22_rolling_count_5d" -> (q22 _),
     "q23_json_extract" -> (q23 _),
     "q24_metric_regex_cube" -> (q24 _),
+    "q58_sessionize" -> (q58 _),
+    "q59_hash_split" -> (q59 _),
     "q25_r2_naive" -> (q25 _),
     "q26_config_kv" -> (q26 _),
     "q37_mmd" -> (q37 _),
@@ -1093,6 +1143,8 @@ object SparkEntry {
     "q22_rolling_count_5d" -> q22Sql,
     "q23_json_extract" -> q23Sql,
     "q24_metric_regex_cube" -> q24Sql,
+    "q58_sessionize" -> q58Sql,
+    "q59_hash_split" -> q59Sql,
     "q25_r2_naive" -> q25Sql,
     "q26_config_kv" -> q26Sql,
     "q37_mmd" -> q37Sql,

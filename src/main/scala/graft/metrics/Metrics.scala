@@ -65,6 +65,20 @@ object Metrics {
   def pearsonStructural(pred: Column, target: Column, alpha: Double): Column =
     mae(pred, target) + lit(alpha) * (lit(1.0) - corr(pred, target))
 
+  /** M3 trend-direction penalty: fraction of steps where the predicted
+    * and true first differences disagree in sign (`losses.py:134-150`'s
+    * direction term, as an evaluation metric).
+    */
+  def directionPenalty(predDiff: Column, targetDiff: Column): Column =
+    avg(when(signum(predDiff) * signum(targetDiff) < 0, 1.0).otherwise(0.0))
+
+  /** M5 combined first-difference loss: MAE(levels) + α·MAE(diffs)
+    * (`losses.py:172-204`).
+    */
+  def firstDiffLoss(pred: Column, target: Column, predDiff: Column,
+      targetDiff: Column, alpha: Double): Column =
+    mae(pred, target) + lit(alpha) * mae(predDiff, targetDiff)
+
   /** A8 Welford-equivalent MC stats: per-key mean/std over exploded
     * samples — Spark's stddev_pop is already single-pass/merging, which is
     * the distributed analog of Welford (`common/bayesian.py:70-134`).

@@ -117,6 +117,17 @@ object TS {
     }.toDF("pos", "encoding")
   }
 
+  /** Sessionization: a new session starts when the gap to the previous
+    * event exceeds `gapMicros`; session_id = running count of session
+    * starts per series. Training-pipeline staple for event streams —
+    * one window pass, shuffle on the series key only.
+    */
+  def sessionId(tsMicros: Column, w: WindowSpec, gapMicros: Long): Column = {
+    val gap = tsMicros - lag(tsMicros, 1).over(w)
+    val isStart = when(gap.isNull || gap > gapMicros, 1L).otherwise(0L)
+    sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  }
+
   /** W13 rolling stats over the trailing `n` rows (inclusive of t):
     * `stl_preprocessor.py:33-38` (`window_stats_periods`).
     */
