@@ -116,6 +116,12 @@ object Sources {
     }.toMap
   }
 
+  /** P7 header sanitization (`etl_migrate_v2.py:467`): trim and
+    * underscore-join column names so downstream SQL needs no quoting.
+    */
+  def sanitizeHeaders(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.trim.replace(" ", "_")): _*)
+
   /** S6 `write_csv`: deterministic single-file CSV sink — explicit
     * `orderBy` then coalesce(1) so golden files are reproducible
     * (`data_handler.py:81-115`; determinism per SURVEY §4).

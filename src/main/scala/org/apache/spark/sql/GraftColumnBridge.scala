@@ -12,4 +12,12 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** New session over an existing SparkContext with the given extensions
+    * applied — extensions normally bind only at builder time, which
+    * `getOrCreate` skips when a session is already active.
+    */
+  def sessionWithExtensions(sc: org.apache.spark.SparkContext,
+      configure: SparkSessionExtensions => Unit): SparkSession =
+    classic.GraftSessionBridge.withExtensions(sc, configure)
 }
