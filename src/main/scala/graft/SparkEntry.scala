@@ -428,6 +428,24 @@ object SparkEntry {
       |      FROM events)
       |WHERE r IS NOT NULL GROUP BY user_id""".stripMargin
 
+  /** Exact linear-interpolation percentiles per group (sort-based
+    * aggregate; Spark `percentile` ≡ DuckDB `quantile_cont`).
+    */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
+  private val q60Sql =
+    """SELECT event_type,
+      | ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      | ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      | ROUND(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Sessionization: 2-hour-gap sessions per user; per-session stats. */
   private def q58(s: SparkSession, dir: String): DataFrame = {
     val gapUs = 2L * 3600 * 1000000
@@ -1057,9 +1075,12 @@ object SparkEntry {
 
   // ───────────────────────── driver contract ─────────────────────────
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. The
+    * reference's core dataflow: per-series feature engineering → causal
+    * window tensors → multi-horizon targets → naive forecast metrics.
+    */
   def entry(spark: SparkSession): DataFrame =
-    q03(spark, "/root/testdata/sf0.001")
+    q48(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1088,6 +1109,7 @@ object SparkEntry {
     "q24_metric_regex_cube" -> (q24 _),
     "q58_sessionize" -> (q58 _),
     "q59_hash_split" -> (q59 _),
+    "q60_percentiles" -> (q60 _),
     "q25_r2_naive" -> (q25 _),
     "q26_config_kv" -> (q26 _),
     "q37_mmd" -> (q37 _),
@@ -1145,6 +1167,7 @@ object SparkEntry {
     "q24_metric_regex_cube" -> q24Sql,
     "q58_sessionize" -> q58Sql,
     "q59_hash_split" -> q59Sql,
+    "q60_percentiles" -> q60Sql,
     "q25_r2_naive" -> q25Sql,
     "q26_config_kv" -> q26Sql,
     "q37_mmd" -> q37Sql,
