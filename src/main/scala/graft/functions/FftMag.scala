@@ -62,17 +62,44 @@ case class FftMag(left: Expression, right: Expression)
 
 /** Session registration + Column façade for the custom expressions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fft_mag", exprs => FftMag(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs", exprs => MinhashSigs(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_shingle_sigs",
-      exprs => MinhashShingleSigs(exprs(0), exprs(1), exprs(2)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+
+  /** Single source of truth for (name, arity, builder) — consumed by both
+    * `register` (temp functions on a live session) and
+    * `GraftSparkExtensions` (spark.sql.extensions deployment), so the two
+    * registration paths cannot drift. Builders validate arity up front:
+    * a wrong-arity SQL call should fail with a named signature, not an
+    * IndexOutOfBoundsException mid-analysis.
+    */
+  val registry: Seq[(String, Int, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    def checked(name: String, arity: Int)(
+        build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression) =
+      (name, arity,
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (exprs.length != arity)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map("functionName" -> name,
+                "expectedNum" -> arity.toString,
+                "actualNum" -> exprs.length.toString,
+                "docroot" -> ""))
+          build(exprs)
+        })
+    Seq(
+      checked("fft_mag", 2)(e => FftMag(e(0), e(1))),
+      checked("minhash_sigs", 2)(e => MinhashSigs(e(0), e(1))),
+      checked("minhash_shingle_sigs", 3)(e => MinhashShingleSigs(e(0), e(1), e(2))),
+      checked("simhash64", 1)(e => SimHash64(e.head)),
+      checked("word_shingles", 2)(e => WordShingles(e(0), e(1))),
+      checked("cosine_sim", 2)(e => CosineSim(e(0), e(1))))
   }
+
+  def register(spark: SparkSession): Unit =
+    registry.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 
   /** 64-bit SimHash of a token array (md5-based, engine-agnostic).
     * Requires `register(spark)` once per session.

@@ -9,6 +9,28 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared word→shingle construction — the ONE implementation of the
+  * n-gram semantics (short token lists collapse to a single whole-text
+  * shingle) that `MinhashShingleSigs` and `WordShingles` both consume,
+  * so the invariant with `TextAnalysis.shinglesComposable` cannot
+  * desynchronize between the two expressions.
+  */
+private[functions] object ShingleKernel {
+  def build(toks: ArrayData, n: Int): Array[String] = {
+    val nt = toks.numElements()
+    val words = new Array[String](nt)
+    var i = 0
+    while (i < nt) {
+      val u = toks.getUTF8String(i)
+      words(i) = if (u == null) "" else u.toString
+      i += 1
+    }
+    if (nt >= n && n > 0)
+      Array.tabulate(nt - n + 1)(j => words.slice(j, j + n).mkString(" "))
+    else Array(words.mkString(" "))
+  }
+}
+
 /** `minhash_sigs(shingles array<string>, k)` → array of k hex digests,
   * element i = min over shingles of md5("seed{i}:" ‖ shingle).
   *
@@ -117,20 +139,8 @@ case class MinhashShingleSigs(first: Expression, second: Expression, third: Expr
   }
 
   override def nullSafeEval(tokAny: Any, nAny: Any, kAny: Any): Any = {
-    val toks = tokAny.asInstanceOf[ArrayData]
-    val n = nAny.asInstanceOf[Int]
+    val shingles = ShingleKernel.build(tokAny.asInstanceOf[ArrayData], nAny.asInstanceOf[Int])
     val k = kAny.asInstanceOf[Int]
-    val nt = toks.numElements()
-    val words = new Array[String](nt)
-    var i = 0
-    while (i < nt) {
-      val u = toks.getUTF8String(i)
-      words(i) = if (u == null) "" else u.toString
-      i += 1
-    }
-    val shingles: Array[String] =
-      if (nt >= n) Array.tabulate(nt - n + 1)(j => words.slice(j, j + n).mkString(" "))
-      else Array(words.mkString(" "))
     val md = MessageDigest.getInstance("MD5")
     val out = new Array[UTF8String](k)
     var s = 0

@@ -30,34 +30,10 @@ case class WordShingles(left: Expression, right: Expression)
     }
 
   override def nullSafeEval(tokAny: Any, nAny: Any): Any = {
-    val toks = tokAny.asInstanceOf[ArrayData]
-    val n = nAny.asInstanceOf[Int]
-    val nt = toks.numElements()
-    val words = new Array[String](nt)
-    var i = 0
-    while (i < nt) {
-      val u = toks.getUTF8String(i)
-      words(i) = if (u == null) "" else u.toString
-      i += 1
-    }
-    val out: Array[UTF8String] =
-      if (nt >= n) {
-        val res = new Array[UTF8String](nt - n + 1)
-        var j = 0
-        while (j <= nt - n) {
-          val sb = new java.lang.StringBuilder
-          var w = 0
-          while (w < n) {
-            if (w > 0) sb.append(' ')
-            sb.append(words(j + w))
-            w += 1
-          }
-          res(j) = UTF8String.fromString(sb.toString)
-          j += 1
-        }
-        res
-      } else Array(UTF8String.fromString(words.mkString(" ")))
-    new GenericArrayData(out.asInstanceOf[Array[Any]])
+    val shingles = ShingleKernel.build(
+      tokAny.asInstanceOf[ArrayData], nAny.asInstanceOf[Int])
+    new GenericArrayData(
+      shingles.map(UTF8String.fromString(_): Any))
   }
 
   override protected def withNewChildrenInternal(

@@ -83,7 +83,11 @@ object Sources {
           val row = spark.read.option("multiLine", "true").json(path0).head()
           val idx = row.schema.fieldNames.indexOf(role)
           require(idx >= 0, s"config JSON $path0 has no entry for role $role")
-          row.getString(idx)
+          row.get(idx) match {
+            case s: String if s.nonEmpty => s
+            case other => throw new IllegalArgumentException(
+              s"config JSON $path0 entry for role $role is not a usable path: $other")
+          }
         } else path0
       val ok = Seq(".csv", ".tsv", ".txt").exists(path.endsWith)
       require(ok, s"role $role resolves to unsupported extension: $path")
@@ -116,11 +120,21 @@ object Sources {
     }.toMap
   }
 
-  /** P7 header sanitization (`etl_migrate_v2.py:467`): trim and
-    * underscore-join column names so downstream SQL needs no quoting.
+  /** P7 header sanitization (`etl_migrate_v2.py:467`): trim, collapse any
+    * whitespace runs to underscores, and de-duplicate colliding names
+    * (suffix _2, _3, …) so downstream SQL needs no quoting and never hits
+    * ambiguous references.
     */
-  def sanitizeHeaders(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.trim.replace(" ", "_")): _*)
+  def sanitizeHeaders(df: DataFrame): DataFrame = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val cleaned = df.columns.map { c =>
+      val base = c.trim.replaceAll("\\s+", "_")
+      val k = seen.getOrElse(base, 0)
+      seen(base) = k + 1
+      if (k == 0) base else s"${base}_${k + 1}"
+    }
+    df.toDF(cleaned.toIndexedSeq: _*)
+  }
 
   /** S6 `write_csv`: deterministic single-file CSV sink — explicit
     * `orderBy` then coalesce(1) so golden files are reproducible

@@ -70,7 +70,10 @@ object Metrics {
     * direction term, as an evaluation metric).
     */
   def directionPenalty(predDiff: Column, targetDiff: Column): Column =
-    avg(when(signum(predDiff) * signum(targetDiff) < 0, 1.0).otherwise(0.0))
+    // rows with a NULL diff (every series head after lag) are excluded
+    // from the denominator — avg skips the null branch
+    avg(when(predDiff.isNotNull && targetDiff.isNotNull,
+      when(signum(predDiff) * signum(targetDiff) < 0, 1.0).otherwise(0.0)))
 
   /** M5 combined first-difference loss: MAE(levels) + α·MAE(diffs)
     * (`losses.py:172-204`).

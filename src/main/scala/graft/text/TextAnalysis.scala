@@ -86,7 +86,9 @@ object TextAnalysis {
     * higher-order loop.
     */
   def shingles(text: Column, n: Int): Column =
-    graft.functions.WordShingles(tokens(text), lit(n))
+    // coalesce: the composable spelling yields [""] for NULL text
+    // (concat_ws never returns null) — preserve that on the native path
+    coalesce(graft.functions.WordShingles(tokens(text), lit(n)), array(lit("")))
 
   def shinglesComposable(text: Column, n: Int): Column = {
     val t = tokens(text)

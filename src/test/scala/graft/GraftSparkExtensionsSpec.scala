@@ -22,9 +22,12 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
     assert(sh != 0L)
     assert(s.sessionState.planner.extraPlanningStrategies
       .exists(_.getClass.getName.contains("AsOfJoinStrategy")))
-    // the shared base session is unaffected (no leakage between sessions)
-    intercept[Exception] {
-      base.sql("SELECT fft_mag_not_registered_here(array(1.0d), 1)").collect()
-    }
+    // word_shingles rides the shared registry — both paths stay in sync
+    val ws = s.sql("SELECT word_shingles(array('a','b','c'), 2) AS w")
+      .as[Seq[String]].head()
+    assert(ws == Seq("a b", "b c"))
+    // wrong arity → named error, not IndexOutOfBounds
+    val err = intercept[Exception] { s.sql("SELECT fft_mag(array(1.0d))").collect() }
+    assert(!err.isInstanceOf[IndexOutOfBoundsException])
   }
 }

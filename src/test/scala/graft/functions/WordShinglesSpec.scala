@@ -25,4 +25,13 @@ class WordShinglesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("NULL text: both spellings yield the [\"\"] sentinel") {
+    val nullDoc = Seq(Option.empty[String]).toDF("text")
+    val r = nullDoc.select(
+      TextAnalysis.shingles($"text", 3).as("native"),
+      TextAnalysis.shinglesComposable($"text", 3).as("composable")).head()
+    assert(r.getSeq[String](0) == Seq(""))
+    assert(r.getSeq[String](0) == r.getSeq[String](1))
+  }
 }
