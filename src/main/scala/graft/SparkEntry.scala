@@ -249,19 +249,29 @@ object SparkEntry {
       |WINDOW w12 AS (PARTITION BY user_id ORDER BY ts, event_id
       |               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)""".stripMargin
 
-  /** F11 cyclic time encodings. */
-  private def q15(s: SparkSession, dir: String): DataFrame =
+  /** F11 cyclic time encodings. hour/day-of-week come from epoch-µs
+    * arithmetic, NOT `hour()`/`dayofweek()`: those are session-timezone
+    * dependent and produce different encodings on a harness that doesn't
+    * pin `spark.sql.session.timeZone` (same class of bug as the q19
+    * tz-aware-vs-naive timestamp fix). Epoch day 0 = Thursday, so
+    * `(days + 4) % 7` reproduces the Sunday=0 numbering of EXTRACT(dow).
+    */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val aus = unix_micros(col("ts"))
+    val hod = floor(aus / lit(3600000000L)) % 24
+    val dow = (floor(aus / lit(86400000000L)) + 4) % 7
     t(s, dir, "events").select(
       col("event_id"),
-      round(TS.cyclicSin(hour(col("ts")), 24), 6).as("hod_sin"),
-      round(TS.cyclicCos(hour(col("ts")), 24), 6).as("hod_cos"),
-      round(TS.cyclicSin(dayofweek(col("ts")) - 1, 7), 6).as("dow_sin"))
+      round(TS.cyclicSin(hod, 24), 6).as("hod_sin"),
+      round(TS.cyclicCos(hod, 24), 6).as("hod_cos"),
+      round(TS.cyclicSin(dow, 7), 6).as("dow_sin"))
+  }
 
   private val q15Sql =
     """SELECT event_id,
-      | ROUND(SIN(EXTRACT(hour FROM ts) * (2 * PI() / 24)), 6) AS hod_sin,
-      | ROUND(COS(EXTRACT(hour FROM ts) * (2 * PI() / 24)), 6) AS hod_cos,
-      | ROUND(SIN(EXTRACT(dow FROM ts) * (2 * PI() / 7)), 6) AS dow_sin
+      | ROUND(SIN(((epoch_us(ts) // 3600000000) % 24) * (2 * PI() / 24)), 6) AS hod_sin,
+      | ROUND(COS(((epoch_us(ts) // 3600000000) % 24) * (2 * PI() / 24)), 6) AS hod_cos,
+      | ROUND(SIN((((epoch_us(ts) // 86400000000) + 4) % 7) * (2 * PI() / 7)), 6) AS dow_sin
       |FROM events""".stripMargin
 
   /** F7/F8 log1p variants. */
@@ -282,7 +292,10 @@ object SparkEntry {
     */
   private def q17(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-    val stats = ev.filter(col("ts") < lit("2024-01-20"))
+    // epoch-µs comparison: `ts < '2024-01-20'` would parse the string in
+    // the SESSION timezone and shift the train/apply split off the oracle's
+    // naive-UTC boundary. 1705708800000000 = 2024-01-20T00:00:00Z.
+    val stats = ev.filter(unix_micros(col("ts")) < lit(1705708800000000L))
       .groupBy(col("event_type"))
       .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
     ev.join(broadcast(stats), "event_type")
@@ -319,20 +332,24 @@ object SparkEntry {
       |      FROM events)
       |WHERE nxt IS NOT NULL GROUP BY user_id""".stripMargin
 
-  /** F2 hourly resample: date_trunc + aggregate. The bucket is emitted as
-    * epoch-µs (long): a raw timestamp column would compare tz-aware
-    * (Spark parquet, isAdjustedToUTC) against naive (DuckDB) — same
-    * instant, engine-dependent representation.
+  /** F2 hourly resample. The bucket is computed and emitted as epoch-µs
+    * (long) truncated by integer arithmetic, NOT `date_trunc("hour")`:
+    * date_trunc works in the session timezone, so a half-hour-offset
+    * harness (e.g. +05:30) shifts every bucket boundary; epoch division
+    * is engine- and environment-independent.
     */
-  private def q19(s: SparkSession, dir: String): DataFrame =
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = (floor(unix_micros(col("ts")) / lit(3600000000L)) * 3600000000L)
+      .cast("long")
     t(s, dir, "events")
-      .groupBy(col("user_id"), unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .groupBy(col("user_id"), hourUs.as("hour_us"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
 
   private val q19Sql =
-    """SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us, COUNT(*) AS n,
+    """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, COUNT(*) AS n,
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      |FROM events GROUP BY user_id, date_trunc('hour', ts)""".stripMargin
+      |FROM events GROUP BY 1, 2""".stripMargin
 
   /** J6 backward as-of join: latest prior 'error' value at each purchase. */
   private def q21(s: SparkSession, dir: String): DataFrame = {
@@ -446,7 +463,13 @@ object SparkEntry {
       | ROUND(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY event_type""".stripMargin
 
-  /** Sessionization: 2-hour-gap sessions per user; per-session stats. */
+  /** Sessionization: 2-hour-gap sessions per user; per-session stats.
+    * The output is INTEGER-ONLY (BIGINT session_id, counts, epoch-µs
+    * duration, and the value sum in exact micro-units): a DOUBLE column
+    * or DuckDB's HUGEINT window-SUM leaves room for engine-version
+    * rounding / hash-canonicalization skew on the driver harness, while
+    * int64s compare bit-exactly everywhere.
+    */
   private def q58(s: SparkSession, dir: String): DataFrame = {
     val gapUs = 2L * 3600 * 1000000
     t(s, dir, "events")
@@ -457,7 +480,8 @@ object SparkEntry {
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         (max(col("aus")) - min(col("aus"))).as("duration_us"),
-        dsum(col("value")).as("sum_value"))
+        (sum(col("value").cast(DecimalType(18, 6))) * 1000000)
+          .cast("long").as("sum_value_micros"))
   }
 
   private val q58Sql =
@@ -467,12 +491,12 @@ object SparkEntry {
       |         THEN 1 ELSE 0 END AS is_start
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
       |sess AS (SELECT user_id, value, aus,
-      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY aus, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY aus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM g)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       | MAX(aus) - MIN(aus) AS duration_us,
-      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_micros
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
   /** Deterministic hash-based train/val/test split (80/10/10) with

@@ -6,12 +6,21 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_DRIVERLIKE=1 simulates the round driver's environment
+    // instead of our tuned one: local[32], Spark-default shuffle
+    // partitions (200), and a deliberately hostile session timezone
+    // (half-hour offset) — any query whose result depends on the session
+    // tz or partition count fails HERE, not in CORRECTNESS_r{N}.
+    val driverLike = sys.env.get("SPARK_GRAFT_DRIVERLIKE").contains("1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", if (driverLike) "32" else "4")
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = (if (driverLike)
+        b.config("spark.sql.session.timeZone", "Asia/Kolkata")
+      else
+        b.config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
