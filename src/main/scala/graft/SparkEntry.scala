@@ -789,8 +789,15 @@ object SparkEntry {
   /** MinHash+LSH candidate pairs: docs sharing any of the 4 signature
     * bands (the equi-join that replaces O(n²) similarity at scale).
     */
+  /** b=2 bands × r=2 rows: docs collide iff BOTH signature elements of a
+    * band match — the oracle spells that as the pairwise AND (concat-key
+    * equality over fixed-width hex digests ⇔ elementwise equality).
+    */
+  private val bandCondSql =
+    "((a.sig0 = b.sig0 AND a.sig1 = b.sig1) OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))"
+
   private def q34(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidatePairs(t(s, dir, "documents"), "text", "doc_id", 3, 4)
+    Dedup.minhashCandidatePairs(t(s, dir, "documents"), "text", "doc_id", 3, 2, 2)
       .select("doc_a", "doc_b").distinct()
 
   private val q34Sql = {
@@ -805,10 +812,9 @@ object SparkEntry {
       | FROM tok),
       |sig AS (SELECT doc_id, """.stripMargin +
       (0 until 4).map(sig).mkString(", ") +
-      """ FROM shl)
+      s""" FROM shl)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        | AND (a.sig0 = b.sig0 OR a.sig1 = b.sig1 OR a.sig2 = b.sig2 OR a.sig3 = b.sig3)""".stripMargin
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $bandCondSql""".stripMargin
   }
 
 
@@ -896,7 +902,7 @@ object SparkEntry {
     * (longer text wins, ties to lower id) → surviving doc ids.
     */
   private def q50(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDedup(t(s, dir, "documents"), "text", "doc_id", 3, 4, 0.5)
+    Dedup.nearDedup(t(s, dir, "documents"), "text", "doc_id", 3, 2, 2, 0.5)
       .select("doc_id", "n_chars")
 
   private val q50Sql = {
@@ -911,11 +917,10 @@ object SparkEntry {
       | FROM tok),
       |sig AS (SELECT doc_id, text, list_distinct(sh) AS shd, """.stripMargin +
       (0 until 4).map(sig).mkString(", ") +
-      """ FROM shl),
+      s""" FROM shl),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.text AS text_a, b.text AS text_b, a.shd AS sa, b.shd AS sb
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |   AND (a.sig0 = b.sig0 OR a.sig1 = b.sig1 OR a.sig2 = b.sig2 OR a.sig3 = b.sig3)),
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $bandCondSql),
         |verified AS (SELECT *,
         |    CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
         |      / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) AS jac
@@ -976,6 +981,26 @@ object SparkEntry {
   private def q42(s: SparkSession, dir: String): DataFrame =
     Dedup.withSimhash(t(s, dir, "documents").select("doc_id", "text"), "text")
       .select("doc_id", "simhash")
+
+  /** simhash64 re-derived in pure SQL: per token the first 8 md5 bytes as
+    * a UBIGINT, majority-vote each of the 64 bits (strict >), reassemble,
+    * then two's-complement fold into the signed BIGINT Spark emits.
+    */
+  private val q42Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+      |bits AS (SELECT doc_id, bit,
+      |    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+      |    COUNT(*) AS total
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+      |  GROUP BY doc_id, bit),
+      |acc AS (SELECT doc_id,
+      |    SUM(CASE WHEN ones * 2 > total THEN (1::UBIGINT << bit)::HUGEINT ELSE 0 END) AS u
+      |  FROM bits GROUP BY doc_id)
+      |SELECT doc_id,
+      | CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+      |           ELSE u END AS BIGINT) AS simhash
+      |FROM acc""".stripMargin
 
   /** LSH-bucketed ANN (scale path of q40) — rows-only. */
   private def q43(s: SparkSession, dir: String): DataFrame =
@@ -1083,7 +1108,35 @@ object SparkEntry {
     */
   private def q56(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-      Dedup.minhashCandidatePairs(t(s, dir, "documents"), "text", "doc_id", 3, 4))
+      Dedup.minhashCandidatePairs(t(s, dir, "documents"), "text", "doc_id", 3, 2, 2))
+
+  /** Min-label connected components re-derived as a DuckDB recursive CTE
+    * over the SAME banded candidate pairs as q34: component(id) =
+    * min(id, min over reachable ids) — reachability closure via UNION
+    * (distinct) guarantees termination.
+    */
+  private val q56Sql = {
+    def sig(i: Int) =
+      s"list_aggregate(list_transform(sh, x -> md5('seed$i:' || x)), 'min') AS sig$i"
+    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shl AS (SELECT doc_id,
+      |  CASE WHEN len(t) >= 3
+      |       THEN list_transform(range(0, len(t) - 2),
+      |              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |       ELSE [array_to_string(t, ' ')] END AS sh
+      | FROM tok),
+      |sig AS (SELECT doc_id, """.stripMargin +
+      (0 until 4).map(sig).mkString(", ") +
+      s""" FROM shl),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $bandCondSql),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (SELECT src AS id, dst AS r FROM edges
+        |          UNION
+        |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id""".stripMargin
+  }
 
   /** M9 Prophet-analog: per-series trend + daily-Fourier regression fit
     * (closed-form, one streaming pass per series) — rows-only.
@@ -1208,6 +1261,8 @@ object SparkEntry {
     "q35_ngram_jaccard" -> q35Sql,
     "q36_olap_parse" -> q36Sql,
     "q40_knn_cosine" -> q40Sql,
-    "q50_near_dedup" -> q50Sql
+    "q42_simhash" -> q42Sql,
+    "q50_near_dedup" -> q50Sql,
+    "q56_dedup_clusters" -> q56Sql
   )
 }

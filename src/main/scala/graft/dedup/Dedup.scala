@@ -57,27 +57,68 @@ object Dedup {
       .select(col(idCol) +: (0 until k).map(i => element_at(col("__sigs"), i + 1).as(s"sig$i")): _*)
   }
 
-  /** MinHash+LSH candidate pairs: band on one signature element (bands of
-    * width 1 = most permissive), equi-join docs sharing a band value.
+  /** Standard b×r LSH band keys over a k = b·r element signature array:
+    * band j is the md5 of signature elements [j·r, (j+1)·r) joined with
+    * '|' — md5 keeps the shuffle key fixed-width (32 chars) instead of
+    * r·32. Two docs collide on band j iff ALL r elements match, so the
+    * candidate probability is 1−(1−s^r)^b: r>1 is what suppresses the
+    * false-candidate flood at corpus scale (r=1 ORs whole-signature mins
+    * and over-generates quadratically on common shingles).
+    */
+  private def bandKeys(b: Int, r: Int): Seq[Column] =
+    (0 until b).map { j =>
+      if (r == 1) col(s"sig${j}")
+      else md5(concat_ws("|", (j * r until (j + 1) * r).map(i => col(s"sig$i")): _*))
+    }
+
+  /** MinHash+LSH candidate pairs with b bands of r signature rows each
+    * (k = b·r signature elements); equi-join docs sharing any band key.
     * Output: distinct (doc_a, doc_b) with a < b.
     *
     * The banded signature relation is persisted before the self-join —
     * signature hashing is the dominant cost and a self-join would
     * evaluate it once per side; at scale this is also the relation you
-    * bucket/write once and reuse across dedup rounds.
+    * bucket/write once and reuse across dedup rounds. The handle is
+    * tracked; call [[clearCaches]] after the consuming action (see its
+    * scaladoc) so long-lived sessions don't accumulate cached blocks.
     */
-  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String, shingleN: Int, k: Int): DataFrame = {
+  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, b: Int, r: Int): DataFrame = {
+    val k = b * r
     val withSig = withMinhashSignature(df, textCol, idCol, shingleN, k)
     val banded = withSig.select(
       col(idCol),
-      posexplode(array((0 until k).map(i => col(s"sig$i")): _*)).as(Seq("band", "sig")))
+      posexplode(array(bandKeys(b, r): _*)).as(Seq("band", "sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+    val bb = banded.as("b")
+    val pairs = a.join(bb, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
+    track(banded)
+    pairs
+  }
+
+  /** Legacy spelling: k independent bands of width 1 (b = k, r = 1). */
+  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int): DataFrame =
+    minhashCandidatePairs(df, textCol, idCol, shingleN, k, 1)
+
+  // Persisted intermediates the returned (lazy) plans still depend on
+  // can't be unpersisted before the caller's action runs, so entry points
+  // register their handles here and callers drop them between rounds.
+  private val cachedHandles = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def track(df: DataFrame): DataFrame = { cachedHandles.add(df); df }
+
+  /** Unpersist every intermediate this object has persisted. Call after
+    * the action consuming a dedup result completes (e.g. between dedup
+    * rounds in a long-lived session); results already materialized are
+    * unaffected, un-run plans recompute the signatures.
+    */
+  def clearCaches(): Unit = {
+    var h = cachedHandles.poll()
+    while (h != null) { h.unpersist(blocking = false); h = cachedHandles.poll() }
   }
 
   /** SimHash (64-bit): per token take the first 8 bytes of md5
@@ -115,21 +156,23 @@ object Dedup {
     * candidates, one broadcast-able anti-join at the end.
     */
   def nearDedup(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int, k: Int, threshold: Double): DataFrame = {
+      shingleN: Int, b: Int, r: Int, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    val k = b * r
     // One pass per doc: text length, distinct shingle set, native minhash
     // signature — persisted, because every candidate pair reuses it (the
     // naive spelling re-shingles both texts per pair: O(pairs·doclen)).
-    val base = df.select(
+    val base = track(df.select(
       col(idCol),
       length(col(textCol)).as("__tlen"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("__shd"),
       graft.functions.GraftFunctions
         .minhash_shingle_sigs(TextAnalysis.tokens(col(textCol)), lit(shingleN), lit(k))
         .as("__sigs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = base.select(col(idCol),
-      posexplode(col("__sigs")).as(Seq("band", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sigCols = (0 until k).map(i => element_at(col("__sigs"), i + 1).as(s"sig$i"))
+    val banded = base.select(col(idCol) +: sigCols: _*)
+      .select(col(idCol), posexplode(array(bandKeys(b, r): _*)).as(Seq("band", "sig")))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -151,6 +194,11 @@ object Dedup {
       .distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Legacy spelling: k width-1 bands (b = k, r = 1). */
+  def nearDedup(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int, threshold: Double): DataFrame =
+    nearDedup(df, textCol, idCol, shingleN, k, 1, threshold)
 
   /** Connected components over an undirected pair list (doc_a, doc_b) by
     * iterative min-label propagation: each node's component label is the

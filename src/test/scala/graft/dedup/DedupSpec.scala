@@ -47,6 +47,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("b×r banding: r>1 shrinks candidates on a corpus with common shingles," +
+      " keeps exact dups") {
+    // 12 docs sharing boilerplate shingles + one exact dup pair: width-1
+    // banding (b=8, r=1) ORs whole-signature mins, so any shared rare
+    // shingle can collide two docs; b=4×r=2 requires two simultaneous
+    // matches per band.
+    val boiler = (0 until 12).map { i =>
+      (100L + i, s"shared legal disclaimer header for doc $i unique tail ${i * 37}")
+    }
+    val corpus = boiler ++ Seq(
+      (200L, "identical duplicated body text content"),
+      (201L, "identical duplicated body text content"))
+    val df = corpus.toDF("doc_id", "text")
+    val wide = Dedup.minhashCandidatePairs(df, "text", "doc_id", 3, 8).count()
+    val banded = Dedup.minhashCandidatePairs(df, "text", "doc_id", 3, 4, 2)
+    val bandedPairs = banded.as[(Long, Long)].collect().toSet
+    assert(bandedPairs.contains((200L, 201L))) // exact dups always collide
+    assert(bandedPairs.size < wide,
+      s"b×r banding should shrink candidates: r=2 gave ${bandedPairs.size}, r=1 gave $wide")
+    Dedup.clearCaches()
+  }
+
   test("simhash: near-dups have small hamming distance, unrelated large") {
     val h = Dedup.withSimhash(docs, "text", "h").orderBy("doc_id")
       .select("h").as[Long].collect()
