@@ -446,7 +446,9 @@ object SparkEntry {
       |WHERE r IS NOT NULL GROUP BY user_id""".stripMargin
 
   /** Exact linear-interpolation percentiles per group (sort-based
-    * aggregate; Spark `percentile` ≡ DuckDB `quantile_cont`).
+    * aggregate; Spark `percentile` ≡ DuckDB `quantile_cont`). The ORACLE
+    * path: it buffers every group value on one reducer, which a hot
+    * group kills at 100× — q61 is the sketch-based default for scale.
     */
   private def q60(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -462,6 +464,15 @@ object SparkEntry {
       | ROUND(quantile_cont(value, 0.9), 6) AS p90,
       | ROUND(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** Scale-path percentiles: approx_percentile quantile sketch — bounded
+    * memory per group, partial-merge across partitions. Rows-only (sketch
+    * results are engine-specific by construction; the exact/approx bound
+    * is spec-checked in QuantilesSpec).
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    graft.metrics.Quantiles.groupedApprox(
+      t(s, dir, "events"), Seq("event_type"), "value", Seq(0.5, 0.9, 0.99))
 
   /** Sessionization: 2-hour-gap sessions per user; per-session stats.
     * The output is INTEGER-ONLY (BIGINT session_id, counts, epoch-µs
@@ -1187,6 +1198,7 @@ object SparkEntry {
     "q58_sessionize" -> (q58 _),
     "q59_hash_split" -> (q59 _),
     "q60_percentiles" -> (q60 _),
+    "q61_percentiles_approx" -> (q61 _),
     "q25_r2_naive" -> (q25 _),
     "q26_config_kv" -> (q26 _),
     "q37_mmd" -> (q37 _),

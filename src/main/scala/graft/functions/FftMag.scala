@@ -35,7 +35,10 @@ case class FftMag(left: Expression, right: Expression)
     val xs = arr.asInstanceOf[ArrayData].toDoubleArray()
     val k = kAny.asInstanceOf[Int]
     val n = xs.length
-    val bins = math.min(k, math.max(n, 0))
+    // clamp at 0: the function is SQL-registered, so a user-supplied
+    // negative k must yield an empty array, not a
+    // NegativeArraySizeException on the executor
+    val bins = math.max(0, math.min(k, n))
     val out = new Array[Double](bins)
     var j = 0
     while (j < bins) {
@@ -92,7 +95,8 @@ object GraftFunctions {
       checked("minhash_shingle_sigs", 3)(e => MinhashShingleSigs(e(0), e(1), e(2))),
       checked("simhash64", 1)(e => SimHash64(e.head)),
       checked("word_shingles", 2)(e => WordShingles(e(0), e(1))),
-      checked("cosine_sim", 2)(e => CosineSim(e(0), e(1))))
+      checked("cosine_sim", 2)(e => CosineSim(e(0), e(1))),
+      checked("count_in_set", 2)(e => CountInSet(e(0), e(1))))
   }
 
   def register(spark: SparkSession): Unit =

@@ -45,7 +45,11 @@ private[functions] object ShingleKernel {
 case class MinhashSigs(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull: an EMPTY shingle array yields k null elements, exactly
+  // like the composable `array_min(transform([], ...))` → NULL spelling
+  // (internal callers never pass empty arrays, but the function is
+  // SQL-registered and must not silently diverge from the oracle form).
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "minhash_sigs"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -91,7 +95,7 @@ case class MinhashSigs(left: Expression, right: Expression)
         }
         j += 1
       }
-      out(i) = UTF8String.fromString(if (best == null) "" else best)
+      out(i) = if (best == null) null else UTF8String.fromString(best)
       i += 1
     }
     new GenericArrayData(out.asInstanceOf[Array[Any]])

@@ -36,10 +36,14 @@ object TextAnalysis {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
 
-  /** Stopword ratio: fraction of tokens in the stopword list. */
+  /** Stopword ratio: fraction of tokens in the stopword list. The count
+    * is the native `count_in_set` (hash-set, one probe per token) — the
+    * composable `size(filter(t, isin(...)))` HOF is interpreted and
+    * O(|stopwords|) per token, which is real money on a corpus scan.
+    */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val t = tokens(text)
-    size(filter(t, x => x.isin(stopwords.map(lit): _*))).cast("double") / size(t)
+    graft.functions.CountInSet(t, array(stopwords.map(lit): _*)).cast("double") / size(t)
   }
 
   /** Composite quality score in [0,1]: rewards stopword presence and
@@ -72,7 +76,7 @@ object TextAnalysis {
     val t = tokens(text)
     val scored = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
-        size(filter(t, x => x.isin(words.map(lit): _*))).as("score"),
+        graft.functions.CountInSet(t, array(words.map(lit): _*)).as("score"),
         lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
