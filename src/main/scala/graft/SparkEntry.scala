@@ -351,13 +351,19 @@ object SparkEntry {
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
-  /** J6 backward as-of join: latest prior 'error' value at each purchase. */
+  /** J6 backward as-of join: latest prior 'error' value at each purchase.
+    * The right side is deduped to one row per (user_id, ts) — max value —
+    * BEFORE the join on all three paths (composable, native, oracle):
+    * DuckDB's ASOF leaves the choice among duplicate right timestamps
+    * unspecified, so without the dedup the oracle compare would be
+    * data-dependent flaky rather than a semantics check.
+    */
   private def q21(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts", "value")
     val errors = ev.filter(col("event_type") === "error")
-      .select("user_id", "ts", "value")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("value"))
     AsOfJoin.backward(purchases, errors, Seq("user_id"), "ts", "value", "last_error_value")
       .select("event_id", "user_id", "value", "last_error_value")
   }
@@ -365,7 +371,8 @@ object SparkEntry {
   private val q21Sql =
     """SELECT p.event_id, p.user_id, p.value, e.value AS last_error_value
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value FROM events
+      |                WHERE event_type = 'error' GROUP BY user_id, ts) e
       |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin
 
   /** J6 again, through the CUSTOM PHYSICAL OPERATOR (AsOfJoinExec:
@@ -377,7 +384,8 @@ object SparkEntry {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ats"), col("value"))
     val errors = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), unix_micros(col("ts")).as("ats"), col("value").as("err_v"))
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("ats"))
+      .agg(max(col("value")).as("err_v"))
     graft.plans.AsOfJoinNative
       .backward(purchases, errors, "user_id", "ats", "err_v", "last_error_value")
       .select("event_id", "user_id", "value", "last_error_value")

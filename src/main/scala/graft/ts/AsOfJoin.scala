@@ -34,13 +34,20 @@ object AsOfJoin {
       .unionByName(r, allowMissingColumns = true)
     // __rv as the final sort key: among right rows sharing a timestamp
     // the LARGEST payload deterministically wins (matches the native
-    // AsOfJoinExec's tie-break), instead of partition-order luck.
+    // AsOfJoinExec's tie-break: payload is its last sort key and the
+    // merge keeps the last row consumed; nulls sort FIRST on both paths).
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Carry a STRUCT wrapper, not the bare value: `last(__rv, ignoreNulls)`
+    // would skip a right row whose payload is NULL and resurrect a stale
+    // non-null value, where the native exec (and DuckDB ASOF) return NULL
+    // for that match. The wrapper is non-null for every right row, so a
+    // newer NULL-payload row correctly overwrites the carried value.
     unioned
-      .withColumn(asofCol, last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__rw", when(col("__side") === 0, struct(col("__rv").as("v"))))
+      .withColumn(asofCol, last(col("__rw"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 1)
-      .drop("__side", "__rv")
+      .drop("__side", "__rv", "__rw")
   }
 }

@@ -45,6 +45,39 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(rows(native) == rows(composed))
   }
 
+  test("NULL right payloads: newer NULL overwrites; native ≡ composable") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"))
+      .toDF("k", "ts", "tag")
+    // ts=5 non-null, ts=15 NULL payload, ts=25 non-null again
+    val right = Seq((1L, 5L, Some(100.0)), (1L, 15L, None), (1L, 25L, Some(300.0)))
+      .toDF("k", "ts", "v")
+    val expected = Seq(
+      ("a", Some(100.0)), // latest at ts=10 is the 5/100.0 row
+      ("b", None),        // ts=15 NULL-payload row is the match — NOT stale 100.0
+      ("c", Some(300.0)))
+    val native = AsOfJoinNative.backward(left, right, "k", "ts", "v", "av")
+      .orderBy("ts").select($"tag", $"av").as[(String, Option[Double])].collect().toSeq
+    val composed = AsOfJoin.backward(left, right, Seq("k"), "ts", "v", "av")
+      .orderBy("ts").select($"tag", $"av").as[(String, Option[Double])].collect().toSeq
+    assert(native == expected)
+    assert(composed == expected)
+  }
+
+  test("equal-(key,ts) right ties: largest non-null payload wins, all-null gives NULL") {
+    val left = Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 10L, Some(7.0)), (1L, 10L, None), (1L, 10L, Some(9.0)), // mixed tie
+      (2L, 10L, None), (2L, 10L, None))                            // all-null tie
+      .toDF("k", "ts", "v")
+    val expected = Seq(("a", Some(9.0)), ("b", None))
+    val native = AsOfJoinNative.backward(left, right, "k", "ts", "v", "av")
+      .orderBy("k").select($"tag", $"av").as[(String, Option[Double])].collect().toSeq
+    val composed = AsOfJoin.backward(left, right, Seq("k"), "ts", "v", "av")
+      .orderBy("k").select($"tag", $"av").as[(String, Option[Double])].collect().toSeq
+    assert(native == expected)
+    assert(composed == expected)
+  }
+
   test("plan shape: one exchange + sort per side, no union/window") {
     val left = Seq((1L, 5L, 1.0)).toDF("k", "ts", "x")
     val right = Seq((1L, 5L, 100.0)).toDF("k", "ts", "v")
