@@ -11,7 +11,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the bench re-registers functions and re-caches relations per
+    // query by design — the resulting WARNs are noise in the one-line
+    // JSON protocol's stderr tail.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm JVM/codegen/parquet-footer paths on the tiny SF so the timed
     // numbers reflect steady-state execution, not first-query startup.
     // noop sink: count() would let Catalyst prune the computed columns,
@@ -24,22 +27,30 @@ object Bench {
       try run(fn, "/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn, sfDir) catch {
-        case e: Throwable =>
-          // a crashing query must not masquerade as a fast one
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    def timedPass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try run(fn, sfDir) catch {
+          case e: Throwable =>
+            // a crashing query must not masquerade as a fast one
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Pass 1 = first-touch at the target SF (same protocol as round 1's
+    // headline `value`); pass 2 = steady-state after the target-SF data
+    // and every full-scale codegen path are hot.
+    val cold = timedPass()
+    val warmed = timedPass()
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def js(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = cold.map(_._2).sum
+    val totalWarm = warmed.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},""" +
+      s""""value_warmed":$totalWarm,"queries_warmed":${js(warmed)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -482,6 +482,115 @@ object SparkEntry {
     graft.metrics.Quantiles.groupedApprox(
       t(s, dir, "events"), Seq("event_type"), "value", Seq(0.5, 0.9, 0.99))
 
+  /** Nested experiment config synthesized per event row — shared input
+    * shape for q62/q63 (the testdata has no nested-JSON column, so both
+    * engines build the identical JSON text from the same row values).
+    */
+  private def syntheticConfig(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      concat(
+        lit("""{"model":{"layers":"""), (col("event_id") % 5 + 1).cast("string"),
+        lit(""","activation":""""),
+        when(col("event_id") % 2 === 0, "relu").otherwise("tanh"),
+        lit("""","opt":{"lr_micro":"""), (col("event_id") % 100 + 1).cast("string"),
+        lit(""","sched":"cosine"}},"data":{"window":"""),
+        ((col("event_id") % 7) * 24).cast("string"),
+        lit(""","horizons":[1,2,3]},"plugin":""""), col("event_type"),
+        lit(""""}""")).as("config_json"))
+
+  private val syntheticConfigSql =
+    """SELECT event_id,
+      | '{"model":{"layers":' || CAST(event_id % 5 + 1 AS VARCHAR) ||
+      | ',"activation":"' || (CASE WHEN event_id % 2 = 0 THEN 'relu' ELSE 'tanh' END) ||
+      | '","opt":{"lr_micro":' || CAST(event_id % 100 + 1 AS VARCHAR) ||
+      | ',"sched":"cosine"}},"data":{"window":' || CAST((event_id % 7) * 24 AS VARCHAR) ||
+      | ',"horizons":[1,2,3]},"plugin":"' || event_type || '"}' AS config_json
+      |FROM events"""
+
+  /** J5 recursive config flatten (`jsonb_deep_each` analog): every leaf
+    * of the nested config as (dot.path, text), arrays as compact-JSON
+    * leaves — the native `json_deep_flatten` expression via
+    * `OlapEtl.deepConfigKv`. The oracle reproduces the recursion with a
+    * DuckDB recursive CTE over `json_keys`.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    graft.olap.OlapEtl.deepConfigKv(syntheticConfig(s, dir), "event_id", "config_json")
+
+  private val q62Sql =
+    s"""WITH RECURSIVE cfg AS ($syntheticConfigSql),
+      |rec AS (
+      |  SELECT event_id, '' AS path, json(config_json) AS val FROM cfg
+      |  UNION ALL
+      |  SELECT r.event_id,
+      |         CASE WHEN r.path = '' THEN u.k ELSE r.path || '.' || u.k END,
+      |         json_extract(r.val, '$$."' || u.k || '"')
+      |  FROM rec r, UNNEST(json_keys(r.val)) AS u(k)
+      |  WHERE json_type(r.val) = 'OBJECT')
+      |SELECT event_id, path AS conf_path,
+      |  CASE WHEN json_type(val) = 'VARCHAR' THEN json_extract_string(val, '$$')
+      |       ELSE CAST(val AS VARCHAR) END AS conf_value
+      |FROM rec WHERE json_type(val) <> 'OBJECT'""".stripMargin
+
+  /** S9 `dim_experiment`: typed config-field extraction (int/double/bool/
+    * string + JSON-text passthrough) with try_cast null fallback —
+    * `OlapEtl.dimExperiment` over a config that nests the interesting
+    * fields under model/data (extraction is by top-level path, so the
+    * query ALSO exercises absent-field → NULL on every row: the
+    * reference stores flat configs; nested ones surface through q62).
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    // flat config variant: the dim builder extracts top-level fields
+    val flat = t(s, dir, "events").select(
+      concat(lit("exp_"), col("event_id").cast("string")).as("experiment_key"),
+      lit("p1").as("project_key"),
+      lit("phase1").as("phase_key"),
+      concat(
+        lit("""{"window_size":"""),
+        when(col("event_id") % 7 === 0, lit("null"))
+          .otherwise(((col("event_id") % 5 + 1) * 24).cast("string")),
+        lit(""","learning_rate":0.00"""), (col("event_id") % 9 + 1).cast("string"),
+        lit(""","use_stl":"""),
+        when(col("event_id") % 2 === 0, "true").otherwise("false"),
+        lit(""","activation":""""),
+        when(col("event_id") % 3 === 0, "relu")
+          .when(col("event_id") % 3 === 1, "gelu").otherwise("tanh"),
+        lit("""","predictor_plugin":""""), col("event_type"),
+        lit("""","epochs":"""),
+        when(col("event_id") % 11 === 0, lit(""""bad""""))
+          .otherwise((col("event_id") % 50 + 10).cast("string")),
+        lit(""","predicted_horizons":[1,2,3]}""")).as("config_json"))
+    graft.olap.OlapEtl.dimExperiment(
+        flat, "experiment_key", "project_key", "phase_key", "config_json")
+      .select("experiment_key", "window_size", "learning_rate", "use_stl",
+        "activation", "predictor_plugin", "epochs", "predicted_horizons")
+  }
+
+  private val q63Sql =
+    """WITH cfg AS (SELECT
+      |  'exp_' || CAST(event_id AS VARCHAR) AS experiment_key,
+      |  '{"window_size":' ||
+      |  (CASE WHEN event_id % 7 = 0 THEN 'null'
+      |        ELSE CAST((event_id % 5 + 1) * 24 AS VARCHAR) END) ||
+      |  ',"learning_rate":0.00' || CAST(event_id % 9 + 1 AS VARCHAR) ||
+      |  ',"use_stl":' || (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END) ||
+      |  ',"activation":"' || (CASE WHEN event_id % 3 = 0 THEN 'relu'
+      |                             WHEN event_id % 3 = 1 THEN 'gelu' ELSE 'tanh' END) ||
+      |  '","predictor_plugin":"' || event_type ||
+      |  '","epochs":' || (CASE WHEN event_id % 11 = 0 THEN '"bad"'
+      |                         ELSE CAST(event_id % 50 + 10 AS VARCHAR) END) ||
+      |  ',"predicted_horizons":[1,2,3]}' AS j
+      | FROM events)
+      |SELECT experiment_key,
+      | TRY_CAST(json_extract_string(j, '$.window_size') AS INTEGER) AS window_size,
+      | TRY_CAST(json_extract_string(j, '$.learning_rate') AS DOUBLE) AS learning_rate,
+      | TRY_CAST(json_extract_string(j, '$.use_stl') AS BOOLEAN) AS use_stl,
+      | json_extract_string(j, '$.activation') AS activation,
+      | json_extract_string(j, '$.predictor_plugin') AS predictor_plugin,
+      | TRY_CAST(json_extract_string(j, '$.epochs') AS INTEGER) AS epochs,
+      | CAST(json_extract(j, '$.predicted_horizons') AS VARCHAR) AS predicted_horizons
+      |FROM cfg""".stripMargin
+
   /** Sessionization: 2-hour-gap sessions per user; per-session stats.
     * The output is INTEGER-ONLY (BIGINT session_id, counts, epoch-µs
     * duration, and the value sum in exact micro-units): a DOUBLE column
@@ -1090,10 +1199,17 @@ object SparkEntry {
     val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
       .withColumn("log_ret", TS.logReturn(col("value"), evWindow))
       .withColumn("symlog", TS.symLog1p(col("value") - 100))
-    // ws=24: events series are ~67 rows/user at sf0.01 — the reference's
-    // ws=144 would produce zero windows below sf0.1; same plan shape.
+    // BASELINE comparability: the reference preprocesses at ws=144
+    // (`sliding_windows.py` hot loop). Use 144 whenever the per-user
+    // series are long enough to emit windows at it (sf0.1+: ~670
+    // rows/user); tiny gate scales (~7-67 rows/user) fall back to ws=24
+    // so the query stays non-degenerate there. One single-row aggregate
+    // pull decides — same "fit statistic" pattern as the scaler paths.
+    val maxLen = ev.groupBy(col("user_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val ws = if (maxLen >= 2 * 144) 144 else 24
     val windowed = graft.feature.Windows.slidingCausal(
-      ev, Seq("value", "log_ret", "symlog"), 24, evWindow)
+      ev, Seq("value", "log_ret", "symlog"), ws, evWindow)
     val targets = Targets.multiHorizonReturns(windowed, "value", 1 to 6, evWindow)
     // checksum forces the window tensors to actually materialize under a
     // pruning sink; metrics mirror the reference's naive evaluation
@@ -1207,6 +1323,8 @@ object SparkEntry {
     "q59_hash_split" -> (q59 _),
     "q60_percentiles" -> (q60 _),
     "q61_percentiles_approx" -> (q61 _),
+    "q62_deep_flatten" -> (q62 _),
+    "q63_dim_experiment" -> (q63 _),
     "q25_r2_naive" -> (q25 _),
     "q26_config_kv" -> (q26 _),
     "q37_mmd" -> (q37 _),
@@ -1265,6 +1383,8 @@ object SparkEntry {
     "q58_sessionize" -> q58Sql,
     "q59_hash_split" -> q59Sql,
     "q60_percentiles" -> q60Sql,
+    "q62_deep_flatten" -> q62Sql,
+    "q63_dim_experiment" -> q63Sql,
     "q25_r2_naive" -> q25Sql,
     "q26_config_kv" -> q26Sql,
     "q37_mmd" -> q37Sql,

@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * Spark's sort-based WindowExec spills, so a series far longer than memory
   * still works; across series the work distributes by the window's
   * partition keys. At 100 TB the long format (one row per (t, step)) is
-  * preferred over materialized arrays; both entry points are provided.
+  * preferred over materialized arrays — `slidingLong` emits it; the
+  * array form (`slidingInclusive`/`slidingCausal`) suits ws≲10³ tensors
+  * handed to per-horizon heads.
   */
 object Windows {
 
@@ -36,6 +38,25 @@ object Windows {
   private def sliding(df: DataFrame, featureCols: Seq[String], frame: WindowSpec, ws: Int): DataFrame =
     df.withColumn("window", collect_list(array(featureCols.map(col): _*)).over(frame))
       .filter(size(col("window")) === ws)
+
+  /** W1/W2-long (SURVEY §1.1's preferred form at scale): one row per
+    * (prediction row, step) with a `{f}_w` column per feature — no wide
+    * array column survives the plan's output, so downstream shuffles move
+    * fixed-width rows and column pruning can drop unused features. `step`
+    * runs 0..ws-1 in time order (step ws-1 = most recent). Same
+    * short-series drop semantics as the array form.
+    */
+  def slidingLong(df: DataFrame, featureCols: Seq[String], ws: Int, w: WindowSpec,
+      causal: Boolean = false): DataFrame = {
+    val windowed =
+      if (causal) slidingCausal(df, featureCols, ws, w)
+      else slidingInclusive(df, featureCols, ws, w)
+    val keep = df.columns.map(col).toSeq
+    windowed
+      .select(keep :+ posexplode(col("window")).as(Seq("step", "__vals")): _*)
+      .select(keep ++ (col("step") +:
+        featureCols.zipWithIndex.map { case (f, i) => col("__vals")(i).as(s"${f}_w") }): _*)
+  }
 
   /** W4 strided windows: keep every `stride`-th window
     * (`data_processor copy.py:23-48`). Apply AFTER a sliding* call.

@@ -96,7 +96,8 @@ object GraftFunctions {
       checked("simhash64", 1)(e => SimHash64(e.head)),
       checked("word_shingles", 2)(e => WordShingles(e(0), e(1))),
       checked("cosine_sim", 2)(e => CosineSim(e(0), e(1))),
-      checked("count_in_set", 2)(e => CountInSet(e(0), e(1))))
+      checked("count_in_set", 2)(e => CountInSet(e(0), e(1))),
+      checked("json_deep_flatten", 1)(e => JsonDeepFlatten(e.head)))
   }
 
   def register(spark: SparkSession): Unit =
@@ -126,6 +127,12 @@ object GraftFunctions {
     * `register(spark)` once per session.
     */
   def fft_mag(arr: Column, k: Column): Column = call_function("fft_mag", arr, k)
+
+  /** Recursive JSON-leaf flatten to `array<struct<path,value>>` (the
+    * `jsonb_deep_each` analog). Requires `register(spark)` once per
+    * session; typically wrapped in `explode(...)`.
+    */
+  def json_deep_flatten(json: Column): Column = call_function("json_deep_flatten", json)
 
   /** D3 composite: normalize the k bins to sum 1; an all-zero spectrum
     * (flat window) yields the UNIFORM 1/k vector, matching the

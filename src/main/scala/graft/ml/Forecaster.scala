@@ -1,7 +1,9 @@
 package graft.ml
 
+import org.apache.spark.ml.PredictionModel
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, LinearRegressionModel}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,30 +37,62 @@ object Forecaster {
     withL.na.drop((1 to nLags).map(i => s"lag_$i"))
   }
 
-  /** M8: one fitted model per horizon (label = `target_h{h}`). */
-  def fitPerHorizon(train: DataFrame, featureCols: Seq[String],
-      horizons: Seq[Int], regParam: Double = 0.0): Map[Int, LinearRegressionModel] = {
+  /** Any MLlib regression model usable as a per-horizon head. */
+  type HorizonModel = PredictionModel[Vector, _ <: PredictionModel[Vector, _]]
+
+  /** M8 generalized: one fitted model per horizon (label = `target_h{h}`),
+    * estimator supplied by the caller — the Spark-native analog of the
+    * reference's pluggable predictor heads (`predictor_plugins/` ships a
+    * model zoo behind one `build_model/train` contract; here any MLlib
+    * regressor slots in behind `fit(assembled, labelCol)`).
+    */
+  def fitPerHorizonWith(train: DataFrame, featureCols: Seq[String],
+      horizons: Seq[Int])(fit: (DataFrame, String) => HorizonModel): Map[Int, HorizonModel] = {
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
     val assembled = assembler.transform(train).cache()
     try {
       horizons.map { h =>
-        val lr = new LinearRegression()
-          .setFeaturesCol("features").setLabelCol(s"target_h$h")
-          .setRegParam(regParam).setSolver("normal")
-        h -> lr.fit(assembled.filter(col(s"target_h$h").isNotNull))
+        val label = s"target_h$h"
+        h -> fit(assembled.filter(col(label).isNotNull), label)
       }.toMap
     } finally assembled.unpersist()
   }
 
+  /** M8: one linear model per horizon (normal-equation solver — one
+    * distributed pass per fit).
+    */
+  def fitPerHorizon(train: DataFrame, featureCols: Seq[String],
+      horizons: Seq[Int], regParam: Double = 0.0): Map[Int, LinearRegressionModel] =
+    fitPerHorizonWith(train, featureCols, horizons) { (df, label) =>
+      new LinearRegression()
+        .setFeaturesCol("features").setLabelCol(label)
+        .setRegParam(regParam).setSolver("normal")
+        .fit(df)
+    }.view.mapValues(_.asInstanceOf[LinearRegressionModel]).toMap
+
+  /** M8 non-linear head: gradient-boosted trees per horizon — the honest
+    * Spark-native analog of the reference's CNN/LSTM/TCN/Transformer
+    * plugins (nonlinear capacity, distributed fit, same save/load
+    * contract as S11).
+    */
+  def fitPerHorizonGbt(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
+      maxDepth: Int = 5, maxIter: Int = 20, seed: Long = 42L): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons) { (df, label) =>
+      new GBTRegressor()
+        .setFeaturesCol("features").setLabelCol(label)
+        .setMaxDepth(maxDepth).setMaxIter(maxIter).setSeed(seed)
+        .fit(df)
+    }
+
   /** Apply the per-horizon models: adds `pred_h{h}` columns. */
-  def predict(models: Map[Int, LinearRegressionModel], df: DataFrame,
+  def predict(models: Map[Int, _ <: HorizonModel], df: DataFrame,
       featureCols: Seq[String]): DataFrame = {
     val assembled = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
       .transform(df)
     models.toSeq.sortBy(_._1).foldLeft(assembled) { case (d, (h, m)) =>
-      m.setPredictionCol(s"pred_h$h").transform(d)
+      m.set(m.predictionCol, s"pred_h$h").asInstanceOf[org.apache.spark.ml.Transformer].transform(d)
     }
   }
 

@@ -9,9 +9,16 @@ import org.apache.spark.sql.types._
   * fit independently per key (reference `predictor_plugin_prophet.py:84-225`
   * fits one Prophet per horizon on a ds/y frame).
   *
-  * Model: y(t) = β₀ + β₁·t + Σ_k [a_k sin(2πkt/p) + b_k cos(2πkt/p)],
+  * Model: y(t) = β₀ + β₁·t + Σ_k [a_k sin(2πkt/p) + b_k cos(2πkt/p)]
+  *               + Σ_j γ_j·r_j(t),
   * solved in closed form (normal equations, Gaussian elimination) per
-  * series. Physical pattern = the engine's per-series standard:
+  * series. The r_j are optional EXTRA design columns covering both of the
+  * reference plugin's add-ons: holiday one-hots
+  * (`add_country_holidays`, :108,179 — build with [[holidayIndicator]])
+  * and last-step regressors (`use_regressors`, :131-137: the reference
+  * takes `x_train[:, -1, :]`, the window's last step — in this long
+  * layout each row IS its own last step, so any feature column qualifies
+  * directly). Physical pattern = the engine's per-series standard:
   * repartition by key → sortWithinPartitions → one streaming pass; each
   * fit touches only its own series, so 10⁶ series fit in parallel with
   * bounded memory.
@@ -53,8 +60,10 @@ object SeasonalRegression {
     x
   }
 
-  private[ml] def features(t: Double, period: Double, harmonics: Int): Array[Double] = {
-    val f = new Array[Double](2 + 2 * harmonics)
+  private[ml] def features(t: Double, period: Double, harmonics: Int,
+      extras: Array[Double] = Array.emptyDoubleArray): Array[Double] = {
+    val base = 2 + 2 * harmonics
+    val f = new Array[Double](base + extras.length)
     f(0) = 1.0
     f(1) = t
     var k = 1
@@ -64,21 +73,33 @@ object SeasonalRegression {
       f(2 * k + 1) = math.cos(a)
       k += 1
     }
+    System.arraycopy(extras, 0, f, base, extras.length)
     f
   }
+
+  /** Holiday one-hot: 1.0 when the timestamp's date is in `isoDates`
+    * (e.g. "2026-12-25") — the Prophet `holidays` frame as a design
+    * column; pass one per holiday group via `regressorCols`.
+    */
+  def holidayIndicator(ts: org.apache.spark.sql.Column,
+      isoDates: Seq[String]): org.apache.spark.sql.Column =
+    if (isoDates.isEmpty) lit(0.0)
+    else when(to_date(ts).cast("string").isin(isoDates: _*), 1.0).otherwise(0.0)
 
   /** Fit per key over (orderCol as t, valueCol as y); appends `fitted`
     * (in-sample prediction) and `resid`. Degenerate series (fewer rows
     * than parameters) get fitted = mean.
     */
   def fitPredict(df: DataFrame, keyCols: Seq[String], orderCol: String,
-      valueCol: String, period: Double, harmonics: Int = 2): DataFrame = {
+      valueCol: String, period: Double, harmonics: Int = 2,
+      regressorCols: Seq[String] = Nil): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("fitted", DoubleType), StructField("resid", DoubleType)))
     val keyIdx = keyCols.map(df.schema.fieldIndex)
     val tIdx = df.schema.fieldIndex(orderCol)
     val vIdx = df.schema.fieldIndex(valueCol)
-    val p = 2 + 2 * harmonics
+    val rIdx = regressorCols.map(df.schema.fieldIndex).toArray
+    val p = 2 + 2 * harmonics + rIdx.length
     val enc = RowEncoder.encoderFor(outSchema)
     df.repartition(keyCols.map(col): _*)
       .sortWithinPartitions((keyCols :+ orderCol).map(col): _*)
@@ -99,6 +120,7 @@ object SeasonalRegression {
             val t0 = num(series.head, tIdx)
             val xs = series.map(r => num(r, tIdx) - t0).toArray
             val ys = series.map(r => num(r, vIdx)).toArray
+            val ex = series.map(r => rIdx.map(num(r, _))).toArray
             val preds: Array[Double] =
               if (n < p + 1) Array.fill(n)(ys.sum / n)
               else {
@@ -106,7 +128,7 @@ object SeasonalRegression {
                 val atb = new Array[Double](p)
                 var i = 0
                 while (i < n) {
-                  val f = features(xs(i), period, harmonics)
+                  val f = features(xs(i), period, harmonics, ex(i))
                   var a = 0
                   while (a < p) {
                     atb(a) += f(a) * ys(i)
@@ -117,7 +139,9 @@ object SeasonalRegression {
                   i += 1
                 }
                 val beta = solve(ata, atb)
-                xs.map(x => features(x, period, harmonics).zip(beta).map(t => t._1 * t._2).sum)
+                xs.indices.map(i =>
+                  features(xs(i), period, harmonics, ex(i))
+                    .zip(beta).map(t => t._1 * t._2).sum).toArray
               }
             series.zipWithIndex.foreach { case (r, i) =>
               out.enqueue(Row.fromSeq(r.toSeq ++ Seq(preds(i), ys(i) - preds(i))))

@@ -106,6 +106,7 @@ object OlapEtl {
 
   /** The Metabase config-flatten view analog (J5): explode a JSON config
     * column into (key, value) rows (`olap_metabase_helpers.sql:4-23`).
+    * One level only — for nested configs use [[deepConfigKv]].
     */
   def configKv(experiments: DataFrame, keyCol: String, configJsonCol: String): DataFrame =
     experiments.select(col(keyCol),
@@ -113,4 +114,57 @@ object OlapEtl {
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType))).as(Seq("conf_key", "conf_value")))
+
+  /** RECURSIVE config flatten — the full `jsonb_deep_each` semantics
+    * (`olap_metabase_helpers.sql:4-23`): every leaf of an arbitrarily
+    * nested config as (dot.joined.path, text value); arrays are leaves.
+    * Backed by the native `json_deep_flatten` expression, so nested
+    * configs (the common case under the reference's `examples/config/`)
+    * no longer silently null out as they would through the one-level
+    * MapType cast in [[configKv]].
+    */
+  def deepConfigKv(experiments: DataFrame, keyCol: String, configJsonCol: String): DataFrame = {
+    // Build the expression Column directly (no session registration
+    // needed — OlapEtl entry points must work on a vanilla session).
+    val flattened = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.JsonDeepFlatten(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(configJsonCol))))
+    experiments.select(col(keyCol), explode(flattened).as("kv"))
+      .select(col(keyCol),
+        col("kv.path").as("conf_path"),
+        col("kv.value").as("conf_value"))
+  }
+
+  /** S9: `dim_experiment` builder — typed extraction of the config
+    * fields the reference's Metabase GUI filters on
+    * (`etl_migrate_v2.py:292-332`: ~30 typed columns + the full config
+    * kept alongside). Missing/malformed fields coerce to NULL (`try_cast`,
+    * F15), exactly the reference's `cfg.get(...) → None` behavior.
+    * `predicted_horizons` stays JSON text, as in the reference (it is
+    * `json.dumps`-ed back into a JSONB column).
+    */
+  def dimExperiment(experiments: DataFrame, experimentKeyCol: String,
+      projectKeyCol: String, phaseKeyCol: String, configJsonCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType}
+    val cfg = col(configJsonCol)
+    def f(name: String) = get_json_object(cfg, s"$$.$name")
+    val intFields = Seq("max_steps_train", "max_steps_test", "intermediate_layers",
+      "initial_layer_size", "layer_size_divisor", "kl_anneal_epochs", "early_patience",
+      "start_from_epoch", "window_size", "batch_size", "epochs", "stl_period", "mc_samples")
+    val doubleFields = Seq("learning_rate", "l2_reg", "kl_weight", "mmd_lambda", "min_delta")
+    val boolFields = Seq("use_returns", "use_stl", "use_wavelets", "use_multi_tapper",
+      "use_strategy", "use_daily")
+    val stringFields = Seq("activation", "predictor_plugin", "optimizer_plugin",
+      "pipeline_plugin", "preprocessor_plugin")
+    experiments.select(
+      col(experimentKeyCol).as("experiment_key") +:
+      col(projectKeyCol).as("project_key") +:
+      col(phaseKeyCol).as("phase_key") +:
+      cfg.as("config_json") +:
+      (intFields.map(n => f(n).try_cast(IntegerType).as(n)) ++
+        doubleFields.map(n => f(n).try_cast(DoubleType).as(n)) ++
+        boolFields.map(n => f(n).try_cast(BooleanType).as(n)) ++
+        stringFields.map(n => f(n).as(n)) ++
+        Seq(f("predicted_horizons").as("predicted_horizons"))): _*)
+  }
 }

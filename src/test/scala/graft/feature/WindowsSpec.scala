@@ -34,6 +34,29 @@ class WindowsSpec extends AnyFunSuite {
     assert(Windows.slidingInclusive(series(3), Seq("v"), 5, w).count() == 0)
   }
 
+  test("slidingLong: one row per (t, step), values in time order, no array column") {
+    val df = series(6).withColumn("u", $"v" * 10)
+    val out = Windows.slidingLong(df, Seq("v", "u"), 3, w)
+    assert(!out.columns.contains("window"))
+    assert(out.columns.toSeq == Seq("sid", "t", "v", "u", "step", "v_w", "u_w"))
+    assert(out.count() == 4 * 3) // (n-ws+1) windows × ws steps
+    val atT4 = out.filter($"t" === 4).orderBy("step")
+      .select("step", "v_w", "u_w").as[(Int, Double, Double)].collect().toSeq
+    assert(atT4 == Seq((0, 2.0, 20.0), (1, 3.0, 30.0), (2, 4.0, 40.0)))
+    // causal: window for t excludes t
+    val causal = Windows.slidingLong(df, Seq("v"), 3, w, causal = true)
+      .filter($"t" === 4).orderBy("step").select("v_w").as[Double].collect().toSeq
+    assert(causal == Seq(1.0, 2.0, 3.0))
+    // long ≡ array form, re-grouped
+    val arr = Windows.slidingInclusive(df, Seq("v", "u"), 3, w)
+      .select($"t", $"window").as[(Long, Seq[Seq[Double]])].collect().toMap
+    val regrouped = out.groupBy("t")
+      .agg(sort_array(collect_list(struct($"step", $"v_w", $"u_w"))).as("xs"))
+      .select($"t", expr("transform(xs, x -> array(x.v_w, x.u_w))"))
+      .as[(Long, Seq[Seq[Double]])].collect().toMap
+    assert(regrouped == arr)
+  }
+
   test("strided keeps every k-th window") {
     val out = Windows.strided(Windows.slidingInclusive(series(10), Seq("v"), 2, w), w, 3)
     assert(out.select("t").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 7L))

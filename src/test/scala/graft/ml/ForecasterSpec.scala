@@ -65,4 +65,70 @@ class ForecasterSpec extends AnyFunSuite {
     val (best, fit) = Forecaster.search(Seq(1, 2, 3, 4), (c: Int) => math.abs(c - 3).toDouble)
     assert(best == 3 && fit == 0.0)
   }
+
+  // Nonlinear series: the next step depends on v through a kink — a
+  // single global linear fit can't express it, trees can.
+  private def nonlinearSeries(n: Int): org.apache.spark.sql.DataFrame = {
+    val xs = new Array[Double](n)
+    xs(0) = 1.0
+    (1 until n).foreach { i =>
+      val prev = xs(i - 1)
+      xs(i) = (if (prev > 2.0) 0.5 * prev else 1.4 * prev + 0.3) + 0.05 * math.sin(i * 1.3)
+    }
+    xs.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }.toSeq.toDF("sid", "t", "v")
+  }
+
+  test("M8 GBT head beats the linear head on a kinked (nonlinear) series") {
+    val df = Targets.multiHorizon(nonlinearSeries(400), "v", Seq(1), w)
+    val feat = Forecaster.withLagFeatures(df, "v", 3, Seq("sid"), Seq("t"))
+    val cols = Seq("v", "lag_1", "lag_2", "lag_3")
+    val train = feat.filter($"t" < 300).cache()
+    val test = feat.filter($"t" >= 300).cache()
+    try {
+      val lin = Forecaster.fitPerHorizon(train, cols, Seq(1))
+      val gbt = Forecaster.fitPerHorizonGbt(train, cols, Seq(1), maxDepth = 4, maxIter = 25)
+      val fLin = Forecaster.naiveRelativeFitness(
+        Forecaster.predict(lin, test, cols), "pred_h1", "target_h1", "v")
+      val fGbt = Forecaster.naiveRelativeFitness(
+        Forecaster.predict(gbt, test, cols), "pred_h1", "target_h1", "v")
+      assert(fGbt < fLin, s"gbt=$fGbt lin=$fLin")
+      assert(fGbt < 0.0, s"gbt should beat naive, fitness=$fGbt")
+    } finally { train.unpersist(); test.unpersist() }
+  }
+
+  test("S11: GBT per-horizon model round-trips through save/load") {
+    val df = Targets.multiHorizon(nonlinearSeries(120), "v", Seq(1), w)
+    val feat = Forecaster.withLagFeatures(df, "v", 2, Seq("sid"), Seq("t"))
+    val cols = Seq("v", "lag_1", "lag_2")
+    val m = Forecaster.fitPerHorizonGbt(feat, cols, Seq(1), maxDepth = 3, maxIter = 5)(1)
+      .asInstanceOf[org.apache.spark.ml.regression.GBTRegressionModel]
+    val path = java.nio.file.Files.createTempDirectory("model").toString + "/g1"
+    m.write.overwrite().save(path)
+    val back = org.apache.spark.ml.regression.GBTRegressionModel.load(path)
+    assert(back.getNumTrees == m.getNumTrees)
+    assert(back.treeWeights.toSeq == m.treeWeights.toSeq)
+  }
+
+  test("M10b: NeatSearch drives distributed fits through naiveRelativeFitness") {
+    val df = Targets.multiHorizon(series(250), "v", Seq(1), w)
+    val full = Forecaster.withLagFeatures(df, "v", 4, Seq("sid"), Seq("t")).cache()
+    val train = full.filter($"t" < 180)
+    val test = full.filter($"t" >= 180)
+    try {
+      // Genome: nLags in [1,4] (rounded), log10(regParam) in [-6, 0].
+      val result = NeatSearch.optimize(
+        Seq("n_lags" -> (1.0, 4.0), "log_reg" -> (-6.0, 0.0)),
+        params => {
+          val nLags = math.max(1, math.round(params.getOrElse("n_lags", 2.0)).toInt)
+          val reg = math.pow(10.0, params.getOrElse("log_reg", -3.0))
+          val cols = "v" +: (1 to nLags).map(i => s"lag_$i")
+          val m = Forecaster.fitPerHorizon(train, cols, Seq(1), regParam = reg)
+          Forecaster.naiveRelativeFitness(
+            Forecaster.predict(m, test, cols), "pred_h1", "target_h1", "v")
+        },
+        NeatSearch.Config(populationSize = 6, generations = 2, patience = 2, seed = 5L))
+      assert(result.bestFitness < 0.0, s"champion should beat naive: ${result.bestFitness}")
+      assert(result.bestParams.nonEmpty && result.evaluations >= 6)
+    } finally full.unpersist()
+  }
 }

@@ -36,4 +36,38 @@ class SeasonalRegressionSpec extends AnyFunSuite {
       Array(Array(2.0, 1.0), Array(1.0, 3.0)), Array(5.0, 10.0))
     assert(math.abs(x(0) - 1.0) < 1e-12 && math.abs(x(1) - 3.0) < 1e-12)
   }
+
+  test("holiday one-hots + last-step regressors enter the fit as design columns") {
+    // y = 2 + 0.1 t + sin(2πt/24) + 5·holiday(t) + 0.7·reg(t): exactly in
+    // the extended family, so residuals vanish WITH the extras and the
+    // holiday coefficient is recovered; without them the spikes remain.
+    val holidayTs = Set(20L, 50L, 80L)
+    val df = (0 until 96).map { t =>
+      val hol = if (holidayTs(t.toLong)) 1.0 else 0.0
+      val reg = math.cos(t * 0.37) // arbitrary exogenous signal
+      ("s", t.toLong, hol, reg,
+        2.0 + 0.1 * t + math.sin(2 * math.Pi * t / 24) + 5.0 * hol + 0.7 * reg)
+    }.toDF("k", "t", "hol", "reg", "y")
+    val withExtras = SeasonalRegression.fitPredict(
+      df, Seq("k"), "t", "y", period = 24, harmonics = 1,
+      regressorCols = Seq("hol", "reg"))
+    val maxResid = withExtras.agg(max(abs($"resid"))).head().getDouble(0)
+    assert(maxResid < 1e-6, s"maxResid=$maxResid")
+    val without = SeasonalRegression.fitPredict(
+      df, Seq("k"), "t", "y", period = 24, harmonics = 1)
+    val holidayResid = without.filter($"t".isin(holidayTs.toSeq: _*))
+      .agg(min(abs($"resid"))).head().getDouble(0)
+    assert(holidayResid > 1.0, s"holiday spikes should be unexplained: $holidayResid")
+  }
+
+  test("holidayIndicator marks exactly the listed dates") {
+    val df = Seq("2026-12-24 10:00:00", "2026-12-25 00:30:00", "2027-01-01 23:59:59")
+      .map(java.sql.Timestamp.valueOf).map(Tuple1(_)).toDF("ts")
+    val out = df.select(SeasonalRegression.holidayIndicator(
+      $"ts", Seq("2026-12-25", "2027-01-01")).as("h")).as[Double].collect().toSeq
+    assert(out == Seq(0.0, 1.0, 1.0))
+    val none = df.select(SeasonalRegression.holidayIndicator($"ts", Nil).as("h"))
+      .as[Double].collect().toSeq
+    assert(none == Seq(0.0, 0.0, 0.0))
+  }
 }

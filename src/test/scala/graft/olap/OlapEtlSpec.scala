@@ -58,4 +58,52 @@ class OlapEtlSpec extends AnyFunSuite {
       .orderBy("conf_key").as[(String, String, String)].collect()
     assert(kv.toSeq == Seq(("e1", "batch_size", "128"), ("e1", "window_size", "144")))
   }
+
+  test("deepConfigKv flattens nested configs that configKv leaves opaque") {
+    val nested = """{"model":{"learning_rate":0.001,"opt":{"sched":"cosine"}},"horizons":[1,2,3]}"""
+    val exp = Seq(("e1", nested)).toDF("experiment_key", "config_json")
+    // One-level MapType cast stops at top-level keys — nested objects
+    // stay as opaque JSON blobs, unreachable by path…
+    val shallow = OlapEtl.configKv(exp, "experiment_key", "config_json")
+      .as[(String, String, String)].collect().map { case (_, k, v) => k -> v }.toMap
+    assert(shallow.keySet == Set("model", "horizons"))
+    assert(shallow("model").contains("learning_rate")) // raw blob, not a leaf
+    // …the recursive flatten reaches every leaf.
+    val kv = OlapEtl.deepConfigKv(exp, "experiment_key", "config_json")
+      .orderBy("conf_path").as[(String, String, String)].collect().toSeq
+    assert(kv == Seq(
+      ("e1", "horizons", "[1,2,3]"),
+      ("e1", "model.learning_rate", "0.001"),
+      ("e1", "model.opt.sched", "cosine")))
+  }
+
+  test("dimExperiment extracts typed config fields; missing/bad fields → NULL") {
+    val cfg =
+      """{"window_size":144,"batch_size":128,"learning_rate":0.0005,
+        |"use_stl":true,"use_returns":false,"activation":"gelu",
+        |"predictor_plugin":"tcn","predicted_horizons":[1,3,6],
+        |"epochs":"not_a_number"}""".stripMargin.replace("\n", "")
+    val exp = Seq(("e1", "p1", "phase1", cfg)).toDF("ek", "pk", "phk", "cfg")
+    val dim = OlapEtl.dimExperiment(exp, "ek", "pk", "phk", "cfg")
+    val row = dim.head()
+    assert(row.getAs[String]("experiment_key") == "e1")
+    assert(row.getAs[Int]("window_size") == 144)
+    assert(row.getAs[Int]("batch_size") == 128)
+    assert(row.getAs[Double]("learning_rate") == 0.0005)
+    assert(row.getAs[Boolean]("use_stl") && !row.getAs[Boolean]("use_returns"))
+    assert(row.getAs[String]("activation") == "gelu")
+    assert(row.getAs[String]("predictor_plugin") == "tcn")
+    assert(row.getAs[String]("predicted_horizons") == "[1,3,6]")
+    assert(row.isNullAt(row.fieldIndex("epochs")))        // malformed → NULL
+    assert(row.isNullAt(row.fieldIndex("mc_samples")))    // absent → NULL
+    assert(row.getAs[String]("config_json") == cfg)       // full config kept
+    assert(dim.columns.length == 4 + 13 + 5 + 6 + 5 + 1)  // keys+cfg+typed fields
+    // upsert on experiment_key keeps the newest version (S9 contract)
+    val v2 = OlapEtl.dimExperiment(
+      Seq(("e1", "p1", "phase2", """{"window_size":288}"""))
+        .toDF("ek", "pk", "phk", "cfg"), "ek", "pk", "phk", "cfg")
+    val merged = OlapEtl.upsert(Some(dim), v2, Seq("experiment_key"))
+    assert(merged.count() == 1)
+    assert(merged.head().getAs[Int]("window_size") == 288)
+  }
 }
