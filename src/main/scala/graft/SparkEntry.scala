@@ -532,6 +532,31 @@ object SparkEntry {
       |       ELSE CAST(val AS VARCHAR) END AS conf_value
       |FROM rec WHERE json_type(val) <> 'OBJECT'""".stripMargin
 
+  /** Embedding-cosine near-dup (the 5th dedup modality): label-blocked
+    * exact pairs over the embeddings table — equi-join on the block key,
+    * cosine rounded to 6 d.p. before the τ=0.35 threshold so the pair
+    * set is engine-exact. At 100 TB the block key becomes an IVF/LSH
+    * cell id (see `Dedup.embeddingNearDupPairs` scaladoc).
+    */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.embeddingNearDupPairs(
+      t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
+      "vec_id", "v", "label", 0.35)
+
+  private val q64Sql =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |    / (a.nrm * b.nrm), 6) AS cos_sim
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |    / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin
+
   /** S9 `dim_experiment`: typed config-field extraction (int/double/bool/
     * string + JSON-text passthrough) with try_cast null fallback —
     * `OlapEtl.dimExperiment` over a config that nests the interesting
@@ -1325,6 +1350,7 @@ object SparkEntry {
     "q61_percentiles_approx" -> (q61 _),
     "q62_deep_flatten" -> (q62 _),
     "q63_dim_experiment" -> (q63 _),
+    "q64_embed_dedup" -> (q64 _),
     "q25_r2_naive" -> (q25 _),
     "q26_config_kv" -> (q26 _),
     "q37_mmd" -> (q37 _),
@@ -1385,6 +1411,7 @@ object SparkEntry {
     "q60_percentiles" -> q60Sql,
     "q62_deep_flatten" -> q62Sql,
     "q63_dim_experiment" -> q63Sql,
+    "q64_embed_dedup" -> q64Sql,
     "q25_r2_naive" -> q25Sql,
     "q26_config_kv" -> q26Sql,
     "q37_mmd" -> q37Sql,

@@ -251,4 +251,28 @@ object Dedup {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - size(array_intersect(a, b)))
   }
+
+  /** Embedding-cosine near-dup pairs: (a, b, cos_sim) for every
+    * same-block pair with rounded cosine ≥ `tau`. The self-join is an
+    * EQUI-join on the block key — all-pairs only within a block, never
+    * across the corpus. At test scale the block key is a given column
+    * (cluster label); at 100 TB it is an IVF/LSH cell assignment
+    * (`Similarity.knnIvf`'s cell or `lshBucket`), which bounds each
+    * block to a cell's population. Rounding to 6 d.p. before the
+    * threshold keeps the pair set engine-exact (the rank-on-rounded
+    * pattern q40 uses).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, tau: Double): DataFrame = {
+    val a = df.select(col(blockCol),
+      col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val b = df.select(col(blockCol),
+      col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    a.join(b, blockCol)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        round(graft.similarity.Similarity.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+  }
 }

@@ -93,4 +93,32 @@ object Aggregators {
       def outputEncoder: Encoder[(Double, Double)] =
         Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
     }
+
+  /** M6 distributed wiring: soft-DTW between two aligned value columns,
+    * one score per key — `groupBy(keys).collect_list` shuffles each
+    * series to one reducer, `sort_array` orders it by the time column,
+    * and the O(n·m) kernel runs executor-side. Memory is bounded by one
+    * series per kernel call (the same contract as every per-series fit
+    * here); 10⁶ series run in parallel. A per-SERIES UDF call, not
+    * per-row — SerDe cost is once per group, which is not the hot path.
+    */
+  def softDtwByKey(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      orderCol: String, aCol: String, bCol: String,
+      gamma: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val kernel = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+      val a = new Array[Double](xs.length)
+      val b = new Array[Double](xs.length)
+      var i = 0
+      xs.foreach { r => a(i) = r.getDouble(1); b(i) = r.getDouble(2); i += 1 }
+      softDtw(a, b, gamma)
+    })
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).cast("double"),
+        col(aCol).cast("double"),
+        col(bCol).cast("double")))).as("__xs"))
+      .withColumn("soft_dtw", kernel(col("__xs")))
+      .drop("__xs")
+  }
 }

@@ -75,6 +75,36 @@ object Metrics {
     avg(when(predDiff.isNotNull && targetDiff.isNotNull,
       when(signum(predDiff) * signum(targetDiff) < 0, 1.0).otherwise(0.0)))
 
+  /** M3 FULL trend-sigma loss per series/window group
+    * (`losses.py:134-150`): mean Huber, ×2.5 when the end-to-end trend
+    * direction disagrees, + λ·max(0, σ_true − σ_pred) penalizing
+    * variance collapse. `min_by/max_by(value, order)` pick the group's
+    * first/last points without a sort; every term is a merging partial
+    * aggregate, so one shuffle on the group key at any scale. NULL rows
+    * fall out of every aggregate — the engine-wide analog of the
+    * reference's gap mask.
+    */
+  def trendSigmaLoss(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      predCol: String, targetCol: String, lambda: Double = 0.1,
+      delta: Double = 1.0): DataFrame = {
+    val p = col(predCol)
+    val t = col(targetCol)
+    val o = col(orderCol)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        huberLoss(p, t, delta).as("__base"),
+        (max_by(t, o) - min_by(t, o)).as("__dy_true"),
+        (max_by(p, o) - min_by(p, o)).as("__dy_pred"),
+        stddev_pop(t).as("__sig_true"),
+        stddev_pop(p).as("__sig_pred"))
+      .withColumn("__w_dir",
+        when(signum(col("__dy_true")) === signum(col("__dy_pred")), 1.0).otherwise(2.5))
+      .withColumn("trend_sigma_loss",
+        col("__base") * col("__w_dir") +
+          lit(lambda) * greatest(lit(0.0), col("__sig_true") - col("__sig_pred")))
+      .drop("__base", "__dy_true", "__dy_pred", "__sig_true", "__sig_pred", "__w_dir")
+  }
+
   /** M5 combined first-difference loss: MAE(levels) + α·MAE(diffs)
     * (`losses.py:172-204`).
     */

@@ -95,4 +95,21 @@ class DedupSpec extends AnyFunSuite {
     assert(j02 > 0.3 && j02 < 1.0)
     assert(j03 == 0.0)
   }
+
+  test("embeddingNearDupPairs: same-block high-cosine pairs only, a_id < b_id") {
+    val vecs = Seq(
+      (1L, 0, Seq(1.0, 0.0, 0.0)),   // block 0
+      (2L, 0, Seq(0.999, 0.04, 0.0)), // ≈ vec 1 → near-dup pair (1,2)
+      (3L, 0, Seq(0.0, 1.0, 0.0)),   // orthogonal — no pair
+      (4L, 1, Seq(1.0, 0.0, 0.0)),   // identical to 1 but other block → excluded
+      (5L, 1, Seq(1.0, 0.001, 0.0))  // ≈ vec 4 → pair (4,5)
+    ).toDF("vec_id", "label", "v")
+    val out = Dedup.embeddingNearDupPairs(vecs, "vec_id", "v", "label", 0.95)
+      .orderBy("a_id", "b_id")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (4L, 5L)))
+    val sims = Dedup.embeddingNearDupPairs(vecs, "vec_id", "v", "label", 0.95)
+      .select("cos_sim").as[Double].collect()
+    assert(sims.forall(s => s >= 0.95 && s <= 1.0))
+  }
 }

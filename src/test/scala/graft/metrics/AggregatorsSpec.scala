@@ -23,6 +23,24 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(Aggregators.mmdGaussian(x, y, 1.0) > 0.5)
   }
 
+  test("softDtwByKey: distributed per-series scores match the scalar kernel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Array(0.0, 1.0, 2.0, 1.0, 0.0)
+    val b = Array(0.0, 0.0, 1.0, 2.0, 1.0)
+    // two series, shuffled row order, spread over partitions
+    val rows = (for {
+      (k, bs) <- Seq(("s1", a), ("s2", b))
+      t <- a.indices
+    } yield (k, t.toLong, a(t), bs(t)))
+    val df = scala.util.Random.shuffle(rows).toDF("k", "t", "av", "bv").repartition(5)
+    val out = Aggregators.softDtwByKey(df, Seq("k"), "t", "av", "bv", gamma = 0.01)
+      .orderBy("k").select($"k", $"soft_dtw").as[(String, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq("s1", "s2"))
+    assert(math.abs(out(0)._2 - Aggregators.softDtw(a, a, 0.01)) < 1e-12)
+    assert(math.abs(out(1)._2 - Aggregators.softDtw(a, b, 0.01)) < 1e-12)
+  }
+
   test("welford aggregator matches direct mean/std across partitions") {
     val xs = (1 to 1000).map(_.toDouble)
     val ds = spark.createDataset(xs).repartition(7)

@@ -24,6 +24,31 @@ class LossMetricsSpec extends AnyFunSuite {
     assert(a > 1.0) // MAE 4/3 + 0.5·(1−(−1)) = 4/3 + 1
   }
 
+  test("trendSigmaLoss: direction flip ×2.5, variance collapse penalized") {
+    import org.apache.spark.sql.functions._
+    // s_ok: pred tracks target (same trend, same spread) → loss = huber only
+    // s_dir: pred trend reversed → base ×2.5
+    // s_flat: pred constant (variance collapse) → +λ·σ_true
+    val target = Seq(0.0, 1.0, 2.0, 3.0)
+    val rows =
+      target.zipWithIndex.map { case (v, i) => ("s_ok", i.toLong, v, v + 0.1) } ++
+      target.zipWithIndex.map { case (v, i) => ("s_dir", i.toLong, v, 3.0 - v) } ++
+      target.zipWithIndex.map { case (v, i) => ("s_flat", i.toLong, v, 1.5) }
+    val df = rows.toDF("k", "t", "target", "pred")
+    val out = Metrics.trendSigmaLoss(df, Seq("k"), "t", "pred", "target",
+      lambda = 0.1, delta = 1.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("trend_sigma_loss")).toMap
+    val sigTrue = math.sqrt(target.map(v => (v - 1.5) * (v - 1.5)).sum / 4)
+    // s_ok: errors all 0.1 → huber 0.5·0.01; same direction; same σ
+    assert(math.abs(out("s_ok") - 0.5 * 0.01) < 1e-12)
+    // s_dir: errors |3-2v-v|: (3,1,1,3) → huber (2.5,0.5,0.5,2.5)/4 = 1.5; ×2.5
+    assert(math.abs(out("s_dir") - 1.5 * 2.5) < 1e-12,  s"got ${out("s_dir")}")
+    // s_flat: errors (1.5,0.5,0.5,1.5) → huber (1.0,0.125,0.125,1.0)/4;
+    // dy_pred = 0 → sign differs → ×2.5; + 0.1·(σ_true − 0)
+    assert(math.abs(out("s_flat") - (2.25 / 4 * 2.5 + 0.1 * sigTrue)) < 1e-12,
+      s"got ${out("s_flat")}")
+  }
+
   test("positionalEncoding: shape and PE(0) = [0,1,0,1,...]") {
     val pe = TS.positionalEncoding(spark, maxLen = 16, dModel = 8)
     assert(pe.count() == 16)
