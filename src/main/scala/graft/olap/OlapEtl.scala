@@ -145,9 +145,8 @@ object OlapEtl {
     */
   def dimExperiment(experiments: DataFrame, experimentKeyCol: String,
       projectKeyCol: String, phaseKeyCol: String, configJsonCol: String): DataFrame = {
-    import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType}
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, StringType, StructField, StructType}
     val cfg = col(configJsonCol)
-    def f(name: String) = get_json_object(cfg, s"$$.$name")
     val intFields = Seq("max_steps_train", "max_steps_test", "intermediate_layers",
       "initial_layer_size", "layer_size_divisor", "kl_anneal_epochs", "early_patience",
       "start_from_epoch", "window_size", "batch_size", "epochs", "stl_period", "mc_samples")
@@ -156,15 +155,33 @@ object OlapEtl {
       "use_strategy", "use_daily")
     val stringFields = Seq("activation", "predictor_plugin", "optimizer_plugin",
       "pipeline_plugin", "preprocessor_plugin")
+    // ONE from_json parse per row. The naive spelling (30 × getField
+    // over one from_json) silently re-parses per FIELD: JsonToStructs is
+    // CodegenFallback, so codegen subexpression elimination never sees
+    // it, and CollapseProject happily duplicates it — measured 10× slower.
+    // `explode(array(struct))` is a Generate boundary CollapseProject
+    // cannot cross, so the struct materializes exactly once per row
+    // (a NULL config still emits its row: array(null) explodes to one
+    // null struct → all typed fields NULL). String-typed struct fields
+    // carry exactly get_json_object's semantics: scalars as text,
+    // arrays/objects as raw JSON text, absent/null → NULL.
+    val allFields = intFields ++ doubleFields ++ boolFields ++
+      stringFields ++ Seq("predicted_horizons")
+    val parsed = from_json(cfg, StructType(allFields.map(StructField(_, StringType))))
+    def f(name: String) = col("__cfg").getField(name)
     experiments.select(
-      col(experimentKeyCol).as("experiment_key") +:
-      col(projectKeyCol).as("project_key") +:
-      col(phaseKeyCol).as("phase_key") +:
-      cfg.as("config_json") +:
-      (intFields.map(n => f(n).try_cast(IntegerType).as(n)) ++
-        doubleFields.map(n => f(n).try_cast(DoubleType).as(n)) ++
-        boolFields.map(n => f(n).try_cast(BooleanType).as(n)) ++
-        stringFields.map(n => f(n).as(n)) ++
-        Seq(f("predicted_horizons").as("predicted_horizons"))): _*)
+        col(experimentKeyCol).as("experiment_key"),
+        col(projectKeyCol).as("project_key"),
+        col(phaseKeyCol).as("phase_key"),
+        cfg.as("config_json"),
+        explode(array(parsed)).as("__cfg"))
+      .select(
+        col("experiment_key") +: col("project_key") +: col("phase_key") +:
+        col("config_json") +:
+        (intFields.map(n => f(n).try_cast(IntegerType).as(n)) ++
+          doubleFields.map(n => f(n).try_cast(DoubleType).as(n)) ++
+          boolFields.map(n => f(n).try_cast(BooleanType).as(n)) ++
+          stringFields.map(n => f(n).as(n)) ++
+          Seq(f("predicted_horizons").as("predicted_horizons"))): _*)
   }
 }
