@@ -43,6 +43,65 @@ object StreamOps {
       }
       .start()
 
+  case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
+  case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+  case class ClosedSession(userId: Long, sessionStartUs: Long, sessionEndUs: Long,
+      nEvents: Long, sumValue: Double)
+
+  /** Streaming sessionization — the streaming analog of the batch
+    * gap-session query (q58/`TS.sessionId`): per-user sessions close
+    * `gap` after their last event, emitted exactly once via
+    * `flatMapGroupsWithState` + EventTimeTimeout. The watermark both
+    * bounds state (closed sessions are dropped) and drives the timeout
+    * clock, so state size is O(open sessions), not O(history) — the
+    * property that keeps this runnable forever on an unbounded stream.
+    * Events later than `watermark` are dropped (standard streaming
+    * semantics); in-batch events are sorted per key, so out-of-order
+    * WITHIN the watermark is handled.
+    */
+  def sessionize(events: Dataset[SessionEvent], gap: java.time.Duration,
+      watermark: String): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gap.toMillis
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) =
+            ClosedSession(userId, s.start, s.end, s.n, s.sum)
+          if (rows.isEmpty && state.hasTimedOut) {
+            // no event within `gap` of the session end → emit and clear
+            val out = state.getOption.map(close).toList
+            state.remove()
+            out.iterator
+          } else {
+            val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+            var open = state.getOption
+            batch.foreach { e =>
+              val tMs = e.ts.getTime
+              open = open match {
+                case Some(s) if tMs - s.end / 1000 > gapMs =>
+                  closed += close(s)
+                  Some(OpenSession(tMs * 1000, tMs * 1000, 1, e.value))
+                case Some(s) =>
+                  Some(OpenSession(s.start, math.max(s.end, tMs * 1000),
+                    s.n + 1, s.sum + e.value))
+                case None =>
+                  Some(OpenSession(tMs * 1000, tMs * 1000, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end / 1000 + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   case class Tick(userId: Long, ts: Long, value: Double)
   case class Position(userId: Long, nTicks: Long, total: Double, lastValue: Double)
 

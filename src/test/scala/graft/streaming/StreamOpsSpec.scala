@@ -55,6 +55,43 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: gap-closed sessions emit once, late sessions close by timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, t: String, v: Double) =
+      StreamOps.SessionEvent(u, Timestamp.valueOf(t), v)
+    val mem = MemoryStream[StreamOps.SessionEvent]
+    val q = StreamOps.sessionize(mem.toDS(), java.time.Duration.ofMinutes(30), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h gap
+      mem.addData(
+        ev(1L, "2024-01-01 00:00:00", 1.0),
+        ev(1L, "2024-01-01 00:10:00", 2.0))
+      q.processAllAvailable()
+      // next event is > gap after 00:10 → closes session 1 in-batch;
+      // also advances the watermark far past user 2's start below
+      mem.addData(ev(1L, "2024-01-01 02:00:00", 4.0))
+      q.processAllAvailable()
+      val afterBatchClose = spark.table("sess").as[StreamOps.ClosedSession].collect()
+      assert(afterBatchClose.length == 1)
+      val s1 = afterBatchClose.head
+      assert(s1.userId == 1L && s1.nEvents == 2 && s1.sumValue == 3.0)
+      assert(s1.sessionStartUs == Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000)
+      assert(s1.sessionEndUs == Timestamp.valueOf("2024-01-01 00:10:00").getTime * 1000)
+      // user 2 opens a session, then only OTHER keys' events arrive —
+      // the event-time timeout must close it (no user-2 event needed)
+      mem.addData(ev(2L, "2024-01-01 02:05:00", 9.0))
+      q.processAllAvailable()
+      mem.addData(ev(3L, "2024-01-01 05:00:00", 0.5)) // watermark → 04:50
+      q.processAllAvailable()
+      mem.addData(ev(3L, "2024-01-01 05:01:00", 0.5)) // extra batch: fire timeouts
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[StreamOps.ClosedSession].collect()
+      val u2 = closed.filter(_.userId == 2L)
+      assert(u2.length == 1 && u2.head.nEvents == 1 && u2.head.sumValue == 9.0)
+    } finally q.stop()
+  }
+
   test("trackPositions: state survives across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Tick]
