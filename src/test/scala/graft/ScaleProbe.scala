@@ -37,7 +37,8 @@ object ScaleProbe {
     replicate(100, "/tmp/scale100")
 
     val queries = Seq("q10_log_return", "q12_multi_horizon", "q14_rolling_stats",
-      "q18_naive_mae", "q22_rolling_count_5d", "q48_preprocess_slice", "q44_stl_decompose")
+      "q18_naive_mae", "q22_rolling_count_5d", "q48_preprocess_slice", "q44_stl_decompose",
+      "q58_sessionize", "q62_deep_flatten")
     // warm code paths
     queries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       .write.mode("overwrite").format("noop").save())
