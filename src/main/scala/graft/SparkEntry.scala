@@ -1183,10 +1183,20 @@ object SparkEntry {
     val withWin = t(s, dir, "events")
       .withColumn("win", collect_list(col("value")).over(evWindow.rowsBetween(-15, 0)))
       .filter(size(col("win")) === 16)
-    val m = GraftFunctions.fft_mag_norm(col("win"), lit(5))
-    val outCols = Seq(col("event_id"), col("user_id")) ++
-      (0 until 5).map(i => round(element_at(m, i + 1), 6).as(s"f$i"))
-    withWin.select(outCols: _*)
+    // explode(array(...)) Generate barrier: fft_mag is CodegenFallback,
+    // so the composed fft_mag_norm referenced 5× below would clone the
+    // whole DFT per bin — and once more per reference inside its own
+    // normalization (the q63 lesson — see PLANS.md). After the barrier
+    // `__raw` is a bound ATTRIBUTE: every further reference is free, so
+    // the DFT runs exactly once per row and the normalization reads it.
+    withWin
+      .select(col("event_id"), col("user_id"),
+        explode(array(GraftFunctions.fft_mag(col("win"), lit(5)))).as("__raw"))
+      .withColumn("__s", aggregate(col("__raw"), lit(0.0), (a, x) => a + x))
+      .select(Seq(col("event_id"), col("user_id")) ++
+        (0 until 5).map(i => round(
+          when(col("__s") > 0.0, element_at(col("__raw"), i + 1) / col("__s"))
+            .otherwise(lit(1.0) / 5), 6).as(s"f$i")): _*)
   }
 
   /** §2.10 backtest state machine on per-user event series (close=value,
