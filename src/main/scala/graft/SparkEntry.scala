@@ -532,6 +532,31 @@ object SparkEntry {
       |       ELSE CAST(val AS VARCHAR) END AS conf_value
       |FROM rec WHERE json_type(val) <> 'OBJECT'""".stripMargin
 
+  /** W1-long driver check: long-format sliding windows — one row per
+    * (prediction row, step), ws=6 inclusive — `Windows.slidingLong`, the
+    * layout SURVEY §1.1 prefers at scale (no array column in the output:
+    * shuffles move fixed-width rows, pruning can drop features). Oracle:
+    * windows re-derived relationally (row_number self-join on step
+    * offsets), which is exactly what the long format IS.
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    graft.feature.Windows.slidingLong(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        Seq("value"), 6, evWindow)
+      .select(col("user_id"), col("event_id"), col("step").cast("int").as("step"),
+        col("value_w"))
+
+  private val q65Sql =
+    """WITH g AS (SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT a.user_id, a.event_id, CAST(s.step AS INT) AS step,
+      |       b.value AS value_w
+      |FROM g a
+      |JOIN (SELECT UNNEST(range(6)) AS step) s ON true
+      |JOIN g b ON b.user_id = a.user_id AND b.rn = a.rn - 5 + s.step
+      |WHERE a.rn >= 6""".stripMargin
+
   /** Embedding-cosine near-dup (the 5th dedup modality): label-blocked
     * exact pairs over the embeddings table — equi-join on the block key,
     * cosine rounded to 6 d.p. before the τ=0.35 threshold so the pair
@@ -1361,6 +1386,7 @@ object SparkEntry {
     "q62_deep_flatten" -> (q62 _),
     "q63_dim_experiment" -> (q63 _),
     "q64_embed_dedup" -> (q64 _),
+    "q65_long_windows" -> (q65 _),
     "q25_r2_naive" -> (q25 _),
     "q26_config_kv" -> (q26 _),
     "q37_mmd" -> (q37 _),
@@ -1422,6 +1448,7 @@ object SparkEntry {
     "q62_deep_flatten" -> q62Sql,
     "q63_dim_experiment" -> q63Sql,
     "q64_embed_dedup" -> q64Sql,
+    "q65_long_windows" -> q65Sql,
     "q25_r2_naive" -> q25Sql,
     "q26_config_kv" -> q26Sql,
     "q37_mmd" -> q37Sql,

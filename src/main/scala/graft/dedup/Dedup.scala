@@ -227,15 +227,20 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nbr_component"))
+      // carry a per-row `changed` flag INTO the checkpoint: the
+      // convergence check then aggregates the already-materialized
+      // blocks (cheap) instead of re-running a labels⋈next join as a
+      // separate job — one fewer join per iteration.
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("nbr_component"), col("component")) < col("component"))
+            .as("__changed"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged = !next.agg(coalesce(max(col("__changed")), lit(false)))
+        .head().getBoolean(0)
+      labels = next.drop("__changed")
       iter += 1
     }
     edges.unpersist()
