@@ -93,4 +93,67 @@ object ForecastPipeline {
     outCsv.foreach(p => Sources.writeCsv(results, p, Seq("Metric")))
     results
   }
+
+  /** MODEL-based slice (M8 end-to-end): lag features → per-horizon heads
+    * fit on the `train` split — `head` = "linear" (normal-equation) or
+    * "gbt" (the nonlinear model-zoo analog) — → per-split MAE / Naive
+    * MAE / R² rows, same grain as [[naiveMetrics]]. `modelDir` saves
+    * each horizon's fitted model (S11 artifact sink); reload with the
+    * matching MLlib loader. The per-split frames stay distributed; only
+    * the fitted coefficients/trees cross the driver.
+    */
+  def modelMetrics(spark: SparkSession, config: Config, nLags: Int = 3,
+      head: String = "linear", modelDir: Option[String] = None): DataFrame = {
+    import graft.ml.Forecaster
+    require(config.splits.contains("train"), "modelMetrics needs a 'train' split")
+    val w = Window.orderBy(col("ts"))
+    def featurized(path: String, split: String): DataFrame = {
+      val raw = Sources.loadCsv(spark, path, maxRows = config.maxSteps.get(split))
+      val denorm = config.normStats.get(config.targetColumn) match {
+        case Some((mean, std)) =>
+          raw.withColumn(config.targetColumn,
+            TS.zDenorm(col(config.targetColumn), mean, std))
+        case None => raw
+      }
+      Forecaster.withLagFeatures(
+        Targets.multiHorizon(denorm, config.targetColumn, config.horizons, w),
+        config.targetColumn, nLags, Nil, Seq("ts"))
+    }
+    val featureCols = config.targetColumn +: (1 to nLags).map(i => s"lag_$i")
+    val train = featurized(config.splits("train"), "train").cache()
+    val models =
+      try {
+        head match {
+          case "gbt" => Forecaster.fitPerHorizonGbt(train, featureCols, config.horizons)
+          case _ => Forecaster.fitPerHorizon(train, featureCols, config.horizons)
+            .asInstanceOf[Map[Int, Forecaster.HorizonModel]]
+        }
+      } finally train.unpersist()
+    modelDir.foreach { dir =>
+      models.toSeq.sortBy(_._1).foreach { case (h, m) =>
+        m.asInstanceOf[org.apache.spark.ml.util.MLWritable]
+          .write.overwrite().save(s"$dir/h$h")
+      }
+    }
+    val perSplit = config.splits.toSeq.sortBy(_._1).map { case (split, path) =>
+      val pred = Forecaster.predict(models, featurized(path, split), featureCols)
+      val aggs = config.horizons.flatMap { h =>
+        Seq(
+          Metrics.mae(col(s"pred_h$h"), col(s"target_h$h")).as(s"mae_h$h"),
+          Metrics.naiveMae(col(config.targetColumn), col(s"target_h$h")).as(s"naive_mae_h$h"),
+          Metrics.r2(col(s"pred_h$h"), col(s"target_h$h")).as(s"r2_h$h"))
+      }
+      pred.filter(config.horizons.map(h => col(s"target_h$h").isNotNull).reduce(_ && _))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("split", lit(split))
+    }
+    val wide = perSplit.reduce(_.unionByName(_))
+    config.horizons.flatMap { h =>
+      Seq(s"mae_h$h" -> ("MAE", h), s"naive_mae_h$h" -> ("Naive MAE", h),
+        s"r2_h$h" -> ("R2", h))
+    }.map { case (c, (name, h)) =>
+      wide.select(col("split"), lit(name).as("metric"), lit(h).as("horizon"),
+        col(c).as("value"))
+    }.reduce(_.unionByName(_))
+  }
 }

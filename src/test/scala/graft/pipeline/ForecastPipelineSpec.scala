@@ -46,6 +46,44 @@ class ForecastPipelineSpec extends AnyFunSuite {
     assert(csv.count() == 12)
   }
 
+  test("modelMetrics end-to-end: linear and GBT heads beat naive on a trending series") {
+    // trending series with structure a linear-on-lags model captures
+    def writeTrend(n: Int, phase: Double): String = {
+      val f = Files.createTempFile("trend", ".csv")
+      val rows = (0 until n).map { i =>
+        val ts = f"2020-01-01 ${i / 60}%02d:${i % 60}%02d:00"
+        val v = 0.02 * i + math.sin(i * 0.3 + phase)
+        s"$ts,$v"
+      }
+      Files.writeString(f, "DATE_TIME,CLOSE\n" + rows.mkString("\n") + "\n")
+      f.toString
+    }
+    val cfg = ForecastPipeline.Config(
+      splits = Map("train" -> writeTrend(300, 0.0), "test" -> writeTrend(120, 0.5)),
+      targetColumn = "CLOSE", horizons = Seq(1, 3))
+    val modelDir = Files.createTempDirectory("heads").toString
+    val rows = ForecastPipeline.modelMetrics(spark, cfg, nLags = 3,
+      head = "linear", modelDir = Some(modelDir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    // 2 splits × 3 metrics × 2 horizons
+    assert(rows.length == 12)
+    def v(split: String, metric: String, h: Int) =
+      rows.find(r => r._1 == split && r._2 == metric && r._3 == h).get._4
+    // the fitted model must beat the naive last-value forecast out of sample
+    assert(v("test", "MAE", 1) < v("test", "Naive MAE", 1))
+    assert(v("test", "MAE", 3) < v("test", "Naive MAE", 3))
+    assert(v("test", "R2", 1) > 0.9)
+    // S11: saved per-horizon artifacts reload
+    val m1 = org.apache.spark.ml.regression.LinearRegressionModel.load(s"$modelDir/h1")
+    assert(m1.coefficients.size == 4)
+    // GBT head runs the same contract
+    val gbt = ForecastPipeline.modelMetrics(spark, cfg, nLags = 3, head = "gbt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    def g(split: String, metric: String, h: Int) =
+      gbt.find(r => r._1 == split && r._2 == metric && r._3 == h).get._4
+    assert(g("train", "MAE", 1) < g("train", "Naive MAE", 1))
+  }
+
   test("R2 of the naive zero-return forecast relates to return variance") {
     val cfg = ForecastPipeline.Config(
       splits = Map("train" -> writeSplit(60, 0.0)),
