@@ -43,6 +43,20 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming exact dedup — the streaming face of `Dedup.exactDedup`:
+    * drop rows whose key (e.g. a content digest) was already seen, with
+    * state bounded by the watermark via `dropDuplicatesWithinWatermark`
+    * (duplicates in a training-data firehose arrive close together —
+    * re-crawls and mirror bursts — so a watermark-bounded horizon is the
+    * 100 TB-viable contract; unbounded exact dedup belongs to the batch
+    * compaction pass).
+    */
+  def streamingExactDedup(events: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
   case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
   case class ClosedSession(userId: Long, sessionStartUs: Long, sessionEndUs: Long,

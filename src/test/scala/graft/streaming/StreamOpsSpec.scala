@@ -55,6 +55,28 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedup: duplicate digests within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.streamingExactDedup(
+      mem.toDF().toDF("ts", "digest", "value"), "ts", "10 minutes", Seq("digest"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "d1", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "d1", 2.0), // dup in batch
+        (Timestamp.valueOf("2024-01-01 00:02:00"), "d2", 3.0))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 00:03:00"), "d1", 4.0)) // dup across batches
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 00:04:00"), "d3", 5.0))
+      q.processAllAvailable()
+      val seen = spark.table("dedup").select($"digest").as[String].collect().toSeq.sorted
+      assert(seen == Seq("d1", "d2", "d3")) // each digest exactly once
+    } finally q.stop()
+  }
+
   test("sessionize: gap-closed sessions emit once, late sessions close by timeout") {
     implicit val sqlCtx = spark.sqlContext
     def ev(u: Long, t: String, v: Double) =
