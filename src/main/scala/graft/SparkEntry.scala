@@ -1153,6 +1153,34 @@ object SparkEntry {
       col("doc_id"), col("lang"),
       TextAnalysis.langId(col("text")).as("lang_pred"))
 
+  /** Multimodal image pipeline end-to-end (rows-only): deterministic
+    * 16×16 grayscale netpbm images synthesized per event (the testdata
+    * has no media table), decoded by the REAL decoder
+    * (`Multimodal.decodeImagesReal` — netpbm parser; PNG/JPEG would go
+    * through the JDK's ImageIO on the same path), resized 8×8, features
+    * aggregated per event_type. Exercises binary column → batched
+    * partition-wise decode → resize → feature → aggregate, the full
+    * shape of a 100 TB media-featurization sweep.
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = t(s, dir, "events").select("event_id", "event_type")
+      .as[(Long, String)]
+      .map { case (id, tpe) =>
+        val px = Array.tabulate(16 * 16)(i => ((id * 31 + i * 7) % 256).toByte)
+        (id, tpe, graft.multimodal.Multimodal.encodeNetpbm(
+          graft.multimodal.Multimodal.RasterImage(16, 16, 1, px)))
+      }
+      .toDF("event_id", "event_type", "content")
+    graft.multimodal.Multimodal
+      .decodeImagesReal(imgs, "content", resizeTo = Some((8, 8)))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(dsum(element_at(col("chan_mean"), 1)) / count(lit(1)), 6).as("avg_brightness"),
+        round(dsum(element_at(col("gray_hist"), 1)) / count(lit(1)), 6).as("avg_dark_bin"))
+  }
+
   /** SimHash 64-bit near-dup fingerprint (md5-based, native expression)
     * — rows-only.
     */
@@ -1406,6 +1434,7 @@ object SparkEntry {
     "q50_near_dedup" -> (q50 _),
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
+    "q66_image_features" -> (q66 _),
     "q42_simhash" -> (q42 _),
     "q43_lsh_ann" -> (q43 _),
     "q44_stl_decompose" -> (q44 _),

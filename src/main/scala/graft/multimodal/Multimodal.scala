@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns + typed metadata, with decode / feature /
   * frame-sample stages as partition-wise batch transforms.
   *
-  * The actual codec call is STUBBED (no image/audio libs in this
-  * container): `decodeStub` derives a deterministic fake (dims + a
-  * 4-bin byte histogram) from the bytes. The Spark-side plumbing —
-  * schema, batched `mapPartitions` (one library-handle per partition,
-  * the `mapInPandas` batch shape), partition sizing, null passthrough —
-  * is real and tested; swapping the stub for a JNI/codec call changes
-  * one function.
+  * IMAGE decode is REAL and dependency-free: netpbm (P5/P6) is parsed
+  * directly and PNG/JPEG/BMP/GIF go through the JDK's own `javax.imageio`
+  * (part of Java SE — no external codec library involved). Audio/video
+  * decode remains STUBBED (`decodeStub`, disclosed: no such codecs in
+  * the JDK); the Spark-side plumbing — schema, batched `mapPartitions`
+  * (one codec handle per partition, the `mapInPandas` batch shape),
+  * null/garbage passthrough — is identical for both, so swapping the
+  * stub for a JNI call changes one function.
   */
 object Multimodal {
 
@@ -66,6 +67,163 @@ object Multimodal {
         else {
           val (w, h, hist) = decodeStub(bytes)
           Row.fromSeq(r.toSeq ++ Seq(w, h, hist.toSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** Decoded raster: interleaved per-channel bytes, row-major. */
+  final case class RasterImage(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  /** REAL image decode, pure JVM: netpbm P5 (gray) / P6 (RGB) parsed
+    * directly; anything else handed to `javax.imageio` (PNG/JPEG/BMP/GIF
+    * readers ship with the JDK). None for null/garbage bytes.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[RasterImage] = {
+    if (bytes == null || bytes.length < 8) return None
+    if (bytes(0) == 'P' && (bytes(1) == '5' || bytes(1) == '6'))
+      decodeNetpbm(bytes)
+    else decodeViaImageIO(bytes)
+  }
+
+  private def decodeNetpbm(bytes: Array[Byte]): Option[RasterImage] =
+    try {
+      val channels = if (bytes(1) == '5') 1 else 3
+      // header: magic, whitespace/comments, width, height, maxval, ONE ws
+      var i = 2
+      val vals = new Array[Int](3)
+      var v = 0
+      while (v < 3) {
+        while (i < bytes.length &&
+          (bytes(i).toChar.isWhitespace || bytes(i) == '#')) {
+          if (bytes(i) == '#') while (i < bytes.length && bytes(i) != '\n') i += 1
+          else i += 1
+        }
+        var x = 0
+        while (i < bytes.length && bytes(i).toChar.isDigit) {
+          x = x * 10 + (bytes(i) - '0'); i += 1
+        }
+        vals(v) = x; v += 1
+      }
+      i += 1 // single whitespace after maxval
+      val (w, h, maxval) = (vals(0), vals(1), vals(2))
+      val n = w * h * channels
+      if (w <= 0 || h <= 0 || maxval != 255 || bytes.length - i < n) None
+      else Some(RasterImage(w, h, channels,
+        java.util.Arrays.copyOfRange(bytes, i, i + n)))
+    } catch { case _: Exception => None }
+
+  private def decodeViaImageIO(bytes: Array[Byte]): Option[RasterImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hasColor = img.getColorModel.getNumColorComponents > 1
+        val c = if (hasColor) 3 else 1
+        val out = new Array[Byte](w * h * c)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val base = (y * w + x) * c
+            if (c == 3) {
+              out(base) = ((rgb >> 16) & 0xff).toByte
+              out(base + 1) = ((rgb >> 8) & 0xff).toByte
+              out(base + 2) = (rgb & 0xff).toByte
+            } else out(base) = (rgb & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(RasterImage(w, h, c, out))
+      }
+    } catch { case _: Exception => None }
+
+  /** Nearest-neighbor resize — the cheap pre-embedding normalization pass. */
+  def resizeNearest(img: RasterImage, newW: Int, newH: Int): RasterImage = {
+    val out = new Array[Byte](newW * newH * img.channels)
+    var y = 0
+    while (y < newH) {
+      val sy = math.min(img.height - 1, y * img.height / newH)
+      var x = 0
+      while (x < newW) {
+        val sx = math.min(img.width - 1, x * img.width / newW)
+        var c = 0
+        while (c < img.channels) {
+          out((y * newW + x) * img.channels + c) =
+            img.pixels((sy * img.width + sx) * img.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    RasterImage(newW, newH, img.channels, out)
+  }
+
+  /** Per-channel mean in [0,1] + 16-bin grayscale histogram (normalized). */
+  def imageFeatures(img: RasterImage): (Array[Double], Array[Double]) = {
+    val means = new Array[Double](img.channels)
+    val hist = new Array[Double](16)
+    val nPix = img.width * img.height
+    var p = 0
+    while (p < nPix) {
+      var gray = 0.0
+      var c = 0
+      while (c < img.channels) {
+        val v = img.pixels(p * img.channels + c) & 0xff
+        means(c) += v
+        gray += v
+        c += 1
+      }
+      hist(((gray / img.channels).toInt) >> 4) += 1.0
+      p += 1
+    }
+    (means.map(_ / (nPix * 255.0)), hist.map(_ / nPix))
+  }
+
+  /** P6/P5 encoder (test fixtures + round-trips). */
+  def encodeNetpbm(img: RasterImage): Array[Byte] = {
+    val header = s"P${if (img.channels == 1) "5" else "6"}\n${img.width} ${img.height}\n255\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+    out
+  }
+
+  private val realDecodedFields = Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("chan_mean", ArrayType(DoubleType)),
+    StructField("gray_hist", ArrayType(DoubleType)))
+
+  /** REAL decode stage: per-partition batched pass appending
+    * width/height/channels/chan_mean/gray_hist; optional `resizeTo`
+    * normalizes resolution before feature extraction (the
+    * resize-then-featurize shape of an embedding pipeline).
+    * Null/undecodable content → null features, row preserved.
+    */
+  def decodeImagesReal(df: DataFrame, binCol: String,
+      resizeTo: Option[(Int, Int)] = None): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ realDecodedFields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(binIdx).asInstanceOf[Array[Byte]]
+        decodeImage(bytes) match {
+          case Some(img0) =>
+            val img = resizeTo.map { case (w, h) => resizeNearest(img0, w, h) }
+              .getOrElse(img0)
+            val (means, hist) = imageFeatures(img)
+            Row.fromSeq(r.toSeq ++
+              Seq(img.width, img.height, img.channels, means.toSeq, hist.toSeq))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
         }
       }
     }(enc)

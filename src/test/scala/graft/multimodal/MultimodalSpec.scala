@@ -37,6 +37,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again(0).getAs[Int]("width") == rows(0).getAs[Int]("width"))
   }
 
+  test("REAL decode: hand-built P6 netpbm round-trips through the distributed stage") {
+    // 2×2 RGB: red, green, blue, white
+    val px = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val ppm = Multimodal.encodeNetpbm(Multimodal.RasterImage(2, 2, 3, px))
+    val df = Seq((1L, ppm), (2L, "not an image".getBytes), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "content")
+    val out = Multimodal.decodeImagesReal(df, "content").orderBy("media_id").collect()
+    assert(out(0).getAs[Int]("width") == 2 && out(0).getAs[Int]("height") == 2)
+    assert(out(0).getAs[Int]("channels") == 3)
+    val means = out(0).getAs[scala.collection.Seq[Double]]("chan_mean")
+    // each channel: (255+0+0+255)/4/255 = 0.5
+    assert(means.forall(m => math.abs(m - 0.5) < 1e-9))
+    val hist = out(0).getAs[scala.collection.Seq[Double]]("gray_hist")
+    assert(math.abs(hist.sum - 1.0) < 1e-9)
+    assert(out(1).isNullAt(out(1).fieldIndex("width"))) // garbage → nulls
+    assert(out(2).isNullAt(out(2).fieldIndex("width"))) // null → nulls
+  }
+
+  test("REAL decode: JDK ImageIO path (PNG) agrees with the netpbm path") {
+    // build a 4×3 RGB gradient, encode as PNG via the JDK, decode both ways
+    val w = 4; val h = 3
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, new java.awt.Color(x * 60, y * 80, 128).getRGB)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf)) // PNG writer is in the JDK
+    val png = buf.toByteArray
+    val viaPng = Multimodal.decodeImage(png).get
+    assert(viaPng.width == w && viaPng.height == h && viaPng.channels == 3)
+    // identical raster through the P6 spelling
+    val viaPpm = Multimodal.decodeImage(Multimodal.encodeNetpbm(viaPng)).get
+    assert(viaPpm.pixels.toSeq == viaPng.pixels.toSeq)
+    // resize: 2× nearest-neighbor keeps corner pixel values
+    val big = Multimodal.resizeNearest(viaPng, 8, 6)
+    assert(big.width == 8 && big.height == 6)
+    assert(big.pixels(0) == viaPng.pixels(0)) // top-left preserved
+    val (mBig, _) = Multimodal.imageFeatures(big)
+    val (mOrig, _) = Multimodal.imageFeatures(viaPng)
+    // nearest-neighbor 2× duplicates pixels exactly → identical means
+    mBig.zip(mOrig).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
   test("sampleFrames: n evenly spaced slices, reassembles prefix") {
     val frames = Multimodal.sampleFrames(media.filter($"media_id" === 1L), "content", "media_id", 4)
       .orderBy("frame_idx").collect()
