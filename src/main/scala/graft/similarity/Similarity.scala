@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  // Persisted intermediates the returned (lazy) plans still depend on —
+  // same contract as Dedup.clearCaches: callers drop them between rounds.
+  private val cachedHandles = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def track(df: DataFrame): DataFrame = { cachedHandles.add(df); df }
+
+  /** Unpersist every intermediate this object has persisted. Call after
+    * the consuming action in long-lived sessions.
+    */
+  def clearCaches(): Unit = {
+    var h = cachedHandles.poll()
+    while (h != null) { h.unpersist(blocking = false); h = cachedHandles.poll() }
+  }
+
   /** Dot product of two Array[Float|Double] columns, computed in double. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -69,35 +82,87 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** IVF-style ANN: a seeded KMeans coarse quantizer assigns every vector
-    * to a cell; each query probes its `nProbe` nearest cells and ranks
-    * exact cosine only within them. The join is an equi-join on cell id —
-    * the 100 TB shape: centroids broadcast, corpus shuffles once by cell,
-    * per-query work shrinks by ~nCells/nProbe versus brute force.
+  /** Seeded driver-local Lloyd's iteration — the coarse-quantizer fit.
+    * The fit set is a BOUNDED sample (O(cells × samples-per-cell),
+    * independent of corpus size), so fitting on the driver is the right
+    * cost model: an MLlib KMeans run costs 2-3 Spark jobs per iteration,
+    * which dominates wall-clock when k and d are small — the quantizer
+    * itself is identical math.
+    */
+  private[similarity] def lloyd(points: Array[Array[Double]], k: Int,
+      maxIter: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "empty fit sample")
+    val rnd = new scala.util.Random(seed)
+    val d = points.head.length
+    val centroids = Array.tabulate(math.min(k, points.length))(
+      i => points(rnd.nextInt(points.length)).clone())
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(centroids.length, d)(0.0)
+      val counts = new Array[Long](centroids.length)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var i = 0
+        while (i < centroids.length) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val t = centroids(i)(j) - p(j); dist += t * t; j += 1 }
+          if (dist < bd) { bd = dist; best = i }
+          i += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+      }
+      var i = 0
+      while (i < centroids.length) {
+        if (counts(i) > 0) {
+          var j = 0
+          while (j < d) { centroids(i)(j) = sums(i)(j) / counts(i); j += 1 }
+        } else centroids(i) = points(rnd.nextInt(points.length)).clone()
+        i += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: a seeded KMeans coarse quantizer (sample-fit on the
+    * driver, centroids broadcast) assigns every vector to a cell; each
+    * query probes its `nProbe` nearest cells and ranks exact cosine only
+    * within them. The join is an equi-join on cell id — the 100 TB
+    * shape: corpus shuffles once by cell, per-query work shrinks by
+    * ~nCells/nProbe versus brute force. The assigned relation is
+    * persisted (probed twice); call [[clearCaches]] between rounds in a
+    * long-lived session.
     */
   def knnIvf(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, nProbe: Int, k: Int,
       fitSample: Double = 1.0, maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.clustering.KMeans
-    val withVec = df.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol)).as("features"))
-    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(maxIter)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    // at corpus scale the coarse quantizer is fit on a seeded sample;
-    // assignment still covers every vector
-    val fitData =
-      if (fitSample >= 1.0) withVec else withVec.sample(fitSample, 42L)
-    val model = km.fit(fitData)
-    val assigned = model.transform(withVec).drop("features")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // query → its nProbe nearest centroids (small: nQueries × nCells)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }
     val spark = df.sparkSession
     import spark.implicits._
-    val centDf = centroids.toSeq.toDF("probe_cell", "centroid")
+    val fitData =
+      if (fitSample >= 1.0) df else df.sample(fitSample, 42L)
+    // bounded fit set: ~100 samples per cell is ample for a coarse quantizer
+    val sample = fitData.select(col(vecCol)).limit(math.max(nCells * 100, 1000))
+      .as[Seq[Double]].collect().map(_.toArray)
+    val centroids = lloyd(sample, nCells, maxIter, seed = 42L)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Double]) => {
+      val cs = bc.value
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        var dist = 0.0; var j = 0; val c = cs(i)
+        while (j < c.length) { val t = c(j) - v(j); dist += t * t; j += 1 }
+        if (dist < bd) { bd = dist; best = i }
+        i += 1
+      }
+      best
+    })
+    val assigned = track(df.select(col(idCol), col(vecCol))
+      .withColumn("cell", assignUdf(col(vecCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // query → its nProbe nearest centroids (small: nQueries × nCells)
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("probe_cell", "centroid")
     val wProbe = Window.partitionBy(col(s"q.$idCol"))
       .orderBy(col("cent_sim").desc, col("probe_cell").asc)
     val probes = assigned.as("q").crossJoin(broadcast(centDf))
