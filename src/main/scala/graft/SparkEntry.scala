@@ -1228,8 +1228,9 @@ object SparkEntry {
         round(col("resid"), 6).as("resid"))
 
   /** D3 causal FFT features: trailing 16-value window per series →
-    * first 5 normalized DFT magnitude bins — rows-only (native
-    * Catalyst expression `fft_mag`).
+    * first 5 normalized DFT magnitude bins via the native Catalyst
+    * expression `fft_mag` — ORACLE-checked: the direct DFT re-derived in
+    * DuckDB with trig + list ops is bit-exact after the round-6 contract.
     */
   private def q45(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -1251,6 +1252,26 @@ object SparkEntry {
           when(col("__s") > 0.0, element_at(col("__raw"), i + 1) / col("__s"))
             .otherwise(lit(1.0) / 5), 6).as(s"f$i")): _*)
   }
+
+  private val q45Sql =
+    """WITH g AS (SELECT event_id, user_id, value,
+      |   list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |     ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS win
+      | FROM events),
+      |f AS (SELECT event_id, user_id, win FROM g WHERE len(win) = 16),
+      |m AS (SELECT event_id, user_id,
+      |   list_transform(range(0, 5), j -> sqrt(
+      |     pow(list_sum(list_transform(range(0, 16), i -> win[i+1] * cos(-2*pi()*j*i/16))), 2) +
+      |     pow(list_sum(list_transform(range(0, 16), i -> win[i+1] * sin(-2*pi()*j*i/16))), 2))) AS mags
+      | FROM f),
+      |n AS (SELECT event_id, user_id, mags, list_sum(mags) AS s FROM m)
+      |SELECT event_id, user_id,
+      |  ROUND(CASE WHEN s > 0 THEN mags[1]/s ELSE 0.2 END, 6) AS f0,
+      |  ROUND(CASE WHEN s > 0 THEN mags[2]/s ELSE 0.2 END, 6) AS f1,
+      |  ROUND(CASE WHEN s > 0 THEN mags[3]/s ELSE 0.2 END, 6) AS f2,
+      |  ROUND(CASE WHEN s > 0 THEN mags[4]/s ELSE 0.2 END, 6) AS f3,
+      |  ROUND(CASE WHEN s > 0 THEN mags[5]/s ELSE 0.2 END, 6) AS f4
+      |FROM n""".stripMargin
 
   /** §2.10 backtest state machine on per-user event series (close=value,
     * pseudo-prediction from the JSON payload) — rows-only.
@@ -1495,6 +1516,7 @@ object SparkEntry {
     "q36_olap_parse" -> q36Sql,
     "q40_knn_cosine" -> q40Sql,
     "q42_simhash" -> q42Sql,
+    "q45_fft_features" -> q45Sql,
     "q50_near_dedup" -> q50Sql,
     "q56_dedup_clusters" -> q56Sql
   )
