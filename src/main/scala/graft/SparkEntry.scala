@@ -1147,11 +1147,28 @@ object SparkEntry {
 
   // ─────────────── rows-only (non-SQL-expressible) ───────────────
 
-  /** Language-ID heuristic (stopword-profile voting) — rows-only check. */
+  /** Language-ID heuristic (stopword-profile voting) — oracle-checked:
+    * the struct-argmax (score, lang) is lexicographic in BOTH engines,
+    * and the SQL is generated from the same `StopwordProfiles` map, so
+    * the two spellings cannot drift.
+    */
   private def q41(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"), col("lang"),
       TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  private val q41Sql = {
+    val cands = TextAnalysis.StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"{'score': len(list_filter(toks, x -> list_contains($arr, x))), 'lang': '$lang'}"
+    }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, lang, [$cands] AS cands FROM t),
+       |b AS (SELECT doc_id, lang, list_aggregate(cands, 'max') AS best FROM s)
+       |SELECT doc_id, lang,
+       |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+       |FROM b""".stripMargin
+  }
 
   /** Multimodal image pipeline end-to-end (rows-only): deterministic
     * 16×16 grayscale netpbm images synthesized per event (the testdata
@@ -1517,6 +1534,7 @@ object SparkEntry {
     "q40_knn_cosine" -> q40Sql,
     "q42_simhash" -> q42Sql,
     "q45_fft_features" -> q45Sql,
+    "q41_langid" -> q41Sql,
     "q50_near_dedup" -> q50Sql,
     "q56_dedup_clusters" -> q56Sql
   )
