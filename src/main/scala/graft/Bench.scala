@@ -26,7 +26,8 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn, "/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a set: a query failing in BOTH passes must not be double-counted
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()

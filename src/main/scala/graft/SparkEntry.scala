@@ -1331,8 +1331,11 @@ object SparkEntry {
     // rows/user); tiny gate scales (~7-67 rows/user) fall back to ws=24
     // so the query stays non-degenerate there. One single-row aggregate
     // pull decides — same "fit statistic" pattern as the scaler paths.
+    // coalesce: an empty events table yields max=NULL — fall back to the
+    // small ws rather than NPE. (This single-row pull runs at plan-
+    // CONSTRUCTION time by design: ws must be a literal in the plan.)
     val maxLen = ev.groupBy(col("user_id")).count()
-      .agg(max(col("count"))).head().getLong(0)
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
     val ws = if (maxLen >= 2 * 144) 144 else 24
     val windowed = graft.feature.Windows.slidingCausal(
       ev, Seq("value", "log_ret", "symlog"), ws, evWindow)

@@ -90,7 +90,10 @@ object RemoteConfig {
       }.toMap)
     } catch { case _: Exception => None }
 
-  private def client: HttpClient =
+  // val, not def: HttpClient is thread-safe and meant to be shared; a
+  // fresh client per call would leak a selector thread + pool each time
+  // in the reference's per-epoch remote_log loop.
+  private lazy val client: HttpClient =
     HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10))
       .build()

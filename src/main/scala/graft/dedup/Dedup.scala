@@ -68,7 +68,16 @@ object Dedup {
   private def bandKeys(b: Int, r: Int): Seq[Column] =
     (0 until b).map { j =>
       if (r == 1) col(s"sig${j}")
-      else md5(concat_ws("|", (j * r until (j + 1) * r).map(i => col(s"sig$i")): _*))
+      else {
+        // concat, NOT concat_ws: concat null-propagates, so a NULL
+        // signature (null-text doc) yields a NULL band key that the
+        // equi-join drops — concat_ws would collapse every null-sig doc
+        // onto md5("") and pair them all with each other, diverging from
+        // the r=1 path and the SQL oracles (NULL = no match).
+        val parts = (j * r until (j + 1) * r)
+          .flatMap(i => Seq(col(s"sig$i"), lit("|")))
+        md5(concat(parts.dropRight(1): _*))
+      }
     }
 
   /** MinHash+LSH candidate pairs with b bands of r signature rows each

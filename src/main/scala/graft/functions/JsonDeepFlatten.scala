@@ -134,6 +134,9 @@ case class JsonDeepFlatten(child: Expression)
           case JsonToken.START_ARRAY => emit(rawSubtree())
           case other => emit(scalarText(other))
         }
+        // trailing garbage after the top-level value ⇒ malformed: the
+        // contract (and DuckDB's json()) rejects `{"a":1} xyz`
+        if (parser.nextToken() != null) return null
         new GenericArrayData(rows.toArray[Any])
       } finally parser.close()
     } catch {

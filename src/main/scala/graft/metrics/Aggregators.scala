@@ -107,10 +107,14 @@ object Aggregators {
       gamma: Double = 1.0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val kernel = udf((xs: Seq[org.apache.spark.sql.Row]) => {
-      val a = new Array[Double](xs.length)
-      val b = new Array[Double](xs.length)
+      // gap mask: rows where either side is NULL are skipped, matching
+      // the engine-wide "NULL rows fall out of every aggregate" contract
+      // (and the reference's is_gap_mask) instead of NPE-ing the task
+      val valid = xs.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      val a = new Array[Double](valid.length)
+      val b = new Array[Double](valid.length)
       var i = 0
-      xs.foreach { r => a(i) = r.getDouble(1); b(i) = r.getDouble(2); i += 1 }
+      valid.foreach { r => a(i) = r.getDouble(1); b(i) = r.getDouble(2); i += 1 }
       softDtw(a, b, gamma)
     })
     df.groupBy(keyCols.map(col): _*)

@@ -213,14 +213,18 @@ object NeatSearch {
         population.map(_.complexity).sum.toDouble / population.size)
 
       // reproduction (:948-1021): fitness sharing then proportional
-      // allocation on inverted per-species adjusted sums.
-      val spAdjusted: Map[Int, Double] = speciesList.iterator.map { sp =>
-        val adj = sp.members.iterator
-          .map(g => (if (g.fitness.isInfinite) Double.PositiveInfinity else g.fitness) / math.max(sp.members.size, 1))
-          .filter(a => !a.isInfinite).sum
-        sp.id -> math.max(adj, 1e-10)
+      // allocation on inverted per-species adjusted sums. A species with
+      // NO finite-fitness member gets weight 0 — the 1e-10 clamp alone
+      // would invert the intent and hand an all-failure species nearly
+      // the whole next generation (1/1e-10 dominates the total).
+      val spWeight: Map[Int, Double] = speciesList.iterator.map { sp =>
+        val finite = sp.members.iterator.map(_.fitness).filter(f => !f.isInfinite).toSeq
+        val w =
+          if (finite.isEmpty) 0.0
+          else 1.0 / math.max(finite.map(_ / math.max(sp.members.size, 1)).sum, 1e-10)
+        sp.id -> w
       }.toMap
-      val invTotal = speciesList.iterator.map(sp => 1.0 / spAdjusted(sp.id)).sum
+      val invTotal = spWeight.valuesIterator.sum
 
       val next = mutable.ArrayBuffer.empty[Genome]
       speciesList.foreach { sp =>
@@ -228,7 +232,7 @@ object NeatSearch {
         sorted.take(cfg.elitismPerSpecies).foreach(next += _)
         val survivors = sorted.take(math.max(1, (sorted.size * cfg.survivalRate).toInt))
         val nOffspring = math.max(0,
-          math.round(cfg.populationSize * (1.0 / spAdjusted(sp.id)) / math.max(invTotal, 1e-10)).toInt
+          math.round(cfg.populationSize * spWeight(sp.id) / math.max(invTotal, 1e-10)).toInt
             - cfg.elitismPerSpecies)
         var i = 0
         while (i < nOffspring) {

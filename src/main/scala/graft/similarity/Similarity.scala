@@ -141,9 +141,14 @@ object Similarity {
     import spark.implicits._
     val fitData =
       if (fitSample >= 1.0) df else df.sample(fitSample, 42L)
-    // bounded fit set: ~100 samples per cell is ample for a coarse quantizer
-    val sample = fitData.select(col(vecCol)).limit(math.max(nCells * 100, 1000))
-      .as[Seq[Double]].collect().map(_.toArray)
+    // bounded fit set: ~100 samples per cell is ample for a coarse
+    // quantizer. orderBy(id) before limit: a bare limit() takes whatever
+    // rows arrive first, which varies with partition layout — the fit
+    // sample (and thus the centroids) must be deterministic across
+    // environments for the "seeded" claim to hold.
+    val sample = fitData.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(math.max(nCells * 100, 1000))
+      .select(col(vecCol)).as[Seq[Double]].collect().map(_.toArray)
     val centroids = lloyd(sample, nCells, maxIter, seed = 42L)
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf((v: Seq[Double]) => {

@@ -96,6 +96,20 @@ class DedupSpec extends AnyFunSuite {
     assert(j03 == 0.0)
   }
 
+  test("null-text docs never become candidate pairs (any r)") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    for (r <- Seq(1, 2)) {
+      val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id", 3, 2, r)
+        .as[(Long, Long)].collect().toSet
+      Dedup.clearCaches()
+      assert(pairs == Set((3L, 4L)),
+        s"r=$r: null-sig docs must not pair, got $pairs")
+    }
+  }
+
   test("embeddingNearDupPairs: same-block high-cosine pairs only, a_id < b_id") {
     val vecs = Seq(
       (1L, 0, Seq(1.0, 0.0, 0.0)),   // block 0

@@ -44,6 +44,12 @@ class JsonDeepFlattenSpec extends AnyFunSuite {
       .select(GraftFunctions.json_deep_flatten($"j").as("r"))
       .select($"r".isNull).as[Boolean].head()
     assert(bad)
+    // trailing garbage after a valid value is malformed too (DuckDB
+    // json() rejects it — the oracle contract)
+    val trailing = Seq(Tuple1("""{"a":1} xyz"""), Tuple1("""[1,2] 3""")).toDF("j")
+      .select(GraftFunctions.json_deep_flatten($"j").as("r"))
+      .select($"r".isNull).as[Boolean].collect().toSeq
+    assert(trailing == Seq(true, true))
   }
 
   test("usable from SQL; wrong arity fails analysis with the signature") {

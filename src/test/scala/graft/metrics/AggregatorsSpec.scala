@@ -39,6 +39,16 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(out.map(_._1) == Seq("s1", "s2"))
     assert(math.abs(out(0)._2 - Aggregators.softDtw(a, a, 0.01)) < 1e-12)
     assert(math.abs(out(1)._2 - Aggregators.softDtw(a, b, 0.01)) < 1e-12)
+    // gap mask: NULL rows are skipped, not NPE'd — result equals the
+    // kernel over only the valid rows
+    val withNull = Seq(
+      ("s", 0L, Some(1.0), Some(1.0)), ("s", 1L, None, Some(2.0)),
+      ("s", 2L, Some(3.0), Some(3.0)))
+      .toDF("k", "t", "av", "bv")
+    val masked = Aggregators.softDtwByKey(withNull, Seq("k"), "t", "av", "bv", 0.01)
+      .select($"soft_dtw").as[Double].head()
+    assert(math.abs(masked -
+      Aggregators.softDtw(Array(1.0, 3.0), Array(1.0, 3.0), 0.01)) < 1e-12)
   }
 
   test("welford aggregator matches direct mean/std across partitions") {

@@ -76,6 +76,18 @@ class NeatSearchSpec extends AnyFunSuite {
     assert(resumed.bestFitness <= a.bestFitness + 1e-12)
   }
 
+  test("all-failure regions get zero offspring weight; NaN evaluators don't crash") {
+    // fitness: finite only when p0/p1 stay, NaN (→ +inf) when any extra
+    // param is active — species drifting into the failure region must
+    // not be rewarded with the whole next generation.
+    val r = NeatSearch.optimize(bounds,
+      params => if (params.keySet == Set("p0", "p1")) params.values.sum else Double.NaN,
+      NeatSearch.Config(populationSize = 10, generations = 6, patience = 6,
+        addParamProb = 0.5, compatibilityThreshold = 0.25, seed = 2L))
+    assert(!r.bestFitness.isInfinite && !r.bestFitness.isNaN)
+    assert(r.best.activeParams == Seq("p0", "p1"))
+  }
+
   test("patience stops early when the champion stagnates") {
     // Constant fitness → champion never improves → stop after `patience`
     // generations instead of running all 50.
