@@ -36,12 +36,33 @@ object ScaleProbe {
     replicate(10, "/tmp/scale10")
     replicate(100, "/tmp/scale100")
 
+    // BASELINE anchor: the reference preprocesses 25,200-row series at
+    // ws=144 (`sliding_windows.py` hot loop; BASELINE.md data scales).
+    // The driver testdata never has series that long (scale adds USERS,
+    // max 99 rows/user even at sf0.1), so build 4 reference-shaped
+    // series from the same rows: q48's adaptive ws then picks 144 and
+    // the timing is apples-to-apples with the reference's per-split
+    // preprocessing scale.
+    base.select(
+        col("event_id"),
+        timestamp_micros(lit(1577836800000000L) +
+          (col("event_id") / 4).cast("long") * 3600000000L).as("ts"),
+        (col("event_id") % 4).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet("/tmp/scalelong/events.parquet")
+
     val queries = Seq("q10_log_return", "q12_multi_horizon", "q14_rolling_stats",
       "q18_naive_mae", "q22_rolling_count_5d", "q48_preprocess_slice", "q44_stl_decompose",
       "q58_sessionize", "q62_deep_flatten")
     // warm code paths
     queries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       .write.mode("overwrite").format("noop").save())
+    // q48 at ws=144 on 4 × 25,000-row series (the reference's shape)
+    val tLong0 = System.nanoTime()
+    SparkEntry.queries("q48_preprocess_slice")(spark, "/tmp/scalelong")
+      .write.mode("overwrite").format("noop").save()
+    println(f"SCALE-LONG q48 ws=144 on 4x25k-row series: ${(System.nanoTime() - tLong0) / 1e9}%.2f s")
+
     for (dir <- Seq("/root/testdata/sf0.1", "/tmp/scale10", "/tmp/scale100")) {
       val times = queries.map { q =>
         val t0 = System.nanoTime()
