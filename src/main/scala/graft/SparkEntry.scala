@@ -532,6 +532,51 @@ object SparkEntry {
       |       ELSE CAST(val AS VARCHAR) END AS conf_value
       |FROM rec WHERE json_type(val) <> 'OBJECT'""".stripMargin
 
+  /** C4/Gopher-style corpus curation in ONE plan: quality score +
+    * language-ID + exact-dedup (keep lowest doc_id per content digest)
+    * composed into a single filter — the end-to-end shape of a
+    * training-corpus cleaning pass. One scan, one shuffle (the digest
+    * window); every heuristic is a codegen'd/native expression. Oracle
+    * reproduces all three stages and the composition exactly.
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      md5(col("text")).as("digest"))
+    val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("lang_pred") === "en" && col("quality") >= 0.6)
+      .select(col("doc_id"), col("quality"))
+  }
+
+  private val q67Sql = {
+    val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    val cands = TextAnalysis.StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"{'score': len(list_filter(toks, x -> list_contains($arr, x))), 'lang': '$lang'}"
+    }.mkString(", ")
+    s"""WITH f AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |q AS (SELECT doc_id, ROUND(GREATEST(0.0, LEAST(1.0,
+       |    0.5 * LEAST(CAST(len(list_filter(toks, x -> list_contains([$sw], x))) AS DOUBLE)
+       |          / len(toks) * 4.0, 1.0)
+       |    + 0.3 * (CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |                       / len(toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+       |    + 0.2 * (1.0 - LEAST(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+       |          / length(text) * 10.0, 1.0)))), 6) AS quality
+       |  FROM f),
+       |l AS (SELECT doc_id, list_aggregate([$cands], 'max') AS best FROM f),
+       |d AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM documents)
+       |SELECT q.doc_id, q.quality
+       |FROM q JOIN l ON q.doc_id = l.doc_id JOIN d ON q.doc_id = d.doc_id
+       |WHERE d.rn = 1
+       |  AND (CASE WHEN l.best.score > 0 THEN l.best.lang ELSE 'und' END) = 'en'
+       |  AND q.quality >= 0.6""".stripMargin
+  }
+
   /** W1-long driver check: long-format sliding windows — one row per
     * (prediction row, step), ws=6 inclusive — `Windows.slidingLong`, the
     * layout SURVEY §1.1 prefers at scale (no array column in the output:
@@ -1456,6 +1501,7 @@ object SparkEntry {
     "q63_dim_experiment" -> (q63 _),
     "q64_embed_dedup" -> (q64 _),
     "q65_long_windows" -> (q65 _),
+    "q67_corpus_curation" -> (q67 _),
     "q25_r2_naive" -> (q25 _),
     "q26_config_kv" -> (q26 _),
     "q37_mmd" -> (q37 _),
@@ -1519,6 +1565,7 @@ object SparkEntry {
     "q63_dim_experiment" -> q63Sql,
     "q64_embed_dedup" -> q64Sql,
     "q65_long_windows" -> q65Sql,
+    "q67_corpus_curation" -> q67Sql,
     "q25_r2_naive" -> q25Sql,
     "q26_config_kv" -> q26Sql,
     "q37_mmd" -> q37Sql,
