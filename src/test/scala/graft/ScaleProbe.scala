@@ -57,6 +57,34 @@ object ScaleProbe {
     // warm code paths
     queries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       .write.mode("overwrite").format("noop").save())
+    // Text/dedup kernels on replicated documents (5k → 50k → 500k docs;
+    // replica docs get disjoint ids but IDENTICAL text, so dup groups
+    // grow with the factor — the adversarial case for candidate
+    // generation: a naive all-pairs LSH would blow up quadratically).
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def replicateDocs(factor: Int, outDir: String): Unit = {
+      val reps = spark.range(factor).withColumnRenamed("id", "rep")
+      docs.crossJoin(reps)
+        .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+    replicateDocs(10, "/tmp/docs10")
+    replicateDocs(100, "/tmp/docs100")
+    val docQueries = Seq("q32_exact_dup", "q33_minhash_sig", "q34_minhash_pairs",
+      "q50_near_dedup", "q67_corpus_curation")
+    docQueries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+      .write.mode("overwrite").format("noop").save())
+    for (dir <- Seq("/root/testdata/sf0.1", "/tmp/docs10", "/tmp/docs100")) {
+      val times = docQueries.map { q =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+        graft.dedup.Dedup.clearCaches()
+        f"$q=${(System.nanoTime() - t0) / 1e9}%.2f"
+      }
+      println(s"SCALE-DOCS $dir: ${times.mkString(" ")}")
+    }
+
     // q48 at ws=144 on 4 × 25,000-row series (the reference's shape)
     val tLong0 = System.nanoTime()
     SparkEntry.queries("q48_preprocess_slice")(spark, "/tmp/scalelong")
