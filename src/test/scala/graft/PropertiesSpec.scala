@@ -88,4 +88,70 @@ class PropertiesSpec extends AnyFunSuite {
         ((n + stride - 1) / stride).toLong)
     }
   }
+
+  test("property: slidingLong ≡ array form re-grouped, any (n, ws)") {
+    cases(8) {
+      val n = rnd.nextInt(30)
+      val ws = 2 + rnd.nextInt(7)
+      val df = series(n)
+      val arr = Windows.slidingInclusive(df, Seq("v"), ws, w)
+        .select($"t", flatten($"window")).as[(Long, Seq[Double])].collect().toMap
+      val long = Windows.slidingLong(df, Seq("v"), ws, w)
+        .groupBy("t").agg(sort_array(collect_list(struct($"step", $"v_w"))).as("xs"))
+        .select($"t", expr("transform(xs, x -> x.v_w)"))
+        .as[(Long, Seq[Double])].collect().toMap
+      assert(long == arr, s"n=$n ws=$ws")
+    }
+  }
+
+  test("property: as-of native ≡ composable under random NULL payloads and ties") {
+    import graft.ts.AsOfJoin
+    import graft.plans.AsOfJoinNative
+    cases(6) {
+      val nl = 5 + rnd.nextInt(20)
+      val nr = 5 + rnd.nextInt(25)
+      val left = (0 until nl).map(_ =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(30).toLong, rnd.nextInt(100)))
+        .toDF("k", "ts", "tag")
+      val right = (0 until nr).map(_ =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(30).toLong,
+          if (rnd.nextBoolean()) Some(rnd.nextDouble()) else None))
+        .toDF("k", "ts", "v")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"k", $"ts", $"tag", $"av")
+          .as[(Long, Long, Int, Option[Double])].collect()
+          .sortBy(r => (r._1, r._2, r._3, r._4.getOrElse(Double.NaN)))
+      val native = rows(AsOfJoinNative.backward(left, right, "k", "ts", "v", "av"))
+      val composed = rows(AsOfJoin.backward(left, right, Seq("k"), "ts", "v", "av"))
+      assert(native.toSeq == composed.toSeq)
+    }
+  }
+
+  test("property: json_deep_flatten leaf count = scalar+array leaves of nested maps") {
+    graft.functions.GraftFunctions.register(spark)
+    cases(8) {
+      // random nested object: depth ≤3, ints/strings/arrays as leaves
+      def gen(depth: Int): (String, Int) =
+        if (depth == 0 || rnd.nextDouble() < 0.4) {
+          rnd.nextInt(3) match {
+            case 0 => (rnd.nextInt(1000).toString, 1)
+            case 1 => ("\"s" + rnd.nextInt(100) + "\"", 1)
+            case _ => ("[1," + rnd.nextInt(9) + "]", 1)
+          }
+        } else {
+          val n = 1 + rnd.nextInt(4)
+          val kids = (0 until n).map { i =>
+            val (v, c) = gen(depth - 1)
+            (s""""k$i":$v""", c)
+          }
+          ("{" + kids.map(_._1).mkString(",") + "}", kids.map(_._2).sum)
+        }
+      val (json, leaves) = gen(3)
+      val got = Seq(Tuple1(json)).toDF("j")
+        .select(size(graft.functions.GraftFunctions.json_deep_flatten($"j")).as("n"))
+        .as[Int].head()
+      val expected = if (json.startsWith("{")) leaves else 1
+      assert(got == expected, s"json=$json")
+    }
+  }
 }
