@@ -257,7 +257,12 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity between two texts: |A∩B| / |A∪B| over
-    * word-shingle sets — used to verify LSH candidate pairs.
+    * word-shingle sets. NOTE a single-Column spelling necessarily
+    * references the shingle subtrees more than once, and `word_shingles`
+    * is CodegenFallback (no runtime CSE) — fine for bounded comparisons
+    * (q35 caps its input), but hot verify paths should materialize the
+    * shingle sets into named columns first and compute Jaccard from the
+    * bound attributes, exactly as [[nearDedup]] does with `__shd`.
     */
   def ngramJaccard(textA: Column, textB: Column, n: Int): Column = {
     val a = array_distinct(TextAnalysis.shingles(textA, n))
