@@ -267,8 +267,9 @@ object Dedup {
   def ngramJaccard(textA: Column, textB: Column, n: Int): Column = {
     val a = array_distinct(TextAnalysis.shingles(textA, n))
     val b = array_distinct(TextAnalysis.shingles(textB, n))
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    // |A∩B| / |A∪B| directly: the |A|+|B|−|A∩B| spelling would clone the
+    // interpreted shingle subtrees 3× per side and the intersect twice
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
   }
 
   /** Embedding-cosine near-dup pairs: (a, b, cos_sim) for every

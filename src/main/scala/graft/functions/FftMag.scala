@@ -139,12 +139,13 @@ object GraftFunctions {
     * reference's no-signal fallback (`phase2_6_preprocessor.py:253-267`:
     * `np.ones(n)/n  # Uniform if no signal`).
     *
-    * COST NOTE: this composite references the `fft_mag` subtree three
-    * times (transform + sum + size) and fft_mag is CodegenFallback, so
-    * the DFT runs ~3× per row — acceptable for one-off columns; hot
-    * paths should materialize the RAW spectrum into a named column /
-    * Generate barrier and normalize from the bound attribute (see
-    * SparkEntry q45 and PLANS.md "one JSON parse" note).
+    * COST NOTE: two of this composite's `fft_mag` references sit INSIDE
+    * the transform lambda (`s` and `size(m)`), and fft_mag is
+    * CodegenFallback (no CSE) — so the DFT re-runs PER ARRAY ELEMENT,
+    * ~(2k+1)× per row for k bins. Use only for one-off small-k columns;
+    * any real path should materialize the RAW spectrum into a named
+    * column / Generate barrier and normalize from the bound attribute
+    * (see SparkEntry q45 and PLANS.md "one JSON parse" note).
     */
   def fft_mag_norm(arr: Column, k: Column): Column = {
     import org.apache.spark.sql.functions._

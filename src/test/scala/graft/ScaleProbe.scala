@@ -75,12 +75,15 @@ object ScaleProbe {
       "q50_near_dedup", "q67_corpus_curation")
     docQueries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       .write.mode("overwrite").format("noop").save())
+    graft.dedup.Dedup.clearCaches() // drain warm-up handles before timing
     for (dir <- Seq("/root/testdata/sf0.1", "/tmp/docs10", "/tmp/docs100")) {
       val times = docQueries.map { q =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // cache teardown is NOT part of the kernel time being reported
         graft.dedup.Dedup.clearCaches()
-        f"$q=${(System.nanoTime() - t0) / 1e9}%.2f"
+        f"$q=$elapsed%.2f"
       }
       println(s"SCALE-DOCS $dir: ${times.mkString(" ")}")
     }
