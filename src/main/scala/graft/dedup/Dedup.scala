@@ -164,24 +164,38 @@ object Dedup {
     * Plan shape: signature equi-join (no O(n²)), Jaccard only on
     * candidates, one broadcast-able anti-join at the end.
     */
-  def nearDedup(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int, b: Int, r: Int, threshold: Double): DataFrame = {
+  /** One pass per doc: text length, distinct shingle set, native minhash
+    * signature — the per-document state every near-dedup variant (batch
+    * and streaming store) builds on.
+    */
+  private[graft] def signatureBase(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val k = b * r
-    // One pass per doc: text length, distinct shingle set, native minhash
-    // signature — persisted, because every candidate pair reuses it (the
-    // naive spelling re-shingles both texts per pair: O(pairs·doclen)).
-    val base = track(df.select(
+    df.select(
       col(idCol),
       length(col(textCol)).as("__tlen"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("__shd"),
       graft.functions.GraftFunctions
         .minhash_shingle_sigs(TextAnalysis.tokens(col(textCol)), lit(shingleN), lit(k))
         .as("__sigs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** (id, band, sig) banded rows from a [[signatureBase]] frame. */
+  private[graft] def bandedFrom(base: DataFrame, idCol: String, b: Int, r: Int): DataFrame = {
+    val k = b * r
     val sigCols = (0 until k).map(i => element_at(col("__sigs"), i + 1).as(s"sig$i"))
-    val banded = base.select(col(idCol) +: sigCols: _*)
+    base.select(col(idCol) +: sigCols: _*)
       .select(col(idCol), posexplode(array(bandKeys(b, r): _*)).as(Seq("band", "sig")))
+  }
+
+  def nearDedup(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, b: Int, r: Int, threshold: Double): DataFrame = {
+    val k = b * r
+    // persisted: every candidate pair reuses the signatures (the naive
+    // spelling re-shingles both texts per pair: O(pairs·doclen)).
+    val base = track(signatureBase(df, textCol, idCol, shingleN, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val banded = bandedFrom(base, idCol, b, r)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

@@ -57,6 +57,77 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dedup via `foreachBatch` + a parquet SIGNATURE STORE
+    * — the incremental face of `Dedup.nearDedup`. Per micro-batch:
+    * signatures are computed once, candidates come from equi-joins on
+    * (band, sig) against BOTH the batch itself and the accumulated
+    * store, candidates are Jaccard-verified on the stored shingle sets,
+    * and the batch's survivors append to the sink while their
+    * signatures append to the store. The store holds signatures and
+    * shingle sets — never raw text — so its footprint is a small
+    * fraction of the corpus and every lookup is an equi-join; this is
+    * the 100 TB contract for deduping an ingest firehose against
+    * everything already accepted.
+    *
+    * Batch-internal ties keep the longer text, then the smaller id —
+    * the same keep-best rule as the batch path.
+    */
+  def streamingNearDedup(stream: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, b: Int, r: Int, threshold: Double,
+      storePath: String, outPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        import graft.dedup.Dedup
+        val base = Dedup.signatureBase(batch.toDF(), textCol, idCol, shingleN, b * r)
+          .localCheckpoint(true) // computed once; used by 3 joins below
+        val banded = Dedup.bandedFrom(base, idCol, b, r)
+        val store =
+          try Some(spark.read.parquet(storePath)) catch { case _: Exception => None }
+        // candidates vs the accumulated store
+        val vsStore = store.map { st =>
+          val stBanded = Dedup.bandedFrom(st, idCol, b, r)
+            .toDF("__st_id", "band", "sig")
+          banded.join(stBanded, Seq("band", "sig"))
+            .select(col(idCol), col("__st_id")).distinct()
+            .join(base.select(col(idCol), col("__shd")), idCol)
+            .join(st.select(col(idCol).as("__st_id"), col("__shd").as("__st_shd")), "__st_id")
+            .filter(
+              (size(array_intersect(col("__shd"), col("__st_shd"))).cast("double") /
+                size(array_union(col("__shd"), col("__st_shd")))) >= threshold)
+            .select(col(idCol)).distinct()
+        }
+        // batch-internal keep-best losers
+        val inBatchLosers = {
+          val a = banded.toDF("__a_id", "band", "sig")
+          val bb = banded.toDF("__b_id", "band", "sig")
+          val pairs = a.join(bb, Seq("band", "sig"))
+            .filter(col("__a_id") < col("__b_id"))
+            .select("__a_id", "__b_id").distinct()
+          val side = base.select(col(idCol), col("__tlen"), col("__shd"))
+          pairs
+            .join(side.toDF("__a_id", "__a_len", "__a_shd"), "__a_id")
+            .join(side.toDF("__b_id", "__b_len", "__b_shd"), "__b_id")
+            .filter(
+              (size(array_intersect(col("__a_shd"), col("__b_shd"))).cast("double") /
+                size(array_union(col("__a_shd"), col("__b_shd")))) >= threshold)
+            .select(
+              when(col("__a_len") > col("__b_len"), col("__b_id"))
+                .when(col("__a_len") < col("__b_len"), col("__a_id"))
+                .otherwise(greatest(col("__a_id"), col("__b_id"))).as(idCol))
+            .distinct()
+        }
+        val losers = vsStore.map(_.unionByName(inBatchLosers).distinct())
+          .getOrElse(inBatchLosers)
+        val survivors = batch.toDF().join(losers, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        survivors.write.mode("append").parquet(outPath)
+        base.join(survivors.select(idCol), Seq(idCol), "left_semi")
+          .write.mode("append").parquet(storePath)
+      }
+      .start()
+
   case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
   case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
   case class ClosedSession(userId: Long, sessionStartUs: Long, sessionEndUs: Long,

@@ -55,6 +55,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingNearDedup: batch-internal keep-best + cross-batch store rejection") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("snd").toString
+    val store = s"$dir/store"
+    val out = s"$dir/out"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingNearDedup(
+      mem.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", shingleN = 3, b = 4, r = 1, threshold = 0.5,
+      storePath = store, outPath = out)
+    try {
+      val baseText = "the quick brown fox jumps over the lazy dog again and again today"
+      // batch 1: two near-dups (keep-best: longer text wins) + one unique
+      mem.addData(
+        (1L, baseText),
+        (2L, baseText + " extended"),           // near-dup of 1, longer → survives
+        (3L, "completely different words about spark engines and catalyst plans"))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      assert(out1 == Set(2L, 3L), s"batch1 survivors: $out1")
+      // batch 2: near-dup of the STORED doc 2 (rejected) + a fresh doc
+      mem.addData(
+        (4L, baseText + " extended slightly"),  // near-dup of stored 2 → dropped
+        (5L, "yet another unrelated document mentioning neither foxes nor dogs"))
+      q.processAllAvailable()
+      val all = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      assert(all == Set(2L, 3L, 5L), s"final survivors: $all")
+      // the store holds signatures for exactly the survivors, no raw text
+      val st = spark.read.parquet(store)
+      assert(st.select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 5L))
+      assert(!st.columns.contains("text"))
+    } finally q.stop()
+  }
+
   test("streamingExactDedup: duplicate digests within the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
