@@ -1270,6 +1270,35 @@ object SparkEntry {
       |           ELSE u END AS BIGINT) AS simhash
       |FROM acc""".stripMargin
 
+  /** SimHash near-dup pairs via chunk banding (Hamming ≤ 3 ⇒ pigeonhole
+    * guarantees an equal 16-bit chunk): equi-join on (chunk, value),
+    * exact bit_count verify on candidates only. Oracle re-derives the
+    * hash (q42's SQL kernel) and the banding relationally.
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(
+      t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id", maxDist = 3)
+      .withColumn("hamming", col("hamming").cast("int"))
+
+  private val q68Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+      |bits AS (SELECT doc_id, bit,
+      |    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+      |    COUNT(*) AS total
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+      |  GROUP BY doc_id, bit),
+      |acc AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN ones * 2 > total THEN (1::UBIGINT << bit)::HUGEINT ELSE 0 END)
+      |      AS UBIGINT) AS u
+      |  FROM bits GROUP BY doc_id),
+      |band AS (SELECT doc_id, u, j, (u >> (16 * j)) & 65535 AS cv
+      |  FROM acc CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+      |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming
+      |  FROM band a JOIN band b ON a.j = b.j AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3""".stripMargin
+
   /** LSH-bucketed ANN (scale path of q40) — rows-only. */
   private def q43(s: SparkSession, dir: String): DataFrame =
     Similarity.knnLsh(
@@ -1502,6 +1531,7 @@ object SparkEntry {
     "q64_embed_dedup" -> (q64 _),
     "q65_long_windows" -> (q65 _),
     "q67_corpus_curation" -> (q67 _),
+    "q68_simhash_pairs" -> (q68 _),
     "q25_r2_naive" -> (q25 _),
     "q26_config_kv" -> (q26 _),
     "q37_mmd" -> (q37 _),
@@ -1566,6 +1596,7 @@ object SparkEntry {
     "q64_embed_dedup" -> q64Sql,
     "q65_long_windows" -> q65Sql,
     "q67_corpus_curation" -> q67Sql,
+    "q68_simhash_pairs" -> q68Sql,
     "q25_r2_naive" -> q25Sql,
     "q26_config_kv" -> q26Sql,
     "q37_mmd" -> q37Sql,

@@ -151,6 +151,35 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs at corpus scale: Hamming(simhash) ≤ `maxDist`
+    * found by CHUNK BANDING — the 64-bit hash splits into 4 × 16-bit
+    * chunks; by pigeonhole, Hamming ≤ 3 ⇒ at least one chunk is equal,
+    * so candidates come from an equi-join on (chunk index, chunk value)
+    * and only candidates pay the exact bit_count verify. Never an
+    * all-pairs comparison; shuffle keys are 16-bit values. Masking after
+    * the shift makes arithmetic-vs-logical shift irrelevant, so the
+    * chunks are engine-portable.
+    */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "chunk banding guarantees recall only for maxDist <= 3")
+    val hashed = df.select(col(idCol), col(textCol))
+      .transform(withSimhash(_, textCol, "__sh"))
+      .select(col(idCol), col("__sh"))
+    val banded = hashed.select(col(idCol), col("__sh"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("__sh"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val a = banded.toDF("doc_a", "__sh_a", "chunk_idx", "chunk_val")
+    val b = banded.toDF("doc_b", "__sh_b", "chunk_idx", "chunk_val")
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming64(col("__sh_a"), col("__sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Full near-dedup pipeline: MinHash+LSH candidates → n-gram Jaccard
     * verification → keep-best survivor selection → anti-join.
     *

@@ -96,6 +96,21 @@ class DedupSpec extends AnyFunSuite {
     assert(j03 == 0.0)
   }
 
+  test("simhashNearDupPairs: identical texts at hamming 0; unrelated absent; recall = brute force") {
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, "text", "doc_id", maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical texts → hamming 0
+    // chunk banding must find exactly the brute-force pair set (the
+    // pigeonhole guarantee: hamming ≤ 3 over 4 chunks ⇒ a chunk matches)
+    val hashed = Dedup.withSimhash(df, "text").select("doc_id", "simhash")
+    val brute = hashed.toDF("a", "ha").crossJoin(hashed.toDF("b", "hb"))
+      .filter($"a" < $"b")
+      .filter(Dedup.hamming64($"ha", $"hb") <= 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == brute, s"banded=$pairs brute=$brute")
+  }
+
   test("null-text docs never become candidate pairs (any r)") {
     val docs = Seq(
       (1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
