@@ -9,14 +9,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns + typed metadata, with decode / feature /
   * frame-sample stages as partition-wise batch transforms.
   *
-  * IMAGE decode is REAL and dependency-free: netpbm (P5/P6) is parsed
-  * directly and PNG/JPEG/BMP/GIF go through the JDK's own `javax.imageio`
-  * (part of Java SE — no external codec library involved). Audio/video
-  * decode remains STUBBED (`decodeStub`, disclosed: no such codecs in
-  * the JDK); the Spark-side plumbing — schema, batched `mapPartitions`
+  * IMAGE and AUDIO decode are REAL and dependency-free: netpbm (P5/P6)
+  * is parsed directly, PNG/JPEG/BMP/GIF go through the JDK's own
+  * `javax.imageio` (part of Java SE — no external codec library), and
+  * RIFF/WAVE 16-bit PCM is parsed directly. Only VIDEO and compressed
+  * audio remain STUBBED (`decodeStub`, disclosed: the JDK ships no such
+  * codecs); the Spark-side plumbing — schema, batched `mapPartitions`
   * (one codec handle per partition, the `mapInPandas` batch shape),
-  * null/garbage passthrough — is identical for both, so swapping the
-  * stub for a JNI call changes one function.
+  * null/garbage passthrough — is identical for every modality, so
+  * swapping the stub for a JNI call changes one function.
   */
 object Multimodal {
 
@@ -223,6 +224,110 @@ object Multimodal {
             val (means, hist) = imageFeatures(img)
             Row.fromSeq(r.toSeq ++
               Seq(img.width, img.height, img.channels, means.toSeq, hist.toSeq))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Decoded PCM audio: interleaved 16-bit samples. */
+  final case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** REAL audio decode, pure JVM: RIFF/WAVE with 16-bit PCM parsed
+    * directly (the uncompressed interchange format; compressed codecs
+    * stay stubbed — the JDK ships none). None for null/garbage bytes.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[PcmAudio] =
+    try {
+      if (bytes == null || bytes.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(0) != 0x46464952 /* RIFF */ ||
+        bb.getInt(8) != 0x45564157 /* WAVE */ ) return None
+      // walk chunks: fmt then data
+      var pos = 12
+      var sampleRate = 0
+      var channels = 0
+      var bitsPerSample = 0
+      var pcm = false
+      var samples: Array[Short] = null
+      while (pos + 8 <= bytes.length && samples == null) {
+        val id = bb.getInt(pos)
+        val sz = bb.getInt(pos + 4)
+        if (id == 0x20746d66) { // "fmt "
+          pcm = bb.getShort(pos + 8) == 1
+          channels = bb.getShort(pos + 10)
+          sampleRate = bb.getInt(pos + 12)
+          bitsPerSample = bb.getShort(pos + 22)
+        } else if (id == 0x61746164) { // "data"
+          if (!pcm || bitsPerSample != 16 || channels <= 0 || sampleRate <= 0) return None
+          val n = math.min(sz, bytes.length - pos - 8) / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = bb.getShort(pos + 8 + 2 * i); i += 1 }
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+      if (samples == null) None else Some(PcmAudio(sampleRate, channels, samples))
+    } catch { case _: Exception => None }
+
+  /** Duration (s), RMS amplitude in [0,1], zero-crossing rate (per
+    * sample, first channel) — the cheap pre-embedding audio features.
+    */
+  def audioFeatures(a: PcmAudio): (Double, Double, Double) = {
+    val frames = a.samples.length / a.channels
+    if (frames == 0) return (0.0, 0.0, 0.0)
+    var sumSq = 0.0
+    var crossings = 0
+    var prev = 0
+    var f = 0
+    while (f < frames) {
+      val s = a.samples(f * a.channels).toInt // first channel
+      sumSq += s.toDouble * s
+      if (f > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
+      prev = s
+      f += 1
+    }
+    (frames.toDouble / a.sampleRate,
+      math.sqrt(sumSq / frames) / 32768.0,
+      crossings.toDouble / frames)
+  }
+
+  /** PCM16 WAV encoder (test fixtures + round-trips). */
+  def encodeWav(a: PcmAudio): Array[Byte] = {
+    val dataLen = a.samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952).putInt(36 + dataLen).putInt(0x45564157)
+    bb.putInt(0x20746d66).putInt(16)
+      .putShort(1).putShort(a.channels.toShort).putInt(a.sampleRate)
+      .putInt(a.sampleRate * a.channels * 2).putShort((a.channels * 2).toShort).putShort(16)
+    bb.putInt(0x61746164).putInt(dataLen)
+    a.samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  private val audioFields = Seq(
+    StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+    StructField("duration_s", DoubleType), StructField("rms", DoubleType),
+    StructField("zcr", DoubleType))
+
+  /** REAL audio decode stage (same batched per-partition shape as the
+    * image path): appends sample_rate/channels/duration_s/rms/zcr;
+    * null/undecodable content → null features, row preserved.
+    */
+  def decodeAudioReal(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ audioFields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(binIdx).asInstanceOf[Array[Byte]]
+        decodeWav(bytes) match {
+          case Some(a) =>
+            val (dur, rms, zcr) = audioFeatures(a)
+            // Seq[Any]: a bare Seq(Int, Int, Double…) would WIDEN the
+            // ints to Double and break the encoder's INT fields
+            Row.fromSeq(r.toSeq ++ Seq[Any](a.sampleRate, a.channels, dur, rms, zcr))
           case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
         }
       }

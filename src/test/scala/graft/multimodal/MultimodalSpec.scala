@@ -81,6 +81,31 @@ class MultimodalSpec extends AnyFunSuite {
     mBig.zip(mOrig).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
   }
 
+  test("REAL audio decode: sine-wave WAV round-trips with the expected physics") {
+    val sr = 8000
+    val freq = 440.0
+    val amp = 16384 // half scale
+    val n = sr // 1 second
+    val samples = Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / sr)).toShort)
+    val wav = Multimodal.encodeWav(Multimodal.PcmAudio(sr, 1, samples))
+    val df = Seq((1L, wav), (2L, "not audio".getBytes), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "content")
+    val out = Multimodal.decodeAudioReal(df, "content").orderBy("media_id").collect()
+    val r = out(0)
+    assert(r.getAs[Int]("sample_rate") == sr && r.getAs[Int]("channels") == 1)
+    assert(math.abs(r.getAs[Double]("duration_s") - 1.0) < 1e-9)
+    // RMS of a sine = A/√2; normalized by 32768
+    assert(math.abs(r.getAs[Double]("rms") - amp / math.sqrt(2) / 32768.0) < 1e-3)
+    // zero crossings of a 440 Hz tone ≈ 2f per second → 2f/sr per sample
+    assert(math.abs(r.getAs[Double]("zcr") - 2 * freq / sr) < 1e-3)
+    assert(out(1).isNullAt(out(1).fieldIndex("sample_rate")))
+    assert(out(2).isNullAt(out(2).fieldIndex("sample_rate")))
+    // direct round-trip
+    val back = Multimodal.decodeWav(wav).get
+    assert(back.samples.toSeq == samples.toSeq && back.sampleRate == sr)
+  }
+
   test("sampleFrames: n evenly spaced slices, reassembles prefix") {
     val frames = Multimodal.sampleFrames(media.filter($"media_id" === 1L), "content", "media_id", 4)
       .orderBy("frame_idx").collect()
