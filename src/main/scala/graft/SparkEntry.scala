@@ -1270,6 +1270,23 @@ object SparkEntry {
       |           ELSE u END AS BIGINT) AS simhash
       |FROM acc""".stripMargin
 
+  /** F12 positional encoding as a driver-checked literal table: the
+    * transformer sin/cos table (pos, dim, value) rounded to 6 d.p. —
+    * oracle re-derives it from `range()` cross products.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    graft.ts.TS.positionalEncoding(s, 64, 8)
+      .select(col("pos"), posexplode(col("encoding")).as(Seq("dim", "v")))
+      .select(col("pos"), col("dim").cast("int").as("dim"), round(col("v"), 6).as("v"))
+
+  private val q69Sql =
+    """SELECT p.pos, CAST(j.j AS INT) AS dim,
+      |  ROUND(CASE WHEN j.j % 2 = 0
+      |    THEN sin(p.pos / pow(10000.0, CAST(2 * (j.j // 2) AS DOUBLE) / 8))
+      |    ELSE cos(p.pos / pow(10000.0, CAST(2 * (j.j // 2) AS DOUBLE) / 8)) END, 6) AS v
+      |FROM (SELECT unnest(range(0, 64)) AS pos) p
+      |CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j""".stripMargin
+
   /** SimHash near-dup pairs via chunk banding (Hamming ≤ 3 ⇒ pigeonhole
     * guarantees an equal 16-bit chunk): equi-join on (chunk, value),
     * exact bit_count verify on candidates only. Oracle re-derives the
@@ -1532,6 +1549,7 @@ object SparkEntry {
     "q65_long_windows" -> (q65 _),
     "q67_corpus_curation" -> (q67 _),
     "q68_simhash_pairs" -> (q68 _),
+    "q69_positional_encoding" -> (q69 _),
     "q25_r2_naive" -> (q25 _),
     "q26_config_kv" -> (q26 _),
     "q37_mmd" -> (q37 _),
@@ -1597,6 +1615,7 @@ object SparkEntry {
     "q65_long_windows" -> q65Sql,
     "q67_corpus_curation" -> q67Sql,
     "q68_simhash_pairs" -> q68Sql,
+    "q69_positional_encoding" -> q69Sql,
     "q25_r2_naive" -> q25Sql,
     "q26_config_kv" -> q26Sql,
     "q37_mmd" -> q37Sql,
