@@ -1316,12 +1316,44 @@ object SparkEntry {
       |  FROM band a JOIN band b ON a.j = b.j AND a.cv = b.cv AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3""".stripMargin
 
-  /** LSH-bucketed ANN (scale path of q40) — rows-only. */
+  /** LSH-bucketed ANN (scale path of q40) — ORACLE-checked: the md5
+    * hyperplanes are engine-agnostic, so DuckDB re-derives buckets,
+    * per-bucket cosine, and the rounded-rank top-k relationally.
+    */
   private def q43(s: SparkSession, dir: String): DataFrame =
     Similarity.knnLsh(
       t(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v")),
       "vec_id", "v", nPlanes = 8, k = 3)
+
+  private val q43Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |pl AS (SELECT p, d,
+      |    (('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8))::UBIGINT
+      |      % 1000000) / 1e6 - 0.5 AS w
+      |  FROM (SELECT unnest(range(0, 8)) AS p) pp
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dd),
+      |vd AS (SELECT vec_id, d, v[d + 1] AS x
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dd),
+      |proj AS (SELECT vec_id, p, SUM(x * w) AS dot
+      |  FROM vd JOIN pl USING (d) GROUP BY vec_id, p),
+      |buck AS (SELECT vec_id,
+      |    SUM(CASE WHEN dot >= 0 THEN (1::UBIGINT << p)::HUGEINT ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |n AS (SELECT e.vec_id, v, bucket,
+      |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e JOIN buck ON e.vec_id = buck.vec_id),
+      |p2 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |      / (a.nrm * b.nrm), 6) AS cos_sim
+      |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      |  FROM p2)
+      |WHERE rank <= 3""".stripMargin
 
   /** D1 STL decomposition per user series (period 24) — rows-only
     * (iterative LOESS has no SQL equivalent).
@@ -1633,6 +1665,7 @@ object SparkEntry {
     "q36_olap_parse" -> q36Sql,
     "q40_knn_cosine" -> q40Sql,
     "q42_simhash" -> q42Sql,
+    "q43_lsh_ann" -> q43Sql,
     "q45_fft_features" -> q45Sql,
     "q41_langid" -> q41Sql,
     "q50_near_dedup" -> q50Sql,

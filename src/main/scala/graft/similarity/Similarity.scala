@@ -61,21 +61,34 @@ object Similarity {
       .select(col(qId).as("query_id"), col(cId).as("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * a fixed hash → [-0.5, 0.5) value, identical across engines/runs.
+  /** md5-based, ENGINE-AGNOSTIC plane weight (the q59 hash-split
+    * pattern): first 8 hex chars of md5("p:d") → [0,1e6)/1e6 − 0.5.
+    * xxhash64 would be Spark-private randomness; md5 makes the buckets —
+    * and therefore the whole LSH ANN result — reproducible in any
+    * engine, so q43 is oracle-checkable. Weights depend only on
+    * (plane, dim): computed ONCE here and embedded as literals — an
+    * in-lambda hash spelling would re-run 8×dim md5s per ROW inside the
+    * interpreted HOF (measured 4× on q43).
     */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(1000000L)).cast("double") / 1e6) - 0.5
+  private[similarity] def planeWeight(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6 - 0.5
+  }
 
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into a
-    * long. Vectors in the same bucket are candidate neighbors; the
-    * downstream join is an equi-join on (bucket), not a cross join.
+    * long; `dim` MUST equal the vector length — `zip_with` null-pads a
+    * length mismatch, which nulls the projection and silently collapses
+    * every bucket to 0. Vectors in the same bucket are candidate
+    * neighbors; the downstream join is an equi-join on (bucket), not a
+    * cross join.
     */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
+      val weights = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(vec, weights, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -190,13 +203,16 @@ object Similarity {
     * bucket, window top-k. Trades recall for a shuffle-on-key plan that
     * scales linearly with corpus size.
     */
-  def knnLsh(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {
-    val bucketed = df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), nPlanes).as("bucket"))
+  def knnLsh(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int, k: Int,
+      dim: Int = 64): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
+    // rank on the ROUNDED similarity (the q40 determinism contract):
+    // unrounded float ties could rank differently across engines
     val w = Window.partitionBy(col(s"a.$idCol")).orderBy(col("cos_sim").desc, col(s"b.$idCol").asc)
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .withColumn("cos_sim", cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .withColumn("cos_sim", round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(s"a.$idCol").as("query_id"), col(s"b.$idCol").as("neighbor_id"),

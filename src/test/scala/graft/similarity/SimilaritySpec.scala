@@ -55,14 +55,14 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("lshBucket: identical vectors share buckets, opposite vectors differ") {
-    val b = vecs.select($"vec_id", Similarity.lshBucket($"v", 8).as("b"))
+    val b = vecs.select($"vec_id", Similarity.lshBucket($"v", 8, 3).as("b"))
       .orderBy("vec_id").as[(Long, Long)].collect().map(_._2)
-    val bAgain = vecs.select(Similarity.lshBucket($"v", 8).as("b"))
+    val bAgain = vecs.select(Similarity.lshBucket($"v", 8, 3).as("b"))
       .orderBy("b").as[Long].collect()
     assert(b(0) != b(3))                       // opposite signs on every plane
     assert(b.toSet.size >= 2)                  // buckets actually discriminate
     // deterministic across evaluations
-    val b2 = vecs.select($"vec_id", Similarity.lshBucket($"v", 8).as("b"))
+    val b2 = vecs.select($"vec_id", Similarity.lshBucket($"v", 8, 3).as("b"))
       .orderBy("vec_id").as[(Long, Long)].collect().map(_._2)
     assert(b.toSeq == b2.toSeq)
   }
