@@ -184,7 +184,7 @@ object SparkEntry {
   private val q10Sql =
     """SELECT event_id, user_id,
       | ROUND(CASE WHEN prev IS NULL OR prev <= 0 OR value <= 0 THEN 0
-      |            ELSE LN(value / prev) END, 6) AS log_ret
+      |            ELSE LN(value / prev) END, 6) + 0.0 AS log_ret
       |FROM (SELECT event_id, user_id, value,
       |        LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       |      FROM events)""".stripMargin
@@ -242,8 +242,8 @@ object SparkEntry {
 
   private val q14Sql =
     """SELECT event_id, user_id,
-      | ROUND(AVG(value) OVER w12, 6) AS roll_avg_12,
-      | ROUND(COALESCE(STDDEV_POP(value) OVER w12, 0), 6) AS roll_std_12,
+      | ROUND(AVG(value) OVER w12, 6) + 0.0 AS roll_avg_12,
+      | ROUND(COALESCE(STDDEV_POP(value) OVER w12, 0), 6) + 0.0 AS roll_std_12,
       | COALESCE(value - LAG(value, 6) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS ret_6
       |FROM events
       |WINDOW w12 AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -269,9 +269,9 @@ object SparkEntry {
 
   private val q15Sql =
     """SELECT event_id,
-      | ROUND(SIN(((epoch_us(ts) // 3600000000) % 24) * (2 * PI() / 24)), 6) AS hod_sin,
-      | ROUND(COS(((epoch_us(ts) // 3600000000) % 24) * (2 * PI() / 24)), 6) AS hod_cos,
-      | ROUND(SIN((((epoch_us(ts) // 86400000000) + 4) % 7) * (2 * PI() / 7)), 6) AS dow_sin
+      | ROUND(SIN(((epoch_us(ts) // 3600000000) % 24) * (2 * PI() / 24)), 6) + 0.0 AS hod_sin,
+      | ROUND(COS(((epoch_us(ts) // 3600000000) % 24) * (2 * PI() / 24)), 6) + 0.0 AS hod_cos,
+      | ROUND(SIN((((epoch_us(ts) // 86400000000) + 4) % 7) * (2 * PI() / 7)), 6) + 0.0 AS dow_sin
       |FROM events""".stripMargin
 
   /** F7/F8 log1p variants. */
@@ -283,8 +283,8 @@ object SparkEntry {
 
   private val q16Sql =
     """SELECT event_id,
-      | ROUND(SIGN(value - 100) * LN(1 + ABS(value - 100)), 6) AS symlog,
-      | ROUND(LN(1 + GREATEST(0, value - 100)), 6) AS logclamp
+      | ROUND(SIGN(value - 100) * LN(1 + ABS(value - 100)), 6) + 0.0 AS symlog,
+      | ROUND(LN(1 + GREATEST(0, value - 100)), 6) + 0.0 AS logclamp
       |FROM events""".stripMargin
 
   /** A1/F3/J3: z-score with stats fit on the "train" date range only,
@@ -306,7 +306,7 @@ object SparkEntry {
 
   private val q17Sql =
     """SELECT event_id, e.event_type,
-      | ROUND((value - mu) / (CASE WHEN sigma < 1e-8 THEN 1 ELSE sigma END), 6) AS z
+      | ROUND((value - mu) / (CASE WHEN sigma < 1e-8 THEN 1 ELSE sigma END), 6) + 0.0 AS z
       |FROM events e JOIN
       | (SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
       |  FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY event_type) s
@@ -420,7 +420,7 @@ object SparkEntry {
   private val q20Sql =
     """SELECT vec_id + i - 1 AS pos,
       | ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-      |   / COUNT(*), 6) AS value
+      |   / COUNT(*), 6) + 0.0 AS value
       |FROM (SELECT vec_id, unnest(embedding) AS x,
       |        generate_subscripts(embedding, 1) AS i
       |      FROM embeddings)
@@ -468,9 +468,9 @@ object SparkEntry {
 
   private val q60Sql =
     """SELECT event_type,
-      | ROUND(quantile_cont(value, 0.5), 6) AS p50,
-      | ROUND(quantile_cont(value, 0.9), 6) AS p90,
-      | ROUND(quantile_cont(value, 0.99), 6) AS p99
+      | ROUND(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+      | ROUND(quantile_cont(value, 0.9), 6) + 0.0 AS p90,
+      | ROUND(quantile_cont(value, 0.99), 6) + 0.0 AS p99
       |FROM events GROUP BY event_type""".stripMargin
 
   /** Scale-path percentiles: approx_percentile quantile sketch — bounded
@@ -565,7 +565,7 @@ object SparkEntry {
        |    + 0.3 * (CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
        |                       / len(toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
        |    + 0.2 * (1.0 - LEAST(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-       |          / length(text) * 10.0, 1.0)))), 6) AS quality
+       |          / length(text) * 10.0, 1.0)))), 6) + 0.0 AS quality
        |  FROM f),
        |l AS (SELECT doc_id, list_aggregate([$cands], 'max') AS best FROM f),
        |d AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -622,7 +622,7 @@ object SparkEntry {
       |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |  ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-      |    / (a.nrm * b.nrm), 6) AS cos_sim
+      |    / (a.nrm * b.nrm), 6) + 0.0 AS cos_sim
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
       |    / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin
@@ -884,7 +884,7 @@ object SparkEntry {
       |kxy AS (SELECT CAST(SUM(CAST(EXP(-(a.value - b.value) * (a.value - b.value)
       |          / (2.0 * 50.0 * 50.0)) AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS k
       |        FROM x a, y b)
-      |SELECT ROUND(kxx.k + kyy.k - 2.0 * kxy.k, 9) AS mmd FROM kxx, kyy, kxy""".stripMargin
+      |SELECT ROUND(kxx.k + kyy.k - 2.0 * kxy.k, 9) + 0.0 AS mmd FROM kxx, kyy, kxy""".stripMargin
 
   /** M1 Huber loss of the naive forecast per event_type (δ=10), exact
     * via decimal sums.
@@ -946,7 +946,7 @@ object SparkEntry {
 
   private val q54Sql =
     """SELECT event_type,
-      | ROUND(CORR(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
+      | ROUND(CORR(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) + 0.0 AS corr_vk,
       | COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
@@ -1005,7 +1005,7 @@ object SparkEntry {
        |SELECT doc_id, ROUND(GREATEST(0.0, LEAST(1.0,
        |  0.5 * LEAST(sw_ratio * 4.0, 1.0)
        |  + 0.3 * (CASE WHEN tok_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
-       |  + 0.2 * (1.0 - LEAST(punct_ratio * 10.0, 1.0)))), 6) AS quality
+       |  + 0.2 * (1.0 - LEAST(punct_ratio * 10.0, 1.0)))), 6) + 0.0 AS quality
        |FROM f""".stripMargin
   }
 
@@ -1118,7 +1118,7 @@ object SparkEntry {
       | FROM tok)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       | ROUND(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
-      |   / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6) AS jaccard
+      |   / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6) + 0.0 AS jaccard
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id""".stripMargin
 
   /** End-to-end near-dedup: LSH candidates → Jaccard ≥ 0.5 → keep-best
@@ -1181,7 +1181,7 @@ object SparkEntry {
       |n AS (SELECT vec_id, v, SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |        ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
-      |          / (q.nrm * c.nrm), 6) AS cos_sim
+      |          / (q.nrm * c.nrm), 6) + 0.0 AS cos_sim
       |      FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
       |SELECT query_id, neighbor_id, cos_sim, rank FROM
       |(SELECT query_id, neighbor_id, cos_sim,
@@ -1283,7 +1283,7 @@ object SparkEntry {
     """SELECT p.pos, CAST(j.j AS INT) AS dim,
       |  ROUND(CASE WHEN j.j % 2 = 0
       |    THEN sin(p.pos / pow(10000.0, CAST(2 * (j.j // 2) AS DOUBLE) / 8))
-      |    ELSE cos(p.pos / pow(10000.0, CAST(2 * (j.j // 2) AS DOUBLE) / 8)) END, 6) AS v
+      |    ELSE cos(p.pos / pow(10000.0, CAST(2 * (j.j // 2) AS DOUBLE) / 8)) END, 6) + 0.0 AS v
       |FROM (SELECT unnest(range(0, 64)) AS pos) p
       |CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j""".stripMargin
 
@@ -1346,7 +1346,7 @@ object SparkEntry {
       |  FROM e JOIN buck ON e.vec_id = buck.vec_id),
       |p2 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
       |    ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-      |      / (a.nrm * b.nrm), 6) AS cos_sim
+      |      / (a.nrm * b.nrm), 6) + 0.0 AS cos_sim
       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
       |  SELECT query_id, neighbor_id, cos_sim,
@@ -1406,11 +1406,11 @@ object SparkEntry {
       | FROM f),
       |n AS (SELECT event_id, user_id, mags, list_sum(mags) AS s FROM m)
       |SELECT event_id, user_id,
-      |  ROUND(CASE WHEN s > 0 THEN mags[1]/s ELSE 0.2 END, 6) AS f0,
-      |  ROUND(CASE WHEN s > 0 THEN mags[2]/s ELSE 0.2 END, 6) AS f1,
-      |  ROUND(CASE WHEN s > 0 THEN mags[3]/s ELSE 0.2 END, 6) AS f2,
-      |  ROUND(CASE WHEN s > 0 THEN mags[4]/s ELSE 0.2 END, 6) AS f3,
-      |  ROUND(CASE WHEN s > 0 THEN mags[5]/s ELSE 0.2 END, 6) AS f4
+      |  ROUND(CASE WHEN s > 0 THEN mags[1]/s ELSE 0.2 END, 6) + 0.0 AS f0,
+      |  ROUND(CASE WHEN s > 0 THEN mags[2]/s ELSE 0.2 END, 6) + 0.0 AS f1,
+      |  ROUND(CASE WHEN s > 0 THEN mags[3]/s ELSE 0.2 END, 6) + 0.0 AS f2,
+      |  ROUND(CASE WHEN s > 0 THEN mags[4]/s ELSE 0.2 END, 6) + 0.0 AS f3,
+      |  ROUND(CASE WHEN s > 0 THEN mags[5]/s ELSE 0.2 END, 6) + 0.0 AS f4
       |FROM n""".stripMargin
 
   /** §2.10 backtest state machine on per-user event series (close=value,

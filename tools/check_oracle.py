@@ -53,8 +53,18 @@ for name, sql in sorted(oracle.items()):
         a, b = got[c], exp[c]
         if np.issubdtype(np.asarray(a).dtype, np.floating) or np.issubdtype(np.asarray(b).dtype, np.floating):
             aa, bb = a.astype(float).values, b.astype(float).values
-            exact = np.array_equal(aa, bb, equal_nan=True)
-            if not exact:
+            # Bitwise comparison (after canonicalizing NaN): the driver hashes
+            # raw bytes, so -0.0 vs +0.0 — equal under ==/array_equal — is a
+            # driver hash FAIL. view(uint64) sees the sign bit.
+            ua = np.where(np.isnan(aa), np.nan, aa).view(np.uint64)
+            ub = np.where(np.isnan(bb), np.nan, bb).view(np.uint64)
+            exact = np.array_equal(ua, ub)
+            if not exact and np.array_equal(aa, bb, equal_nan=True):
+                # values equal but bytes differ → sign-of-zero (or NaN payload)
+                idx = np.where(ua != ub)[0]
+                mism.append((c, "BYTES-not-equal (±0.0?)",
+                             [(int(i), aa[i], bb[i]) for i in idx[:3]]))
+            elif not exact:
                 close = np.allclose(aa, bb, rtol=1e-9, atol=1e-12, equal_nan=True)
                 idx = np.where(~(np.isclose(aa, bb, rtol=1e-9, atol=1e-12) | (np.isnan(aa) & np.isnan(bb))))[0]
                 mism.append((c, "CLOSE-not-exact" if close else "DIFF",
