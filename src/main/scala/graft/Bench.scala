@@ -46,12 +46,17 @@ object Bench {
     val warmed = timedPass()
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
+    // Compact, strictly-valid JSON: round to millis (the driver's log tail
+    // truncated r2's long full-precision line → parsed:null) and put the
+    // cold/warm totals FIRST so they survive any tail truncation.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def js(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val totalWarm = warmed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},""" +
-      s""""value_warmed":$totalWarm,"queries_warmed":${js(warmed)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"value_warmed":${r3(totalWarm)},""" +
+      s""""unit":"sec","sf":"$sfDir","n_queries":${cold.size},""" +
+      s""""queries":${js(cold)},"queries_warmed":${js(warmed)}}""")
     spark.stop()
   }
 }
