@@ -29,9 +29,17 @@ object TextAnalysis {
     aggregate(t, lit(0.0), (acc, x) => acc + length(x)) / size(t)
   }
 
-  /** Punctuation ratio: punctuation chars / total chars. */
-  def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / length(text)
+  /** Punctuation ratio: punctuation chars / total chars. Zero-length text
+    * yields IEEE 0/0 → NaN (which a downstream `least` absorbs — NaN sorts
+    * largest in Spark AND DuckDB) via an explicit branch: ANSI mode raises
+    * DIVIDE_BY_ZERO for any zero divisor, double included, and one empty
+    * document must not fail a 100 TB corpus scan.
+    */
+  def punctRatio(text: Column): Column = {
+    val n = length(text).cast("double")
+    when(n === 0.0, lit(Double.NaN))
+      .otherwise(length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / n)
+  }
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
@@ -48,16 +56,31 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: rewards stopword presence and
     * moderate token length, penalizes punctuation excess — the shape of
-    * C4/Gopher-style quality heuristics expressed as one codegen'd column.
+    * C4/Gopher-style quality heuristics. One native single-pass expression
+    * (`quality_score`): the composable spelling below references the token
+    * array from four subtrees and re-tokenized per reference (no runtime
+    * CSE across CodegenFallback/HOF nodes — the q63/q45 lesson), which is
+    * real money on the 100 TB corpus-scan hot path.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    graft.functions.QualityScoreExpr(text, array(EnglishStopwords.map(lit): _*))
+
+  /** The pure-built-ins spelling of [[qualityScore]], kept as the semantic
+    * reference — spec-enforced bit-identical to the native expression.
+    * NULL text is explicitly NULL quality: without the guard, Spark's
+    * null-SKIPPING least/greatest would quietly score an unreadable
+    * document 0.5 (least(NULL, 1.0) = 1.0), which is a curation-pipeline
+    * footgun, not a meaning.
+    */
+  def qualityScoreComposable(text: Column): Column = {
     val sw = stopwordRatio(text)
     val pr = punctRatio(text)
     val tl = avgTokenLen(text)
-    greatest(lit(0.0), least(lit(1.0),
-      lit(0.5) * least(sw * 4.0, lit(1.0)) +
-        lit(0.3) * when(tl.between(3.0, 10.0), 1.0).otherwise(0.0) +
-        lit(0.2) * (lit(1.0) - least(pr * 10.0, lit(1.0)))))
+    when(text.isNull, lit(null).cast("double")).otherwise(
+      greatest(lit(0.0), least(lit(1.0),
+        lit(0.5) * least(sw * 4.0, lit(1.0)) +
+          lit(0.3) * when(tl.between(3.0, 10.0), 1.0).otherwise(0.0) +
+          lit(0.2) * (lit(1.0) - least(pr * 10.0, lit(1.0))))))
   }
 
   /** Language-ID by stopword-profile voting: score the text against each
@@ -73,6 +96,22 @@ object TextAnalysis {
   )
 
   def langId(text: Column): Column = {
+    val sorted = StopwordProfiles.toSeq.sortBy(_._1)
+    coalesce(
+      graft.functions.LangIdArgmax(
+        tokens(text),
+        array(sorted.map { case (_, ws) => array(ws.map(lit): _*) }: _*),
+        array(sorted.map { case (l, _) => lit(l) }: _*)),
+      lit("und"))
+  }
+
+  /** The struct-argmax spelling of [[langId]], kept as the semantic
+    * reference — spec-enforced identical to the native expression. It
+    * references `tokens(text)` once per language with no runtime CSE
+    * (count_in_set is CodegenFallback), so the tokenizer ran 5× per row —
+    * r2 verdict finding #4.
+    */
+  def langIdComposable(text: Column): Column = {
     val t = tokens(text)
     val scored = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(

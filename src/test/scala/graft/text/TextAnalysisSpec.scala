@@ -40,6 +40,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(short == Seq("a b"))
   }
 
+  // Adversarial token shapes for the native-vs-composable contracts: empty
+  // text, runs of spaces (empty fields kept by split limit -1), leading/
+  // trailing spaces, punct-only, unicode multi-byte (CJK profile words +
+  // chars whose UTF-8 bytes must not confuse the byte-level scan), tied
+  // profile scores (es/fr share 'la de que' counts), and null.
+  private val hardTexts: Seq[String] = Seq(
+    "", " ", "  ", "a", " a", "a ", "a  b", "the", "the the the",
+    "!!! ??? ... ;;; ::: !!!", ".,;:!?", "the cat, and a dog.",
+    "el gato que vive en la casa", "le chat la de que", "la de que",
+    "的 是 在 了 puntuación é ü", "的是在了", "zzz qqq xxx",
+    "der die und das ist von den mit auf ein the and of to in is that it for with",
+    "word " * 50 + "end", null)
+
+  test("native quality_score is bit-identical to the composable spelling") {
+    val df = hardTexts.toDF("text")
+    val rows = df.select(
+      TextAnalysis.qualityScore($"text").as("native"),
+      TextAnalysis.qualityScoreComposable($"text").as("composable")).collect()
+    rows.zip(hardTexts).foreach { case (r, t) =>
+      val (n, c) = (if (r.isNullAt(0)) null else r.getDouble(0).asInstanceOf[Any],
+                    if (r.isNullAt(1)) null else r.getDouble(1).asInstanceOf[Any])
+      assert((n == null && c == null) ||
+        java.lang.Double.doubleToRawLongBits(n.asInstanceOf[Double]) ==
+          java.lang.Double.doubleToRawLongBits(c.asInstanceOf[Double]),
+        s"quality mismatch on ${Option(t).map(s => s"'$s'").getOrElse("NULL")}: native=$n composable=$c")
+    }
+  }
+
+  test("native lang_id_argmax matches the composable struct-argmax (incl. ties)") {
+    val df = hardTexts.toDF("text")
+    val rows = df.select(
+      TextAnalysis.langId($"text").as("native"),
+      TextAnalysis.langIdComposable($"text").as("composable")).collect()
+    rows.zip(hardTexts).foreach { case (r, t) =>
+      assert(r.getString(0) == r.getString(1),
+        s"langId mismatch on ${Option(t).map(s => s"'$s'").getOrElse("NULL")}: " +
+          s"native=${r.getString(0)} composable=${r.getString(1)}")
+    }
+  }
+
   test("quality score in [0,1], higher for natural text") {
     val good = Seq("the cat is on the mat and it is a good day for all of us").toDF("text")
     val bad = Seq("!!! ??? ... ;;; ::: !!!").toDF("text")
