@@ -1324,7 +1324,7 @@ object SparkEntry {
     Similarity.knnLsh(
       t(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v")),
-      "vec_id", "v", nPlanes = 8, k = 3)
+      "vec_id", "v", nPlanes = 8, k = 3, dim = 64)
 
   private val q43Sql =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -23,11 +23,27 @@ object Quantiles {
   def approx(c: Column, p: Double, accuracy: Int = 10000): Column =
     approx_percentile(c, lit(p), lit(accuracy))
 
+  /** Column label for quantile p: exact decimal, not a rounded percent —
+    * `p${(p*100).round}` collapsed e.g. 0.995 and 1.0 both onto "p100"
+    * and produced duplicate columns that fail the next by-name select
+    * (r2 ADVICE). p=0.5 → "p50", p=0.995 → "p99_5", p=0.5512 → "p55_12".
+    */
+  private[metrics] def label(p: Double): String = {
+    // decimal-exact: BigDecimal(0.9 * 100) would carry the binary-float
+    // artifact 90.00000000000001 into the label
+    val s = (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros.toPlainString
+    "p" + s.replace("-", "m").replace(".", "_")
+  }
+
   private def grouped(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      ps: Seq[Double], mk: (Column, Double) => Column): DataFrame =
+      ps: Seq[Double], mk: (Column, Double) => Column): DataFrame = {
+    val labels = ps.map(label)
+    require(labels.distinct.size == labels.size,
+      s"duplicate quantile labels from ps=$ps")
     df.groupBy(groupCols.map(col): _*)
-      .agg(mk(col(valueCol), ps.head).as(s"p${(ps.head * 100).round}"),
-        ps.tail.map(p => mk(col(valueCol), p).as(s"p${(p * 100).round}")): _*)
+      .agg(mk(col(valueCol), ps.head).as(labels.head),
+        ps.tail.zip(labels.tail).map { case (p, l) => mk(col(valueCol), p).as(l) }: _*)
+  }
 
   /** Scale path: one sketch per (group, p). */
   def groupedApprox(df: DataFrame, groupCols: Seq[String], valueCol: String,

@@ -253,6 +253,11 @@ object Multimodal {
       while (pos + 8 <= bytes.length && samples == null) {
         val id = bb.getInt(pos)
         val sz = bb.getInt(pos + 4)
+        // Untrusted size field: negative sz (e.g. -8/-9) would make the
+        // chunk advance `8 + sz + (sz & 1)` zero or negative and spin this
+        // loop forever on a malformed chunk — garbage in must mean None
+        // out, never a hung executor task (r2 ADVICE).
+        if (sz < 0) return None
         if (id == 0x20746d66) { // "fmt "
           pcm = bb.getShort(pos + 8) == 1
           channels = bb.getShort(pos + 10)

@@ -78,13 +78,27 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into a
-    * long; `dim` MUST equal the vector length — `zip_with` null-pads a
-    * length mismatch, which nulls the projection and silently collapses
-    * every bucket to 0. Vectors in the same bucket are candidate
-    * neighbors; the downstream join is an equi-join on (bucket), not a
-    * cross join.
+    * long; `dim` MUST equal the vector length — a mismatched vector gets a
+    * NULL bucket (and so drops out of the candidate equi-join) rather than
+    * silently collapsing into bucket 0 and degenerating the join into a
+    * cross join. One native expression: the composable spelling below
+    * walks the vector once per plane through interpreted zip_with +
+    * aggregate HOFs (8 walks/row at q43's settings — r2 perf finding).
+    * Vectors in the same bucket are candidate neighbors; the downstream
+    * join is an equi-join on (bucket), not a cross join.
     */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    graft.functions.LshBucket(vec,
+      array((0 until nPlanes).map(p =>
+        array((0 until dim).map(d => lit(planeWeight(p, d))): _*)): _*))
+
+  /** The pure-built-ins spelling of [[lshBucket]], kept as the semantic
+    * reference — spec-enforced bit-identical on length-matched vectors.
+    * (On a length MISMATCH this spelling exhibits the documented zip_with
+    * null-padding hazard — every bucket collapses to 0 — which the native
+    * expression deliberately replaces with a NULL bucket.)
+    */
+  def lshBucketComposable(vec: Column, nPlanes: Int, dim: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val weights = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
       val proj = aggregate(
@@ -201,10 +215,12 @@ object Similarity {
 
   /** LSH-bucketed ANN: equi-join on bucket, then exact cosine within
     * bucket, window top-k. Trades recall for a shuffle-on-key plan that
-    * scales linearly with corpus size.
+    * scales linearly with corpus size. `dim` is REQUIRED (no default): it
+    * must equal the embedding length, and a silently-wrong default would
+    * null every bucket via the mismatch guard (r2 ADVICE).
     */
   def knnLsh(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int, k: Int,
-      dim: Int = 64): DataFrame = {
+      dim: Int): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")

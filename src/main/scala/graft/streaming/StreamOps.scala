@@ -83,8 +83,17 @@ object StreamOps {
         val base = Dedup.signatureBase(batch.toDF(), textCol, idCol, shingleN, b * r)
           .localCheckpoint(true) // computed once; used by 3 joins below
         val banded = Dedup.bandedFrom(base, idCol, b, r)
+        // Only a MISSING store (first batch) means "empty": swallowing any
+        // exception here would turn a transient IO error or corrupt file
+        // into a silently dedup-free micro-batch that admits duplicates AND
+        // appends their signatures to the store (r2 ADVICE). Other
+        // failures propagate and fail the batch so the trigger retries.
         val store =
-          try Some(spark.read.parquet(storePath)) catch { case _: Exception => None }
+          try Some(spark.read.parquet(storePath))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => None
+          }
         // candidates vs the accumulated store
         val vsStore = store.map { st =>
           val stBanded = Dedup.bandedFrom(st, idCol, b, r)

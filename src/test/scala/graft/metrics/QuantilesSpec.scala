@@ -15,6 +15,18 @@ class QuantilesSpec extends AnyFunSuite {
     (uniform ++ skewed).toDF("g", "v")
   }
 
+  test("quantile labels are decimal-exact and collision-free") {
+    // r2 ADVICE: p${(p*100).round} collapsed 0.995 and 1.0 onto "p100"
+    assert(Quantiles.label(0.5) == "p50")
+    assert(Quantiles.label(0.9) == "p90") // no 90.00000000000001 artifact
+    assert(Quantiles.label(0.995) == "p99_5")
+    assert(Quantiles.label(1.0) == "p100")
+    assert(Quantiles.label(0.5512) == "p55_12")
+    val out = Quantiles.groupedExact(df, Seq("g"), "v", Seq(0.995, 1.0))
+    assert(out.columns.toSeq == Seq("g", "p99_5", "p100"))
+    out.select("g", "p99_5", "p100").collect() // by-name select works
+  }
+
   test("approx quantiles stay within the sketch's rank-error bound of exact") {
     val ps = Seq(0.5, 0.9, 0.99)
     val accuracy = 10000

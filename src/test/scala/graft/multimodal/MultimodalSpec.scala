@@ -106,6 +106,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.samples.toSeq == samples.toSeq && back.sampleRate == sr)
   }
 
+  test("decodeWav: malformed negative chunk size returns None, never loops") {
+    // r2 ADVICE: sz=-8 made the chunk advance 8+sz+(sz&1) == 0 → infinite
+    // loop with no exception for the catch-all to catch. Build a RIFF/WAVE
+    // header followed by a junk chunk with size -8.
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952).putInt(56).putInt(0x45564157)
+    bb.putInt(0x4b4e554a /* "JUNK" */).putInt(-8)
+    val malformed = bb.array()
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = done.submit(new java.util.concurrent.Callable[Option[Multimodal.PcmAudio]] {
+        def call() = Multimodal.decodeWav(malformed)
+      })
+      assert(fut.get(10, java.util.concurrent.TimeUnit.SECONDS).isEmpty)
+    } finally done.shutdownNow()
+    // sz=-9 exercises the (sz & 1) odd-padding path too
+    val bb2 = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.putInt(0x46464952).putInt(56).putInt(0x45564157)
+    bb2.putInt(0x4b4e554a).putInt(-9)
+    assert(Multimodal.decodeWav(bb2.array()).isEmpty)
+  }
+
   test("sampleFrames: n evenly spaced slices, reassembles prefix") {
     val frames = Multimodal.sampleFrames(media.filter($"media_id" === 1L), "content", "media_id", 4)
       .orderBy("frame_idx").collect()

@@ -54,6 +54,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bf == iv)
   }
 
+  test("native lsh_bucket is bit-identical to the composable spelling") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "v")
+    val rows = data.select(
+      Similarity.lshBucket($"v", 8, 16).as("native"),
+      Similarity.lshBucketComposable($"v", 8, 16).as("composable")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"bucket mismatch: native=${r.getLong(0)} composable=${r.getLong(1)}"))
+  }
+
+  test("lsh_bucket hazard semantics: mismatched dim nulls, null element zeroes, float ok") {
+    // dim mismatch → NULL bucket (drops from the equi-join) — the native
+    // fix for the zip_with null-padding collapse-to-0 hazard
+    val bad = Seq((0L, Seq(1.0, 2.0))).toDF("vec_id", "v")
+      .select(Similarity.lshBucket($"v", 4, 3).as("b")).collect()
+    assert(bad.head.isNullAt(0))
+    // composable reference on the same mismatch: the documented collapse to 0
+    val badC = Seq((0L, Seq(1.0, 2.0))).toDF("vec_id", "v")
+      .select(Similarity.lshBucketComposable($"v", 4, 3).as("b")).collect()
+    assert(badC.head.getLong(0) == 0L)
+    // a null ELEMENT nulls every projection → bucket 0 in both spellings
+    val withNull = Seq((0L, Seq[java.lang.Double](1.0, null, 2.0))).toDF("vec_id", "v")
+    assert(withNull.select(Similarity.lshBucket($"v", 4, 3).as("b"))
+      .collect().head.getLong(0) == 0L)
+    assert(withNull.select(Similarity.lshBucketComposable($"v", 4, 3).as("b"))
+      .collect().head.getLong(0) == 0L)
+    // float vectors widen exactly like the composable cast
+    val f = Seq((0L, Seq(1.0f, -2.0f, 0.5f))).toDF("vec_id", "v")
+    val both = f.select(Similarity.lshBucket($"v", 4, 3).as("n"),
+      Similarity.lshBucketComposable($"v", 4, 3).as("c")).collect().head
+    assert(both.getLong(0) == both.getLong(1))
+  }
+
   test("lshBucket: identical vectors share buckets, opposite vectors differ") {
     val b = vecs.select($"vec_id", Similarity.lshBucket($"v", 8, 3).as("b"))
       .orderBy("vec_id").as[(Long, Long)].collect().map(_._2)
