@@ -252,51 +252,84 @@ object Dedup {
       shingleN: Int, k: Int, threshold: Double): DataFrame =
     nearDedup(df, textCol, idCol, shingleN, k, 1, threshold)
 
-  /** Connected components over an undirected pair list (doc_a, doc_b) by
-    * iterative min-label propagation: each node's component label is the
-    * smallest id reachable from it. Converges in O(diameter) joins; dup
-    * clusters have tiny diameters, so `maxIter` ~10 is ample. This is the
-    * transitive-closure pass that turns pairwise near-dup hits into
-    * whole clusters (one survivor per cluster at 100 TB).
+  /** Connected components over an undirected pair list (doc_a, doc_b):
+    * each node's component label is the smallest id reachable from it.
+    * This is the transitive-closure pass that turns pairwise near-dup
+    * hits into whole clusters (one survivor per cluster at 100 TB).
+    *
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR contraction (the
+    * MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — each round rewires every node
+    * toward the minimum of its neighborhood, roughly halving component
+    * diameter, so convergence is O(log n) rounds on ANY edge shape. The
+    * previous min-label propagation converged in O(diameter) rounds: fine
+    * for tight dup clusters, but a chain-shaped cluster (every doc a
+    * near-dup of its predecessor — common in serial crawls) of length d
+    * needed d rounds, the true 100×-scale risk (r2 verdict #5).
+    *
+    * Each phase is a groupBy + equi-join on node id — no cross joins, no
+    * driver-side state; per-round lineage is truncated with
+    * localCheckpoint. Convergence = edge set unchanged, detected with one
+    * (count, xxhash64-sum) aggregate per round on the already-checkpointed
+    * blocks.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // symmetric edge list + self-loops
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of star rounds actually run
+    * (includes the final no-change round that proves convergence) — the
+    * observable the O(log n) convergence spec pins down.
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+    // canonical directed edges larger→smaller, no self loops
+    var edges = pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint per iteration: truncates the lineage that would
-    // otherwise grow exponentially across the loop (plans, not data).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
       .localCheckpoint(true)
+    def signature(e: DataFrame): (Long, Any) = {
+      // decimal sum: a long sum of 64-bit hashes trips the ANSI overflow
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      (r.getLong(0), r.get(1))
+    }
+    var prev = signature(edges)
     var iter = 0
-    var converged = false
+    var converged = prev._1 == 0
     while (iter < maxIter && !converged) {
-      // candidate label per node = min(own, min over neighbors' labels)
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("component")).as("nbr_component"))
-      // carry a per-row `changed` flag INTO the checkpoint: the
-      // convergence check then aggregates the already-materialized
-      // blocks (cheap) instead of re-running a labels⋈next join as a
-      // separate job — one fewer join per iteration.
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component"),
-          (coalesce(col("nbr_component"), col("component")) < col("component"))
-            .as("__changed"))
+      // LARGE-STAR: over the symmetric neighborhood of each node u with
+      // m = min(Γ(u) ∪ {u}), connect every STRICTLY LARGER neighbor to m.
+      // Output (v, m) is already canonical: v > u ≥ m.
+      val sym = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: over the larger→smaller edges, connect each node's
+      // smaller neighbors (and itself) to m = min of them. v > m whenever
+      // v ≠ m, so both outputs stay canonical.
+      val dmins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val next = afterLarge.join(dmins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(dmins.select(col("u"), col("m").as("v")))
+        .distinct()
         .localCheckpoint(true)
-      converged = !next.agg(coalesce(max(col("__changed")), lit(false)))
-        .head().getBoolean(0)
-      labels = next.drop("__changed")
+      val sig = signature(next)
+      converged = sig == prev
+      prev = sig
+      edges = next
       iter += 1
     }
-    edges.unpersist()
-    labels
+    // fixed point: every edge points a node at its component's minimum
+    val labels = edges.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(
+        edges.select(col("v").as("id"), col("v").as("component")).distinct())
+    (labels, iter)
   }
 
   /** n-gram Jaccard similarity between two texts: |A∩B| / |A∪B| over
