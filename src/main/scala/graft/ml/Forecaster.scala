@@ -85,6 +85,18 @@ object Forecaster {
         .fit(df)
     }
 
+  /** M8 neural head: one 1-hidden-layer tanh MLP per horizon — the
+    * nonlinear-NN step past GBT toward the reference's Keras zoo, within
+    * public Spark (distributed treeAggregate gradient descent; see
+    * [[MlpRegressor]]).
+    */
+  def fitPerHorizonMlp(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
+      hidden: Int = 8, epochs: Int = 300, lr: Double = 0.1,
+      seed: Long = 42L): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons) { (df, label) =>
+      MlpRegressor.fit(df, label, hidden = hidden, epochs = epochs, lr = lr, seed = seed)
+    }
+
   /** Apply the per-horizon models: adds `pred_h{h}` columns. */
   def predict(models: Map[Int, _ <: HorizonModel], df: DataFrame,
       featureCols: Seq[String]): DataFrame = {

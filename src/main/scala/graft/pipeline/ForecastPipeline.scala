@@ -102,8 +102,12 @@ object ForecastPipeline {
     * matching MLlib loader. The per-split frames stay distributed; only
     * the fitted coefficients/trees cross the driver.
     */
+  /** MLP-head hyperparameters — the NEAT-searchable genome surface. */
+  case class MlpConf(hidden: Int = 8, epochs: Int = 300, lr: Double = 0.1, seed: Long = 42L)
+
   def modelMetrics(spark: SparkSession, config: Config, nLags: Int = 3,
-      head: String = "linear", modelDir: Option[String] = None): DataFrame = {
+      head: String = "linear", modelDir: Option[String] = None,
+      mlpConf: MlpConf = MlpConf()): DataFrame = {
     import graft.ml.Forecaster
     require(config.splits.contains("train"), "modelMetrics needs a 'train' split")
     val w = Window.orderBy(col("ts"))
@@ -125,14 +129,20 @@ object ForecastPipeline {
       try {
         head match {
           case "gbt" => Forecaster.fitPerHorizonGbt(train, featureCols, config.horizons)
+          case "mlp" => Forecaster.fitPerHorizonMlp(train, featureCols, config.horizons,
+            hidden = mlpConf.hidden, epochs = mlpConf.epochs, lr = mlpConf.lr,
+            seed = mlpConf.seed)
           case _ => Forecaster.fitPerHorizon(train, featureCols, config.horizons)
             .asInstanceOf[Map[Int, Forecaster.HorizonModel]]
         }
       } finally train.unpersist()
     modelDir.foreach { dir =>
-      models.toSeq.sortBy(_._1).foreach { case (h, m) =>
-        m.asInstanceOf[org.apache.spark.ml.util.MLWritable]
-          .write.overwrite().save(s"$dir/h$h")
+      models.toSeq.sortBy(_._1).foreach {
+        case (h, m: graft.ml.MlpRegressor.MlpRegressionModel) =>
+          graft.ml.MlpRegressor.save(m, s"$dir/h$h")
+        case (h, m) =>
+          m.asInstanceOf[org.apache.spark.ml.util.MLWritable]
+            .write.overwrite().save(s"$dir/h$h")
       }
     }
     val perSplit = config.splits.toSeq.sortBy(_._1).map { case (split, path) =>

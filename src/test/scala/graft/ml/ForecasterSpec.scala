@@ -109,6 +109,53 @@ class ForecasterSpec extends AnyFunSuite {
     assert(back.treeWeights.toSeq == m.treeWeights.toSeq)
   }
 
+  // Smooth nonlinear map: the next value is a sine of the previous one —
+  // no global linear model on lags can express it; a tanh MLP can.
+  private def sineMapSeries(n: Int): org.apache.spark.sql.DataFrame = {
+    val xs = new Array[Double](n)
+    xs(0) = 0.5
+    (1 until n).foreach(i => xs(i) = 2.5 * math.sin(1.1 * xs(i - 1)) + 0.05 * math.cos(i * 0.3))
+    xs.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }.toSeq.toDF("sid", "t", "v")
+  }
+
+  test("M8 MLP head beats the linear head on a smooth nonlinear series") {
+    val df = Targets.multiHorizon(sineMapSeries(400), "v", Seq(1), w)
+    val feat = Forecaster.withLagFeatures(df, "v", 2, Seq("sid"), Seq("t"))
+    val cols = Seq("v", "lag_1", "lag_2")
+    val train = feat.filter($"t" < 300).cache()
+    val test = feat.filter($"t" >= 300).cache()
+    try {
+      val lin = Forecaster.fitPerHorizon(train, cols, Seq(1))
+      val mlp = Forecaster.fitPerHorizonMlp(train, cols, Seq(1),
+        hidden = 8, epochs = 300, lr = 0.1)
+      val fLin = Forecaster.naiveRelativeFitness(
+        Forecaster.predict(lin, test, cols), "pred_h1", "target_h1", "v")
+      val fMlp = Forecaster.naiveRelativeFitness(
+        Forecaster.predict(mlp, test, cols), "pred_h1", "target_h1", "v")
+      assert(fMlp < fLin, s"mlp=$fMlp lin=$fLin")
+      assert(fMlp < 0.0, s"mlp should beat naive, fitness=$fMlp")
+    } finally { train.unpersist(); test.unpersist() }
+  }
+
+  test("S11: MLP model round-trips through save/load with identical predictions") {
+    val df = Targets.multiHorizon(sineMapSeries(120), "v", Seq(1), w)
+    val feat = Forecaster.withLagFeatures(df, "v", 2, Seq("sid"), Seq("t"))
+    val cols = Seq("v", "lag_1", "lag_2")
+    val m = Forecaster.fitPerHorizonMlp(feat, cols, Seq(1), hidden = 4, epochs = 50)(1)
+      .asInstanceOf[MlpRegressor.MlpRegressionModel]
+    val path = java.nio.file.Files.createTempDirectory("model").toString + "/mlp1"
+    MlpRegressor.save(m, path)
+    val back = MlpRegressor.load(spark, path)
+    assert(back.hidden == m.hidden && back.w1.toSeq == m.w1.toSeq &&
+      back.b1.toSeq == m.b1.toSeq && back.w2.toSeq == m.w2.toSeq && back.b2 == m.b2)
+    val probes = Seq(
+      org.apache.spark.ml.linalg.Vectors.dense(0.3, -0.2, 1.1),
+      org.apache.spark.ml.linalg.Vectors.dense(-1.5, 0.8, 0.0))
+    probes.foreach(v => assert(
+      java.lang.Double.doubleToRawLongBits(back.predict(v)) ==
+        java.lang.Double.doubleToRawLongBits(m.predict(v))))
+  }
+
   test("M10b: NeatSearch drives distributed fits through naiveRelativeFitness") {
     val df = Targets.multiHorizon(series(250), "v", Seq(1), w)
     val full = Forecaster.withLagFeatures(df, "v", 4, Seq("sid"), Seq("t")).cache()

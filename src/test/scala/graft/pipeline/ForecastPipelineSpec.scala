@@ -84,6 +84,64 @@ class ForecastPipelineSpec extends AnyFunSuite {
     assert(g("train", "MAE", 1) < g("train", "Naive MAE", 1))
   }
 
+  test("NEAT drives the MLP head end-to-end through modelMetrics (M10b + M8-NN + S11)") {
+    // Chaotic logistic map: x' = 3.7·x·(1−x). The 1-step-ahead target is
+    // an exact QUADRATIC function of the current value — inexpressible by
+    // a linear-on-lags head, easy for a tanh MLP — and chaos means any
+    // start point samples the same invariant distribution, so a test
+    // split seeded differently is still in-distribution (a sine-map
+    // fixture failed here: ± attractor symmetry put the test split in a
+    // region the train split never visited and EVERY head scored garbage).
+    def writeLogistic(n: Int, x0: Double): String = {
+      val f = Files.createTempFile("logistic", ".csv")
+      val xs = new Array[Double](n)
+      xs(0) = x0
+      (1 until n).foreach(i => xs(i) = 3.7 * xs(i - 1) * (1.0 - xs(i - 1)))
+      val rows = xs.zipWithIndex.map { case (v, i) =>
+        f"2020-01-01 ${i / 60}%02d:${i % 60}%02d:00,$v"
+      }
+      Files.writeString(f, "DATE_TIME,CLOSE\n" + rows.mkString("\n") + "\n")
+      f.toString
+    }
+    val cfg = ForecastPipeline.Config(
+      splits = Map("train" -> writeLogistic(200, 0.5123), "test" -> writeLogistic(80, 0.31)),
+      targetColumn = "CLOSE", horizons = Seq(1))
+    def fitness(rows: Array[(String, String, Int, Double)]): Double = {
+      def v(metric: String) = rows.find(r => r._1 == "test" && r._2 == metric && r._3 == 1).get._4
+      v("MAE") - v("Naive MAE") // the reference's optimizer objective
+    }
+    // NEAT genome = the MLP head's (hidden, log10 lr); each candidate is a
+    // full modelMetrics run — the reference's "optimizer drives the
+    // predictor plugin" loop, Spark-native
+    val result = graft.ml.NeatSearch.optimize(
+      Seq("hidden" -> (2.0, 10.0), "log_lr" -> (-2.0, -0.3)),
+      params => {
+        val conf = ForecastPipeline.MlpConf(
+          hidden = math.max(2, math.round(params.getOrElse("hidden", 6.0)).toInt),
+          epochs = 60,
+          lr = math.pow(10.0, params.getOrElse("log_lr", -1.0)))
+        fitness(ForecastPipeline.modelMetrics(spark, cfg, nLags = 2, head = "mlp",
+            mlpConf = conf)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3))))
+      },
+      graft.ml.NeatSearch.Config(populationSize = 4, generations = 1, patience = 2, seed = 7L))
+    assert(result.bestFitness < 0.0,
+      s"NEAT champion MLP should beat naive out of sample: ${result.bestFitness}")
+    // champion re-run with artifacts: S11 save + reload serves predictions
+    val modelDir = Files.createTempDirectory("mlp_heads").toString
+    val champConf = ForecastPipeline.MlpConf(
+      hidden = math.max(2, math.round(result.bestParams("hidden")).toInt),
+      epochs = 60,
+      lr = math.pow(10.0, result.bestParams("log_lr")))
+    val rows = ForecastPipeline.modelMetrics(spark, cfg, nLags = 2, head = "mlp",
+        modelDir = Some(modelDir), mlpConf = champConf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(fitness(rows) < 0.0)
+    val reloaded = graft.ml.MlpRegressor.load(spark, s"$modelDir/h1")
+    assert(reloaded.hidden == champConf.hidden)
+    assert(!reloaded.predict(org.apache.spark.ml.linalg.Vectors.dense(0.2, 0.1, -0.4)).isNaN)
+  }
+
   test("R2 of the naive zero-return forecast relates to return variance") {
     val cfg = ForecastPipeline.Config(
       splits = Map("train" -> writeSplit(60, 0.0)),
