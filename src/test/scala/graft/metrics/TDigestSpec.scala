@@ -1,0 +1,68 @@
+package graft.metrics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TDigestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // heavily skewed data (log-normal-ish): exp(gaussian), two groups with
+  // different scales — the shape where uniform-error sketches lose the tail
+  private lazy val skewed = {
+    val rnd = new scala.util.Random(13)
+    val a = (0 until 20000).map(_ => ("a", math.exp(rnd.nextGaussian() * 1.5)))
+    val b = (0 until 20000).map(_ => ("b", 100.0 * math.exp(rnd.nextGaussian() * 0.8)))
+    (a ++ b).toDF("g", "v")
+  }
+
+  test("rank error vs the exact path stays sub-percent on skewed data") {
+    val ps = Seq(0.5, 0.9, 0.99, 0.999)
+    val est = TDigest.grouped(skewed, Seq("g"), "v", ps, compression = 100.0)
+      .collect().map(r => r.getString(0) ->
+        ps.map(p => r.getDouble(r.fieldIndex(Quantiles.label(p))))).toMap
+    // rank of the estimate within the actual data = P(v <= est); compare to p
+    Seq("a", "b").foreach { g =>
+      val values = skewed.filter($"g" === g).select("v").as[Double].collect().sorted
+      val n = values.length.toDouble
+      ps.zip(est(g)).foreach { case (p, e) =>
+        val rank = values.count(_ <= e) / n
+        assert(math.abs(rank - p) <= 0.01,
+          s"group $g p=$p est=$e achieved-rank=$rank (err ${math.abs(rank - p)})")
+      }
+    }
+  }
+
+  test("digest is mergeable: many partitions agree with one partition") {
+    val ps = Seq(0.5, 0.99)
+    val spread = TDigest.grouped(skewed.repartition(32), Seq("g"), "v", ps)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val values = skewed.filter($"g" === "a").select("v").as[Double].collect().sorted
+    val n = values.length.toDouble
+    // merged-from-32-partitions sketch still lands within the rank bound
+    assert(math.abs(values.count(_ <= spread("a")._1) / n - 0.5) <= 0.01)
+    assert(math.abs(values.count(_ <= spread("a")._2) / n - 0.99) <= 0.01)
+  }
+
+  test("compress bounds centroid count and keeps total weight") {
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(50000)(rnd.nextDouble() * 1000)
+    val (m, w) = TDigest.compress(xs, Array.fill(xs.length)(1.0), 100.0)
+    // one greedy pass over raw singletons packs within a small factor of
+    // the ~2δ asymptote (tail capacities floor at weight 1); what matters
+    // is O(compression), independent of the 50k inputs
+    assert(m.length < 600, s"expected O(compression) centroids, got ${m.length}")
+    assert(math.abs(w.sum - 50000.0) < 1e-6)
+    // means stay sorted (quantile() relies on it)
+    assert(m.toSeq == m.toSeq.sorted)
+  }
+
+  test("edge cases: empty, single value, constant column") {
+    assert(TDigest.quantile(Array.empty, Array.empty, 0.5).isNaN)
+    assert(TDigest.quantile(Array(42.0), Array(1.0), 0.99) == 42.0)
+    val const = (0 until 1000).map(_ => ("c", 7.0)).toDF("g", "v")
+    val out = TDigest.grouped(const, Seq("g"), "v", Seq(0.5, 0.99)).collect().head
+    assert(out.getDouble(1) == 7.0 && out.getDouble(2) == 7.0)
+  }
+}
