@@ -102,6 +102,62 @@ object ScaleProbe {
       }
       println(s"SCALE $dir: ${times.mkString(" ")}")
     }
+
+    // Connected-components chain probe: a 100k-node PATH is the
+    // adversarial shape (min-label propagation would need ~100k rounds);
+    // large/small-star must close it in ~log2(100k) ≈ 17 rounds.
+    {
+      val chain = spark.range(99999)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        graft.dedup.Dedup.connectedComponentsWithRounds(chain, maxIter = 30)
+      val ok = labels.filter(col("component") === 0).count()
+      println(f"SCALE-CC 100k-node chain: rounds=$rounds labeled-to-min=$ok/100000 " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    // BASELINE NEAT-candidate anchor: ONE candidate evaluation = full
+    // modelMetrics (lag features → 6 per-horizon head fits → val
+    // metrics) at the reference's largest per-split scale (25,200 rows;
+    // BASELINE.md reports ~25 min/candidate for the reference's
+    // distributed-NEAT TCN at population 20).
+    {
+      def writeSplit(n: Int, x0: Double): String = {
+        val f = java.nio.file.Files.createTempFile("baseline", ".csv")
+        val xs = new Array[Double](n)
+        xs(0) = x0
+        (1 until n).foreach(i => xs(i) = 3.7 * xs(i - 1) * (1.0 - xs(i - 1)))
+        val sb = new StringBuilder("DATE_TIME,CLOSE\n")
+        var i = 0
+        while (i < n) {
+          val ts = java.time.LocalDateTime.of(2020, 1, 1, 0, 0)
+            .plusMinutes(i.toLong)
+          sb.append(ts.toString.replace('T', ' ')).append(',').append(xs(i)).append('\n')
+          i += 1
+        }
+        java.nio.file.Files.writeString(f, sb.toString)
+        f.toString
+      }
+      val cfg = graft.pipeline.ForecastPipeline.Config(
+        splits = Map("train" -> writeSplit(25200, 0.5123), "val" -> writeSplit(25200, 0.317)),
+        targetColumn = "CLOSE", horizons = 1 to 6)
+      def fitness(rows: Array[org.apache.spark.sql.Row]): Double = {
+        def v(m: String) = rows.find(r => r.getString(0) == "val" &&
+          r.getString(1) == m && r.getInt(2) == 1).get.getDouble(3)
+        v("MAE") - v("Naive MAE")
+      }
+      for (head <- Seq("linear", "mlp")) {
+        val t0 = System.nanoTime()
+        val rows = graft.pipeline.ForecastPipeline.modelMetrics(spark, cfg,
+          nLags = 3, head = head,
+          mlpConf = graft.pipeline.ForecastPipeline.MlpConf(hidden = 8, epochs = 150, lr = 0.1))
+          .collect()
+        println(f"SCALE-BASELINE candidate eval head=$head 25200 rows/split 6 horizons: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s, val fitness H1 = ${fitness(rows)}%.6f " +
+          "(reference: ~25 min/candidate, README champion fitness -1.22e-4)")
+      }
+    }
     spark.stop()
   }
 }
