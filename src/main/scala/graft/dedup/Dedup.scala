@@ -252,6 +252,22 @@ object Dedup {
       shingleN: Int, k: Int, threshold: Double): DataFrame =
     nearDedup(df, textCol, idCol, shingleN, k, 1, threshold)
 
+  /** The 100 TB cleaning composition, as an operator: EXACT dedup first
+    * (hash-groupBy on digest — removes whole identical-text groups, whose
+    * candidate-PAIR count is quadratic in group size under ANY LSH
+    * scheme), then banded near-dedup over the survivors, whose dup groups
+    * are small by construction. This is the contract PLANS.md documents
+    * from the scaling probe: on a corpus where every text has 100
+    * identical copies, `nearDedup` alone spends minutes emitting ~100²/2
+    * pairs per group while the composition collapses the groups in one
+    * digest shuffle first. Survivor preference matches [[nearDedup]]:
+    * exact groups keep the min id (equal lengths tie to the smaller id),
+    * near groups keep the longer text.
+    */
+  def dedupPipeline(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, b: Int, r: Int, threshold: Double): DataFrame =
+    nearDedup(exactDedup(df, textCol, idCol), textCol, idCol, shingleN, b, r, threshold)
+
   /** Connected components over an undirected pair list (doc_a, doc_b):
     * each node's component label is the smallest id reachable from it.
     * This is the transitive-closure pass that turns pairwise near-dup

@@ -103,6 +103,21 @@ object ScaleProbe {
       println(s"SCALE $dir: ${times.mkString(" ")}")
     }
 
+    // The exact-first composition on the SAME adversarial 100×-replicated
+    // corpus: exactDedup collapses the identical-copy groups in one
+    // digest shuffle, so the near-dedup banding that follows never sees a
+    // big dup group — this is the operator form of the contract above.
+    {
+      val t0 = System.nanoTime()
+      graft.dedup.Dedup.dedupPipeline(
+          spark.read.parquet("/tmp/docs100/documents.parquet"),
+          "text", "doc_id", 3, 2, 2, 0.5)
+        .write.mode("overwrite").format("noop").save()
+      graft.dedup.Dedup.clearCaches()
+      println(f"SCALE-DOCS dedupPipeline (exact-first) on 500k docs: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s (nearDedup alone: ~156 s)")
+    }
+
     // Connected-components chain probe: a 100k-node PATH is the
     // adversarial shape (min-label propagation would need ~100k rounds);
     // large/small-star must close it in ~log2(100k) ≈ 17 rounds.

@@ -26,6 +26,27 @@ class NearDedupSpec extends AnyFunSuite {
     assert(surv == again)
   }
 
+  test("dedupPipeline: exact-first composition keeps the same survivors") {
+    // corpus with BOTH kinds of redundancy: exact-copy groups (the
+    // quadratic-pair hazard the composition exists for) and a near-dup
+    val mixed = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog"),   // near-dup of 0, shorter
+      (2L, "the quick brown fox jumps over the lazy dog"),   // exact copy of 1
+      (3L, "the quick brown fox jumps over the lazy dog"),   // exact copy of 1
+      (4L, "completely unrelated text about distributed query engines ok"),
+      (5L, "completely unrelated text about distributed query engines ok") // exact copy of 4
+    ).toDF("doc_id", "text")
+    val surv = Dedup.dedupPipeline(mixed, "text", "doc_id", 3, 2, 2, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // exact groups keep min id; the near-dup group keeps the longer text
+    assert(surv == Set(0L, 4L), s"got $surv")
+    // composition result equals running nearDedup alone on this corpus
+    val direct = Dedup.nearDedup(mixed, "text", "doc_id", 3, 2, 2, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == direct)
+  }
+
   test("threshold 1.01 disables near-dedup except nothing (no pair reaches it)") {
     val surv = Dedup.nearDedup(docs, "text", "doc_id", 3, 8, 1.01)
     assert(surv.count() == 4)
