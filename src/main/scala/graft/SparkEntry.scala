@@ -1157,6 +1157,51 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
   }
 
+  /** The exact-first cleaning composition (`Dedup.dedupPipeline`): exact
+    * dedup by digest (min id survives), THEN b×r banded near-dedup over
+    * the survivors — the ordering that keeps candidate-pair generation
+    * linear when a corpus carries large identical-copy groups (90× on
+    * the scaling probe's adversarial corpus, PLANS.md). Oracle re-derives
+    * both stages relationally: a ROW_NUMBER-over-digest CTE feeding the
+    * q50 banding chain.
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupPipeline(t(s, dir, "documents"), "text", "doc_id", 3, 2, 2, 0.5)
+      .select("doc_id", "n_chars")
+
+  private val q70Sql = {
+    def sig(i: Int) =
+      s"list_aggregate(list_transform(sh, x -> md5('seed$i:' || x)), 'min') AS sig$i"
+    """WITH ex AS (SELECT doc_id, text, n_chars FROM (
+      |    SELECT doc_id, text, n_chars,
+      |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1),
+      |tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM ex),
+      |shl AS (SELECT doc_id, text,
+      |  CASE WHEN len(t) >= 3
+      |       THEN list_transform(range(0, len(t) - 2),
+      |              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |       ELSE [array_to_string(t, ' ')] END AS sh
+      | FROM tok),
+      |sig AS (SELECT doc_id, text, list_distinct(sh) AS shd, """.stripMargin +
+      (0 until 4).map(sig).mkString(", ") +
+      s""" FROM shl),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.text AS text_a, b.text AS text_b, a.shd AS sa, b.shd AS sb
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $bandCondSql),
+        |verified AS (SELECT *,
+        |    CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+        |      / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) AS jac
+        |  FROM pairs),
+        |losers AS (SELECT DISTINCT
+        |    CASE WHEN length(text_a) > length(text_b) THEN doc_b
+        |         WHEN length(text_a) < length(text_b) THEN doc_a
+        |         ELSE GREATEST(doc_a, doc_b) END AS doc_id
+        |  FROM verified WHERE jac >= 0.5)
+        |SELECT doc_id, n_chars FROM ex
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+  }
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -1614,6 +1659,7 @@ object SparkEntry {
     "q35_ngram_jaccard" -> (q35 _),
     "q36_olap_parse" -> (q36 _),
     "q50_near_dedup" -> (q50 _),
+    "q70_dedup_pipeline" -> (q70 _),
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
     "q66_image_features" -> (q66 _),
@@ -1684,6 +1730,7 @@ object SparkEntry {
     "q45_fft_features" -> q45Sql,
     "q41_langid" -> q41Sql,
     "q50_near_dedup" -> q50Sql,
+    "q70_dedup_pipeline" -> q70Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }
