@@ -1202,6 +1202,22 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
   }
 
+  /** Sliding-window document chunking (`TextAnalysis.chunkByTokens`):
+    * 40-token windows every 32 tokens — the long-document →
+    * context-window prep stage. Map-only plan (tokenize once → one
+    * Generate), oracle re-derives chunks with range + list slicing.
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkByTokens(t(s, dir, "documents"), "text", "doc_id", 40, 32)
+
+  private val q71Sql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |st AS (SELECT doc_id, t, unnest(range(0, len(t), 32)) AS s FROM tok)
+      |SELECT doc_id, CAST(s // 32 AS INT) AS chunk_idx,
+      |  CAST(LEAST(40, len(t) - s) AS INT) AS n_tok,
+      |  array_to_string(t[s+1:s+40], ' ') AS chunk
+      |FROM st""".stripMargin
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -1660,6 +1676,7 @@ object SparkEntry {
     "q36_olap_parse" -> (q36 _),
     "q50_near_dedup" -> (q50 _),
     "q70_dedup_pipeline" -> (q70 _),
+    "q71_doc_chunking" -> (q71 _),
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
     "q66_image_features" -> (q66 _),
@@ -1731,6 +1748,7 @@ object SparkEntry {
     "q41_langid" -> q41Sql,
     "q50_near_dedup" -> q50Sql,
     "q70_dedup_pipeline" -> q70Sql,
+    "q71_doc_chunking" -> q71Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }

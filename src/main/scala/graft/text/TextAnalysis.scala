@@ -146,4 +146,36 @@ object TextAnalysis {
     */
   def fingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** Sliding-window document chunking for training pipelines: split each
+    * document into token windows of `chunkSize` starting every `stride`
+    * tokens (overlap = chunkSize − stride; the trailing chunk may be
+    * shorter). Output: one row per (doc, chunk_idx) with the chunk text
+    * and its token count — the long-document → context-window prep step
+    * before tokenizer/packing stages.
+    *
+    * Plan shape: tokenize once into a bound column, one Generate
+    * (posexplode) fan-out, no shuffle — a 100 TB chunking sweep is pure
+    * map-side work. The per-start chunk is built inside ONE transform
+    * lambda emitting a struct, so the token array is walked once per
+    * chunk, and the struct fields are bound attributes after the
+    * Generate (no re-evaluation — the expression-duplication trap).
+    */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val t = col("__t")
+    val starts = sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(stride))
+    // explicit null filter: with NULL tokens the null-SKIPPING greatest()
+    // would yield starts=[0] and emit one junk ("", n_tok 40) row where
+    // the relational spelling (range over a NULL length) emits none
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(col("__t").isNotNull)
+      .select(col(idCol),
+        posexplode(transform(starts, st => struct(
+          concat_ws(" ", slice(t, st + 1, lit(chunkSize))).as("chunk"),
+          least(lit(chunkSize), size(t) - st).cast("int").as("n_tok")))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col.n_tok").as("n_tok"), col("col.chunk").as("chunk"))
+  }
 }

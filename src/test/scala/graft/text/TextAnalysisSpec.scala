@@ -80,6 +80,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkByTokens: overlapping windows, short tail, short docs, null") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, doc), (2L, "one two"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(df, "text", "doc_id", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: starts 0,3,6,9 → 4 chunks; doc 2: one short chunk; doc 3 (null): none
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(d1.map(_.getString(3)).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(d1.map(_.getInt(2)).toSeq == Seq(4, 4, 4, 1))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(3) == "one two" && d2.head.getInt(2) == 2)
+    assert(!out.exists(_.getLong(0) == 3L))
+  }
+
   test("quality score in [0,1], higher for natural text") {
     val good = Seq("the cat is on the mat and it is a good day for all of us").toDF("text")
     val bad = Seq("!!! ??? ... ;;; ::: !!!").toDF("text")
