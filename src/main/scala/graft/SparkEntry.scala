@@ -1218,6 +1218,36 @@ object SparkEntry {
       |  array_to_string(t[s+1:s+40], ' ') AS chunk
       |FROM st""".stripMargin
 
+  /** Sequence packing over the q71 chunks (`TextAnalysis.packSequences`):
+    * disjoint 40-token chunks, ordered (doc_id, chunk_idx) within each
+    * language shard, cut into 512-token training sequences; output is
+    * the per-sequence manifest (chunk/token counts — all integers, so
+    * the oracle hash is exact by construction).
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val chunks = TextAnalysis.chunkByTokens(docs, "text", "doc_id", 40, 40)
+    val withLang = chunks.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    TextAnalysis.packSequences(withLang, Seq("lang"), Seq("doc_id", "chunk_idx"), "n_tok", 512)
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
+  }
+
+  private val q72Sql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |st AS (SELECT doc_id, t, unnest(range(0, len(t), 40)) AS s FROM tok),
+      |ch AS (SELECT doc_id, CAST(s // 40 AS INT) AS chunk_idx,
+      |         CAST(LEAST(40, len(t) - s) AS INT) AS n_tok
+      |       FROM st),
+      |cl AS (SELECT ch.*, d.lang FROM ch JOIN documents d USING (doc_id)),
+      |p AS (SELECT lang, n_tok,
+      |        COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |      FROM cl)
+      |SELECT lang, CAST(cum // 512 AS BIGINT) AS seq_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM p GROUP BY 1, 2""".stripMargin
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -1677,6 +1707,7 @@ object SparkEntry {
     "q50_near_dedup" -> (q50 _),
     "q70_dedup_pipeline" -> (q70 _),
     "q71_doc_chunking" -> (q71 _),
+    "q72_sequence_packing" -> (q72 _),
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
     "q66_image_features" -> (q66 _),
@@ -1749,6 +1780,7 @@ object SparkEntry {
     "q50_near_dedup" -> q50Sql,
     "q70_dedup_pipeline" -> q70Sql,
     "q71_doc_chunking" -> q71Sql,
+    "q72_sequence_packing" -> q72Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }

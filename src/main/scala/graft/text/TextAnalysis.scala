@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -161,6 +162,33 @@ object TextAnalysis {
     * chunk, and the struct fields are bound attributes after the
     * Generate (no re-evaluation — the expression-duplication trap).
     */
+  /** Streaming sequence packing (concat-and-cut): with chunks in a total
+    * order inside each shard, running token counts are cut every `budget`
+    * tokens — chunk-atomic (a chunk lands wholly in the sequence its
+    * cumulative offset starts in, so a sequence can overflow by at most
+    * one chunk), the standard greedy packing of LLM data prep. Adds a
+    * `seq_id` column keyed within each `partitionCols` shard.
+    *
+    * Scale shape: ONE ordered window per shard — packing is inherently
+    * sequential, so the parallelism axis is the shard key (language,
+    * source, split …), exactly how production packers shard. The window
+    * is a single cumulative sum, no join, no extra shuffle beyond the
+    * shard partitioning. seq_id is computed with integer division
+    * (`div`), not float floor — exact at any corpus size.
+    */
+  def packSequences(df: DataFrame, partitionCols: Seq[String],
+      orderCols: Seq[String], nTokCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = (if (partitionCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(partitionCols.map(col): _*))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum_before",
+        coalesce(sum(col(nTokCol)).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"__cum_before div $budget"))
+      .drop("__cum_before")
+  }
+
   def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")

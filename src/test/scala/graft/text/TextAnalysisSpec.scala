@@ -97,6 +97,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.exists(_.getLong(0) == 3L))
   }
 
+  test("packSequences: chunk-atomic budget cuts, per-shard sequences") {
+    // shard A: token counts 300, 300, 100 → cum-before 0, 300, 600
+    //   budget 512 → seq 0, 0, 1 (second chunk OVERFLOWS seq 0 to 600 —
+    //   chunk-atomic by design); shard B independent numbering
+    val chunks = Seq(
+      ("A", 1L, 0, 300), ("A", 1L, 1, 300), ("A", 2L, 0, 100),
+      ("B", 3L, 0, 600), ("B", 4L, 0, 10)
+    ).toDF("shard", "doc_id", "chunk_idx", "n_tok")
+    val packed = TextAnalysis.packSequences(
+        chunks, Seq("shard"), Seq("doc_id", "chunk_idx"), "n_tok", 512)
+      .orderBy("shard", "doc_id", "chunk_idx")
+      .select("shard", "seq_id").as[(String, Long)].collect().toSeq
+    assert(packed == Seq(("A", 0L), ("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L)))
+  }
+
   test("quality score in [0,1], higher for natural text") {
     val good = Seq("the cat is on the mat and it is a good day for all of us").toDF("text")
     val bad = Seq("!!! ??? ... ;;; ::: !!!").toDF("text")
