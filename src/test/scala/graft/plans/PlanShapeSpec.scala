@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Physical-plan regression guards for the shapes the 100 TB story relies
+  * on (PLANS.md): these FAIL if a refactor silently reintroduces a
+  * full-scan, an extra shuffle, or a cloned expensive expression.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan: filter pushdown + column pruning reach the reader") {
+    val df = graft.io.Sources.table(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed:\n$p")
+    // pruned read schema: only the two referenced columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("q67-style keep-first-per-digest prunes map-side (WindowGroupLimit)") {
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val df = docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, // Partial before the exchange + Final
+      s"expected partial+final WindowGroupLimit:\n$p")
+  }
+
+  test("chunkByTokens is map-only: one Generate, no shuffle") {
+    val df = graft.text.TextAnalysis.chunkByTokens(
+      graft.io.Sources.table(spark, sf, "documents"), "text", "doc_id", 40, 32)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert("Generate".r.findAllIn(p).size == 1, s"expected exactly one Generate:\n$p")
+  }
+
+  test("packSequences adds exactly one shard-key exchange (the window)") {
+    val chunks = Seq(("A", 1L, 0, 300), ("A", 1L, 1, 300)).toDF("shard", "doc_id", "chunk_idx", "n_tok")
+    val df = graft.text.TextAnalysis.packSequences(
+      chunks, Seq("shard"), Seq("doc_id", "chunk_idx"), "n_tok", 512)
+    val p = plan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange:\n$p")
+    assert(p.contains("Window"), s"expected a window:\n$p")
+  }
+
+  test("q17-style fit-then-apply broadcasts the stats side") {
+    val ev = graft.io.Sources.table(spark, sf, "events")
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"))
+    val df = ev.join(broadcast(stats), "event_type")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+  }
+
+  test("native single-pass kernels appear once per row in the plan") {
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val p = plan(docs.select(
+      graft.text.TextAnalysis.qualityScore(col("text")).as("q"),
+      graft.text.TextAnalysis.langId(col("text")).as("l")))
+    // exactly one quality_score and one lang_id_argmax node — the cloned
+    // composable trees carried 5 count_in_set + repeated split() nodes
+    assert("quality_score".r.findAllIn(p).size == 1, s"quality_score cloned:\n$p")
+    assert("lang_id_argmax".r.findAllIn(p).size == 1, s"lang_id_argmax cloned:\n$p")
+  }
+}
