@@ -1515,6 +1515,17 @@ object SparkEntry {
   private val tradesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Dataset[Backtest.Trade]]
 
+  /** Unpersist and drop every memoized trades relation — the same
+    * lifecycle contract as `Dedup.clearCaches`/`Similarity.clearCaches`:
+    * long-lived sessions call this between rounds, else the map retains
+    * one persisted relation (and a strong SparkSession reference) per
+    * (session, dir) forever.
+    */
+  def clearTradesCache(): Unit = {
+    tradesCache.values.foreach(_.unpersist(blocking = false))
+    tradesCache.clear()
+  }
+
   private def backtestTrades(s: SparkSession, dir: String): Dataset[Backtest.Trade] =
     tradesCache.getOrElseUpdate((s, dir), {
       import s.implicits._

@@ -288,15 +288,22 @@ object Dedup {
     * localCheckpoint. Convergence = edge set unchanged, detected with one
     * (count, xxhash64-sum) aggregate per round on the already-checkpointed
     * blocks.
+    *
+    * Convergence is REQUIRED: labels are read off the fixed-point star
+    * edges, and a not-yet-star edge set would yield duplicated ids with
+    * conflicting components — silently wrong downstream dedup. On
+    * `maxIter` exhaustion this THROWS instead. The default 50 is pure
+    * headroom: O(log₂ n) rounds means even a 2⁴⁰-node single chain
+    * converges in ~41 + 1 rounds, and converged inputs always exit early.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponentsWithRounds(pairs, maxIter)._1
 
   /** [[connectedComponents]] plus the number of star rounds actually run
     * (includes the final no-change round that proves convergence) — the
     * observable the O(log n) convergence spec pins down.
     */
-  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     // canonical directed edges larger→smaller, no self loops
     var edges = pairs.select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -341,6 +348,10 @@ object Dedup {
       edges = next
       iter += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — labels from a " +
+        "non-star edge set would be silently malformed; raise maxIter " +
+        "(O(log2 n) rounds suffice for any component)")
     // fixed point: every edge points a node at its component's minimum
     val labels = edges.select(col("u").as("id"), col("v").as("component"))
       .unionByName(

@@ -69,8 +69,11 @@ case class LangIdArgmax(first: Expression, second: Expression, third: Expression
         val w = words.getUTF8String(j)
         if (w != null) {
           val prev = m.get(w)
-          m.put(w.clone(),
-            if (prev == null) Array(i) else prev :+ i)
+          // set semantics per profile (a word listed twice in one profile
+          // votes ONCE) — matches the composable count_in_set's HashSet,
+          // keeping the bit-identical contract robust to profile edits
+          if (prev == null) m.put(w.clone(), Array(i))
+          else if (!prev.contains(i)) m.put(w.clone(), prev :+ i)
         }
         j += 1
       }

@@ -127,6 +127,9 @@ object TDigest {
     */
   def grouped(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[Double], compression: Double = 100.0): DataFrame = {
+    val labels = ps.map(Quantiles.label)
+    require(labels.distinct.size == labels.size,
+      s"duplicate quantile labels from ps=$ps") // same guard as Quantiles.grouped
     val digest = udaf(new QuantilesAgg(ps, compression), Encoders.scalaDouble)
     val withArr = df.filter(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col): _*)

@@ -82,7 +82,9 @@ object MlpRegressor {
       .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val d = data.first()._1.size
+      val head = data.take(1)
+      require(head.nonEmpty, "MlpRegressor.fit: empty training set")
+      val d = head(0)._1.size
       // standardization stats in one pass: per-dim sum/sumsq + label moments
       val zero = (new Array[Double](d), new Array[Double](d), 0.0, 0.0, 0L)
       val (sx, sxx, sy, syy, n) = data.treeAggregate(zero)(

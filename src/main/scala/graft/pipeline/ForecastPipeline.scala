@@ -94,17 +94,19 @@ object ForecastPipeline {
     results
   }
 
-  /** MODEL-based slice (M8 end-to-end): lag features → per-horizon heads
-    * fit on the `train` split — `head` = "linear" (normal-equation) or
-    * "gbt" (the nonlinear model-zoo analog) — → per-split MAE / Naive
-    * MAE / R² rows, same grain as [[naiveMetrics]]. `modelDir` saves
-    * each horizon's fitted model (S11 artifact sink); reload with the
-    * matching MLlib loader. The per-split frames stay distributed; only
-    * the fitted coefficients/trees cross the driver.
-    */
   /** MLP-head hyperparameters — the NEAT-searchable genome surface. */
   case class MlpConf(hidden: Int = 8, epochs: Int = 300, lr: Double = 0.1, seed: Long = 42L)
 
+  /** MODEL-based slice (M8 end-to-end): lag features → per-horizon heads
+    * fit on the `train` split — `head` = "linear" (normal-equation),
+    * "gbt" (the nonlinear model-zoo analog), or "mlp" (distributed tanh
+    * net, hyperparameters via `mlpConf`) — → per-split MAE / Naive
+    * MAE / R² rows, same grain as [[naiveMetrics]]. `modelDir` saves
+    * each horizon's fitted model (S11 artifact sink); reload with the
+    * matching MLlib loader (`MlpRegressor.load` for the MLP head). The
+    * per-split frames stay distributed; only the fitted
+    * coefficients/trees/weights cross the driver.
+    */
   def modelMetrics(spark: SparkSession, config: Config, nLags: Int = 3,
       head: String = "linear", modelDir: Option[String] = None,
       mlpConf: MlpConf = MlpConf()): DataFrame = {

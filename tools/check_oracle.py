@@ -53,16 +53,19 @@ for name, sql in sorted(oracle.items()):
         a, b = got[c], exp[c]
         if np.issubdtype(np.asarray(a).dtype, np.floating) or np.issubdtype(np.asarray(b).dtype, np.floating):
             aa, bb = a.astype(float).values, b.astype(float).values
-            # Bitwise comparison (after canonicalizing NaN): the driver hashes
-            # raw bytes, so -0.0 vs +0.0 — equal under ==/array_equal — is a
-            # driver hash FAIL. view(uint64) sees the sign bit.
-            ua = np.where(np.isnan(aa), np.nan, aa).view(np.uint64)
-            ub = np.where(np.isnan(bb), np.nan, bb).view(np.uint64)
+            # RAW bitwise comparison: the driver hashes raw bytes, so
+            # -0.0 vs +0.0 (equal under ==/array_equal) AND NaN-payload
+            # differences are driver hash FAILs. No NaN canonicalization —
+            # canonicalizing would green-light exactly the divergence class
+            # this check exists to catch; both engines emit the canonical
+            # quiet NaN, so bit equality is the correct contract.
+            ua = aa.view(np.uint64)
+            ub = bb.view(np.uint64)
             exact = np.array_equal(ua, ub)
             if not exact and np.array_equal(aa, bb, equal_nan=True):
-                # values equal but bytes differ → sign-of-zero (or NaN payload)
+                # values equal but bytes differ → sign-of-zero or NaN payload
                 idx = np.where(ua != ub)[0]
-                mism.append((c, "BYTES-not-equal (±0.0?)",
+                mism.append((c, "BYTES-not-equal (±0.0 / NaN payload)",
                              [(int(i), aa[i], bb[i]) for i in idx[:3]]))
             elif not exact:
                 close = np.allclose(aa, bb, rtol=1e-9, atol=1e-12, equal_nan=True)
