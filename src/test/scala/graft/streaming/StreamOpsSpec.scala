@@ -148,6 +148,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("map-only curation ops run unchanged on a stream (chunking + quality + langid)") {
+    // chunkByTokens/qualityScore/langId are stateless map-side plans
+    // (PlanShapeSpec pins: one Generate, no Exchange) — so the SAME
+    // operator code is the streaming face, no rewrite. This is the
+    // batch/streaming unification contract for the corpus-curation path.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val curated = graft.text.TextAnalysis.chunkByTokens(
+        docs.withColumn("quality", graft.text.TextAnalysis.qualityScore(col("text")))
+          .withColumn("lang", graft.text.TextAnalysis.langId(col("text")))
+          .filter(col("quality") >= 0.0),
+        "text", "doc_id", chunkSize = 4, stride = 4)
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("stream_chunks").start()
+    try {
+      mem.addData(
+        (1L, "the cat sat on the mat and it is happy"), // 10 tokens → 3 chunks
+        (2L, "el gato que vive en la casa"))             // 7 tokens → 2 chunks
+      q.processAllAvailable()
+      val out = spark.table("stream_chunks")
+        .orderBy("doc_id", "chunk_idx")
+        .select("doc_id", "chunk_idx", "n_tok")
+        .as[(Long, Int, Int)].collect().toSeq
+      assert(out == Seq((1L, 0, 4), (1L, 1, 4), (1L, 2, 2), (2L, 0, 4), (2L, 1, 3)))
+    } finally q.stop()
+  }
+
   test("trackPositions: state survives across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Tick]
