@@ -1248,6 +1248,32 @@ object SparkEntry {
       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       |FROM p GROUP BY 1, 2""".stripMargin
 
+  /** Int8 embedding quantization (`Similarity.quantizeInt8`), exploded to
+    * (vec_id, dim, qval, scale) rows so the oracle hash sees integers +
+    * one rounded scale — the ANN-storage compression stage. Oracle
+    * re-derives scale and quantized components relationally.
+    */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(
+        t(s, dir, "embeddings").select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+        "vec_id", "v")
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        posexplode(col("qvec")).as(Seq("dim", "qval")))
+      .select(col("vec_id"), col("dim").cast("int").as("dim"),
+        col("qval"), col("scale"))
+
+  private val q73Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |        GREATEST(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-12) / 127.0 AS sc
+      |      FROM e)
+      |SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+      |  CAST(FLOOR(x / sc + 0.5) AS INT) AS qval,
+      |  ROUND(sc, 6) + 0.0 AS scale
+      |FROM (SELECT vec_id, sc, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM m)""".stripMargin
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -1719,6 +1745,7 @@ object SparkEntry {
     "q70_dedup_pipeline" -> (q70 _),
     "q71_doc_chunking" -> (q71 _),
     "q72_sequence_packing" -> (q72 _),
+    "q73_quantize_int8" -> (q73 _),
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
     "q66_image_features" -> (q66 _),
@@ -1792,6 +1819,7 @@ object SparkEntry {
     "q70_dedup_pipeline" -> q70Sql,
     "q71_doc_chunking" -> q71Sql,
     "q72_sequence_packing" -> q72Sql,
+    "q73_quantize_int8" -> q73Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }

@@ -213,6 +213,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127, each
+    * component → floor(x/scale + 0.5) ∈ [−127, 127] — the 4× (fp32) / 8×
+    * (fp64) storage cut that makes a 100 TB embedding corpus fit its ANN
+    * serving tier; dequantization error per dim ≤ scale/2 (spec-bounded).
+    * Output: (id, scale, qvec array<int>). Engine-agnostic arithmetic
+    * (max / divide / floor — no banker's-rounding ambiguity), so results
+    * are oracle-exact.
+    *
+    * The absmax fold runs behind an `explode(array(struct(…)))` Generate
+    * barrier: referenced from inside the per-element transform lambda, an
+    * INLINED fold would re-walk the whole vector per element (O(d²) — the
+    * expression-duplication trap, PLANS.md); after the barrier it is a
+    * bound attribute read.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val folded = df.select(col(idCol), explode(array(struct(
+      col(vecCol).as("v"),
+      aggregate(col(vecCol), lit(0.0),
+        (a, x) => greatest(a, abs(x.cast("double")))).as("am")))).as("__s"))
+    val scale = greatest(col("__s.am"), lit(1e-12)) / 127.0
+    folded.select(
+      col(idCol),
+      scale.as("scale"),
+      transform(col("__s.v"),
+        x => floor(x.cast("double") / scale + 0.5).cast("int")).as("qvec"))
+  }
+
   /** LSH-bucketed ANN: equi-join on bucket, then exact cosine within
     * bucket, window top-k. Trades recall for a shuffle-on-key plan that
     * scales linearly with corpus size. `dim` is REQUIRED (no default): it

@@ -88,6 +88,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(both.getLong(0) == both.getLong(1))
   }
 
+  test("quantizeInt8: components in [-127,127], dequant error <= scale/2, recall kept") {
+    val rnd = new scala.util.Random(3)
+    val data = (0 until 60).map { i =>
+      val base = if (i < 30) Seq(5.0, 0.0, 0.0, 0.0) else Seq(0.0, 5.0, 0.0, 0.0)
+      (i.toLong, base.map(_ + rnd.nextGaussian() * 0.3))
+    }.toDF("vec_id", "v")
+    val q = Similarity.quantizeInt8(data, "vec_id", "v").cache()
+    try {
+      val rows = q.join(data, "vec_id").collect()
+      rows.foreach { r =>
+        val scale = r.getAs[Double]("scale")
+        val qv = r.getSeq[Int](r.fieldIndex("qvec"))
+        val v = r.getSeq[Double](r.fieldIndex("v"))
+        assert(qv.forall(x => x >= -127 && x <= 127))
+        // max-magnitude component must use the full int8 range
+        assert(qv.map(math.abs).max == 127)
+        v.zip(qv).foreach { case (x, qi) =>
+          assert(math.abs(x - qi * scale) <= scale / 2 + 1e-12,
+            s"dequant error beyond scale/2: x=$x q=$qi scale=$scale")
+        }
+      }
+      // cosine top-1 on DEQUANTIZED vectors matches full precision (the
+      // clusters are far apart relative to the quantization noise)
+      val deq = q.select(col("vec_id"),
+        transform(col("qvec"), x => x * col("scale")).as("v"))
+      val q0full = data.filter($"vec_id" === 0L).select($"vec_id".as("qid"), $"v".as("qv"))
+      val q0deq = deq.filter($"vec_id" === 0L).select($"vec_id".as("qid"), $"v".as("qv"))
+      val bfFull = Similarity.knnBruteForce(q0full, data, "qid", "vec_id", "qv", "v", 1)
+        .select("neighbor_id").as[Long].head()
+      val bfDeq = Similarity.knnBruteForce(q0deq, deq, "qid", "vec_id", "qv", "v", 1)
+        .select("neighbor_id").as[Long].head()
+      assert(bfFull == bfDeq, s"quantization changed top-1: full=$bfFull deq=$bfDeq")
+    } finally { q.unpersist(); () }
+  }
+
   test("lshBucket: identical vectors share buckets, opposite vectors differ") {
     val b = vecs.select($"vec_id", Similarity.lshBucket($"v", 8, 3).as("b"))
       .orderBy("vec_id").as[(Long, Long)].collect().map(_._2)
