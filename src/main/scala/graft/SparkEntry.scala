@@ -1274,6 +1274,23 @@ object SparkEntry {
       |  ROUND(sc, 6) + 0.0 AS scale
       |FROM (SELECT vec_id, sc, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM m)""".stripMargin
 
+  /** Intra-document repetition removal (`TextAnalysis.dedupSegments`):
+    * C4-style sentence dedup — first occurrence of each distinct
+    * '. '-separated segment survives, original order kept. Oracle:
+    * the same min(pos)-per-segment + ordered string_agg relational
+    * spelling.
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dedupSegments(t(s, dir, "documents"), "text", "doc_id", ". ")
+
+  private val q74Sql =
+    """WITH l AS (SELECT doc_id, unnest(string_split(text, '. ')) AS seg,
+      |    generate_subscripts(string_split(text, '. '), 1) AS pos
+      |  FROM documents),
+      |f AS (SELECT doc_id, seg, MIN(pos) AS pos FROM l GROUP BY doc_id, seg)
+      |SELECT doc_id, string_agg(seg, '. ' ORDER BY pos) AS text_deduped
+      |FROM f GROUP BY doc_id""".stripMargin
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -1746,6 +1763,7 @@ object SparkEntry {
     "q71_doc_chunking" -> (q71 _),
     "q72_sequence_packing" -> (q72 _),
     "q73_quantize_int8" -> (q73 _),
+    "q74_segment_dedup" -> (q74 _),
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
     "q66_image_features" -> (q66 _),
@@ -1820,6 +1838,7 @@ object SparkEntry {
     "q71_doc_chunking" -> q71Sql,
     "q72_sequence_packing" -> q72Sql,
     "q73_quantize_int8" -> q73Sql,
+    "q74_segment_dedup" -> q74Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }

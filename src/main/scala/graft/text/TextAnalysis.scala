@@ -148,6 +148,30 @@ object TextAnalysis {
   def fingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
 
+  /** Intra-document repetition removal (the C4-style line/sentence dedup
+    * filter): split on `sep`, keep each distinct segment's FIRST
+    * occurrence, reassemble in original order. Boilerplate and scraped
+    * repetition collapse; unique content is untouched.
+    *
+    * Spelled relationally (posexplode → min(pos) per distinct segment →
+    * ordered reassembly) rather than `array_distinct` so the
+    * order-preservation contract is explicit and engine-agnostic
+    * (DuckDB's `list_distinct` does not guarantee order — the oracle
+    * re-derives this exact spelling). Two aggregations, both partial
+    * (map-side combine); the shuffle key is (doc, segment) then doc.
+    */
+  def dedupSegments(df: DataFrame, textCol: String, idCol: String,
+      sep: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "seg")))
+    lines.groupBy(col(idCol), col("seg")).agg(min(col("pos")).as("pos"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg")), sep).as("text_deduped"))
+  }
+
   /** Sliding-window document chunking for training pipelines: split each
     * document into token windows of `chunkSize` starting every `stride`
     * tokens (overlap = chunkSize − stride; the trailing chunk may be

@@ -112,6 +112,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(packed == Seq(("A", 0L), ("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L)))
   }
 
+  test("dedupSegments: first occurrence survives, order preserved, unique text untouched") {
+    val docs = Seq(
+      (1L, "buy now. great product. buy now. call today. great product"),
+      (2L, "alpha. beta. gamma"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSegments(docs, "text", "doc_id", ". ")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "buy now. great product. call today"),
+      (2L, "alpha. beta. gamma"))) // null doc emits no row, like the oracle
+  }
+
   test("quality score in [0,1], higher for natural text") {
     val good = Seq("the cat is on the mat and it is a good day for all of us").toDF("text")
     val bad = Seq("!!! ??? ... ;;; ::: !!!").toDF("text")
