@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to LoggedOutput, which prefixes every line
+// with "[info] " — that prefix (plus tail truncation) is why the driver
+// recorded parsed:null for the Bench JSON line three rounds running.
+// StdoutOutput passes the child's stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -46,6 +46,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // drop persisted memo handles before shutdown — a long-lived harness
+    // JVM (multi-round driver) must not retain them
+    graft.dedup.Dedup.clearCaches()
+    graft.similarity.Similarity.clearCaches()
+    SparkEntry.clearTradesCache()
     spark.stop()
   }
 }

@@ -343,7 +343,13 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       val sig = signature(next)
-      converged = sig == prev
+      // The (count, hash-sum) signature is probabilistic — a collision
+      // between consecutive non-identical edge sets would let malformed
+      // labels escape the require below. Confirm with one exact
+      // set-compare; it runs only on the candidate final round, and both
+      // frames are localCheckpoint'ed so the lineages are disjoint.
+      converged = sig == prev &&
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       prev = sig
       edges = next
       iter += 1

@@ -54,10 +54,16 @@ case class LshBucket(left: Expression, right: Expression)
     val ad = right.eval(null).asInstanceOf[ArrayData]
     require(ad != null && ad.numElements() > 0 && ad.numElements() <= 64,
       "lsh_bucket: 1..64 non-null planes required")
-    Array.tabulate(ad.numElements()) { p =>
+    val ps = Array.tabulate(ad.numElements()) { p =>
       val row = ad.getArray(p)
+      require(row != null, s"lsh_bucket: plane $p is null")
       Array.tabulate(row.numElements())(row.getDouble)
     }
+    // nullSafeEval indexes every plane by planes(0).length — a ragged
+    // literal would read past a shorter inner array
+    require(ps.forall(_.length == ps(0).length),
+      s"lsh_bucket: ragged planes (lengths ${ps.map(_.length).distinct.mkString(",")})")
+    ps
   }
 
   @transient private lazy val isFloat =

@@ -123,7 +123,9 @@ object TDigest {
   /** Grouped t-digest quantiles with the same output shape/labels as
     * `Quantiles.groupedApprox` (p50, p99_5, …). NULL values are dropped
     * first — the typed Double input would coerce them to 0.0 and skew the
-    * sketch silently.
+    * sketch silently — but groups whose values are ALL NULL still appear
+    * (with NULL quantiles), matching `groupedApprox`'s contract: the
+    * value filter must not make whole groups vanish.
     */
   def grouped(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[Double], compression: Double = 100.0): DataFrame = {
@@ -134,8 +136,14 @@ object TDigest {
     val withArr = df.filter(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(digest(col(valueCol)).as("__qs"))
-    ps.zipWithIndex.foldLeft(withArr) { case (d, (p, i)) =>
+    val quantiled = ps.zipWithIndex.foldLeft(withArr) { case (d, (p, i)) =>
       d.withColumn(Quantiles.label(p), element_at(col("__qs"), i + 1))
     }.drop("__qs")
+    // null-safe (<=>) re-join against the unfiltered group set: plain
+    // `join(using)` equality would also drop groups keyed by NULL
+    val groups = df.select(groupCols.map(col): _*).distinct()
+    val cond = groupCols.map(c => groups(c) <=> quantiled(c)).reduce(_ && _)
+    groups.join(quantiled, cond, "left")
+      .select(groupCols.map(groups(_)) ++ labels.map(quantiled(_)): _*)
   }
 }

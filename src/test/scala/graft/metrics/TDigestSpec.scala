@@ -65,4 +65,18 @@ class TDigestSpec extends AnyFunSuite {
     val out = TDigest.grouped(const, Seq("g"), "v", Seq(0.5, 0.99)).collect().head
     assert(out.getDouble(1) == 7.0 && out.getDouble(2) == 7.0)
   }
+
+  test("all-NULL group survives with NULL quantiles (groupedApprox contract)") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val out = TDigest.grouped(df, Seq("g"), "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out.keySet == Set("a", "b"), "group of only NULL values must not vanish")
+    assert(out("b").isEmpty, "all-NULL group reports NULL quantiles")
+    assert(out("a").contains(2.0))
+    // identical shape from the approx face on the same frame
+    val approx = Quantiles.groupedApprox(df, Seq("g"), "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(approx.keySet == out.keySet && approx("b").isEmpty)
+  }
 }
