@@ -1291,6 +1291,158 @@ object SparkEntry {
       |SELECT doc_id, string_agg(seg, '. ' ORDER BY pos) AS text_deduped
       |FROM f GROUP BY doc_id""".stripMargin
 
+  /** Benchmark decontamination (`Dedup.decontaminate`): docs with
+    * doc_id % 10 == 0 play the benchmark; training docs sharing any
+    * word 8-gram with them are dropped (the GPT-3/PaLM overlap rule).
+    * Both joins broadcast the small side — the training scan never
+    * shuffles.
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", 8)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  private val q75Sql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(t) >= 8
+      |         THEN list_transform(range(0, len(t) - 7), i -> array_to_string(t[i+1:i+8], ' '))
+      |         ELSE [array_to_string(t, ' ')] END AS sh
+      |  FROM tok),
+      |b AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 10 <> 0),
+      |cont AS (SELECT DISTINCT tr.doc_id FROM tr JOIN b USING (g))
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
+
+  /** TF-IDF top-3 terms per document (`TextAnalysis.tfidfTopTerms`):
+    * tf · ln(N/df), rank by (rounded score desc, term) — corpus
+    * statistics as two partial aggregations plus a broadcast N.
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id", 3)
+
+  private val q76Sql =
+    """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |sc AS (SELECT doc_id, term, tf,
+      |         ROUND(tf * ln(CAST(n AS DOUBLE) / df), 6) + 0.0 AS score
+      |       FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+      |         PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+      |      FROM sc)
+      |SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3""".stripMargin
+
+  /** Winnowing fingerprints (`TextAnalysis.winnowFingerprints`,
+    * Schleimer et al. SIGMOD'03): k=3 word-gram md5-prefix hashes,
+    * window w=4 minima, distinct — the plagiarism/overlap sketch with a
+    * shared-fingerprint guarantee for any shared 6-token run.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "doc_id", 3, 4)
+
+  private val q77Sql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shl AS (SELECT doc_id,
+      |    CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(0, len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |         ELSE [array_to_string(t, ' ')] END AS sh
+      |  FROM tok),
+      |pe AS (SELECT doc_id, unnest(sh) AS g, generate_subscripts(sh, 1) AS pos FROM shl),
+      |h AS (SELECT doc_id, pos,
+      |        CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT AS BIGINT) AS hv
+      |      FROM pe),
+      |sel AS (SELECT doc_id, pos,
+      |          MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+      |          COUNT(*) OVER (PARTITION BY doc_id) AS n
+      |        FROM h)
+      |SELECT DISTINCT doc_id, fp FROM sel WHERE pos >= LEAST(4, n)""".stripMargin
+
+  /** Gopher repetition signals (`TextAnalysis.repetitionStats`, Rae et
+    * al. 2021): duplicate-segment fraction + top-bigram fraction +
+    * keep verdict at the paper's 0.30/0.20 caps.
+    */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", "doc_id")
+
+  private val q78Sql =
+    """WITH segs AS (SELECT doc_id, string_split(text, '. ') AS s FROM documents),
+      |seg AS (SELECT doc_id,
+      |    ROUND(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 6) + 0.0 AS dup_seg_frac
+      |  FROM segs),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id,
+      |    CASE WHEN len(t) >= 2
+      |         THEN list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      |         ELSE [array_to_string(t, ' ')] END AS b
+      |  FROM tok),
+      |bc AS (SELECT doc_id, g, COUNT(*) AS c
+      |       FROM (SELECT doc_id, unnest(b) AS g FROM bg) GROUP BY 1, 2),
+      |top AS (SELECT doc_id,
+      |    ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) + 0.0 AS top_bigram_frac
+      |  FROM bc GROUP BY 1)
+      |SELECT doc_id, dup_seg_frac, top_bigram_frac,
+      |  (dup_seg_frac <= CAST(0.3 AS DOUBLE) AND
+      |   top_bigram_frac <= CAST(0.2 AS DOUBLE)) AS keep
+      |FROM seg JOIN top USING (doc_id)""".stripMargin
+
+  /** Deterministic mixture resampling (`TextAnalysis.resampleMixture`):
+    * rebalance the corpus toward equal language shares; acceptance is a
+    * pure md5-bucket function of doc_id, so the sample is stable across
+    * engines and partitionings.
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.resampleMixture(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.2, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2))
+      .select(col("doc_id"), col("lang"))
+
+  private val q79Sql =
+    """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS total FROM documents),
+      |th AS (SELECT lang,
+      |    CAST(FLOOR(LEAST(1.0,
+      |      CAST(0.2 AS DOUBLE) * CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE))
+      |      * 10000) AS BIGINT) AS thresh
+      |  FROM c CROSS JOIN t)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
+      |      < thresh""".stripMargin
+
+  /** PII scrubbing (`TextAnalysis.redactPii`): deterministic synthetic
+    * contact lines appended per doc (the test corpus carries no PII),
+    * then email + long-digit-run redaction with per-class counts —
+    * map-only regexp work.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example.com ref 99887712345"))
+    val (ne, nn) = TextAnalysis.piiCounts(aug)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.redactPii(aug).as("redacted"),
+      ne.as("n_emails"), nn.as("n_nums"))
+  }
+
+  private val q80Sql = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]{6,}"
+    s"""WITH aug AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ref 99887712345' AS a
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(a, '$email', '<EMAIL>', 'g'), '$num', '<NUM>', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(a, '$email')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(regexp_replace(a, '$email', '<EMAIL>', 'g'), '$num')) AS INT) AS n_nums
+       |FROM aug""".stripMargin
+  }
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -1764,6 +1916,12 @@ object SparkEntry {
     "q72_sequence_packing" -> (q72 _),
     "q73_quantize_int8" -> (q73 _),
     "q74_segment_dedup" -> (q74 _),
+    "q75_decontaminate" -> (q75 _),
+    "q76_tfidf" -> (q76 _),
+    "q77_winnow_fingerprints" -> (q77 _),
+    "q78_repetition_filter" -> (q78 _),
+    "q79_mixture_resample" -> (q79 _),
+    "q80_pii_redaction" -> (q80 _),
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
     "q66_image_features" -> (q66 _),
@@ -1839,6 +1997,12 @@ object SparkEntry {
     "q72_sequence_packing" -> q72Sql,
     "q73_quantize_int8" -> q73Sql,
     "q74_segment_dedup" -> q74Sql,
+    "q75_decontaminate" -> q75Sql,
+    "q76_tfidf" -> q76Sql,
+    "q77_winnow_fingerprints" -> q77Sql,
+    "q78_repetition_filter" -> q78Sql,
+    "q79_mixture_resample" -> q79Sql,
+    "q80_pii_redaction" -> q80Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }

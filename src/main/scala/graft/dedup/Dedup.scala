@@ -373,6 +373,29 @@ object Dedup {
     * shingle sets into named columns first and compute Jaccard from the
     * bound attributes, exactly as [[nearDedup]] does with `__shd`.
     */
+  /** Benchmark decontamination: drop every training document sharing at
+    * least one word n-gram with the benchmark corpus — the GPT-3/PaLM
+    * n-gram-overlap rule (13-grams there; `n` is the knob). The
+    * benchmark side is tiny next to the training corpus, so its
+    * distinct n-gram set broadcasts, the overlap probe is a map-side
+    * BroadcastHashJoin, and the final anti-join broadcasts the (even
+    * smaller) contaminated-id set — the 100 TB training scan is never
+    * shuffled. At extreme benchmark sizes, swap the broadcast gram set
+    * for a bloom filter built over it; the join shape is unchanged.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("__g"))
+      .distinct()
+    val contaminated = train
+      .select(col(idCol), explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("__g"))
+      .join(broadcast(benchGrams), "__g")
+      .select(col(idCol))
+      .distinct()
+    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   def ngramJaccard(textA: Column, textB: Column, n: Int): Column = {
     val a = array_distinct(TextAnalysis.shingles(textA, n))
     val b = array_distinct(TextAnalysis.shingles(textB, n))

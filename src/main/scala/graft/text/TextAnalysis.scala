@@ -213,6 +213,136 @@ object TextAnalysis {
       .drop("__cum_before")
   }
 
+  /** TF-IDF top-k terms per document: score(term, doc) =
+    * count(term in doc) · ln(N / df(term)), ties broken by term. The
+    * classic corpus-statistics join: per-(doc, term) counts and
+    * per-term document frequencies are both partial aggregations
+    * (map-side combine) on compact keys, N rides in on a broadcast of a
+    * one-row aggregate — no driver collect, no skew risk beyond the
+    * term key itself (stopword-heavy terms have high df, low idf, and
+    * rarely survive the top-k anyway).
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = df.agg(countDistinct(col(idCol)).as("__n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03 — the MOSS local fingerprinting scheme): hash every
+    * word k-gram, slide a window of `w` consecutive hashes, keep each
+    * window's minimum; the distinct kept hashes are the document's
+    * sketch. Guarantees a shared fingerprint for any shared run of
+    * w+k−1 tokens, with sketch size ~2/(w+1) of the k-gram count.
+    *
+    * The hash is the engine-agnostic md5-prefix integer
+    * ([[graft.ml.Splits.hashBucket]]'s spelling) so two engines agree
+    * bit-for-bit. Documents shorter than w+k−1 tokens still emit ≥1
+    * fingerprint (the min over what exists). Plan shape: one Generate
+    * (posexplode) then ONE ordered window per document — map-side except
+    * the doc_id shuffle, no join.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val grams = df.select(col(idCol),
+      posexplode(shingles(col(textCol), k)).as(Seq("pos", "g")))
+    val slide = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val whole = Window.partitionBy(col(idCol))
+    grams
+      .withColumn("hv",
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"))
+      .withColumn("fp", min(col("hv")).over(slide))
+      .withColumn("__n", count(lit(1)).over(whole))
+      // first w−1 windows are partial duplicates of window w−1; keep them
+      // only when the doc has fewer than w k-grams (then the last partial
+      // window IS the full-document min)
+      .filter(col("pos") >= least(lit(w - 1), col("__n") - 1))
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+
+  /** Gopher-style intra-document repetition signals: the fraction of
+    * `sep`-separated segments that are duplicates, the fraction of all
+    * word bigrams taken by the single most frequent bigram, and the
+    * keep/drop verdict at the given thresholds (Rae et al. 2021 use
+    * 0.30 duplicate-line and 0.20 top-bigram caps). Segment stats are
+    * pure map-side array ops; the bigram mode needs a real
+    * (doc, bigram) aggregation — a per-doc HOF count would be O(len²)
+    * per document, which is wrong for megabyte documents.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+      sep: String = ". ", dupSegMax: Double = 0.30,
+      topBigramMax: Double = 0.20): DataFrame = {
+    val segs = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val segStats = df.select(col(idCol),
+      round(lit(1.0) - size(array_distinct(segs)).cast("double") / size(segs), 6)
+        .as("dup_seg_frac"))
+    val bi = df.select(col(idCol), explode(shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_bigram_frac"))
+    segStats.join(bi, idCol)
+      .withColumn("keep",
+        col("dup_seg_frac") <= dupSegMax && col("top_bigram_frac") <= topBigramMax)
+  }
+
+  /** Deterministic mixture resampling: downsample each group toward the
+    * target corpus shares (language/domain balancing). Acceptance is a
+    * pure function of the row key (md5 bucket vs a per-group threshold),
+    * so the sample is stable across runs, engines, and partitionings —
+    * the property `sampleBy` lacks. A group under its target keeps
+    * everything (rate caps at 1; this resampler never upsamples).
+    * Groups absent from `shares` are dropped. Plan shape: one count
+    * aggregation, thresholds broadcast back, map-side filter.
+    */
+  def resampleMixture(df: DataFrame, groupCol: String, idCol: String,
+      shares: Map[String, Double], resolution: Int = 10000): DataFrame = {
+    require(shares.values.forall(s => s >= 0 && s <= 1), "shares must be in [0,1]")
+    require(resolution > 0, "resolution must be positive")
+    val shareExpr = shares.foldLeft(lit(0.0)) { case (acc, (g, s)) =>
+      when(col(groupCol) === g, s).otherwise(acc)
+    }
+    val thresholds = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__total"))))
+      .withColumn("__thresh",
+        floor(least(lit(1.0), shareExpr * col("__total") / col("__cnt"))
+          * resolution).cast("long"))
+      .select(col(groupCol), col("__thresh"))
+    df.join(broadcast(thresholds), groupCol)
+      .filter(graft.ml.Splits.hashBucket(col(idCol), resolution) < col("__thresh"))
+      .drop("__thresh")
+  }
+
+  /** PII scrubbing: replace emails then long digit runs with typed
+    * placeholders, and count each. Plain regexp_replace — codegen'd,
+    * map-only, the shape of every production scrubbing pass (the regex
+    * list is the policy knob; these two are the engine-portable core —
+    * RE2 and java.util.regex agree on this character-class subset).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberRe = "[0-9]{6,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), LongNumberRe, "<NUM>")
+
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(EmailRe)),
+      regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit(LongNumberRe)))
+
   def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
