@@ -1443,6 +1443,28 @@ object SparkEntry {
        |FROM aug""".stripMargin
   }
 
+  /** Unigram-LM cross-entropy quality scoring
+    * (`TextAnalysis.unigramLm` + `perplexityScore`, the CCNet signal):
+    * fit MLE log-probs on the corpus, score each doc by mean negative
+    * log-likelihood. Exact DECIMAL sum ⇒ order-independent.
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.perplexityScore(docs, "text", "doc_id",
+      TextAnalysis.unigramLm(docs, "text"))
+  }
+
+  private val q81Sql =
+    """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |cnt AS (SELECT term, COUNT(*) AS c FROM terms GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS total FROM terms),
+      |lm AS (SELECT term, ROUND(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS logp
+      |       FROM cnt CROSS JOIN tot),
+      |j AS (SELECT doc_id, logp FROM terms JOIN lm USING (term))
+      |SELECT doc_id, COUNT(*) AS n_tok,
+      |  ROUND(-CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS xent
+      |FROM j GROUP BY 1""".stripMargin
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -1922,6 +1944,7 @@ object SparkEntry {
     "q78_repetition_filter" -> (q78 _),
     "q79_mixture_resample" -> (q79 _),
     "q80_pii_redaction" -> (q80 _),
+    "q81_unigram_xent" -> (q81 _),
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
     "q66_image_features" -> (q66 _),
@@ -2003,6 +2026,7 @@ object SparkEntry {
     "q78_repetition_filter" -> q78Sql,
     "q79_mixture_resample" -> q79Sql,
     "q80_pii_redaction" -> q80Sql,
+    "q81_unigram_xent" -> q81Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }

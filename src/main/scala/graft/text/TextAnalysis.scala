@@ -327,6 +327,37 @@ object TextAnalysis {
       .drop("__thresh")
   }
 
+  /** Unigram language model over the corpus: (term, logp) with MLE
+    * probabilities, logp rounded to 6 dp so two engines agree bit-for-bit.
+    * One partial aggregation over the token stream plus a broadcast
+    * one-row total.
+    */
+  def unigramLm(df: DataFrame, textCol: String): DataFrame = {
+    val terms = df.select(explode(tokens(col(textCol))).as("term"))
+    terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(terms.agg(count(lit(1)).as("__total"))))
+      .select(col("term"), round(log(col("c") / col("__total")), 6).as("logp"))
+  }
+
+  /** CCNet-style per-document cross-entropy under a unigram LM:
+    * xent(doc) = −(1/n)·Σ logp(tok). Low = in-domain fluent text, high =
+    * noise — the standard model-based quality signal, here with the LM
+    * as a DataFrame so it can be fit on a clean reference corpus and
+    * applied to a raw one. Tokens absent from the LM are dropped (score
+    * over known mass); the Σ goes through an exact DECIMAL sum so the
+    * result is independent of row order and partitioning. The LM
+    * broadcasts (a unigram vocab is small even for a 100 TB corpus —
+    * swap to a shuffle join only past ~100M terms).
+    */
+  def perplexityScore(df: DataFrame, textCol: String, idCol: String,
+      lm: DataFrame): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(lm), "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(-sum(col("logp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 6).as("xent"))
+
   /** PII scrubbing: replace emails then long digit runs with typed
     * placeholders, and count each. Plain regexp_replace — codegen'd,
     * map-only, the shape of every production scrubbing pass (the regex

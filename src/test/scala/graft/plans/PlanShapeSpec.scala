@@ -67,6 +67,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
   }
 
+  test("decontaminate never shuffles the training side (both joins broadcast)") {
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val df = graft.dedup.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", 8)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"gram probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"training scan must not sort-merge:\n$p")
+    // the contaminated-id anti join is the broadcast kind too
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(p).nonEmpty,
+      s"anti join must broadcast:\n$p")
+  }
+
+  test("winnowFingerprints: one doc-key exchange, one Generate") {
+    val df = graft.text.TextAnalysis.winnowFingerprints(
+      graft.io.Sources.table(spark, sf, "documents"), "text", "doc_id", 3, 4)
+    val p = plan(df)
+    // doc_id hash exchange feeds the window; the final distinct reuses it
+    // (distinct keys start with doc_id) — AQE may add one more for the
+    // distinct but never a third
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"too many shuffles:\n$p")
+    assert("Generate".r.findAllIn(p).size == 1, s"expected one Generate:\n$p")
+  }
+
+  test("resampleMixture filters map-side behind a broadcast threshold join") {
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val df = graft.text.TextAnalysis.resampleMixture(
+      docs, "lang", "doc_id", Map("en" -> 0.5, "fr" -> 0.5))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus scan must not sort-merge:\n$p")
+  }
+
   test("native single-pass kernels appear once per row in the plan") {
     val docs = graft.io.Sources.table(spark, sf, "documents")
     val p = plan(docs.select(

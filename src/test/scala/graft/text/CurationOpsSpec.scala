@@ -106,6 +106,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2) == ("no pii here", 0, 0))
   }
 
+  test("unigram perplexity: common text scores lower than rare text; unseen tokens drop") {
+    val docs = Seq(
+      (1L, "a a a a"),   // all high-prob tokens
+      (2L, "a a b z")).toDF("doc_id", "text") // rarer tokens
+    val lm = TextAnalysis.unigramLm(docs, "text")
+    // MLE: p(a)=6/8, p(b)=p(z)=1/8; logp rounded to 6dp
+    val probs = lm.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(probs("a") - BigDecimal(math.log(6.0 / 8)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    val out = TextAnalysis.perplexityScore(docs, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 4 && out(2L)._1 == 4)
+    assert(out(1L)._2 < out(2L)._2, "fluent (high-prob) doc must score lower xent")
+    // scoring a doc against an LM missing its tokens: unseen mass dropped
+    val other = Seq((9L, "q q a")).toDF("doc_id", "text")
+    val o = TextAnalysis.perplexityScore(other, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o(9L) == 1, "only LM-known tokens are scored")
+  }
+
   test("decontaminate: shared n-gram drops the training doc, near-miss survives") {
     val bench = Seq((100L, "p q r s t u v w"), (101L, "x y")).toDF("doc_id", "text")
     val train = Seq(
