@@ -1465,6 +1465,117 @@ object SparkEntry {
       |  ROUND(-CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS xent
       |FROM j GROUP BY 1""".stripMargin
 
+  /** Skew-safe salted join (`SkewJoin.saltedInner`): revenue by order
+    * priority through a fact⋈dim join whose fact side is salted across 8
+    * reducers — result provably identical to the plain equi-join (the
+    * oracle IS the plain join), the salting buys hot-key spread at scale.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"),
+        col("l_extendedprice"), col("l_discount"))
+    val dim = t(s, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.joins.SkewJoin.saltedInner(fact, dim, Seq("okey"), salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q82Sql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Bucketed range join (`RangeJoin.pointInInterval`): shipments
+    * falling inside 1–7-day order-date windows, as an EQUI-join on
+    * 4-day buckets + residual filter instead of the nested-loop plan
+    * the naive non-equi predicate would get. Oracle is that naive
+    * predicate — same rows by construction.
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val ivs = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), epoch).cast("long").as("d_start"))
+      .withColumn("d_end", col("d_start") + lit(1) + col("o_orderkey") % 7)
+    val pts = t(s, dir, "lineitem")
+      .select(col("l_quantity"),
+        datediff(to_date(col("l_shipdate")), epoch).cast("long").as("d_ship"))
+    graft.joins.RangeJoin.pointInInterval(pts, ivs, "d_ship", "d_start", "d_end",
+        bucketWidth = 4L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_ship"), dsum(col("l_quantity")).as("qty"))
+  }
+
+  private val q83Sql =
+    """WITH ivs AS (SELECT o_orderkey,
+      |    DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d_start,
+      |    DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 1 + o_orderkey % 7 AS d_end
+      |  FROM orders WHERE o_orderkey % 50 = 0),
+      |pts AS (SELECT l_quantity,
+      |    DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d_ship
+      |  FROM lineitem)
+      |SELECT o_orderkey, COUNT(*) AS n_ship,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      |FROM pts JOIN ivs ON d_ship >= d_start AND d_ship < d_end
+      |GROUP BY o_orderkey""".stripMargin
+
+  /** Exact heavy hitters by sketch-prune-verify
+    * (`Sketches.heavyHitters`, Misra–Gries k=64): account keys fold
+    * users with `user_id % 10 < 7` onto 7 hot sentinel ids (the
+    * default-account pathology), then find keys holding ≥ 1/20 of all
+    * events — pass 1 ships O(k) sketch buffers instead of the full key
+    * space, pass 2 exact-counts only the ≤64 candidates behind a
+    * pushable isin filter. Result equals GROUP BY/HAVING exactly.
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "events").select(
+      when(col("user_id") % 10 < 7, col("user_id") % 10)
+        .otherwise(col("user_id")).cast("long").as("account"))
+    graft.metrics.Sketches.heavyHitters(keyed, "account", k = 64, denom = 20L)
+  }
+
+  private val q84Sql =
+    """WITH keyed AS (SELECT CASE WHEN user_id % 10 < 7 THEN user_id % 10
+      |    ELSE user_id END AS account FROM events),
+      |n AS (SELECT COUNT(*) AS n FROM keyed)
+      |SELECT account, COUNT(*) AS cnt FROM keyed CROSS JOIN n
+      |GROUP BY account, n HAVING COUNT(*) * 20 >= n""".stripMargin
+
+  /** Bloom-prefiltered decontamination (`Dedup.decontaminateBloom`):
+    * same contract as q75 but the training gram stream first passes a
+    * broadcast Bloom filter built by a merging Aggregator; the exact
+    * verify join kills every false positive, so the oracle is the same
+    * plain overlap SQL (6-grams here). The 100 TB shape: the filter is
+    * numBits/8 bytes regardless of benchmark size.
+    */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", 6, numBits = 1 << 20, numHashes = 5)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  private val q85Sql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(t) >= 6
+      |         THEN list_transform(range(0, len(t) - 5), i -> array_to_string(t[i+1:i+6], ' '))
+      |         ELSE [array_to_string(t, ' ')] END AS sh
+      |  FROM tok),
+      |b AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 10 <> 0),
+      |cont AS (SELECT DISTINCT tr.doc_id FROM tr JOIN b USING (g))
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -1945,6 +2056,10 @@ object SparkEntry {
     "q79_mixture_resample" -> (q79 _),
     "q80_pii_redaction" -> (q80 _),
     "q81_unigram_xent" -> (q81 _),
+    "q82_salted_join" -> (q82 _),
+    "q83_range_join" -> (q83 _),
+    "q84_heavy_hitters" -> (q84 _),
+    "q85_bloom_decontaminate" -> (q85 _),
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
     "q66_image_features" -> (q66 _),
@@ -2027,6 +2142,10 @@ object SparkEntry {
     "q79_mixture_resample" -> q79Sql,
     "q80_pii_redaction" -> q80Sql,
     "q81_unigram_xent" -> q81Sql,
+    "q82_salted_join" -> q82Sql,
+    "q83_range_join" -> q83Sql,
+    "q84_heavy_hitters" -> q84Sql,
+    "q85_bloom_decontaminate" -> q85Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }

@@ -396,6 +396,45 @@ object Dedup {
     train.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Bloom-prefiltered decontamination — the scale path `decontaminate`'s
+    * doc promises: identical OUTPUT (the exact verify join removes every
+    * bloom false positive), but the training-side gram stream is first
+    * cut down by a broadcast bit array of `numBits` bits instead of
+    * hash-joining every gram against the full benchmark set. At 100 TB
+    * the filter kills ≥99.9% of the gram stream (sized ≥20 bits/gram)
+    * before the only shuffle-free join the plan contains; the benchmark
+    * side is scanned once to build the filter and once for the verify
+    * set, both tiny by the decontamination contract.
+    */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int,
+      numBits: Int = 1 << 22, numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomAgg
+    val spark = train.sparkSession
+    import spark.implicits._
+    val benchGrams = benchmark
+      .select(explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("__g"))
+      .distinct()
+    // single-row fit-statistic pull: the finished filter is numBits/8
+    // bytes regardless of benchmark size, then an executor broadcast
+    val agg = new BloomAgg.BloomFilterAgg(numBits, numHashes)
+    val bits = benchGrams.select(xxhash64(col("__g"))).as[Long]
+      .select(agg.toColumn).head()
+    val bcBits = spark.sparkContext.broadcast(bits)
+    // the probe has no builtin expression form — a UDF over the
+    // broadcast words is the documented exception (same as IVF cells)
+    val mightContain = udf { h: Long =>
+      BloomAgg.mightContain(bcBits.value, numHashes, h)
+    }
+    val contaminated = train
+      .select(col(idCol), explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("__g"))
+      .filter(mightContain(xxhash64(col("__g"))))
+      .join(broadcast(benchGrams), "__g") // exact verify: FPs die here
+      .select(col(idCol))
+      .distinct()
+    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   def ngramJaccard(textA: Column, textB: Column, n: Int): Column = {
     val a = array_distinct(TextAnalysis.shingles(textA, n))
     val b = array_distinct(TextAnalysis.shingles(textB, n))

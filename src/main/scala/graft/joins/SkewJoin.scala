@@ -1,0 +1,44 @@
+package graft.joins
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed build keys (SURVEY §2.7 scale note).
+  *
+  * A plain shuffle join sends every row of a hot key to ONE reducer; at
+  * 100 TB a single hot key (the empty-text digest, a default user id, a
+  * null-ish sentinel) turns one task into the job's critical path. AQE's
+  * skew-join split handles sort-merge inputs it can observe, but not
+  * skew introduced AFTER the last shuffle (exploded arrays, shingle
+  * joins) and not hash aggregation — salting is the portable fix.
+  *
+  * Mechanics: the large side's rows get a deterministic salt in
+  * [0, salts); the small side is replicated once per salt value; the
+  * join key becomes (key, salt), spreading each hot key across `salts`
+  * reducers. The result set is EXACTLY the plain join's: every left row
+  * holds one salt value and the right side matches all of them.
+  *
+  * The salt is `xxhash64(all left columns) mod salts` — deterministic
+  * under task retry and AQE re-planning (a `rand()` salt is also correct
+  * but makes retried tasks produce different intermediate partitions,
+  * defeating shuffle-block reuse).
+  */
+object SkewJoin {
+
+  /** Inner equi-join `left ⋈ right` on `keys`, with the left (large,
+    * skewed) side salted across `salts` reducers. Output columns match
+    * `left.join(right, keys)`: the key columns once, then the non-key
+    * columns of both sides.
+    */
+  def saltedInner(left: DataFrame, right: DataFrame, keys: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(keys.nonEmpty, "at least one join key required")
+    val leftCols = left.columns.map(col).toSeq
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(leftCols: _*), lit(salts.toLong)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+}
