@@ -346,10 +346,13 @@ object Dedup {
       // The (count, hash-sum) signature is probabilistic — a collision
       // between consecutive non-identical edge sets would let malformed
       // labels escape the require below. Confirm with one exact
-      // set-compare; it runs only on the candidate final round, and both
-      // frames are localCheckpoint'ed so the lineages are disjoint.
+      // symmetric-difference check on the candidate final round: both
+      // sets are distinct() outputs, so a (u,v) appearing ONCE in their
+      // union is in exactly one set. One aggregation job (the two
+      // exceptAll spelling costs two); lineages are checkpoint-disjoint.
       converged = sig == prev &&
-        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+        next.unionByName(edges).groupBy("u", "v").count()
+          .filter(col("count") === 1).isEmpty
       prev = sig
       edges = next
       iter += 1

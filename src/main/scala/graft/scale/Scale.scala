@@ -20,13 +20,8 @@ object Scale {
     * the cases AQE can't see — e.g. aggregations after the join keep the
     * skewed partitioning.)
     */
-  def saltedJoin(large: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
-    val salted = large.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
-    val replicated = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
-    salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
-  }
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame =
+    graft.joins.SkewJoin.saltedInner(large, small, Seq(key), buckets)
 
   /** Bucketed write for shuffle-free co-located joins on `key`: both
     * sides bucketed by the same key and count join without exchanging.

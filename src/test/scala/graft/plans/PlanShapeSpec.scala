@@ -111,4 +111,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("quality_score".r.findAllIn(p).size == 1, s"quality_score cloned:\n$p")
     assert("lang_id_argmax".r.findAllIn(p).size == 1, s"lang_id_argmax cloned:\n$p")
   }
+
+  test("pointInInterval plans as an equi-join, never BroadcastNestedLoop") {
+    val pts = Seq((1L, 10L)).toDF("pid", "p")
+    val ivs = Seq((1L, 5L, 15L)).toDF("iid", "s", "e")
+    val p = plan(graft.joins.RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", 4L))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to nested loop:\n$p")
+    // the bucket key must be the join key of a hash-based join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi-join on the bucket:\n$p")
+  }
+
+  test("saltedInner keeps an equi-join on (keys, salt) with no nested loop") {
+    val l = Seq((1L, "a")).toDF("k", "lv")
+    val r = Seq((1L, "b")).toDF("k", "rv")
+    val p = plan(graft.joins.SkewJoin.saltedInner(l, r, Seq("k"), 8))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"salted join degenerated:\n$p")
+    assert(p.contains("__salt"), s"salt key missing from the join:\n$p")
+  }
+
+  test("heavyHitters verify pass pushes the candidate isin filter to parquet") {
+    val ev = graft.io.Sources.table(spark, sf, "events")
+      .select(col("user_id").as("account"))
+    val df = graft.metrics.Sketches.heavyHitters(ev, "account", 64, 20L)
+    val p = plan(df)
+    // the second scan must carry a pushed In() predicate — that is the
+    // whole point: row groups outside the candidate set never decompress
+    assert(p.contains("PushedFilters: [In(user_id"), s"isin not pushed:\n$p")
+  }
+
+  test("decontaminateBloom: training side broadcast-joined, never sort-merged") {
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val df = graft.dedup.Dedup.decontaminateBloom(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", 6, numBits = 1 << 16)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"verify join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"training scan must not sort-merge:\n$p")
+  }
 }
