@@ -1576,6 +1576,31 @@ object SparkEntry {
       |SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
 
+  /** Gopher quality rules (`TextAnalysis.gopherRules`): word-count /
+    * mean-word-length / stopword / alphabetic-fraction bounds from ONE
+    * native `gopher_stats` byte scan per document (the four-HOF spelling
+    * would re-tokenize per stat). Thresholds sized to split this corpus.
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(t(s, dir, "documents"), "text", "doc_id",
+      minWords = 20, maxWords = 400, minMeanLen = 3.0, maxMeanLen = 8.0,
+      minStopHits = 2, minAlphaFrac = 0.80)
+
+  private val q86Sql = {
+    val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id,
+       |   CAST(len(w) AS INT) AS n_words,
+       |   ROUND(list_sum(list_transform(w, x -> CAST(len(x) AS DOUBLE))) / len(w), 6) AS mean_word_len,
+       |   CAST(len(list_filter(w, x -> list_contains($sw, x))) AS INT) AS stop_hits,
+       |   ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w), 6) AS alpha_frac
+       | FROM t)
+       |SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_frac,
+       |  (n_words BETWEEN 20 AND 400 AND mean_word_len BETWEEN 3.0 AND 8.0
+       |   AND stop_hits >= 2 AND alpha_frac > 0.8) AS keep
+       |FROM s""".stripMargin
+  }
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -2060,6 +2085,7 @@ object SparkEntry {
     "q83_range_join" -> (q83 _),
     "q84_heavy_hitters" -> (q84 _),
     "q85_bloom_decontaminate" -> (q85 _),
+    "q86_gopher_rules" -> (q86 _),
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
     "q66_image_features" -> (q66 _),
@@ -2146,6 +2172,7 @@ object SparkEntry {
     "q83_range_join" -> q83Sql,
     "q84_heavy_hitters" -> q84Sql,
     "q85_bloom_decontaminate" -> q85Sql,
+    "q86_gopher_rules" -> q86Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }

@@ -300,6 +300,34 @@ object TextAnalysis {
         col("dup_seg_frac") <= dupSegMax && col("top_bigram_frac") <= topBigramMax)
   }
 
+  /** Gopher quality rules (Rae et al. 2021, table A1 subset): per-doc
+    * word count, mean word length, stopword hits, and alphabetic-word
+    * fraction, plus the keep/drop verdict at the given bounds. The four
+    * statistics come from ONE `gopher_stats` byte scan; the struct is
+    * expanded behind an `explode(array(…))` Generate barrier so
+    * CollapseProject cannot inline the scan once per projected field
+    * (the q63/q45 expression-duplication lesson). Fractions are rounded
+    * to 6 dp at the query edge for oracle exactness.
+    */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopHits: Int = 2, minAlphaFrac: Double = 0.80,
+      stopwords: Seq[String] = EnglishStopwords): DataFrame =
+    df.select(col(idCol), explode(array(graft.functions.GopherStatsExpr(
+        col(textCol), array(stopwords.map(lit): _*)))).as("__gs"))
+      .select(
+        col(idCol),
+        col("__gs.n_words").as("n_words"),
+        round(col("__gs.mean_word_len"), 6).as("mean_word_len"),
+        col("__gs.stop_hits").as("stop_hits"),
+        round(col("__gs.alpha_frac"), 6).as("alpha_frac"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("stop_hits") >= minStopHits &&
+          col("alpha_frac") > minAlphaFrac)
+
   /** Deterministic mixture resampling: downsample each group toward the
     * target corpus shares (language/domain balancing). Acceptance is a
     * pure function of the row key (md5 bucket vs a per-group threshold),

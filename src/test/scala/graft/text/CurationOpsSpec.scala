@@ -136,4 +136,29 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(2L, 4L))
   }
+
+  test("gopherRules: stats hand-checked, verdict bounds, single scan in plan") {
+    val docs = Seq(
+      (1L, "the cat sat on a mat with it"),      // 8 words, stops: the,on,a,with,it
+      (2L, "x1 y2"),                             // too short, no stopwords
+      (3L, "the " + Seq.fill(30)("wordy").mkString(" "))) // 31 words, 1 stop hit
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "text", "doc_id",
+        minWords = 5, maxWords = 100, minMeanLen = 2.0, maxMeanLen = 6.0,
+        minStopHits = 2, minAlphaFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Int]("n_words") === 8)
+    assert(d1.getAs[Double]("mean_word_len") === 21.0 / 8) // chars sans spaces
+    assert(d1.getAs[Int]("stop_hits") === 5)
+    assert(d1.getAs[Double]("alpha_frac") === 1.0)
+    assert(d1.getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("keep")) // n_words=2 < 5, stop_hits=0
+    assert(out(2L).getAs[Double]("alpha_frac") === 1.0) // x1, y2 both carry a-z
+    assert(!out(3L).getAs[Boolean]("keep")) // only one stopword hit
+    // the gopher_stats byte scan must appear exactly once in the plan
+    val p = TextAnalysis.gopherRules(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("gopher_stats".r.findAllIn(p).size == 1, s"gopher_stats cloned:\n$p")
+  }
 }
