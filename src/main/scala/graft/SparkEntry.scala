@@ -1601,6 +1601,22 @@ object SparkEntry {
        |FROM s""".stripMargin
   }
 
+  /** Product-quantized ANN (`Similarity.pqTrain/pqEncode/knnPq`,
+    * Jégou et al. TPAMI'11): 64-dim vectors → 8-byte codes (64×), ADC
+    * scoring in 2m table adds per corpus code. Rows-only (the seeded
+    * Lloyd's fit is iterative — no SQL oracle; the lossless-case spec
+    * carries exactness, same contract as q53's IVF).
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val books = Similarity.pqTrain(emb, "vec_id", "v", m = 8, ksub = 16)
+    val codes = Similarity.pqEncode(emb, "vec_id", "v", books)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.knnPq(queries, codes, "qid", "vec_id", "qv", books, k = 10)
+  }
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -2097,7 +2113,8 @@ object SparkEntry {
     "q47_backtest_summary" -> (q47 _),
     "q48_preprocess_slice" -> (q48 _),
     "q49_seasonal_fit" -> (q49 _),
-    "q53_ivf_ann" -> (q53 _)
+    "q53_ivf_ann" -> (q53 _),
+    "q87_pq_ann" -> (q87 _)
   )
 
   def oracleSql: Map[String, String] = Map(

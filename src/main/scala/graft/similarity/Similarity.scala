@@ -261,4 +261,124 @@ object Similarity {
       .select(col(s"a.$idCol").as("query_id"), col(s"b.$idCol").as("neighbor_id"),
         col("cos_sim"), col("rank"))
   }
+
+  // ───────────────────── product quantization ─────────────────────
+
+  /** Train PQ codebooks (Jégou, Douze & Schmid, TPAMI 2011): the vector
+    * is cut into `m` contiguous subvectors and each subspace gets its
+    * own `ksub`-centroid quantizer, fit by the same seeded driver-local
+    * Lloyd's as the IVF coarse quantizer, on the same BOUNDED
+    * deterministic sample (orderBy(id).limit — O(ksub·samples), never
+    * corpus-proportional). Returns codebooks[m][ksub][d/m].
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, maxIter: Int = 10): Array[Array[Array[Double]]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(math.max(ksub * 100, 1000))
+      .select(col(vecCol)).as[Seq[Double]].collect().map(_.toArray)
+    require(sample.nonEmpty, "pqTrain: empty fit sample")
+    val d = sample.head.length
+    require(d % m == 0, s"pqTrain: dim $d not divisible by m=$m")
+    val dsub = d / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloyd(sub, ksub, maxIter, seed = 42L + s)
+    }
+  }
+
+  /** Encode vectors to `m`-byte PQ codes: code(s) = argmin centroid of
+    * subvector s (ties to the lowest index). 8-byte codes for a 64-dim
+    * fp64 vector = 64× compression — the difference between an embedding
+    * corpus that fits executor memory and one that doesn't.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    val encode = udf { v: Seq[Double] =>
+      val books = bc.value
+      val m = books.length
+      val dsub = books(0)(0).length
+      val code = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val book = books(s)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < book.length) {
+          var dist = 0.0; var j = 0
+          while (j < dsub) { val t = book(c)(j) - v(s * dsub + j); dist += t * t; j += 1 }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        code(s) = best
+        s += 1
+      }
+      code.toSeq
+    }
+    df.select(col(idCol), encode(col(vecCol)).as("pq_code"))
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): each query
+    * builds an m×ksub lookup table of subvector inner products ONCE
+    * (driver-side — the query set is bounded by the same contract that
+    * lets `knnBruteForce` broadcast it), centroid norms² are
+    * query-independent and precomputed from the codebooks, and every
+    * corpus code then scores in 2m TABLE ADDS — no vector arithmetic on
+    * the scan side, which is the entire point: the 100 TB corpus
+    * contributes only (id, m-byte code) rows to the scan.
+    *
+    * Similarity = cosine(query, reconstructed vector), rounded to 6 dp;
+    * rank ties break on neighbor id. Query ids must be integral.
+    */
+  def knnPq(queries: DataFrame, codes: DataFrame, qId: String, cId: String,
+      qVec: String, codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    // query-independent: ||x̂||² decomposes over subspaces
+    val norms2 = Array.tabulate(m, ksub) { (s, c) =>
+      var n = 0.0; var j = 0
+      while (j < dsub) { n += codebooks(s)(c)(j) * codebooks(s)(c)(j); j += 1 }
+      n
+    }
+    val qData = queries.select(col(qId).cast("long"), col(qVec))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val luts = qData.map { case (_, qv) =>
+      Array.tabulate(m, ksub) { (s, c) =>
+        var ip = 0.0; var j = 0
+        while (j < dsub) { ip += qv(s * dsub + j) * codebooks(s)(c)(j); j += 1 }
+        ip
+      }
+    }
+    val qn2 = qData.map { case (_, qv) => qv.map(x => x * x).sum }
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val bcN2 = spark.sparkContext.broadcast(norms2)
+    val bcQn2 = spark.sparkContext.broadcast(qn2)
+    val score = udf { (qi: Int, code: Seq[Int]) =>
+      val lut = bcLuts.value(qi)
+      val n2s = bcN2.value
+      var ip = 0.0; var n2 = 0.0
+      var s = 0
+      while (s < m) {
+        val c = code(s)
+        ip += lut(s)(c); n2 += n2s(s)(c)
+        s += 1
+      }
+      val qq = bcQn2.value(qi)
+      if (n2 == 0.0 || qq == 0.0) 0.0 else ip / math.sqrt(n2 * qq)
+    }
+    val qIdxDf = qData.map(_._1).zipWithIndex
+      .map { case (id, i) => (id, i) }.toSeq.toDF("query_id", "__qi")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("pq_sim").desc, col("neighbor_id").asc)
+    codes.select(col(cId).as("neighbor_id"), col("pq_code"))
+      .crossJoin(broadcast(qIdxDf))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("pq_sim", round(score(col("__qi"), col("pq_code")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("pq_sim"), col("rank"))
+  }
 }

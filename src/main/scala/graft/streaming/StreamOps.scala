@@ -137,6 +137,41 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming benchmark decontamination — the streaming face of
+    * `Dedup.decontaminate`: the BENCHMARK's distinct n-gram set is
+    * collected once (bounded by the decontamination contract: benchmark
+    * suites are thousands of docs, not corpora; swap the set for
+    * `BloomAgg` bits + a re-verify side output if executor memory is
+    * tight) and broadcast; each streamed doc is then kept iff none of
+    * its n-grams hits the set. The probe is a PURE MAP over the stream
+    * — no state, no watermark, no shuffle — so it composes with any
+    * downstream streaming op and its decision for a doc is identical to
+    * the batch operator's.
+    *
+    * Gram enumeration mirrors `TextAnalysis.shingles` exactly
+    * (split on single space, empties kept; docs shorter than n
+    * contribute their whole text), so stream and batch verdicts agree
+    * doc-for-doc.
+    */
+  def streamingDecontaminate(stream: DataFrame, benchmark: DataFrame,
+      textCol: String, n: Int): DataFrame = {
+    import graft.text.TextAnalysis
+    val spark = benchmark.sparkSession
+    val grams = benchmark
+      .select(explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("__g"))
+      .distinct()
+      .collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(grams)
+    val contaminated = udf { text: String =>
+      val set = bc.value
+      val toks = text.split(" ", -1)
+      if (toks.length >= n)
+        (0 to toks.length - n).exists(i => set.contains(toks.slice(i, i + n).mkString(" ")))
+      else set.contains(text)
+    }
+    stream.filter(!contaminated(col(textCol)))
+  }
+
   case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
   case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
   case class ClosedSession(userId: Long, sessionStartUs: Long, sessionEndUs: Long,

@@ -135,4 +135,47 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy("vec_id").as[(Long, Long)].collect().map(_._2)
     assert(b.toSeq == b2.toSeq)
   }
+
+  test("PQ lossless case: quantization-exact codes reproduce brute-force ranking") {
+    // every subvector drawn from <= ksub distinct patterns => Lloyd's
+    // recovers them exactly => reconstruction is lossless and knnPq's
+    // cosine equals the true cosine bit-for-bit (both round to 6 dp)
+    val patterns = Vector(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(3.0, 4.0), Seq(-1.0, 2.0))
+    val rnd = new scala.util.Random(5)
+    val data = (0 until 60).map { i =>
+      (i.toLong, patterns(rnd.nextInt(4)) ++ patterns(rnd.nextInt(4)) ++ patterns(rnd.nextInt(4)))
+    }.toDF("vec_id", "v")
+    val books = Similarity.pqTrain(data, "vec_id", "v", m = 3, ksub = 4, maxIter = 20)
+    val codes = Similarity.pqEncode(data, "vec_id", "v", books)
+    assert(codes.select(size($"pq_code")).distinct().as[Int].head() === 3)
+    val queries = data.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"v".as("qv"))
+    val pq = Similarity.knnPq(queries, codes, "qid", "vec_id", "qv", books, k = 5)
+      .select("query_id", "neighbor_id", "pq_sim", "rank")
+    val bf = Similarity.knnBruteForce(queries, data, "qid", "vec_id", "qv", "v", 5)
+      .select($"query_id", $"neighbor_id", round($"cos_sim", 6).as("cos_sim"), $"rank")
+    val pqRows = pq.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    val bfRows = bf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(pqRows === bfRows)
+  }
+
+  test("PQ recall on clustered vectors; codes compress the corpus") {
+    val rnd = new scala.util.Random(9)
+    val centers = Vector(Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 0.0))
+    val data = (0 until 90).map { i =>
+      (i.toLong, centers(i % 3).map(_ + rnd.nextGaussian() * 0.2))
+    }.toDF("vec_id", "v")
+    val books = Similarity.pqTrain(data, "vec_id", "v", m = 2, ksub = 8, maxIter = 15)
+    val codes = Similarity.pqEncode(data, "vec_id", "v", books)
+    val queries = data.filter($"vec_id" < 6).select($"vec_id".as("qid"), $"v".as("qv"))
+    val pq = Similarity.knnPq(queries, codes, "qid", "vec_id", "qv", books, k = 5)
+    // PQ's contract is COARSE retrieval: quantization collapses tight
+    // clusters onto few codes, so fine intra-cluster ordering is lost
+    // (ties, id-order) — but every retrieved neighbor must come from the
+    // query's own cluster, and every query must get a full k
+    val rows = pq.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 6 * 5)
+    assert(rows.forall { case (q, n) => q % 3 === n % 3 },
+      s"cross-cluster neighbor: ${rows.filterNot { case (q, n) => q % 3 == n % 3 }.toSeq}")
+  }
 }

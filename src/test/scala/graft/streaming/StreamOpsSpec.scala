@@ -176,6 +176,32 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDecontaminate: stream verdicts equal the batch operator's") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "p q r s"), (101L, "x y")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b p q r s c"), // contains the 4-gram -> dropped
+      (2L, "a b p q r c d"), // only 3 shared tokens -> kept
+      (3L, "x y"),           // short doc == whole-text shingle -> dropped
+      (4L, "x y z"))         // kept (no 4-gram, text != any bench shingle)
+    val batchKept = graft.dedup.Dedup.decontaminate(
+        docs.toDF("doc_id", "text"), bench, "text", "doc_id", 4)
+      .select("doc_id").as[Long].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingDecontaminate(
+        mem.toDF().toDF("doc_id", "text"), bench, "text", 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_decon").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamKept = spark.table("stream_decon")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept === batchKept)
+      assert(streamKept === Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("trackPositions: state survives across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Tick]
