@@ -39,6 +39,12 @@ object SkewJoin {
       pmod(xxhash64(leftCols: _*), lit(salts.toLong)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    salted.join(replicated, keys :+ "__salt").drop("__salt")
+    // shuffle_hash hint: salting exists for joins where the small side
+    // does NOT fit a broadcast — without the hint Catalyst happily
+    // broadcasts the ×salts-replicated build side (a hash table `salts`
+    // times the size of the one it refused to build unsalted), which is
+    // both slow and the wrong 100 TB shape. The hinted plan shuffles on
+    // (keys, salt) — hot keys spread across `salts` reducers, as intended.
+    salted.join(replicated.hint("shuffle_hash"), keys :+ "__salt").drop("__salt")
   }
 }
