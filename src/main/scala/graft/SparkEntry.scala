@@ -1617,6 +1617,20 @@ object SparkEntry {
     Similarity.knnPq(queries, codes, "qid", "vec_id", "qv", books, k = 10)
   }
 
+  /** IVF-PQ ANN (`Similarity.knnIvfPq`): coarse cells prune to
+    * nProbe/nCells of the corpus, PQ codes score candidates in 2m table
+    * adds — the billion-scale composition. Rows-only (iterative fits;
+    * spec pins nProbe=nCells ≡ flat PQ and lossless ≡ brute force).
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.knnIvfPq(emb, queries, "vec_id", "qid", "v", "qv",
+      nCells = 16, nProbe = 4, m = 8, ksub = 16, k = 10)
+  }
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -2114,7 +2128,8 @@ object SparkEntry {
     "q48_preprocess_slice" -> (q48 _),
     "q49_seasonal_fit" -> (q49 _),
     "q53_ivf_ann" -> (q53 _),
-    "q87_pq_ann" -> (q87 _)
+    "q87_pq_ann" -> (q87 _),
+    "q88_ivfpq_ann" -> (q88 _)
   )
 
   def oracleSql: Map[String, String] = Map(

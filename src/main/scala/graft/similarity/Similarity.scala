@@ -381,4 +381,97 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("pq_sim"), col("rank"))
   }
+
+  /** IVF-PQ — the standard billion-scale composition (Jégou et al.
+    * TPAMI'11 §V): the coarse quantizer prunes candidates to `nProbe`
+    * cells per query, PQ codes make scoring those candidates 2m table
+    * adds each. Versus `knnIvf`: the probed cells hold CODES, not raw
+    * vectors (64× less memory/IO). Versus `knnPq`: the scan covers
+    * ~nProbe/nCells of the corpus instead of all of it. The plan is an
+    * EQUI-join of codes on the probed (query, cell) pairs — the 100 TB
+    * corpus shuffles once by cell; per-query work is bounded by cell
+    * population.
+    *
+    * With `nProbe = nCells` the candidate set is the full corpus and
+    * the result equals `knnPq`'s exactly (spec-pinned) — the recall
+    * knob degrades gracefully to the flat scan.
+    *
+    * The coarse fit reuses the IVF sample contract (orderBy(id).limit —
+    * bounded, deterministic); PQ codebooks come from `pqTrain` on the
+    * same corpus. Query ids must be integral.
+    */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame, cId: String, qId: String,
+      cVec: String, qVec: String, nCells: Int, nProbe: Int,
+      m: Int, ksub: Int, k: Int, maxIter: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // coarse quantizer (same bounded deterministic sample as knnIvf)
+    val sample = corpus.select(col(cId), col(cVec))
+      .orderBy(col(cId)).limit(math.max(nCells * 100, 1000))
+      .select(col(cVec)).as[Seq[Double]].collect().map(_.toArray)
+    val centroids = lloyd(sample, nCells, maxIter, seed = 42L)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { v: Seq[Double] =>
+      val cs = bcCent.value
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        var dist = 0.0; var j = 0; val c = cs(i)
+        while (j < c.length) { val t = c(j) - v(j); dist += t * t; j += 1 }
+        if (dist < bd) { bd = dist; best = i }
+        i += 1
+      }
+      best
+    }
+    val books = pqTrain(corpus, cId, cVec, m, ksub, maxIter)
+    val coded = pqEncode(corpus, cId, cVec, books)
+      .join(corpus.select(col(cId), assignUdf(col(cVec)).as("cell")), cId)
+    // driver-side per-query prep: probed cells + ADC LUTs (bounded by
+    // the query-set contract, same as knnPq/knnBruteForce)
+    val dsub = books(0)(0).length
+    val norms2 = Array.tabulate(m, ksub) { (s, c) =>
+      var n = 0.0; var j = 0
+      while (j < dsub) { n += books(s)(c)(j) * books(s)(c)(j); j += 1 }
+      n
+    }
+    val qData = queries.select(col(qId).cast("long"), col(qVec))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val luts = qData.map { case (_, qv) =>
+      Array.tabulate(m, ksub) { (s, c) =>
+        var ip = 0.0; var j = 0
+        while (j < dsub) { ip += qv(s * dsub + j) * books(s)(c)(j); j += 1 }
+        ip
+      }
+    }
+    val qn2 = qData.map { case (_, qv) => qv.map(x => x * x).sum }
+    // nProbe nearest cells per query by centroid cosine (ties: lower cell)
+    val probes = qData.zipWithIndex.flatMap { case ((id, qv), qi) =>
+      val sims = centroids.zipWithIndex.map { case (c, ci) =>
+        var ip = 0.0; var cn = 0.0; var qn = 0.0; var j = 0
+        while (j < c.length) { ip += c(j) * qv(j); cn += c(j) * c(j); qn += qv(j) * qv(j); j += 1 }
+        (if (cn == 0.0 || qn == 0.0) 0.0 else ip / math.sqrt(cn * qn), ci)
+      }
+      sims.sortBy { case (sim, ci) => (-sim, ci) }.take(nProbe)
+        .map { case (_, ci) => (id, qi, ci) }
+    }.toSeq.toDF("query_id", "__qi", "cell")
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val bcN2 = spark.sparkContext.broadcast(norms2)
+    val bcQn2 = spark.sparkContext.broadcast(qn2)
+    val score = udf { (qi: Int, code: Seq[Int]) =>
+      val lut = bcLuts.value(qi)
+      val n2s = bcN2.value
+      var ip = 0.0; var n2 = 0.0
+      var s = 0
+      while (s < m) { val c = code(s); ip += lut(s)(c); n2 += n2s(s)(c); s += 1 }
+      val qq = bcQn2.value(qi)
+      if (n2 == 0.0 || qq == 0.0) 0.0 else ip / math.sqrt(n2 * qq)
+    }
+    val w = Window.partitionBy(col("query_id")).orderBy(col("pq_sim").desc, col("neighbor_id").asc)
+    coded.select(col(cId).as("neighbor_id"), col("pq_code"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("pq_sim", round(score(col("__qi"), col("pq_code")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("pq_sim"), col("rank"))
+  }
 }

@@ -178,4 +178,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall { case (q, n) => q % 3 === n % 3 },
       s"cross-cluster neighbor: ${rows.filterNot { case (q, n) => q % 3 == n % 3 }.toSeq}")
   }
+
+  test("IVF-PQ: nProbe=nCells equals flat PQ; pruned probes stay in-cluster") {
+    val rnd = new scala.util.Random(21)
+    val centers = Vector(Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 0.0))
+    val data = (0 until 90).map { i =>
+      (i.toLong, centers(i % 3).map(_ + rnd.nextGaussian() * 0.2))
+    }.toDF("vec_id", "v")
+    val queries = data.filter($"vec_id" < 6).select($"vec_id".as("qid"), $"v".as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    // graceful degradation: probing every cell == the flat PQ scan
+    val books = Similarity.pqTrain(data, "vec_id", "v", m = 2, ksub = 8, maxIter = 15)
+    val flat = Similarity.knnPq(queries,
+      Similarity.pqEncode(data, "vec_id", "v", books), "qid", "vec_id", "qv", books, k = 5)
+    val full = Similarity.knnIvfPq(data, queries, "vec_id", "qid", "v", "qv",
+      nCells = 3, nProbe = 3, m = 2, ksub = 8, k = 5, maxIter = 15)
+    assert(rows(full) === rows(flat))
+    // pruned: one probed cell still returns full k, all in-cluster
+    val pruned = Similarity.knnIvfPq(data, queries, "vec_id", "qid", "v", "qv",
+      nCells = 3, nProbe = 1, m = 2, ksub = 8, k = 5, maxIter = 15)
+    val pr = pruned.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pr.length === 6 * 5)
+    assert(pr.forall { case (q, n) => q % 3 === n % 3 })
+  }
 }
