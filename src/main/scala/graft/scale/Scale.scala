@@ -53,4 +53,35 @@ object Scale {
     val byBytes = math.ceil(totalInputBytes.toDouble / targetBytes).toInt
     math.min(math.max(byBytes, cores), cores * 128)
   }
+
+  /** Shard-count planning for compacted output: target `targetBytes`
+    * per file given the plan's size estimate (Catalyst stats when the
+    * source is parquet; callers with better knowledge pass
+    * `knownBytes`). Guards both failure modes of naive writes — the
+    * 10k-tiny-files layout that drowns a namenode/listing, and the
+    * one-giant-file layout that serializes every downstream scan.
+    */
+  def planShards(df: DataFrame, targetBytes: Long = 512L << 20,
+      knownBytes: Long = -1L): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bytes =
+      if (knownBytes >= 0) BigInt(knownBytes)
+      else df.queryExecution.optimizedPlan.stats.sizeInBytes
+    math.max(1, (bytes / targetBytes).toInt +
+      (if (bytes % targetBytes > 0) 1 else 0))
+  }
+
+  /** Compacted parquet output: exactly `planShards` files of
+    * ≈`targetBytes`, rows spread round-robin (`repartition(n)` — a full
+    * shuffle, the price of even shard sizes). Sort-free by design: call
+    * `writeBucketed`/`writePartitionedByDate` instead when downstream
+    * wants co-location or pruning, this writer is for the "ship N
+    * even training shards" endpoint.
+    */
+  def writeShards(df: DataFrame, path: String,
+      targetBytes: Long = 512L << 20, knownBytes: Long = -1L): Int = {
+    val n = planShards(df, targetBytes, knownBytes)
+    df.repartition(n).write.mode("overwrite").parquet(path)
+    n
+  }
 }

@@ -46,4 +46,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.sql("DESCRIBE EXTENDED bt_test").collect()
       .exists(r => r.getString(0).contains("Num Buckets")))
   }
+
+  test("planShards/writeShards: file count tracks the byte target") {
+    val df = (1 to 10000).map(i => (i.toLong, s"payload_$i" * 8)).toDF("id", "s")
+    // explicit knownBytes: deterministic plan independent of stats config
+    assert(Scale.planShards(df, targetBytes = 1L << 20, knownBytes = 5L << 20) == 5)
+    assert(Scale.planShards(df, targetBytes = 1L << 20, knownBytes = (5L << 20) + 1) == 6)
+    assert(Scale.planShards(df, targetBytes = 1L << 20, knownBytes = 10) == 1)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val n = Scale.writeShards(df, dir, targetBytes = 64L << 10, knownBytes = 256L << 10)
+    assert(n == 4)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 shard files, got ${files.length}")
+    // round-robin repartition: shard sizes within 2x of each other
+    val sizes = files.map(_.length()).sorted
+    assert(sizes.last < sizes.head * 2, s"uneven shards: ${sizes.toSeq}")
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
 }
