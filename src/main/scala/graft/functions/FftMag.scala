@@ -97,7 +97,10 @@ object GraftFunctions {
       checked("word_shingles", 2)(e => WordShingles(e(0), e(1))),
       checked("cosine_sim", 2)(e => CosineSim(e(0), e(1))),
       checked("count_in_set", 2)(e => CountInSet(e(0), e(1))),
-      checked("json_deep_flatten", 1)(e => JsonDeepFlatten(e.head)))
+      checked("json_deep_flatten", 1)(e => JsonDeepFlatten(e.head)),
+      checked("quality_score", 2)(e => QualityScoreExpr(e(0), e(1))),
+      checked("gopher_stats", 2)(e => GopherStatsExpr(e(0), e(1))),
+      checked("lsh_bucket", 2)(e => LshBucket(e(0), e(1))))
   }
 
   def register(spark: SparkSession): Unit =

@@ -29,5 +29,16 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
     // wrong arity → named error, not IndexOutOfBounds
     val err = intercept[Exception] { s.sql("SELECT fft_mag(array(1.0d))").collect() }
     assert(!err.isInstanceOf[IndexOutOfBoundsException])
+    // the round-4 additions ride the same registry
+    val q = s.sql("SELECT quality_score('the cat sat', array('the')) AS q")
+      .as[Double].head()
+    assert(q > 0.0 && q <= 1.0)
+    val gs = s.sql("SELECT gopher_stats('the cat sat', array('the')).n_words AS n")
+      .as[Int].head()
+    assert(gs == 3)
+    val lb = s.sql(
+      "SELECT lsh_bucket(array(1.0d, 0.0d), array(array(1.0d, 0.0d), array(0.0d, 1.0d))) AS b")
+      .as[Long].head()
+    assert(lb >= 0L && lb < 4L)
   }
 }
