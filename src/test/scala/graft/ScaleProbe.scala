@@ -173,6 +173,46 @@ object ScaleProbe {
           "(reference: ~25 min/candidate, README champion fitness -1.22e-4)")
       }
     }
+    // Round-4 operators on the replicated tables: the range join's point
+    // side and heavy hitters' key stream grow 10×/100× while the
+    // interval/candidate sides stay fixed — time must track the POINT
+    // side (linear), or the bucketing/sketch story is wrong. Bloom
+    // decontamination runs on the 100×-replicated docs (500k): the
+    // filter is the same numBits/8 bytes at every scale.
+    {
+      // range-join inputs for the scale dirs: the POINT side (lineitem,
+      // the two columns q83 reads) replicated 10×/100×, the interval
+      // side (orders) copied unchanged — so measured growth isolates the
+      // point-stream axis
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(col("l_quantity"), col("l_shipdate"))
+      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      for ((factor, dir) <- Seq((10, "/tmp/scale10"), (100, "/tmp/scale100"))) {
+        val reps = spark.range(factor).withColumnRenamed("id", "rep")
+        li.crossJoin(reps).drop("rep")
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      }
+      for ((name, dir) <- Seq(("sf0.1", "/root/testdata/sf0.1"),
+          ("x10", "/tmp/scale10"), ("x100", "/tmp/scale100"))) {
+        for (q <- Seq("q83_range_join", "q84_heavy_hitters")) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+          println(f"SCALE-R4 $name $q=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }
+      for ((name, dir) <- Seq(("5k", "/root/testdata/sf0.1"),
+          ("50k", "/tmp/docs10"), ("500k", "/tmp/docs100"))) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val t0 = System.nanoTime()
+        graft.dedup.Dedup.decontaminateBloom(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "text", "doc_id", 6, numBits = 1 << 22)
+          .write.mode("overwrite").format("noop").save()
+        println(f"SCALE-R4 decontaminateBloom $name docs: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
     spark.stop()
   }
 }
