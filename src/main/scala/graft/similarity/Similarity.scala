@@ -294,7 +294,8 @@ object Similarity {
     * corpus that fits executor memory and one that doesn't.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+      codebooks: Array[Array[Array[Double]]],
+      keep: Seq[String] = Nil): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(codebooks)
     val encode = udf { v: Seq[Double] =>
       val books = bc.value
@@ -316,7 +317,7 @@ object Similarity {
       }
       code.toSeq
     }
-    df.select(col(idCol), encode(col(vecCol)).as("pq_code"))
+    df.select((col(idCol) +: keep.map(col)) :+ encode(col(vecCol)).as("pq_code"): _*)
   }
 
   /** PQ top-k by asymmetric distance computation (ADC): each query
@@ -423,8 +424,12 @@ object Similarity {
       best
     }
     val books = pqTrain(corpus, cId, cVec, m, ksub, maxIter)
-    val coded = pqEncode(corpus, cId, cVec, books)
-      .join(corpus.select(col(cId), assignUdf(col(cVec)).as("cell")), cId)
+    // ONE corpus scan: cell assignment rides the encode projection (a
+    // join of two separate scans would shuffle the corpus on id for
+    // nothing)
+    val coded = pqEncode(
+      corpus.withColumn("cell", assignUdf(col(cVec))), cId, cVec, books,
+      keep = Seq("cell"))
     // driver-side per-query prep: probed cells + ADC LUTs (bounded by
     // the query-set contract, same as knnPq/knnBruteForce)
     val dsub = books(0)(0).length

@@ -163,11 +163,16 @@ object StreamOps {
       .collect().map(_.getString(0)).toSet
     val bc = spark.sparkContext.broadcast(grams)
     val contaminated = udf { text: String =>
-      val set = bc.value
-      val toks = text.split(" ", -1)
-      if (toks.length >= n)
-        (0 to toks.length - n).exists(i => set.contains(toks.slice(i, i + n).mkString(" ")))
-      else set.contains(text)
+      // null text has no grams — KEPT, matching the batch operator
+      // (explode of a null shingle array emits no gram rows there)
+      if (text == null) false
+      else {
+        val set = bc.value
+        val toks = text.split(" ", -1)
+        if (toks.length >= n)
+          (0 to toks.length - n).exists(i => set.contains(toks.slice(i, i + n).mkString(" ")))
+        else set.contains(text)
+      }
     }
     stream.filter(!contaminated(col(textCol)))
   }
