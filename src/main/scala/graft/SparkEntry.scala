@@ -1601,6 +1601,37 @@ object SparkEntry {
        |FROM s""".stripMargin
   }
 
+  /** Semantic dedup (`Dedup.semanticDedup`, SemDeDup): embedding-cosine
+    * near-dup pairs (blocked equi-join) → star-contraction components →
+    * keep each cluster's minimum id. Oracle re-derives the closure as a
+    * recursive CTE over the same rounded-cosine pairs.
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(
+        t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+        "vec_id", "v", "label", 0.35)
+      .select(col("vec_id"), col("label"))
+
+  private val q89Sql =
+    """WITH RECURSIVE e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |      / (a.nrm * b.nrm), 6) >= 0.35),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (SELECT src AS id, dst AS r FROM edges
+      |          UNION
+      |          SELECT e2.src AS id, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id),
+      |losers AS (SELECT id FROM reach GROUP BY id HAVING MIN(r) < id)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT id FROM losers)""".stripMargin
+
   /** Product-quantized ANN (`Similarity.pqTrain/pqEncode/knnPq`,
     * Jégou et al. TPAMI'11): 64-dim vectors → 8-byte codes (64×), ADC
     * scoring in 2m table adds per corpus code. Rows-only (the seeded
@@ -2129,7 +2160,8 @@ object SparkEntry {
     "q49_seasonal_fit" -> (q49 _),
     "q53_ivf_ann" -> (q53 _),
     "q87_pq_ann" -> (q87 _),
-    "q88_ivfpq_ann" -> (q88 _)
+    "q88_ivfpq_ann" -> (q88 _),
+    "q89_semantic_dedup" -> (q89 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2205,6 +2237,7 @@ object SparkEntry {
     "q84_heavy_hitters" -> q84Sql,
     "q85_bloom_decontaminate" -> q85Sql,
     "q86_gopher_rules" -> q86Sql,
+    "q89_semantic_dedup" -> q89Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }

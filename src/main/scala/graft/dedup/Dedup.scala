@@ -456,6 +456,23 @@ object Dedup {
     * threshold keeps the pair set engine-exact (the rank-on-rounded
     * pattern q40 uses).
     */
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): drop all but one
+    * representative of every embedding-cosine duplicate CLUSTER —
+    * near-dup pairs from the blocked equi-join, transitive closure via
+    * the star-contraction components, keep each component's minimum id.
+    * Composition of three already-scale-shaped pieces: the only new
+    * work is the final anti-join on the loser set.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, tau: Double): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, idCol, vecCol, blockCol, tau)
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+    val losers = connectedComponents(pairs)
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, tau: Double): DataFrame = {
     val a = df.select(col(blockCol),

@@ -141,4 +141,21 @@ class DedupSpec extends AnyFunSuite {
       .select("cos_sim").as[Double].collect()
     assert(sims.forall(s => s >= 0.95 && s <= 1.0))
   }
+
+  test("semanticDedup: keeps each cosine-cluster's minimum, transitively") {
+    val vecs = Seq(
+      // block 0: 1≈2≈6 form one TRANSITIVE cluster (1-2 and 2-6 edges);
+      // 3 is orthogonal — its own cluster
+      (1L, 0, Seq(1.0, 0.0, 0.0)),
+      (2L, 0, Seq(0.999, 0.04, 0.0)),
+      (6L, 0, Seq(0.995, 0.0798, 0.0)), // ≈2 (and ≈1 via 2)
+      (3L, 0, Seq(0.0, 1.0, 0.0)),
+      // block 1: pair 4≈5
+      (4L, 1, Seq(1.0, 0.0, 0.0)),
+      (5L, 1, Seq(1.0, 0.001, 0.0))
+    ).toDF("vec_id", "label", "v")
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "v", "label", 0.995)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
 }
