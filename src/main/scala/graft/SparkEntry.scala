@@ -1601,6 +1601,44 @@ object SparkEntry {
        |FROM s""".stripMargin
   }
 
+  /** DSIR importance scores (`TextAnalysis.dsirScores`): hashed-bigram
+    * bucket log-ratios of the English subcorpus (target) vs the whole
+    * corpus (raw), summed per document with the exact-DECIMAL contract —
+    * md5 buckets keep the whole scorer oracle-exact.
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.dsirScores(docs, docs.filter(col("lang") === "en"),
+      "text", "doc_id", n = 2, buckets = 1024)
+  }
+
+  private val q90Sql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(t) >= 2
+      |         THEN list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      |         ELSE [array_to_string(t, ' ')] END AS sh
+      |  FROM tok),
+      |g AS (SELECT doc_id,
+      |    ('0x' || substr(md5(unnest(sh)), 1, 8))::UBIGINT % 1024 AS b
+      |  FROM sh),
+      |rb AS (SELECT b, COUNT(*) AS rc FROM g GROUP BY 1),
+      |tb AS (SELECT b, COUNT(*) AS tc FROM g JOIN documents USING (doc_id)
+      |       WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT (SELECT COUNT(*) FROM g) AS tr,
+      |               (SELECT COUNT(*) FROM g JOIN documents USING (doc_id)
+      |                WHERE lang = 'en') AS tt),
+      |r AS (SELECT COALESCE(rb.b, tb.b) AS b, COALESCE(rc, 0) AS rc,
+      |             COALESCE(tc, 0) AS tc
+      |      FROM rb FULL JOIN tb ON rb.b = tb.b),
+      |lr AS (SELECT b,
+      |    ROUND(ln((tc + 1.0) / (tt + 1024)) - ln((rc + 1.0) / (tr + 1024)), 6) AS lr
+      |  FROM r CROSS JOIN tot)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  ROUND(CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE), 6) + 0.0 AS dsir_score
+      |FROM g JOIN lr USING (b)
+      |GROUP BY doc_id""".stripMargin
+
   /** Semantic dedup (`Dedup.semanticDedup`, SemDeDup): embedding-cosine
     * near-dup pairs (blocked equi-join) → star-contraction components →
     * keep each cluster's minimum id. Oracle re-derives the closure as a
@@ -2161,7 +2199,8 @@ object SparkEntry {
     "q53_ivf_ann" -> (q53 _),
     "q87_pq_ann" -> (q87 _),
     "q88_ivfpq_ann" -> (q88 _),
-    "q89_semantic_dedup" -> (q89 _)
+    "q89_semantic_dedup" -> (q89 _),
+    "q90_dsir_scores" -> (q90 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2238,6 +2277,7 @@ object SparkEntry {
     "q85_bloom_decontaminate" -> q85Sql,
     "q86_gopher_rules" -> q86Sql,
     "q89_semantic_dedup" -> q89Sql,
+    "q90_dsir_scores" -> q90Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }

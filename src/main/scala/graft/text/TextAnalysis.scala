@@ -328,6 +328,48 @@ object TextAnalysis {
           col("stop_hits") >= minStopHits &&
           col("alpha_frac") > minAlphaFrac)
 
+  /** DSIR-style importance scores (Xie et al., NeurIPS 2023): hashed
+    * n-gram bucket counts stand in for the bag-of-ngrams features, each
+    * bucket gets an add-1-smoothed log-ratio of target vs raw
+    * probability, and a document's score is the exact-decimal sum of
+    * its grams' bucket ratios — documents that "look like" the target
+    * distribution score high. Selection (top-k / threshold) happens at
+    * the query edge.
+    *
+    * Engine-agnostic by construction: md5 buckets (the q59 split idiom),
+    * per-bucket ratios rounded once, per-doc DECIMAL sum — so the whole
+    * scorer is DuckDB-oracle-exact. Plan shape: two gram-bucket
+    * aggregations (B-bounded), a broadcast ratio join, one per-doc
+    * aggregation — no corpus-proportional driver state.
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, n: Int = 2, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketed(df: DataFrame) = df
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("__g"))
+      .withColumn("__b",
+        (conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long") % buckets).cast("int"))
+      .drop("__g")
+    val rawB = bucketed(raw)
+    val tgtB = bucketed(target)
+    val rawCnt = rawB.groupBy("__b").agg(count(lit(1)).as("__rc"))
+    val tgtCnt = tgtB.groupBy("__b").agg(count(lit(1)).as("__tc"))
+    val totals = rawB.agg(count(lit(1)).as("__tr"))
+      .crossJoin(tgtB.agg(count(lit(1)).as("__tt")))
+    val ratios = rawCnt.join(tgtCnt, Seq("__b"), "full_outer")
+      .na.fill(0L, Seq("__rc", "__tc"))
+      .crossJoin(broadcast(totals))
+      .select(col("__b"), round(
+        log((col("__tc") + 1.0) / (col("__tt") + buckets)) -
+          log((col("__rc") + 1.0) / (col("__tr") + buckets)), 6).as("__lr"))
+    rawB.join(broadcast(ratios), "__b")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        round(sum(col("__lr").cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double"), 6)
+          .as("dsir_score"))
+  }
+
   /** Deterministic mixture resampling: downsample each group toward the
     * target corpus shares (language/domain balancing). Acceptance is a
     * pure function of the row key (md5 bucket vs a per-group threshold),

@@ -161,4 +161,23 @@ class CurationOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("gopher_stats".r.findAllIn(p).size == 1, s"gopher_stats cloned:\n$p")
   }
+
+  test("dsirScores: target-like docs outscore off-target docs") {
+    // two disjoint vocabularies; target = vocab-A docs only
+    val a = (1L to 4L).map(i => (i, "alpha beta gamma delta alpha beta"))
+    val b = (5L to 8L).map(i => (i, "uno dos tres cuatro uno dos"))
+    val raw = (a ++ b).toDF("doc_id", "text")
+    val target = a.toDF("doc_id", "text")
+    val out = TextAnalysis.dsirScores(raw, target, "text", "doc_id", n = 2, buckets = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("dsir_score"))).toMap
+    assert(out.size === 8)
+    assert(out.values.forall(_._1 === 5L)) // 6 tokens -> 5 bigrams
+    val aScore = out(1L)._2
+    val bScore = out(5L)._2
+    assert(aScore > bScore,
+      s"vocab-A score $aScore must exceed vocab-B score $bScore")
+    // identical docs get identical scores (pure function of text)
+    assert((1L to 4L).forall(i => out(i)._2 === aScore))
+  }
 }
