@@ -176,6 +176,35 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("MisraGries aggregator runs as a streaming aggregation (merging buffers)") {
+    // the sketch IS a merging Aggregator, so the streaming face needs no
+    // new operator: a complete-mode global agg keeps O(k) state per
+    // trigger and the candidate superset guarantee holds over the union
+    // of all batches
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.udaf
+    val mem = MemoryStream[Long]
+    val agg = udaf(new graft.metrics.Sketches.MisraGriesAgg(8),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val q = mem.toDF().toDF("k")
+      .groupBy().agg(agg(col("k")).as("mg"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_mg").start()
+    try {
+      mem.addData((1 to 60).map(i => (i % 30).toLong): _*) // near-uniform noise
+      q.processAllAvailable()
+      mem.addData(Seq.fill(50)(7L): _*) // batch 2: key 7 becomes heavy
+      q.processAllAvailable()
+      val row = spark.table("stream_mg").head().getStruct(0)
+      val keys = row.getAs[scala.collection.Seq[Long]]("keys")
+      val n = row.getAs[Long]("n")
+      assert(n === 110L)
+      // freq(7) = 52 > n/(k+1) = 110/9 — must be tracked
+      assert(keys.contains(7L), s"heavy key missing from $keys")
+      assert(keys.length <= 8)
+    } finally q.stop()
+  }
+
   test("streamingDecontaminate: stream verdicts equal the batch operator's") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "p q r s"), (101L, "x y")).toDF("doc_id", "text")
