@@ -73,7 +73,7 @@ object Sketches {
   }
 
   /** Exact heavy hitters via sketch-prune-verify: all `keyCol` values
-    * with count·`denom` ≥ n, as (key, cnt) — EXACTLY equal to
+    * with count·`denom` ≥ n, as (key, cnt) — NULL keys excluded; EXACTLY equal to
     * `GROUP BY key HAVING count(*)·denom >= n` provided `denom < k+1`
     * (the MG superset guarantee: freq ≥ n/denom > n/(k+1) ⇒ tracked).
     *
@@ -89,13 +89,16 @@ object Sketches {
     val spark = df.sparkSession
     import spark.implicits._
     val agg = new MisraGriesAgg(k)
+    // NULL keys are excluded up front (both passes see the same stream;
+    // a null would NPE the primitive-Long encoder mid-aggregation)
+    val keyed = df.filter(col(keyCol).isNotNull)
     // single-row fit-statistic pull: O(k) longs, never data-proportional
-    val summary = df.select(col(keyCol).cast("long").as("__k"))
+    val summary = keyed.select(col(keyCol).cast("long").as("__k"))
       .as[Long].select(agg.toColumn).head()
     val cands = summary.keys
     if (cands.isEmpty) // empty input: keep the non-empty path's schema
       return df.select(col(keyCol)).limit(0).withColumn("cnt", lit(0L))
-    df.filter(col(keyCol).isin(cands: _*))
+    keyed.filter(col(keyCol).isin(cands: _*))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit(denom) >= lit(summary.n))
