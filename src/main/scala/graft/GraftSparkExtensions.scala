@@ -20,6 +20,11 @@ import graft.plans.AsOfJoinStrategy
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // hint-driven non-equi→bucketed range-join rewrite (analysis time),
+    // plus the advisory-hint guarantee: uncovered markers are stripped
+    // so the hint can never break a query
+    e.injectResolutionRule(_ => graft.plans.ResolveRangeJoinHint)
+    e.injectOptimizerRule(_ => graft.plans.StripRangeJoinTags)
     GraftFunctions.registry.foreach { case (name, _, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
