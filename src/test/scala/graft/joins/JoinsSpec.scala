@@ -61,6 +61,40 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits observable sort-merge skew (the boundary salting is NOT for)") {
+    // SkewJoin's doc claims AQE handles skew it can see at a shuffle
+    // boundary; verify that claim so the salted-join scope stays honest
+    val prev = Map(
+      "spark.sql.adaptive.enabled" -> spark.conf.getOption("spark.sql.adaptive.enabled"),
+      "spark.sql.adaptive.skewJoin.enabled" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.enabled"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge
+      val hot = (1 to 30000).map(i => (1L, s"payload_$i")) ++ // one giant key
+        (1 to 300).map(i => (i.toLong + 1, s"p$i"))
+      val left = hot.toDF("k", "lv").repartition(5)
+      val right = (1L to 301L).map(k => (k, s"r$k")).toDF("k", "rv")
+      val joined = left.join(right, Seq("k"))
+      // collect() drives THIS DataFrame's queryExecution, so its AQE
+      // plan is final afterwards (count() would plan a separate query)
+      assert(joined.collect().length === 30300)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed sort-merge join:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("pointInInterval: empty intervals match nothing; boundaries half-open") {
     val points = Seq((1L, 10L), (2L, 19L), (3L, 20L)).toDF("pid", "p")
     val ivs = Seq((1L, 10L, 20L), (2L, 15L, 15L), (3L, 30L, 20L))
