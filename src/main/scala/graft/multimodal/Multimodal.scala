@@ -12,12 +12,15 @@ import org.apache.spark.sql.types._
   * IMAGE and AUDIO decode are REAL and dependency-free: netpbm (P5/P6)
   * is parsed directly, PNG/JPEG/BMP/GIF go through the JDK's own
   * `javax.imageio` (part of Java SE — no external codec library), and
-  * RIFF/WAVE 16-bit PCM is parsed directly. Only VIDEO and compressed
-  * audio remain STUBBED (`decodeStub`, disclosed: the JDK ships no such
-  * codecs); the Spark-side plumbing — schema, batched `mapPartitions`
-  * (one codec handle per partition, the `mapInPandas` batch shape),
-  * null/garbage passthrough — is identical for every modality, so
-  * swapping the stub for a JNI call changes one function.
+  * RIFF/WAVE 16-bit PCM is parsed directly. VIDEO container METADATA is
+  * also real (`parseMp4Meta`: ISO-BMFF box walk — brand, timescale,
+  * duration, track count — the part corpus filtering needs); only video
+  * FRAME decode and compressed audio remain STUBBED (`decodeStub`,
+  * disclosed: the JDK ships no such codecs); the Spark-side plumbing —
+  * schema, batched `mapPartitions` (one codec handle per partition, the
+  * `mapInPandas` batch shape), null/garbage passthrough — is identical
+  * for every modality, so swapping the stub for a JNI call changes one
+  * function.
   */
 object Multimodal {
 
@@ -334,6 +337,122 @@ object Multimodal {
             // ints to Double and break the encoder's INT fields
             Row.fromSeq(r.toSeq ++ Seq[Any](a.sampleRate, a.channels, dur, rms, zcr))
           case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  case class Mp4Meta(majorBrand: String, timescale: Long, durationS: Double,
+      nTracks: Int)
+
+  /** REAL MP4/ISO-BMFF container metadata, pure JVM: walk the top-level
+    * box list for `ftyp` (major brand) and `moov`, then `moov`'s
+    * children for `mvhd` (version 0 and 1 layouts: timescale +
+    * duration) and the `trak` count. This is the part of "video decode"
+    * that needs no codec — duration/track metadata drives corpus
+    * filtering and sampling decisions long before any frame is pixel-
+    * decoded; FRAME decode itself stays a disclosed stub (the JDK ships
+    * no video codec). None for null/garbage/truncated bytes — untrusted
+    * size fields must never hang or overrun (the WAV lesson).
+    */
+  def parseMp4Meta(bytes: Array[Byte]): Option[Mp4Meta] =
+    try {
+      if (bytes == null || bytes.length < 16) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is BIG-endian
+      // walk a box list in [from, until): invoke f(boxType, bodyFrom, bodyUntil)
+      def walk(from: Int, until: Int)(f: (Int, Int, Int) => Unit): Boolean = {
+        var pos = from
+        while (pos + 8 <= until) {
+          val sz32 = bb.getInt(pos)
+          val typ = bb.getInt(pos + 4)
+          var bodyFrom = pos + 8
+          val boxEnd: Long =
+            if (sz32 == 0) until.toLong // box extends to end of enclosure
+            else if (sz32 == 1) { // 64-bit largesize
+              if (pos + 16 > until) return false
+              bodyFrom = pos + 16
+              pos.toLong + bb.getLong(pos + 8)
+            } else pos.toLong + (sz32 & 0xffffffffL)
+          if (boxEnd < bodyFrom || boxEnd > until) return false
+          f(typ, bodyFrom, boxEnd.toInt)
+          pos = boxEnd.toInt
+        }
+        true
+      }
+      var brand: String = null
+      var moovFrom = -1
+      var moovUntil = -1
+      if (!walk(0, bytes.length) { (typ, from, end) =>
+        if (typ == 0x66747970 && end - from >= 4) // "ftyp"
+          brand = new String(bytes, from, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        else if (typ == 0x6d6f6f76) { moovFrom = from; moovUntil = end } // "moov"
+      }) return None
+      if (brand == null || moovFrom < 0) return None
+      var timescale = 0L
+      var duration = -1L
+      var tracks = 0
+      if (!walk(moovFrom, moovUntil) { (typ, from, end) =>
+        if (typ == 0x6d766864) { // "mvhd"
+          val v = bb.get(from) & 0xff
+          if (v == 1 && end - from >= 4 + 28) {
+            timescale = bb.getInt(from + 4 + 16) & 0xffffffffL
+            duration = bb.getLong(from + 4 + 20)
+          } else if (v == 0 && end - from >= 4 + 16) {
+            timescale = bb.getInt(from + 4 + 8) & 0xffffffffL
+            duration = bb.getInt(from + 4 + 12) & 0xffffffffL
+          }
+        } else if (typ == 0x7472616b) tracks += 1 // "trak"
+      }) return None
+      if (timescale <= 0 || duration < 0) return None
+      Some(Mp4Meta(brand, timescale, duration.toDouble / timescale, tracks))
+    } catch { case _: Exception => None }
+
+  /** Minimal MP4 encoder (test fixtures): ftyp + moov(mvhd + empty
+    * traks), mvhd version 0 or 1.
+    */
+  def encodeMp4Stub(brand: String, timescale: Int, duration: Long,
+      nTracks: Int, v1: Boolean = false): Array[Byte] = {
+    require(brand.length == 4, "brand must be 4 ASCII chars")
+    val mvhdBody = if (v1) {
+      val b = java.nio.ByteBuffer.allocate(4 + 28)
+      b.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1, flags
+      b.putLong(0L).putLong(0L).putInt(timescale).putLong(duration)
+      b.array()
+    } else {
+      val b = java.nio.ByteBuffer.allocate(4 + 16)
+      b.put(0.toByte).put(Array[Byte](0, 0, 0))
+      b.putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt)
+      b.array()
+    }
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val traks = Array.fill(nTracks)(box("trak", Array.emptyByteArray))
+    box("ftyp", brand.getBytes("US-ASCII") ++ new Array[Byte](4)) ++
+      box("moov", box("mvhd", mvhdBody) ++ traks.flatten)
+  }
+
+  private val videoFields = Seq(
+    StructField("major_brand", StringType), StructField("timescale", LongType),
+    StructField("duration_s", DoubleType), StructField("n_tracks", IntegerType))
+
+  /** Video container-metadata stage (same batched per-partition shape
+    * as image/audio): appends major_brand/timescale/duration_s/n_tracks;
+    * null/undecodable bytes → null features, row preserved.
+    */
+  def probeVideoMeta(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ videoFields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(binIdx).asInstanceOf[Array[Byte]]
+        parseMp4Meta(bytes) match {
+          case Some(m) =>
+            Row.fromSeq(r.toSeq ++ Seq(m.majorBrand, m.timescale, m.durationS, m.nTracks))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
         }
       }
     }(enc)

@@ -137,4 +137,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(total <= "fake-image-bytes-bbbb-longer-payload".length)
     assert(Multimodal.sampleFrames(media.filter($"media_id" === 2L), "content", "media_id", 4).count() == 0)
   }
+
+  test("parseMp4Meta: v0 and v1 mvhd round-trip, garbage rejected") {
+    val v0 = Multimodal.encodeMp4Stub("isom", timescale = 600, duration = 3000, nTracks = 2)
+    assert(Multimodal.parseMp4Meta(v0) ===
+      Some(Multimodal.Mp4Meta("isom", 600L, 5.0, 2)))
+    val v1 = Multimodal.encodeMp4Stub("mp42", 90000, 450000L, 1, v1 = true)
+    assert(Multimodal.parseMp4Meta(v1) ===
+      Some(Multimodal.Mp4Meta("mp42", 90000L, 5.0, 1)))
+    assert(Multimodal.parseMp4Meta(null).isEmpty)
+    assert(Multimodal.parseMp4Meta("not an mp4 at all....".getBytes).isEmpty)
+    assert(Multimodal.parseMp4Meta(v0.take(20)).isEmpty) // truncated moov
+    // malformed size field must terminate, not hang (the WAV lesson)
+    val evil = v0.clone(); evil(0) = 0xff.toByte
+    assert(Multimodal.parseMp4Meta(evil).isEmpty)
+  }
+
+  test("probeVideoMeta: metadata appended, garbage rows preserved with nulls") {
+    val vids = Seq(
+      (1L, Multimodal.encodeMp4Stub("isom", 1000, 12500, 3)),
+      (2L, "garbage".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "content")
+    val out = Multimodal.probeVideoMeta(vids, "content")
+      .orderBy("media_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[String]("major_brand") === "isom")
+    assert(out(0).getAs[Double]("duration_s") === 12.5)
+    assert(out(0).getAs[Int]("n_tracks") === 3)
+    assert(out(1).isNullAt(out(1).fieldIndex("duration_s")))
+    assert(out(2).isNullAt(out(2).fieldIndex("major_brand")))
+  }
 }
