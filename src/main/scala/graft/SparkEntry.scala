@@ -1786,6 +1786,37 @@ object SparkEntry {
         round(dsum(element_at(col("gray_hist"), 1)) / count(lit(1)), 6).as("avg_dark_bin"))
   }
 
+  /** Video container metadata (`Multimodal.parseMp4Meta` /
+    * `probeVideoMeta`): MP4 stubs synthesized deterministically from
+    * event ids (mixed mvhd v0/v1), parsed back, aggregated. The oracle
+    * computes the same aggregates DIRECTLY from the ids — exact match
+    * proves the encode→box-walk→extract path end-to-end.
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vids = t(s, dir, "events").select("event_id", "event_type")
+      .as[(Long, String)]
+      .map { case (id, tpe) =>
+        (id, tpe, graft.multimodal.Multimodal.encodeMp4Stub(
+          "isom", timescale = 1000, duration = (id % 100 + 1) * 500,
+          nTracks = (id % 3 + 1).toInt, v1 = id % 2 == 0))
+      }
+      .toDF("event_id", "event_type", "content")
+    graft.multimodal.Multimodal.probeVideoMeta(vids, "content")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(dsum(col("duration_s")) / count(lit(1)), 6).as("avg_duration"),
+        sum(col("n_tracks").cast("long")).as("total_tracks"))
+  }
+
+  private val q91Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST((event_id % 100 + 1) * 0.5 AS DECIMAL(18,6))) AS DOUBLE)
+      |    / COUNT(*), 6) AS avg_duration,
+      |  SUM(event_id % 3 + 1) AS total_tracks
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** SimHash 64-bit near-dup fingerprint (md5-based, native expression)
     * — rows-only.
     */
@@ -2188,6 +2219,7 @@ object SparkEntry {
     "q40_knn_cosine" -> (q40 _),
     "q41_langid" -> (q41 _),
     "q66_image_features" -> (q66 _),
+    "q91_video_meta" -> (q91 _),
     "q42_simhash" -> (q42 _),
     "q43_lsh_ann" -> (q43 _),
     "q44_stl_decompose" -> (q44 _),
@@ -2278,6 +2310,7 @@ object SparkEntry {
     "q86_gopher_rules" -> q86Sql,
     "q89_semantic_dedup" -> q89Sql,
     "q90_dsir_scores" -> q90Sql,
+    "q91_video_meta" -> q91Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }
