@@ -401,12 +401,25 @@ object Similarity {
     * bounded, deterministic); PQ codebooks come from `pqTrain` on the
     * same corpus. Query ids must be integral.
     */
-  def knnIvfPq(corpus: DataFrame, queries: DataFrame, cId: String, qId: String,
-      cVec: String, qVec: String, nCells: Int, nProbe: Int,
-      m: Int, ksub: Int, k: Int, maxIter: Int = 10): DataFrame = {
+  /** A built IVF-PQ index: the codes relation (id, cell, pq_code — the
+    * ONLY corpus-sized piece, m bytes + a cell id per vector), the PQ
+    * codebooks, and the coarse centroids. Build once, search many —
+    * persist `codes` for a serving workload; indexing cost (one corpus
+    * scan + encode) is then paid once, not per query batch.
+    */
+  case class IvfPqIndex(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]], idCol: String)
+
+  /** Build the IVF-PQ index: coarse quantizer + PQ codebooks fit on the
+    * bounded deterministic sample, then ONE corpus scan emits
+    * (id, cell, code) — cell assignment rides the encode projection (a
+    * join of two separate scans would shuffle the corpus on id for
+    * nothing).
+    */
+  def buildIvfPqIndex(corpus: DataFrame, cId: String, cVec: String,
+      nCells: Int, m: Int, ksub: Int, maxIter: Int = 10): IvfPqIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // coarse quantizer (same bounded deterministic sample as knnIvf)
     val sample = corpus.select(col(cId), col(cVec))
       .orderBy(col(cId)).limit(math.max(nCells * 100, 1000))
       .select(col(cVec)).as[Seq[Double]].collect().map(_.toArray)
@@ -424,14 +437,33 @@ object Similarity {
       best
     }
     val books = pqTrain(corpus, cId, cVec, m, ksub, maxIter)
-    // ONE corpus scan: cell assignment rides the encode projection (a
-    // join of two separate scans would shuffle the corpus on id for
-    // nothing)
     val coded = pqEncode(
       corpus.withColumn("cell", assignUdf(col(cVec))), cId, cVec, books,
       keep = Seq("cell"))
-    // driver-side per-query prep: probed cells + ADC LUTs (bounded by
-    // the query-set contract, same as knnPq/knnBruteForce)
+    IvfPqIndex(coded, books, centroids, cId)
+  }
+
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame, cId: String, qId: String,
+      cVec: String, qVec: String, nCells: Int, nProbe: Int,
+      m: Int, ksub: Int, k: Int, maxIter: Int = 10): DataFrame =
+    searchIvfPq(buildIvfPqIndex(corpus, cId, cVec, nCells, m, ksub, maxIter),
+      queries, qId, qVec, nProbe, k)
+
+  /** Search a built index: per-query probed cells + ADC LUTs are
+    * driver-built and broadcast (bounded by the query-set contract,
+    * same as knnPq/knnBruteForce); the scan side touches only the
+    * probed cells' codes.
+    */
+  def searchIvfPq(index: IvfPqIndex, queries: DataFrame, qId: String,
+      qVec: String, nProbe: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val books = index.codebooks
+    val centroids = index.centroids
+    val coded = index.codes
+    val cId = index.idCol
+    val m = books.length
+    val ksub = books(0).length
     val dsub = books(0)(0).length
     val norms2 = Array.tabulate(m, ksub) { (s, c) =>
       var n = 0.0; var j = 0

@@ -212,6 +212,40 @@ object ScaleProbe {
           .write.mode("overwrite").format("noop").save()
         println(f"SCALE-R4 decontaminateBloom $name docs: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      // PQ / IVF-PQ: index ONCE (the one-time corpus encode), then time
+      // SEARCH against persisted codes — the serving shape. Flat ADC
+      // search must grow with the code count; IVF-PQ search probes
+      // nProbe/nCells of it.
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      for (factor <- Seq(1, 10, 100)) {
+        val reps = spark.range(factor).withColumnRenamed("id", "rep")
+        val corpus = emb.crossJoin(reps)
+          .select((col("vec_id") + col("rep") * 10000000L).as("vec_id"), col("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        corpus.count()
+        val queries = corpus.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val tIdx0 = System.nanoTime()
+        val idx = graft.similarity.Similarity.buildIvfPqIndex(
+          corpus, "vec_id", "v", nCells = 64, m = 8, ksub = 16)
+        val codes = idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codes.count() // materialize the index — the one-time cost
+        val tIdx = (System.nanoTime() - tIdx0) / 1e9
+        val t0 = System.nanoTime()
+        graft.similarity.Similarity.knnPq(queries, codes,
+            "qid", "vec_id", "qv", idx.codebooks, 10)
+          .write.mode("overwrite").format("noop").save()
+        val tFlat = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.similarity.Similarity.searchIvfPq(idx, queries, "qid", "qv",
+            nProbe = 8, k = 10)
+          .write.mode("overwrite").format("noop").save()
+        val tIvf = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE-R4 ANN ${factor}x (${5000 * factor} codes): " +
+          f"index=$tIdx%.2f s flatPQsearch=$tFlat%.2f s ivfPQsearch=$tIvf%.2f s")
+        codes.unpersist(); corpus.unpersist()
+      }
     }
     spark.stop()
   }
