@@ -415,9 +415,12 @@ object Dedup {
     import graft.functions.BloomAgg
     val spark = train.sparkSession
     import spark.implicits._
+    // localCheckpoint: the gram set is consumed TWICE (bloom build +
+    // verify join) — without it the benchmark re-shingles per consumer
     val benchGrams = benchmark
       .select(explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("__g"))
       .distinct()
+      .localCheckpoint(true)
     // single-row fit-statistic pull: the finished filter is numBits/8
     // bytes regardless of benchmark size, then an executor broadcast
     val agg = new BloomAgg.BloomFilterAgg(numBits, numHashes)

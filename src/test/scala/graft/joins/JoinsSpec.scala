@@ -61,6 +61,26 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("pointInInterval: negative coordinates floor-divide correctly") {
+    // fdiv must FLOOR (toward -inf), not truncate toward zero — a
+    // truncating division puts p=-1 and p=+1 in the same bucket 0 and
+    // breaks the exactly-one-bucket-per-point invariant
+    val rnd = new scala.util.Random(17)
+    val points = (1 to 200).map(i => (i.toLong, rnd.nextInt(200).toLong - 100))
+      .toDF("pid", "p")
+    val ivs = (1 to 50).map { i =>
+      val s = rnd.nextInt(190).toLong - 95
+      (i.toLong, s, s + 1 + rnd.nextInt(20))
+    }.toDF("iid", "s", "e")
+    val naive = points.join(ivs, col("p") >= col("s") && col("p") < col("e"))
+      .select("pid", "iid")
+    for (w <- Seq(3L, 7L)) {
+      val got = RangeJoin.pointInInterval(points, ivs, "p", "s", "e", w)
+        .select("pid", "iid")
+      assert(sortedRows(got) === sortedRows(naive), s"bucketWidth=$w (negative coords)")
+    }
+  }
+
   test("AQE splits observable sort-merge skew (the boundary salting is NOT for)") {
     // SkewJoin's doc claims AQE handles skew it can see at a shuffle
     // boundary; verify that claim so the salted-join scope stays honest
