@@ -278,6 +278,11 @@ object Similarity {
     val sample = df.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(math.max(ksub * 100, 1000))
       .select(col(vecCol)).as[Seq[Double]].collect().map(_.toArray)
+    pqTrainOn(sample, m, ksub, maxIter)
+  }
+
+  private def pqTrainOn(sample: Array[Array[Double]], m: Int, ksub: Int,
+      maxIter: Int): Array[Array[Array[Double]]] = {
     require(sample.nonEmpty, "pqTrain: empty fit sample")
     val d = sample.head.length
     require(d % m == 0, s"pqTrain: dim $d not divisible by m=$m")
@@ -408,7 +413,7 @@ object Similarity {
     * scan + encode) is then paid once, not per query batch.
     */
   case class IvfPqIndex(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
-      centroids: Array[Array[Double]], idCol: String)
+      centroids: Array[Array[Double]], idCol: String, residual: Boolean = false)
 
   /** Build the IVF-PQ index: coarse quantizer + PQ codebooks fit on the
     * bounded deterministic sample, then ONE corpus scan emits
@@ -417,13 +422,24 @@ object Similarity {
     * nothing).
     */
   def buildIvfPqIndex(corpus: DataFrame, cId: String, cVec: String,
-      nCells: Int, m: Int, ksub: Int, maxIter: Int = 10): IvfPqIndex = {
+      nCells: Int, m: Int, ksub: Int, maxIter: Int = 10,
+      residual: Boolean = false): IvfPqIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sample = corpus.select(col(cId), col(cVec))
       .orderBy(col(cId)).limit(math.max(nCells * 100, 1000))
       .select(col(cVec)).as[Seq[Double]].collect().map(_.toArray)
     val centroids = lloyd(sample, nCells, maxIter, seed = 42L)
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < centroids.length) {
+        var dist = 0.0; var j = 0; val c = centroids(i)
+        while (j < c.length) { val t = c(j) - v(j); dist += t * t; j += 1 }
+        if (dist < bd) { bd = dist; best = i }
+        i += 1
+      }
+      best
+    }
     val bcCent = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf { v: Seq[Double] =>
       val cs = bcCent.value
@@ -436,11 +452,32 @@ object Similarity {
       }
       best
     }
-    val books = pqTrain(corpus, cId, cVec, m, ksub, maxIter)
-    val coded = pqEncode(
-      corpus.withColumn("cell", assignUdf(col(cVec))), cId, cVec, books,
-      keep = Seq("cell"))
-    IvfPqIndex(coded, books, centroids, cId)
+    if (!residual) {
+      val books = pqTrain(corpus, cId, cVec, m, ksub, maxIter)
+      val coded = pqEncode(
+        corpus.withColumn("cell", assignUdf(col(cVec))), cId, cVec, books,
+        keep = Seq("cell"))
+      IvfPqIndex(coded, books, centroids, cId)
+    } else {
+      // residual mode (Jegou et al. SSVII): PQ encodes x - c(cell), which
+      // is much tighter than x itself once the coarse quantizer has
+      // absorbed the cluster structure - the books see only within-cell
+      // spread. Books fit on the SAMPLE's residuals (same bound).
+      val resSample = sample.map { v =>
+        val c = centroids(nearest(v))
+        Array.tabulate(v.length)(j => v(j) - c(j))
+      }
+      val books = pqTrainOn(resSample, m, ksub, maxIter)
+      val residUdf = udf { (v: Seq[Double], cell: Int) =>
+        val c = bcCent.value(cell)
+        Seq.tabulate(v.length)(j => v(j) - c(j))
+      }
+      val coded = pqEncode(
+        corpus.withColumn("cell", assignUdf(col(cVec)))
+          .withColumn("__resid", residUdf(col(cVec), col("cell"))),
+        cId, "__resid", books, keep = Seq("cell"))
+      IvfPqIndex(coded, books, centroids, cId, residual = true)
+    }
   }
 
   def knnIvfPq(corpus: DataFrame, queries: DataFrame, cId: String, qId: String,
@@ -465,10 +502,24 @@ object Similarity {
     val m = books.length
     val ksub = books(0).length
     val dsub = books(0)(0).length
+    val nCells = centroids.length
+    // residual mode reconstructs x as c(cell) + r; the uniform scoring
+    // below uses effective centroids = 0 in plain mode so one formula
+    // covers both: ip = q.c + sum lut, |x|^2 = |c|^2 + 2 sum cross + sum n2
+    val effCent: Array[Array[Double]] =
+      if (index.residual) centroids
+      else Array.fill(nCells)(new Array[Double](m * dsub))
     val norms2 = Array.tabulate(m, ksub) { (s, c) =>
       var n = 0.0; var j = 0
       while (j < dsub) { n += books(s)(c)(j) * books(s)(c)(j); j += 1 }
       n
+    }
+    val cNorm2 = effCent.map(c => c.map(x => x * x).sum)
+    // cross[cell][s][e] = c(cell) restricted to subspace s, dot book[s][e]
+    val cross = Array.tabulate(nCells, m, ksub) { (ci, s, e) =>
+      var x = 0.0; var j = 0
+      while (j < dsub) { x += effCent(ci)(s * dsub + j) * books(s)(e)(j); j += 1 }
+      x
     }
     val qData = queries.select(col(qId).cast("long"), col(qVec))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
@@ -476,6 +527,14 @@ object Similarity {
       Array.tabulate(m, ksub) { (s, c) =>
         var ip = 0.0; var j = 0
         while (j < dsub) { ip += qv(s * dsub + j) * books(s)(c)(j); j += 1 }
+        ip
+      }
+    }
+    // q . c(cell) for every (query, cell) - tiny matrix, driver-built
+    val qDotC = qData.map { case (_, qv) =>
+      effCent.map { c =>
+        var ip = 0.0; var j = 0
+        while (j < c.length) { ip += qv(j) * c(j); j += 1 }
         ip
       }
     }
@@ -493,20 +552,29 @@ object Similarity {
     val bcLuts = spark.sparkContext.broadcast(luts)
     val bcN2 = spark.sparkContext.broadcast(norms2)
     val bcQn2 = spark.sparkContext.broadcast(qn2)
-    val score = udf { (qi: Int, code: Seq[Int]) =>
+    val bcCross = spark.sparkContext.broadcast(cross)
+    val bcCN2 = spark.sparkContext.broadcast(cNorm2)
+    val bcQC = spark.sparkContext.broadcast(qDotC)
+    val score = udf { (qi: Int, cell: Int, code: Seq[Int]) =>
       val lut = bcLuts.value(qi)
       val n2s = bcN2.value
-      var ip = 0.0; var n2 = 0.0
+      val cr = bcCross.value(cell)
+      var ip = bcQC.value(qi)(cell)
+      var n2 = bcCN2.value(cell)
       var s = 0
-      while (s < m) { val c = code(s); ip += lut(s)(c); n2 += n2s(s)(c); s += 1 }
+      while (s < m) {
+        val c = code(s)
+        ip += lut(s)(c); n2 += 2.0 * cr(s)(c) + n2s(s)(c)
+        s += 1
+      }
       val qq = bcQn2.value(qi)
-      if (n2 == 0.0 || qq == 0.0) 0.0 else ip / math.sqrt(n2 * qq)
+      if (n2 <= 0.0 || qq == 0.0) 0.0 else ip / math.sqrt(n2 * qq)
     }
     val w = Window.partitionBy(col("query_id")).orderBy(col("pq_sim").desc, col("neighbor_id").asc)
     coded.select(col(cId).as("neighbor_id"), col("pq_code"), col("cell"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("pq_sim", round(score(col("__qi"), col("pq_code")), 6))
+      .withColumn("pq_sim", round(score(col("__qi"), col("cell"), col("pq_code")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("pq_sim"), col("rank"))

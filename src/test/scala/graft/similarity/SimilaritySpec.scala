@@ -203,4 +203,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pr.length === 6 * 5)
     assert(pr.forall { case (q, n) => q % 3 === n % 3 })
   }
+
+  test("residual IVF-PQ: reconstruction error below plain PQ; search works") {
+    // clusters far from the origin with small spread: plain PQ books
+    // must span the whole space, residual books only the within-cell
+    // spread — reconstruction error drops sharply
+    val rnd = new scala.util.Random(33)
+    val centers = Vector(Seq(20.0, 0.0, 5.0, -10.0), Seq(0.0, 20.0, -5.0, 10.0),
+      Seq(-20.0, -20.0, 0.0, 0.0))
+    val data = (0 until 90).map { i =>
+      (i.toLong, centers(i % 3).map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("vec_id", "v")
+    def mse(idx: Similarity.IvfPqIndex): Double = {
+      val books = idx.codebooks
+      val dsub = books(0)(0).length
+      val truth = data.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val rows = idx.codes.collect()
+      rows.map { r =>
+        val id = r.getLong(r.fieldIndex("vec_id"))
+        val cell = r.getInt(r.fieldIndex("cell"))
+        val code = r.getSeq[Int](r.fieldIndex("pq_code"))
+        val base = if (idx.residual) idx.centroids(cell)
+          else new Array[Double](books.length * dsub)
+        val recon = Array.tabulate(books.length * dsub)(j =>
+          base(j) + books(j / dsub)(code(j / dsub))(j % dsub))
+        truth(id).zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum / rows.length
+    }
+    val plain = Similarity.buildIvfPqIndex(data, "vec_id", "v",
+      nCells = 3, m = 2, ksub = 4, maxIter = 15)
+    val resid = Similarity.buildIvfPqIndex(data, "vec_id", "v",
+      nCells = 3, m = 2, ksub = 4, maxIter = 15, residual = true)
+    val (eP, eR) = (mse(plain), mse(resid))
+    assert(eR < eP / 2, s"residual MSE $eR not well below plain $eP")
+    // residual search returns full k, in-cluster
+    val queries = data.filter($"vec_id" < 6).select($"vec_id".as("qid"), $"v".as("qv"))
+    val out = Similarity.searchIvfPq(resid, queries, "qid", "qv", nProbe = 1, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 6 * 5)
+    assert(out.forall { case (q, n) => q % 3 === n % 3 })
+  }
 }
