@@ -1700,6 +1700,20 @@ object SparkEntry {
       nCells = 16, nProbe = 4, m = 8, ksub = 16, k = 10)
   }
 
+  /** Residual IVF-PQ (`buildIvfPqIndex(residual=true)` + `searchIvfPq`):
+    * codes span only within-cell spread — the quality tier of the same
+    * serving architecture. Rows-only like q88.
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "v",
+      nCells = 16, m = 8, ksub = 16, residual = true)
+    Similarity.searchIvfPq(idx, queries, "qid", "qv", nProbe = 4, k = 10)
+  }
+
   // ─────────────── similarity search (embeddings) ───────────────
 
   /** Brute-force cosine top-k ANN baseline (queries broadcast). */
@@ -2232,7 +2246,8 @@ object SparkEntry {
     "q87_pq_ann" -> (q87 _),
     "q88_ivfpq_ann" -> (q88 _),
     "q89_semantic_dedup" -> (q89 _),
-    "q90_dsir_scores" -> (q90 _)
+    "q90_dsir_scores" -> (q90 _),
+    "q92_ivfpq_residual" -> (q92 _)
   )
 
   def oracleSql: Map[String, String] = Map(
