@@ -1601,6 +1601,24 @@ object SparkEntry {
        |FROM s""".stripMargin
   }
 
+  /** Normalized exact dedup (`Dedup.normalizedExactDedup`): reformatted
+    * copies (case/spacing/punctuation) collapse onto one canonical
+    * digest — the pre-hash canonicalization every production pipeline
+    * runs before byte-exact dedup. Same shuffle shape as q32.
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    Dedup.normalizedExactDedup(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  private val q93Sql =
+    """WITH k AS (SELECT doc_id, lang, n_chars,
+      |    TRIM(regexp_replace(regexp_replace(LOWER(text),
+      |      '[.,;:!?''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g')) AS nk
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY nk ORDER BY doc_id) AS rn FROM k)
+      |SELECT doc_id, lang, n_chars FROM r WHERE rn = 1""".stripMargin
+
   /** DSIR importance scores (`TextAnalysis.dsirScores`): hashed-bigram
     * bucket log-ratios of the English subcorpus (target) vs the whole
     * corpus (raw), summed per document with the exact-DECIMAL contract —
@@ -2247,7 +2265,8 @@ object SparkEntry {
     "q88_ivfpq_ann" -> (q88 _),
     "q89_semantic_dedup" -> (q89 _),
     "q90_dsir_scores" -> (q90 _),
-    "q92_ivfpq_residual" -> (q92 _)
+    "q92_ivfpq_residual" -> (q92 _),
+    "q93_normalized_dedup" -> (q93 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2326,6 +2345,7 @@ object SparkEntry {
     "q89_semantic_dedup" -> q89Sql,
     "q90_dsir_scores" -> q90Sql,
     "q91_video_meta" -> q91Sql,
+    "q93_normalized_dedup" -> q93Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }

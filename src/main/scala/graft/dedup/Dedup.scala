@@ -22,6 +22,27 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Normalization key for "fuzzy-exact" dedup: lowercase, punctuation
+    * stripped, whitespace runs collapsed, edges trimmed — the standard
+    * canonicalization pipelines apply before hashing so trivially
+    * reformatted copies (case, spacing, trailing punctuation) collapse
+    * onto one digest. Pure codegen'd string expressions.
+    */
+  def normalizedKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[.,;:!?'\"()\\[\\]{}]", ""),
+      "\\s+", " "))
+
+  /** Exact dedup on the NORMALIZED text (keep lowest id per key) —
+    * catches the reformatted-copy class byte-exact dedup misses while
+    * staying a plain digest groupBy (same shuffle shape as
+    * [[exactDedup]], WindowGroupLimit prunes map-side).
+    */
+  def normalizedExactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(normalizedKey(col(textCol)))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Exact-duplicate groups: digest → member count (>1 ⇒ duplicates). */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame =
     df.groupBy(md5(col(textCol)).as("digest"))

@@ -142,6 +142,21 @@ class DedupSpec extends AnyFunSuite {
     assert(sims.forall(s => s >= 0.95 && s <= 1.0))
   }
 
+  test("normalizedExactDedup: reformatted copies collapse, distinct texts survive") {
+    val docs = Seq(
+      (1L, "The cat sat."),
+      (2L, "the  cat   sat"),      // case + spacing + punctuation variant of 1
+      (3L, "THE CAT SAT!?"),       // ditto
+      (4L, "the cat stood."),      // genuinely different
+      (5L, "  the cat sat  ")      // edge whitespace variant of 1
+    ).toDF("doc_id", "text")
+    val kept = Dedup.normalizedExactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L)) // lowest id per normalized key
+    // byte-exact dedup keeps all 5 — the normalization is what collapses
+    assert(Dedup.exactDedup(docs, "text", "doc_id").count() === 5L)
+  }
+
   test("semanticDedup: keeps each cosine-cluster's minimum, transitively") {
     val vecs = Seq(
       // block 0: 1≈2≈6 form one TRANSITIVE cluster (1-2 and 2-6 edges);
