@@ -1619,6 +1619,28 @@ object SparkEntry {
       |    ROW_NUMBER() OVER (PARTITION BY nk ORDER BY doc_id) AS rn FROM k)
       |SELECT doc_id, lang, n_chars FROM r WHERE rn = 1""".stripMargin
 
+  /** Duplicate-trigram fraction (`TextAnalysis.dupNgramFraction`): the
+    * Gopher repetition signal q78 doesn't cover — occurrence-weighted
+    * share of repeated 3-grams per document.
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupNgramFraction(t(s, dir, "documents"), "text", "doc_id", 3)
+
+  private val q94Sql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(0, len(t) - 2),
+      |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |         ELSE [array_to_string(t, ' ')] END AS sh
+      |  FROM tok),
+      |g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
+      |    AS dup_ngram_frac
+      |FROM c GROUP BY doc_id""".stripMargin
+
   /** DSIR importance scores (`TextAnalysis.dsirScores`): hashed-bigram
     * bucket log-ratios of the English subcorpus (target) vs the whole
     * corpus (raw), summed per document with the exact-DECIMAL contract —
@@ -2266,7 +2288,8 @@ object SparkEntry {
     "q89_semantic_dedup" -> (q89 _),
     "q90_dsir_scores" -> (q90 _),
     "q92_ivfpq_residual" -> (q92 _),
-    "q93_normalized_dedup" -> (q93 _)
+    "q93_normalized_dedup" -> (q93 _),
+    "q94_dup_ngrams" -> (q94 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2346,6 +2369,7 @@ object SparkEntry {
     "q90_dsir_scores" -> q90Sql,
     "q91_video_meta" -> q91Sql,
     "q93_normalized_dedup" -> q93Sql,
+    "q94_dup_ngrams" -> q94Sql,
     "q56_dedup_clusters" -> q56Sql
   )
 }

@@ -328,6 +328,23 @@ object TextAnalysis {
           col("stop_hits") >= minStopHits &&
           col("alpha_frac") > minAlphaFrac)
 
+  /** Duplicate n-gram fraction (Gopher table A1's remaining repetition
+    * signal, complementing `repetitionStats`' duplicate-segment and
+    * top-bigram fractions): the occurrence-weighted share of a doc's
+    * n-grams that are repeats — Σ c_g over grams with c_g > 1, divided
+    * by the total gram count. One explode + one (doc, gram) aggregation
+    * + one per-doc aggregation; a per-doc HOF count would be O(len²).
+    * Docs shorter than n contribute their whole text (one gram, frac 0).
+    */
+  def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), n)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(when(col("__c") > 1, col("__c")).otherwise(lit(0L))).cast("double") /
+          sum(col("__c")), 6).as("dup_ngram_frac"))
+
   /** DSIR-style importance scores (Xie et al., NeurIPS 2023): hashed
     * n-gram bucket counts stand in for the bag-of-ngrams features, each
     * bucket gets an add-1-smoothed log-ratio of target vs raw

@@ -162,6 +162,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert("gopher_stats".r.findAllIn(p).size == 1, s"gopher_stats cloned:\n$p")
   }
 
+  test("dupNgramFraction: repeats weighted by occurrence, short docs zero") {
+    val docs = Seq(
+      (1L, "a b c a b c a b d"),  // 7 trigrams: "a b c"x2, rest once -> 2/7... recount below
+      (2L, "x y"),                // shorter than n -> one whole-text gram, frac 0
+      (3L, "p q r s t"))          // 3 distinct trigrams -> 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupNgramFraction(docs, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1 trigrams: [a b c, b c a, c a b, a b c, b c a, c a b, a b d]
+    // -> three grams appear twice (6 occurrences) of 7 total
+    assert(out(1L) === BigDecimal(6.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 0.0)
+  }
+
   test("dsirScores: target-like docs outscore off-target docs") {
     // two disjoint vocabularies; target = vocab-A docs only
     val a = (1L to 4L).map(i => (i, "alpha beta gamma delta alpha beta"))
