@@ -176,6 +176,24 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gopherRules runs unchanged on a stream (Generate barrier is map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.text.TextAnalysis.gopherRules(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        minWords = 3, maxWords = 100, minMeanLen = 2.0, maxMeanLen = 8.0,
+        minStopHits = 1, minAlphaFrac = 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_gopher").start()
+    try {
+      mem.addData((1L, "the cat sat on a mat"), (2L, "x1"))
+      q.processAllAvailable()
+      val out = spark.table("stream_gopher").orderBy("doc_id")
+        .select("doc_id", "n_words", "keep").as[(Long, Int, Boolean)].collect().toSeq
+      assert(out === Seq((1L, 6, true), (2L, 1, false)))
+    } finally q.stop()
+  }
+
   test("MisraGries aggregator runs as a streaming aggregation (merging buffers)") {
     // the sketch IS a merging Aggregator, so the streaming face needs no
     // new operator: a complete-mode global agg keeps O(k) state per
