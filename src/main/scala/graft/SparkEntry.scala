@@ -1868,7 +1868,7 @@ object SparkEntry {
     """SELECT event_type, COUNT(*) AS n,
       |  ROUND(CAST(SUM(CAST((event_id % 100 + 1) * 0.5 AS DECIMAL(18,6))) AS DOUBLE)
       |    / COUNT(*), 6) AS avg_duration,
-      |  SUM(event_id % 3 + 1) AS total_tracks
+      |  CAST(SUM(event_id % 3 + 1) AS BIGINT) AS total_tracks
       |FROM events GROUP BY event_type""".stripMargin
 
   /** SimHash 64-bit near-dup fingerprint (md5-based, native expression)

@@ -1,7 +1,18 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate: run graft.Verify's
 parquet dumps against the DuckDB oracle SQL and diff. Usage:
-    python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+    python3 tools/check_oracle.py <sfDir> <verifyOutDir> [namePrefixFilter...]
+
+The driver hashes RAW BYTES of the sorted result, so this gate must be
+byte-strict, not value-strict:
+  * float columns: bitwise uint64 comparison (no -0.0/NaN forgiveness);
+  * dtype mismatches FAIL before any value comparison (the round-4 q91
+    lesson: DuckDB SUM over BIGINT yields HUGEINT -> pandas float64,
+    which the old coercing comparer silently passed while the driver's
+    raw-byte hash failed);
+  * a schema lint flags HUGEINT/UHUGEINT in the ORACLE OUTPUT schema
+    (always an uncast integer aggregate; intermediate CTE hugeints are
+    fine and invisible here).
 """
 import json, sys, glob
 import duckdb
@@ -9,6 +20,7 @@ import pandas as pd
 import numpy as np
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+prefixes = sys.argv[3:]
 con = duckdb.connect()
 for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
             "lineitem", "events", "documents", "embeddings"]:
@@ -17,13 +29,25 @@ for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail, ok = [], []
 for name, sql in sorted(oracle.items()):
+    if prefixes and not any(name.startswith(p) for p in prefixes):
+        continue
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         fail.append((name, "no spark output"))
         continue
     try:
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-        exp = con.sql(sql).df()
+        rel = con.sql(sql)
+        # Schema lint: HUGEINT in the output schema is always an uncast
+        # integer aggregate (SUM over BIGINT etc.) — the driver's raw-byte
+        # hash can never match Spark's 8-byte long against int128.
+        huge = [c for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in ("HUGEINT", "UHUGEINT", "INT128", "UINT128")]
+        if huge:
+            fail.append((name, f"oracle output column(s) {huge} are HUGEINT — "
+                               f"wrap the aggregate in CAST(... AS BIGINT)"))
+            continue
+        exp = rel.df()
     except Exception as e:
         fail.append((name, f"exec error: {e}"))
         continue
@@ -35,7 +59,8 @@ for name, sql in sorted(oracle.items()):
     if len(got) != len(exp):
         fail.append((name, f"row count differs: spark={len(got)} oracle={len(exp)}"))
         continue
-    # normalize dtypes (timestamps→ns, ints→int64, decimals→float)
+    # Normalize representation-only differences (timestamp unit, bytes->hex);
+    # everything else must match dtype-exactly.
     for df in (got, exp):
         for c in df.columns:
             if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (bytes,)):
@@ -45,13 +70,29 @@ for name, sql in sorted(oracle.items()):
                     df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
             except Exception:
                 pass
+    # Dtype-strict gate: any mismatch is a driver hash FAIL regardless of
+    # values. For object columns compare the python type of the first
+    # non-null element (str vs Decimal vs int all hash differently).
+    dt_mism = []
+    for c in got.columns:
+        da, db = got[c].dtype, exp[c].dtype
+        if da != db:
+            dt_mism.append((c, str(da), str(db)))
+        elif da == object and len(got):
+            ta = next((type(v).__name__ for v in got[c] if v is not None), "none")
+            tb = next((type(v).__name__ for v in exp[c] if v is not None), "none")
+            if ta != tb:
+                dt_mism.append((c, f"object[{ta}]", f"object[{tb}]"))
+    if dt_mism:
+        fail.append((name, f"DTYPE mismatch (spark vs oracle): {dt_mism}"))
+        continue
     sort_cols = list(got.columns)
     got = got.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
     exp = exp.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
     mism = []
     for c in got.columns:
         a, b = got[c], exp[c]
-        if np.issubdtype(np.asarray(a).dtype, np.floating) or np.issubdtype(np.asarray(b).dtype, np.floating):
+        if np.issubdtype(np.asarray(a).dtype, np.floating):
             aa, bb = a.astype(float).values, b.astype(float).values
             # RAW bitwise comparison: the driver hashes raw bytes, so
             # -0.0 vs +0.0 (equal under ==/array_equal) AND NaN-payload
