@@ -18,10 +18,17 @@ import org.apache.spark.sql.functions._
   * reducers. The result set is EXACTLY the plain join's: every left row
   * holds one salt value and the right side matches all of them.
   *
-  * The salt is `xxhash64(all left columns) mod salts` — deterministic
-  * under task retry and AQE re-planning (a `rand()` salt is also correct
-  * but makes retried tasks produce different intermediate partitions,
-  * defeating shuffle-block reuse).
+  * The salt is `xxhash64(all left columns, row position) mod salts`.
+  * The positional component matters: the motivating hot keys (empty-text
+  * digest, default/sentinel ids) often come from rows that are
+  * byte-IDENTICAL, and a content-only salt would send all of them to one
+  * reducer — degenerating to the plain shuffle for exactly the case
+  * salting exists to fix. `monotonically_increasing_id` is
+  * (partition-id << 33 | row-index), so it is deterministic under plain
+  * task retry of a scan (same split ⇒ same ids, preserving shuffle-block
+  * reuse) while spreading identical rows; only an upstream AQE re-plan
+  * that changes partitioning changes the ids, and any salt value is
+  * CORRECT regardless (each left row matches all `salts` right copies).
   */
 object SkewJoin {
 
@@ -35,8 +42,7 @@ object SkewJoin {
     require(salts > 0, s"salts must be positive, got $salts")
     require(keys.nonEmpty, "at least one join key required")
     val leftCols = left.columns.map(col).toSeq
-    val salted = left.withColumn("__salt",
-      pmod(xxhash64(leftCols: _*), lit(salts.toLong)).cast("int"))
+    val salted = left.withColumn("__salt", saltExpr(leftCols, salts))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     // shuffle_hash hint: salting exists for joins where the small side
@@ -47,4 +53,13 @@ object SkewJoin {
     // (keys, salt) — hot keys spread across `salts` reducers, as intended.
     salted.join(replicated.hint("shuffle_hash"), keys :+ "__salt").drop("__salt")
   }
+
+  /** The salt assignment (see object scaladoc): content hash mixed with
+    * row position, so byte-identical hot rows still spread across
+    * reducers. Package-visible so the spread property is testable.
+    */
+  private[graft] def saltExpr(leftCols: Seq[org.apache.spark.sql.Column],
+      salts: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(leftCols :+ monotonically_increasing_id(): _*),
+      lit(salts.toLong)).cast("int")
 }

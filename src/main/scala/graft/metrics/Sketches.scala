@@ -86,6 +86,19 @@ object Sketches {
   def heavyHitters(df: DataFrame, keyCol: String, k: Int, denom: Long): DataFrame = {
     require(denom > 0 && denom < k + 1,
       s"need 0 < denom < k+1 for the superset guarantee, got denom=$denom k=$k")
+    // Integral keys only: pass 1 sketches over cast(key AS long), pass 2
+    // groups on the original column. A lossy cast (string '1' vs '01',
+    // decimals) would alias distinct keys in the sketch while the exact
+    // pass keeps them apart — silently breaking both the GROUP BY/HAVING
+    // equivalence and the superset guarantee. Fail loudly instead.
+    require({
+      import org.apache.spark.sql.types._
+      df.schema(keyCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }, s"heavyHitters requires an integral key column; " +
+      s"$keyCol is ${df.schema(keyCol).dataType.simpleString}")
     val spark = df.sparkSession
     import spark.implicits._
     val agg = new MisraGriesAgg(k)

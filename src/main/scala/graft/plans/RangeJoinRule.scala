@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Hint-driven automatic range-join rewrite (SURVEY §4 preference (c),
   * the Rule face): `points.hint("range_join", width).join(intervals,
@@ -69,12 +69,23 @@ object ResolveRangeJoinHint extends Rule[LogicalPlan] {
       case GreaterThan(en, p) if fromLeft(p) && fromRight(en) => Some((p, en))
       case _ => None
     }
+    // integral coordinates only: bucketing floor-divides and the last
+    // covered bucket is fdiv(end - 1) — on double/decimal coordinates a
+    // fractional end (e.g. end=5.5, width=1) would stop the interval
+    // explosion at bucket 4 and silently drop a qualifying point at 5.2.
+    // The hint is advisory and must never change semantics, so a
+    // non-integral shape falls back to the plain join.
+    def integral(e: Expression) = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     cond match {
       case And(a, b) =>
-        (for { (p1, s) <- lower(a); (p2, en) <- upper(b) if p1.semanticEquals(p2) }
+        ((for { (p1, s) <- lower(a); (p2, en) <- upper(b) if p1.semanticEquals(p2) }
           yield (p1, s, en)) orElse
           (for { (p1, s) <- lower(b); (p2, en) <- upper(a) if p1.semanticEquals(p2) }
-            yield (p1, s, en))
+            yield (p1, s, en)))
+          .filter { case (p, s, en) => integral(p) && integral(s) && integral(en) }
       case _ => None
     }
   }

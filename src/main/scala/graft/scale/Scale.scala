@@ -67,9 +67,21 @@ object Scale {
     val bytes =
       if (knownBytes >= 0) BigInt(knownBytes)
       else df.queryExecution.optimizedPlan.stats.sizeInBytes
-    math.max(1, (bytes / targetBytes).toInt +
-      (if (bytes % targetBytes > 0) 1 else 0))
+    // stay in BigInt: Catalyst estimates routinely approach Long.MaxValue
+    // (defaultSizeInBytes, multiplied through joins) and a .toInt on the
+    // quotient would wrap to an arbitrary/negative count — exactly the
+    // one-giant-file layout this function exists to prevent. Unknown-size
+    // estimates clamp to maxShards; callers with real knowledge pass
+    // knownBytes.
+    val n = (bytes + targetBytes - 1) / targetBytes
+    n.max(1).min(maxShards).toInt
   }
+
+  /** Upper bound on [[planShards]]' answer: past ~1M output files the
+    * bottleneck is the metadata layer (driver commit protocol, listing),
+    * not shard size — a clamped count signals "estimate unusable".
+    */
+  val maxShards: BigInt = BigInt(1) << 20
 
   /** Compacted parquet output: exactly `planShards` files of
     * ≈`targetBytes`, rows spread round-robin (`repartition(n)` — a full

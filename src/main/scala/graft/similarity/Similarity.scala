@@ -26,6 +26,31 @@ object Similarity {
     while (h != null) { h.unpersist(blocking = false); h = cachedHandles.poll() }
   }
 
+  /** Hard bound on a driver-collected query batch: `knnPq`/`searchIvfPq`
+    * build an m×ksub LUT per query on the driver and broadcast the lot,
+    * so the batch size is a driver-memory contract, not a data-scale
+    * knob (at 100k queries × 8×256 doubles the LUTs are ~1.6 GB —
+    * already generous). A larger batch must be split by the caller;
+    * exceeding the bound fails loudly instead of OOMing the driver.
+    * Test-adjustable, not a tuning surface.
+    */
+  private[graft] var maxQueryBatch: Int = 100000
+
+  /** Bounded driver pull of a PQ query batch: `take(max+1)` (never a
+    * full collect), then a loud failure if the bound is exceeded.
+    */
+  private def collectQueryBatch(queries: DataFrame, qId: String,
+      qVec: String): Array[(Long, Seq[Double])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val taken = queries.select(col(qId).cast("long"), col(qVec))
+      .as[(Long, Seq[Double])].take(maxQueryBatch + 1)
+    require(taken.length <= maxQueryBatch,
+      s"PQ query batch exceeds maxQueryBatch=$maxQueryBatch — per-query " +
+        s"LUTs are driver-built and broadcast; split the query set")
+    taken.sortBy(_._1)
+  }
+
   /** Dot product of two Array[Float|Double] columns, computed in double. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -350,8 +375,7 @@ object Similarity {
       while (j < dsub) { n += codebooks(s)(c)(j) * codebooks(s)(c)(j); j += 1 }
       n
     }
-    val qData = queries.select(col(qId).cast("long"), col(qVec))
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val qData = collectQueryBatch(queries, qId, qVec)
     val luts = qData.map { case (_, qv) =>
       Array.tabulate(m, ksub) { (s, c) =>
         var ip = 0.0; var j = 0
@@ -521,8 +545,7 @@ object Similarity {
       while (j < dsub) { x += effCent(ci)(s * dsub + j) * books(s)(e)(j); j += 1 }
       x
     }
-    val qData = queries.select(col(qId).cast("long"), col(qVec))
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val qData = collectQueryBatch(queries, qId, qVec)
     val luts = qData.map { case (_, qv) =>
       Array.tabulate(m, ksub) { (s, c) =>
         var ip = 0.0; var j = 0

@@ -32,6 +32,16 @@ class JoinsSpec extends AnyFunSuite {
     assert(sortedRows(salted) === sortedRows(plain))
   }
 
+  test("byte-identical duplicate rows spread across salts") {
+    // the motivating hot keys (empty-text digest, sentinel ids) often
+    // come from IDENTICAL rows; a content-only salt collapses them onto
+    // one reducer — the positional component must spread them
+    val dupes = Seq.fill(512)((1L, "same")).toDF("k", "lv").repartition(4)
+    val salts = dupes.select(SkewJoin.saltExpr(Seq(col("k"), col("lv")), 8))
+      .distinct().count()
+    assert(salts >= 6, s"identical rows landed on only $salts of 8 salts")
+  }
+
   test("saltedInner: composite keys and salts=1 degenerate") {
     val left = Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
       .toDF("a", "b", "v")

@@ -67,4 +67,11 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.heavyHitters(df, "user", 8, 9L) // denom >= k+1: no guarantee
     }
   }
+
+  test("heavyHitters rejects non-integral keys (cast would alias '1' and '01')") {
+    val strs = Seq("1", "01", "1").toDF("user")
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(strs, "user", 8, 2L)
+    }
+  }
 }

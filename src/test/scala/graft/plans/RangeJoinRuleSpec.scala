@@ -71,6 +71,22 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(outer.count() >= 200) // every point survives a left join
   }
 
+  test("non-integral coordinates fall back to the plain join") {
+    import s.implicits._
+    // end=5.5 with width 1: a bucketed rewrite would explode intervals
+    // only up to fdiv(end-1)=4, dropping the qualifying point 5.2 in
+    // bucket 5 — so the rule must refuse double coordinates entirely.
+    val dp = Seq((1L, 5.2), (2L, 4.0), (3L, 5.6)).toDF("pid", "p")
+    val div = Seq((1L, 5.0, 5.5), (2L, 0.0, 4.5)).toDF("iid", "st", "en")
+    val hinted = dp.hint("range_join", 1L)
+      .join(div, col("p") >= col("st") && col("p") < col("en"))
+    val plan = hinted.queryExecution.executedPlan.toString
+    assert(!plan.contains("__rj_"), s"double coordinates must not rewrite:\n$plan")
+    val naive = dp.join(div, col("p") >= col("st") && col("p") < col("en"))
+    assert(rows(hinted) === rows(naive))
+    assert(rows(hinted).contains((1L, 1L)), "point 5.2 must match [5.0, 5.5)")
+  }
+
   test("empty and inverted intervals match nothing through the rewrite") {
     import s.implicits._
     val p1 = Seq((1L, 10L), (2L, 19L), (3L, 20L)).toDF("pid", "p")

@@ -53,6 +53,12 @@ class ScaleSpec extends AnyFunSuite {
     assert(Scale.planShards(df, targetBytes = 1L << 20, knownBytes = 5L << 20) == 5)
     assert(Scale.planShards(df, targetBytes = 1L << 20, knownBytes = (5L << 20) + 1) == 6)
     assert(Scale.planShards(df, targetBytes = 1L << 20, knownBytes = 10) == 1)
+    // Catalyst's unknown-size estimates approach Long.MaxValue; the
+    // quotient must clamp (to maxShards), never wrap through Int
+    val clamped = Scale.planShards(df, targetBytes = 512L << 20,
+      knownBytes = Long.MaxValue)
+    assert(clamped == Scale.maxShards.toInt, s"expected clamp, got $clamped")
+    assert(clamped > 0)
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val n = Scale.writeShards(df, dir, targetBytes = 64L << 10, knownBytes = 256L << 10)
     assert(n == 4)

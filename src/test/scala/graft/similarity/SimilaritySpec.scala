@@ -158,6 +158,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pqRows === bfRows)
   }
 
+  test("PQ search rejects a query batch over the driver-memory bound") {
+    // per-query LUTs are driver-built and broadcast: the batch size is a
+    // hard contract, and misuse must fail loudly, not OOM the driver
+    val data = (0 until 20).map(i => (i.toLong, Seq(i.toDouble, 1.0)))
+      .toDF("vec_id", "v")
+    val books = Similarity.pqTrain(data, "vec_id", "v", m = 1, ksub = 4, maxIter = 5)
+    val codes = Similarity.pqEncode(data, "vec_id", "v", books)
+    val queries = data.select($"vec_id".as("qid"), $"v".as("qv"))
+    val saved = Similarity.maxQueryBatch
+    try {
+      Similarity.maxQueryBatch = 10
+      val e = intercept[IllegalArgumentException] {
+        Similarity.knnPq(queries, codes, "qid", "vec_id", "qv", books, k = 3)
+      }
+      assert(e.getMessage.contains("maxQueryBatch"))
+      Similarity.maxQueryBatch = 20 // exactly at the bound: fine
+      assert(Similarity.knnPq(queries, codes, "qid", "vec_id", "qv", books, k = 3)
+        .count() > 0)
+    } finally Similarity.maxQueryBatch = saved
+  }
+
   test("PQ recall on clustered vectors; codes compress the corpus") {
     val rnd = new scala.util.Random(9)
     val centers = Vector(Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0),
