@@ -1710,47 +1710,49 @@ object SparkEntry {
       |SELECT vec_id, label FROM embeddings
       |WHERE vec_id NOT IN (SELECT id FROM losers)""".stripMargin
 
-  /** Product-quantized ANN (`Similarity.pqTrain/pqEncode/knnPq`,
+  /** Product-quantized ANN (`Similarity.kmeansMirrorable/pqEncode/knnPq`,
     * Jégou et al. TPAMI'11): 64-dim vectors → 8-byte codes (64×), ADC
-    * scoring in 2m table adds per corpus code. Rows-only (the seeded
-    * Lloyd's fit is iterative — no SQL oracle; the lossless-case spec
-    * carries exactness, same contract as q53's IVF).
+    * scoring in 2m table adds per corpus code. HASH-EXACT oracle: the
+    * fixed-iteration mirrorable fit lets `PqOracle.q87Sql` re-derive the
+    * codebooks and the whole ADC ranking in DuckDB at any SF.
     */
   private def q87(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val books = Similarity.pqTrain(emb, "vec_id", "v", m = 8, ksub = 16)
+    val books = Similarity.kmeansMirrorable(emb, "vec_id", "v", m = 8, k = 16, iters = 2)
     val codes = Similarity.pqEncode(emb, "vec_id", "v", books)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     Similarity.knnPq(queries, codes, "qid", "vec_id", "qv", books, k = 10)
   }
 
-  /** IVF-PQ ANN (`Similarity.knnIvfPq`): coarse cells prune to
-    * nProbe/nCells of the corpus, PQ codes score candidates in 2m table
-    * adds — the billion-scale composition. Rows-only (iterative fits;
-    * spec pins nProbe=nCells ≡ flat PQ and lossless ≡ brute force).
+  /** IVF-PQ ANN (`buildIvfPqIndexMirrorable` + `searchIvfPq`): coarse
+    * cells prune to nProbe/nCells of the corpus, PQ codes score
+    * candidates in 2m table adds — the billion-scale composition.
+    * Hash-exact oracle (`PqOracle.q88Sql`) via the mirrorable fits.
     */
   private def q88(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    Similarity.knnIvfPq(emb, queries, "vec_id", "qid", "v", "qv",
-      nCells = 16, nProbe = 4, m = 8, ksub = 16, k = 10)
+    val idx = Similarity.buildIvfPqIndexMirrorable(emb, "vec_id", "v",
+      nCells = 16, m = 8, ksub = 16, iters = 2)
+    Similarity.searchIvfPq(idx, queries, "qid", "qv", nProbe = 4, k = 10)
   }
 
-  /** Residual IVF-PQ (`buildIvfPqIndex(residual=true)` + `searchIvfPq`):
-    * codes span only within-cell spread — the quality tier of the same
-    * serving architecture. Rows-only like q88.
+  /** Residual IVF-PQ (`buildIvfPqIndexMirrorable(residual=true)` +
+    * `searchIvfPq`): codes span only within-cell spread — the quality
+    * tier of the same serving architecture. Hash-exact oracle
+    * (`PqOracle.q92Sql`) mirrors the residual reconstruction scoring.
     */
   private def q92(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "v",
-      nCells = 16, m = 8, ksub = 16, residual = true)
+    val idx = Similarity.buildIvfPqIndexMirrorable(emb, "vec_id", "v",
+      nCells = 16, m = 8, ksub = 16, iters = 2, residual = true)
     Similarity.searchIvfPq(idx, queries, "qid", "qv", nProbe = 4, k = 10)
   }
 
@@ -2370,6 +2372,17 @@ object SparkEntry {
     "q91_video_meta" -> q91Sql,
     "q93_normalized_dedup" -> q93Sql,
     "q94_dup_ngrams" -> q94Sql,
-    "q56_dedup_clusters" -> q56Sql
+    "q56_dedup_clusters" -> q56Sql,
+    // PQ family: generated SQL re-derives the mirrorable kmeans fits and
+    // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
+    // at any SF, no data-pinned literals.
+    "q87_pq_ann" -> graft.oracle.PqOracle.q87Sql(
+      m = 8, ksub = 16, d = 64, iters = 2, k = 10, qPred = "vec_id < 5"),
+    "q88_ivfpq_ann" -> graft.oracle.PqOracle.q88Sql(
+      m = 8, ksub = 16, d = 64, iters = 2, nCells = 16, nProbe = 4, k = 10,
+      qPred = "vec_id < 5"),
+    "q92_ivfpq_residual" -> graft.oracle.PqOracle.q92Sql(
+      m = 8, ksub = 16, d = 64, iters = 2, nCells = 16, nProbe = 4, k = 10,
+      qPred = "vec_id < 5")
   )
 }

@@ -318,6 +318,78 @@ object Similarity {
     }
   }
 
+  /** Fixed-iteration, cross-engine re-derivable Lloyd's fit — the
+    * oracle-exact sibling of [[pqTrain]]/[[lloyd]] (SURVEY determinism
+    * contract). Every arithmetic step is chosen so an independent SQL
+    * engine reproduces the centroids BIT-FOR-BIT from the same parquet:
+    *
+    *   - init: subvectors of the `k` smallest-id rows (pure data);
+    *   - assignment: squared L2 as a fixed left-assoc fold over the
+    *     `dsub` dims — IEEE ops in a fixed order are engine-independent;
+    *     ties go to the lowest centroid index;
+    *   - update: per-component mean via the dsum discipline —
+    *     `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)` —
+    *     order-independent exact decimal sums, so shuffle order can't
+    *     perturb a bit; empty clusters keep their previous centroid;
+    *   - exactly `iters` iterations, no convergence early-exit (an
+    *     early-exit is a float comparison an oracle can't mirror).
+    *
+    * Runs as `iters` small Spark jobs (assignment UDF + decimal groupBy;
+    * the collected stats are O(m·k·dsub), never data-proportional).
+    * Bounding the FIT INPUT is the caller's job — at 100 TB pass a
+    * deterministic sample (`orderBy(id).limit(n)`), same contract as
+    * [[pqTrain]]'s internal sample.
+    *
+    * Returns codebooks[m][k][d/m]; with m=1 this is the coarse-quantizer
+    * fit (`result(0)` = centroids[k][d]).
+    */
+  def kmeansMirrorable(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val initRows = df.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(k)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    require(initRows.length == k,
+      s"kmeansMirrorable: need >= $k rows to seed $k centroids, got ${initRows.length}")
+    val d = initRows.head.length
+    require(d % m == 0, s"kmeansMirrorable: dim $d not divisible by m=$m")
+    val dsub = d / m
+    var cent: Array[Array[Array[Double]]] = Array.tabulate(m, k)((s, c) =>
+      java.util.Arrays.copyOfRange(initRows(c), s * dsub, (s + 1) * dsub))
+    // subspace point rows (s, p) — one corpus scan per iteration
+    val subs = df.select(posexplode(array((0 until m).map(s =>
+      slice(col(vecCol), s * dsub + 1, dsub)): _*)).as(Seq("s", "p")))
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cent)
+      val assign = udf { (s: Int, p: Seq[Double]) =>
+        val book = bc.value(s)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < book.length) {
+          var dist = 0.0; var j = 0
+          while (j < dsub) { val t = p(j) - book(c)(j); dist += t * t; j += 1 }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        best
+      }
+      val stats = subs.withColumn("c", assign(col("s"), col("p")))
+        .select(col("s"), col("c"), posexplode(col("p")).as(Seq("j", "x")))
+        .groupBy("s", "c", "j")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mj"))
+        .collect()
+      val next = Array.tabulate(m, k)((s, c) => cent(s)(c).clone())
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cent = next
+      it += 1
+    }
+    cent
+  }
+
   /** Encode vectors to `m`-byte PQ codes: code(s) = argmin centroid of
     * subvector s (ties to the lowest index). 8-byte codes for a 64-dim
     * fp64 vector = 64× compression — the difference between an embedding
@@ -500,6 +572,52 @@ object Similarity {
         corpus.withColumn("cell", assignUdf(col(cVec)))
           .withColumn("__resid", residUdf(col(cVec), col("cell"))),
         cId, "__resid", books, keep = Seq("cell"))
+      IvfPqIndex(coded, books, centroids, cId, residual = true)
+    }
+  }
+
+  /** [[buildIvfPqIndex]] with every fit swapped for [[kmeansMirrorable]]
+    * — same index structure and search path, but the coarse centroids
+    * and PQ codebooks (and so the codes and every ADC score) are
+    * bit-reproducible by an independent SQL engine, which is what lets
+    * the driver's DuckDB oracle hash-check the whole IVF-PQ pipeline
+    * instead of trusting rows-only. Fit input bounding is the caller's
+    * job (pass a sampled corpus at scale); residual mode trains books on
+    * full-corpus residuals `x − c(cell)` (exact IEEE subtraction — still
+    * mirrorable).
+    */
+  def buildIvfPqIndexMirrorable(corpus: DataFrame, cId: String, cVec: String,
+      nCells: Int, m: Int, ksub: Int, iters: Int = 2,
+      residual: Boolean = false): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    val centroids = kmeansMirrorable(corpus, cId, cVec, 1, nCells, iters)(0)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { v: Seq[Double] =>
+      val cs = bcCent.value
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        var dist = 0.0; var j = 0; val c = cs(i)
+        while (j < c.length) { val t = c(j) - v(j); dist += t * t; j += 1 }
+        if (dist < bd) { bd = dist; best = i }
+        i += 1
+      }
+      best
+    }
+    if (!residual) {
+      val books = kmeansMirrorable(corpus, cId, cVec, m, ksub, iters)
+      val coded = pqEncode(
+        corpus.withColumn("cell", assignUdf(col(cVec))), cId, cVec, books,
+        keep = Seq("cell"))
+      IvfPqIndex(coded, books, centroids, cId)
+    } else {
+      val residUdf = udf { (v: Seq[Double], cell: Int) =>
+        val c = bcCent.value(cell)
+        Seq.tabulate(v.length)(j => v(j) - c(j))
+      }
+      val withRes = corpus.withColumn("cell", assignUdf(col(cVec)))
+        .withColumn("__resid", residUdf(col(cVec), col("cell")))
+      val books = kmeansMirrorable(withRes, cId, "__resid", m, ksub, iters)
+      val coded = pqEncode(withRes, cId, "__resid", books, keep = Seq("cell"))
       IvfPqIndex(coded, books, centroids, cId, residual = true)
     }
   }

@@ -158,6 +158,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pqRows === bfRows)
   }
 
+  test("kmeansMirrorable: deterministic, recovers clusters, keeps empty-cluster seeds") {
+    val rnd = new scala.util.Random(13)
+    val centers = Vector(Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(-10.0, -10.0))
+    val df = (0 until 90).map { i =>
+      (i.toLong, centers(i % 3).map(_ + rnd.nextGaussian() * 0.3))
+    }.toDF("id", "v")
+    val b1 = Similarity.kmeansMirrorable(df, "id", "v", m = 1, k = 3, iters = 2)(0)
+    val b2 = Similarity.kmeansMirrorable(df, "id", "v", m = 1, k = 3, iters = 2)(0)
+    // bit-identical across runs — the whole point of the mirrorable fit
+    assert(b1.map(_.toSeq).toSeq === b2.map(_.toSeq).toSeq)
+    // every true cluster mean is near some centroid
+    centers.foreach { c =>
+      val d = b1.map(ct => math.hypot(ct(0) - c(0), ct(1) - c(1))).min
+      assert(d < 1.0, s"no centroid near $c (min dist $d)")
+    }
+    // k > distinct clusters: seeds of never-assigned centroids survive
+    val tiny = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)), (3L, Seq(100.0, 100.0)))
+      .toDF("id", "v")
+    val b3 = Similarity.kmeansMirrorable(tiny, "id", "v", m = 1, k = 3, iters = 2)(0)
+    assert(b3.length === 3) // centroid 1 (seeded from id=2) kept, not dropped
+    // subspace split agrees with two independent 1-subspace fits
+    val b4 = Similarity.kmeansMirrorable(df, "id", "v", m = 2, k = 3, iters = 2)
+    assert(b4.length === 2 && b4(0)(0).length === 1)
+  }
+
   test("PQ search rejects a query batch over the driver-memory bound") {
     // per-query LUTs are driver-built and broadcast: the batch size is a
     // hard contract, and misuse must fail loudly, not OOM the driver
