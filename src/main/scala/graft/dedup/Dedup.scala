@@ -306,9 +306,10 @@ object Dedup {
     *
     * Each phase is a groupBy + equi-join on node id — no cross joins, no
     * driver-side state; per-round lineage is truncated with
-    * localCheckpoint. Convergence = edge set unchanged, detected with one
-    * (count, xxhash64-sum) aggregate per round on the already-checkpointed
-    * blocks.
+    * localCheckpoint. Convergence = edge set unchanged, detected EXACTLY
+    * with one symmetric-difference aggregation per round over the union
+    * of the two checkpointed edge sets (a (u,v) occurring once in the
+    * union is in exactly one set).
     *
     * Convergence is REQUIRED: labels are read off the fixed-point star
     * edges, and a not-yet-star edge set would yield duplicated ids with
@@ -332,15 +333,8 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    def signature(e: DataFrame): (Long, Any) = {
-      // decimal sum: a long sum of 64-bit hashes trips the ANSI overflow
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
-      (r.getLong(0), r.get(1))
-    }
-    var prev = signature(edges)
     var iter = 0
-    var converged = prev._1 == 0
+    var converged = edges.isEmpty
     while (iter < maxIter && !converged) {
       // LARGE-STAR: over the symmetric neighborhood of each node u with
       // m = min(Γ(u) ∪ {u}), connect every STRICTLY LARGER neighbor to m.
@@ -363,18 +357,15 @@ object Dedup {
         .unionByName(dmins.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
-      val sig = signature(next)
-      // The (count, hash-sum) signature is probabilistic — a collision
-      // between consecutive non-identical edge sets would let malformed
-      // labels escape the require below. Confirm with one exact
-      // symmetric-difference check on the candidate final round: both
-      // sets are distinct() outputs, so a (u,v) appearing ONCE in their
-      // union is in exactly one set. One aggregation job (the two
-      // exceptAll spelling costs two); lineages are checkpoint-disjoint.
-      converged = sig == prev &&
-        next.unionByName(edges).groupBy("u", "v").count()
-          .filter(col("count") === 1).isEmpty
-      prev = sig
+      // EXACT convergence in ONE aggregation over the checkpointed
+      // union: both sides are distinct() outputs, so a (u,v) appearing
+      // ONCE in the union is in exactly one set — zero singletons ⇔ the
+      // edge set reached its fixed point. Exact by construction (no
+      // probabilistic signature to confirm), one job per round, and the
+      // union's inputs are both localCheckpoint-truncated so the scan
+      // is two cached block reads, not a lineage replay.
+      converged = next.unionByName(edges).groupBy("u", "v").count()
+        .filter(col("count") === 1).isEmpty
       edges = next
       iter += 1
     }

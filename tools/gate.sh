@@ -16,6 +16,10 @@ echo "== Verify + DuckDB oracle (sf0.001, edge cases) =="
 sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/gate_sf0001" >/dev/null 2>&1
 python3 tools/check_oracle.py /root/testdata/sf0.001 /tmp/gate_sf0001 | tail -1
 
+echo "== Verify + DuckDB oracle (sf0.1: data-dependent divergences — q15's -0.0 class, ROUND boundaries — only fire at scale) =="
+sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/gate_sf01" >/dev/null 2>&1
+python3 tools/check_oracle.py /root/testdata/sf0.1 /tmp/gate_sf01 | tail -1
+
 echo "== Verify + DuckDB oracle (sf0.01, DRIVER-LIKE env: +05:30 tz, default shuffle) =="
 SPARK_GRAFT_DRIVERLIKE=1 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_driverlike" >/dev/null 2>&1
 python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gate_driverlike | tail -1
