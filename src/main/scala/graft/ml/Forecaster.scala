@@ -97,6 +97,18 @@ object Forecaster {
       MlpRegressor.fit(df, label, hidden = hidden, epochs = epochs, lr = lr, seed = seed)
     }
 
+  /** M8 deep variant: one multi-layer tanh MLP per horizon (the
+    * reference dense heads stack 2-3 layers per branch,
+    * `predictor_plugin_ann_best.py:222-226`); `layers` are the hidden
+    * widths, e.g. `Seq(16, 8)`.
+    */
+  def fitPerHorizonDeepMlp(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
+      layers: Seq[Int], epochs: Int = 300, lr: Double = 0.1,
+      seed: Long = 42L): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons) { (df, label) =>
+      MlpRegressor.fitLayers(df, label, layers, epochs = epochs, lr = lr, seed = seed)
+    }
+
   /** Apply the per-horizon models: adds `pred_h{h}` columns. */
   def predict(models: Map[Int, _ <: HorizonModel], df: DataFrame,
       featureCols: Seq[String]): DataFrame = {

@@ -7,16 +7,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** M8 nonlinear-NN head: a 1-hidden-layer tanh MLP regressor — the
+/** M8 nonlinear-NN head: a multi-layer tanh MLP regressor — the
   * Spark-native step past linear/GBT toward the reference's Keras model
   * zoo (`predictor_plugins/predictor_plugin_*.py`), within public Spark
-  * (MLlib ships `MultilayerPerceptronClassifier` but no regressor).
+  * (MLlib ships `MultilayerPerceptronClassifier` but no regressor). The
+  * reference's dense heads are 2-3 stacked layers per branch
+  * (`predictor_plugin_ann_best.py:222-226`, `num_branch_layers=2` at
+  * :314); `fitLayers(Seq(h1, h2, ...))` covers that depth, and the
+  * 1-hidden-layer `fit(hidden = …)` remains the simple entry point.
   *
   * Training is DISTRIBUTED full-batch gradient descent in the same
   * architecture MLlib's own optimizers use: per epoch, one
   * `treeAggregate` over the cached (features, label) rows computes the
   * exact MSE gradient (forward + backprop per row, partial sums merged
-  * tree-wise), the driver applies a momentum update to the O(hidden·d)
+  * tree-wise), the driver applies a momentum update to the O(Σ wl·wl+1)
   * weight vector, and the new weights broadcast for the next epoch. Data
   * never concentrates: per-epoch cost is one pass, identical in shape to
   * a `LinearRegression` LBFGS iteration, so the head scales exactly as
@@ -31,52 +35,81 @@ import org.apache.spark.storage.StorageLevel
   */
 object MlpRegressor {
 
-  /** Fitted model; `predict` = tanh MLP forward pass on raw features. */
+  /** Fitted model; `predict` = tanh MLP forward pass on raw features.
+    * `layers` holds the HIDDEN sizes (e.g. Array(8) or Array(16, 8));
+    * `weights(l)`/`biases(l)` are the row-major out×in matrix and bias
+    * of layer l over sizes d → layers(0) → … → layers(L-1) → 1, the
+    * final layer linear.
+    */
   class MlpRegressionModel(
       override val uid: String,
-      val hidden: Int,
-      val w1: Array[Double], // hidden × d, row-major
-      val b1: Array[Double],
-      val w2: Array[Double],
-      val b2: Double,
+      val layers: Array[Int],
+      val weights: Array[Array[Double]],
+      val biases: Array[Array[Double]],
       val featMean: Array[Double],
       val featStd: Array[Double],
       val labelMean: Double,
       val labelStd: Double)
     extends PredictionModel[Vector, MlpRegressionModel] {
 
+    /** Back-compat accessor: first hidden width. */
+    def hidden: Int = layers(0)
+
     override def numFeatures: Int = featMean.length
 
     override def predict(features: Vector): Double = {
       val d = featMean.length
-      var out = 0.0
-      var h = 0
-      while (h < hidden) {
-        var z = b1(h)
-        var j = 0
-        while (j < d) {
-          z += w1(h * d + j) * ((features(j) - featMean(j)) / featStd(j))
-          j += 1
+      var a = new Array[Double](d)
+      var j = 0
+      while (j < d) { a(j) = (features(j) - featMean(j)) / featStd(j); j += 1 }
+      var l = 0
+      while (l < layers.length) {
+        val out = layers(l)
+        val in = a.length
+        val w = weights(l); val b = biases(l)
+        val next = new Array[Double](out)
+        var h = 0
+        while (h < out) {
+          var z = b(h)
+          var k = 0
+          while (k < in) { z += w(h * in + k) * a(k); k += 1 }
+          next(h) = math.tanh(z)
+          h += 1
         }
-        out += w2(h) * math.tanh(z)
-        h += 1
+        a = next
+        l += 1
       }
-      (out + b2) * labelStd + labelMean
+      val wOut = weights(layers.length)
+      var y = biases(layers.length)(0)
+      var k = 0
+      while (k < a.length) { y += wOut(k) * a(k); k += 1 }
+      y * labelStd + labelMean
     }
 
     override def copy(extra: ParamMap): MlpRegressionModel = copyValues(
-      new MlpRegressionModel(uid, hidden, w1, b1, w2, b2,
+      new MlpRegressionModel(uid, layers, weights, biases,
         featMean, featStd, labelMean, labelStd), extra)
 
-    override def toString: String = s"MlpRegressionModel(uid=$uid, hidden=$hidden, d=$numFeatures)"
+    override def toString: String =
+      s"MlpRegressionModel(uid=$uid, layers=${layers.mkString("[", ",", "]")}, d=$numFeatures)"
   }
 
-  /** Fit on an assembled frame (featuresCol: MLlib Vector, labelCol
-    * numeric) — the `fitPerHorizonWith` callback contract.
-    */
+  /** 1-hidden-layer fit — the original API, now a depth-1 special case. */
   def fit(df: DataFrame, labelCol: String, hidden: Int = 8, epochs: Int = 300,
       lr: Double = 0.1, momentum: Double = 0.9, seed: Long = 42L,
-      featuresCol: String = "features"): MlpRegressionModel = {
+      featuresCol: String = "features"): MlpRegressionModel =
+    fitLayers(df, labelCol, Seq(hidden), epochs, lr, momentum, seed, featuresCol)
+
+  /** Fit a tanh MLP with the given hidden-layer widths on an assembled
+    * frame (featuresCol: MLlib Vector, labelCol numeric) — the
+    * `fitPerHorizonWith` callback contract. `layers = Seq(16, 8)` is the
+    * reference's 2-layer dense-branch shape.
+    */
+  def fitLayers(df: DataFrame, labelCol: String, layers: Seq[Int],
+      epochs: Int = 300, lr: Double = 0.1, momentum: Double = 0.9,
+      seed: Long = 42L, featuresCol: String = "features"): MlpRegressionModel = {
+    require(layers.nonEmpty && layers.forall(_ > 0),
+      s"MlpRegressor.fitLayers: need at least one positive hidden width, got $layers")
     val sc = df.sparkSession.sparkContext
     val data = df.select(col(featuresCol), col(labelCol).cast("double"))
       .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
@@ -109,15 +142,30 @@ object MlpRegressor {
       val yMean = sy / n
       val yStd = std(sy, syy)
 
-      // seeded Xavier init over the flat weight vector [w1 | b1 | w2 | b2]
-      val nW = hidden * d + hidden + hidden + 1
+      // layer sizes d → h1 → … → hL → 1; flat vector [W0|b0|W1|b1|…]
+      val sizes = (d +: layers :+ 1).toArray
+      val nLayers = sizes.length - 1 // hidden layers + linear output
+      val wOff = new Array[Int](nLayers)
+      val bOff = new Array[Int](nLayers)
+      var off = 0
+      var l = 0
+      while (l < nLayers) {
+        wOff(l) = off; off += sizes(l + 1) * sizes(l)
+        bOff(l) = off; off += sizes(l + 1)
+        l += 1
+      }
+      val nW = off
+      // seeded Xavier init per layer (biases zero)
       val rnd = new java.util.Random(seed)
       val weights = new Array[Double](nW)
-      var i = 0
-      while (i < hidden * d) { weights(i) = rnd.nextGaussian() * math.sqrt(1.0 / d); i += 1 }
-      i = hidden * d + hidden // skip b1 (zeros)
-      while (i < hidden * d + hidden + hidden) {
-        weights(i) = rnd.nextGaussian() * math.sqrt(1.0 / hidden); i += 1
+      l = 0
+      while (l < nLayers) {
+        val scale = math.sqrt(1.0 / sizes(l))
+        var i = wOff(l)
+        while (i < wOff(l) + sizes(l + 1) * sizes(l)) {
+          weights(i) = rnd.nextGaussian() * scale; i += 1
+        }
+        l += 1
       }
       val velocity = new Array[Double](nW)
 
@@ -128,29 +176,60 @@ object MlpRegressor {
           seqOp = { case (g, (x, y)) =>
             val w = bc.value
             val ys = (y - yMean) / yStd
-            // forward
-            val a1 = new Array[Double](hidden)
-            var out = w(hidden * d + hidden + hidden) // b2
-            var h = 0
-            while (h < hidden) {
-              var z = w(hidden * d + h) // b1(h)
-              var j = 0
-              while (j < d) { z += w(h * d + j) * ((x(j) - fMean(j)) / fStd(j)); j += 1 }
-              a1(h) = math.tanh(z)
-              out += w(hidden * d + hidden + h) * a1(h)
-              h += 1
+            // forward, keeping every activation for backprop. acts(0) is
+            // the standardized input; acts(l+1) the tanh output of layer
+            // l (the final linear layer writes its scalar into acts(last)(0)).
+            val acts = new Array[Array[Double]](nLayers + 1)
+            val a0 = new Array[Double](d)
+            var j = 0
+            while (j < d) { a0(j) = (x(j) - fMean(j)) / fStd(j); j += 1 }
+            acts(0) = a0
+            var l = 0
+            while (l < nLayers) {
+              val in = sizes(l); val out = sizes(l + 1)
+              val prev = acts(l)
+              val cur = new Array[Double](out)
+              var h = 0
+              while (h < out) {
+                var z = w(bOff(l) + h)
+                var k = 0
+                while (k < in) { z += w(wOff(l) + h * in + k) * prev(k); k += 1 }
+                cur(h) = if (l < nLayers - 1) math.tanh(z) else z
+                h += 1
+              }
+              acts(l + 1) = cur
+              l += 1
             }
-            // backprop of ½(out − ys)²
-            val err = out - ys
-            g(hidden * d + hidden + hidden) += err // b2
-            h = 0
-            while (h < hidden) {
-              g(hidden * d + hidden + h) += err * a1(h) // w2
-              val d1 = err * w(hidden * d + hidden + h) * (1.0 - a1(h) * a1(h))
-              g(hidden * d + h) += d1 // b1
-              var j = 0
-              while (j < d) { g(h * d + j) += d1 * ((x(j) - fMean(j)) / fStd(j)); j += 1 }
-              h += 1
+            // backprop of ½(out − ys)²: delta starts as the scalar error
+            // on the linear output, then flows through Wᵀ · tanh'.
+            var delta = new Array[Double](1)
+            delta(0) = acts(nLayers)(0) - ys
+            l = nLayers - 1
+            while (l >= 0) {
+              val in = sizes(l); val out = sizes(l + 1)
+              val prev = acts(l)
+              var h = 0
+              while (h < out) {
+                val dh = delta(h)
+                g(bOff(l) + h) += dh
+                var k = 0
+                while (k < in) { g(wOff(l) + h * in + k) += dh * prev(k); k += 1 }
+                h += 1
+              }
+              if (l > 0) {
+                val nd = new Array[Double](in)
+                var k = 0
+                while (k < in) {
+                  var s = 0.0
+                  var h2 = 0
+                  while (h2 < out) { s += w(wOff(l) + h2 * in + k) * delta(h2); h2 += 1 }
+                  val a = prev(k)
+                  nd(k) = s * (1.0 - a * a) // prev is a tanh output for l>0
+                  k += 1
+                }
+                delta = nd
+              }
+              l -= 1
             }
             g
           },
@@ -169,25 +248,25 @@ object MlpRegressor {
         epoch += 1
       }
 
+      val wMats = Array.tabulate(nLayers)(l =>
+        java.util.Arrays.copyOfRange(weights, wOff(l), wOff(l) + sizes(l + 1) * sizes(l)))
+      val bVecs = Array.tabulate(nLayers)(l =>
+        java.util.Arrays.copyOfRange(weights, bOff(l), bOff(l) + sizes(l + 1)))
       new MlpRegressionModel(
         s"mlp_${java.util.UUID.randomUUID().toString.take(8)}",
-        hidden,
-        java.util.Arrays.copyOfRange(weights, 0, hidden * d),
-        java.util.Arrays.copyOfRange(weights, hidden * d, hidden * d + hidden),
-        java.util.Arrays.copyOfRange(weights, hidden * d + hidden, hidden * d + 2 * hidden),
-        weights(nW - 1),
-        fMean, fStd, yMean, yStd)
+        layers.toArray, wMats, bVecs, fMean, fStd, yMean, yStd)
     } finally { data.unpersist(blocking = false); () }
   }
 
-  /** S11 artifact sink: weights + scaling as one parquet row. */
+  /** S11 artifact sink: layer widths + per-layer weights as one parquet row. */
   def save(model: MlpRegressionModel, path: String): Unit = {
     val spark = SparkSession.active
     import spark.implicits._
-    Seq((model.uid, model.hidden, model.w1.toSeq, model.b1.toSeq, model.w2.toSeq,
-        model.b2, model.featMean.toSeq, model.featStd.toSeq,
+    Seq((model.uid, model.layers.toSeq,
+        model.weights.map(_.toSeq).toSeq, model.biases.map(_.toSeq).toSeq,
+        model.featMean.toSeq, model.featStd.toSeq,
         model.labelMean, model.labelStd))
-      .toDF("uid", "hidden", "w1", "b1", "w2", "b2",
+      .toDF("uid", "layers", "weights", "biases",
         "feat_mean", "feat_std", "label_mean", "label_std")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
@@ -196,9 +275,10 @@ object MlpRegressor {
   def load(spark: SparkSession, path: String): MlpRegressionModel = {
     val r = spark.read.parquet(path).head()
     new MlpRegressionModel(
-      r.getAs[String]("uid"), r.getAs[Int]("hidden"),
-      r.getAs[Seq[Double]]("w1").toArray, r.getAs[Seq[Double]]("b1").toArray,
-      r.getAs[Seq[Double]]("w2").toArray, r.getAs[Double]("b2"),
+      r.getAs[String]("uid"),
+      r.getAs[scala.collection.Seq[Int]]("layers").toArray,
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("weights").map(_.toArray).toArray,
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("biases").map(_.toArray).toArray,
       r.getAs[Seq[Double]]("feat_mean").toArray, r.getAs[Seq[Double]]("feat_std").toArray,
       r.getAs[Double]("label_mean"), r.getAs[Double]("label_std"))
   }

@@ -95,7 +95,11 @@ object ForecastPipeline {
   }
 
   /** MLP-head hyperparameters — the NEAT-searchable genome surface. */
-  case class MlpConf(hidden: Int = 8, epochs: Int = 300, lr: Double = 0.1, seed: Long = 42L)
+  /** `depth` stacked hidden layers of width `hidden` — the reference's
+    * dense heads are 2-3 stacked layers (`predictor_plugin_ann_best.py:222-226`).
+    */
+  case class MlpConf(hidden: Int = 8, epochs: Int = 300, lr: Double = 0.1,
+      seed: Long = 42L, depth: Int = 1)
 
   /** MODEL-based slice (M8 end-to-end): lag features → per-horizon heads
     * fit on the `train` split — `head` = "linear" (normal-equation),
@@ -131,9 +135,9 @@ object ForecastPipeline {
       try {
         head match {
           case "gbt" => Forecaster.fitPerHorizonGbt(train, featureCols, config.horizons)
-          case "mlp" => Forecaster.fitPerHorizonMlp(train, featureCols, config.horizons,
-            hidden = mlpConf.hidden, epochs = mlpConf.epochs, lr = mlpConf.lr,
-            seed = mlpConf.seed)
+          case "mlp" => Forecaster.fitPerHorizonDeepMlp(train, featureCols, config.horizons,
+            layers = Seq.fill(mlpConf.depth)(mlpConf.hidden), epochs = mlpConf.epochs,
+            lr = mlpConf.lr, seed = mlpConf.seed)
           case _ => Forecaster.fitPerHorizon(train, featureCols, config.horizons)
             .asInstanceOf[Map[Int, Forecaster.HorizonModel]]
         }

@@ -146,14 +146,54 @@ class ForecasterSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("model").toString + "/mlp1"
     MlpRegressor.save(m, path)
     val back = MlpRegressor.load(spark, path)
-    assert(back.hidden == m.hidden && back.w1.toSeq == m.w1.toSeq &&
-      back.b1.toSeq == m.b1.toSeq && back.w2.toSeq == m.w2.toSeq && back.b2 == m.b2)
+    assert(back.layers.toSeq == m.layers.toSeq &&
+      back.weights.map(_.toSeq).toSeq == m.weights.map(_.toSeq).toSeq &&
+      back.biases.map(_.toSeq).toSeq == m.biases.map(_.toSeq).toSeq)
     val probes = Seq(
       org.apache.spark.ml.linalg.Vectors.dense(0.3, -0.2, 1.1),
       org.apache.spark.ml.linalg.Vectors.dense(-1.5, 0.8, 0.0))
     probes.foreach(v => assert(
       java.lang.Double.doubleToRawLongBits(back.predict(v)) ==
         java.lang.Double.doubleToRawLongBits(m.predict(v))))
+  }
+
+  test("M8 deep: 2-layer MLP beats 1-layer on a composed nonlinearity; artifacts round-trip") {
+    // Teacher = exactly a depth-2 tanh network (tanh of a combination of
+    // tanh units) — representable by fitLayers(Seq(h1,h2)) but not by any
+    // single tanh layer; the reference's dense heads stack 2 such layers
+    // (predictor_plugin_ann_best.py:222-226).
+    def teacher(x1: Double, x2: Double): Double =
+      2.0 * math.tanh(1.5 * math.tanh(2.0 * x1 + x2) - 1.5 * math.tanh(x1 - 2.0 * x2) + 0.5)
+    val pts = for { i <- 0 until 21; j <- 0 until 21 } yield {
+      val x1 = -2.0 + i * 0.2; val x2 = -2.0 + j * 0.2
+      (x1, x2, teacher(x1, x2))
+    }
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x1", "x2")).setOutputCol("features")
+      .transform(pts.toDF("x1", "x2", "y"))
+      .cache()
+    try {
+      // comparable parameter budgets: 1×6 → 25 weights, 4+4 → 37
+      val shallow = MlpRegressor.fit(assembled, "y", hidden = 6, epochs = 250, lr = 0.3)
+      val deep = MlpRegressor.fitLayers(assembled, "y", Seq(4, 4), epochs = 250, lr = 0.3)
+      def mse(m: MlpRegressor.MlpRegressionModel): Double = {
+        val errs = pts.map { case (x1, x2, y) =>
+          val e = m.predict(org.apache.spark.ml.linalg.Vectors.dense(x1, x2)) - y
+          e * e
+        }
+        errs.sum / errs.size
+      }
+      val (msS, msD) = (mse(shallow), mse(deep))
+      assert(msD < msS, s"deep=$msD shallow=$msS")
+      // deep artifacts round-trip bitwise
+      val path = java.nio.file.Files.createTempDirectory("model").toString + "/deep"
+      MlpRegressor.save(deep, path)
+      val back = MlpRegressor.load(spark, path)
+      assert(back.layers.toSeq == Seq(4, 4))
+      val probe = org.apache.spark.ml.linalg.Vectors.dense(0.7, -1.1)
+      assert(java.lang.Double.doubleToRawLongBits(back.predict(probe)) ==
+        java.lang.Double.doubleToRawLongBits(deep.predict(probe)))
+    } finally { assembled.unpersist(); () }
   }
 
   test("M10b: NeatSearch drives distributed fits through naiveRelativeFitness") {

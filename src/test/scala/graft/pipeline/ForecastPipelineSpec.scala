@@ -110,16 +110,20 @@ class ForecastPipelineSpec extends AnyFunSuite {
       def v(metric: String) = rows.find(r => r._1 == "test" && r._2 == metric && r._3 == 1).get._4
       v("MAE") - v("Naive MAE") // the reference's optimizer objective
     }
-    // NEAT genome = the MLP head's (hidden, log10 lr); each candidate is a
-    // full modelMetrics run — the reference's "optimizer drives the
-    // predictor plugin" loop, Spark-native
+    // NEAT genome = the MLP head's (hidden, DEPTH, log10 lr); each
+    // candidate is a full modelMetrics run — the reference's "optimizer
+    // drives the predictor plugin" loop, Spark-native. Depth is a gene:
+    // NEAT searches the layer count, not just widths.
+    def depthOf(params: Map[String, Double]): Int =
+      math.min(2, math.max(1, math.round(params.getOrElse("depth", 1.0)).toInt))
     val result = graft.ml.NeatSearch.optimize(
-      Seq("hidden" -> (2.0, 10.0), "log_lr" -> (-2.0, -0.3)),
+      Seq("hidden" -> (2.0, 10.0), "depth" -> (1.0, 2.0), "log_lr" -> (-2.0, -0.3)),
       params => {
         val conf = ForecastPipeline.MlpConf(
           hidden = math.max(2, math.round(params.getOrElse("hidden", 6.0)).toInt),
           epochs = 60,
-          lr = math.pow(10.0, params.getOrElse("log_lr", -1.0)))
+          lr = math.pow(10.0, params.getOrElse("log_lr", -1.0)),
+          depth = depthOf(params))
         fitness(ForecastPipeline.modelMetrics(spark, cfg, nLags = 2, head = "mlp",
             mlpConf = conf)
           .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3))))
@@ -130,15 +134,16 @@ class ForecastPipelineSpec extends AnyFunSuite {
     // champion re-run with artifacts: S11 save + reload serves predictions
     val modelDir = Files.createTempDirectory("mlp_heads").toString
     val champConf = ForecastPipeline.MlpConf(
-      hidden = math.max(2, math.round(result.bestParams("hidden")).toInt),
+      hidden = math.max(2, math.round(result.bestParams.getOrElse("hidden", 6.0)).toInt),
       epochs = 60,
-      lr = math.pow(10.0, result.bestParams("log_lr")))
+      lr = math.pow(10.0, result.bestParams.getOrElse("log_lr", -1.0)),
+      depth = depthOf(result.bestParams))
     val rows = ForecastPipeline.modelMetrics(spark, cfg, nLags = 2, head = "mlp",
         modelDir = Some(modelDir), mlpConf = champConf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
     assert(fitness(rows) < 0.0)
     val reloaded = graft.ml.MlpRegressor.load(spark, s"$modelDir/h1")
-    assert(reloaded.hidden == champConf.hidden)
+    assert(reloaded.layers.toSeq == Seq.fill(champConf.depth)(champConf.hidden))
     assert(!reloaded.predict(org.apache.spark.ml.linalg.Vectors.dense(0.2, 0.1, -0.4)).isNaN)
   }
 
