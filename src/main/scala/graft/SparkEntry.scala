@@ -2134,15 +2134,16 @@ object SparkEntry {
             sum(col("ret_h1")) * sum(col("ret_h1")) / count(lit(1)))).as("r2_naive_h1"))
   }
 
-  /** IVF ANN (scale path of q40): seeded KMeans cells, 2-probe cosine
-    * top-3 — rows-only.
+  /** IVF ANN (scale path of q40): mirrorable KMeans cells, 2-probe
+    * cosine top-3 — HASH-EXACT oracle (`PqOracle.q53Sql`) since the
+    * coarse fit is `kmeansMirrorable` and all similarities follow the
+    * q40 6-dp rounding contract.
     */
   private def q53(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnIvf(
+    Similarity.knnIvfMirrorable(
       t(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v")),
-      "vec_id", "v", nCells = 16, nProbe = 2, k = 3,
-      fitSample = 0.25, maxIter = 5)
+      "vec_id", "v", nCells = 16, nProbe = 2, k = 3, iters = 2)
 
   /** Transitive-closure dedup clusters: minhash candidate pairs →
     * iterative connected components → (doc_id, component) for every doc
@@ -2383,6 +2384,8 @@ object SparkEntry {
       qPred = "vec_id < 5"),
     "q92_ivfpq_residual" -> graft.oracle.PqOracle.q92Sql(
       m = 8, ksub = 16, d = 64, iters = 2, nCells = 16, nProbe = 4, k = 10,
-      qPred = "vec_id < 5")
+      qPred = "vec_id < 5"),
+    "q53_ivf_ann" -> graft.oracle.PqOracle.q53Sql(
+      d = 64, nCells = 16, iters = 2, nProbe = 2, k = 3)
   )
 }

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional trailing args = query-name prefixes (dev iteration only;
+    // the driver always passes exactly two args → full dump)
+    val Array(sfDir, outDir) = args.take(2)
+    val prefixes = args.drop(2)
+    def selected(name: String): Boolean =
+      prefixes.isEmpty || prefixes.exists(name.startsWith)
     // SPARK_GRAFT_DRIVERLIKE=1 simulates the round driver's environment
     // instead of our tuned one: local[32], Spark-default shuffle
     // partitions (200), and a deliberately hostile session timezone
@@ -24,7 +29,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

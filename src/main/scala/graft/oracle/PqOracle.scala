@@ -133,6 +133,53 @@ object PqOracle {
        |${rankSelect(k)}""".stripMargin
   }
 
+  /** q53: mirrorable IVF ANN (`Similarity.knnIvfMirrorable`). Coarse
+    * centroids re-derived with the same kmeans CTEs as q88 (m = 1 over
+    * the full vectors), then the search mirrors `ivfSearch` exactly:
+    * argmin-L2 cell assignment (ties to the lower cell), per-query
+    * nProbe nearest cells by ROUNDED centroid cosine (DESC, cell
+    * tie-break), exact 6-dp cosine top-k within the probed cells. Every
+    * vector is a query (self-join ANN). `ROUND(...) + 0.0` normalizes
+    * DuckDB's −0.0 to match Spark's BigDecimal round, the q40 pattern —
+    * applied to the probe ordering too, where a −0.0-vs-+0.0 sort
+    * divergence would silently reorder probes.
+    */
+  def q53Sql(d: Int, nCells: Int, iters: Int, nProbe: Int, k: Int): String = {
+    val (ck, cfinal) = kmeansCtes("ck", "cpts", nCells, d, iters)
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS MATERIALIZED (SELECT vec_id, v,
+       |  SQRT(${dot("v", "v", d)}) AS nrm FROM e),
+       |cpts AS MATERIALIZED (SELECT vec_id AS id, 0 AS s, v AS p FROM e),
+       |$ck,
+       |coarse AS MATERIALIZED (SELECT c, cv,
+       |  SQRT(${dot("cv", "cv", d)}) AS cnrm FROM $cfinal),
+       |cells AS MATERIALIZED (SELECT id AS vec_id, c AS cell FROM (
+       |  SELECT pt.id, ct.c,
+       |    ROW_NUMBER() OVER (PARTITION BY pt.id
+       |      ORDER BY (${dist2("pt.p", "ct.cv", d)}), ct.c) AS rn
+       |  FROM cpts pt CROSS JOIN coarse ct) WHERE rn = 1),
+       |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT nq.vec_id, ct.c AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY nq.vec_id ORDER BY
+       |      ROUND((${terms(d)(i => s"nq.v[$i]*ct.cv[$i]")})
+       |        / (nq.nrm * ct.cnrm), 6) + 0.0 DESC, ct.c) AS rn
+       |  FROM n nq CROSS JOIN coarse ct) WHERE rn <= $nProbe),
+       |fin AS (SELECT pr.query_id, nc.vec_id AS neighbor_id,
+       |    ROUND((${terms(d)(i => s"nq.v[$i]*nc.v[$i]")})
+       |      / (nq.nrm * nc.nrm), 6) + 0.0 AS cos_sim
+       |  FROM probe pr
+       |  JOIN cells cl ON cl.cell = pr.cell
+       |  JOIN n nc ON nc.vec_id = cl.vec_id
+       |  JOIN n nq ON nq.vec_id = pr.query_id
+       |  WHERE nc.vec_id <> pr.query_id)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rn FROM fin)
+       |WHERE rn <= $k""".stripMargin
+  }
+
   /** Coarse-quantizer CTEs shared by q88/q92: centroids (re-derived
     * kmeans over the full vectors), per-vector cell assignment, and the
     * per-query probe set (nProbe nearest cells by centroid cosine,

@@ -202,6 +202,39 @@ object Similarity {
       .orderBy(col(idCol)).limit(math.max(nCells * 100, 1000))
       .select(col(vecCol)).as[Seq[Double]].collect().map(_.toArray)
     val centroids = lloyd(sample, nCells, maxIter, seed = 42L)
+    ivfSearch(df, idCol, vecCol, centroids, nProbe, k, round6 = false)
+  }
+
+  /** IVF ANN with an ORACLE-MIRRORABLE coarse fit: centroids from
+    * [[kmeansMirrorable]] (m = 1) instead of the sampled driver-side
+    * Lloyd's, and every similarity rounded to 6 dp with total tie-breaks
+    * (cell id for probes, neighbor id for ranks) — the q40 determinism
+    * contract. `PqOracle.q53Sql` re-derives the centroids, assignment,
+    * probe set and ranking in DuckDB at any SF, so the result is
+    * hash-exact, not rows-only. Search shape is identical to [[knnIvf]]:
+    * corpus shuffles once by cell, per-query work ~ nProbe/nCells of
+    * brute force.
+    */
+  def knnIvfMirrorable(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, nProbe: Int, k: Int, iters: Int = 2): DataFrame = {
+    val centroids = kmeansMirrorable(df, idCol, vecCol, m = 1, k = nCells,
+      iters = iters)(0)
+    ivfSearch(df, idCol, vecCol, centroids, nProbe, k, round6 = true)
+  }
+
+  /** Shared IVF search given fitted centroids: broadcast-UDF cell
+    * assignment, per-query nProbe nearest cells by centroid cosine, exact
+    * cosine top-k inside the probed cells (equi-join on cell id).
+    * `round6` applies the 6-dp oracle rounding to BOTH the probe ranking
+    * and the emitted similarity.
+    */
+  private def ivfSearch(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nProbe: Int, k: Int,
+      round6: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def sim(a: Column, b: Column): Column =
+      if (round6) round(cosine(a, b), 6) else cosine(a, b)
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf((v: Seq[Double]) => {
       val cs = bc.value
@@ -223,7 +256,7 @@ object Similarity {
     val wProbe = Window.partitionBy(col(s"q.$idCol"))
       .orderBy(col("cent_sim").desc, col("probe_cell").asc)
     val probes = assigned.as("q").crossJoin(broadcast(centDf))
-      .withColumn("cent_sim", cosine(col(s"q.$vecCol"), col("centroid")))
+      .withColumn("cent_sim", sim(col(s"q.$vecCol"), col("centroid")))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nProbe)
       .select(col(s"q.$idCol").as("query_id"), col(s"q.$vecCol").as("qv"),
@@ -232,7 +265,7 @@ object Similarity {
     probes.join(assigned.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("nv"), col("cell")), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosine(col("qv"), col("nv")))
+      .withColumn("cos_sim", sim(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(wK))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))

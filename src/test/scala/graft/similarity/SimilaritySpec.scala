@@ -54,6 +54,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bf == iv)
   }
 
+  test("knnIvfMirrorable: probing all cells equals brute force (6-dp rounded)") {
+    val rnd = new scala.util.Random(13)
+    val data = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "v")
+    val ivf = Similarity.knnIvfMirrorable(data, "vec_id", "v",
+        nCells = 4, nProbe = 4, k = 3, iters = 2)
+      .select($"query_id", $"neighbor_id", round($"cos_sim", 6).as("s"), $"rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    val bf = Similarity.knnBruteForce(
+        data.select($"vec_id".as("qid"), $"v".as("qv")), data,
+        "qid", "vec_id", "qv", "v", 3)
+      .select($"query_id", $"neighbor_id", round($"cos_sim", 6).as("s"), $"rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf == bf) // nProbe = nCells prunes nothing ⇒ identical ranking
+  }
+
+  test("knnIvfMirrorable: pruned probe keeps in-cluster neighbors") {
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 40).map { i =>
+      val base = if (i < 20) Seq(10.0, 0.0, 0.0) else Seq(0.0, 10.0, 0.0)
+      (i.toLong, base.map(_ + rnd.nextGaussian() * 0.1))
+    }.toDF("vec_id", "v")
+    val ivf = Similarity.knnIvfMirrorable(data, "vec_id", "v",
+      nCells = 2, nProbe = 1, k = 3, iters = 2)
+    assert(ivf.filter($"rank" === 1).count() == 40)
+    assert(ivf.filter(($"query_id" < 20) =!= ($"neighbor_id" < 20)).count() == 0)
+  }
+
   test("native lsh_bucket is bit-identical to the composable spelling") {
     val rnd = new scala.util.Random(11)
     val data = (0 until 200).map(i =>
