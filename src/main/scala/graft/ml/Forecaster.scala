@@ -109,6 +109,17 @@ object Forecaster {
       MlpRegressor.fitLayers(df, label, layers, epochs = epochs, lr = lr, seed = seed)
     }
 
+  /** M8 temporal-conv head: one dilated causal Conv1D net per horizon
+    * (the reference's champion TCN architecture re-expressed, see
+    * [[TcnRegressor]]); the assembled lag window is read as the input
+    * sequence.
+    */
+  def fitPerHorizonTcn(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
+      conf: TcnRegressor.TcnConfig = TcnRegressor.TcnConfig()): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons) { (df, label) =>
+      TcnRegressor.fit(df, label, conf)
+    }
+
   /** Apply the per-horizon models: adds `pred_h{h}` columns. */
   def predict(models: Map[Int, _ <: HorizonModel], df: DataFrame,
       featureCols: Seq[String]): DataFrame = {
