@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -13,11 +13,19 @@ import org.apache.spark.sql.types._
   * (same operand order ⇒ same IEEE result), but ~10× cheaper than three
   * interpreted `aggregate(zip_with(...))` passes — the constant factor
   * that dominates ANN candidate scoring.
+  *
+  * Participates in whole-stage codegen (`doGenCode` emits the same
+  * fused loop the interpreter runs): the expression sits on the
+  * candidate-pair hot path of the IVF/LSH/embedding-dedup queries, where
+  * a `CodegenFallback` would box two `ArrayData` per pair and break the
+  * surrounding codegen stage. Length mismatch yields NULL (spec'd), so
+  * the expression is explicitly nullable.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -48,6 +56,35 @@ case class CosineSim(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  double $na = 0.0;
+         |  double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = $a.getDouble($i);
+         |    final double $y = $b.getDouble($i);
+         |    $dot += $x * $y;
+         |    $na += $x * $x;
+         |    $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

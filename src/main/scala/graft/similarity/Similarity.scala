@@ -390,9 +390,12 @@ object Similarity {
     val dsub = d / m
     var cent: Array[Array[Array[Double]]] = Array.tabulate(m, k)((s, c) =>
       java.util.Arrays.copyOfRange(initRows(c), s * dsub, (s + 1) * dsub))
-    // subspace point rows (s, p) — one corpus scan per iteration
+    // subspace point rows (s, p), persisted across the `iters` passes —
+    // without it every iteration re-scans the source and re-explodes
+    // (the fit input is caller-bounded, so this cache is too)
     val subs = df.select(posexplode(array((0 until m).map(s =>
       slice(col(vecCol), s * dsub + 1, dsub)): _*)).as(Seq("s", "p")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(cent)
@@ -420,6 +423,7 @@ object Similarity {
       cent = next
       it += 1
     }
+    subs.unpersist(blocking = false)
     cent
   }
 
@@ -622,8 +626,12 @@ object Similarity {
   def buildIvfPqIndexMirrorable(corpus: DataFrame, cId: String, cVec: String,
       nCells: Int, m: Int, ksub: Int, iters: Int = 2,
       residual: Boolean = false): IvfPqIndex = {
-    val spark = corpus.sparkSession
-    val centroids = kmeansMirrorable(corpus, cId, cVec, 1, nCells, iters)(0)
+    // the corpus feeds the coarse fit, the book fit and the encode —
+    // persist once (fit input is caller-bounded, so the cache is too)
+    val corpus0 = track(corpus.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val spark = corpus0.sparkSession
+    val centroids = kmeansMirrorable(corpus0, cId, cVec, 1, nCells, iters)(0)
     val bcCent = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf { v: Seq[Double] =>
       val cs = bcCent.value
@@ -637,9 +645,9 @@ object Similarity {
       best
     }
     if (!residual) {
-      val books = kmeansMirrorable(corpus, cId, cVec, m, ksub, iters)
+      val books = kmeansMirrorable(corpus0, cId, cVec, m, ksub, iters)
       val coded = pqEncode(
-        corpus.withColumn("cell", assignUdf(col(cVec))), cId, cVec, books,
+        corpus0.withColumn("cell", assignUdf(col(cVec))), cId, cVec, books,
         keep = Seq("cell"))
       IvfPqIndex(coded, books, centroids, cId)
     } else {
@@ -647,7 +655,7 @@ object Similarity {
         val c = bcCent.value(cell)
         Seq.tabulate(v.length)(j => v(j) - c(j))
       }
-      val withRes = corpus.withColumn("cell", assignUdf(col(cVec)))
+      val withRes = corpus0.withColumn("cell", assignUdf(col(cVec)))
         .withColumn("__resid", residUdf(col(cVec), col("cell")))
       val books = kmeansMirrorable(withRes, cId, "__resid", m, ksub, iters)
       val coded = pqEncode(withRes, cId, "__resid", books, keep = Seq("cell"))
