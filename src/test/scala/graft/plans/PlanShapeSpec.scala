@@ -143,6 +143,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"isin not pushed:\n$p")
   }
 
+  test("knnIvfMirrorable: corpus joins probes on cell, whole-stage cosine") {
+    val rnd = new scala.util.Random(3)
+    val data = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "v")
+    val p = plan(graft.similarity.Similarity.knnIvfMirrorable(
+      data, "vec_id", "v", nCells = 4, nProbe = 2, k = 3, iters = 1))
+    // the corpus side must reach the scorer through an equi-join on the
+    // cell id — a nested loop here is the all-pairs scan IVF exists to
+    // avoid (the 16-row probe/centroid cross join is bounded and fine)
+    assert(!p.contains("CartesianProduct"), s"IVF degenerated to all-pairs:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join on cell:\n$p")
+    // cosine_sim must be inside a WholeStageCodegen span, not a fallback
+    // below it — the pair scorer is the hot loop
+    val stages = p.split("WholeStageCodegen").count(_.contains("cosine_sim"))
+    assert(stages >= 1, s"cosine_sim fell out of codegen:\n$p")
+    graft.similarity.Similarity.clearCaches()
+  }
+
   test("decontaminateBloom: training side broadcast-joined, never sort-merged") {
     val docs = graft.io.Sources.table(spark, sf, "documents")
     val df = graft.dedup.Dedup.decontaminateBloom(
