@@ -137,6 +137,35 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming heavy hitters — the streaming face of
+    * `Sketches.heavyHitters` pass 1: the Misra–Gries aggregator runs as
+    * a STREAMING GLOBAL AGGREGATION, so the state store holds exactly
+    * one O(k) buffer, each micro-batch folds in via the same mergeable
+    * summary the batch path uses (Agarwal et al., PODS'12), and the
+    * wire carries k-entry partials — never one row per distinct key.
+    * That is the 100 TB-stream contract: hot-key detection over an
+    * unbounded firehose in constant memory.
+    *
+    * Emits one row per tracked key per trigger: (key, min_count,
+    * n_total). `min_count` underestimates the true frequency by at most
+    * n/(k+1); every key with true frequency > n/(k+1) is guaranteed
+    * tracked. Exact counts for the candidates belong to a batch verify
+    * pass over the archived stream (the sketch-prune-verify split,
+    * `Sketches.heavyHitters` pass 2). Use `outputMode("complete")`.
+    */
+  def streamingHeavyHitters(events: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val agg = new graft.metrics.Sketches.MisraGriesAgg(k)
+    events.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long").as("__k")).as[Long]
+      .select(agg.toColumn.name("sketch")) // typed select flattens → keys/residuals/n
+      .select(explode(arrays_zip(col("keys"), col("residuals"))).as("kv"),
+        col("n").as("n_total"))
+      .select(col("kv.keys").as("key"), col("kv.residuals").as("min_count"),
+        col("n_total"))
+  }
+
   /** Streaming benchmark decontamination — the streaming face of
     * `Dedup.decontaminate`: the BENCHMARK's distinct n-gram set is
     * collected once (bounded by the decontamination contract: benchmark

@@ -111,6 +111,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingHeavyHitters: O(k) state tracks the hot keys across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val out = StreamOps.streamingHeavyHitters(mem.toDF().toDF("user_id"), "user_id", k = 4)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("hh").start()
+    try {
+      // batch 1: key 7 hot (10 of 16)
+      mem.addData(Seq.fill(10)(7L) ++ (100L until 106L): _*)
+      q.processAllAvailable()
+      val r1 = spark.table("hh").as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> t._2).toMap
+      val n1 = spark.table("hh").select($"n_total").as[Long].head()
+      assert(n1 == 16L)
+      assert(r1.contains(7L), s"hot key lost: $r1")
+      // MG bound: min_count >= true - n/(k+1)
+      assert(r1(7L) >= 10L - 16L / 5)
+      // batch 2 folds into the SAME O(k) buffer: key 9 becomes hot too
+      mem.addData(Seq.fill(12)(9L) ++ (200L until 204L): _*)
+      q.processAllAvailable()
+      val rows = spark.table("hh").as[(Long, Long, Long)].collect()
+      val r2 = rows.map(t => t._1 -> t._2).toMap
+      assert(rows.head._3 == 32L, s"n_total should span both batches: ${rows.toSeq}")
+      assert(r2.contains(7L) && r2.contains(9L), s"hot keys lost: $r2")
+      assert(rows.length <= 4, s"state must stay O(k): ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize: gap-closed sessions emit once, late sessions close by timeout") {
     implicit val sqlCtx = spark.sqlContext
     def ev(u: Long, t: String, v: Double) =
