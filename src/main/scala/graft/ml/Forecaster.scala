@@ -120,6 +120,16 @@ object Forecaster {
       TcnRegressor.fit(df, label, conf)
     }
 
+  /** M8 recurrent head: one LSTM per horizon (the reference's LSTM
+    * predictors re-expressed, see [[LstmRegressor]]); the assembled lag
+    * window is walked as the input sequence.
+    */
+  def fitPerHorizonLstm(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
+      conf: LstmRegressor.LstmConfig = LstmRegressor.LstmConfig()): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons) { (df, label) =>
+      LstmRegressor.fit(df, label, conf)
+    }
+
   /** Apply the per-horizon models: adds `pred_h{h}` columns. */
   def predict(models: Map[Int, _ <: HorizonModel], df: DataFrame,
       featureCols: Seq[String]): DataFrame = {

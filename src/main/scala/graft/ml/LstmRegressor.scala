@@ -1,0 +1,321 @@
+package graft.ml
+
+import org.apache.spark.ml.PredictionModel
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** M8 recurrent head: a single-layer LSTM regressor — the Spark-native
+  * re-expression of the reference's recurrent predictors
+  * (`predictor_plugins/predictor_plugin_lstm.py`; standard LSTM cell,
+  * Hochreiter & Schmidhuber 1997). The assembled features vector is read
+  * as a univariate time sequence; one LSTM cell of `units` hidden state
+  * walks it left to right and a linear readout of the final hidden state
+  * produces the prediction. What recurrence buys over the dense/conv
+  * heads is NONLINEAR STATE: the cell carries a composed function of the
+  * whole prefix, which a fixed-depth feed-forward net must approximate
+  * with depth it doesn't have (spec-pinned on a recursive teacher).
+  *
+  * Training is the same DISTRIBUTED full-batch pattern as
+  * [[MlpRegressor]]/[[TcnRegressor]]: per epoch one `treeAggregate`
+  * computes the exact MSE gradient — forward + backprop-through-time per
+  * row (the T-step loop lives INSIDE the row kernel; rows stay
+  * independent, so the pass parallelizes exactly like the other heads) —
+  * partials merge tree-wise, the driver applies a momentum update, new
+  * weights broadcast. Re-expression boundaries: single layer, no
+  * dropout/recurrent-dropout (full-batch exact gradients), linear
+  * readout of h_T rather than per-horizon stacked heads (the per-horizon
+  * split lives in `Forecaster.fitPerHorizonWith`).
+  *
+  * Gate layout per unit u: z_g(u) = Wx(g,u)·x_t + Σ_v Wh(g,u,v)·h(v) +
+  * b(g,u) for gates g ∈ {input, forget, cell, output}; c' = f⊙c + i⊙g̃;
+  * h' = o⊙tanh(c'). Forget bias initialized to 1 (standard practice —
+  * gradients flow through the cell path from epoch 0).
+  */
+object LstmRegressor {
+
+  case class LstmConfig(units: Int = 6, epochs: Int = 200, lr: Double = 0.1,
+      momentum: Double = 0.9, seed: Long = 42L)
+
+  /** Fitted model; weight arrays are row-major over [gate][unit](+[unit])
+    * with gate order (input, forget, cell, output).
+    */
+  class LstmRegressionModel(
+      override val uid: String,
+      val units: Int,
+      val wx: Array[Double], // 4*units: input weight per gate/unit
+      val wh: Array[Double], // 4*units*units: recurrent weights
+      val b: Array[Double], // 4*units
+      val headW: Array[Double],
+      val headB: Double,
+      val seqLen: Int,
+      val featMean: Double,
+      val featStd: Double,
+      val labelMean: Double,
+      val labelStd: Double)
+    extends PredictionModel[Vector, LstmRegressionModel] {
+
+    override def numFeatures: Int = seqLen
+
+    override def predict(features: Vector): Double = {
+      val t = seqLen
+      val x = new Array[Double](t)
+      var i = 0
+      while (i < t) { x(i) = (features(i) - featMean) / featStd; i += 1 }
+      val out = forward(x, units, wx, wh, b, headW, headB, null)
+      out * labelStd + labelMean
+    }
+
+    override def copy(extra: ParamMap): LstmRegressionModel = copyValues(
+      new LstmRegressionModel(uid, units, wx, wh, b, headW, headB, seqLen,
+        featMean, featStd, labelMean, labelStd), extra)
+
+    override def toString: String =
+      s"LstmRegressionModel(uid=$uid, units=$units, T=$seqLen)"
+  }
+
+  /** Forward pass; when `keep` != null it receives per-step
+    * (i, f, g̃, o, c, h) rows for BPTT: keep(t) = Array of 6*units.
+    * Returns the standardized-space prediction.
+    */
+  private def forward(x: Array[Double], u: Int, wx: Array[Double],
+      wh: Array[Double], b: Array[Double], headW: Array[Double],
+      headB: Double, keep: Array[Array[Double]]): Double = {
+    val t = x.length
+    var h = new Array[Double](u)
+    var c = new Array[Double](u)
+    var ti = 0
+    while (ti < t) {
+      val xi = x(ti)
+      val nh = new Array[Double](u)
+      val nc = new Array[Double](u)
+      val row = if (keep != null) new Array[Double](6 * u) else null
+      var v = 0
+      while (v < u) {
+        // gate pre-activations: g*u + v indexes (gate, unit)
+        var zi = b(v) + wx(v) * xi
+        var zf = b(u + v) + wx(u + v) * xi
+        var zg = b(2 * u + v) + wx(2 * u + v) * xi
+        var zo = b(3 * u + v) + wx(3 * u + v) * xi
+        var w2 = 0
+        while (w2 < u) {
+          val hv = h(w2)
+          zi += wh((v) * u + w2) * hv
+          zf += wh((u + v) * u + w2) * hv
+          zg += wh((2 * u + v) * u + w2) * hv
+          zo += wh((3 * u + v) * u + w2) * hv
+          w2 += 1
+        }
+        val ig = sigmoid(zi)
+        val fg = sigmoid(zf)
+        val gg = math.tanh(zg)
+        val og = sigmoid(zo)
+        val cc = fg * c(v) + ig * gg
+        val hh = og * math.tanh(cc)
+        nc(v) = cc
+        nh(v) = hh
+        if (row != null) {
+          row(v) = ig; row(u + v) = fg; row(2 * u + v) = gg
+          row(3 * u + v) = og; row(4 * u + v) = cc; row(5 * u + v) = hh
+        }
+        v += 1
+      }
+      if (keep != null) keep(ti) = row
+      h = nh
+      c = nc
+      ti += 1
+    }
+    var y = headB
+    var v = 0
+    while (v < u) { y += headW(v) * h(v); v += 1 }
+    y
+  }
+
+  @inline private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Fit on an assembled frame (featuresCol: MLlib Vector read as a
+    * sequence, labelCol numeric) — the `fitPerHorizonWith` contract.
+    */
+  def fit(df: DataFrame, labelCol: String, conf: LstmConfig = LstmConfig(),
+      featuresCol: String = "features"): LstmRegressionModel = {
+    val u = conf.units
+    require(u > 0, s"LstmRegressor.fit: bad config $conf")
+    val sc = df.sparkSession.sparkContext
+    val data = df.select(col(featuresCol), col(labelCol).cast("double"))
+      .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = data.take(1)
+      require(head.nonEmpty, "LstmRegressor.fit: empty training set")
+      val t = head(0)._1.size
+      val (sx, sxx, sy, syy, n) = data.treeAggregate((0.0, 0.0, 0.0, 0.0, 0L))(
+        seqOp = { case ((sx, sxx, sy, syy, n), (x, y)) =>
+          var a = sx; var aa = sxx
+          var j = 0
+          while (j < t) { val v = x(j); a += v; aa += v * v; j += 1 }
+          (a, aa, sy + y, syy + y * y, n + 1)
+        },
+        combOp = { case ((ax, axx, ay, ayy, an), (bx, bxx, by, byy, bn)) =>
+          (ax + bx, axx + bxx, ay + by, ayy + byy, an + bn)
+        })
+      require(n > 0, "LstmRegressor.fit: empty training set")
+      def std(sum: Double, sumsq: Double, cnt: Double): Double = {
+        val v = math.max(sumsq / cnt - (sum / cnt) * (sum / cnt), 0.0)
+        val s = math.sqrt(v)
+        if (s < 1e-12) 1.0 else s
+      }
+      val fMean = sx / (n.toDouble * t)
+      val fStd = std(sx, sxx, n.toDouble * t)
+      val yMean = sy / n
+      val yStd = std(sy, syy, n.toDouble)
+
+      // flat layout: [wx (4u) | wh (4u*u) | b (4u) | headW (u) | headB]
+      val wxOff = 0
+      val whOff = 4 * u
+      val bOff = whOff + 4 * u * u
+      val hOff = bOff + 4 * u
+      val hbOff = hOff + u
+      val nW = hbOff + 1
+      val rnd = new java.util.Random(conf.seed)
+      val weights = new Array[Double](nW)
+      var i = 0
+      while (i < 4 * u) { weights(wxOff + i) = rnd.nextGaussian() * 0.5; i += 1 }
+      i = 0
+      val rScale = math.sqrt(1.0 / u)
+      while (i < 4 * u * u) { weights(whOff + i) = rnd.nextGaussian() * rScale; i += 1 }
+      i = 0
+      while (i < u) { weights(bOff + u + i) = 1.0; i += 1 } // forget bias = 1
+      i = 0
+      while (i < u) { weights(hOff + i) = rnd.nextGaussian() * rScale; i += 1 }
+      val velocity = new Array[Double](nW)
+
+      var epoch = 0
+      while (epoch < conf.epochs) {
+        val bcW = sc.broadcast(weights.clone())
+        val grad = data.treeAggregate(new Array[Double](nW))(
+          seqOp = { case (g, (xv, y)) =>
+            val wf = bcW.value
+            val wx = java.util.Arrays.copyOfRange(wf, wxOff, wxOff + 4 * u)
+            val wh = java.util.Arrays.copyOfRange(wf, whOff, whOff + 4 * u * u)
+            val bArr = java.util.Arrays.copyOfRange(wf, bOff, bOff + 4 * u)
+            val headW = java.util.Arrays.copyOfRange(wf, hOff, hOff + u)
+            val headB = wf(hbOff)
+            val x = new Array[Double](t)
+            var j = 0
+            while (j < t) { x(j) = (xv(j) - fMean) / fStd; j += 1 }
+            val keep = new Array[Array[Double]](t)
+            val out = forward(x, u, wx, wh, bArr, headW, headB, keep)
+            val err = out - (y - yMean) / yStd
+            // head gradients on h_T
+            val hT = keep(t - 1)
+            var v = 0
+            while (v < u) { g(hOff + v) += err * hT(5 * u + v); v += 1 }
+            g(hbOff) += err
+            // BPTT
+            val dh = new Array[Double](u)
+            val dc = new Array[Double](u)
+            v = 0
+            while (v < u) { dh(v) = err * headW(v); v += 1 }
+            var ti = t - 1
+            while (ti >= 0) {
+              val row = keep(ti)
+              val prevH: Array[Double] = if (ti == 0) null else keep(ti - 1)
+              val dhNext = new Array[Double](u)
+              val dcNext = new Array[Double](u)
+              v = 0
+              while (v < u) {
+                val ig = row(v); val fg = row(u + v); val gg = row(2 * u + v)
+                val og = row(3 * u + v); val cc = row(4 * u + v)
+                val tc = math.tanh(cc)
+                val dOut = dh(v)
+                val dCc = dc(v) + dOut * og * (1.0 - tc * tc)
+                val cPrev = if (ti == 0) 0.0 else prevH(4 * u + v)
+                // gate pre-activation deltas
+                val dZo = dOut * tc * og * (1.0 - og)
+                val dZi = dCc * gg * ig * (1.0 - ig)
+                val dZf = dCc * cPrev * fg * (1.0 - fg)
+                val dZg = dCc * ig * (1.0 - gg * gg)
+                dcNext(v) += dCc * fg
+                val xi = x(ti)
+                g(wxOff + v) += dZi * xi
+                g(wxOff + u + v) += dZf * xi
+                g(wxOff + 2 * u + v) += dZg * xi
+                g(wxOff + 3 * u + v) += dZo * xi
+                g(bOff + v) += dZi
+                g(bOff + u + v) += dZf
+                g(bOff + 2 * u + v) += dZg
+                g(bOff + 3 * u + v) += dZo
+                var w2 = 0
+                while (w2 < u) {
+                  val hPrev = if (ti == 0) 0.0 else prevH(5 * u + w2)
+                  g(whOff + (v) * u + w2) += dZi * hPrev
+                  g(whOff + (u + v) * u + w2) += dZf * hPrev
+                  g(whOff + (2 * u + v) * u + w2) += dZg * hPrev
+                  g(whOff + (3 * u + v) * u + w2) += dZo * hPrev
+                  dhNext(w2) += dZi * wh((v) * u + w2) +
+                    dZf * wh((u + v) * u + w2) +
+                    dZg * wh((2 * u + v) * u + w2) +
+                    dZo * wh((3 * u + v) * u + w2)
+                  w2 += 1
+                }
+                v += 1
+              }
+              System.arraycopy(dhNext, 0, dh, 0, u)
+              System.arraycopy(dcNext, 0, dc, 0, u)
+              ti -= 1
+            }
+            g
+          },
+          combOp = { (a2, b2) =>
+            var k2 = 0
+            while (k2 < nW) { a2(k2) += b2(k2); k2 += 1 }
+            a2
+          })
+        bcW.destroy()
+        var k3 = 0
+        while (k3 < nW) {
+          velocity(k3) = conf.momentum * velocity(k3) - conf.lr * grad(k3) / n
+          weights(k3) += velocity(k3)
+          k3 += 1
+        }
+        epoch += 1
+      }
+
+      new LstmRegressionModel(
+        s"lstm_${java.util.UUID.randomUUID().toString.take(8)}", u,
+        java.util.Arrays.copyOfRange(weights, wxOff, wxOff + 4 * u),
+        java.util.Arrays.copyOfRange(weights, whOff, whOff + 4 * u * u),
+        java.util.Arrays.copyOfRange(weights, bOff, bOff + 4 * u),
+        java.util.Arrays.copyOfRange(weights, hOff, hOff + u),
+        weights(hbOff), t, fMean, fStd, yMean, yStd)
+    } finally { data.unpersist(blocking = false); () }
+  }
+
+  /** S11 artifact sink: architecture + weights as one parquet row. */
+  def save(model: LstmRegressionModel, path: String): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    Seq((model.uid, model.units, model.wx.toSeq, model.wh.toSeq, model.b.toSeq,
+        model.headW.toSeq, model.headB, model.seqLen,
+        model.featMean, model.featStd, model.labelMean, model.labelStd))
+      .toDF("uid", "units", "wx", "wh", "b", "head_w", "head_b", "seq_len",
+        "feat_mean", "feat_std", "label_mean", "label_std")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** S11 artifact source. */
+  def load(spark: SparkSession, path: String): LstmRegressionModel = {
+    val r = spark.read.parquet(path).head()
+    new LstmRegressionModel(
+      r.getAs[String]("uid"), r.getAs[Int]("units"),
+      r.getAs[scala.collection.Seq[Double]]("wx").toArray,
+      r.getAs[scala.collection.Seq[Double]]("wh").toArray,
+      r.getAs[scala.collection.Seq[Double]]("b").toArray,
+      r.getAs[scala.collection.Seq[Double]]("head_w").toArray,
+      r.getAs[Double]("head_b"), r.getAs[Int]("seq_len"),
+      r.getAs[Double]("feat_mean"), r.getAs[Double]("feat_std"),
+      r.getAs[Double]("label_mean"), r.getAs[Double]("label_std"))
+  }
+}
