@@ -130,6 +130,17 @@ object Forecaster {
       LstmRegressor.fit(df, label, conf)
     }
 
+  /** M8 attention head: one single-head self-attention net per horizon
+    * (the reference's Transformer predictors re-expressed, see
+    * [[AttentionRegressor]]).
+    */
+  def fitPerHorizonAttention(train: DataFrame, featureCols: Seq[String],
+      horizons: Seq[Int],
+      conf: AttentionRegressor.AttnConfig = AttentionRegressor.AttnConfig()): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons) { (df, label) =>
+      AttentionRegressor.fit(df, label, conf)
+    }
+
   /** Apply the per-horizon models: adds `pred_h{h}` columns. */
   def predict(models: Map[Int, _ <: HorizonModel], df: DataFrame,
       featureCols: Seq[String]): DataFrame = {

@@ -1,0 +1,93 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.Vectors
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class AttentionRegressorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val T = 10
+
+  // Teacher = soft retrieval: a softmax over the positions' CONTENT
+  // selects what to read out — y = Σ_t softmax(2·x)_t · x_t (a smooth
+  // max). Content-based routing is exactly what attention computes and
+  // what a fixed-weight feed-forward net has to approximate position by
+  // position.
+  private def teacher(x: Array[Double]): Double = {
+    val ex = x.map(v => math.exp(2.0 * v))
+    val z = ex.sum
+    ex.zip(x).map { case (e, v) => e / z * v }.sum
+  }
+
+  private def windows(n: Int, seed: Long) = {
+    val rnd = new java.util.Random(seed)
+    (0 until n).map { _ =>
+      val x = Array.fill(T)(rnd.nextGaussian())
+      (Vectors.dense(x), teacher(x))
+    }
+  }
+
+  test("attention beats a same-epoch MLP on a soft-retrieval teacher") {
+    val train = windows(400, 3L).toDF("features", "label").cache()
+    val test = windows(100, 4L)
+    try {
+      val attn = AttentionRegressor.fit(train, "label",
+        AttentionRegressor.AttnConfig(dim = 4, epochs = 250, lr = 0.25))
+      val mlp = MlpRegressor.fit(train, "label", hidden = 8, epochs = 250, lr = 0.25)
+      def mse(p: org.apache.spark.ml.linalg.Vector => Double): Double = {
+        val errs = test.map { case (v, y) => val e = p(v) - y; e * e }
+        errs.sum / errs.size
+      }
+      val (mA, mM) = (mse(attn.predict), mse(mlp.predict))
+      assert(mA < mM, s"attn=$mA mlp=$mM")
+    } finally { train.unpersist(); () }
+  }
+
+  test("backward sanity: descent strictly decreases the loss from init") {
+    val rows = windows(8, 7L)
+    val df = rows.toDF("features", "label")
+    def lossAt(epochs: Int): Double = {
+      val m = AttentionRegressor.fit(df, "label",
+        AttentionRegressor.AttnConfig(dim = 3, epochs = epochs, lr = 0.05,
+          momentum = 0.0))
+      rows.map { case (v, y) => val e = m.predict(v) - y; e * e }.sum / rows.size
+    }
+    val (l1, l40, l160) = (lossAt(1), lossAt(40), lossAt(160))
+    assert(l40 < l1, s"loss not decreasing: 1=$l1 40=$l40")
+    assert(l160 < l40, s"loss not decreasing: 40=$l40 160=$l160")
+  }
+
+  test("S11: attention artifacts round-trip with bitwise-identical predictions") {
+    val train = windows(60, 19L).toDF("features", "label")
+    val m = AttentionRegressor.fit(train, "label",
+      AttentionRegressor.AttnConfig(dim = 3, epochs = 25))
+    val path = java.nio.file.Files.createTempDirectory("model").toString + "/attn1"
+    AttentionRegressor.save(m, path)
+    val back = AttentionRegressor.load(spark, path)
+    assert(back.dim == m.dim && back.seqLen == m.seqLen)
+    windows(5, 23L).foreach { case (v, _) =>
+      assert(java.lang.Double.doubleToRawLongBits(back.predict(v)) ==
+        java.lang.Double.doubleToRawLongBits(m.predict(v)))
+    }
+  }
+
+  test("fitPerHorizonAttention: Forecaster contract — predict adds pred_h columns") {
+    import org.apache.spark.sql.functions._
+    val xs = new Array[Double](260)
+    xs(0) = 10.0
+    (1 until 260).foreach(i => xs(i) = 0.8 * xs(i - 1) + 2.0 + 0.1 * math.sin(i * 0.7))
+    val df = xs.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toSeq.toDF("sid", "t", "v")
+    val w = graft.ts.TS.seriesWindow(Seq("sid"), Seq("t"))
+    val tgt = graft.target.Targets.multiHorizon(df, "v", Seq(1), w)
+    val feat = Forecaster.withLagFeatures(tgt, "v", 3, Seq("sid"), Seq("t"))
+    val cols = Seq("v", "lag_1", "lag_2", "lag_3")
+    val models = Forecaster.fitPerHorizonAttention(feat.filter(col("t") < 200), cols, Seq(1),
+      AttentionRegressor.AttnConfig(dim = 3, epochs = 60, lr = 0.2))
+    val pred = Forecaster.predict(models, feat.filter(col("t") >= 200), cols)
+    assert(pred.columns.contains("pred_h1"))
+    assert(pred.filter(col("pred_h1").isNull || isnan(col("pred_h1"))).count() == 0)
+  }
+}
