@@ -103,8 +103,9 @@ object ForecastPipeline {
 
   /** MODEL-based slice (M8 end-to-end): lag features → per-horizon heads
     * fit on the `train` split — `head` = "linear" (normal-equation),
-    * "gbt" (the nonlinear model-zoo analog), or "mlp" (distributed tanh
-    * net, hyperparameters via `mlpConf`) — → per-split MAE / Naive
+    * "gbt", or a native deep head: "mlp" (multi-layer tanh), "tcn"
+    * (dilated causal conv), "lstm" (recurrent), "attention" (single-head
+    * self-attention) — shared hyperparameters via `mlpConf` — → per-split MAE / Naive
     * MAE / R² rows, same grain as [[naiveMetrics]]. `modelDir` saves
     * each horizon's fitted model (S11 artifact sink); reload with the
     * matching MLlib loader (`MlpRegressor.load` for the MLP head). The
@@ -138,6 +139,15 @@ object ForecastPipeline {
           case "mlp" => Forecaster.fitPerHorizonDeepMlp(train, featureCols, config.horizons,
             layers = Seq.fill(mlpConf.depth)(mlpConf.hidden), epochs = mlpConf.epochs,
             lr = mlpConf.lr, seed = mlpConf.seed)
+          case "tcn" => Forecaster.fitPerHorizonTcn(train, featureCols, config.horizons,
+            graft.ml.TcnRegressor.TcnConfig(epochs = mlpConf.epochs, lr = mlpConf.lr,
+              seed = mlpConf.seed))
+          case "lstm" => Forecaster.fitPerHorizonLstm(train, featureCols, config.horizons,
+            graft.ml.LstmRegressor.LstmConfig(units = mlpConf.hidden,
+              epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed))
+          case "attention" => Forecaster.fitPerHorizonAttention(train, featureCols,
+            config.horizons, graft.ml.AttentionRegressor.AttnConfig(
+              epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed))
           case _ => Forecaster.fitPerHorizon(train, featureCols, config.horizons)
             .asInstanceOf[Map[Int, Forecaster.HorizonModel]]
         }
@@ -146,6 +156,12 @@ object ForecastPipeline {
       models.toSeq.sortBy(_._1).foreach {
         case (h, m: graft.ml.MlpRegressor.MlpRegressionModel) =>
           graft.ml.MlpRegressor.save(m, s"$dir/h$h")
+        case (h, m: graft.ml.TcnRegressor.TcnRegressionModel) =>
+          graft.ml.TcnRegressor.save(m, s"$dir/h$h")
+        case (h, m: graft.ml.LstmRegressor.LstmRegressionModel) =>
+          graft.ml.LstmRegressor.save(m, s"$dir/h$h")
+        case (h, m: graft.ml.AttentionRegressor.AttentionRegressionModel) =>
+          graft.ml.AttentionRegressor.save(m, s"$dir/h$h")
         case (h, m) =>
           m.asInstanceOf[org.apache.spark.ml.util.MLWritable]
             .write.overwrite().save(s"$dir/h$h")

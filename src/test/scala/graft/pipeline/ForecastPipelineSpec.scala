@@ -84,6 +84,32 @@ class ForecastPipelineSpec extends AnyFunSuite {
     assert(g("train", "MAE", 1) < g("train", "Naive MAE", 1))
   }
 
+  test("all four deep heads run end-to-end through modelMetrics and beat naive") {
+    def writeLogistic(n: Int, x0: Double): String = {
+      val f = Files.createTempFile("logistic", ".csv")
+      val xs = new Array[Double](n)
+      xs(0) = x0
+      (1 until n).foreach(i => xs(i) = 3.7 * xs(i - 1) * (1.0 - xs(i - 1)))
+      val rows = xs.zipWithIndex.map { case (v, i) =>
+        f"2020-01-01 ${i / 60}%02d:${i % 60}%02d:00,$v"
+      }
+      Files.writeString(f, "DATE_TIME,CLOSE\n" + rows.mkString("\n") + "\n")
+      f.toString
+    }
+    val cfg = ForecastPipeline.Config(
+      splits = Map("train" -> writeLogistic(220, 0.5123), "test" -> writeLogistic(80, 0.31)),
+      targetColumn = "CLOSE", horizons = Seq(1))
+    val conf = ForecastPipeline.MlpConf(hidden = 6, epochs = 80, lr = 0.1)
+    Seq("mlp", "tcn", "lstm", "attention").foreach { h =>
+      val rows = ForecastPipeline.modelMetrics(spark, cfg, nLags = 3, head = h,
+          mlpConf = conf)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+      def v(metric: String) = rows.find(r => r._1 == "test" && r._2 == metric && r._3 == 1).get._4
+      assert(v("MAE") < v("Naive MAE"),
+        s"head=$h should beat naive out of sample: mae=${v("MAE")} naive=${v("Naive MAE")}")
+    }
+  }
+
   test("NEAT drives the MLP head end-to-end through modelMetrics (M10b + M8-NN + S11)") {
     // Chaotic logistic map: x' = 3.7·x·(1−x). The 1-step-ahead target is
     // an exact QUADRATIC function of the current value — inexpressible by
