@@ -2101,9 +2101,15 @@ object SparkEntry {
     * q10/q13/q18/q25 oracles).
     */
   private def q48(s: SparkSession, dir: String): DataFrame = {
+    // HASH-EXACT composite: transcendentals round to 6 dp at
+    // construction (the q10/q16 contract), the window-tensor checksum
+    // folds those pre-rounded values and rounds again, and every
+    // cross-row sum runs in exact decimal space (the dsum discipline) —
+    // so the whole slice, including the data-driven ws choice, is
+    // re-derivable in DuckDB (q48Sql).
     val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
-      .withColumn("log_ret", TS.logReturn(col("value"), evWindow))
-      .withColumn("symlog", TS.symLog1p(col("value") - 100))
+      .withColumn("log_ret", round(TS.logReturn(col("value"), evWindow), 6))
+      .withColumn("symlog", round(TS.symLog1p(col("value") - 100), 6))
     // BASELINE comparability: the reference preprocesses at ws=144
     // (`sliding_windows.py` hot loop). Use 144 whenever the per-user
     // series are long enough to emit windows at it (sf0.1+: ~670
@@ -2121,18 +2127,82 @@ object SparkEntry {
     val targets = Targets.multiHorizonReturns(windowed, "value", 1 to 6, evWindow)
     // checksum forces the window tensors to actually materialize under a
     // pruning sink; metrics mirror the reference's naive evaluation
+    // Every summed term is round(x, 6) in DOUBLE first (bit-identical
+    // across engines, q10/q16-proven), THEN cast to DECIMAL(18,6): the
+    // rounded double sits ~1e-10 quanta away from any cast boundary, so
+    // the two engines' double->decimal conversions (shortest-string vs
+    // exact-binary) cannot land on different quanta. Casting RAW doubles
+    // at high scale (e.g. DECIMAL(28,14)) is NOT safe — the quantum
+    // falls inside double conversion noise and sf0.1 showed real
+    // one-quantum divergences on r2's sums.
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    def dsum6(c: org.apache.spark.sql.Column) = sum(round(c, 6).cast(dec6)).cast("double")
+    val nD = count(lit(1)).cast("double")
+    val s1 = dsum6(col("ret_h1"))
+    val s2 = dsum6(col("ret_h1") * col("ret_h1"))
     targets
-      .withColumn("win_sum", aggregate(flatten(col("window")), lit(0.0), (a, x) => a + x))
+      .withColumn("win_sum",
+        round(aggregate(flatten(col("window")), lit(0.0), (a, x) => a + x), 6))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_windows"),
-        sum(col("win_sum")).as("tensor_checksum"),
-        avg(abs(col("ret_h1"))).as("naive_mae_h1"),
-        avg(abs(col("ret_h6"))).as("naive_mae_h6"),
-        (lit(1.0) - sum(col("ret_h1") * col("ret_h1")) /
-          (sum(col("ret_h1") * col("ret_h1")) -
-            sum(col("ret_h1")) * sum(col("ret_h1")) / count(lit(1)))).as("r2_naive_h1"))
+        sum(col("win_sum").cast(dec6)).cast("double").as("tensor_checksum"),
+        (dsum6(abs(col("ret_h1"))) / nD).as("naive_mae_h1"),
+        (dsum6(abs(col("ret_h6"))) / nD).as("naive_mae_h6"),
+        (lit(1.0) - s2 / (s2 - s1 * s1 / nD)).as("r2_naive_h1"))
   }
+
+  /** q48 re-derived in SQL: same rn ordering, the SAME data-driven ws
+    * choice (a scalar CTE), q10/q16's rounded transcendentals, the
+    * window fold as `list_sum(flatten(list(... ORDER BY rn)))` over the
+    * causal frame, return targets as exact value differences at rn+h
+    * (inner joins enforce the lead-trim), and dsum decimal aggregates.
+    */
+  private val q48Sql =
+    """WITH base AS MATERIALIZED (
+      |  SELECT event_id, user_id, ts, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |wsv AS MATERIALIZED (
+      |  SELECT CASE WHEN COALESCE(MAX(cnt), 0) >= 288 THEN 144 ELSE 24 END AS w
+      |  FROM (SELECT COUNT(*) AS cnt FROM base GROUP BY user_id)),
+      |feat AS MATERIALIZED (
+      |  SELECT b.event_id, b.user_id, b.rn, b.value,
+      |    ROUND(CASE WHEN p.value IS NULL OR p.value <= 0 OR b.value <= 0 THEN 0
+      |          ELSE LN(b.value / p.value) END, 6) + 0.0 AS log_ret,
+      |    ROUND(SIGN(b.value - 100) * LN(1 + ABS(b.value - 100)), 6) + 0.0 AS symlog
+      |  FROM base b LEFT JOIN base p ON p.user_id = b.user_id AND p.rn = b.rn - 1),
+      |wsum AS MATERIALIZED (
+      |  SELECT a.user_id, a.rn,
+      |    ROUND(list_sum(flatten(list([b.value, b.log_ret, b.symlog] ORDER BY b.rn))), 6)
+      |      + 0.0 AS win_sum
+      |  FROM feat a CROSS JOIN wsv JOIN feat b
+      |    ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - wsv.w AND a.rn - 1
+      |  GROUP BY a.user_id, a.rn
+      |  HAVING COUNT(*) = MIN(wsv.w)),
+      |tg AS MATERIALIZED (
+      |  SELECT f.user_id, f.rn,
+      |    l1.value - f.value AS ret_h1,
+      |    l6.value - f.value AS ret_h6
+      |  FROM feat f
+      |  JOIN feat l1 ON l1.user_id = f.user_id AND l1.rn = f.rn + 1
+      |  JOIN feat l6 ON l6.user_id = f.user_id AND l6.rn = f.rn + 6),
+      |j AS MATERIALIZED (
+      |  SELECT w.user_id, w.win_sum, t.ret_h1, t.ret_h6
+      |  FROM wsum w JOIN tg t ON t.user_id = w.user_id AND t.rn = w.rn)
+      |SELECT user_id,
+      |  COUNT(*) AS n_windows,
+      |  CAST(SUM(CAST(win_sum AS DECIMAL(18,6))) AS DOUBLE) AS tensor_checksum,
+      |  CAST(SUM(CAST(ROUND(ABS(ret_h1), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS naive_mae_h1,
+      |  CAST(SUM(CAST(ROUND(ABS(ret_h6), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS naive_mae_h6,
+      |  1.0 - CAST(SUM(CAST(ROUND(ret_h1 * ret_h1, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |    / (CAST(SUM(CAST(ROUND(ret_h1 * ret_h1, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |       - CAST(SUM(CAST(ROUND(ret_h1, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |         * CAST(SUM(CAST(ROUND(ret_h1, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |         / CAST(COUNT(*) AS DOUBLE)) AS r2_naive_h1
+      |FROM j GROUP BY user_id""".stripMargin
 
   /** IVF ANN (scale path of q40): mirrorable KMeans cells, 2-probe
     * cosine top-3 — HASH-EXACT oracle (`PqOracle.q53Sql`) since the
@@ -2386,6 +2456,7 @@ object SparkEntry {
       m = 8, ksub = 16, d = 64, iters = 2, nCells = 16, nProbe = 4, k = 10,
       qPred = "vec_id < 5"),
     "q53_ivf_ann" -> graft.oracle.PqOracle.q53Sql(
-      d = 64, nCells = 16, iters = 2, nProbe = 2, k = 3)
+      d = 64, nCells = 16, iters = 2, nProbe = 2, k = 3),
+    "q48_preprocess_slice" -> q48Sql
   )
 }
