@@ -2253,10 +2253,14 @@ object SparkEntry {
   }
 
   /** M9 Prophet-analog: per-series trend + daily-Fourier regression fit
-    * (closed-form, one streaming pass per series) — rows-only.
+    * (closed-form, one streaming pass per series) — HASH-EXACT oracle
+    * (`SeasonalOracle.q49Sql`): the mirrorable fit pins the design
+    * (period-scaled trend, 6-dp sin/cos), the normal-equation sums
+    * (exact decimal) and the solve (no-pivot elimination = straight-line
+    * IEEE ops), so DuckDB re-derives the coefficients bit-for-bit.
     */
   private def q49(s: SparkSession, dir: String): DataFrame =
-    graft.ml.SeasonalRegression.fitPredict(
+    graft.ml.SeasonalRegression.fitPredictMirrorable(
         t(s, dir, "events")
           .select(col("event_id"), col("user_id"),
             (unix_micros(col("ts")) / 1e6).as("t_sec"), col("value")),
@@ -2457,6 +2461,8 @@ object SparkEntry {
       qPred = "vec_id < 5"),
     "q53_ivf_ann" -> graft.oracle.PqOracle.q53Sql(
       d = 64, nCells = 16, iters = 2, nProbe = 2, k = 3),
-    "q48_preprocess_slice" -> q48Sql
+    "q48_preprocess_slice" -> q48Sql,
+    "q49_seasonal_fit" -> graft.oracle.SeasonalOracle.q49Sql(
+      period = 86400.0, harmonics = 2)
   )
 }

@@ -60,6 +60,45 @@ class SeasonalRegressionSpec extends AnyFunSuite {
     assert(holidayResid > 1.0, s"holiday spikes should be unexplained: $holidayResid")
   }
 
+  test("mirrorable fit recovers the same in-family signal despite rounded features") {
+    // identical family as the pivoting fit; the 6-dp feature rounding
+    // bounds the achievable residual at ~1e-4 rather than 1e-6
+    val df = Seq("a", "b").flatMap { k =>
+      (0 until 96).map { t =>
+        (k, t.toDouble, 3.0 + 0.5 * t + 2.0 * math.sin(2 * math.Pi * t / 12))
+      }
+    }.toDF("k", "t", "y")
+    val out = SeasonalRegression.fitPredictMirrorable(
+      df, Seq("k"), "t", "y", period = 12, harmonics = 2)
+    assert(out.count() == 192)
+    val maxResid = out.agg(max(abs($"resid"))).head().getDouble(0)
+    assert(maxResid < 1e-3, s"maxResid=$maxResid")
+    // fully deterministic: two runs agree bitwise (the oracle contract)
+    val again = SeasonalRegression.fitPredictMirrorable(
+      df, Seq("k"), "t", "y", period = 12, harmonics = 2)
+    val x = out.orderBy("k", "t").select("fitted").as[Double].collect().toSeq
+    val y2 = again.orderBy("k", "t").select("fitted").as[Double].collect().toSeq
+    assert(x == y2)
+  }
+
+  test("mirrorable degenerate short series falls back to the decimal-sum mean") {
+    val df = Seq(("s", 0.0, 2.0), ("s", 1.0, 4.0)).toDF("k", "t", "y")
+    val out = SeasonalRegression.fitPredictMirrorable(df, Seq("k"), "t", "y", 12)
+    assert(out.select("fitted").as[Double].collect().forall(_ == 3.0))
+  }
+
+  test("solveNoPivot matches partial-pivoting solve on an SPD system") {
+    // A = X'X + I is SPD, where no-pivot elimination is numerically safe
+    val rnd = new scala.util.Random(42)
+    val x = Array.fill(8, 4)(rnd.nextGaussian())
+    val a = Array.tabulate(4, 4)((i, j) =>
+      x.map(r => r(i) * r(j)).sum + (if (i == j) 1.0 else 0.0))
+    val b = Array.tabulate(4)(i => x.map(r => r(i)).sum)
+    val s1 = SeasonalRegression.solve(a.map(_.clone()), b.clone())
+    val s2 = SeasonalRegression.solveNoPivot(a.map(_.clone()), b.clone())
+    s1.zip(s2).foreach { case (u, v) => assert(math.abs(u - v) < 1e-10, s"$u vs $v") }
+  }
+
   test("holidayIndicator marks exactly the listed dates") {
     val df = Seq("2026-12-24 10:00:00", "2026-12-25 00:30:00", "2027-01-01 23:59:59")
       .map(java.sql.Timestamp.valueOf).map(Tuple1(_)).toDF("ts")
