@@ -265,6 +265,72 @@ object StreamOps {
       }
   }
 
+  case class RefTick(key: Long, ts: java.sql.Timestamp, refValue: Double)
+  case class ProbeTick(key: Long, ts: java.sql.Timestamp, payload: Double)
+  case class AsOfEnvelope(key: Long, ts: java.sql.Timestamp, isRef: Boolean, x: Double)
+  case class AsOfState(refs: List[(Long, Double)]) // ascending event-time ms
+  case class AsOfResult(key: Long, ts: java.sql.Timestamp, payload: Double,
+      refTsMs: Option[Long], refValue: Option[Double])
+
+  /** Streaming as-of join — the streaming face of the J6 as-of operator
+    * (`ts.AsOfJoin` / `plans.AsOfJoinPlan`): each probe is enriched with
+    * the newest reference row at-or-before its event time, per key.
+    *
+    * Shape: both streams merge into one keyed envelope; per key a
+    * `flatMapGroupsWithState` holds the reference rows as a small
+    * ascending buffer. In-batch events process in (ts, refs-first)
+    * order, so out-of-order arrivals WITHIN the watermark join
+    * correctly — including a probe needing a ref OLDER than the newest
+    * (the buffer, not a single latest value, is what makes that right).
+    *
+    * State bound (the 100 TB property): each micro-batch prunes the
+    * buffer to refs inside the watermark horizon plus ONE predecessor —
+    * any future probe has ts ≥ the watermark, so the dropped refs can
+    * never win an as-of race again. Steady state is O(keys × ref rate
+    * within the horizon), with the single predecessor covering the
+    * slow-dimension case (a ref that stays newest for days costs one
+    * slot, not unbounded history). Refs later than the watermark are
+    * dropped by Spark upstream; emitted probes are never retracted
+    * (append semantics) — the batch as-of join is the exact-replay
+    * authority, same contract as `streamingNearDedup`.
+    */
+  def streamingAsOfJoin(refs: Dataset[RefTick], probes: Dataset[ProbeTick],
+      watermark: String): Dataset[AsOfResult] = {
+    import refs.sparkSession.implicits._
+    val env = refs.map(r => AsOfEnvelope(r.key, r.ts, isRef = true, r.refValue))
+      .unionByName(probes.map(p => AsOfEnvelope(p.key, p.ts, isRef = false, p.payload)))
+      .withWatermark("ts", watermark)
+    env.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfResult](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[AsOfEnvelope], state: GroupState[AsOfState]) =>
+          // refs first at equal ts (an as-of match is inclusive), then a
+          // deterministic payload tie-break
+          val batch = rows.toSeq.sortBy(e => (e.ts.getTime, !e.isRef, e.x))
+          var buf = state.getOption.map(_.refs).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[AsOfResult]
+          batch.foreach { e =>
+            val tMs = e.ts.getTime
+            if (e.isRef) {
+              // equal-ts re-updates: last processed wins (= largest x,
+              // per the sort above — deterministic)
+              buf = (buf.filterNot(_._1 == tMs) :+ (tMs, e.x)).sortBy(_._1)
+            } else {
+              val m = buf.foldLeft(Option.empty[(Long, Double)]) {
+                case (acc, r) => if (r._1 <= tMs) Some(r) else acc
+              }
+              out += AsOfResult(key, e.ts, e.x, m.map(_._1), m.map(_._2))
+            }
+          }
+          // prune: keep refs >= watermark plus one predecessor
+          val wm = state.getCurrentWatermarkMs()
+          val (older, inHorizon) = buf.partition(_._1 < wm)
+          val pruned = older.takeRight(1) ::: inHorizon
+          if (pruned.nonEmpty) state.update(AsOfState(pruned))
+          out.iterator
+      }
+  }
+
   case class Tick(userId: Long, ts: Long, value: Double)
   case class Position(userId: Long, nTicks: Long, total: Double, lastValue: Double)
 

@@ -176,6 +176,47 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingAsOfJoin: probes match the newest ref at-or-before their time") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(t: String) = Timestamp.valueOf(t)
+    val refMem = MemoryStream[StreamOps.RefTick]
+    val probeMem = MemoryStream[StreamOps.ProbeTick]
+    val q = StreamOps.streamingAsOfJoin(refMem.toDS(), probeMem.toDS(), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("asof").start()
+    try {
+      // batch 1: one ref, a matching probe, and a ref-less key
+      refMem.addData(StreamOps.RefTick(1L, ts("2024-01-01 10:00:00"), 100.0))
+      probeMem.addData(
+        StreamOps.ProbeTick(1L, ts("2024-01-01 10:05:00"), 1.0),
+        StreamOps.ProbeTick(2L, ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      // batch 2: refs arrive out of order; the 10:30 probe must match
+      // the OLD 10:00 ref (not the newer 10:35/11:00 ones) — the buffer
+      // semantics a latest-value-only state would get wrong
+      refMem.addData(
+        StreamOps.RefTick(1L, ts("2024-01-01 11:00:00"), 400.0),
+        StreamOps.RefTick(1L, ts("2024-01-01 10:35:00"), 300.0))
+      probeMem.addData(
+        StreamOps.ProbeTick(1L, ts("2024-01-01 10:40:00"), 3.0),
+        StreamOps.ProbeTick(1L, ts("2024-01-01 10:30:00"), 4.0),
+        StreamOps.ProbeTick(1L, ts("2024-01-01 11:05:00"), 5.0))
+      q.processAllAvailable()
+      // batch 3: watermark is now 10:55 — pruning keeps one ref below
+      // it (10:35) as the predecessor; this probe must still match it
+      probeMem.addData(StreamOps.ProbeTick(1L, ts("2024-01-01 10:58:00"), 6.0))
+      q.processAllAvailable()
+      val out = spark.table("asof")
+        .as[StreamOps.AsOfResult].collect()
+        .map(r => r.payload -> (r.refTsMs, r.refValue)).toMap
+      assert(out(1.0) == (Some(ts("2024-01-01 10:00:00").getTime), Some(100.0)))
+      assert(out(2.0) == (None, None)) // no ref for key 2 yet
+      assert(out(4.0) == (Some(ts("2024-01-01 10:00:00").getTime), Some(100.0)))
+      assert(out(3.0) == (Some(ts("2024-01-01 10:35:00").getTime), Some(300.0)))
+      assert(out(5.0) == (Some(ts("2024-01-01 11:00:00").getTime), Some(400.0)))
+      assert(out(6.0) == (Some(ts("2024-01-01 10:35:00").getTime), Some(300.0)))
+    } finally q.stop()
+  }
+
   test("map-only curation ops run unchanged on a stream (chunking + quality + langid)") {
     // chunkByTokens/qualityScore/langId are stateless map-side plans
     // (PlanShapeSpec pins: one Generate, no Exchange) — so the SAME
