@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  @volatile private var blackhole: Long = 0L
+
+  /** Host-speed calibration: a fixed single-core integer workload, timed.
+    * Bench totals on this shared host swing up to ~2× with neighbor load
+    * (observed r4/r5: 54 s → 99 s across back-to-back idle runs), so the
+    * per-round JSON carries `cal` to let a reader separate plan
+    * regressions from host weather: query-time deltas that track `cal`
+    * are environment, deltas that don't are real.
+    */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var s = 0L
+    var i = 0
+    while (i < 400000000) { s += i * i; i += 1 }
+    blackhole = s
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -62,14 +80,15 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val totalWarm = warmed.map(_._2).sum
+    val cal = calibrate()
     val head = s"""{"metric":"total","value":${r3(total)},"value_warmed":${r3(totalWarm)},""" +
-      s""""unit":"sec","sf":"$sfDir","n_queries":${cold.size}"""
+      s""""unit":"sec","sf":"$sfDir","n_queries":${cold.size},"cal_sec":${r3(cal)}"""
     val withWarm = s"""$head,"queries":${js(cold, short = true)},"queries_warmed":${js(warmed, short = true)}}"""
     val line =
       if (withWarm.length <= 1850) withWarm
       else s"""$head,"queries":${js(cold, short = true)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"value":${r3(total)},"value_warmed":${r3(totalWarm)},"sf":"$sfDir",""" +
+      s"""{"value":${r3(total)},"value_warmed":${r3(totalWarm)},"sf":"$sfDir","cal_sec":${r3(cal)},""" +
         s""""queries":${js(cold, short = false)},"queries_warmed":${js(warmed, short = false)}}""")
     println(line)
     // drop persisted memo handles before shutdown — a long-lived harness

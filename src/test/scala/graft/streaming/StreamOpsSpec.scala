@@ -217,6 +217,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingAsOfJoin equals batch AsOfJoin.backward on randomized data") {
+    // the exact-replay contract: within the watermark the streaming face
+    // must reproduce the batch operator, tie-breaks included
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val refs = (1 to 120).map { _ =>
+      StreamOps.RefTick(rnd.nextInt(5).toLong,
+        new Timestamp(base + rnd.nextInt(50) * 60000L), rnd.nextInt(20).toDouble)
+    }
+    val probes = (1 to 150).map { i =>
+      StreamOps.ProbeTick(rnd.nextInt(6).toLong,
+        new Timestamp(base + rnd.nextInt(55) * 60000L), i.toDouble) // unique payload
+    }
+    val refMem = MemoryStream[StreamOps.RefTick]
+    val probeMem = MemoryStream[StreamOps.ProbeTick]
+    val q = StreamOps.streamingAsOfJoin(refMem.toDS(), probeMem.toDS(), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("asofprop").start()
+    try {
+      refMem.addData(refs)
+      probeMem.addData(probes)
+      q.processAllAvailable()
+      val streamed = spark.table("asofprop").as[StreamOps.AsOfResult].collect()
+        .map(r => r.payload -> r.refValue).toMap
+      val batch = graft.ts.AsOfJoin.backward(
+          probes.toDF(), refs.toDF(), Seq("key"), "ts", "refValue", "asof")
+        .select($"payload", $"asof").collect()
+        .map(r => r.getDouble(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+        .toMap
+      assert(streamed.size == 150 && batch.size == 150)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("map-only curation ops run unchanged on a stream (chunking + quality + langid)") {
     // chunkByTokens/qualityScore/langId are stateless map-side plans
     // (PlanShapeSpec pins: one Generate, no Exchange) — so the SAME
