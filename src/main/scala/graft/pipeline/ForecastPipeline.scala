@@ -188,4 +188,21 @@ object ForecastPipeline {
         col(c).as("value"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Reference predictor-plugin selection (the `predictor_plugin` config
+    * knob + the optimizer's validation fitness): run each candidate head
+    * end-to-end through [[modelMetrics]] and keep the lowest
+    * out-of-sample MAE at `horizon`. Dispatch shape =
+    * `Forecaster.search`: each candidate is a few distributed Spark jobs
+    * (fit + metrics) and only the scalar fitness crosses the driver, so
+    * selection scales exactly as far as the heads themselves do.
+    */
+  def selectHead(spark: SparkSession, config: Config, candidates: Seq[String],
+      horizon: Int, valSplit: String, nLags: Int = 3,
+      mlpConf: MlpConf = MlpConf()): (String, Double) =
+    graft.ml.Forecaster.search[String](candidates, head =>
+      modelMetrics(spark, config, nLags, head, None, mlpConf)
+        .filter(col("split") === valSplit && col("metric") === "MAE" &&
+          col("horizon") === horizon)
+        .head().getAs[Double]("value"))
 }

@@ -84,6 +84,33 @@ class ForecastPipelineSpec extends AnyFunSuite {
     assert(g("train", "MAE", 1) < g("train", "Naive MAE", 1))
   }
 
+  test("selectHead picks the right plugin for the data (reference predictor selection)") {
+    // clean linear trend: the exact-family normal-equation head must
+    // beat the tree head out of sample, and selectHead must agree with
+    // the individually computed fitnesses
+    def writeTrend(n: Int, phase: Double): String = {
+      val f = Files.createTempFile("seltrend", ".csv")
+      val rows = (0 until n).map { i =>
+        val ts = f"2020-01-01 ${i / 60}%02d:${i % 60}%02d:00"
+        s"$ts,${0.02 * i + math.sin(i * 0.3 + phase)}"
+      }
+      Files.writeString(f, "DATE_TIME,CLOSE\n" + rows.mkString("\n") + "\n")
+      f.toString
+    }
+    val cfg = ForecastPipeline.Config(
+      splits = Map("train" -> writeTrend(300, 0.0), "test" -> writeTrend(120, 0.5)),
+      targetColumn = "CLOSE", horizons = Seq(1))
+    def fitness(head: String): Double =
+      ForecastPipeline.modelMetrics(spark, cfg, nLags = 3, head = head)
+        .filter("split = 'test' and metric = 'MAE' and horizon = 1")
+        .head().getAs[Double]("value")
+    val (winner, best) = ForecastPipeline.selectHead(
+      spark, cfg, Seq("gbt", "linear"), horizon = 1, valSplit = "test")
+    assert(winner == "linear", s"winner=$winner")
+    assert(best == fitness("linear"))
+    assert(best < fitness("gbt"))
+  }
+
   test("all four deep heads run end-to-end through modelMetrics and beat naive") {
     def writeLogistic(n: Int, x0: Double): String = {
       val f = Files.createTempFile("logistic", ".csv")
