@@ -57,6 +57,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"expected a window:\n$p")
   }
 
+  test("mirrorable seasonal fit: one key exchange, in-partition sort, no extra shuffle") {
+    val ev = graft.io.Sources.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) / 1e6).as("t_sec"), col("value"))
+    val df = graft.ml.SeasonalRegression.fitPredictMirrorable(
+      ev, Seq("user_id"), "t_sec", "value", period = 86400.0, harmonics = 2)
+    val p = plan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one key exchange:\n$p")
+    // the per-series pass sorts WITHIN partitions — a global Sort (range
+    // exchange) would mean the one-pass-per-series contract broke
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort crept in:\n$p")
+  }
+
   test("q17-style fit-then-apply broadcasts the stats side") {
     val ev = graft.io.Sources.table(spark, sf, "events")
     val stats = ev.groupBy(col("event_type"))
