@@ -53,7 +53,7 @@ object ScaleProbe {
 
     val queries = Seq("q10_log_return", "q12_multi_horizon", "q14_rolling_stats",
       "q18_naive_mae", "q22_rolling_count_5d", "q48_preprocess_slice", "q44_stl_decompose",
-      "q58_sessionize", "q62_deep_flatten")
+      "q49_seasonal_fit", "q58_sessionize", "q62_deep_flatten")
     // warm code paths
     queries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       .write.mode("overwrite").format("noop").save())
@@ -93,6 +93,15 @@ object ScaleProbe {
     SparkEntry.queries("q48_preprocess_slice")(spark, "/tmp/scalelong")
       .write.mode("overwrite").format("noop").save()
     println(f"SCALE-LONG q48 ws=144 on 4x25k-row series: ${(System.nanoTime() - tLong0) / 1e9}%.2f s")
+
+    // M9 anchor: the reference fits one Prophet per ~25k-row split
+    // (`predictor_plugin_prophet.py`, seconds-to-minutes per fit); the
+    // mirrorable closed-form fit covers the same 4 × 25k-row shape in
+    // one per-series pass.
+    val tSeas0 = System.nanoTime()
+    SparkEntry.queries("q49_seasonal_fit")(spark, "/tmp/scalelong")
+      .write.mode("overwrite").format("noop").save()
+    println(f"SCALE-LONG q49 seasonal fit on 4x25k-row series: ${(System.nanoTime() - tSeas0) / 1e9}%.2f s")
 
     for (dir <- Seq("/root/testdata/sf0.1", "/tmp/scale10", "/tmp/scale100")) {
       val times = queries.map { q =>
