@@ -1719,7 +1719,8 @@ object SparkEntry {
   private def q87(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val books = Similarity.kmeansMirrorable(emb, "vec_id", "v", m = 8, k = 16, iters = 2)
+    val books = Similarity.kmeansMirrorable(emb, "vec_id", "v", m = 8, k = 16, iters = 2,
+      cacheKey = s"q87books|$dir")
     val codes = Similarity.pqEncode(emb, "vec_id", "v", books)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -1737,7 +1738,7 @@ object SparkEntry {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val idx = Similarity.buildIvfPqIndexMirrorable(emb, "vec_id", "v",
-      nCells = 16, m = 8, ksub = 16, iters = 2)
+      nCells = 16, m = 8, ksub = 16, iters = 2, cacheKey = s"q88idx|$dir")
     Similarity.searchIvfPq(idx, queries, "qid", "qv", nProbe = 4, k = 10)
   }
 
@@ -1752,7 +1753,8 @@ object SparkEntry {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val idx = Similarity.buildIvfPqIndexMirrorable(emb, "vec_id", "v",
-      nCells = 16, m = 8, ksub = 16, iters = 2, residual = true)
+      nCells = 16, m = 8, ksub = 16, iters = 2, residual = true,
+      cacheKey = s"q92idx|$dir")
     Similarity.searchIvfPq(idx, queries, "qid", "qv", nProbe = 4, k = 10)
   }
 
@@ -2213,7 +2215,8 @@ object SparkEntry {
     Similarity.knnIvfMirrorable(
       t(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v")),
-      "vec_id", "v", nCells = 16, nProbe = 2, k = 3, iters = 2)
+      "vec_id", "v", nCells = 16, nProbe = 2, k = 3, iters = 2,
+      cacheKey = s"q53cells|$dir")
 
   /** Transitive-closure dedup clusters: minhash candidate pairs →
     * iterative connected components → (doc_id, component) for every doc

@@ -18,10 +18,24 @@ object Similarity {
   private val cachedHandles = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private def track(df: DataFrame): DataFrame = { cachedHandles.add(df); df }
 
-  /** Unpersist every intermediate this object has persisted. Call after
-    * the consuming action in long-lived sessions.
+  // Build-once / serve-many memos: a fitted codebook set / built index
+  // keyed by a CALLER-SUPPLIED identity (input relation + parameters —
+  // uniqueness is the caller's contract). An ANN index exists to be
+  // built once and probed by many query batches; the memo is what makes
+  // the steady-state cost of q53/q87/q88/q92-shaped serving the SEARCH,
+  // not a refit per batch. Same lifecycle as the persisted handles:
+  // `clearCaches` drops both.
+  private val bookMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private val indexMemo = new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
+
+  /** Unpersist every intermediate this object has persisted and drop the
+    * build-once memos. Call after the consuming action in long-lived
+    * sessions.
     */
   def clearCaches(): Unit = {
+    bookMemo.clear()
+    indexMemo.clear()
     var h = cachedHandles.poll()
     while (h != null) { h.unpersist(blocking = false); h = cachedHandles.poll() }
   }
@@ -216,9 +230,10 @@ object Similarity {
     * brute force.
     */
   def knnIvfMirrorable(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, nProbe: Int, k: Int, iters: Int = 2): DataFrame = {
+      nCells: Int, nProbe: Int, k: Int, iters: Int = 2,
+      cacheKey: String = ""): DataFrame = {
     val centroids = kmeansMirrorable(df, idCol, vecCol, m = 1, k = nCells,
-      iters = iters)(0)
+      iters = iters, cacheKey = cacheKey)(0)
     ivfSearch(df, idCol, vecCol, centroids, nProbe, k, round6 = true)
   }
 
@@ -377,7 +392,12 @@ object Similarity {
     * fit (`result(0)` = centroids[k][d]).
     */
   def kmeansMirrorable(df: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+      m: Int, k: Int, iters: Int,
+      cacheKey: String = ""): Array[Array[Array[Double]]] = {
+    if (cacheKey.nonEmpty) {
+      val hit = bookMemo.get(cacheKey)
+      if (hit != null) return hit
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val initRows = df.select(col(idCol).cast("long"), col(vecCol))
@@ -424,6 +444,7 @@ object Similarity {
       it += 1
     }
     subs.unpersist(blocking = false)
+    if (cacheKey.nonEmpty) bookMemo.put(cacheKey, cent)
     cent
   }
 
@@ -625,7 +646,11 @@ object Similarity {
     */
   def buildIvfPqIndexMirrorable(corpus: DataFrame, cId: String, cVec: String,
       nCells: Int, m: Int, ksub: Int, iters: Int = 2,
-      residual: Boolean = false): IvfPqIndex = {
+      residual: Boolean = false, cacheKey: String = ""): IvfPqIndex = {
+    if (cacheKey.nonEmpty) {
+      val hit = indexMemo.get(cacheKey)
+      if (hit != null) return hit
+    }
     // the corpus feeds the coarse fit, the book fit and the encode —
     // persist once (fit input is caller-bounded, so the cache is too)
     val corpus0 = track(corpus.persist(
@@ -644,7 +669,7 @@ object Similarity {
       }
       best
     }
-    if (!residual) {
+    val idx = if (!residual) {
       val books = kmeansMirrorable(corpus0, cId, cVec, m, ksub, iters)
       val coded = pqEncode(
         corpus0.withColumn("cell", assignUdf(col(cVec))), cId, cVec, books,
@@ -660,6 +685,15 @@ object Similarity {
       val books = kmeansMirrorable(withRes, cId, "__resid", m, ksub, iters)
       val coded = pqEncode(withRes, cId, "__resid", books, keep = Seq("cell"))
       IvfPqIndex(coded, books, centroids, cId, residual = true)
+    }
+    if (cacheKey.isEmpty) idx
+    else {
+      // a memoized index serves many query batches: persist the compact
+      // code relation so each search scans codes, not the build lineage
+      val served = idx.copy(codes = track(idx.codes.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+      indexMemo.put(cacheKey, served)
+      served
     }
   }
 

@@ -211,6 +211,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b4.length === 2 && b4(0)(0).length === 1)
   }
 
+  test("build-once memo: cached fits/indexes are reused, clearCaches drops them") {
+    val rnd = new scala.util.Random(29)
+    val df = (0 until 64).map(i => (i.toLong, Seq.fill(4)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    val a = Similarity.kmeansMirrorable(df, "id", "v", m = 1, k = 4, iters = 1,
+      cacheKey = "memo-spec-a")
+    val b = Similarity.kmeansMirrorable(df, "id", "v", m = 1, k = 4, iters = 1,
+      cacheKey = "memo-spec-a")
+    assert(a eq b, "same key must return the memoized array, not a refit")
+    val idx1 = Similarity.buildIvfPqIndexMirrorable(df, "id", "v",
+      nCells = 4, m = 2, ksub = 4, iters = 1, cacheKey = "memo-spec-idx")
+    val idx2 = Similarity.buildIvfPqIndexMirrorable(df, "id", "v",
+      nCells = 4, m = 2, ksub = 4, iters = 1, cacheKey = "memo-spec-idx")
+    assert(idx1 eq idx2, "same key must return the memoized index")
+    Similarity.clearCaches()
+    val c = Similarity.kmeansMirrorable(df, "id", "v", m = 1, k = 4, iters = 1,
+      cacheKey = "memo-spec-a")
+    assert(!(a eq c), "clearCaches must drop the memo")
+    // and the refit is bit-identical — memoization can never change results
+    assert(a.map(_.map(_.toSeq).toSeq).toSeq === c.map(_.map(_.toSeq).toSeq).toSeq)
+    Similarity.clearCaches()
+  }
+
   test("PQ search rejects a query batch over the driver-memory bound") {
     // per-query LUTs are driver-built and broadcast: the batch size is a
     // hard contract, and misuse must fail loudly, not OOM the driver
