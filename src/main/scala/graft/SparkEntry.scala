@@ -1721,7 +1721,8 @@ object SparkEntry {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val books = Similarity.kmeansMirrorable(emb, "vec_id", "v", m = 8, k = 16, iters = 2,
       cacheKey = s"q87books|$dir")
-    val codes = Similarity.pqEncode(emb, "vec_id", "v", books)
+    val codes = Similarity.cachedRelation(s"q87codes|$dir")(
+      Similarity.pqEncode(emb, "vec_id", "v", books))
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     Similarity.knnPq(queries, codes, "qid", "vec_id", "qv", books, k = 10)

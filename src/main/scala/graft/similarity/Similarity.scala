@@ -28,6 +28,17 @@ object Similarity {
   private val bookMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
   private val indexMemo = new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
+  private val dfMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Memoize a persisted corpus-side relation (PQ codes, IVF cell
+    * assignments) under the build-once contract: first call builds and
+    * persists, later calls reuse the materialized relation. Key
+    * uniqueness (input + parameters) is the caller's contract;
+    * [[clearCaches]] drops and unpersists.
+    */
+  def cachedRelation(cacheKey: String)(build: => DataFrame): DataFrame =
+    dfMemo.computeIfAbsent(cacheKey, _ => track(build.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   /** Unpersist every intermediate this object has persisted and drop the
     * build-once memos. Call after the consuming action in long-lived
@@ -36,6 +47,7 @@ object Similarity {
   def clearCaches(): Unit = {
     bookMemo.clear()
     indexMemo.clear()
+    dfMemo.clear()
     var h = cachedHandles.poll()
     while (h != null) { h.unpersist(blocking = false); h = cachedHandles.poll() }
   }
@@ -234,7 +246,8 @@ object Similarity {
       cacheKey: String = ""): DataFrame = {
     val centroids = kmeansMirrorable(df, idCol, vecCol, m = 1, k = nCells,
       iters = iters, cacheKey = cacheKey)(0)
-    ivfSearch(df, idCol, vecCol, centroids, nProbe, k, round6 = true)
+    ivfSearch(df, idCol, vecCol, centroids, nProbe, k, round6 = true,
+      cacheKey = cacheKey)
   }
 
   /** Shared IVF search given fitted centroids: broadcast-UDF cell
@@ -245,7 +258,7 @@ object Similarity {
     */
   private def ivfSearch(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], nProbe: Int, k: Int,
-      round6: Boolean): DataFrame = {
+      round6: Boolean, cacheKey: String = ""): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     def sim(a: Column, b: Column): Column =
@@ -262,9 +275,14 @@ object Similarity {
       }
       best
     })
-    val assigned = track(df.select(col(idCol), col(vecCol))
+    // corpus-side cell assignment is index state, not per-search work —
+    // with a cacheKey it materializes once and serves every later batch
+    def buildAssigned = df.select(col(idCol), col(vecCol))
       .withColumn("cell", assignUdf(col(vecCol)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val assigned =
+      if (cacheKey.nonEmpty) cachedRelation(s"$cacheKey|cells")(buildAssigned)
+      else track(buildAssigned.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // query → its nProbe nearest centroids (small: nQueries × nCells)
     val centDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("probe_cell", "centroid")
