@@ -59,8 +59,14 @@ object Bench {
       }
     // Pass 1 = first-touch at the target SF (same protocol as round 1's
     // headline `value`); pass 2 = steady-state after the target-SF data
-    // and every full-scale codegen path are hot.
+    // and every full-scale codegen path are hot. Calibration brackets
+    // EACH pass (pre / mid / post): one post-hoc cal cannot say which
+    // pass a host-weather swing landed on — with all three, a slow cold
+    // total at normal cal_pre/cal_mid is a real plan regression, while
+    // one that tracks an inflated cal_pre is environment.
+    val calPre = calibrate()
     val cold = timedPass()
+    val calMid = calibrate()
     val warmed = timedPass()
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
@@ -81,14 +87,15 @@ object Bench {
     val total = cold.map(_._2).sum
     val totalWarm = warmed.map(_._2).sum
     val cal = calibrate()
+    val cals = s""""cal_pre":${r3(calPre)},"cal_mid":${r3(calMid)},"cal_sec":${r3(cal)}"""
     val head = s"""{"metric":"total","value":${r3(total)},"value_warmed":${r3(totalWarm)},""" +
-      s""""unit":"sec","sf":"$sfDir","n_queries":${cold.size},"cal_sec":${r3(cal)}"""
+      s""""unit":"sec","sf":"$sfDir","n_queries":${cold.size},$cals"""
     val withWarm = s"""$head,"queries":${js(cold, short = true)},"queries_warmed":${js(warmed, short = true)}}"""
     val line =
       if (withWarm.length <= 1850) withWarm
       else s"""$head,"queries":${js(cold, short = true)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"value":${r3(total)},"value_warmed":${r3(totalWarm)},"sf":"$sfDir","cal_sec":${r3(cal)},""" +
+      s"""{"value":${r3(total)},"value_warmed":${r3(totalWarm)},"sf":"$sfDir",$cals,""" +
         s""""queries":${js(cold, short = false)},"queries_warmed":${js(warmed, short = false)}}""")
     println(line)
     // drop persisted memo handles before shutdown — a long-lived harness

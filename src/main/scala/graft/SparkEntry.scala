@@ -33,6 +33,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(s, dir, name)
 
+  /** Bounded deterministic ANN fit-sample size (q53/q87/q88/q92): the
+    * mirrorable kmeans fits train on the `AnnFitLimit` smallest vec_ids
+    * (`ORDER BY vec_id LIMIT n` — the same CTE appears in the oracle
+    * SQL, so the sample is hash-exact at any SF). At 100 TB the index
+    * build pays one tiny fit + one encode scan instead of `iters`+1
+    * full-corpus explosions; at SFs where the corpus is smaller than
+    * the limit the sample IS the corpus and results are unchanged.
+    */
+  private val AnnFitLimit = 1024
+
   /** Order-independent exact sum: per-row decimal cast → exact decimal sum
     * → double. Matches `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`.
     */
@@ -1719,9 +1729,13 @@ object SparkEntry {
   private def q87(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val books = Similarity.kmeansMirrorable(emb, "vec_id", "v", m = 8, k = 16, iters = 2,
-      cacheKey = s"q87books|$dir")
-    val codes = Similarity.cachedRelation(s"q87codes|$dir")(
+    // fit on the AnnFitLimit smallest-id rows (the kmeansMirrorable
+    // bounded-input contract; the oracle mirrors the same LIMIT) —
+    // encode still covers the full corpus
+    val books = Similarity.kmeansMirrorable(
+      emb.orderBy(col("vec_id")).limit(AnnFitLimit), "vec_id", "v",
+      m = 8, k = 16, iters = 2, cacheKey = s"q87books|$dir")
+    val codes = Similarity.cachedRelation(s, s"q87codes|$dir")(
       Similarity.pqEncode(emb, "vec_id", "v", books))
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -1739,7 +1753,8 @@ object SparkEntry {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val idx = Similarity.buildIvfPqIndexMirrorable(emb, "vec_id", "v",
-      nCells = 16, m = 8, ksub = 16, iters = 2, cacheKey = s"q88idx|$dir")
+      nCells = 16, m = 8, ksub = 16, iters = 2, cacheKey = s"q88idx|$dir",
+      fitLimit = AnnFitLimit)
     Similarity.searchIvfPq(idx, queries, "qid", "qv", nProbe = 4, k = 10)
   }
 
@@ -1755,7 +1770,7 @@ object SparkEntry {
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val idx = Similarity.buildIvfPqIndexMirrorable(emb, "vec_id", "v",
       nCells = 16, m = 8, ksub = 16, iters = 2, residual = true,
-      cacheKey = s"q92idx|$dir")
+      cacheKey = s"q92idx|$dir", fitLimit = AnnFitLimit)
     Similarity.searchIvfPq(idx, queries, "qid", "qv", nProbe = 4, k = 10)
   }
 
@@ -2217,7 +2232,7 @@ object SparkEntry {
       t(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v")),
       "vec_id", "v", nCells = 16, nProbe = 2, k = 3, iters = 2,
-      cacheKey = s"q53cells|$dir")
+      cacheKey = s"q53cells|$dir", fitLimit = AnnFitLimit)
 
   /** Transitive-closure dedup clusters: minhash candidate pairs →
     * iterative connected components → (doc_id, component) for every doc
@@ -2456,15 +2471,17 @@ object SparkEntry {
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
     // at any SF, no data-pinned literals.
     "q87_pq_ann" -> graft.oracle.PqOracle.q87Sql(
-      m = 8, ksub = 16, d = 64, iters = 2, k = 10, qPred = "vec_id < 5"),
+      m = 8, ksub = 16, d = 64, iters = 2, k = 10, qPred = "vec_id < 5",
+      fitLimit = AnnFitLimit),
     "q88_ivfpq_ann" -> graft.oracle.PqOracle.q88Sql(
       m = 8, ksub = 16, d = 64, iters = 2, nCells = 16, nProbe = 4, k = 10,
-      qPred = "vec_id < 5"),
+      qPred = "vec_id < 5", fitLimit = AnnFitLimit),
     "q92_ivfpq_residual" -> graft.oracle.PqOracle.q92Sql(
       m = 8, ksub = 16, d = 64, iters = 2, nCells = 16, nProbe = 4, k = 10,
-      qPred = "vec_id < 5"),
+      qPred = "vec_id < 5", fitLimit = AnnFitLimit),
     "q53_ivf_ann" -> graft.oracle.PqOracle.q53Sql(
-      d = 64, nCells = 16, iters = 2, nProbe = 2, k = 3),
+      d = 64, nCells = 16, iters = 2, nProbe = 2, k = 3,
+      fitLimit = AnnFitLimit),
     "q48_preprocess_slice" -> q48Sql,
     "q49_seasonal_fit" -> graft.oracle.SeasonalOracle.q49Sql(
       period = 86400.0, harmonics = 2)

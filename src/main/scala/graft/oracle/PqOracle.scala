@@ -82,16 +82,24 @@ object PqOracle {
        |  FROM $pts pt JOIN $books ct USING (s)) WHERE rn = 1)""".stripMargin
 
   /** Shared preamble: doubled embeddings, the query set, query norms²,
-    * and the m-subspace point slices.
+    * the m-subspace point slices, and the bounded deterministic fit
+    * sample (`fe` = the `fitLimit` smallest vec_ids; `fpts` = their
+    * subspace slices) — the exact mirror of the Spark side's
+    * `orderBy(vec_id).limit(fitLimit)` fit input, so the kmeans fits
+    * stay hash-exact while touching only the sample.
     */
-  private def preamble(m: Int, dsub: Int, d: Int, qPred: String): String =
+  private def preamble(m: Int, dsub: Int, d: Int, qPred: String,
+      fitLimit: Int): String =
     s"""e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE $qPred),
        |qn AS MATERIALIZED (SELECT qid, (${dot("qv", "qv", d)}) AS qn2 FROM q),
+       |fe AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT $fitLimit),
        |bpts AS MATERIALIZED (SELECT vec_id AS id, ss.s AS s,
        |    list_slice(v, ss.s*$dsub + 1, ss.s*$dsub + $dsub) AS p
-       |  FROM e CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss)""".stripMargin
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
+       |fpts AS MATERIALIZED (SELECT * FROM bpts
+       |  WHERE id IN (SELECT vec_id FROM fe))""".stripMargin
 
   /** Per-query ADC lookup tables over a books CTE: ip(q,s,c) and the
     * centroid norms² — mirrors the driver-side `luts`/`norms2` loops.
@@ -110,12 +118,17 @@ object PqOracle {
        |      ORDER BY pq_sim DESC, neighbor_id) AS rn FROM fin)
        |WHERE rn <= $k""".stripMargin
 
-  /** q87: flat PQ ADC (`Similarity.kmeansMirrorable` books + `knnPq`). */
+  /** q87: flat PQ ADC (`Similarity.kmeansMirrorable` books + `knnPq`).
+    * Books fit on the `fitLimit`-bounded sample (`fpts`); the encode and
+    * the ADC ranking still cover the full corpus. `ROUND(...) + 0.0`
+    * normalizes DuckDB's −0.0 to Spark's +0.0 (the q15/q53 pattern) —
+    * a |sim| < 5e-7 negative ADC cosine would otherwise byte-differ.
+    */
   def q87Sql(m: Int, ksub: Int, d: Int, iters: Int, k: Int,
-      qPred: String): String = {
+      qPred: String, fitLimit: Int): String = {
     val dsub = d / m
-    val (bookCtes, books) = kmeansCtes("bk", "bpts", ksub, dsub, iters)
-    s"""WITH ${preamble(m, dsub, d, qPred)},
+    val (bookCtes, books) = kmeansCtes("bk", "fpts", ksub, dsub, iters)
+    s"""WITH ${preamble(m, dsub, d, qPred, fitLimit)},
        |$bookCtes,
        |${encCte("enc", "bpts", books, dsub)},
        |${lutCte(books, dsub)},
@@ -128,7 +141,7 @@ object PqOracle {
        |    (${terms(m)(i => s"n2s[$i]")}) AS n2 FROM pair),
        |fin AS (SELECT sc.qid AS query_id, sc.nid AS neighbor_id,
        |    ROUND(CASE WHEN sc.n2 = 0 OR qn.qn2 = 0 THEN 0.0
-       |      ELSE sc.ip / SQRT(sc.n2 * qn.qn2) END, 6) AS pq_sim
+       |      ELSE sc.ip / SQRT(sc.n2 * qn.qn2) END, 6) + 0.0 AS pq_sim
        |  FROM sc JOIN qn USING (qid) WHERE sc.nid <> sc.qid)
        |${rankSelect(k)}""".stripMargin
   }
@@ -144,13 +157,17 @@ object PqOracle {
     * applied to the probe ordering too, where a −0.0-vs-+0.0 sort
     * divergence would silently reorder probes.
     */
-  def q53Sql(d: Int, nCells: Int, iters: Int, nProbe: Int, k: Int): String = {
-    val (ck, cfinal) = kmeansCtes("ck", "cpts", nCells, d, iters)
+  def q53Sql(d: Int, nCells: Int, iters: Int, nProbe: Int, k: Int,
+      fitLimit: Int): String = {
+    val (ck, cfinal) = kmeansCtes("ck", "cfpts", nCells, d, iters)
     s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS MATERIALIZED (SELECT vec_id, v,
        |  SQRT(${dot("v", "v", d)}) AS nrm FROM e),
+       |fe AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT $fitLimit),
        |cpts AS MATERIALIZED (SELECT vec_id AS id, 0 AS s, v AS p FROM e),
+       |cfpts AS MATERIALIZED (SELECT * FROM cpts
+       |  WHERE id IN (SELECT vec_id FROM fe)),
        |$ck,
        |coarse AS MATERIALIZED (SELECT c, cv,
        |  SQRT(${dot("cv", "cv", d)}) AS cnrm FROM $cfinal),
@@ -181,14 +198,19 @@ object PqOracle {
   }
 
   /** Coarse-quantizer CTEs shared by q88/q92: centroids (re-derived
-    * kmeans over the full vectors), per-vector cell assignment, and the
-    * per-query probe set (nProbe nearest cells by centroid cosine,
-    * mirroring `searchIvfPq`'s driver loop: ties to the lower cell).
+    * kmeans over the `fe`-bounded fit sample's full vectors), per-vector
+    * cell assignment (full corpus), and the per-query probe set (nProbe
+    * nearest cells by ROUNDED centroid cosine — `ROUND(...,6) + 0.0`,
+    * matching `searchIvfPq`'s driver loop's BigDecimal round so a
+    * ±0.0-vs-raw-sim ordering divergence can't pick different probes;
+    * ties to the lower cell).
     */
   private def coarseCtes(d: Int, nCells: Int, iters: Int,
       nProbe: Int): String = {
-    val (ck, cfinal) = kmeansCtes("ck", "cpts", nCells, d, iters)
+    val (ck, cfinal) = kmeansCtes("ck", "cfpts", nCells, d, iters)
     s"""cpts AS MATERIALIZED (SELECT vec_id AS id, 0 AS s, v AS p FROM e),
+       |cfpts AS MATERIALIZED (SELECT * FROM cpts
+       |  WHERE id IN (SELECT vec_id FROM fe)),
        |$ck,
        |coarse AS MATERIALIZED (SELECT c, cv FROM $cfinal),
        |cells AS MATERIALIZED (SELECT id AS vec_id, c AS cell FROM (
@@ -199,11 +221,11 @@ object PqOracle {
        |probe AS MATERIALIZED (SELECT qid, cell FROM (
        |  SELECT q.qid, ct.c AS cell,
        |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-       |      (CASE WHEN (${dot("ct.cv", "ct.cv", d)}) = 0
+       |      ROUND(CASE WHEN (${dot("ct.cv", "ct.cv", d)}) = 0
        |            OR (${dot("q.qv", "q.qv", d)}) = 0 THEN 0.0
        |       ELSE (${terms(d)(j => s"ct.cv[$j]*q.qv[$j]")})
-       |         / SQRT((${dot("ct.cv", "ct.cv", d)}) * (${dot("q.qv", "q.qv", d)})) END)
-       |      DESC, ct.c) AS rn
+       |         / SQRT((${dot("ct.cv", "ct.cv", d)}) * (${dot("q.qv", "q.qv", d)})) END, 6)
+       |      + 0.0 DESC, ct.c) AS rn
        |  FROM q CROSS JOIN coarse ct) WHERE rn <= $nProbe)""".stripMargin
   }
 
@@ -212,10 +234,10 @@ object PqOracle {
     * flat ADC sums over the probed cells only).
     */
   def q88Sql(m: Int, ksub: Int, d: Int, iters: Int, nCells: Int,
-      nProbe: Int, k: Int, qPred: String): String = {
+      nProbe: Int, k: Int, qPred: String, fitLimit: Int): String = {
     val dsub = d / m
-    val (bookCtes, books) = kmeansCtes("bk", "bpts", ksub, dsub, iters)
-    s"""WITH ${preamble(m, dsub, d, qPred)},
+    val (bookCtes, books) = kmeansCtes("bk", "fpts", ksub, dsub, iters)
+    s"""WITH ${preamble(m, dsub, d, qPred, fitLimit)},
        |${coarseCtes(d, nCells, iters, nProbe)},
        |$bookCtes,
        |${encCte("enc", "bpts", books, dsub)},
@@ -231,7 +253,7 @@ object PqOracle {
        |    (${terms(m)(i => s"n2s[$i]")}) AS n2 FROM pair),
        |fin AS (SELECT sc.qid AS query_id, sc.nid AS neighbor_id,
        |    ROUND(CASE WHEN sc.n2 <= 0 OR qn.qn2 = 0 THEN 0.0
-       |      ELSE sc.ip / SQRT(sc.n2 * qn.qn2) END, 6) AS pq_sim
+       |      ELSE sc.ip / SQRT(sc.n2 * qn.qn2) END, 6) + 0.0 AS pq_sim
        |  FROM sc JOIN qn USING (qid) WHERE sc.nid <> sc.qid)
        |${rankSelect(k)}""".stripMargin
   }
@@ -242,10 +264,10 @@ object PqOracle {
     * both as the same left-assoc chains the Scala loop produces.
     */
   def q92Sql(m: Int, ksub: Int, d: Int, iters: Int, nCells: Int,
-      nProbe: Int, k: Int, qPred: String): String = {
+      nProbe: Int, k: Int, qPred: String, fitLimit: Int): String = {
     val dsub = d / m
-    val (bookCtes, books) = kmeansCtes("rk", "rpts", ksub, dsub, iters)
-    s"""WITH ${preamble(m, dsub, d, qPred)},
+    val (bookCtes, books) = kmeansCtes("rk", "rfpts", ksub, dsub, iters)
+    s"""WITH ${preamble(m, dsub, d, qPred, fitLimit)},
        |${coarseCtes(d, nCells, iters, nProbe)},
        |r AS MATERIALIZED (SELECT cl.vec_id,
        |    list_transform(range(1, ${d + 1}), j -> e.v[j] - ct.cv[j]) AS rv
@@ -253,6 +275,8 @@ object PqOracle {
        |rpts AS MATERIALIZED (SELECT vec_id AS id, ss.s AS s,
        |    list_slice(rv, ss.s*$dsub + 1, ss.s*$dsub + $dsub) AS p
        |  FROM r CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
+       |rfpts AS MATERIALIZED (SELECT * FROM rpts
+       |  WHERE id IN (SELECT vec_id FROM fe)),
        |$bookCtes,
        |${encCte("enc", "rpts", books, dsub)},
        |${lutCte(books, dsub)},
@@ -278,7 +302,7 @@ object PqOracle {
        |  JOIN cnorm cn ON cn.cell = pair.cell),
        |fin AS (SELECT sc.qid AS query_id, sc.nid AS neighbor_id,
        |    ROUND(CASE WHEN sc.n2 <= 0 OR qn.qn2 = 0 THEN 0.0
-       |      ELSE sc.ip / SQRT(sc.n2 * qn.qn2) END, 6) AS pq_sim
+       |      ELSE sc.ip / SQRT(sc.n2 * qn.qn2) END, 6) + 0.0 AS pq_sim
        |  FROM sc JOIN qn USING (qid) WHERE sc.nid <> sc.qid)
        |${rankSelect(k)}""".stripMargin
   }

@@ -30,15 +30,29 @@ object Similarity {
   private val indexMemo = new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
   private val dfMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** SparkContext identity woven into every memo key: persisted
+    * DataFrames (and broadcast-derived fits) die with their context, so
+    * an entry built under a stopped context must MISS, not serve a
+    * dead-session relation. applicationId + startTime is unique per
+    * context incarnation; sessions sharing a context share cached RDDs,
+    * so context granularity is exactly the validity domain.
+    */
+  private def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
+    s"${spark.sparkContext.applicationId}@${spark.sparkContext.startTime}"
+
   /** Memoize a persisted corpus-side relation (PQ codes, IVF cell
     * assignments) under the build-once contract: first call builds and
     * persists, later calls reuse the materialized relation. Key
-    * uniqueness (input + parameters) is the caller's contract;
-    * [[clearCaches]] drops and unpersists.
+    * uniqueness (input + parameters) is the caller's contract; the
+    * SparkContext identity is appended automatically so a new context
+    * never sees a dead context's entries. [[clearCaches]] drops and
+    * unpersists.
     */
-  def cachedRelation(cacheKey: String)(build: => DataFrame): DataFrame =
-    dfMemo.computeIfAbsent(cacheKey, _ => track(build.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  def cachedRelation(spark: org.apache.spark.sql.SparkSession, cacheKey: String)(
+      build: => DataFrame): DataFrame =
+    dfMemo.computeIfAbsent(s"${sessionTag(spark)}|$cacheKey", _ =>
+      track(build.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   /** Unpersist every intermediate this object has persisted and drop the
     * build-once memos. Call after the consuming action in long-lived
@@ -243,9 +257,10 @@ object Similarity {
     */
   def knnIvfMirrorable(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, nProbe: Int, k: Int, iters: Int = 2,
-      cacheKey: String = ""): DataFrame = {
-    val centroids = kmeansMirrorable(df, idCol, vecCol, m = 1, k = nCells,
-      iters = iters, cacheKey = cacheKey)(0)
+      cacheKey: String = "", fitLimit: Int = 1024): DataFrame = {
+    val centroids = kmeansMirrorable(
+      df.orderBy(col(idCol)).limit(fitLimit), idCol, vecCol,
+      m = 1, k = nCells, iters = iters, cacheKey = cacheKey)(0)
     ivfSearch(df, idCol, vecCol, centroids, nProbe, k, round6 = true,
       cacheKey = cacheKey)
   }
@@ -280,7 +295,7 @@ object Similarity {
     def buildAssigned = df.select(col(idCol), col(vecCol))
       .withColumn("cell", assignUdf(col(vecCol)))
     val assigned =
-      if (cacheKey.nonEmpty) cachedRelation(s"$cacheKey|cells")(buildAssigned)
+      if (cacheKey.nonEmpty) cachedRelation(spark, s"$cacheKey|cells")(buildAssigned)
       else track(buildAssigned.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // query → its nProbe nearest centroids (small: nQueries × nCells)
@@ -404,7 +419,12 @@ object Similarity {
     * the collected stats are O(m·k·dsub), never data-proportional).
     * Bounding the FIT INPUT is the caller's job — at 100 TB pass a
     * deterministic sample (`orderBy(id).limit(n)`), same contract as
-    * [[pqTrain]]'s internal sample.
+    * [[pqTrain]]'s internal sample. Every in-repo caller complies:
+    * [[knnIvfMirrorable]] / [[buildIvfPqIndexMirrorable]] sample
+    * internally via their `fitLimit`, and q87 passes
+    * `orderBy(vec_id).limit(n)` directly — the oracle SQL mirrors the
+    * same `ORDER BY vec_id LIMIT n`, so the sample (and the fit) stays
+    * hash-exact.
     *
     * Returns codebooks[m][k][d/m]; with m=1 this is the coarse-quantizer
     * fit (`result(0)` = centroids[k][d]).
@@ -412,8 +432,10 @@ object Similarity {
   def kmeansMirrorable(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int,
       cacheKey: String = ""): Array[Array[Array[Double]]] = {
-    if (cacheKey.nonEmpty) {
-      val hit = bookMemo.get(cacheKey)
+    val memoKey =
+      if (cacheKey.isEmpty) "" else s"${sessionTag(df.sparkSession)}|$cacheKey"
+    if (memoKey.nonEmpty) {
+      val hit = bookMemo.get(memoKey)
       if (hit != null) return hit
     }
     val spark = df.sparkSession
@@ -462,7 +484,7 @@ object Similarity {
       it += 1
     }
     subs.unpersist(blocking = false)
-    if (cacheKey.nonEmpty) bookMemo.put(cacheKey, cent)
+    if (memoKey.nonEmpty) bookMemo.put(memoKey, cent)
     cent
   }
 
@@ -657,24 +679,31 @@ object Similarity {
     * and PQ codebooks (and so the codes and every ADC score) are
     * bit-reproducible by an independent SQL engine, which is what lets
     * the driver's DuckDB oracle hash-check the whole IVF-PQ pipeline
-    * instead of trusting rows-only. Fit input bounding is the caller's
-    * job (pass a sampled corpus at scale); residual mode trains books on
-    * full-corpus residuals `x − c(cell)` (exact IEEE subtraction — still
-    * mirrorable).
+    * instead of trusting rows-only. The coarse and book fits run on the
+    * `fitLimit` smallest-id rows (a deterministic, oracle-mirrorable
+    * `ORDER BY id LIMIT n` sample — at 100 TB the index build pays one
+    * tiny fit plus ONE full-corpus encode scan, never `iters` corpus
+    * explosions); residual mode trains books on the SAMPLE's residuals
+    * `x − c(cell)` (exact IEEE subtraction — still mirrorable).
     */
   def buildIvfPqIndexMirrorable(corpus: DataFrame, cId: String, cVec: String,
       nCells: Int, m: Int, ksub: Int, iters: Int = 2,
-      residual: Boolean = false, cacheKey: String = ""): IvfPqIndex = {
-    if (cacheKey.nonEmpty) {
-      val hit = indexMemo.get(cacheKey)
+      residual: Boolean = false, cacheKey: String = "",
+      fitLimit: Int = 1024): IvfPqIndex = {
+    require(fitLimit > 0, "buildIvfPqIndexMirrorable: fitLimit must be positive")
+    val memoKey =
+      if (cacheKey.isEmpty) "" else s"${sessionTag(corpus.sparkSession)}|$cacheKey"
+    if (memoKey.nonEmpty) {
+      val hit = indexMemo.get(memoKey)
       if (hit != null) return hit
     }
-    // the corpus feeds the coarse fit, the book fit and the encode —
-    // persist once (fit input is caller-bounded, so the cache is too)
+    // the corpus feeds the fit sample and the encode — persist once
     val corpus0 = track(corpus.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val spark = corpus0.sparkSession
-    val centroids = kmeansMirrorable(corpus0, cId, cVec, 1, nCells, iters)(0)
+    // deterministic bounded fit input (the kmeansMirrorable contract)
+    val fitSample = corpus0.orderBy(col(cId)).limit(fitLimit)
+    val centroids = kmeansMirrorable(fitSample, cId, cVec, 1, nCells, iters)(0)
     val bcCent = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf { v: Seq[Double] =>
       val cs = bcCent.value
@@ -688,7 +717,7 @@ object Similarity {
       best
     }
     val idx = if (!residual) {
-      val books = kmeansMirrorable(corpus0, cId, cVec, m, ksub, iters)
+      val books = kmeansMirrorable(fitSample, cId, cVec, m, ksub, iters)
       val coded = pqEncode(
         corpus0.withColumn("cell", assignUdf(col(cVec))), cId, cVec, books,
         keep = Seq("cell"))
@@ -700,17 +729,21 @@ object Similarity {
       }
       val withRes = corpus0.withColumn("cell", assignUdf(col(cVec)))
         .withColumn("__resid", residUdf(col(cVec), col("cell")))
-      val books = kmeansMirrorable(withRes, cId, "__resid", m, ksub, iters)
+      // book fit on the fit sample's residuals only (same bound, same
+      // determinism: the sample ids' cells/residuals are fixed by the
+      // bounded coarse fit above)
+      val books = kmeansMirrorable(
+        withRes.orderBy(col(cId)).limit(fitLimit), cId, "__resid", m, ksub, iters)
       val coded = pqEncode(withRes, cId, "__resid", books, keep = Seq("cell"))
       IvfPqIndex(coded, books, centroids, cId, residual = true)
     }
-    if (cacheKey.isEmpty) idx
+    if (memoKey.isEmpty) idx
     else {
       // a memoized index serves many query batches: persist the compact
       // code relation so each search scans codes, not the build lineage
       val served = idx.copy(codes = track(idx.codes.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
-      indexMemo.put(cacheKey, served)
+      indexMemo.put(memoKey, served)
       served
     }
   }
@@ -773,12 +806,19 @@ object Similarity {
       }
     }
     val qn2 = qData.map { case (_, qv) => qv.map(x => x * x).sum }
-    // nProbe nearest cells per query by centroid cosine (ties: lower cell)
+    // nProbe nearest cells per query by ROUNDED centroid cosine (ties:
+    // lower cell) — the same 6-dp round Spark's `round` applies
+    // (BigDecimal HALF_UP, never −0.0), so the probe ORDER is identical
+    // to the oracle's `ROUND(...,6) + 0.0 DESC, cell`: an unrounded
+    // Double sortBy would rank −0.0 below +0.0 where SQL ties them.
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val probes = qData.zipWithIndex.flatMap { case ((id, qv), qi) =>
       val sims = centroids.zipWithIndex.map { case (c, ci) =>
         var ip = 0.0; var cn = 0.0; var qn = 0.0; var j = 0
         while (j < c.length) { ip += c(j) * qv(j); cn += c(j) * c(j); qn += qv(j) * qv(j); j += 1 }
-        (if (cn == 0.0 || qn == 0.0) 0.0 else ip / math.sqrt(cn * qn), ci)
+        (round6(if (cn == 0.0 || qn == 0.0) 0.0 else ip / math.sqrt(cn * qn)), ci)
       }
       sims.sortBy { case (sim, ci) => (-sim, ci) }.take(nProbe)
         .map { case (_, ci) => (id, qi, ci) }
