@@ -77,11 +77,19 @@ object AttentionRegressor {
 
   /** Forward pass; with `keep` non-null stores (e, q, k, v, alpha, a)
     * flattened for backprop. Returns the standardized-space prediction.
+    *
+    * `mask` (null = off) is the MC-dropout hook: a multiplier on each
+    * attended-output entry, indexed (0, position·D + dim), applied
+    * between attention and the pooled head — the reference's
+    * dropout-after-attention placement
+    * (`predictor_plugin_transformer.py`: Dropout on the block output).
+    * Training passes null.
     */
   private def forward(x: Array[Double], d: Int, wE: Array[Double],
       pos: Array[Double], wq: Array[Double], wk: Array[Double],
       wv: Array[Double], headW: Array[Double], headB: Double,
-      keep: Array[Array[Double]]): Double = {
+      keep: Array[Array[Double]],
+      mask: (Int, Int) => Double = null): Double = {
     val t = x.length
     val e = new Array[Double](t * d)
     val q = new Array[Double](t * d)
@@ -151,12 +159,26 @@ object AttentionRegressor {
     while (j < d) {
       var sm = 0.0
       var ti2 = 0
-      while (ti2 < t) { sm += a(ti2 * d + j); ti2 += 1 }
+      while (ti2 < t) {
+        val av = a(ti2 * d + j)
+        sm += (if (mask != null) av * mask(0, ti2 * d + j) else av)
+        ti2 += 1
+      }
       y += headW(j) * (sm / t)
       j += 1
     }
     y
   }
+
+  /** MC-dropout bridge for [[graft.ml.McDropout]]: the shared forward
+    * with a per-attended-unit mask, on a pre-standardized window.
+    * Returns the STANDARDIZED-space prediction.
+    */
+  private[ml] def forwardMasked(x: Array[Double], d: Int, wE: Array[Double],
+      pos: Array[Double], wq: Array[Double], wk: Array[Double],
+      wv: Array[Double], headW: Array[Double], headB: Double,
+      mask: (Int, Int) => Double): Double =
+    forward(x, d, wE, pos, wq, wk, wv, headW, headB, null, mask)
 
   /** Fit on an assembled frame — the `fitPerHorizonWith` contract. */
   def fit(df: DataFrame, labelCol: String, conf: AttnConfig = AttnConfig(),

@@ -152,6 +152,40 @@ object Forecaster {
     }
   }
 
+  /** Per-forward-pass MC-dropout across the per-horizon model zoo
+    * (the reference's Bayesian mode applied to whichever head won
+    * selection): adds `pred_h{h}` / `unc_h{h}` per horizon via the
+    * head-appropriate [[McDropout]] overload. Seeds are offset by the
+    * horizon so two horizons' masks are independent. Heads without a
+    * stochastic forward (linear, GBT) have no dropout semantics — use
+    * [[ensembleUncertainty]] for those; asking for MC-dropout on them
+    * fails loudly rather than returning a silent zero uncertainty.
+    */
+  def predictWithUncertainty(models: Map[Int, _ <: HorizonModel], df: DataFrame,
+      idCol: String, featureCols: Seq[String], passes: Int = 30,
+      rate: Double = 0.1, seed: Long = 42L): DataFrame = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(df)
+    models.toSeq.sortBy(_._1).foldLeft(assembled) { case (d, (h, m)) =>
+      val scored = m match {
+        case mm: MlpRegressor.MlpRegressionModel =>
+          McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
+        case mm: TcnRegressor.TcnRegressionModel =>
+          McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
+        case mm: LstmRegressor.LstmRegressionModel =>
+          McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
+        case mm: AttentionRegressor.AttentionRegressionModel =>
+          McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
+        case other => throw new IllegalArgumentException(
+          s"predictWithUncertainty: no MC-dropout forward for ${other.getClass.getSimpleName}; " +
+            "use ensembleUncertainty for deterministic heads")
+      }
+      scored.withColumnRenamed("pred_mean", s"pred_h$h")
+        .withColumnRenamed("pred_unc", s"unc_h$h")
+    }
+  }
+
   /** M7: bootstrap-ensemble uncertainty — K models on seeded resamples;
     * per-row ensemble mean/std via the A8 groupBy pattern (exploded
     * sample → avg/stddev_pop), the distributed analog of MC-dropout

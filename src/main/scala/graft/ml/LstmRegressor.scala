@@ -79,10 +79,18 @@ object LstmRegressor {
   /** Forward pass; when `keep` != null it receives per-step
     * (i, f, g̃, o, c, h) rows for BPTT: keep(t) = Array of 6*units.
     * Returns the standardized-space prediction.
+    *
+    * `mask` (null = off) is the MC-dropout hook: a multiplier on each
+    * hidden-state unit, indexed (0, unit) and CONSTANT across
+    * timesteps — the variational-RNN dropout of Gal & Ghahramani
+    * (NeurIPS 2016): one mask per sequence, applied to h as it feeds
+    * both the recurrence and the head; the cell state stays unmasked
+    * so long-range memory survives the drop. Training passes null.
     */
   private def forward(x: Array[Double], u: Int, wx: Array[Double],
       wh: Array[Double], b: Array[Double], headW: Array[Double],
-      headB: Double, keep: Array[Array[Double]]): Double = {
+      headB: Double, keep: Array[Array[Double]],
+      mask: (Int, Int) => Double = null): Double = {
     val t = x.length
     var h = new Array[Double](u)
     var c = new Array[Double](u)
@@ -113,7 +121,8 @@ object LstmRegressor {
         val gg = math.tanh(zg)
         val og = sigmoid(zo)
         val cc = fg * c(v) + ig * gg
-        val hh = og * math.tanh(cc)
+        val hh0 = og * math.tanh(cc)
+        val hh = if (mask != null) hh0 * mask(0, v) else hh0
         nc(v) = cc
         nh(v) = hh
         if (row != null) {
@@ -134,6 +143,15 @@ object LstmRegressor {
   }
 
   @inline private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** MC-dropout bridge for [[graft.ml.McDropout]]: the shared forward
+    * with a variational hidden-unit mask, on a pre-standardized window.
+    * Returns the STANDARDIZED-space prediction.
+    */
+  private[ml] def forwardMasked(x: Array[Double], u: Int, wx: Array[Double],
+      wh: Array[Double], b: Array[Double], headW: Array[Double],
+      headB: Double, mask: (Int, Int) => Double): Double =
+    forward(x, u, wx, wh, b, headW, headB, null, mask)
 
   /** Fit on an assembled frame (featuresCol: MLlib Vector read as a
     * sequence, labelCol numeric) — the `fitPerHorizonWith` contract.

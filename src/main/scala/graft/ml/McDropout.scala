@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
 /** Per-forward-pass MC-dropout uncertainty — the reference's Bayesian
   * inference mode (`common/bayesian.py:70-134`: K stochastic forward
   * passes with dropout ACTIVE at inference; mean = prediction, std =
-  * epistemic uncertainty), re-expressed Spark-first for the native
-  * [[MlpRegressor]] head. This closes the gap the K-model
-  * `Forecaster.ensembleUncertainty` bootstrap only approximates: here
-  * the variance comes from dropout masks on ONE model's hidden units,
-  * exactly the reference semantics.
+  * epistemic uncertainty), re-expressed Spark-first for EVERY native
+  * head in the zoo: [[MlpRegressor]] (per-hidden-unit masks),
+  * [[TcnRegressor]] (per-position-channel masks on the conv
+  * activations), [[LstmRegressor]] (variational per-sequence masks on
+  * the hidden state, Gal & Ghahramani 2016), [[AttentionRegressor]]
+  * (masks on the attended output) — mirroring the reference's
+  * dropout-wrapped Keras plugins (`predictor_plugins/common/base.py:350-352`).
+  * This closes the gap the K-model `Forecaster.ensembleUncertainty`
+  * bootstrap only approximates: here the variance comes from dropout
+  * masks on ONE model's hidden units, exactly the reference semantics.
   *
   * 100 TB shape: a single map-side projection — the model's weight
   * arrays ride the closure (O(Σ wₗ·wₗ₊₁), broadcast by Spark), each row
@@ -105,5 +110,121 @@ object McDropout {
       .withColumn("pred_mean", col("__mc._1"))
       .withColumn("pred_unc", col("__mc._2"))
       .drop("__mc")
+  }
+
+  /** Shared Welford mean/population-std over `passes` forward passes —
+    * exact 0 variance for identical passes, no catastrophic
+    * cancellation for near-identical ones.
+    */
+  private def welford(passes: Int)(f: Int => Double): (Double, Double) = {
+    var mean = 0.0
+    var m2 = 0.0
+    var p = 0
+    while (p < passes) {
+      val yd = f(p)
+      val delta = yd - mean
+      mean += delta / (p + 1)
+      m2 += delta * (yd - mean)
+      p += 1
+    }
+    (mean, math.sqrt(math.max(0.0, m2 / passes)))
+  }
+
+  private def checkArgs(passes: Int, rate: Double): Unit = {
+    require(passes >= 1, s"mcDropout: passes must be >= 1, got $passes")
+    require(rate >= 0.0 && rate < 1.0, s"mcDropout: rate must be in [0, 1), got $rate")
+  }
+
+  /** Standardize a sequence window by the head's scalar moments. */
+  private def stdWindow(v: Vector, t: Int, fm: Double, fs: Double): Array[Double] = {
+    val x = new Array[Double](t)
+    var i = 0
+    while (i < t) { x(i) = (v(i) - fm) / fs; i += 1 }
+    x
+  }
+
+  private def emit(df: DataFrame, idCol: String, featuresCol: String,
+      fn: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    df.withColumn("__mc", fn(col(idCol).cast("long"), col(featuresCol)))
+      .withColumn("pred_mean", col("__mc._1"))
+      .withColumn("pred_unc", col("__mc._2"))
+      .drop("__mc")
+
+  /** [[TcnRegressor]] MC-dropout: masks on every conv tanh activation
+    * (block, position·C + channel). Same output contract as the MLP
+    * overload: `pred_mean` / `pred_unc`, `rate = 0` ≡ `predict`.
+    */
+  def predictWithUncertainty(model: TcnRegressor.TcnRegressionModel, df: DataFrame,
+      idCol: String, featuresCol: String, passes: Int,
+      rate: Double, seed: Long): DataFrame = {
+    checkArgs(passes, rate)
+    val (c, k, blocks) = (model.channels, model.kernel, model.blocks)
+    val (convW, convB, skipP) = (model.convW, model.convB, model.skipP)
+    val (headW, headB) = (model.headW, model.headB)
+    val t = model.seqLen
+    val (fm, fs, lm, ls) = (model.featMean, model.featStd, model.labelMean, model.labelStd)
+    val kScale = 1.0 / (1.0 - rate)
+    val fn = udf { (id: Long, v: Vector) =>
+      val x = stdWindow(v, t, fm, fs)
+      welford(passes) { p =>
+        val mask = (l: Int, u: Int) =>
+          if (rate == 0.0 || uniform(seed, id, p, l, u) >= rate) kScale else 0.0
+        TcnRegressor.forwardMasked(x, c, k, blocks, convW, convB, skipP,
+          headW, headB, mask) * ls + lm
+      }
+    }
+    emit(df, idCol, featuresCol, fn)
+  }
+
+  /** [[LstmRegressor]] MC-dropout: one variational mask per (pass,
+    * sequence) on the hidden-state units, constant across timesteps
+    * (Gal & Ghahramani, NeurIPS 2016). `rate = 0` ≡ `predict`.
+    */
+  def predictWithUncertainty(model: LstmRegressor.LstmRegressionModel, df: DataFrame,
+      idCol: String, featuresCol: String, passes: Int,
+      rate: Double, seed: Long): DataFrame = {
+    checkArgs(passes, rate)
+    val u = model.units
+    val (wx, wh, b) = (model.wx, model.wh, model.b)
+    val (headW, headB) = (model.headW, model.headB)
+    val t = model.seqLen
+    val (fm, fs, lm, ls) = (model.featMean, model.featStd, model.labelMean, model.labelStd)
+    val kScale = 1.0 / (1.0 - rate)
+    val fn = udf { (id: Long, v: Vector) =>
+      val x = stdWindow(v, t, fm, fs)
+      welford(passes) { p =>
+        val mask = (l: Int, un: Int) =>
+          if (rate == 0.0 || uniform(seed, id, p, l, un) >= rate) kScale else 0.0
+        LstmRegressor.forwardMasked(x, u, wx, wh, b, headW, headB, mask) * ls + lm
+      }
+    }
+    emit(df, idCol, featuresCol, fn)
+  }
+
+  /** [[AttentionRegressor]] MC-dropout: masks on the attended output
+    * entries (position·D + dim) between attention and the pooled head.
+    * `rate = 0` ≡ `predict`.
+    */
+  def predictWithUncertainty(model: AttentionRegressor.AttentionRegressionModel,
+      df: DataFrame, idCol: String, featuresCol: String, passes: Int,
+      rate: Double, seed: Long): DataFrame = {
+    checkArgs(passes, rate)
+    val d = model.dim
+    val (wE, pos) = (model.wE, model.pos)
+    val (wq, wk, wv) = (model.wq, model.wk, model.wv)
+    val (headW, headB) = (model.headW, model.headB)
+    val t = model.seqLen
+    val (fm, fs, lm, ls) = (model.featMean, model.featStd, model.labelMean, model.labelStd)
+    val kScale = 1.0 / (1.0 - rate)
+    val fn = udf { (id: Long, v: Vector) =>
+      val x = stdWindow(v, t, fm, fs)
+      welford(passes) { p =>
+        val mask = (l: Int, un: Int) =>
+          if (rate == 0.0 || uniform(seed, id, p, l, un) >= rate) kScale else 0.0
+        AttentionRegressor.forwardMasked(x, d, wE, pos, wq, wk, wv,
+          headW, headB, mask) * ls + lm
+      }
+    }
+    emit(df, idCol, featuresCol, fn)
   }
 }

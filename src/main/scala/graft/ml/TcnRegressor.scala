@@ -97,11 +97,19 @@ object TcnRegressor {
     * keep(2b) = tanh activations of block b (T×C row-major),
     * keep(2b+1) = block output. Returns the scalar prediction (in
     * standardized space).
+    *
+    * `mask` (null = off) is the MC-dropout hook: a multiplier applied
+    * to each tanh activation BEFORE the residual add, indexed by
+    * (block, position·C + channel) — the per-hidden-unit dropout site,
+    * matching the reference's dropout-on-hidden-representations
+    * placement (`predictor_plugin_tcn.py`: SpatialDropout after each
+    * conv block). Training always passes null.
     */
   private def forward(x: Array[Double], c: Int, k: Int, blocks: Int,
       convW: Array[Array[Double]], convB: Array[Array[Double]],
       skipP: Array[Double], headW: Array[Double], headB: Double,
-      keep: Array[Array[Double]]): Double = {
+      keep: Array[Array[Double]],
+      mask: (Int, Int) => Double = null): Double = {
     val t = x.length
     var prev: Array[Double] = null // T×C row-major after block 0
     var b = 0
@@ -131,7 +139,8 @@ object TcnRegressor {
             }
             j += 1
           }
-          val a = math.tanh(z)
+          val a0 = math.tanh(z)
+          val a = if (mask != null) a0 * mask(b, ti * c + co) else a0
           act(ti * c + co) = a
           val skip =
             if (b == 0) { if (c == 1) x(ti) else skipP(co) * x(ti) }
@@ -157,6 +166,16 @@ object TcnRegressor {
     }
     y
   }
+
+  /** MC-dropout bridge for [[graft.ml.McDropout]]: the shared forward
+    * with a per-unit mask, on a pre-standardized window. Returns the
+    * STANDARDIZED-space prediction (the caller denormalizes).
+    */
+  private[ml] def forwardMasked(x: Array[Double], c: Int, k: Int, blocks: Int,
+      convW: Array[Array[Double]], convB: Array[Array[Double]],
+      skipP: Array[Double], headW: Array[Double], headB: Double,
+      mask: (Int, Int) => Double): Double =
+    forward(x, c, k, blocks, convW, convB, skipP, headW, headB, null, mask)
 
   /** Fit on an assembled frame (featuresCol: MLlib Vector = the lag
     * window read as a sequence, labelCol numeric) — the
