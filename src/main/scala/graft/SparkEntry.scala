@@ -1832,14 +1832,18 @@ object SparkEntry {
        |FROM b""".stripMargin
   }
 
-  /** Multimodal image pipeline end-to-end (rows-only): deterministic
-    * 16×16 grayscale netpbm images synthesized per event (the testdata
-    * has no media table), decoded by the REAL decoder
+  /** Multimodal image pipeline end-to-end: deterministic 16×16
+    * grayscale netpbm images synthesized per event (the testdata has no
+    * media table), decoded by the REAL decoder
     * (`Multimodal.decodeImagesReal` — netpbm parser; PNG/JPEG would go
     * through the JDK's ImageIO on the same path), resized 8×8, features
     * aggregated per event_type. Exercises binary column → batched
     * partition-wise decode → resize → feature → aggregate, the full
-    * shape of a 100 TB media-featurization sweep.
+    * shape of a 100 TB media-featurization sweep. HASH-EXACT oracle
+    * (q91's pattern): the pixels are a pure function of event_id, so
+    * the SQL re-derives the resized-pixel values arithmetically and
+    * recomputes the same features — an exact match proves the whole
+    * encode → P5 parse → resize → featurize path, not just row shape.
     */
   private def q66(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1859,6 +1863,30 @@ object SparkEntry {
         round(dsum(element_at(col("chan_mean"), 1)) / count(lit(1)), 6).as("avg_brightness"),
         round(dsum(element_at(col("gray_hist"), 1)) / count(lit(1)), 6).as("avg_dark_bin"))
   }
+
+  /** q66 oracle: pixels are `(id·31 + i·7) mod 256`; the 8×8
+    * nearest-neighbor resize picks src index `32·(p/8) + 2·(p%8)`
+    * (`Multimodal.resizeNearest`: sy = 2y, sx = 2x at 16→8), so the
+    * resized pixel values regenerate arithmetically per (event, p).
+    * `chan_mean[1]` = Σv / (64·255) — an integer sum in double, exact
+    * in any order; `gray_hist[1]` = count(v < 16)/64 (v>>4 = 0 bin) —
+    * /64 is a power of two, exact. Outer aggregate = the dsum
+    * discipline both engines share.
+    */
+  private val q66Sql =
+    """WITH px AS (
+      |  SELECT e.event_id, e.event_type,
+      |    (e.event_id * 31 + (32 * (pp.p // 8) + 2 * (pp.p % 8)) * 7) % 256 AS v
+      |  FROM events e CROSS JOIN (SELECT unnest(range(0, 64)) AS p) pp),
+      |feat AS (
+      |  SELECT event_id, event_type,
+      |    SUM(v) / 16320.0 AS mean1,
+      |    SUM(CASE WHEN v < 16 THEN 1 ELSE 0 END) / 64.0 AS dark1
+      |  FROM px GROUP BY event_id, event_type)
+      |SELECT event_type, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(mean1 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_brightness,
+      |  ROUND(CAST(SUM(CAST(dark1 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dark_bin
+      |FROM feat GROUP BY event_type""".stripMargin
 
   /** Video container metadata (`Multimodal.parseMp4Meta` /
     * `probeVideoMeta`): MP4 stubs synthesized deterministically from
@@ -2464,6 +2492,7 @@ object SparkEntry {
     "q89_semantic_dedup" -> q89Sql,
     "q90_dsir_scores" -> q90Sql,
     "q91_video_meta" -> q91Sql,
+    "q66_image_features" -> q66Sql,
     "q93_normalized_dedup" -> q93Sql,
     "q94_dup_ngrams" -> q94Sql,
     "q56_dedup_clusters" -> q56Sql,

@@ -38,6 +38,61 @@ object Backtest {
       capWindow: Long = 5L * 24 * 3600 * 1000000L, // 5 days in µs
       maxTradesPerWindow: Int = 1000)
 
+  /** Per-symbol position state — the COMPLETE state machine state, so
+    * a streaming face can persist it across micro-batches: open-position
+    * fields plus the A11 trailing entry timestamps inside `capWindow`.
+    */
+  case class BtState(open: Boolean = false, dir: String = "",
+      entryTs: Long = 0L, entryPrice: Double = 0.0, duration: Int = 0,
+      maxDD: Double = 0.0, entries: List[Long] = Nil)
+
+  /** One bar through the state machine — the SINGLE implementation the
+    * batch `mapPartitions` pass and the streaming
+    * `StreamOps.streamingBacktest` face both fold, so trade-for-trade
+    * batch ≡ streaming equality (the differential oracle for the
+    * un-SQL-able state machine) is pinned by construction and spec, not
+    * coincidence. At most one trade closes per bar (a just-opened
+    * position cannot exit until the next bar, like the reference's
+    * bar loop).
+    */
+  private[graft] def stepBar(sym: String, st: BtState, bar: Bar,
+      p: Params): (BtState, Option[Trade]) = {
+    if (st.open) {
+      val duration = st.duration + 1
+      val adverse =
+        if (st.dir == "long") st.entryPrice - bar.low else bar.high - st.entryPrice
+      val maxDD = if (adverse > st.maxDD) adverse else st.maxDD
+      val hitSl =
+        if (st.dir == "long") bar.low <= st.entryPrice - p.sl
+        else bar.high >= st.entryPrice + p.sl
+      val hitTp =
+        if (st.dir == "long") bar.high >= st.entryPrice + p.tp
+        else bar.low <= st.entryPrice - p.tp
+      def close(price: Double, reason: String): (BtState, Option[Trade]) = {
+        val profit =
+          if (st.dir == "long") price - st.entryPrice else st.entryPrice - price
+        (st.copy(open = false, duration = duration, maxDD = maxDD),
+          Some(Trade(sym, st.entryTs, bar.ts, st.dir, st.entryPrice, price,
+            profit, duration, maxDD, reason)))
+      }
+      if (hitSl) // pessimistic: SL before TP within the same bar
+        close(if (st.dir == "long") st.entryPrice - p.sl else st.entryPrice + p.sl, "sl")
+      else if (hitTp)
+        close(if (st.dir == "long") st.entryPrice + p.tp else st.entryPrice - p.tp, "tp")
+      else if (duration >= p.maxDurationBars)
+        close(bar.close, "duration")
+      else (st.copy(duration = duration, maxDD = maxDD), None)
+    } else {
+      val signal = bar.pred - bar.close
+      val entries = st.entries.filter(_ >= bar.ts - p.capWindow)
+      if (math.abs(signal) > p.threshold && entries.size < p.maxTradesPerWindow)
+        (BtState(open = true, dir = if (signal > 0) "long" else "short",
+          entryTs = bar.ts, entryPrice = bar.close, duration = 0,
+          maxDD = 0.0, entries = bar.ts :: entries), None)
+      else (st.copy(entries = entries), None)
+    }
+  }
+
   /** Run the state machine. `bars` must be a Dataset[Bar]; output one row
     * per closed trade.
     */
@@ -49,69 +104,21 @@ object Backtest {
       .mapPartitions { iter => new TradeIterator(iter, params) }
   }
 
-  /** Streaming one-pass state machine over a (symbol, ts)-sorted
-    * partition; emits trades as they close.
+  /** Streaming one-pass fold of [[stepBar]] over a (symbol, ts)-sorted
+    * partition; emits trades as they close. State resets at each symbol
+    * boundary.
     */
   private final class TradeIterator(bars: Iterator[Bar], p: Params)
       extends Iterator[Trade] {
     private var pending: List[Trade] = Nil
     private var curSymbol: String = null
-    // open-position state
-    private var open = false
-    private var dir = ""
-    private var entryTs = 0L
-    private var entryPrice = 0.0
-    private var duration = 0
-    private var maxDD = 0.0
-    // A11 trailing trade-entry timestamps within capWindow
-    private var entries: List[Long] = Nil
-
-    private def resetSymbol(sym: String): Unit = {
-      curSymbol = sym; open = false; entries = Nil
-    }
-
-    private def close(bar: Bar, price: Double, reason: String): Trade = {
-      open = false
-      val profit = if (dir == "long") price - entryPrice else entryPrice - price
-      Trade(curSymbol, entryTs, bar.ts, dir, entryPrice, price, profit,
-        duration, maxDD, reason)
-    }
+    private var st = BtState()
 
     private def step(bar: Bar): Unit = {
-      if (bar.symbol != curSymbol) resetSymbol(bar.symbol)
-      if (open) {
-        duration += 1
-        val adverse =
-          if (dir == "long") entryPrice - bar.low else bar.high - entryPrice
-        if (adverse > maxDD) maxDD = adverse
-        val hitSl =
-          if (dir == "long") bar.low <= entryPrice - p.sl
-          else bar.high >= entryPrice + p.sl
-        val hitTp =
-          if (dir == "long") bar.high >= entryPrice + p.tp
-          else bar.low <= entryPrice - p.tp
-        if (hitSl) { // pessimistic: SL before TP within the same bar
-          pending ::= close(bar,
-            if (dir == "long") entryPrice - p.sl else entryPrice + p.sl, "sl")
-        } else if (hitTp) {
-          pending ::= close(bar,
-            if (dir == "long") entryPrice + p.tp else entryPrice - p.tp, "tp")
-        } else if (duration >= p.maxDurationBars) {
-          pending ::= close(bar, bar.close, "duration")
-        }
-      } else {
-        val signal = bar.pred - bar.close
-        entries = entries.filter(_ >= bar.ts - p.capWindow)
-        if (math.abs(signal) > p.threshold && entries.size < p.maxTradesPerWindow) {
-          open = true
-          dir = if (signal > 0) "long" else "short"
-          entryTs = bar.ts
-          entryPrice = bar.close
-          duration = 0
-          maxDD = 0.0
-          entries ::= bar.ts
-        }
-      }
+      if (bar.symbol != curSymbol) { curSymbol = bar.symbol; st = BtState() }
+      val (next, closed) = stepBar(curSymbol, st, bar, p)
+      st = next
+      closed.foreach(pending ::= _)
     }
 
     override def hasNext: Boolean = {

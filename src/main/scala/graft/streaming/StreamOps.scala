@@ -331,6 +331,40 @@ object StreamOps {
       }
   }
 
+  /** Streaming face of the bar-by-bar backtest (§2.10): one
+    * `flatMapGroupsWithState` group per symbol folding the SAME per-bar
+    * state machine as `Backtest.run` (`Backtest.stepBar`), emitting
+    * trades as they close. In-batch bars sort by ts (deterministic);
+    * cross-batch arrival order is the feed contract, as in the
+    * reference's live loop (`heuristic_strategy.py` consumes an ordered
+    * bar stream). Because both faces fold the identical step function
+    * over the identical per-symbol bar order, batch ≡ streaming holds
+    * trade-for-trade — the differential oracle for a state machine no
+    * single SQL query can express (spec-pinned in
+    * StreamingBacktestSpec). State is O(1) per symbol plus the trailing
+    * entry timestamps inside the frequency-cap window.
+    */
+  def streamingBacktest(bars: Dataset[graft.backtest.Backtest.Bar],
+      params: graft.backtest.Backtest.Params): Dataset[graft.backtest.Backtest.Trade] = {
+    import graft.backtest.Backtest
+    import bars.sparkSession.implicits._
+    bars.groupByKey(_.symbol)
+      .flatMapGroupsWithState[Backtest.BtState, Backtest.Trade](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sym: String, rows: Iterator[Backtest.Bar], state: GroupState[Backtest.BtState]) =>
+          val batch = rows.toSeq.sortBy(_.ts)
+          var st = state.getOption.getOrElse(Backtest.BtState())
+          val out = scala.collection.mutable.ListBuffer.empty[Backtest.Trade]
+          batch.foreach { b =>
+            val (next, closed) = Backtest.stepBar(sym, st, b, params)
+            st = next
+            closed.foreach(out += _)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class Tick(userId: Long, ts: Long, value: Double)
   case class Position(userId: Long, nTicks: Long, total: Double, lastValue: Double)
 
