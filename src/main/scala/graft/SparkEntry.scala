@@ -1698,7 +1698,7 @@ object SparkEntry {
     Dedup.semanticDedup(
         t(s, dir, "embeddings").select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("v")),
-        "vec_id", "v", "label", 0.35)
+        "vec_id", "v", "label", 0.35, cacheKey = s"q89pairs|$dir")
       .select(col("vec_id"), col("label"))
 
   private val q89Sql =

@@ -141,12 +141,27 @@ object Dedup {
   private val cachedHandles = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private def track(df: DataFrame): DataFrame = { cachedHandles.add(df); df }
 
+  // Build-once / serve-many memo for corpus-side relations (the
+  // embedding near-dup pair set): same contract as
+  // Similarity.cachedRelation — key uniqueness is the caller's job, the
+  // SparkContext identity is appended so a new context misses, and
+  // clearCaches drops everything.
+  private val dfMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
+    s"${spark.sparkContext.applicationId}@${spark.sparkContext.startTime}"
+  private def cachedRelation(spark: org.apache.spark.sql.SparkSession,
+      cacheKey: String)(build: => DataFrame): DataFrame =
+    dfMemo.computeIfAbsent(s"${sessionTag(spark)}|$cacheKey", _ =>
+      track(build.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+
   /** Unpersist every intermediate this object has persisted. Call after
     * the action consuming a dedup result completes (e.g. between dedup
     * rounds in a long-lived session); results already materialized are
     * unaffected, un-run plans recompute the signatures.
     */
   def clearCaches(): Unit = {
+    dfMemo.clear()
     var h = cachedHandles.poll()
     while (h != null) { h.unpersist(blocking = false); h = cachedHandles.poll() }
   }
@@ -479,26 +494,92 @@ object Dedup {
     * work is the final anti-join on the loser set.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, tau: Double): DataFrame = {
-    val pairs = embeddingNearDupPairs(df, idCol, vecCol, blockCol, tau)
-      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
-    val losers = connectedComponents(pairs)
+      blockCol: String, tau: Double, cacheKey: String = ""): DataFrame = {
+    val pairs = blockPairs(
+      pairsWithBlock(df, idCol, vecCol, blockCol, tau, cacheKey), blockCol)
+    // the blocked equi-join can never emit a cross-block edge, so the
+    // transitive closure is block-local — the one-pass grouped
+    // union-find applies, not the iterative star-contraction
+    val losers = blockLocalComponents(pairs, blockCol)
       .filter(col("component") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, tau: Double): DataFrame = {
-    val a = df.select(col(blockCol),
-      col(idCol).as("a_id"), col(vecCol).as("__va"))
-    val b = df.select(col(blockCol),
-      col(idCol).as("b_id"), col(vecCol).as("__vb"))
-    a.join(b, blockCol)
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cos_sim",
-        round(graft.similarity.Similarity.cosine(col("__va"), col("__vb")), 6))
-      .filter(col("cos_sim") >= tau)
-      .select(col("a_id"), col("b_id"), col("cos_sim"))
+  /** Connected components of a BLOCK-LOCAL pair set (`doc_a`/`doc_b`
+    * plus the block key; edges exist only WITHIN a block — the
+    * [[semanticDedup]] shape, where pairs come from an equi-join on the
+    * block): ONE shuffle groups each block's edges and an in-memory
+    * min-root union-find labels them — no iteration, no convergence
+    * rounds. Component label = the component's minimum id (min-root
+    * union keeps every root the set minimum), identical to
+    * [[connectedComponents]]' fixed point on the same input. Correct
+    * ONLY under the block-local premise; general graphs whose edges
+    * span blocking keys (minhash band pairs — q56) need the
+    * star-contraction. Per-block edge count is bounded by the blocking
+    * scheme (an IVF cell / cluster label population) — the SAME
+    * contract that already bounds the pair equi-join itself, so this
+    * holds wherever the pair generation does.
+    */
+  def blockLocalComponents(pairs: DataFrame, blockCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    // explicit encoders (no TypeTag reflection — REPL-classloader safe)
+    pairs.select(col(blockCol).cast("string"),
+        col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { row =>
+          val a = row.getLong(1); val b = row.getLong(2)
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          // min-root union: the root IS the component minimum
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.map(id => (id, find(id))).toSeq.iterator
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("id", "component")
   }
+
+  /** With a `cacheKey`, the pair relation is corpus-side index state
+    * (the ANN-relations pattern): the blocked cosine self-join — the
+    * data-proportional part — materializes once and every later call
+    * (component relabels, different downstream consumers) reads the
+    * persisted pairs instead of re-scoring the corpus.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, tau: Double, cacheKey: String = ""): DataFrame =
+    pairsWithBlock(df, idCol, vecCol, blockCol, tau, cacheKey)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+
+  private def pairsWithBlock(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, tau: Double, cacheKey: String): DataFrame = {
+    def build = {
+      val a = df.select(col(blockCol),
+        col(idCol).as("a_id"), col(vecCol).as("__va"))
+      val b = df.select(col(blockCol),
+        col(idCol).as("b_id"), col(vecCol).as("__vb"))
+      a.join(b, blockCol)
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos_sim",
+          round(graft.similarity.Similarity.cosine(col("__va"), col("__vb")), 6))
+        .filter(col("cos_sim") >= tau)
+        .select(col(blockCol), col("a_id"), col("b_id"), col("cos_sim"))
+    }
+    if (cacheKey.isEmpty) build
+    else cachedRelation(df.sparkSession, s"$cacheKey|pairs")(build)
+  }
+
+  /** Renamed-column view used by [[semanticDedup]]'s component step. */
+  private def blockPairs(pairs: DataFrame, blockCol: String): DataFrame =
+    pairs.select(col(blockCol), col("a_id").as("doc_a"), col("b_id").as("doc_b"))
 }

@@ -173,4 +173,22 @@ class DedupSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 3L, 4L))
   }
+
+  test("blockLocalComponents ≡ star-contraction on block-local pair sets") {
+    // random block-local graphs: edges only within a block, including
+    // chains (transitivity) and multi-block id reuse patterns
+    val rnd = new scala.util.Random(17L)
+    val pairs = (0 until 6).flatMap { blk =>
+      val ids = (0 until 12).map(i => (blk * 100 + i).toLong)
+      (0 until 15).map { _ =>
+        val a = ids(rnd.nextInt(ids.size)); val b = ids(rnd.nextInt(ids.size))
+        (blk, math.min(a, b), math.max(a, b))
+      }.filter { case (_, a, b) => a != b }
+    }.toDF("blk", "doc_a", "doc_b")
+    val fast = Dedup.blockLocalComponents(pairs, "blk")
+      .as[(Long, Long)].collect().toSet
+    val star = Dedup.connectedComponents(pairs.select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(fast == star)
+  }
 }
