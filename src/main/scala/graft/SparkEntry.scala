@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.backtest.Backtest
-import graft.decomp.Stl
+import graft.decomp.StlMirrorable
 import graft.dedup.Dedup
 import graft.feature.Windows
 import graft.functions.GraftFunctions
@@ -2031,17 +2031,22 @@ object SparkEntry {
       |  FROM p2)
       |WHERE rank <= 3""".stripMargin
 
-  /** D1 STL decomposition per user series (period 24) — rows-only
-    * (iterative LOESS has no SQL equivalent).
+  /** D1 STL decomposition per user series (period 24) — HASH-EXACT
+    * oracle (`StlOracle.q44Sql`) since round 6: the mirrorable variant
+    * pins the tricube weights to shared 12 dp constants, runs every
+    * cross-point sum in exact decimal space and the LOESS solves as
+    * straight-line IEEE ops, so DuckDB replays the full two-iteration
+    * Cleveland inner loop bit-for-bit. (`Stl.decomposeDF` remains the
+    * plain-double production face; `StlMirrorableSpec` pins the two
+    * within stage-quantization distance.)
     */
   private def q44(s: SparkSession, dir: String): DataFrame =
-    Stl.decomposeDF(
+    StlMirrorable.decomposeDF(
         t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
-        Seq("user_id"), "ts", "value", period = 24)
+        Seq("user_id"), Seq("ts", "event_id"), "value",
+        period = 24, seasonalSmoother = 7)
       .select(col("event_id"), col("user_id"),
-        round(col("trend"), 6).as("trend"),
-        round(col("seasonal"), 6).as("seasonal"),
-        round(col("resid"), 6).as("resid"))
+        col("trend"), col("seasonal"), col("resid"))
 
   /** D3 causal FFT features: trailing 16-value window per series →
     * first 5 normalized DFT magnitude bins via the native Catalyst
@@ -2513,6 +2518,8 @@ object SparkEntry {
       fitLimit = AnnFitLimit),
     "q48_preprocess_slice" -> q48Sql,
     "q49_seasonal_fit" -> graft.oracle.SeasonalOracle.q49Sql(
-      period = 86400.0, harmonics = 2)
+      period = 86400.0, harmonics = 2),
+    "q44_stl_decompose" -> graft.oracle.StlOracle.q44Sql(
+      period = 24, seasonalSmoother = 7, nInner = 2)
   )
 }

@@ -166,21 +166,34 @@ object ScaleProbe {
       val cfg = graft.pipeline.ForecastPipeline.Config(
         splits = Map("train" -> writeSplit(25200, 0.5123), "val" -> writeSplit(25200, 0.317)),
         targetColumn = "CLOSE", horizons = 1 to 6)
-      def fitness(rows: Array[org.apache.spark.sql.Row]): Double = {
-        def v(m: String) = rows.find(r => r.getString(0) == "val" &&
+      def v(rows: Array[org.apache.spark.sql.Row], m: String) =
+        rows.find(r => r.getString(0) == "val" &&
           r.getString(1) == m && r.getInt(2) == 1).get.getDouble(3)
-        v("MAE") - v("Naive MAE")
-      }
-      for (head <- Seq("linear", "mlp")) {
-        val t0 = System.nanoTime()
-        val rows = graft.pipeline.ForecastPipeline.modelMetrics(spark, cfg,
-          nLags = 3, head = head,
-          mlpConf = graft.pipeline.ForecastPipeline.MlpConf(hidden = 8, epochs = 150, lr = 0.1))
-          .collect()
-        println(f"SCALE-BASELINE candidate eval head=$head 25200 rows/split 6 horizons: " +
-          f"${(System.nanoTime() - t0) / 1e9}%.1f s, val fitness H1 = ${fitness(rows)}%.6f " +
-          "(reference: ~25 min/candidate, README champion fitness -1.22e-4)")
-      }
+      // Champion selection across the FULL zoo at the reference's per-split
+      // scale — the reference's `predictor_plugin` choice + optimizer
+      // validation fitness (`README.md:117-120`). Routed through
+      // `Forecaster.search`, the same dispatch `selectHead` delegates to,
+      // so the per-head wall-clocks ARE the selection cost: each candidate
+      // is a few distributed jobs and only the scalar val-MAE crosses the
+      // driver.
+      val perHead = scala.collection.mutable.ArrayBuffer.empty[String]
+      val (champion, champMae) = graft.ml.Forecaster.search[String](
+        Seq("linear", "gbt", "mlp", "tcn", "lstm", "attention"), { head =>
+          val t0 = System.nanoTime()
+          val rows = graft.pipeline.ForecastPipeline.modelMetrics(spark, cfg,
+            nLags = 3, head = head,
+            mlpConf = graft.pipeline.ForecastPipeline.MlpConf(hidden = 8, epochs = 150, lr = 0.1))
+            .collect()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val line = f"head=$head%-9s ${sec}%6.1f s  val MAE H1=${v(rows, "MAE")}%.6f  " +
+            f"fitness=${v(rows, "MAE") - v(rows, "Naive MAE")}%+.6f  R2=${v(rows, "R2")}%.4f"
+          perHead += line
+          println(s"SCALE-BASELINE candidate eval 25200 rows/split 6 horizons: $line")
+          v(rows, "MAE")
+        })
+      perHead.foreach(l => println(s"SCALE-BASELINE-TABLE $l"))
+      println(f"SCALE-BASELINE champion=$champion val MAE H1=$champMae%.6f " +
+        "(reference: ~25 min/candidate, README champion fitness -1.22e-4)")
     }
     // Round-4 operators on the replicated tables: the range join's point
     // side and heavy hitters' key stream grow 10×/100× while the
