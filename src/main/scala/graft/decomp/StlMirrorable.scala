@@ -56,16 +56,70 @@ object StlMirrorable {
 
   private val Zero6 = JBD.ZERO.setScale(6)
 
-  /** Decimal → double via a 7 dp quantization: the scaled integer stays
-    * under 2^53, where DuckDB's int128/10^scale cast and Java's
-    * doubleValue are both correctly rounded — identical bits.
+  /** Weight table re-materialized as scale-12 unscaled longs, indexed
+    * `(dmax)(k)` — the hot loop sums fixed-point longs, not BigDecimals
+    * (the arithmetic is identical: a scale-12 decimal IS its unscaled
+    * long; the first bench cut was 8.7 s cold / 19.8 s warm at sf0.1
+    * from BigDecimal allocation churn alone).
     */
-  private def d7(x: JBD): Double = x.setScale(7, RoundingMode.HALF_UP).doubleValue
+  private lazy val weightLong: Array[Array[Long]] =
+    (0 to MaxSpan).map { dmax =>
+      if (dmax == 0) Array.empty[Long]
+      else (0 to dmax).map(k =>
+        weightTable((dmax, k)).unscaledValue().longValueExact()).toArray
+    }.toArray
+
+  /** Signed 128-bit accumulator for Σ w·y and Σ w·x·y — scale-18
+    * products of scale-12 weights and scale-6 values overflow a long.
+    */
+  private final class Acc128 {
+    private var hi = 0L
+    private var lo = 0L
+    def add(a: Long, b: Long): Unit = {
+      val pHi = Math.multiplyHigh(a, b)
+      val pLo = a * b
+      val nLo = lo + pLo
+      val carry = ((lo & pLo) | ((lo | pLo) & ~nLo)) >>> 63
+      hi += pHi + carry
+      lo = nLo
+    }
+    def toBigInteger: java.math.BigInteger = {
+      val loUnsigned = java.math.BigInteger.valueOf(lo >>> 1).shiftLeft(1)
+        .or(java.math.BigInteger.valueOf(lo & 1L))
+      java.math.BigInteger.valueOf(hi).shiftLeft(64).add(loUnsigned)
+    }
+  }
+
+  /** Half-away-from-zero integer division (BigDecimal HALF_UP): for
+    * a ≥ 0, (2a + d) / (2d) floored; sign-split for a < 0. `den` > 0.
+    */
+  private def halfAwayDivLong(num: Long, den: Long): Long =
+    if (num >= 0) (2 * num + den) / (2 * den)
+    else -((2 * -num + den) / (2 * den))
+
+  private val Two = java.math.BigInteger.TWO
+
+  private def halfAwayDivBig(num: java.math.BigInteger, den: java.math.BigInteger): Long = {
+    val d2 = den.multiply(Two)
+    (if (num.signum >= 0) num.multiply(Two).add(den).divide(d2)
+     else num.multiply(Two).negate.add(den).divide(d2).negate).longValueExact()
+  }
+
+  private val E5 = 100000L
+  private val E6 = 1000000L
+  private val E11 = java.math.BigInteger.valueOf(100000000000L)
+
+  /** scale-7 fixed-point long → double: the scaled integer is < 2^53,
+    * so long/1e7 is correctly rounded — bit-identical to both engines'
+    * decimal→double casts at scale 7.
+    */
+  private def s7ToDouble(v: Long): Double = v.toDouble / 1e7
 
   /** Spark `round(col, 6)` semantics (BigDecimal.valueOf = shortest
-    * double repr, HALF_UP) — the cross-engine-proven 6 dp contract.
+    * double repr, HALF_UP) → scale-6 unscaled long.
     */
-  private def r6(x: Double): JBD = JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP)
+  private def r6Long(x: Double): Long =
+    JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).unscaledValue().longValueExact()
 
   /** Reference trend-smoother span (Cleveland's default, odd-ified) —
     * same formula as [[Stl.decompose]].
@@ -75,12 +129,15 @@ object StlMirrorable {
     if (t0 % 2 == 0) t0 + 1 else t0
   }
 
-  /** Mirrorable local-linear LOESS: exact-decimal weighted sums,
-    * 7 dp-quantized double solve, 6 dp output.
+  /** Mirrorable local-linear LOESS over scale-6 fixed-point longs:
+    * exact weighted sums (longs for Σw/Σwx/Σwx², 128-bit for the
+    * value-carrying Σwy/Σwxy), 7 dp quantization, double-space solve,
+    * 6 dp output. Arithmetic is identical to the BigDecimal reading in
+    * the scaladoc above — a scale-s decimal IS its unscaled integer.
     */
-  private[decomp] def loessM(vals: Array[JBD], q: Int): Array[JBD] = {
+  private[decomp] def loessL(vals: Array[Long], q: Int): Array[Long] = {
     val n = vals.length
-    val out = new Array[JBD](n)
+    val out = new Array[Long](n)
     if (n == 0) return out
     val s = math.max(2, math.min(q, n))
     var i = 0
@@ -89,59 +146,66 @@ object StlMirrorable {
       val hi = math.min(n - 1, lo + s - 1)
       lo = math.max(0, hi - s + 1)
       val dmax = math.max(math.max(i - lo, hi - i), 1)
-      var sw = JBD.ZERO; var swx = JBD.ZERO; var swy = JBD.ZERO
-      var swxx = JBD.ZERO; var swxy = JBD.ZERO
+      val wt = weightLong(dmax)
+      var sw = 0L; var swx = 0L; var swxx = 0L
+      val accY = new Acc128; val accXY = new Acc128
       var j = lo
       while (j <= hi) {
-        val w = weightTable((dmax, math.abs(j - i)))
-        val x = JBD.valueOf((j - i).toLong)
-        sw = sw.add(w)
-        swx = swx.add(w.multiply(x))
-        swy = swy.add(w.multiply(vals(j)))
-        swxx = swxx.add(w.multiply(x.multiply(x)))
-        swxy = swxy.add(w.multiply(x).multiply(vals(j)))
+        val x = j - i
+        val w = wt(math.abs(x))
+        sw += w
+        swx += w * x
+        swxx += w * x * x
+        accY.add(w, vals(j))
+        accXY.add(w * x, vals(j))
         j += 1
       }
-      val sw7 = sw.setScale(7, RoundingMode.HALF_UP)
-      val swy7 = swy.setScale(7, RoundingMode.HALF_UP)
-      val swD = sw7.doubleValue; val swxD = d7(swx); val swyD = swy7.doubleValue
-      val swxxD = d7(swxx); val swxyD = d7(swxy)
+      val sw7 = halfAwayDivLong(sw, E5) // scale 12 → 7
+      val swx7 = halfAwayDivLong(swx, E5)
+      val swxx7 = halfAwayDivLong(swxx, E5)
+      val swy7 = halfAwayDivBig(accY.toBigInteger, E11) // scale 18 → 7
+      val swxy7 = halfAwayDivBig(accXY.toBigInteger, E11)
+      val swD = s7ToDouble(sw7); val swxD = s7ToDouble(swx7)
+      val swyD = s7ToDouble(swy7)
+      val swxxD = s7ToDouble(swxx7); val swxyD = s7ToDouble(swxy7)
       val denom = swD * swxxD - swxD * swxD
       // The degenerate branch divides two exact 7 dp decimals — the
       // quotient is often EXACTLY on a 6 dp rounding midpoint (e.g. a
       // single-point window yields swy/sw = y), where double-space
-      // ROUND diverges across engines. Divide in decimal space with
-      // HALF_UP instead (the oracle emulates this with exact integer
-      // arithmetic). The non-degenerate quotient is a full-precision
-      // double — midpoints are measure-zero there.
+      // ROUND diverges across engines. Divide in integer space with
+      // half-away rounding instead (the oracle emulates the same). The
+      // non-degenerate quotient is a full-precision double — midpoints
+      // are measure-zero there.
       out(i) =
-        if (math.abs(denom) < 1e-12) swy7.divide(sw7, 6, RoundingMode.HALF_UP)
+        if (math.abs(denom) < 1e-12)
+          halfAwayDivBig(
+            java.math.BigInteger.valueOf(swy7).multiply(java.math.BigInteger.valueOf(E6)),
+            java.math.BigInteger.valueOf(sw7))
         else {
           val slope = (swD * swxyD - swxD * swyD) / denom
-          r6((swyD - slope * swxD) / swD)
+          r6Long((swyD - slope * swxD) / swD)
         }
       i += 1
     }
     out
   }
 
-  /** Mirrorable centered moving average: exact decimal sum, double
-    * division by the clamped window count, 6 dp output.
+  /** Mirrorable centered moving average: exact long sum, half-away
+    * integer division by the clamped window count (a 6 dp sum over a
+    * count like 2 or 16 lands exactly on 6 dp midpoints, where
+    * double-space ROUND ties diverge across engines).
     */
-  private[decomp] def maM(vals: Array[JBD], p: Int): Array[JBD] = {
+  private[decomp] def maL(vals: Array[Long], p: Int): Array[Long] = {
     val n = vals.length
-    val out = new Array[JBD](n)
+    val out = new Array[Long](n)
     var i = 0
     while (i < n) {
       val lo = math.max(0, i - p / 2)
       val hi = math.min(n - 1, i + (p - 1) / 2)
-      var s = JBD.ZERO
+      var s = 0L
       var j = lo
-      while (j <= hi) { s = s.add(vals(j)); j += 1 }
-      // decimal-space division: a 6 dp sum over a clamped count (2, 16,
-      // 20, …) lands exactly on 6 dp midpoints whenever the count is
-      // 2^a·5^b — double-space ROUND ties diverge across engines there
-      out(i) = s.divide(JBD.valueOf((hi - lo + 1).toLong), 6, RoundingMode.HALF_UP)
+      while (j <= hi) { s += vals(j); j += 1 }
+      out(i) = halfAwayDivLong(s, (hi - lo + 1).toLong)
       i += 1
     }
     out
@@ -152,19 +216,31 @@ object StlMirrorable {
     * (n-1-ph)/period + 1 — the oracle derives the same grouping with
     * integer division).
     */
-  private[decomp] def cycleLoessM(vals: Array[JBD], period: Int, q: Int): Array[JBD] = {
+  private[decomp] def cycleLoessL(vals: Array[Long], period: Int, q: Int): Array[Long] = {
     val n = vals.length
-    val out = new Array[JBD](n)
+    val out = new Array[Long](n)
     var ph = 0
     while (ph < period) {
       val idx = Array.range(ph, n, period)
-      val s = loessM(idx.map(vals), q)
+      val s = loessL(idx.map(vals), q)
       var j = 0
       while (j < idx.length) { out(idx(j)) = s(j); j += 1 }
       ph += 1
     }
     out
   }
+
+  /** JBD face of [[loessL]], for specs and small callers. */
+  private[decomp] def loessM(vals: Array[JBD], q: Int): Array[JBD] =
+    loessL(vals.map(toL6), q).map(fromL6)
+
+  private def toL6(v: JBD): Long = {
+    val u = v.setScale(6, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    require(math.abs(u) <= 1000000000000L,
+      s"mirrorable STL expects |value| <= 1e6, got ${v}")
+    u
+  }
+  private def fromL6(u: Long): JBD = JBD.valueOf(u, 6)
 
   final case class DecompM(trend: Array[JBD], seasonal: Array[JBD], resid: Array[JBD])
 
@@ -176,24 +252,26 @@ object StlMirrorable {
       nInner: Int = 2): DecompM = {
     val n = y.length
     if (n < 2 * period || period < 2) {
-      return DecompM(y.clone(), Array.fill(n)(Zero6), Array.fill(n)(Zero6))
+      return DecompM(y.map(_.setScale(6, RoundingMode.HALF_UP)),
+        Array.fill(n)(Zero6), Array.fill(n)(Zero6))
     }
     val ts = trendSmoother(period, seasonalSmoother)
     require(ts <= MaxSpan, s"trend smoother $ts exceeds weight table span $MaxSpan")
-    var trend: Array[JBD] = Array.fill(n)(Zero6)
-    var seasonal: Array[JBD] = null
+    val yL = y.map(toL6)
+    var trend: Array[Long] = new Array[Long](n)
+    var seasonal: Array[Long] = null
     var it = 0
     while (it < nInner) {
-      val detr = Array.tabulate(n)(i => y(i).subtract(trend(i)))
-      val sub = cycleLoessM(detr, period, seasonalSmoother)
-      val low = loessM(maM(maM(maM(sub, period), period), 3), ts)
-      seasonal = Array.tabulate(n)(i => sub(i).subtract(low(i)))
-      val des = Array.tabulate(n)(i => y(i).subtract(seasonal(i)))
-      trend = loessM(des, ts)
+      val detr = Array.tabulate(n)(i => yL(i) - trend(i))
+      val sub = cycleLoessL(detr, period, seasonalSmoother)
+      val low = loessL(maL(maL(maL(sub, period), period), 3), ts)
+      seasonal = Array.tabulate(n)(i => sub(i) - low(i))
+      val des = Array.tabulate(n)(i => yL(i) - seasonal(i))
+      trend = loessL(des, ts)
       it += 1
     }
-    val resid = Array.tabulate(n)(i => y(i).subtract(trend(i)).subtract(seasonal(i)))
-    DecompM(trend, seasonal, resid)
+    val resid = Array.tabulate(n)(i => yL(i) - trend(i) - seasonal(i))
+    DecompM(trend.map(fromL6), seasonal.map(fromL6), resid.map(fromL6))
   }
 
   /** DataFrame form: per-key mirrorable STL ordered by `orderCols`
