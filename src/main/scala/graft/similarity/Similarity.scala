@@ -615,6 +615,54 @@ object Similarity {
     * join of two separate scans would shuffle the corpus on id for
     * nothing).
     */
+  /** Broadcast nearest-centroid assignment, shared by the build and
+    * append paths (the append path must reproduce build's assignment
+    * bit-for-bit or appended codes would land in different cells).
+    */
+  private def assignCellUdf(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    udf { v: Seq[Double] =>
+      val cs = bcCent.value
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        var dist = 0.0; var j = 0; val c = cs(i)
+        while (j < c.length) { val t = c(j) - v(j); dist += t * t; j += 1 }
+        if (dist < bd) { bd = dist; best = i }
+        i += 1
+      }
+      best
+    }
+  }
+
+  /** x − centroid(cell), for residual-mode encoding. */
+  private def residualUdf(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    udf { (v: Seq[Double], cell: Int) =>
+      val c = bcCent.value(cell)
+      Seq.tabulate(v.length)(j => v(j) - c(j))
+    }
+  }
+
+  /** One corpus scan → (id, cell, code) under FROZEN centroids and
+    * codebooks — the shared encode stage of build and append.
+    */
+  private def encodeWithIndexFits(rows: DataFrame, cId: String, cVec: String,
+      centroids: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      residual: Boolean): DataFrame = {
+    val spark = rows.sparkSession
+    val assign = assignCellUdf(spark, centroids)
+    if (!residual)
+      pqEncode(rows.withColumn("cell", assign(col(cVec))), cId, cVec, books,
+        keep = Seq("cell"))
+    else
+      pqEncode(
+        rows.withColumn("cell", assign(col(cVec)))
+          .withColumn("__resid", residualUdf(spark, centroids)(col(cVec), col("cell"))),
+        cId, "__resid", books, keep = Seq("cell"))
+  }
+
   def buildIvfPqIndex(corpus: DataFrame, cId: String, cVec: String,
       nCells: Int, m: Int, ksub: Int, maxIter: Int = 10,
       residual: Boolean = false): IvfPqIndex = {
@@ -634,44 +682,38 @@ object Similarity {
       }
       best
     }
-    val bcCent = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { v: Seq[Double] =>
-      val cs = bcCent.value
-      var best = 0; var bd = Double.MaxValue; var i = 0
-      while (i < cs.length) {
-        var dist = 0.0; var j = 0; val c = cs(i)
-        while (j < c.length) { val t = c(j) - v(j); dist += t * t; j += 1 }
-        if (dist < bd) { bd = dist; best = i }
-        i += 1
+    val books =
+      if (!residual) pqTrain(corpus, cId, cVec, m, ksub, maxIter)
+      else {
+        // residual mode (Jegou et al. SSVII): PQ encodes x - c(cell), which
+        // is much tighter than x itself once the coarse quantizer has
+        // absorbed the cluster structure - the books see only within-cell
+        // spread. Books fit on the SAMPLE's residuals (same bound).
+        pqTrainOn(sample.map { v =>
+          val c = centroids(nearest(v))
+          Array.tabulate(v.length)(j => v(j) - c(j))
+        }, m, ksub, maxIter)
       }
-      best
-    }
-    if (!residual) {
-      val books = pqTrain(corpus, cId, cVec, m, ksub, maxIter)
-      val coded = pqEncode(
-        corpus.withColumn("cell", assignUdf(col(cVec))), cId, cVec, books,
-        keep = Seq("cell"))
-      IvfPqIndex(coded, books, centroids, cId)
-    } else {
-      // residual mode (Jegou et al. SSVII): PQ encodes x - c(cell), which
-      // is much tighter than x itself once the coarse quantizer has
-      // absorbed the cluster structure - the books see only within-cell
-      // spread. Books fit on the SAMPLE's residuals (same bound).
-      val resSample = sample.map { v =>
-        val c = centroids(nearest(v))
-        Array.tabulate(v.length)(j => v(j) - c(j))
-      }
-      val books = pqTrainOn(resSample, m, ksub, maxIter)
-      val residUdf = udf { (v: Seq[Double], cell: Int) =>
-        val c = bcCent.value(cell)
-        Seq.tabulate(v.length)(j => v(j) - c(j))
-      }
-      val coded = pqEncode(
-        corpus.withColumn("cell", assignUdf(col(cVec)))
-          .withColumn("__resid", residUdf(col(cVec), col("cell"))),
-        cId, "__resid", books, keep = Seq("cell"))
-      IvfPqIndex(coded, books, centroids, cId, residual = true)
-    }
+    IvfPqIndex(encodeWithIndexFits(corpus, cId, cVec, centroids, books, residual),
+      books, centroids, cId, residual)
+  }
+
+  /** Append new vectors to a BUILT index without refitting: cells come
+    * from the frozen coarse centroids, codes from the frozen codebooks
+    * (residual mode handled identically), unioned with the existing
+    * code relation. This is the 100 TB serving-maintenance path — a
+    * daily increment pays one encode scan over the NEW rows only, while
+    * codebook refresh stays an explicit rebuild decision (the standard
+    * IVFADC practice: quantizers are trained offline and held fixed as
+    * the inverted lists grow). Search behavior over appended codes is
+    * identical to having encoded those rows in the original build —
+    * `SimilaritySpec` pins code-for-code equality.
+    */
+  def appendToIvfPqIndex(index: IvfPqIndex, newRows: DataFrame,
+      cVec: String): IvfPqIndex = {
+    val appended = encodeWithIndexFits(newRows, index.idCol, cVec,
+      index.centroids, index.codebooks, index.residual)
+    index.copy(codes = index.codes.unionByName(appended))
   }
 
   /** [[buildIvfPqIndex]] with every fit swapped for [[kmeansMirrorable]]

@@ -341,4 +341,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.length === 6 * 5)
     assert(out.forall { case (q, n) => q % 3 === n % 3 })
   }
+
+  test("appendToIvfPqIndex: appended codes equal a full re-encode under frozen fits") {
+    val rnd = new scala.util.Random(57)
+    val centers = Vector(Seq(20.0, 0.0, 5.0, -10.0), Seq(0.0, 20.0, -5.0, 10.0),
+      Seq(-20.0, -20.0, 0.0, 0.0))
+    val all = (0 until 120).map { i =>
+      (i.toLong, centers(i % 3).map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("vec_id", "v")
+    for (residual <- Seq(false, true)) {
+      val base = all.filter($"vec_id" < 90)
+      val increment = all.filter($"vec_id" >= 90)
+      val idx = Similarity.buildIvfPqIndex(base, "vec_id", "v",
+        nCells = 3, m = 2, ksub = 4, maxIter = 15, residual = residual)
+      val appended = Similarity.appendToIvfPqIndex(idx, increment, "v")
+      // the appended rows' (cell, code) must be exactly what encoding the
+      // full corpus under the SAME frozen fits produces — append is a
+      // pure encode, never a refit
+      def codeMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(r.fieldIndex("vec_id")) ->
+          (r.getInt(r.fieldIndex("cell")), r.getSeq[Int](r.fieldIndex("pq_code")).toSeq)).toMap
+      val fromAppend = codeMap(appended.codes)
+      assert(fromAppend.keySet === (0L until 120L).toSet)
+      assert(codeMap(idx.codes) === fromAppend.view.filterKeys(_ < 90).toMap)
+      // fits are untouched by construction of copy(); searches over the
+      // appended index retrieve the new vectors in-cluster (k must
+      // exceed the per-cluster population: quantization collapses tight
+      // clusters onto identical codes and the id tie-break favors old
+      // ids — the coarse-retrieval contract, same as the PQ recall test)
+      val queries = increment.limit(3).select($"vec_id".as("qid"), $"v".as("qv"))
+      val out = Similarity.searchIvfPq(appended, queries, "qid", "qv", nProbe = 1, k = 45)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.nonEmpty)
+      assert(out.forall { case (q, n) => q % 3 === n % 3 })
+      assert(out.exists { case (_, n) => n >= 90 },
+        "appended vectors never retrieved")
+    }
+  }
 }
