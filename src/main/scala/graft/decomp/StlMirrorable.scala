@@ -69,6 +69,38 @@ object StlMirrorable {
         weightTable((dmax, k)).unscaledValue().longValueExact()).toArray
     }.toArray
 
+  // The scale-12 weight split into two scale-6 halves (w = wh·10⁻⁶ +
+  // wl·10⁻¹², wh/wl < 10⁶): the allocation-free fast path accumulates
+  // Σ wh·y and Σ wl·y separately so every sum fits a signed long when
+  // |y| ≤ 10³ — recombined exactly by [[roundDiv18to7]].
+  private lazy val weightHi: Array[Array[Long]] =
+    weightLong.map(_.map(_ / 1000000L))
+  private lazy val weightLo: Array[Array[Long]] =
+    weightLong.map(_.map(_ % 1000000L))
+
+  /** |series value| bound (scale-6 unscaled) for the long-only fast
+    * path: 10³·10⁶. Worst-case sums: |Σ x·wh·y| ≤ 47·47·10⁶·10⁹ ≈
+    * 2.2e18 < 2⁶³.
+    */
+  private val FastMaxAbs = 1000000000L
+
+  /** Exact half-away rounding of (SH·10⁶ + SL) / 10¹¹ — the scale-18 →
+    * scale-7 quantization — in pure long arithmetic. SH/SL are the
+    * split-weight partial sums; the floorDiv decomposition keeps every
+    * intermediate in range and the remainder non-negative.
+    */
+  private def roundDiv18to7(sh: Long, sl: Long): Long = {
+    val D = 100000000000L // 10^11
+    val q1 = Math.floorDiv(sh, 100000L)
+    val r1 = Math.floorMod(sh, 100000L) * 1000000L // < 10^11
+    val u = r1 + sl
+    val q2 = Math.floorDiv(u, D)
+    val r2 = Math.floorMod(u, D)
+    val qf = q1 + q2
+    if (qf >= 0) { if (2 * r2 >= D) qf + 1 else qf }
+    else { if (2 * (D - r2) >= D) qf else qf + 1 }
+  }
+
   /** Signed 128-bit accumulator for Σ w·y and Σ w·x·y — scale-18
     * products of scale-12 weights and scale-6 values overflow a long.
     */
@@ -135,11 +167,24 @@ object StlMirrorable {
     * 6 dp output. Arithmetic is identical to the BigDecimal reading in
     * the scaladoc above — a scale-s decimal IS its unscaled integer.
     */
-  private[decomp] def loessL(vals: Array[Long], q: Int): Array[Long] = {
+  private[decomp] def loessL(vals: Array[Long], q: Int): Array[Long] =
+    loessL(vals, q, forceSlow = false)
+
+  private[decomp] def loessL(vals: Array[Long], q: Int, forceSlow: Boolean): Array[Long] = {
     val n = vals.length
     val out = new Array[Long](n)
     if (n == 0) return out
     val s = math.max(2, math.min(q, n))
+    // Fast path: every value within |y| ≤ 10³ → the weighted sums fit
+    // signed longs via the split-weight scheme, and the whole point
+    // loop is allocation-free (32 concurrent kernels thrashed GC on the
+    // BigInteger path: 71 s for 10M rows vs ~6 s of actual arithmetic).
+    // Values and sums are identical on both paths — exact integer
+    // arithmetic either way; the spec pins fast ≡ slow.
+    var maxAbs = 0L
+    var m0 = 0
+    while (m0 < n) { val a = math.abs(vals(m0)); if (a > maxAbs) maxAbs = a; m0 += 1 }
+    val fast = !forceSlow && maxAbs <= FastMaxAbs
     var i = 0
     while (i < n) {
       var lo = math.max(0, i - s / 2)
@@ -148,23 +193,46 @@ object StlMirrorable {
       val dmax = math.max(math.max(i - lo, hi - i), 1)
       val wt = weightLong(dmax)
       var sw = 0L; var swx = 0L; var swxx = 0L
-      val accY = new Acc128; val accXY = new Acc128
-      var j = lo
-      while (j <= hi) {
-        val x = j - i
-        val w = wt(math.abs(x))
-        sw += w
-        swx += w * x
-        swxx += w * x * x
-        accY.add(w, vals(j))
-        accXY.add(w * x, vals(j))
-        j += 1
+      var swy7 = 0L; var swxy7 = 0L
+      if (fast) {
+        val wh = weightHi(dmax); val wl = weightLo(dmax)
+        var shy = 0L; var sly = 0L; var shxy = 0L; var slxy = 0L
+        var j = lo
+        while (j <= hi) {
+          val x = j - i
+          val k = math.abs(x)
+          val w = wt(k)
+          val yv = vals(j)
+          sw += w
+          swx += w * x
+          swxx += w * x * x
+          val h = wh(k) * yv
+          val l = wl(k) * yv
+          shy += h; sly += l
+          shxy += x * h; slxy += x * l
+          j += 1
+        }
+        swy7 = roundDiv18to7(shy, sly)
+        swxy7 = roundDiv18to7(shxy, slxy)
+      } else {
+        val accY = new Acc128; val accXY = new Acc128
+        var j = lo
+        while (j <= hi) {
+          val x = j - i
+          val w = wt(math.abs(x))
+          sw += w
+          swx += w * x
+          swxx += w * x * x
+          accY.add(w, vals(j))
+          accXY.add(w * x, vals(j))
+          j += 1
+        }
+        swy7 = halfAwayDivBig(accY.toBigInteger, E11) // scale 18 → 7
+        swxy7 = halfAwayDivBig(accXY.toBigInteger, E11)
       }
       val sw7 = halfAwayDivLong(sw, E5) // scale 12 → 7
       val swx7 = halfAwayDivLong(swx, E5)
       val swxx7 = halfAwayDivLong(swxx, E5)
-      val swy7 = halfAwayDivBig(accY.toBigInteger, E11) // scale 18 → 7
-      val swxy7 = halfAwayDivBig(accXY.toBigInteger, E11)
       val swD = s7ToDouble(sw7); val swxD = s7ToDouble(swx7)
       val swyD = s7ToDouble(swy7)
       val swxxD = s7ToDouble(swxx7); val swxyD = s7ToDouble(swxy7)
@@ -177,11 +245,12 @@ object StlMirrorable {
       // non-degenerate quotient is a full-precision double — midpoints
       // are measure-zero there.
       out(i) =
-        if (math.abs(denom) < 1e-12)
-          halfAwayDivBig(
+        if (math.abs(denom) < 1e-12) {
+          if (fast) halfAwayDivLong(swy7 * E6, sw7) // |swy7·10⁶| ≤ 4.7e17
+          else halfAwayDivBig(
             java.math.BigInteger.valueOf(swy7).multiply(java.math.BigInteger.valueOf(E6)),
             java.math.BigInteger.valueOf(sw7))
-        else {
+        } else {
           val slope = (swD * swxyD - swxD * swyD) / denom
           r6Long((swyD - slope * swxD) / swD)
         }

@@ -87,6 +87,27 @@ class StlMirrorableSpec extends AnyFunSuite {
     assert(StlMirrorable.loessM(c, 47).forall(_.compareTo(dec6(42.125)) == 0))
   }
 
+  test("loessL fast path equals the 128-bit slow path term-for-term") {
+    val rnd = new scala.util.Random(91)
+    // values spanning the full fast-path range incl. negatives and
+    // exact rounding-tie magnitudes
+    for (span <- Seq(2, 7, 47); trial <- 1 to 5) {
+      val vals = Array.fill(120)((rnd.nextDouble() * 2 - 1) * 999.0)
+        .map(v => dec6(v))
+      val l = vals.map(_.unscaledValue().longValueExact())
+      val fastOut = StlMirrorable.loessL(l, span)
+      val slowOut = StlMirrorable.loessL(l, span, forceSlow = true)
+      assert(fastOut.toSeq == slowOut.toSeq, s"span=$span trial=$trial diverged")
+    }
+    // beyond the fast bound the slow path engages and still agrees with
+    // itself (sanity that the dispatch threshold is what changes, not
+    // the answer shape)
+    val big = Array.fill(60)(dec6(123456.789012))
+      .map(_.unscaledValue().longValueExact())
+    assert(StlMirrorable.loessL(big, 47).toSeq ==
+      StlMirrorable.loessL(big, 47, forceSlow = true).toSeq)
+  }
+
   test("oracle SQL generator emits the pinned weight constants") {
     val sql = graft.oracle.StlOracle.q44Sql(24, 7, 2)
     assert(sql.contains("(1,0,'1.000000000000')"))
