@@ -104,9 +104,10 @@ object Forecaster {
     */
   def fitPerHorizonDeepMlp(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
       layers: Seq[Int], epochs: Int = 300, lr: Double = 0.1,
-      seed: Long = 42L): Map[Int, HorizonModel] =
+      seed: Long = 42L, dropout: Double = 0.0): Map[Int, HorizonModel] =
     fitPerHorizonWith(train, featureCols, horizons) { (df, label) =>
-      MlpRegressor.fitLayers(df, label, layers, epochs = epochs, lr = lr, seed = seed)
+      MlpRegressor.fitLayers(df, label, layers, epochs = epochs, lr = lr, seed = seed,
+        dropout = dropout)
     }
 
   /** M8 temporal-conv head: one dilated causal Conv1D net per horizon

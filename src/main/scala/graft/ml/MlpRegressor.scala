@@ -104,12 +104,27 @@ object MlpRegressor {
     * frame (featuresCol: MLlib Vector, labelCol numeric) — the
     * `fitPerHorizonWith` callback contract. `layers = Seq(16, 8)` is the
     * reference's 2-layer dense-branch shape.
+    *
+    * `dropout` > 0 enables TRAIN-TIME hidden-unit dropout (the
+    * reference's dense-branch `Dropout` layers,
+    * `predictor_plugin_ann_best.py`): one inverted-dropout mask per
+    * EPOCH per hidden unit, resampled deterministically from the
+    * McDropout counter hash — the variational full-batch analogue of
+    * Keras's per-minibatch masks (a full-batch step IS one batch, so
+    * epoch-resampled masks are the per-batch draw; shared-across-rows
+    * masks keep the gradient exactly aggregable and the fit
+    * partition-independent). Inference stays unmasked (standard
+    * inverted-dropout semantics); `dropout = 0` takes the original
+    * mask-free code path bit-for-bit.
     */
   def fitLayers(df: DataFrame, labelCol: String, layers: Seq[Int],
       epochs: Int = 300, lr: Double = 0.1, momentum: Double = 0.9,
-      seed: Long = 42L, featuresCol: String = "features"): MlpRegressionModel = {
+      seed: Long = 42L, featuresCol: String = "features",
+      dropout: Double = 0.0): MlpRegressionModel = {
     require(layers.nonEmpty && layers.forall(_ > 0),
       s"MlpRegressor.fitLayers: need at least one positive hidden width, got $layers")
+    require(dropout >= 0.0 && dropout < 1.0,
+      s"MlpRegressor.fitLayers: dropout must be in [0, 1), got $dropout")
     val sc = df.sparkSession.sparkContext
     val data = df.select(col(featuresCol), col(labelCol).cast("double"))
       .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
@@ -169,12 +184,23 @@ object MlpRegressor {
       }
       val velocity = new Array[Double](nW)
 
+      val kScale = if (dropout > 0.0) 1.0 / (1.0 - dropout) else 1.0
       var epoch = 0
       while (epoch < epochs) {
-        val bc = sc.broadcast(weights.clone())
+        // one inverted-dropout mask per hidden unit per EPOCH, from the
+        // deterministic counter hash (pass = -1 separates the training
+        // stream from inference MC-dropout draws). null when off — the
+        // dropout = 0 path stays the original code bit-for-bit.
+        val masks: Array[Array[Double]] =
+          if (dropout == 0.0) null
+          else Array.tabulate(nLayers - 1)(l => Array.tabulate(sizes(l + 1))(h =>
+            if (McDropout.uniform(seed, epoch.toLong, -1, l, h) < dropout) 0.0
+            else kScale))
+        val bc = sc.broadcast((weights.clone(), masks))
         val grad = data.treeAggregate(new Array[Double](nW))(
           seqOp = { case (g, (x, y)) =>
-            val w = bc.value
+            val w = bc.value._1
+            val mk = bc.value._2
             val ys = (y - yMean) / yStd
             // forward, keeping every activation for backprop. acts(0) is
             // the standardized input; acts(l+1) the tanh output of layer
@@ -194,7 +220,10 @@ object MlpRegressor {
                 var z = w(bOff(l) + h)
                 var k = 0
                 while (k < in) { z += w(wOff(l) + h * in + k) * prev(k); k += 1 }
-                cur(h) = if (l < nLayers - 1) math.tanh(z) else z
+                cur(h) =
+                  if (l >= nLayers - 1) z
+                  else if (mk == null) math.tanh(z)
+                  else math.tanh(z) * mk(l)(h) // 0 or 1/(1−rate): inverted dropout
                 h += 1
               }
               acts(l + 1) = cur
@@ -223,8 +252,16 @@ object MlpRegressor {
                   var s = 0.0
                   var h2 = 0
                   while (h2 < out) { s += w(wOff(l) + h2 * in + k) * delta(h2); h2 += 1 }
-                  val a = prev(k)
-                  nd(k) = s * (1.0 - a * a) // prev is a tanh output for l>0
+                  val a = prev(k) // masked tanh when dropout is on
+                  nd(k) =
+                    if (mk == null) s * (1.0 - a * a) // prev is a tanh output for l>0
+                    else {
+                      val mv = mk(l - 1)(k)
+                      // d(m·tanh z)/dz = m·(1−tanh²z); dropped units (m=0)
+                      // pass no gradient
+                      if (mv == 0.0) 0.0
+                      else { val t = a / mv; s * mv * (1.0 - t * t) }
+                    }
                   k += 1
                 }
                 delta = nd

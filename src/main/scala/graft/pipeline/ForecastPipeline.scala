@@ -96,10 +96,12 @@ object ForecastPipeline {
 
   /** MLP-head hyperparameters — the NEAT-searchable genome surface. */
   /** `depth` stacked hidden layers of width `hidden` — the reference's
-    * dense heads are 2-3 stacked layers (`predictor_plugin_ann_best.py:222-226`).
+    * dense heads are 2-3 stacked layers (`predictor_plugin_ann_best.py:222-226`);
+    * `dropout` enables the dense-branch train-time Dropout (epoch-
+    * resampled deterministic masks, see `MlpRegressor.fitLayers`).
     */
   case class MlpConf(hidden: Int = 8, epochs: Int = 300, lr: Double = 0.1,
-      seed: Long = 42L, depth: Int = 1)
+      seed: Long = 42L, depth: Int = 1, dropout: Double = 0.0)
 
   /** MODEL-based slice (M8 end-to-end): lag features → per-horizon heads
     * fit on the `train` split — `head` = "linear" (normal-equation),
@@ -138,7 +140,7 @@ object ForecastPipeline {
           case "gbt" => Forecaster.fitPerHorizonGbt(train, featureCols, config.horizons)
           case "mlp" => Forecaster.fitPerHorizonDeepMlp(train, featureCols, config.horizons,
             layers = Seq.fill(mlpConf.depth)(mlpConf.hidden), epochs = mlpConf.epochs,
-            lr = mlpConf.lr, seed = mlpConf.seed)
+            lr = mlpConf.lr, seed = mlpConf.seed, dropout = mlpConf.dropout)
           case "tcn" => Forecaster.fitPerHorizonTcn(train, featureCols, config.horizons,
             graft.ml.TcnRegressor.TcnConfig(epochs = mlpConf.epochs, lr = mlpConf.lr,
               seed = mlpConf.seed))

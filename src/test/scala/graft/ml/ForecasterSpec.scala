@@ -218,4 +218,33 @@ class ForecasterSpec extends AnyFunSuite {
       assert(result.bestParams.nonEmpty && result.evaluations >= 6)
     } finally full.unpersist()
   }
+
+  test("train-time dropout: deterministic, regularizes, rate 0 is the original fit") {
+    val df = Targets.multiHorizon(sineMapSeries(300), "v", Seq(1), w)
+    val feat = Forecaster.withLagFeatures(df, "v", 2, Seq("sid"), Seq("t"))
+    val cols = Seq("v", "lag_1", "lag_2")
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(cols.toArray).setOutputCol("features")
+      .transform(feat.na.drop(cols :+ "target_h1"))
+      .select($"features", $"target_h1".as("y")).cache()
+    try {
+      def weightsOf(m: MlpRegressor.MlpRegressionModel) = m.weights.flatten.toSeq
+      val plain = MlpRegressor.fitLayers(assembled, "y", Seq(6), epochs = 120, lr = 0.2)
+      val plain0 = MlpRegressor.fitLayers(assembled, "y", Seq(6), epochs = 120, lr = 0.2,
+        dropout = 0.0)
+      // rate 0 takes the mask-free path: bitwise-identical weights
+      assert(weightsOf(plain) == weightsOf(plain0))
+      val dropped = MlpRegressor.fitLayers(assembled, "y", Seq(6), epochs = 120, lr = 0.2,
+        dropout = 0.25)
+      val dropped2 = MlpRegressor.fitLayers(assembled, "y", Seq(6), epochs = 120, lr = 0.2,
+        dropout = 0.25)
+      // epoch-resampled masks are deterministic: same fit twice
+      assert(weightsOf(dropped) == weightsOf(dropped2))
+      // and they actually perturb training
+      assert(weightsOf(dropped) != weightsOf(plain))
+      // the fitted net still predicts finite values in the data range
+      val p = dropped.predict(org.apache.spark.ml.linalg.Vectors.dense(0.5, 0.45, 0.4))
+      assert(java.lang.Double.isFinite(p) && math.abs(p) < 10.0, s"pred=$p")
+    } finally { assembled.unpersist(); () }
+  }
 }
