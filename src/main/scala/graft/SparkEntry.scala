@@ -1651,6 +1651,45 @@ object SparkEntry {
       |    AS dup_ngram_frac
       |FROM c GROUP BY doc_id""".stripMargin
 
+  /** Cross-document exact-substring dedup (`Dedup.substringDedup`, the
+    * Lee et al. 2021 ExactSubstr pass, word-level, l = 5): duplicated
+    * 5-word runs are marked corpus-wide via positional gram digests,
+    * merged into maximal spans, and excised. The oracle re-derives the
+    * identical span set with DuckDB's parallel unnest + the same
+    * gaps-and-islands merge — pure integer/string arithmetic, so the
+    * whole operator (including the rebuilt `clean_text`) is hash-exact.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(t(s, dir, "documents"), "text", "doc_id", 5)
+
+  private val q95Sql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id,
+      |    unnest(range(0, len(t) - 4)) AS p,
+      |    unnest(list_transform(range(0, len(t) - 4),
+      |           i -> md5(array_to_string(t[i+1:i+5], ' ')))) AS g
+      |  FROM tok WHERE len(t) >= 5),
+      |c AS (SELECT g, COUNT(*) AS c FROM g GROUP BY 1),
+      |dp AS (SELECT doc_id, p FROM g JOIN c USING (g) WHERE c.c > 1),
+      |cov AS (SELECT DISTINCT doc_id, cp FROM
+      |          (SELECT doc_id, unnest(range(p, p + 5)) AS cp FROM dp)),
+      |isl AS (SELECT doc_id, cp,
+      |    cp - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
+      |  FROM cov),
+      |sp AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS dup_span_words,
+      |              CAST(COUNT(DISTINCT grp) AS INT) AS n_spans
+      |       FROM isl GROUP BY doc_id),
+      |w AS (SELECT doc_id, unnest(t) AS word,
+      |             unnest(range(0, len(t))) AS pos FROM tok),
+      |cl AS (SELECT w.doc_id, string_agg(w.word, ' ' ORDER BY w.pos) AS clean_text
+      |       FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.cp
+      |       WHERE cov.cp IS NULL GROUP BY w.doc_id)
+      |SELECT tok.doc_id, CAST(len(tok.t) AS INT) AS n_words,
+      |  COALESCE(sp.dup_span_words, 0) AS dup_span_words,
+      |  COALESCE(sp.n_spans, 0) AS n_spans,
+      |  COALESCE(cl.clean_text, '') AS clean_text
+      |FROM tok LEFT JOIN sp USING (doc_id) LEFT JOIN cl USING (doc_id)""".stripMargin
+
   /** DSIR importance scores (`TextAnalysis.dsirScores`): hashed-bigram
     * bucket log-ratios of the English subcorpus (target) vs the whole
     * corpus (raw), summed per document with the exact-DECIMAL contract —
@@ -2418,7 +2457,8 @@ object SparkEntry {
     "q90_dsir_scores" -> (q90 _),
     "q92_ivfpq_residual" -> (q92 _),
     "q93_normalized_dedup" -> (q93 _),
-    "q94_dup_ngrams" -> (q94 _)
+    "q94_dup_ngrams" -> (q94 _),
+    "q95_substring_dedup" -> (q95 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2500,6 +2540,7 @@ object SparkEntry {
     "q66_image_features" -> q66Sql,
     "q93_normalized_dedup" -> q93Sql,
     "q94_dup_ngrams" -> q94Sql,
+    "q95_substring_dedup" -> q95Sql,
     "q56_dedup_clusters" -> q56Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact

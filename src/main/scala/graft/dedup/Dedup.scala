@@ -582,4 +582,74 @@ object Dedup {
   /** Renamed-column view used by [[semanticDedup]]'s component step. */
   private def blockPairs(pairs: DataFrame, blockCol: String): DataFrame =
     pairs.select(col(blockCol), col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+
+  /** Cross-document exact-substring dedup (the ExactSubstr pass of Lee
+    * et al. 2021, arXiv:2107.06499, word-level): any run of `l`
+    * consecutive words whose exact sequence occurs more than once in the
+    * corpus — in another document or at a second offset of the same
+    * one — is marked, overlapping marks merge into maximal spans, and
+    * the spans are excised from the text. Complements the doc-level
+    * family ([[exactDedup]]/[[nearDedup]]): those drop whole documents,
+    * this removes the boilerplate *inside* otherwise-unique ones.
+    *
+    * The paper builds one corpus-wide suffix array — inherently
+    * single-machine. The shuffle-native re-expression is positional
+    * l-gram fingerprints: a position is inside a duplicated substring of
+    * length ≥ l iff some l-gram covering it occurs ≥ 2× corpus-wide, so
+    * marking duplicated l-gram offsets and merging overlaps reproduces
+    * the suffix-array span set exactly.
+    *
+    * Plan shape (100 TB): posexplode to (doc, offset, gram-digest); a
+    * count on the 16-byte digest (map-side partial agg ⇒ the shuffle
+    * carries distinct-gram width, not corpus width); an equi-join back
+    * on the digest keeping only duplicated offsets; per-doc windows for
+    * island-merging (docs are bounded — partitions are not); a position
+    * anti-join to rebuild cleaned text. No driver state, no all-pairs
+    * step, nothing proportional to corpus² anywhere.
+    *
+    * Docs shorter than `l` words contain no l-gram and are never marked
+    * (the paper's minimum-match-length contract).
+    *
+    * Returns one row per input doc: `n_words`, `dup_span_words` (words
+    * covered by ≥ 1 duplicated l-gram), `n_spans` (maximal merged
+    * spans), `clean_text` ('' when fully covered).
+    */
+  def substringDedup(df: DataFrame, textCol: String, idCol: String,
+      l: Int): DataFrame = {
+    require(l >= 2, s"substring match length must be >= 2 words, got $l")
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+    val tok = toks.select(col(idCol),
+      posexplode(col("__t")).as(Seq("__pos", "__w")))
+    val grams = toks
+      .filter(size(col("__t")) >= l)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("__t")) - l),
+          i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(l))))))
+          .as(Seq("__p", "__g")))
+    val dupG = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+    val dupPos = grams.join(dupG, "__g").select(col(idCol), col("__p"))
+    val cov = dupPos
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + (l - 1))).as("__cp"))
+      .distinct()
+    val wIsl = Window.partitionBy(col(idCol)).orderBy(col("__cp"))
+    val spans = cov
+      .withColumn("__grp", col("__cp") - row_number().over(wIsl))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("dup_span_words"),
+        countDistinct(col("__grp")).cast("int").as("n_spans"))
+    val clean = tok
+      .join(cov, tok(idCol) === cov(idCol) && col("__pos") === col("__cp"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          x => x.getField("__w")), " ").as("clean_text"))
+    df.select(col(idCol), size(TextAnalysis.tokens(col(textCol))).as("n_words"))
+      .join(spans, Seq(idCol), "left")
+      .join(clean, Seq(idCol), "left")
+      .na.fill(0, Seq("dup_span_words", "n_spans"))
+      .na.fill("", Seq("clean_text"))
+  }
 }

@@ -191,4 +191,38 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(fast == star)
   }
+
+  test("substringDedup excises cross-doc duplicated runs, merges overlaps") {
+    val corpus = Seq(
+      (0L, "a b c d e f x y z"),              // shared 6-word run at 0..5
+      (1L, "p q a b c d e f r"),              // same run at 2..7
+      (2L, "m m m m m m m m"),                // intra-doc repeat: fully covered
+      (3L, "totally unique words here nothing repeats at all"),
+      (4L, "a b c d e f j k u v w zz yy a b c d e f"), // run twice: 2 spans
+      (5L, "s1 s2 s3"), (6L, "s1 s2 s3")      // exact dups but < l words
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(corpus, "text", "doc_id", 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_words"), r.getAs[Int]("dup_span_words"),
+          r.getAs[Int]("n_spans"), r.getAs[String]("clean_text")))).toMap
+    assert(out(0L) == ((9, 6, 1, "x y z")))
+    assert(out(1L) == ((9, 6, 1, "p q r")))
+    assert(out(2L) == ((8, 8, 1, "")))        // overlapping marks merge to one span
+    assert(out(3L) == ((8, 0, 0, "totally unique words here nothing repeats at all")))
+    assert(out(4L) == ((19, 12, 2, "j k u v w zz yy")))
+    assert(out(5L) == ((3, 0, 0, "s1 s2 s3"))) // below min match length: untouched
+    assert(out(6L) == ((3, 0, 0, "s1 s2 s3")))
+  }
+
+  test("substringDedup: a corpus with no duplicated l-gram is untouched") {
+    val corpus = Seq(
+      (0L, "w0 w1 w2 w3 w4 w5 w6"),
+      (1L, "v0 v1 v2 v3 v4 v5 v6")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(corpus, "text", "doc_id", 5)
+      .orderBy("doc_id").collect()
+    assert(out.forall(r => r.getAs[Int]("dup_span_words") == 0 &&
+      r.getAs[Int]("n_spans") == 0))
+    assert(out(0).getAs[String]("clean_text") == "w0 w1 w2 w3 w4 w5 w6")
+  }
 }
