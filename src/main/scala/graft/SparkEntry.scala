@@ -1659,20 +1659,24 @@ object SparkEntry {
     * gaps-and-islands merge — pure integer/string arithmetic, so the
     * whole operator (including the rebuilt `clean_text`) is hash-exact.
     */
+  /** q95's match length — interpolated into [[q95Sql]] so the Spark call
+    * and the oracle can never silently disagree on `l`. */
+  private val Q95L = 5
+
   private def q95(s: SparkSession, dir: String): DataFrame =
-    Dedup.substringDedup(t(s, dir, "documents"), "text", "doc_id", 5)
+    Dedup.substringDedup(t(s, dir, "documents"), "text", "doc_id", Q95L)
 
   private val q95Sql =
-    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |g AS (SELECT doc_id,
-      |    unnest(range(0, len(t) - 4)) AS p,
-      |    unnest(list_transform(range(0, len(t) - 4),
-      |           i -> md5(array_to_string(t[i+1:i+5], ' ')))) AS g
-      |  FROM tok WHERE len(t) >= 5),
+      |    unnest(range(0, len(t) - ${Q95L - 1})) AS p,
+      |    unnest(list_transform(range(0, len(t) - ${Q95L - 1}),
+      |           i -> md5(array_to_string(t[i+1:i+$Q95L], ' ')))) AS g
+      |  FROM tok WHERE len(t) >= $Q95L),
       |c AS (SELECT g, COUNT(*) AS c FROM g GROUP BY 1),
       |dp AS (SELECT doc_id, p FROM g JOIN c USING (g) WHERE c.c > 1),
       |cov AS (SELECT DISTINCT doc_id, cp FROM
-      |          (SELECT doc_id, unnest(range(p, p + 5)) AS cp FROM dp)),
+      |          (SELECT doc_id, unnest(range(p, p + $Q95L)) AS cp FROM dp)),
       |isl AS (SELECT doc_id, cp,
       |    cp - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
       |  FROM cov),

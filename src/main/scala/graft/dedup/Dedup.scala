@@ -600,12 +600,15 @@ object Dedup {
     * the suffix-array span set exactly.
     *
     * Plan shape (100 TB): posexplode to (doc, offset, gram-digest); a
-    * count on the 16-byte digest (map-side partial agg ⇒ the shuffle
+    * count on the 16-byte digest (map-side partial agg ⇒ that shuffle
     * carries distinct-gram width, not corpus width); an equi-join back
     * on the digest keeping only duplicated offsets; per-doc windows for
-    * island-merging (docs are bounded — partitions are not); a position
-    * anti-join to rebuild cleaned text. No driver state, no all-pairs
-    * step, nothing proportional to corpus² anywhere.
+    * island-merging (docs are bounded — partitions are not); clean text
+    * is rebuilt by splicing the gaps between merged spans out of the
+    * doc's own token array (`zip_with`/`slice`/`flatten`, one row per
+    * doc) — duplicated-position rows are the only post-count shuffle;
+    * the corpus text itself never travels as per-word rows. No driver
+    * state, no all-pairs step, nothing proportional to corpus² anywhere.
     *
     * Docs shorter than `l` words contain no l-gram and are never marked
     * (the paper's minimum-match-length contract).
@@ -618,8 +621,6 @@ object Dedup {
       l: Int): DataFrame = {
     require(l >= 2, s"substring match length must be >= 2 words, got $l")
     val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
-    val tok = toks.select(col(idCol),
-      posexplode(col("__t")).as(Seq("__pos", "__w")))
     val grams = toks
       .filter(size(col("__t")) >= l)
       .select(col(idCol),
@@ -634,22 +635,35 @@ object Dedup {
         explode(sequence(col("__p"), col("__p") + (l - 1))).as("__cp"))
       .distinct()
     val wIsl = Window.partitionBy(col(idCol)).orderBy(col("__cp"))
+    // merged maximal spans, one sorted (start, end) array per doc —
+    // renamed id (`__sid`) so the toks join below is an unambiguous
+    // equi-join despite the shared lineage
     val spans = cov
       .withColumn("__grp", col("__cp") - row_number().over(wIsl))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__cp")).as("__s"), max(col("__cp")).as("__e"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("int").as("dup_span_words"),
-        countDistinct(col("__grp")).cast("int").as("n_spans"))
-    val clean = tok
-      .join(cov, tok(idCol) === cov(idCol) && col("__pos") === col("__cp"),
-        "left_anti")
-      .groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
-          x => x.getField("__w")), " ").as("clean_text"))
-    df.select(col(idCol), size(TextAnalysis.tokens(col(textCol))).as("n_words"))
-      .join(spans, Seq(idCol), "left")
-      .join(clean, Seq(idCol), "left")
-      .na.fill(0, Seq("dup_span_words", "n_spans"))
-      .na.fill("", Seq("clean_text"))
+      .agg(sum(col("__e") - col("__s") + 1).cast("int").as("dup_span_words"),
+        count(lit(1)).cast("int").as("n_spans"),
+        array_sort(collect_list(struct(col("__s"), col("__e")))).as("__spans"))
+      .withColumnRenamed(idCol, "__sid")
+    // gap k lies between span k-1's end (sentinel -1 before the first)
+    // and span k's start (sentinel n after the last): splice those
+    // slices of the doc's own token array — O(words + spans) per doc,
+    // no per-word rows
+    val n = size(col("__t"))
+    val prevEnds = concat(array(lit(-1)),
+      transform(col("__spans"), x => x.getField("__e")))
+    val nextStarts = concat(transform(col("__spans"), x => x.getField("__s")),
+      array(n))
+    val cleanToks = flatten(zip_with(prevEnds, nextStarts,
+      (e, s) => slice(col("__t"), e + lit(2), s - e - lit(1))))
+    toks
+      .join(spans, col(idCol) === col("__sid"), "left")
+      .select(col(idCol), n.cast("int").as("n_words"),
+        coalesce(col("dup_span_words"), lit(0)).as("dup_span_words"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(when(col("__spans").isNull, array_join(col("__t"), " "))
+          .otherwise(array_join(cleanToks, " ")), lit("")).as("clean_text"))
   }
 }

@@ -18,9 +18,17 @@ object Sources {
     * Spark 4 rejects parquet TIMESTAMP(NANOS) (`events.ts`); we read nanos
     * as long (legacy conf) and rebuild a microsecond timestamp with exact
     * integer division — values in the testdata are µs-aligned.
+    *
+    * The testdata timestamps are NAIVE (isAdjustedToUTC=false), which
+    * Spark 4 would infer as TIMESTAMP_NTZ — a type rejected by the
+    * instant-arithmetic functions (`unix_micros` & co) every time-based
+    * query uses for session-tz robustness. Disabling NTZ inference reads
+    * the raw micros as TIMESTAMP (UTC instants), which is exactly the
+    * naive wall-clock DuckDB sees, so the oracle compare stays bitwise.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

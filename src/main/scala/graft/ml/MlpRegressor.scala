@@ -276,9 +276,23 @@ object MlpRegressor {
             a
           })
         bc.destroy()
+        // Per-epoch mask resampling makes the full-batch gradient noisy;
+        // with momentum the noise can resonate into divergence. Clip the
+        // mean gradient's global L2 norm (a standard stabilizer) — but
+        // ONLY on the dropout path, so dropout = 0 keeps the documented
+        // bit-for-bit original update.
+        val gScale =
+          if (dropout == 0.0) 1.0 / n
+          else {
+            var ss = 0.0
+            var k0 = 0
+            while (k0 < nW) { val gm = grad(k0) / n; ss += gm * gm; k0 += 1 }
+            val norm = math.sqrt(ss)
+            if (norm > 1.0) 1.0 / (n * norm) else 1.0 / n
+          }
         var k = 0
         while (k < nW) {
-          velocity(k) = momentum * velocity(k) - lr * grad(k) / n
+          velocity(k) = momentum * velocity(k) - lr * grad(k) * gScale
           weights(k) += velocity(k)
           k += 1
         }
