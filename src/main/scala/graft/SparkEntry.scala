@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.backtest.Backtest
-import graft.decomp.StlMirrorable
+import graft.decomp.{StlMirrorable, Wavelet}
 import graft.dedup.Dedup
 import graft.feature.Windows
 import graft.functions.GraftFunctions
@@ -1694,6 +1694,44 @@ object SparkEntry {
       |  COALESCE(cl.clean_text, '') AS clean_text
       |FROM tok LEFT JOIN sp USING (doc_id) LEFT JOIN cl USING (doc_id)""".stripMargin
 
+  /** D5 wavelets (`Wavelet.haarDwt`): full-depth orthonormal Haar DWT of
+    * each user's first 32 values — every pyramid op is a fixed-order
+    * IEEE pair sum ÷ √2, so DuckDB replays the 5 levels bit-for-bit
+    * from the same list (the q45 exact-DFT pattern, one CTE per level).
+    */
+  private val Q96N = 32
+
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    Wavelet.haarDwt(t(s, dir, "events"), "value",
+      Seq("user_id"), Seq("ts", "event_id"), Q96N)
+
+  private val q96Sql: String = {
+    val levels = Integer.numberOfTrailingZeros(Q96N)
+    val lvl = (1 to levels).map { l =>
+      val m = Q96N >> l
+      val src = if (l == 1) "x0" else s"l${l - 1}"
+      s"""l$l AS (SELECT user_id,
+         |    list_transform(range(0, $m), j -> (a[2*j+1] + a[2*j+2]) / sqrt(2.0)) AS a,
+         |    list_transform(range(0, $m), j -> (a[2*j+1] - a[2*j+2]) / sqrt(2.0)) AS d
+         |  FROM $src)""".stripMargin
+    }.mkString(",\n")
+    val bandSelects = (1 to levels).map { l =>
+      s"""SELECT user_id, 'd$l' AS band,
+         |    CAST(unnest(range(0, len(d))) AS INT) AS idx,
+         |    unnest(list_transform(d, c -> ROUND(c, 6) + 0.0)) AS coef FROM l$l""".stripMargin
+    } :+
+      s"""SELECT user_id, 'a$levels' AS band,
+         |    CAST(unnest(range(0, len(a))) AS INT) AS idx,
+         |    unnest(list_transform(a, c -> ROUND(c, 6) + 0.0)) AS coef FROM l$levels""".stripMargin
+    s"""WITH r AS (SELECT user_id, value,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |x0 AS (SELECT user_id, list(value ORDER BY rn) AS a FROM r WHERE rn <= $Q96N
+       |       GROUP BY user_id HAVING COUNT(*) = $Q96N),
+       |$lvl
+       |${bandSelects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** DSIR importance scores (`TextAnalysis.dsirScores`): hashed-bigram
     * bucket log-ratios of the English subcorpus (target) vs the whole
     * corpus (raw), summed per document with the exact-DECIMAL contract —
@@ -2462,7 +2500,8 @@ object SparkEntry {
     "q92_ivfpq_residual" -> (q92 _),
     "q93_normalized_dedup" -> (q93 _),
     "q94_dup_ngrams" -> (q94 _),
-    "q95_substring_dedup" -> (q95 _)
+    "q95_substring_dedup" -> (q95 _),
+    "q96_haar_dwt" -> (q96 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2545,6 +2584,7 @@ object SparkEntry {
     "q93_normalized_dedup" -> q93Sql,
     "q94_dup_ngrams" -> q94Sql,
     "q95_substring_dedup" -> q95Sql,
+    "q96_haar_dwt" -> q96Sql,
     "q56_dedup_clusters" -> q56Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
