@@ -119,4 +119,67 @@ object Metrics {
   def mcStats(samples: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
     samples.groupBy(keyCols.map(col): _*)
       .agg(avg(col(valueCol)).as("mc_mean"), stddev_pop(col(valueCol)).as("mc_std"))
+
+  /** M2 incentive-scaled composite loss (`losses.py:354-407`,
+    * `composite_loss_basic`): mean Huber on the magnitude column divided
+    * by an "incentive" in [1, 1000] that rewards beating the naive
+    * zero-return predictor, plus `λ·MMD(pred, target)`.
+    *
+    * Incentive (the CODE's constants — the reference docstring says 10
+    * but the implementation uses 1000/999):
+    *   ratio = clip(mean|t−p| / (mean|t| + ε), 0, 1), ε = 1e-7
+    *   incentive = if mean|t−p| ≤ mean|t| then 1000 − 999·ratio else 1
+    *   mean|t−p| ≤ ε  →  incentive = 1000  (perfect-fit override)
+    *
+    * One shuffle for the Huber/incentive aggregates (all merging
+    * partials). The MMD term replays A9's contract: the reference
+    * subsamples 256 rows (`losses.py:50-53`, random; here the first
+    * `mmdSampleSize` by `orderCols` — deterministic by design), so the
+    * O(s²) kernel is bounded per group no matter the corpus size.
+    * Returns per-group rows: `huber_raw, incentive, mmd,
+    * composite_loss = huber_raw/incentive + λ·mmd`.
+    */
+  def compositeIncentiveLoss(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], predCol: String, targetCol: String,
+      mmdLambda: Double = 0.0, sigma: Double = 1.0, delta: Double = 1.0,
+      mmdSampleSize: Int = 256): DataFrame = {
+    val p = col(predCol)
+    val t = col(targetCol)
+    val eps = 1e-7 // Keras backend epsilon (losses.py:382)
+    val base = df.groupBy(keyCols.map(col): _*)
+      .agg(huberLoss(p, t, delta).as("huber_raw"),
+        avg(abs(t - p)).as("__pe"),
+        avg(abs(t)).as("__ne"))
+      .withColumn("__ratio",
+        least(greatest(col("__pe") / (col("__ne") + eps), lit(0.0)), lit(1.0)))
+      .withColumn("incentive",
+        when(col("__pe") <= eps, 1000.0)
+          .when(col("__pe") <= col("__ne"), lit(1000.0) - lit(999.0) * col("__ratio"))
+          .otherwise(1.0))
+    val withMmd =
+      if (mmdLambda == 0.0) base.withColumn("mmd", lit(0.0))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(orderCols.map(col): _*)
+        val kernel = udf((ps: Seq[Double], ts: Seq[Double]) =>
+          Aggregators.mmdGaussian(ps.toArray, ts.toArray, sigma))
+        val samp = df
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= mmdSampleSize)
+          .groupBy(keyCols.map(col): _*)
+          .agg(
+            transform(array_sort(collect_list(struct(col("__rn"), p.as("__v")))),
+              x => x.getField("__v")).as("__ps"),
+            transform(array_sort(collect_list(struct(col("__rn"), t.as("__v")))),
+              x => x.getField("__v")).as("__ts"))
+          .select((keyCols.map(col) :+
+            kernel(col("__ps"), col("__ts")).as("mmd")): _*)
+        base.join(samp, keyCols)
+      }
+    withMmd
+      .withColumn("composite_loss",
+        col("huber_raw") / col("incentive") + lit(mmdLambda) * col("mmd"))
+      .drop("__pe", "__ne", "__ratio")
+  }
 }

@@ -116,11 +116,17 @@ object MlpRegressor {
     * partition-independent). Inference stays unmasked (standard
     * inverted-dropout semantics); `dropout = 0` takes the original
     * mask-free code path bit-for-bit.
+    *
+    * `callbacks` (M11, `common/callbacks.py`): epoch-end training
+    * control — early stopping, LR-on-plateau, time budget, history —
+    * fed by the per-epoch loss accumulated inside the same distributed
+    * gradient pass. Empty (the default) leaves the loop untouched.
     */
   def fitLayers(df: DataFrame, labelCol: String, layers: Seq[Int],
       epochs: Int = 300, lr: Double = 0.1, momentum: Double = 0.9,
       seed: Long = 42L, featuresCol: String = "features",
-      dropout: Double = 0.0): MlpRegressionModel = {
+      dropout: Double = 0.0,
+      callbacks: Seq[Callbacks.TrainingCallback] = Nil): MlpRegressionModel = {
     require(layers.nonEmpty && layers.forall(_ > 0),
       s"MlpRegressor.fitLayers: need at least one positive hidden width, got $layers")
     require(dropout >= 0.0 && dropout < 1.0,
@@ -133,19 +139,26 @@ object MlpRegressor {
       val head = data.take(1)
       require(head.nonEmpty, "MlpRegressor.fit: empty training set")
       val d = head(0)._1.size
-      // standardization stats in one pass: per-dim sum/sumsq + label moments
-      val zero = (new Array[Double](d), new Array[Double](d), 0.0, 0.0, 0L)
-      val (sx, sxx, sy, syy, n) = data.treeAggregate(zero)(
-        seqOp = { case ((sx, sxx, sy, syy, n), (x, y)) =>
-          var j = 0
-          while (j < d) { val v = x(j); sx(j) += v; sxx(j) += v * v; j += 1 }
-          (sx, sxx, sy + y, syy + y * y, n + 1)
-        },
-        combOp = { case ((ax, axx, ay, ayy, an), (bx, bxx, by, byy, bn)) =>
-          var j = 0
-          while (j < d) { ax(j) += bx(j); axx(j) += bxx(j); j += 1 }
-          (ax, axx, ay + by, ayy + byy, an + bn)
-        })
+      // standardization stats in one pass: per-dim sum/sumsq + label
+      // moments — merged in partition-id order (like the gradient pass
+      // below) so the stats, and thus the whole fit, are bitwise
+      // reproducible run-to-run
+      val statParts = data.mapPartitionsWithIndex { (pid, it) =>
+        val zero = (new Array[Double](d), new Array[Double](d), 0.0, 0.0, 0L)
+        Iterator((pid, it.foldLeft(zero) {
+          case ((sx, sxx, sy, syy, n), (x, y)) =>
+            var j = 0
+            while (j < d) { val v = x(j); sx(j) += v; sxx(j) += v * v; j += 1 }
+            (sx, sxx, sy + y, syy + y * y, n + 1)
+        }))
+      }.collect().sortBy(_._1).map(_._2)
+      val (sx, sxx, sy, syy, n) = statParts
+        .foldLeft((new Array[Double](d), new Array[Double](d), 0.0, 0.0, 0L)) {
+          case ((ax, axx, ay, ayy, an), (bx, bxx, by, byy, bn)) =>
+            var j = 0
+            while (j < d) { ax(j) += bx(j); axx(j) += bxx(j); j += 1 }
+            (ax, axx, ay + by, ayy + byy, an + bn)
+        }
       require(n > 0, "MlpRegressor.fit: empty training set")
       def std(sum: Double, sumsq: Double): Double = {
         val v = math.max(sumsq / n - (sum / n) * (sum / n), 0.0)
@@ -185,8 +198,12 @@ object MlpRegressor {
       val velocity = new Array[Double](nW)
 
       val kScale = if (dropout > 0.0) 1.0 / (1.0 - dropout) else 1.0
+      // M11: callbacks observe the per-epoch training loss, accumulated
+      // in ONE extra slot of the same gradient aggregate — no extra job.
+      var lrCur = lr
+      var stopped = false
       var epoch = 0
-      while (epoch < epochs) {
+      while (epoch < epochs && !stopped) {
         // one inverted-dropout mask per hidden unit per EPOCH, from the
         // deterministic counter hash (pass = -1 separates the training
         // stream from inference MC-dropout draws). null when off — the
@@ -197,8 +214,16 @@ object MlpRegressor {
             if (McDropout.uniform(seed, epoch.toLong, -1, l, h) < dropout) 0.0
             else kScale))
         val bc = sc.broadcast((weights.clone(), masks))
-        val grad = data.treeAggregate(new Array[Double](nW))(
-          seqOp = { case (g, (x, y)) =>
+        // IEEE addition is not associative: treeAggregate's FINAL merge
+        // folds task results in arrival order, making the fit vary by a
+        // few ulps run-to-run. Summing per-partition partials sorted by
+        // partition id makes the merge order a pure function of the
+        // data's partitioning — bitwise-reproducible fits (the repo-wide
+        // determinism discipline). Driver cost: P·(nW+1) doubles per
+        // epoch; fit inputs are bounded samples per the fit contract, so
+        // P stays small even at 100 TB corpus scale.
+        val seqFn: (Array[Double], (Vector, Double)) => Array[Double] = {
+          case (g, (x, y)) =>
             val w = bc.value._1
             val mk = bc.value._2
             val ys = (y - yMean) / yStd
@@ -233,6 +258,7 @@ object MlpRegressor {
             // on the linear output, then flows through Wᵀ · tanh'.
             var delta = new Array[Double](1)
             delta(0) = acts(nLayers)(0) - ys
+            g(nW) += 0.5 * delta(0) * delta(0) // epoch loss accumulator
             l = nLayers - 1
             while (l >= 0) {
               val in = sizes(l); val out = sizes(l + 1)
@@ -269,12 +295,17 @@ object MlpRegressor {
               l -= 1
             }
             g
-          },
-          combOp = { (a, b) =>
+        }
+        val grad = data
+          .mapPartitionsWithIndex { (pid, it) =>
+            Iterator((pid, it.foldLeft(new Array[Double](nW + 1))(seqFn)))
+          }
+          .collect().sortBy(_._1)
+          .foldLeft(new Array[Double](nW + 1)) { (a, b) =>
             var k = 0
-            while (k < nW) { a(k) += b(k); k += 1 }
+            while (k < nW + 1) { a(k) += b._2(k); k += 1 }
             a
-          })
+          }
         bc.destroy()
         // Per-epoch mask resampling makes the full-batch gradient noisy;
         // with momentum the noise can resonate into divergence. Clip the
@@ -292,9 +323,19 @@ object MlpRegressor {
           }
         var k = 0
         while (k < nW) {
-          velocity(k) = momentum * velocity(k) - lr * grad(k) * gScale
+          velocity(k) = momentum * velocity(k) - lrCur * grad(k) * gScale
           weights(k) += velocity(k)
           k += 1
+        }
+        if (callbacks.nonEmpty) {
+          val loss = grad(nW) / n
+          callbacks.foreach { cb =>
+            cb.onEpochEnd(epoch, loss, lrCur) match {
+              case Callbacks.Stop      => stopped = true
+              case Callbacks.SetLr(nl) => lrCur = nl
+              case Callbacks.Continue  => ()
+            }
+          }
         }
         epoch += 1
       }

@@ -58,4 +58,38 @@ class LossMetricsSpec extends AnyFunSuite {
       assert(v == (if (j % 2 == 0) 0.0 else 1.0))
     }
   }
+
+  test("M2 compositeIncentiveLoss: incentive regimes match losses.py:354-407") {
+    // k=worse: pred error (0.6) > naive error (0.3)  → incentive 1
+    // k=half : pred error exactly half of naive      → incentive 500.5
+    // k=exact: pred ≡ target                         → incentive 1000
+    val rows =
+      Seq.tabulate(4)(i => ("worse", i, 0.3 * (if (i % 2 == 0) 1 else -1), 0.9 * (if (i % 2 == 0) 1 else -1))) ++
+      Seq.tabulate(4)(i => ("half", i, 0.4 * (if (i % 2 == 0) 1 else -1), 0.6 * (if (i % 2 == 0) 1 else -1))) ++
+      Seq.tabulate(4)(i => ("exact", i, 0.5, 0.5))
+    val df = rows.toDF("k", "t", "target", "pred")
+    val out = Metrics.compositeIncentiveLoss(df, Seq("k"), Seq("t"),
+      "pred", "target")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("incentive"), r.getAs[Double]("huber_raw"),
+          r.getAs[Double]("composite_loss"))).toMap
+    assert(out("worse")._1 == 1.0)
+    assert(math.abs(out("worse")._3 - out("worse")._2) < 1e-12) // composite = huber
+    // ratio = 0.2/(0.4+1e-7) ≈ 0.5 → incentive ≈ 1000 − 999·0.5 = 500.5
+    assert(math.abs(out("half")._1 - 500.5) < 1e-3, s"got ${out("half")._1}")
+    assert(out("exact")._1 == 1000.0)
+    assert(out("exact")._3 == 0.0)
+  }
+
+  test("M2 compositeIncentiveLoss: MMD term separates shifted distributions") {
+    val rnd = new scala.util.Random(3)
+    val aligned = Seq.tabulate(64)(i => ("same", i, rnd.nextGaussian(), rnd.nextGaussian()))
+    val shifted = Seq.tabulate(64)(i => ("shift", i, rnd.nextGaussian(), rnd.nextGaussian() + 5.0))
+    val df = (aligned ++ shifted).toDF("k", "t", "target", "pred")
+    val out = Metrics.compositeIncentiveLoss(df, Seq("k"), Seq("t"),
+      "pred", "target", mmdLambda = 1.0, sigma = 1.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("mmd")).toMap
+    assert(out("same") < 0.3, s"same-distribution MMD should be small: ${out("same")}")
+    assert(out("shift") > 1.0, s"shifted MMD should be large: ${out("shift")}")
+  }
 }

@@ -1,0 +1,82 @@
+package graft.ml
+
+import graft.TestSpark
+import org.apache.spark.ml.feature.VectorAssembler
+import org.scalatest.funsuite.AnyFunSuite
+
+class CallbacksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val assembled = {
+    val rnd = new scala.util.Random(9)
+    val df = Seq.tabulate(200) { _ =>
+      val x1 = rnd.nextDouble(); val x2 = rnd.nextDouble()
+      (x1, x2, 2.0 * x1 - x2 + 0.1 * rnd.nextGaussian())
+    }.toDF("x1", "x2", "y")
+    new VectorAssembler().setInputCols(Array("x1", "x2"))
+      .setOutputCol("features").transform(df).select($"features", $"y")
+  }
+
+  test("M11 unit: EarlyStopping / ReduceLrOnPlateau state machines") {
+    val es = new Callbacks.EarlyStopping(patience = 2, minDelta = 0.1)
+    assert(es.onEpochEnd(0, 1.0, 0.1) == Callbacks.Continue) // improves
+    assert(es.onEpochEnd(1, 0.95, 0.1) == Callbacks.Continue) // < minDelta
+    assert(es.onEpochEnd(2, 0.94, 0.1) == Callbacks.Stop) // patience hit
+    assert(es.stoppedEpoch == 2)
+    val rp = new Callbacks.ReduceLrOnPlateau(factor = 0.5, patience = 1,
+      minLr = 0.02)
+    assert(rp.onEpochEnd(0, 1.0, 0.1) == Callbacks.Continue)
+    assert(rp.onEpochEnd(1, 1.0, 0.1) == Callbacks.SetLr(0.05))
+    assert(rp.onEpochEnd(2, 1.0, 0.05) == Callbacks.SetLr(0.025))
+    assert(rp.onEpochEnd(3, 1.0, 0.025) == Callbacks.SetLr(0.02)) // floor
+    assert(rp.onEpochEnd(4, 1.0, 0.02) == Callbacks.Continue) // at floor
+    assert(rp.reductions == 3)
+  }
+
+  test("M11 fit loop: history records every epoch; loss decreases") {
+    val h = new Callbacks.History
+    MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 40, lr = 0.1,
+      callbacks = Seq(h))
+    assert(h.rows.length == 40)
+    val losses = h.rows.map(_._2)
+    assert(losses.forall(java.lang.Double.isFinite))
+    assert(losses.last < losses.head, s"${losses.head} -> ${losses.last}")
+  }
+
+  test("M11 fit loop: early stopping halts before the epoch budget") {
+    val h = new Callbacks.History
+    val es = new Callbacks.EarlyStopping(patience = 2, minDelta = 1e9)
+    MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 100, lr = 0.1,
+      callbacks = Seq(h, es))
+    assert(h.rows.length == 3, s"ran ${h.rows.length} epochs") // 1 improve + 2 patience
+    assert(es.stoppedEpoch == 2)
+  }
+
+  test("M11 fit loop: plateau callback lowers the live learning rate") {
+    val h = new Callbacks.History
+    val rp = new Callbacks.ReduceLrOnPlateau(factor = 0.5, patience = 1,
+      minLr = 1e-4, minDelta = 1e9)
+    MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 6, lr = 0.1,
+      callbacks = Seq(h, rp))
+    val lrs = h.rows.map(_._3)
+    assert(lrs.head == 0.1 && lrs.last < 0.01, s"lrs=$lrs")
+    assert(rp.reductions >= 4)
+  }
+
+  test("M11 fit loop: time budget of zero stops after the first epoch") {
+    val h = new Callbacks.History
+    val tb = new Callbacks.TimeBudget(0.0)
+    MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 50, lr = 0.1,
+      callbacks = Seq(h, tb))
+    assert(h.rows.length == 1 && tb.tripped)
+  }
+
+  test("M11: no callbacks leaves the fit bit-for-bit unchanged") {
+    def w(m: MlpRegressor.MlpRegressionModel) = m.weights.flatten.toSeq
+    val a = MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 15, lr = 0.1)
+    val b = MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 15, lr = 0.1,
+      callbacks = Seq(new Callbacks.History))
+    assert(w(a) == w(b))
+  }
+}
