@@ -62,26 +62,34 @@ object Wavelet {
         .as("__sv"))
       .filter(size(col("__sv")) === n)
       .withColumn("__xs", transform(col("__sv"), x => x.getField("__v")))
-    // pyramid: aCols(l) has length n / 2^l
-    var cur = col("__xs")
-    val bands = Seq.newBuilder[Column]
+    // pyramid: one Generate barrier per level. Building the levels as
+    // nested Column expressions would embed level l−1's whole tree TWICE
+    // inside level l (once per element_at) — exponential codegen blowup
+    // (the q63/q45 lesson). After `explode(array(struct(…)))` each
+    // level's smooth/detail are bound ATTRIBUTES, so every later
+    // reference is free and plan size stays linear in `levels`.
+    var cur = series
+    var prev = "__xs"
     var l = 1
     var len = n
     while (l <= levels) {
       len /= 2
-      val a = smooth(cur, len)
-      val d = detail(cur, len)
-      bands += transform(d, (x, i) =>
-        struct(lit(s"d$l").as("band"), i.as("idx"), x.as("coef")))
-      if (l == levels)
-        bands += transform(a, (x, i) =>
-          struct(lit(s"a$l").as("band"), i.as("idx"), x.as("coef")))
-      cur = a
+      val keep = seriesCols.map(col) ++ (1 until l).map(i => col(s"__d$i"))
+      cur = cur
+        .select(keep :+ explode(array(struct(
+          smooth(col(prev), len).as("a"),
+          detail(col(prev), len).as("d")))).as("__p"): _*)
+        .select(keep :+ col("__p.a").as(s"__a$l") :+ col("__p.d").as(s"__d$l"): _*)
+      prev = s"__a$l"
       l += 1
     }
-    series
-      .select(seriesCols.map(col) :+
-        explode(concat(bands.result(): _*)).as("__c"): _*)
+    val bands = (1 to levels).map { i =>
+      transform(col(s"__d$i"), (x, j) =>
+        struct(lit(s"d$i").as("band"), j.as("idx"), x.as("coef")))
+    } :+ transform(col(s"__a$levels"), (x, j) =>
+      struct(lit(s"a$levels").as("band"), j.as("idx"), x.as("coef")))
+    cur
+      .select(seriesCols.map(col) :+ explode(concat(bands: _*)).as("__c"): _*)
       .select(seriesCols.map(col) :+
         col("__c.band").as("band") :+
         col("__c.idx").as("idx") :+

@@ -193,7 +193,7 @@ object AttentionRegressor {
       val head = data.take(1)
       require(head.nonEmpty, "AttentionRegressor.fit: empty training set")
       val t = head(0)._1.size
-      val (sx, sxx, sy, syy, n) = data.treeAggregate((0.0, 0.0, 0.0, 0.0, 0L))(
+      val (sx, sxx, sy, syy, n) = OrderedAgg(data, (0.0, 0.0, 0.0, 0.0, 0L))(
         seqOp = { case ((sx, sxx, sy, syy, n2), (x, y)) =>
           var a = sx; var aa = sxx
           var j = 0
@@ -240,7 +240,7 @@ object AttentionRegressor {
       var epoch = 0
       while (epoch < conf.epochs) {
         val bcW = sc.broadcast(weights.clone())
-        val grad = data.treeAggregate(new Array[Double](nW))(
+        val grad = OrderedAgg(data, new Array[Double](nW))(
           seqOp = { case (g, (xv, y)) =>
             val wf = bcW.value
             val wE = java.util.Arrays.copyOfRange(wf, eOff, eOff + d)

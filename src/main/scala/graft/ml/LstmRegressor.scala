@@ -168,7 +168,7 @@ object LstmRegressor {
       val head = data.take(1)
       require(head.nonEmpty, "LstmRegressor.fit: empty training set")
       val t = head(0)._1.size
-      val (sx, sxx, sy, syy, n) = data.treeAggregate((0.0, 0.0, 0.0, 0.0, 0L))(
+      val (sx, sxx, sy, syy, n) = OrderedAgg(data, (0.0, 0.0, 0.0, 0.0, 0L))(
         seqOp = { case ((sx, sxx, sy, syy, n), (x, y)) =>
           var a = sx; var aa = sxx
           var j = 0
@@ -212,7 +212,7 @@ object LstmRegressor {
       var epoch = 0
       while (epoch < conf.epochs) {
         val bcW = sc.broadcast(weights.clone())
-        val grad = data.treeAggregate(new Array[Double](nW))(
+        val grad = OrderedAgg(data, new Array[Double](nW))(
           seqOp = { case (g, (xv, y)) =>
             val wf = bcW.value
             val wx = java.util.Arrays.copyOfRange(wf, wxOff, wxOff + 4 * u)

@@ -140,25 +140,20 @@ object MlpRegressor {
       require(head.nonEmpty, "MlpRegressor.fit: empty training set")
       val d = head(0)._1.size
       // standardization stats in one pass: per-dim sum/sumsq + label
-      // moments — merged in partition-id order (like the gradient pass
-      // below) so the stats, and thus the whole fit, are bitwise
-      // reproducible run-to-run
-      val statParts = data.mapPartitionsWithIndex { (pid, it) =>
-        val zero = (new Array[Double](d), new Array[Double](d), 0.0, 0.0, 0L)
-        Iterator((pid, it.foldLeft(zero) {
-          case ((sx, sxx, sy, syy, n), (x, y)) =>
-            var j = 0
-            while (j < d) { val v = x(j); sx(j) += v; sxx(j) += v * v; j += 1 }
-            (sx, sxx, sy + y, syy + y * y, n + 1)
-        }))
-      }.collect().sortBy(_._1).map(_._2)
-      val (sx, sxx, sy, syy, n) = statParts
-        .foldLeft((new Array[Double](d), new Array[Double](d), 0.0, 0.0, 0L)) {
-          case ((ax, axx, ay, ayy, an), (bx, bxx, by, byy, bn)) =>
-            var j = 0
-            while (j < d) { ax(j) += bx(j); axx(j) += bxx(j); j += 1 }
-            (ax, axx, ay + by, ayy + byy, an + bn)
-        }
+      // moments — OrderedAgg (partition-id merge order) so the stats,
+      // and thus the whole fit, are bitwise reproducible run-to-run
+      val (sx, sxx, sy, syy, n) = OrderedAgg(data,
+        (new Array[Double](d), new Array[Double](d), 0.0, 0.0, 0L))(
+        seqOp = { case ((sx, sxx, sy, syy, n), (x, y)) =>
+          var j = 0
+          while (j < d) { val v = x(j); sx(j) += v; sxx(j) += v * v; j += 1 }
+          (sx, sxx, sy + y, syy + y * y, n + 1)
+        },
+        combOp = { case ((ax, axx, ay, ayy, an), (bx, bxx, by, byy, bn)) =>
+          var j = 0
+          while (j < d) { ax(j) += bx(j); axx(j) += bxx(j); j += 1 }
+          (ax, axx, ay + by, ayy + byy, an + bn)
+        })
       require(n > 0, "MlpRegressor.fit: empty training set")
       def std(sum: Double, sumsq: Double): Double = {
         val v = math.max(sumsq / n - (sum / n) * (sum / n), 0.0)
@@ -214,16 +209,10 @@ object MlpRegressor {
             if (McDropout.uniform(seed, epoch.toLong, -1, l, h) < dropout) 0.0
             else kScale))
         val bc = sc.broadcast((weights.clone(), masks))
-        // IEEE addition is not associative: treeAggregate's FINAL merge
-        // folds task results in arrival order, making the fit vary by a
-        // few ulps run-to-run. Summing per-partition partials sorted by
-        // partition id makes the merge order a pure function of the
-        // data's partitioning — bitwise-reproducible fits (the repo-wide
-        // determinism discipline). Driver cost: P·(nW+1) doubles per
-        // epoch; fit inputs are bounded samples per the fit contract, so
-        // P stays small even at 100 TB corpus scale.
-        val seqFn: (Array[Double], (Vector, Double)) => Array[Double] = {
-          case (g, (x, y)) =>
+        // OrderedAgg, not treeAggregate: deterministic merge order makes
+        // the fit bitwise reproducible (see OrderedAgg's scaladoc)
+        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
+          seqOp = { case (g, (x, y)) =>
             val w = bc.value._1
             val mk = bc.value._2
             val ys = (y - yMean) / yStd
@@ -295,17 +284,12 @@ object MlpRegressor {
               l -= 1
             }
             g
-        }
-        val grad = data
-          .mapPartitionsWithIndex { (pid, it) =>
-            Iterator((pid, it.foldLeft(new Array[Double](nW + 1))(seqFn)))
-          }
-          .collect().sortBy(_._1)
-          .foldLeft(new Array[Double](nW + 1)) { (a, b) =>
+          },
+          combOp = { (a, b) =>
             var k = 0
-            while (k < nW + 1) { a(k) += b._2(k); k += 1 }
+            while (k < nW + 1) { a(k) += b(k); k += 1 }
             a
-          }
+          })
         bc.destroy()
         // Per-epoch mask resampling makes the full-batch gradient noisy;
         // with momentum the noise can resonate into divergence. Clip the

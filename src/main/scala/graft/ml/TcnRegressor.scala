@@ -194,7 +194,7 @@ object TcnRegressor {
       require(head.nonEmpty, "TcnRegressor.fit: empty training set")
       val t = head(0)._1.size
       // global standardization: one scalar mean/std over all positions
-      val (sx, sxx, sy, syy, n) = data.treeAggregate((0.0, 0.0, 0.0, 0.0, 0L))(
+      val (sx, sxx, sy, syy, n) = OrderedAgg(data, (0.0, 0.0, 0.0, 0.0, 0L))(
         seqOp = { case ((sx, sxx, sy, syy, n), (x, y)) =>
           var a = sx; var aa = sxx
           var j = 0
@@ -253,7 +253,7 @@ object TcnRegressor {
       var epoch = 0
       while (epoch < conf.epochs) {
         val bcW = sc.broadcast(weights.clone())
-        val grad = data.treeAggregate(new Array[Double](nW))(
+        val grad = OrderedAgg(data, new Array[Double](nW))(
           seqOp = { case (g, (xv, y)) =>
             val wFlat = bcW.value
             val convW = Array.tabulate(blocks)(b =>
