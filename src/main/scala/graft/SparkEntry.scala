@@ -49,6 +49,17 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 6): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Session-tz-independent date-boundary literal: midnight of `day`
+    * as a UTC instant. A bare `lit("1999-12-31")` compared to a
+    * timestamp column is cast in the SESSION timezone, silently moving
+    * the cutoff by the tz offset (the q19 bug class — surfaced by the
+    * driver-like gate once the regenerated testdata had rows within
+    * ±5:30 of a boundary). The stored naive micros read as UTC
+    * instants, so the pinned boundary matches DuckDB's naive compare
+    * under any session tz. */
+  private def utcDay(day: String): Column =
+    timestamp_millis(lit(java.time.Instant.parse(day + "T00:00:00Z").toEpochMilli))
+
   /** Per-user-series ordered window over `events` with total ordering. */
   private def evWindow =
     Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -58,7 +69,7 @@ object SparkEntry {
   /** A7-style grouped aggregate + P4 filter pushdown (TPC-H Q1 shape). */
   private def q01(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit("1999-12-31"))
+      .filter(col("l_shipdate") <= utcDay("1999-12-31"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -80,7 +91,7 @@ object SparkEntry {
   /** P1-P4: projection + predicate pushdown into the parquet scan. */
   private def q02(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .filter(col("l_shipdate").between(lit("1998-01-01"), lit("1998-03-31")) &&
+      .filter(col("l_shipdate").between(utcDay("1998-01-01"), utcDay("1998-03-31")) &&
         col("l_discount") > 0.05)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
