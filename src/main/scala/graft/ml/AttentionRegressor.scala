@@ -180,11 +180,22 @@ object AttentionRegressor {
       mask: (Int, Int) => Double): Double =
     forward(x, d, wE, pos, wq, wk, wv, headW, headB, null, mask)
 
-  /** Fit on an assembled frame — the `fitPerHorizonWith` contract. */
+  /** Fit on an assembled frame — the `fitPerHorizonWith` contract.
+    *
+    * `dropout` > 0: TRAIN-TIME dropout of the pooled attended
+    * representation feeding the linear head (the reference's
+    * post-attention `Dropout`, `predictor_plugin_tft.py:81`): per-epoch
+    * inverted masks from the McDropout counter hash, applied by masking
+    * `headW` in the forward/backprop — `dropout = 0` stays bit-for-bit.
+    * `callbacks` (M11): epoch-end control from the same gradient pass.
+    */
   def fit(df: DataFrame, labelCol: String, conf: AttnConfig = AttnConfig(),
-      featuresCol: String = "features"): AttentionRegressionModel = {
+      featuresCol: String = "features", dropout: Double = 0.0,
+      callbacks: Seq[Callbacks.TrainingCallback] = Nil): AttentionRegressionModel = {
     val d = conf.dim
     require(d > 0, s"AttentionRegressor.fit: bad config $conf")
+    require(dropout >= 0.0 && dropout < 1.0,
+      s"AttentionRegressor.fit: dropout must be in [0, 1), got $dropout")
     val sc = df.sparkSession.sparkContext
     val data = df.select(col(featuresCol), col(labelCol).cast("double"))
       .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
@@ -237,10 +248,18 @@ object AttentionRegressor {
       val velocity = new Array[Double](nW)
       val scale = 1.0 / math.sqrt(d.toDouble)
 
+      var lrCur = conf.lr
+      var stopped = false
       var epoch = 0
-      while (epoch < conf.epochs) {
+      while (epoch < conf.epochs && !stopped) {
+        // per-epoch inverted-dropout mask on the head input (null = off)
+        val mk: Array[Double] =
+          if (dropout == 0.0) null
+          else Array.tabulate(d)(i =>
+            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 0, i) < dropout) 0.0
+            else 1.0 / (1.0 - dropout))
         val bcW = sc.broadcast(weights.clone())
-        val grad = OrderedAgg(data, new Array[Double](nW))(
+        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
           seqOp = { case (g, (xv, y)) =>
             val wf = bcW.value
             val wE = java.util.Arrays.copyOfRange(wf, eOff, eOff + d)
@@ -250,12 +269,17 @@ object AttentionRegressor {
             val wv = java.util.Arrays.copyOfRange(wf, vOff, vOff + d * d)
             val headW = java.util.Arrays.copyOfRange(wf, hOff, hOff + d)
             val headB = wf(hbOff)
+            // masked head = dropout on the pooled attended vector
+            val headWm =
+              if (mk == null) headW
+              else Array.tabulate(d)(i => headW(i) * mk(i))
             val x = new Array[Double](t)
             var j = 0
             while (j < t) { x(j) = (xv(j) - fMean) / fStd; j += 1 }
             val keep = new Array[Array[Double]](6)
-            val out = forward(x, d, wE, pos, wq, wk, wv, headW, headB, keep)
+            val out = forward(x, d, wE, pos, wq, wk, wv, headWm, headB, keep)
             val err = out - (y - yMean) / yStd
+            g(nW) += 0.5 * err * err // epoch loss accumulator
             val e = keep(0); val q = keep(1); val k = keep(2)
             val v = keep(3); val alpha = keep(4); val a = keep(5)
             // head
@@ -264,7 +288,7 @@ object AttentionRegressor {
               var sm = 0.0
               var ti = 0
               while (ti < t) { sm += a(ti * d + j2); ti += 1 }
-              g(hOff + j2) += err * (sm / t)
+              g(hOff + j2) += err * (sm / t) * (if (mk == null) 1.0 else mk(j2))
               j2 += 1
             }
             g(hbOff) += err
@@ -280,7 +304,7 @@ object AttentionRegressor {
               while (s < t) {
                 var acc = 0.0
                 var j3 = 0
-                while (j3 < d) { acc += (err * headW(j3) / t) * v(s * d + j3); j3 += 1 }
+                while (j3 < d) { acc += (err * headWm(j3) / t) * v(s * d + j3); j3 += 1 }
                 dal(s) = acc
                 s += 1
               }
@@ -296,7 +320,7 @@ object AttentionRegressor {
                 while (j4 < d) {
                   dq(ti * d + j4) += dl * k(s * d + j4)
                   dk(s * d + j4) += dl * q(ti * d + j4)
-                  dv(s * d + j4) += al * (err * headW(j4) / t)
+                  dv(s * d + j4) += al * (err * headWm(j4) / t)
                   j4 += 1
                 }
                 s += 1
@@ -333,15 +357,25 @@ object AttentionRegressor {
           },
           combOp = { (a2, b2) =>
             var k2 = 0
-            while (k2 < nW) { a2(k2) += b2(k2); k2 += 1 }
+            while (k2 < nW + 1) { a2(k2) += b2(k2); k2 += 1 }
             a2
           })
         bcW.destroy()
         var k3 = 0
         while (k3 < nW) {
-          velocity(k3) = conf.momentum * velocity(k3) - conf.lr * grad(k3) / n
+          velocity(k3) = conf.momentum * velocity(k3) - lrCur * grad(k3) / n
           weights(k3) += velocity(k3)
           k3 += 1
+        }
+        if (callbacks.nonEmpty) {
+          val loss = grad(nW) / n
+          callbacks.foreach { cb =>
+            cb.onEpochEnd(epoch, loss, lrCur) match {
+              case Callbacks.Stop      => stopped = true
+              case Callbacks.SetLr(nl) => lrCur = nl
+              case Callbacks.Continue  => ()
+            }
+          }
         }
         epoch += 1
       }

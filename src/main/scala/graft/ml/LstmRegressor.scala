@@ -155,11 +155,21 @@ object LstmRegressor {
 
   /** Fit on an assembled frame (featuresCol: MLlib Vector read as a
     * sequence, labelCol numeric) — the `fitPerHorizonWith` contract.
+    *
+    * `dropout` > 0 enables TRAIN-TIME dropout of the final hidden state
+    * feeding the linear head (the reference's post-recurrent `Dropout`,
+    * `predictor_plugin_lstm.py`): per-epoch inverted masks from the
+    * McDropout counter hash, applied by masking `headW` in the
+    * forward/backprop — `dropout = 0` stays bit-for-bit. `callbacks`
+    * (M11): epoch-end training control from the same gradient pass.
     */
   def fit(df: DataFrame, labelCol: String, conf: LstmConfig = LstmConfig(),
-      featuresCol: String = "features"): LstmRegressionModel = {
+      featuresCol: String = "features", dropout: Double = 0.0,
+      callbacks: Seq[Callbacks.TrainingCallback] = Nil): LstmRegressionModel = {
     val u = conf.units
     require(u > 0, s"LstmRegressor.fit: bad config $conf")
+    require(dropout >= 0.0 && dropout < 1.0,
+      s"LstmRegressor.fit: dropout must be in [0, 1), got $dropout")
     val sc = df.sparkSession.sparkContext
     val data = df.select(col(featuresCol), col(labelCol).cast("double"))
       .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
@@ -209,10 +219,18 @@ object LstmRegressor {
       while (i < u) { weights(hOff + i) = rnd.nextGaussian() * rScale; i += 1 }
       val velocity = new Array[Double](nW)
 
+      var lrCur = conf.lr
+      var stopped = false
       var epoch = 0
-      while (epoch < conf.epochs) {
+      while (epoch < conf.epochs && !stopped) {
+        // per-epoch inverted-dropout mask on the head input (null = off)
+        val mk: Array[Double] =
+          if (dropout == 0.0) null
+          else Array.tabulate(u)(i =>
+            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 0, i) < dropout) 0.0
+            else 1.0 / (1.0 - dropout))
         val bcW = sc.broadcast(weights.clone())
-        val grad = OrderedAgg(data, new Array[Double](nW))(
+        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
           seqOp = { case (g, (xv, y)) =>
             val wf = bcW.value
             val wx = java.util.Arrays.copyOfRange(wf, wxOff, wxOff + 4 * u)
@@ -220,22 +238,30 @@ object LstmRegressor {
             val bArr = java.util.Arrays.copyOfRange(wf, bOff, bOff + 4 * u)
             val headW = java.util.Arrays.copyOfRange(wf, hOff, hOff + u)
             val headB = wf(hbOff)
+            // masked head = dropout on h_T (see scaladoc)
+            val headWm =
+              if (mk == null) headW
+              else Array.tabulate(u)(i => headW(i) * mk(i))
             val x = new Array[Double](t)
             var j = 0
             while (j < t) { x(j) = (xv(j) - fMean) / fStd; j += 1 }
             val keep = new Array[Array[Double]](t)
-            val out = forward(x, u, wx, wh, bArr, headW, headB, keep)
+            val out = forward(x, u, wx, wh, bArr, headWm, headB, keep)
             val err = out - (y - yMean) / yStd
+            g(nW) += 0.5 * err * err // epoch loss accumulator
             // head gradients on h_T
             val hT = keep(t - 1)
             var v = 0
-            while (v < u) { g(hOff + v) += err * hT(5 * u + v); v += 1 }
+            while (v < u) {
+              g(hOff + v) += err * hT(5 * u + v) * (if (mk == null) 1.0 else mk(v))
+              v += 1
+            }
             g(hbOff) += err
             // BPTT
             val dh = new Array[Double](u)
             val dc = new Array[Double](u)
             v = 0
-            while (v < u) { dh(v) = err * headW(v); v += 1 }
+            while (v < u) { dh(v) = err * headWm(v); v += 1 }
             var ti = t - 1
             while (ti >= 0) {
               val row = keep(ti)
@@ -288,15 +314,25 @@ object LstmRegressor {
           },
           combOp = { (a2, b2) =>
             var k2 = 0
-            while (k2 < nW) { a2(k2) += b2(k2); k2 += 1 }
+            while (k2 < nW + 1) { a2(k2) += b2(k2); k2 += 1 }
             a2
           })
         bcW.destroy()
         var k3 = 0
         while (k3 < nW) {
-          velocity(k3) = conf.momentum * velocity(k3) - conf.lr * grad(k3) / n
+          velocity(k3) = conf.momentum * velocity(k3) - lrCur * grad(k3) / n
           weights(k3) += velocity(k3)
           k3 += 1
+        }
+        if (callbacks.nonEmpty) {
+          val loss = grad(nW) / n
+          callbacks.foreach { cb =>
+            cb.onEpochEnd(epoch, loss, lrCur) match {
+              case Callbacks.Stop      => stopped = true
+              case Callbacks.SetLr(nl) => lrCur = nl
+              case Callbacks.Continue  => ()
+            }
+          }
         }
         epoch += 1
       }

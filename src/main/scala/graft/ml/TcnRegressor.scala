@@ -180,11 +180,23 @@ object TcnRegressor {
   /** Fit on an assembled frame (featuresCol: MLlib Vector = the lag
     * window read as a sequence, labelCol numeric) — the
     * `fitPerHorizonWith` callback contract.
+    *
+    * `dropout` > 0 enables TRAIN-TIME dropout of the pooled channels
+    * feeding the linear head (the reference's head `Dropout`,
+    * `predictor_plugin_tcn.py:198`): one inverted-dropout mask per
+    * channel per EPOCH from the McDropout counter hash — the MLP head's
+    * scheme, applied by masking `headW` in the forward/backprop, so the
+    * `dropout = 0` path stays the original code bit-for-bit. `callbacks`
+    * (M11): epoch-end training control fed by the loss accumulated in
+    * the same gradient pass.
     */
   def fit(df: DataFrame, labelCol: String, conf: TcnConfig = TcnConfig(),
-      featuresCol: String = "features"): TcnRegressionModel = {
+      featuresCol: String = "features", dropout: Double = 0.0,
+      callbacks: Seq[Callbacks.TrainingCallback] = Nil): TcnRegressionModel = {
     val c = conf.channels; val k = conf.kernel; val blocks = conf.blocks
     require(c > 0 && k > 0 && blocks > 0, s"TcnRegressor.fit: bad config $conf")
+    require(dropout >= 0.0 && dropout < 1.0,
+      s"TcnRegressor.fit: dropout must be in [0, 1), got $dropout")
     val sc = df.sparkSession.sparkContext
     val data = df.select(col(featuresCol), col(labelCol).cast("double"))
       .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
@@ -250,10 +262,18 @@ object TcnRegressor {
       while (i < hOff + c) { weights(i) = rnd.nextGaussian() * math.sqrt(1.0 / c); i += 1 }
       val velocity = new Array[Double](nW)
 
+      var lrCur = conf.lr
+      var stopped = false
       var epoch = 0
-      while (epoch < conf.epochs) {
+      while (epoch < conf.epochs && !stopped) {
+        // per-epoch inverted-dropout mask on the head input (null = off)
+        val mk: Array[Double] =
+          if (dropout == 0.0) null
+          else Array.tabulate(c)(i =>
+            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 0, i) < dropout) 0.0
+            else 1.0 / (1.0 - dropout))
         val bcW = sc.broadcast(weights.clone())
-        val grad = OrderedAgg(data, new Array[Double](nW))(
+        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
           seqOp = { case (g, (xv, y)) =>
             val wFlat = bcW.value
             val convW = Array.tabulate(blocks)(b =>
@@ -265,13 +285,19 @@ object TcnRegressor {
               else Array.empty[Double]
             val headW = java.util.Arrays.copyOfRange(wFlat, hOff, hOff + c)
             val headB = wFlat(hbOff)
+            // masked head = dropout on the pooled representation: the
+            // forward uses headW·m, d/dheadW gains the same m factor
+            val headWm =
+              if (mk == null) headW
+              else Array.tabulate(c)(i => headW(i) * mk(i))
             val x = new Array[Double](t)
             var j = 0
             while (j < t) { x(j) = (xv(j) - fMean) / fStd; j += 1 }
             val keep = new Array[Array[Double]](2 * blocks)
-            val out = forward(x, c, k, blocks, convW, convB, skipP, headW,
+            val out = forward(x, c, k, blocks, convW, convB, skipP, headWm,
               headB, keep)
             val err = out - (y - yMean) / yStd
+            g(nW) += 0.5 * err * err // epoch loss accumulator
             // head gradients; delta on the final block output = err·w/T
             val lastOut = keep(2 * blocks - 1)
             var co = 0
@@ -279,7 +305,7 @@ object TcnRegressor {
               var s = 0.0
               var ti = 0
               while (ti < t) { s += lastOut(ti * c + co); ti += 1 }
-              g(hOff + co) += err * (s / t)
+              g(hOff + co) += err * (s / t) * (if (mk == null) 1.0 else mk(co))
               co += 1
             }
             g(hbOff) += err
@@ -288,7 +314,7 @@ object TcnRegressor {
             while (ti < t) {
               var co2 = 0
               while (co2 < c) {
-                delta(ti * c + co2) = err * headW(co2) / t
+                delta(ti * c + co2) = err * headWm(co2) / t
                 co2 += 1
               }
               ti += 1
@@ -348,15 +374,25 @@ object TcnRegressor {
           },
           combOp = { (a2, b3) =>
             var k2 = 0
-            while (k2 < nW) { a2(k2) += b3(k2); k2 += 1 }
+            while (k2 < nW + 1) { a2(k2) += b3(k2); k2 += 1 }
             a2
           })
         bcW.destroy()
         var k3 = 0
         while (k3 < nW) {
-          velocity(k3) = conf.momentum * velocity(k3) - conf.lr * grad(k3) / n
+          velocity(k3) = conf.momentum * velocity(k3) - lrCur * grad(k3) / n
           weights(k3) += velocity(k3)
           k3 += 1
+        }
+        if (callbacks.nonEmpty) {
+          val loss = grad(nW) / n
+          callbacks.foreach { cb =>
+            cb.onEpochEnd(epoch, loss, lrCur) match {
+              case Callbacks.Stop      => stopped = true
+              case Callbacks.SetLr(nl) => lrCur = nl
+              case Callbacks.Continue  => ()
+            }
+          }
         }
         epoch += 1
       }
