@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.backtest.Backtest
-import graft.decomp.{StlMirrorable, Wavelet}
+import graft.decomp.{Multitaper, StlMirrorable, Wavelet}
 import graft.dedup.Dedup
 import graft.feature.Windows
 import graft.functions.GraftFunctions
@@ -2186,6 +2186,67 @@ object SparkEntry {
       |  ROUND(CASE WHEN s > 0 THEN mags[5]/s ELSE 0.2 END, 6) + 0.0 AS f4
       |FROM n""".stripMargin
 
+  /** D5 multi-taper spectral estimate (`Multitaper`): K sine-taper
+    * periodograms of the trailing 16-value window, averaged per bin —
+    * the variance-reduced spectrum the reference's `use_multi_tapper`
+    * flag names. Taper weights are 12 dp-pinned constants inlined into
+    * both engines; the DFT rides q45's exact-DFT oracle contract.
+    */
+  private val Q97K = 3
+
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val withWin = t(s, dir, "events")
+      .withColumn("win", collect_list(col("value")).over(evWindow.rowsBetween(-15, 0)))
+      .filter(size(col("win")) === 16)
+    val tapers = Multitaper.sineTapers(16, Q97K)
+    // one struct of the K taper-DFTs behind a single Generate barrier:
+    // fft_mag is CodegenFallback, so each DFT must be referenced exactly
+    // once before becoming a bound attribute (the q45/q63 lesson)
+    val mags = tapers.zipWithIndex.map { case (tp, i) =>
+      GraftFunctions.fft_mag(Multitaper.tapered(col("win"), tp), lit(5)).as(s"m$i")
+    }
+    val k = lit(Q97K.toDouble)
+    withWin
+      .select(col("event_id"), col("user_id"),
+        explode(array(struct(mags: _*))).as("__m"))
+      .select(Seq(col("event_id"), col("user_id")) ++
+        (0 until 5).map { j =>
+          val sq = (0 until Q97K)
+            .map(i => pow(element_at(col("__m").getField(s"m$i"), j + 1), 2))
+            .reduce(_ + _)
+          round(sq / k, 6).as(s"s$j")
+        }: _*)
+  }
+
+  private val q97Sql: String = {
+    val tapers = Multitaper.sineTapers(16, Q97K)
+    def lits(tp: Seq[Double]): String =
+      tp.map(w => BigDecimal(w).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.toPlainString).mkString("[", ", ", "]")
+    val taperCtes = tapers.zipWithIndex.map { case (tp, i) =>
+      s"""m$i AS (SELECT event_id, user_id,
+         |   list_transform(range(0, 5), j -> sqrt(
+         |     pow(list_sum(list_transform(range(0, 16), i -> win[i+1] * (${lits(tp)})[i+1] * cos(-2*pi()*j*i/16))), 2) +
+         |     pow(list_sum(list_transform(range(0, 16), i -> win[i+1] * (${lits(tp)})[i+1] * sin(-2*pi()*j*i/16))), 2))) AS mags
+         | FROM f)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until Q97K).map(i => s"JOIN m$i USING (event_id, user_id)").mkString(" ")
+    val bins = (0 until 5).map { j =>
+      val sq = (0 until Q97K).map(i => s"pow(m$i.mags[${j + 1}], 2)").mkString(" + ")
+      s"ROUND(($sq) / ${Q97K}.0, 6) + 0.0 AS s$j"
+    }.mkString(",\n  ")
+    s"""WITH g AS (SELECT event_id, user_id, value,
+       |   list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |     ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS win
+       | FROM events),
+       |f AS (SELECT event_id, user_id, win FROM g WHERE len(win) = 16),
+       |$taperCtes
+       |SELECT event_id, user_id,
+       |  $bins
+       |FROM m0 $joins""".stripMargin
+  }
+
   /** Shared trades relation for q46/q47: the state machine is the
     * expensive part (shuffle + ordered single pass per symbol), and the
     * summary is an aggregate OVER its output — computing it twice doubled
@@ -2512,7 +2573,8 @@ object SparkEntry {
     "q93_normalized_dedup" -> (q93 _),
     "q94_dup_ngrams" -> (q94 _),
     "q95_substring_dedup" -> (q95 _),
-    "q96_haar_dwt" -> (q96 _)
+    "q96_haar_dwt" -> (q96 _),
+    "q97_multitaper" -> (q97 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2596,6 +2658,7 @@ object SparkEntry {
     "q94_dup_ngrams" -> q94Sql,
     "q95_substring_dedup" -> q95Sql,
     "q96_haar_dwt" -> q96Sql,
+    "q97_multitaper" -> q97Sql,
     "q56_dedup_clusters" -> q56Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
