@@ -59,6 +59,24 @@ object Forecaster {
     } finally assembled.unpersist()
   }
 
+  /** [[fitPerHorizonWith]] + M11: `callbacks(h)` builds a FRESH callback
+    * set per horizon fit — callbacks are stateful (patience counters),
+    * so sharing one instance across the per-horizon fits would leak
+    * early-stopping state between heads. */
+  def fitPerHorizonWith(train: DataFrame, featureCols: Seq[String],
+      horizons: Seq[Int], callbacks: Int => Seq[Callbacks.TrainingCallback])(
+      fit: (DataFrame, String, Seq[Callbacks.TrainingCallback]) => HorizonModel): Map[Int, HorizonModel] = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+    val assembled = assembler.transform(train).cache()
+    try {
+      horizons.map { h =>
+        val label = s"target_h$h"
+        h -> fit(assembled.filter(col(label).isNotNull), label, callbacks(h))
+      }.toMap
+    } finally assembled.unpersist()
+  }
+
   /** M8: one linear model per horizon (normal-equation solver — one
     * distributed pass per fit).
     */
@@ -104,10 +122,11 @@ object Forecaster {
     */
   def fitPerHorizonDeepMlp(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
       layers: Seq[Int], epochs: Int = 300, lr: Double = 0.1,
-      seed: Long = 42L, dropout: Double = 0.0): Map[Int, HorizonModel] =
-    fitPerHorizonWith(train, featureCols, horizons) { (df, label) =>
+      seed: Long = 42L, dropout: Double = 0.0,
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
       MlpRegressor.fitLayers(df, label, layers, epochs = epochs, lr = lr, seed = seed,
-        dropout = dropout)
+        dropout = dropout, callbacks = cbs)
     }
 
   /** M8 temporal-conv head: one dilated causal Conv1D net per horizon
@@ -116,9 +135,11 @@ object Forecaster {
     * sequence.
     */
   def fitPerHorizonTcn(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
-      conf: TcnRegressor.TcnConfig = TcnRegressor.TcnConfig()): Map[Int, HorizonModel] =
-    fitPerHorizonWith(train, featureCols, horizons) { (df, label) =>
-      TcnRegressor.fit(df, label, conf)
+      conf: TcnRegressor.TcnConfig = TcnRegressor.TcnConfig(),
+      dropout: Double = 0.0,
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
+      TcnRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
     }
 
   /** M8 recurrent head: one LSTM per horizon (the reference's LSTM
@@ -126,9 +147,11 @@ object Forecaster {
     * window is walked as the input sequence.
     */
   def fitPerHorizonLstm(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
-      conf: LstmRegressor.LstmConfig = LstmRegressor.LstmConfig()): Map[Int, HorizonModel] =
-    fitPerHorizonWith(train, featureCols, horizons) { (df, label) =>
-      LstmRegressor.fit(df, label, conf)
+      conf: LstmRegressor.LstmConfig = LstmRegressor.LstmConfig(),
+      dropout: Double = 0.0,
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
+      LstmRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
     }
 
   /** M8 attention head: one single-head self-attention net per horizon
@@ -137,9 +160,11 @@ object Forecaster {
     */
   def fitPerHorizonAttention(train: DataFrame, featureCols: Seq[String],
       horizons: Seq[Int],
-      conf: AttentionRegressor.AttnConfig = AttentionRegressor.AttnConfig()): Map[Int, HorizonModel] =
-    fitPerHorizonWith(train, featureCols, horizons) { (df, label) =>
-      AttentionRegressor.fit(df, label, conf)
+      conf: AttentionRegressor.AttnConfig = AttentionRegressor.AttnConfig(),
+      dropout: Double = 0.0,
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
+      AttentionRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
     }
 
   /** Apply the per-horizon models: adds `pred_h{h}` columns. */

@@ -53,7 +53,10 @@ object ScaleProbe {
 
     val queries = Seq("q10_log_return", "q12_multi_horizon", "q14_rolling_stats",
       "q18_naive_mae", "q22_rolling_count_5d", "q48_preprocess_slice", "q44_stl_decompose",
-      "q49_seasonal_fit", "q58_sessionize", "q62_deep_flatten")
+      "q49_seasonal_fit", "q58_sessionize", "q62_deep_flatten",
+      // round-7 spectral operators: scaling axis = number of series
+      // (q96 one bounded collect per series; q97 map-only DFT per row)
+      "q96_haar_dwt", "q97_multitaper")
     // warm code paths
     queries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       .write.mode("overwrite").format("noop").save())
@@ -72,7 +75,10 @@ object ScaleProbe {
     replicateDocs(10, "/tmp/docs10")
     replicateDocs(100, "/tmp/docs100")
     val docQueries = Seq("q32_exact_dup", "q33_minhash_sig", "q34_minhash_pairs",
-      "q50_near_dedup", "q67_corpus_curation")
+      "q50_near_dedup", "q67_corpus_curation",
+      // round-7: ExactSubstr — replica docs make every gram duplicated
+      // corpus-wide (worst case for the dup-position join + span splice)
+      "q95_substring_dedup")
     docQueries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       .write.mode("overwrite").format("noop").save())
     graft.dedup.Dedup.clearCaches() // drain warm-up handles before timing

@@ -72,6 +72,22 @@ class CallbacksSpec extends AnyFunSuite {
     assert(h.rows.length == 1 && tb.tripped)
   }
 
+  test("M11: per-horizon callback factory isolates state between heads") {
+    val rnd = new scala.util.Random(17)
+    val df = Seq.tabulate(150) { _ =>
+      val x1 = rnd.nextDouble(); val x2 = rnd.nextDouble()
+      (x1, x2, x1 + x2, x1 - x2)
+    }.toDF("x1", "x2", "target_h1", "target_h2")
+    val hist = scala.collection.mutable.Map.empty[Int, Callbacks.History]
+    val models = Forecaster.fitPerHorizonDeepMlp(df, Seq("x1", "x2"), Seq(1, 2),
+      layers = Seq(4), epochs = 12, lr = 0.1,
+      callbacks = h => { val hh = new Callbacks.History; hist(h) = hh; Seq(hh) })
+    assert(models.keySet == Set(1, 2))
+    assert(hist(1).rows.length == 12 && hist(2).rows.length == 12)
+    // distinct labels → distinct loss trajectories: state was not shared
+    assert(hist(1).rows.map(_._2) != hist(2).rows.map(_._2))
+  }
+
   test("M11: no callbacks leaves the fit bit-for-bit unchanged") {
     def w(m: MlpRegressor.MlpRegressionModel) = m.weights.flatten.toSeq
     val a = MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 15, lr = 0.1)
