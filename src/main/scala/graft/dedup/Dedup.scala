@@ -627,6 +627,13 @@ object Dedup {
         posexplode(transform(sequence(lit(0), size(col("__t")) - l),
           i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(l))))))
           .as(Seq("__p", "__g")))
+    // corpus-wide occurrence count via groupBy + join-back rather than a
+    // count-over-partition window: the window pays one fewer shuffle on
+    // mostly-unique corpora, but a boilerplate gram repeated billions of
+    // times at 100 TB would land in ONE window partition — a straggler
+    // nothing can split — whereas the equi-join probe is exactly the
+    // shape AQE skew-join handles, and the agg side reduces map-side
+    // wherever duplication exists
     val dupG = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
     val dupPos = grams.join(dupG, "__g").select(col(idCol), col("__p"))
