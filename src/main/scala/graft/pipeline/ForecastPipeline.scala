@@ -97,8 +97,10 @@ object ForecastPipeline {
   /** MLP-head hyperparameters — the NEAT-searchable genome surface. */
   /** `depth` stacked hidden layers of width `hidden` — the reference's
     * dense heads are 2-3 stacked layers (`predictor_plugin_ann_best.py:222-226`);
-    * `dropout` enables the dense-branch train-time Dropout (epoch-
-    * resampled deterministic masks, see `MlpRegressor.fitLayers`).
+    * `dropout` enables the train-time Dropout (epoch-resampled
+    * deterministic masks): the dense-branch masks for the MLP head
+    * (`MlpRegressor.fitLayers`), the head-input masks for the
+    * TCN/LSTM/attention heads.
     */
   case class MlpConf(hidden: Int = 8, epochs: Int = 300, lr: Double = 0.1,
       seed: Long = 42L, depth: Int = 1, dropout: Double = 0.0)
@@ -143,13 +145,15 @@ object ForecastPipeline {
             lr = mlpConf.lr, seed = mlpConf.seed, dropout = mlpConf.dropout)
           case "tcn" => Forecaster.fitPerHorizonTcn(train, featureCols, config.horizons,
             graft.ml.TcnRegressor.TcnConfig(epochs = mlpConf.epochs, lr = mlpConf.lr,
-              seed = mlpConf.seed))
+              seed = mlpConf.seed), dropout = mlpConf.dropout)
           case "lstm" => Forecaster.fitPerHorizonLstm(train, featureCols, config.horizons,
             graft.ml.LstmRegressor.LstmConfig(units = mlpConf.hidden,
-              epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed))
+              epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
+            dropout = mlpConf.dropout)
           case "attention" => Forecaster.fitPerHorizonAttention(train, featureCols,
             config.horizons, graft.ml.AttentionRegressor.AttnConfig(
-              epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed))
+              epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
+            dropout = mlpConf.dropout)
           case _ => Forecaster.fitPerHorizon(train, featureCols, config.horizons)
             .asInstanceOf[Map[Int, Forecaster.HorizonModel]]
         }

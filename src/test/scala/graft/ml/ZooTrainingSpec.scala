@@ -53,6 +53,34 @@ class ZooTrainingSpec extends AnyFunSuite {
       m.wq.toSeq ++ m.headW.toSeq
   }
 
+  test("pipeline wiring: MlpConf.dropout reaches the sequence heads") {
+    import graft.pipeline.ForecastPipeline
+    def writeSplit(n: Int, x0: Double): String = {
+      val f = java.nio.file.Files.createTempFile("zoodrop", ".csv")
+      val xs = new Array[Double](n)
+      xs(0) = x0
+      (1 until n).foreach(i => xs(i) = 3.7 * xs(i - 1) * (1.0 - xs(i - 1)))
+      val sb = new StringBuilder("DATE_TIME,CLOSE\n")
+      (0 until n).foreach { i =>
+        sb.append(java.time.LocalDateTime.of(2020, 1, 1, 0, 0).plusMinutes(i.toLong)
+          .toString.replace('T', ' ')).append(',').append(xs(i)).append('\n')
+      }
+      java.nio.file.Files.writeString(f, sb.toString)
+      f.toString
+    }
+    val cfg = ForecastPipeline.Config(
+      splits = Map("train" -> writeSplit(200, 0.41), "val" -> writeSplit(200, 0.27)),
+      targetColumn = "CLOSE", horizons = Seq(1))
+    def valMae(drop: Double): Double =
+      ForecastPipeline.modelMetrics(spark, cfg, nLags = 2, head = "tcn",
+        mlpConf = ForecastPipeline.MlpConf(epochs = 15, lr = 0.2, dropout = drop))
+        .filter($"split" === "val" && $"metric" === "MAE" && $"horizon" === 1)
+        .head().getAs[Double]("value")
+    // distinct val MAE under dropout proves the rate flowed through
+    // modelMetrics → fitPerHorizonTcn → TcnRegressor.fit
+    assert(valMae(0.0) != valMae(0.4))
+  }
+
   for (head <- Seq("tcn", "lstm", "attn")) {
     test(s"$head: dropout 0 is the original fit; dropout fits are deterministic") {
       val base = fitW(head, 0.0, Nil)
