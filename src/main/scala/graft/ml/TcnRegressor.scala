@@ -181,14 +181,19 @@ object TcnRegressor {
     * window read as a sequence, labelCol numeric) — the
     * `fitPerHorizonWith` callback contract.
     *
-    * `dropout` > 0 enables TRAIN-TIME dropout of the pooled channels
-    * feeding the linear head (the reference's head `Dropout`,
-    * `predictor_plugin_tcn.py:198`): one inverted-dropout mask per
-    * channel per EPOCH from the McDropout counter hash — the MLP head's
-    * scheme, applied by masking `headW` in the forward/backprop, so the
-    * `dropout = 0` path stays the original code bit-for-bit. `callbacks`
-    * (M11): epoch-end training control fed by the loss accumulated in
-    * the same gradient pass.
+    * `dropout` > 0 enables TRAIN-TIME dropout at BOTH reference
+    * placements (`predictor_plugin_tcn.py:112,126` SpatialDropout1D
+    * inside each block; `:198` head `Dropout`): per EPOCH, one
+    * inverted-dropout mask per (block, channel) applied to the block's
+    * tanh activation before the residual add (spatial = shared across
+    * time steps, exactly SpatialDropout1D), plus one per pooled channel
+    * applied by masking `headW`. All masks come from the McDropout
+    * counter hash, so fits are deterministic and the `dropout = 0` path
+    * stays the original code bit-for-bit; the residual skip is never
+    * masked (identity paths carry gradient past dropped units, the
+    * He et al. residual contract). `callbacks` (M11): epoch-end
+    * training control fed by the loss accumulated in the same gradient
+    * pass.
     */
   def fit(df: DataFrame, labelCol: String, conf: TcnConfig = TcnConfig(),
       featuresCol: String = "features", dropout: Double = 0.0,
@@ -266,12 +271,18 @@ object TcnRegressor {
       var stopped = false
       var epoch = 0
       while (epoch < conf.epochs && !stopped) {
-        // per-epoch inverted-dropout mask on the head input (null = off)
+        // per-epoch inverted-dropout masks (null = off): head input
+        // (layer 0) and one spatial mask per block channel (layer 1+b)
         val mk: Array[Double] =
           if (dropout == 0.0) null
           else Array.tabulate(c)(i =>
             if (McDropout.uniform(conf.seed, epoch.toLong, -1, 0, i) < dropout) 0.0
             else 1.0 / (1.0 - dropout))
+        val mkB: Array[Array[Double]] =
+          if (dropout == 0.0) null
+          else Array.tabulate(blocks)(b => Array.tabulate(c)(i =>
+            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 1 + b, i) < dropout) 0.0
+            else 1.0 / (1.0 - dropout)))
         val bcW = sc.broadcast(weights.clone())
         val grad = OrderedAgg(data, new Array[Double](nW + 1))(
           seqOp = { case (g, (xv, y)) =>
@@ -295,7 +306,8 @@ object TcnRegressor {
             while (j < t) { x(j) = (xv(j) - fMean) / fStd; j += 1 }
             val keep = new Array[Array[Double]](2 * blocks)
             val out = forward(x, c, k, blocks, convW, convB, skipP, headWm,
-              headB, keep)
+              headB, keep,
+              mask = if (mkB == null) null else (b, idx) => mkB(b)(idx % c))
             val err = out - (y - yMean) / yStd
             g(nW) += 0.5 * err * err // epoch loss accumulator
             // head gradients; delta on the final block output = err·w/T
@@ -335,7 +347,17 @@ object TcnRegressor {
                   val d = delta(ti2 * c + co3)
                   if (d != 0.0) {
                     val a = act(ti2 * c + co3)
-                    val dz = d * (1.0 - a * a)
+                    // masked activation a = m·tanh(z) ⇒ da/dz = m·(1−tanh²z);
+                    // a dropped channel (m = 0) passes no conv-path gradient
+                    // (the skip path below is untouched — residuals are
+                    // never masked)
+                    val dz =
+                      if (mkB == null) d * (1.0 - a * a)
+                      else {
+                        val m = mkB(b2)(co3)
+                        if (m == 0.0) 0.0
+                        else { val th = a / m; d * m * (1.0 - th * th) }
+                      }
                     g(bOff(b2) + co3) += dz
                     var j2 = 0
                     while (j2 < k) {

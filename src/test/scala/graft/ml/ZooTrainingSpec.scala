@@ -53,6 +53,75 @@ class ZooTrainingSpec extends AnyFunSuite {
       m.wq.toSeq ++ m.headW.toSeq
   }
 
+  test("tcn spatial dropout: analytic gradient matches finite differences") {
+    // Recover the epoch-0 analytic gradient from a 1-epoch fit
+    // (velocity starts at 0, so w1 = w0 − lr·Σg/n) and compare it,
+    // coordinate by coordinate, against central differences of the
+    // masked loss computed through the SAME forward (forwardMasked) —
+    // pins the whole masked forward/backprop pair, including the
+    // dropped-channel zero-gradient and unmasked-residual contracts.
+    val c = 2; val k = 2; val blocks = 2; val t = 4
+    val drop = 0.5; val lr = 0.5; val seed = 7L
+    val rnd = new scala.util.Random(23)
+    val data = Seq.fill(6)((Vectors.dense(Array.fill(t)(rnd.nextGaussian())),
+      rnd.nextGaussian()))
+    val df = data.toDF("features", "y")
+    val conf = TcnRegressor.TcnConfig(channels = c, kernel = k, blocks = blocks,
+      epochs = 0, lr = lr, momentum = 0.9, seed = seed)
+    def flat(m: TcnRegressor.TcnRegressionModel): Array[Double] =
+      (m.convW(0) ++ m.convB(0) ++ m.convW(1) ++ m.convB(1) ++ m.skipP ++
+        m.headW ++ Array(m.headB))
+    val w0 = flat(TcnRegressor.fit(df, "y", conf, dropout = drop))
+    val w1 = flat(TcnRegressor.fit(df, "y", conf.copy(epochs = 1), dropout = drop))
+    val n = data.length
+    val analytic = w0.zip(w1).map { case (a, b) => (a - b) * n / lr }
+    // standardization exactly as fit computes it (global scalar moments)
+    val xs = data.map(_._1.toArray)
+    val allX = xs.flatten
+    val fMean = allX.sum / allX.length
+    val fStd = { val v = allX.map(x => (x - fMean) * (x - fMean)).sum / allX.length
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    val ys0 = data.map(_._2)
+    val yMean = ys0.sum / n
+    val yStd = { val v = ys0.map(y => (y - yMean) * (y - yMean)).sum / n
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    // epoch-0 masks from the same counter hash
+    val mkHead = Array.tabulate(c)(i =>
+      if (McDropout.uniform(seed, 0L, -1, 0, i) < drop) 0.0 else 1.0 / (1.0 - drop))
+    val mkB = Array.tabulate(blocks)(b => Array.tabulate(c)(i =>
+      if (McDropout.uniform(seed, 0L, -1, 1 + b, i) < drop) 0.0 else 1.0 / (1.0 - drop)))
+    val sizes = Array(c * k, c, c * c * k, c, c, c, 1) // W0|b0|W1|b1|P|headW|headB
+    def loss(w: Array[Double]): Double = {
+      var off = 0
+      def take(m: Int) = { val a = java.util.Arrays.copyOfRange(w, off, off + m); off += m; a }
+      val cw = Array(take(c * k), take(c))
+      val cw1 = Array(take(c * c * k), take(c))
+      val convW = Array(cw(0), cw1(0)); val convB = Array(cw(1), cw1(1))
+      val skipP = take(c)
+      val headW = take(c).zip(mkHead).map { case (x, m) => x * m }
+      val headB = take(1)(0)
+      data.map { case (xv, y) =>
+        val x = xv.toArray.map(v => (v - fMean) / fStd)
+        val out = TcnRegressor.forwardMasked(x, c, k, blocks, convW, convB,
+          skipP, headW, headB, (b, idx) => mkB(b)(idx % c))
+        val e = out - (y - yMean) / yStd
+        0.5 * e * e
+      }.sum
+    }
+    assert(sizes.sum == w0.length)
+    val eps = 1e-5
+    var maxErr = 0.0
+    for (i <- w0.indices) {
+      val wp = w0.clone(); wp(i) += eps
+      val wm = w0.clone(); wm(i) -= eps
+      val num = (loss(wp) - loss(wm)) / (2 * eps)
+      val err = math.abs(num - analytic(i)) / math.max(1.0, math.abs(num))
+      maxErr = math.max(maxErr, err)
+      assert(err < 1e-4, s"weight $i: analytic=${analytic(i)} numeric=$num")
+    }
+    assert(maxErr < 1e-4)
+  }
+
   test("pipeline wiring: MlpConf.dropout reaches the sequence heads") {
     import graft.pipeline.ForecastPipeline
     def writeSplit(n: Int, x0: Double): String = {
