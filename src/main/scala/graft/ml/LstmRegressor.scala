@@ -160,16 +160,25 @@ object LstmRegressor {
     * feeding the linear head (the reference's post-recurrent `Dropout`,
     * `predictor_plugin_lstm.py`): per-epoch inverted masks from the
     * McDropout counter hash, applied by masking `headW` in the
-    * forward/backprop — `dropout = 0` stays bit-for-bit. `callbacks`
-    * (M11): epoch-end training control from the same gradient pass.
+    * forward/backprop — `dropout = 0` stays bit-for-bit.
+    * `recurrentDropout` > 0 additionally masks each hidden unit's
+    * output INSIDE the recurrence with one per-epoch variational mask
+    * shared across time steps (Gal & Ghahramani 2016; Keras
+    * `LSTM(recurrent_dropout=…)`, `predictor_plugin_tft.py:115`) — the
+    * masked h feeds both the next step's gates and the head, and the
+    * BPTT folds the same mask into dOut. `callbacks` (M11): epoch-end
+    * training control from the same gradient pass.
     */
   def fit(df: DataFrame, labelCol: String, conf: LstmConfig = LstmConfig(),
       featuresCol: String = "features", dropout: Double = 0.0,
-      callbacks: Seq[Callbacks.TrainingCallback] = Nil): LstmRegressionModel = {
+      callbacks: Seq[Callbacks.TrainingCallback] = Nil,
+      recurrentDropout: Double = 0.0): LstmRegressionModel = {
     val u = conf.units
     require(u > 0, s"LstmRegressor.fit: bad config $conf")
     require(dropout >= 0.0 && dropout < 1.0,
       s"LstmRegressor.fit: dropout must be in [0, 1), got $dropout")
+    require(recurrentDropout >= 0.0 && recurrentDropout < 1.0,
+      s"LstmRegressor.fit: recurrentDropout must be in [0, 1), got $recurrentDropout")
     val sc = df.sparkSession.sparkContext
     val data = df.select(col(featuresCol), col(labelCol).cast("double"))
       .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
@@ -223,12 +232,18 @@ object LstmRegressor {
       var stopped = false
       var epoch = 0
       while (epoch < conf.epochs && !stopped) {
-        // per-epoch inverted-dropout mask on the head input (null = off)
+        // per-epoch inverted-dropout masks (null = off): head input
+        // (layer 0) and the variational recurrent mask (layer 1)
         val mk: Array[Double] =
           if (dropout == 0.0) null
           else Array.tabulate(u)(i =>
             if (McDropout.uniform(conf.seed, epoch.toLong, -1, 0, i) < dropout) 0.0
             else 1.0 / (1.0 - dropout))
+        val mkR: Array[Double] =
+          if (recurrentDropout == 0.0) null
+          else Array.tabulate(u)(i =>
+            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 1, i) < recurrentDropout) 0.0
+            else 1.0 / (1.0 - recurrentDropout))
         val bcW = sc.broadcast(weights.clone())
         val grad = OrderedAgg(data, new Array[Double](nW + 1))(
           seqOp = { case (g, (xv, y)) =>
@@ -246,7 +261,8 @@ object LstmRegressor {
             var j = 0
             while (j < t) { x(j) = (xv(j) - fMean) / fStd; j += 1 }
             val keep = new Array[Array[Double]](t)
-            val out = forward(x, u, wx, wh, bArr, headWm, headB, keep)
+            val out = forward(x, u, wx, wh, bArr, headWm, headB, keep,
+              mask = if (mkR == null) null else (_, v) => mkR(v))
             val err = out - (y - yMean) / yStd
             g(nW) += 0.5 * err * err // epoch loss accumulator
             // head gradients on h_T
@@ -273,7 +289,10 @@ object LstmRegressor {
                 val ig = row(v); val fg = row(u + v); val gg = row(2 * u + v)
                 val og = row(3 * u + v); val cc = row(4 * u + v)
                 val tc = math.tanh(cc)
-                val dOut = dh(v)
+                // hh = mR·og·tanh(cc): dh carries dL/d(masked h), so the
+                // raw og·tanh(cc) delta gains the variational mask factor
+                // (identity when recurrent dropout is off)
+                val dOut = if (mkR == null) dh(v) else dh(v) * mkR(v)
                 val dCc = dc(v) + dOut * og * (1.0 - tc * tc)
                 val cPrev = if (ti == 0) 0.0 else prevH(4 * u + v)
                 // gate pre-activation deltas

@@ -102,9 +102,9 @@ class GradCheckSpec extends AnyFunSuite {
     assert(meanNorm > 1.0, "fixture should exercise the clip branch")
   }
 
-  test("lstm gradient vs its own masked forward (pins the BPTT)") {
+  test("lstm gradient vs its own masked forward (pins the BPTT + recurrent dropout)") {
     val u = 2; val t = 4
-    val drop = 0.5; val lr = 0.3; val seed = 13L
+    val drop = 0.5; val rDrop = 0.4; val lr = 0.3; val seed = 13L
     val rnd = new scala.util.Random(37)
     val data = Seq.fill(6)((Vectors.dense(Array.fill(t)(rnd.nextGaussian())),
       rnd.nextGaussian()))
@@ -112,8 +112,10 @@ class GradCheckSpec extends AnyFunSuite {
     val conf = LstmRegressor.LstmConfig(units = u, epochs = 0, lr = lr, seed = seed)
     def flat(m: LstmRegressor.LstmRegressionModel): Array[Double] =
       m.wx ++ m.wh ++ m.b ++ m.headW ++ Array(m.headB)
-    val w0 = flat(LstmRegressor.fit(df, "y", conf, dropout = drop))
-    val w1 = flat(LstmRegressor.fit(df, "y", conf.copy(epochs = 1), dropout = drop))
+    val w0 = flat(LstmRegressor.fit(df, "y", conf, dropout = drop,
+      recurrentDropout = rDrop))
+    val w1 = flat(LstmRegressor.fit(df, "y", conf.copy(epochs = 1), dropout = drop,
+      recurrentDropout = rDrop))
     val n = data.length
     val analytic = w0.zip(w1).map { case (a, b) => (a - b) * n / lr }
     val allX = data.flatMap(_._1.toArray)
@@ -125,6 +127,8 @@ class GradCheckSpec extends AnyFunSuite {
       val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
     val mkHead = Array.tabulate(u)(i =>
       if (McDropout.uniform(seed, 0L, -1, 0, i) < drop) 0.0 else 1.0 / (1.0 - drop))
+    val mkR = Array.tabulate(u)(i =>
+      if (McDropout.uniform(seed, 0L, -1, 1, i) < rDrop) 0.0 else 1.0 / (1.0 - rDrop))
     def loss(w: Array[Double]): Double = {
       val wx = java.util.Arrays.copyOfRange(w, 0, 4 * u)
       val wh = java.util.Arrays.copyOfRange(w, 4 * u, 4 * u + 4 * u * u)
@@ -136,7 +140,7 @@ class GradCheckSpec extends AnyFunSuite {
       data.map { case (xv, y) =>
         val x = xv.toArray.map(v => (v - fMean) / fStd)
         val out = LstmRegressor.forwardMasked(x, u, wx, wh, b, headW, headB,
-          (_, _) => 1.0)
+          (_, v) => mkR(v))
         val e = out - (y - yMean) / yStd
         0.5 * e * e
       }.sum
