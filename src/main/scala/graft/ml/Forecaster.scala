@@ -154,6 +154,19 @@ object Forecaster {
       LstmRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
     }
 
+  /** M8 N-BEATS head: one generic-basis doubly-residual stack per
+    * horizon (the reference's `predictor_plugin_n_beats.py` re-expressed,
+    * see [[NBeatsRegressor]]).
+    */
+  def fitPerHorizonNBeats(train: DataFrame, featureCols: Seq[String],
+      horizons: Seq[Int],
+      conf: NBeatsRegressor.NBeatsConfig = NBeatsRegressor.NBeatsConfig(),
+      dropout: Double = 0.0,
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
+      NBeatsRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
+    }
+
   /** M8 attention head: one single-head self-attention net per horizon
     * (the reference's Transformer predictors re-expressed, see
     * [[AttentionRegressor]]).
@@ -202,6 +215,8 @@ object Forecaster {
         case mm: LstmRegressor.LstmRegressionModel =>
           McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
         case mm: AttentionRegressor.AttentionRegressionModel =>
+          McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
+        case mm: NBeatsRegressor.NBeatsRegressionModel =>
           McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
         case other => throw new IllegalArgumentException(
           s"predictWithUncertainty: no MC-dropout forward for ${other.getClass.getSimpleName}; " +

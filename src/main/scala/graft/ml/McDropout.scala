@@ -205,6 +205,29 @@ object McDropout {
     * entries (position·D + dim) between attention and the pooled head.
     * `rate = 0` ≡ `predict`.
     */
+  /** N-BEATS face: variational masks on the accumulated-forecast units
+    * feeding the head (the same placement train-time dropout uses). */
+  def predictWithUncertainty(model: NBeatsRegressor.NBeatsRegressionModel,
+      df: DataFrame, idCol: String, featuresCol: String, passes: Int,
+      rate: Double, seed: Long): DataFrame = {
+    checkArgs(passes, rate)
+    val conf = model.conf
+    val w = model.weights
+    val t = model.seqLen
+    val (fm, fs, lm, ls) = (model.featMean, model.featStd, model.labelMean, model.labelStd)
+    val kScale = 1.0 / (1.0 - rate)
+    val h = conf.units
+    val fn = udf { (id: Long, v: Vector) =>
+      val x = stdWindow(v, t, fm, fs)
+      welford(passes) { p =>
+        val mask = Array.tabulate(h)(u =>
+          if (rate == 0.0 || uniform(seed, id, p, 0, u) >= rate) kScale else 0.0)
+        NBeatsRegressor.forward(x, conf, t, w, null, null, mask) * ls + lm
+      }
+    }
+    emit(df, idCol, featuresCol, fn)
+  }
+
   def predictWithUncertainty(model: AttentionRegressor.AttentionRegressionModel,
       df: DataFrame, idCol: String, featuresCol: String, passes: Int,
       rate: Double, seed: Long): DataFrame = {

@@ -150,6 +150,10 @@ object ForecastPipeline {
             graft.ml.LstmRegressor.LstmConfig(units = mlpConf.hidden,
               epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
             dropout = mlpConf.dropout)
+          case "nbeats" => Forecaster.fitPerHorizonNBeats(train, featureCols,
+            config.horizons, graft.ml.NBeatsRegressor.NBeatsConfig(
+              units = mlpConf.hidden, epochs = mlpConf.epochs, lr = mlpConf.lr,
+              seed = mlpConf.seed), dropout = mlpConf.dropout)
           case "attention" => Forecaster.fitPerHorizonAttention(train, featureCols,
             config.horizons, graft.ml.AttentionRegressor.AttnConfig(
               epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
@@ -168,6 +172,8 @@ object ForecastPipeline {
           graft.ml.LstmRegressor.save(m, s"$dir/h$h")
         case (h, m: graft.ml.AttentionRegressor.AttentionRegressionModel) =>
           graft.ml.AttentionRegressor.save(m, s"$dir/h$h")
+        case (h, m: graft.ml.NBeatsRegressor.NBeatsRegressionModel) =>
+          graft.ml.NBeatsRegressor.save(m, s"$dir/h$h")
         case (h, m) =>
           m.asInstanceOf[org.apache.spark.ml.util.MLWritable]
             .write.overwrite().save(s"$dir/h$h")

@@ -148,6 +148,50 @@ class GradCheckSpec extends AnyFunSuite {
     checkAll(w0, analytic, loss)
   }
 
+  test("nbeats gradient vs its own masked forward (pins the residual stack)") {
+    val t = 6
+    val conf = NBeatsRegressor.NBeatsConfig(blocks = 2, layers = 2, units = 3,
+      epochs = 0, lr = 0.3, seed = 19L)
+    val drop = 0.5
+    val rnd = new scala.util.Random(43)
+    val data = Seq.fill(6)((Vectors.dense(Array.fill(t)(rnd.nextGaussian())),
+      rnd.nextGaussian()))
+    val df = data.toDF("features", "y")
+    val w0 = NBeatsRegressor.fit(df, "y", conf, dropout = drop).weights
+    val w1 = NBeatsRegressor.fit(df, "y", conf.copy(epochs = 1), dropout = drop).weights
+    val n = data.length
+    val analytic = w0.zip(w1).map { case (a, b) => (a - b) * n / conf.lr }
+    val allX = data.flatMap(_._1.toArray)
+    val fMean = allX.sum / allX.length
+    val fStd = { val v = allX.map(x => (x - fMean) * (x - fMean)).sum / allX.length
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    val yMean = data.map(_._2).sum / n
+    val yStd = { val v = data.map(r => math.pow(r._2 - yMean, 2)).sum / n
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    val mk = Array.tabulate(conf.units)(i =>
+      if (McDropout.uniform(conf.seed, 0L, -1, 0, i) < drop) 0.0 else 1.0 / (1.0 - drop))
+    def loss(w: Array[Double]): Double =
+      data.map { case (xv, y) =>
+        val x = xv.toArray.map(v => (v - fMean) / fStd)
+        val out = NBeatsRegressor.forward(x, conf, t, w, null, null, mk)
+        val e = out - (y - yMean) / yStd
+        0.5 * e * e
+      }.sum
+    // this head clips the mean gradient's global norm UNCONDITIONALLY —
+    // apply the same conditional scale to the numeric vector
+    val numeric = w0.indices.map { i =>
+      val wp = w0.clone(); wp(i) += Eps
+      val wm = w0.clone(); wm(i) -= Eps
+      (loss(wp) - loss(wm)) / (2 * Eps)
+    }.toArray
+    val meanNorm = math.sqrt(numeric.map(g => (g / n) * (g / n)).sum)
+    val scaled = numeric.map(g => if (meanNorm > 1.0) g / meanNorm else g)
+    for (i <- w0.indices) {
+      val err = math.abs(scaled(i) - analytic(i)) / math.max(1.0, math.abs(scaled(i)))
+      assert(err < Tol, s"weight $i: analytic=${analytic(i)} numeric=${scaled(i)}")
+    }
+  }
+
   test("attention gradient vs its own masked forward (pins softmax backprop)") {
     val d = 2; val t = 4
     val drop = 0.5; val lr = 0.3; val seed = 17L
