@@ -184,7 +184,7 @@ object ScaleProbe {
       // driver.
       val perHead = scala.collection.mutable.ArrayBuffer.empty[String]
       val (champion, champMae) = graft.ml.Forecaster.search[String](
-        Seq("linear", "gbt", "mlp", "tcn", "lstm", "attention"), { head =>
+        Seq("linear", "gbt", "mlp", "tcn", "lstm", "attention", "nbeats"), { head =>
           val t0 = System.nanoTime()
           val rows = graft.pipeline.ForecastPipeline.modelMetrics(spark, cfg,
             nLags = 3, head = head,
