@@ -2247,6 +2247,42 @@ object SparkEntry {
        |FROM m0 $joins""".stripMargin
   }
 
+  /** ARIMA(2,1,1) per-series fit + 3-step forecast (`Arima.fitForecast`
+    * — the reference's `app/arima_optimizer.py` capability re-expressed
+    * as the mirrorable Hannan–Rissanen two-stage OLS + CSS AIC; fit
+    * input capped at the first [[Q98Steps]] points per series, the
+    * reference's `--max_steps` contract). HASH-EXACT oracle
+    * (`ArimaOracle.fitSql`): differencing, both normal-equation systems
+    * (exact-decimal sums + no-pivot elimination), σ²/AIC, and the
+    * unrolled forecast recursion are replayed bit-for-bit in DuckDB. */
+  private val Q98Order = (2, 1, 1)
+  private val Q98H = 3
+  private val Q98Steps = 64
+
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Arima.fitForecast(t(s, dir, "events"), Seq("user_id"),
+      Seq("ts", "event_id"), "value",
+      Q98Order._1, Q98Order._2, Q98Order._3, Q98H, Q98Steps)
+
+  private val q98Sql: String =
+    graft.oracle.ArimaOracle.fitSql(
+      Q98Order._1, Q98Order._2, Q98Order._3, Q98H, Q98Steps)
+
+  /** AIC order search over the candidate lattice (`Arima.orderSearch` —
+    * the reference's DEAP GA objective, `arima_optimizer.py:12-22`,
+    * evaluated exhaustively in ONE per-series pass; same 1e6 penalty on
+    * degenerate fits). All candidates share the single capped collect;
+    * the oracle unions one mirrored pipeline per candidate and applies
+    * the identical (aic, p+q, d, p) tie-break. */
+  private val Q99Cands = Seq((1, 0, 0), (1, 1, 0), (0, 1, 1), (1, 1, 1), (2, 1, 0), (2, 1, 1))
+
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Arima.orderSearch(t(s, dir, "events"), Seq("user_id"),
+      Seq("ts", "event_id"), "value", Q99Cands, Q98Steps)
+
+  private val q99Sql: String =
+    graft.oracle.ArimaOracle.orderSearchSql(Q99Cands, Q98Steps)
+
   /** Shared trades relation for q46/q47: the state machine is the
     * expensive part (shuffle + ordered single pass per symbol), and the
     * summary is an aggregate OVER its output — computing it twice doubled
@@ -2574,7 +2610,9 @@ object SparkEntry {
     "q94_dup_ngrams" -> (q94 _),
     "q95_substring_dedup" -> (q95 _),
     "q96_haar_dwt" -> (q96 _),
-    "q97_multitaper" -> (q97 _)
+    "q97_multitaper" -> (q97 _),
+    "q98_arima_fit" -> (q98 _),
+    "q99_arima_order" -> (q99 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2659,6 +2697,8 @@ object SparkEntry {
     "q95_substring_dedup" -> q95Sql,
     "q96_haar_dwt" -> q96Sql,
     "q97_multitaper" -> q97Sql,
+    "q98_arima_fit" -> q98Sql,
+    "q99_arima_order" -> q99Sql,
     "q56_dedup_clusters" -> q56Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact

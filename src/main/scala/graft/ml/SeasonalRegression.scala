@@ -137,7 +137,7 @@ object SeasonalRegression {
     * terms (~0.1%) pay the exact-BigDecimal expansion — this is what
     * keeps the mirrorable fit within ~1.3× of the plain one.
     */
-  private def micro6(x: Double): Long = {
+  private[ml] def micro6(x: Double): Long = {
     val y = x * 1e6
     val f = math.floor(y)
     val frac = y - f
