@@ -1,0 +1,450 @@
+package graft.ml
+
+import org.apache.spark.ml.PredictionModel
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** M8 CNN head: a strided causal Conv1D regressor — the Spark-native
+  * re-expression of the reference's CNN predictor family (the zoo's
+  * largest: `predictor_plugins/predictor_plugin_cnn.py:82-100` and its
+  * six `cnn_*` siblings), whose trunk is a stack of `Conv1D(kernel=3,
+  * strides=2, padding="causal")` layers with geometrically decreasing
+  * filter counts (`sizes = [initial] + [max(8, initial // div**i)]`,
+  * `:87-89`). Stride-2 downsampling halves the sequence per layer, so
+  * depth buys exponentially growing receptive field at *decreasing*
+  * per-layer cost — the hierarchical-feature inductive bias that
+  * distinguishes this family from the TCN's dilation (which keeps full
+  * resolution at every level).
+  *
+  * Re-expression boundaries (documented, not hidden): one shared trunk
+  * + pooled linear readout instead of per-horizon conv branches (the
+  * per-horizon structure lives in [[Forecaster.fitPerHorizonCnn]] —
+  * one net per horizon, the zoo's uniform contract); the reference's
+  * BiLSTM readout is covered by the zoo's dedicated [[LstmRegressor]]
+  * head; its DenseFlipout Bayesian output becomes the zoo-wide
+  * MC-dropout stochastic forward ([[McDropout]]); tanh instead of ReLU
+  * (the zoo's bounded-gradient determinism convention).
+  *
+  * Training is the zoo's DISTRIBUTED full-batch pattern: per epoch one
+  * `treeAggregate` ([[OrderedAgg]] — partition-id-ordered merges, so
+  * fits are bitwise reproducible) computes the exact MSE gradient, the
+  * driver applies a momentum update, new weights broadcast. Nothing
+  * data-proportional ever concentrates on the driver; per-epoch cost is
+  * one pass over the cached rows.
+  */
+object CnnRegressor {
+
+  /** `layers` strided causal conv layers; layer i has
+    * `max(minChannels, channels / divisor^i)` filters (the reference's
+    * size plan with a configurable floor), kernel width `kernel`,
+    * stride `stride`. */
+  case class CnnConfig(channels: Int = 8, kernel: Int = 3, layers: Int = 2,
+      divisor: Int = 2, minChannels: Int = 2, stride: Int = 2,
+      epochs: Int = 200, lr: Double = 0.1, momentum: Double = 0.9,
+      seed: Long = 42L) {
+    /** Per-layer filter counts (`predictor_plugin_cnn.py:87-89`). */
+    def sizes: Array[Int] = {
+      var s = channels
+      Array.tabulate(layers) { i =>
+        if (i == 0) channels
+        else { s = math.max(minChannels, s / divisor); s }
+      }
+    }
+  }
+
+  /** Output length of a stride-`s` causal conv over `n` steps
+    * (Keras `padding="causal"`: ceil(n / s)). */
+  private def outLen(n: Int, s: Int): Int = (n + s - 1) / s
+
+  /** Per-layer input lengths: lens(0) = T, lens(l+1) = ceil(lens(l)/s). */
+  private def lensOf(t: Int, layers: Int, stride: Int): Array[Int] = {
+    val lens = new Array[Int](layers + 1)
+    lens(0) = t
+    var l = 0
+    while (l < layers) { lens(l + 1) = outLen(lens(l), stride); l += 1 }
+    lens
+  }
+
+  /** Fitted model. `convW(l)` row-major [out-ch][in-ch][tap],
+    * `convB(l)` per-out-channel; `headW`/`headB` the linear readout over
+    * the final layer's time-pooled channels. */
+  class CnnRegressionModel(
+      override val uid: String,
+      val kernel: Int,
+      val stride: Int,
+      val sizes: Array[Int],
+      val convW: Array[Array[Double]],
+      val convB: Array[Array[Double]],
+      val headW: Array[Double],
+      val headB: Double,
+      val seqLen: Int,
+      val featMean: Double,
+      val featStd: Double,
+      val labelMean: Double,
+      val labelStd: Double)
+    extends PredictionModel[Vector, CnnRegressionModel] {
+
+    override def numFeatures: Int = seqLen
+
+    override def predict(features: Vector): Double = {
+      val x = new Array[Double](seqLen)
+      var i = 0
+      while (i < seqLen) { x(i) = (features(i) - featMean) / featStd; i += 1 }
+      val out = forward(x, kernel, stride, sizes, convW, convB, headW, headB,
+        null)
+      out * labelStd + labelMean
+    }
+
+    override def copy(extra: ParamMap): CnnRegressionModel = copyValues(
+      new CnnRegressionModel(uid, kernel, stride, sizes, convW, convB,
+        headW, headB, seqLen, featMean, featStd, labelMean, labelStd),
+      extra)
+
+    override def toString: String =
+      s"CnnRegressionModel(uid=$uid, sizes=${sizes.mkString("[", ",", "]")}, k=$kernel, s=$stride, T=$seqLen)"
+  }
+
+  /** Shared forward pass. When `keep` is non-null it receives each
+    * layer's (masked) activation map for backprop: keep(l) = layer-l
+    * output, T_{l+1}×C_l row-major. `mask` (null = off) is the
+    * MC-dropout hook: a multiplier on each tanh activation, indexed by
+    * (layer, position·C + channel). Returns the standardized-space
+    * prediction. */
+  private def forward(x: Array[Double], k: Int, stride: Int,
+      sizes: Array[Int], convW: Array[Array[Double]],
+      convB: Array[Array[Double]], headW: Array[Double], headB: Double,
+      keep: Array[Array[Double]],
+      mask: (Int, Int) => Double = null): Double = {
+    val layers = sizes.length
+    val lens = lensOf(x.length, layers, stride)
+    var prev = x
+    var l = 0
+    while (l < layers) {
+      val cin = if (l == 0) 1 else sizes(l - 1)
+      val cout = sizes(l)
+      val tout = lens(l + 1)
+      val w = convW(l); val bias = convB(l)
+      val out = new Array[Double](tout * cout)
+      var ti = 0
+      while (ti < tout) {
+        var co = 0
+        while (co < cout) {
+          var z = bias(co)
+          var j = 0
+          while (j < k) {
+            val src = ti * stride - j
+            if (src >= 0) {
+              var ci = 0
+              while (ci < cin) {
+                z += w((co * cin + ci) * k + j) * prev(src * cin + ci)
+                ci += 1
+              }
+            }
+            j += 1
+          }
+          val a0 = math.tanh(z)
+          out(ti * cout + co) =
+            if (mask != null) a0 * mask(l, ti * cout + co) else a0
+          co += 1
+        }
+        ti += 1
+      }
+      if (keep != null) keep(l) = out
+      prev = out
+      l += 1
+    }
+    // global average pool over the final layer's time axis + linear head
+    val cL = sizes(layers - 1)
+    val tL = lens(layers)
+    var y = headB
+    var co = 0
+    while (co < cL) {
+      var s = 0.0
+      var ti = 0
+      while (ti < tL) { s += prev(ti * cL + co); ti += 1 }
+      y += headW(co) * (s / tL)
+      co += 1
+    }
+    y
+  }
+
+  /** MC-dropout bridge for [[graft.ml.McDropout]]: the shared forward
+    * with a per-unit mask on a pre-standardized window; returns the
+    * STANDARDIZED-space prediction. */
+  private[ml] def forwardMasked(x: Array[Double], k: Int, stride: Int,
+      sizes: Array[Int], convW: Array[Array[Double]],
+      convB: Array[Array[Double]], headW: Array[Double], headB: Double,
+      mask: (Int, Int) => Double): Double =
+    forward(x, k, stride, sizes, convW, convB, headW, headB, null, mask)
+
+  /** Fit on an assembled frame (featuresCol: MLlib Vector = the lag
+    * window read as a sequence, labelCol numeric) — the
+    * `fitPerHorizonWith` callback contract.
+    *
+    * `dropout` > 0 enables train-time spatial dropout: per epoch one
+    * inverted-dropout mask per (layer, channel) shared across time
+    * steps, plus one per pooled channel on the head (the zoo's uniform
+    * placements; the reference CNN itself regularizes via L2 + its
+    * Bayesian output layer — kernel L2 folds into weight decay, which
+    * momentum-GD approximates with `lr`-scaled shrinkage, and the
+    * Bayesian part is served by MC-dropout instead). Masks come from
+    * the [[McDropout]] counter hash, so fits stay deterministic and the
+    * `dropout = 0` path is the original code bit-for-bit. `callbacks`
+    * (M11): epoch-end training control fed by the loss accumulated in
+    * the same gradient pass. */
+  def fit(df: DataFrame, labelCol: String, conf: CnnConfig = CnnConfig(),
+      featuresCol: String = "features", dropout: Double = 0.0,
+      callbacks: Seq[Callbacks.TrainingCallback] = Nil): CnnRegressionModel = {
+    val k = conf.kernel
+    val stride = conf.stride
+    val sizes = conf.sizes
+    val layers = sizes.length
+    require(layers > 0 && k > 0 && stride > 0 && sizes.forall(_ > 0),
+      s"CnnRegressor.fit: bad config $conf")
+    require(dropout >= 0.0 && dropout < 1.0,
+      s"CnnRegressor.fit: dropout must be in [0, 1), got $dropout")
+    val sc = df.sparkSession.sparkContext
+    val data = df.select(col(featuresCol), col(labelCol).cast("double"))
+      .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = data.take(1)
+      require(head.nonEmpty, "CnnRegressor.fit: empty training set")
+      val t = head(0)._1.size
+      val lens = lensOf(t, layers, stride)
+      // global standardization (one scalar mean/std over all positions —
+      // per-position stats would break the conv's translation invariance)
+      val (sx, sxx, sy, syy, n) = OrderedAgg(data, (0.0, 0.0, 0.0, 0.0, 0L))(
+        seqOp = { case ((sx, sxx, sy, syy, n), (x, y)) =>
+          var a = sx; var aa = sxx
+          var j = 0
+          while (j < t) { val v = x(j); a += v; aa += v * v; j += 1 }
+          (a, aa, sy + y, syy + y * y, n + 1)
+        },
+        combOp = { case ((ax, axx, ay, ayy, an), (bx, bxx, by, byy, bn)) =>
+          (ax + bx, axx + bxx, ay + by, ayy + byy, an + bn)
+        })
+      require(n > 0, "CnnRegressor.fit: empty training set")
+      def std(sum: Double, sumsq: Double, cnt: Double): Double = {
+        val v = math.max(sumsq / cnt - (sum / cnt) * (sum / cnt), 0.0)
+        val s = math.sqrt(v)
+        if (s < 1e-12) 1.0 else s
+      }
+      val fMean = sx / (n.toDouble * t)
+      val fStd = std(sx, sxx, n.toDouble * t)
+      val yMean = sy / n
+      val yStd = std(sy, syy, n.toDouble)
+
+      // flat parameter vector: [W0|b0|W1|b1|...|headW|headB]
+      val wSize = Array.tabulate(layers)(l =>
+        (if (l == 0) 1 else sizes(l - 1)) * sizes(l) * k)
+      val wOff = new Array[Int](layers)
+      val bOff = new Array[Int](layers)
+      var off = 0
+      var l = 0
+      while (l < layers) {
+        wOff(l) = off; off += wSize(l)
+        bOff(l) = off; off += sizes(l)
+        l += 1
+      }
+      val cL = sizes(layers - 1)
+      val hOff = off; off += cL
+      val hbOff = off; off += 1
+      val nW = off
+      val rnd = new java.util.Random(conf.seed)
+      val weights = new Array[Double](nW)
+      l = 0
+      while (l < layers) {
+        val fanIn = (if (l == 0) 1 else sizes(l - 1)) * k
+        val scale = math.sqrt(1.0 / fanIn)
+        var i = wOff(l)
+        while (i < wOff(l) + wSize(l)) { weights(i) = rnd.nextGaussian() * scale; i += 1 }
+        l += 1
+      }
+      var i = hOff
+      while (i < hOff + cL) { weights(i) = rnd.nextGaussian() * math.sqrt(1.0 / cL); i += 1 }
+      val velocity = new Array[Double](nW)
+
+      var lrCur = conf.lr
+      var stopped = false
+      var epoch = 0
+      while (epoch < conf.epochs && !stopped) {
+        // per-epoch inverted-dropout masks (null = off): layer 0 = head
+        // channels, layer 1+l = spatial mask per conv channel
+        val mk: Array[Double] =
+          if (dropout == 0.0) null
+          else Array.tabulate(cL)(i =>
+            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 0, i) < dropout) 0.0
+            else 1.0 / (1.0 - dropout))
+        val mkL: Array[Array[Double]] =
+          if (dropout == 0.0) null
+          else Array.tabulate(layers)(l => Array.tabulate(sizes(l))(i =>
+            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 1 + l, i) < dropout) 0.0
+            else 1.0 / (1.0 - dropout)))
+        val bcW = sc.broadcast(weights.clone())
+        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
+          seqOp = { case (g, (xv, y)) =>
+            val wFlat = bcW.value
+            val convW = Array.tabulate(layers)(l =>
+              java.util.Arrays.copyOfRange(wFlat, wOff(l), wOff(l) + wSize(l)))
+            val convB = Array.tabulate(layers)(l =>
+              java.util.Arrays.copyOfRange(wFlat, bOff(l), bOff(l) + sizes(l)))
+            val headW = java.util.Arrays.copyOfRange(wFlat, hOff, hOff + cL)
+            val headB = wFlat(hbOff)
+            val headWm =
+              if (mk == null) headW
+              else Array.tabulate(cL)(i => headW(i) * mk(i))
+            val x = new Array[Double](t)
+            var j = 0
+            while (j < t) { x(j) = (xv(j) - fMean) / fStd; j += 1 }
+            val keep = new Array[Array[Double]](layers)
+            val out = forward(x, k, stride, sizes, convW, convB, headWm,
+              headB, keep,
+              mask = if (mkL == null) null
+              else (l, idx) => mkL(l)(idx % sizes(l)))
+            val err = out - (y - yMean) / yStd
+            g(nW) += 0.5 * err * err // epoch loss accumulator
+            val tL = lens(layers)
+            val lastOut = keep(layers - 1)
+            var co = 0
+            while (co < cL) {
+              var s = 0.0
+              var ti = 0
+              while (ti < tL) { s += lastOut(ti * cL + co); ti += 1 }
+              g(hOff + co) += err * (s / tL) * (if (mk == null) 1.0 else mk(co))
+              co += 1
+            }
+            g(hbOff) += err
+            var delta = new Array[Double](tL * cL)
+            var ti = 0
+            while (ti < tL) {
+              var co2 = 0
+              while (co2 < cL) {
+                delta(ti * cL + co2) = err * headWm(co2) / tL
+                co2 += 1
+              }
+              ti += 1
+            }
+            // backprop through layers (reverse)
+            var l2 = layers - 1
+            while (l2 >= 0) {
+              val cin = if (l2 == 0) 1 else sizes(l2 - 1)
+              val cout = sizes(l2)
+              val tout = lens(l2 + 1)
+              val in: Array[Double] = if (l2 == 0) x else keep(l2 - 1)
+              val act = keep(l2)
+              val w = convW(l2)
+              val dPrev = new Array[Double](lens(l2) * cin)
+              var ti2 = 0
+              while (ti2 < tout) {
+                var co3 = 0
+                while (co3 < cout) {
+                  val d = delta(ti2 * cout + co3)
+                  if (d != 0.0) {
+                    val a = act(ti2 * cout + co3)
+                    // masked activation a = m·tanh(z) ⇒ da/dz = m·(1−tanh²z)
+                    val dz =
+                      if (mkL == null) d * (1.0 - a * a)
+                      else {
+                        val m = mkL(l2)(co3)
+                        if (m == 0.0) 0.0
+                        else { val th = a / m; d * m * (1.0 - th * th) }
+                      }
+                    if (dz != 0.0) {
+                      g(bOff(l2) + co3) += dz
+                      var j2 = 0
+                      while (j2 < k) {
+                        val src = ti2 * stride - j2
+                        if (src >= 0) {
+                          var ci = 0
+                          while (ci < cin) {
+                            g(wOff(l2) + (co3 * cin + ci) * k + j2) +=
+                              dz * in(src * cin + ci)
+                            if (l2 > 0)
+                              dPrev(src * cin + ci) +=
+                                dz * w((co3 * cin + ci) * k + j2)
+                            ci += 1
+                          }
+                        }
+                        j2 += 1
+                      }
+                    }
+                  }
+                  co3 += 1
+                }
+                ti2 += 1
+              }
+              if (l2 > 0) delta = dPrev
+              l2 -= 1
+            }
+            g
+          },
+          combOp = { (a2, b3) =>
+            var k2 = 0
+            while (k2 < nW + 1) { a2(k2) += b3(k2); k2 += 1 }
+            a2
+          })
+        bcW.destroy()
+        var k3 = 0
+        while (k3 < nW) {
+          velocity(k3) = conf.momentum * velocity(k3) - lrCur * grad(k3) / n
+          weights(k3) += velocity(k3)
+          k3 += 1
+        }
+        if (callbacks.nonEmpty) {
+          val loss = grad(nW) / n
+          callbacks.foreach { cb =>
+            cb.onEpochEnd(epoch, loss, lrCur) match {
+              case Callbacks.Stop      => stopped = true
+              case Callbacks.SetLr(nl) => lrCur = nl
+              case Callbacks.Continue  => ()
+            }
+          }
+        }
+        epoch += 1
+      }
+
+      new CnnRegressionModel(
+        s"cnn_${java.util.UUID.randomUUID().toString.take(8)}",
+        k, stride, sizes,
+        Array.tabulate(layers)(l =>
+          java.util.Arrays.copyOfRange(weights, wOff(l), wOff(l) + wSize(l))),
+        Array.tabulate(layers)(l =>
+          java.util.Arrays.copyOfRange(weights, bOff(l), bOff(l) + sizes(l))),
+        java.util.Arrays.copyOfRange(weights, hOff, hOff + cL),
+        weights(hbOff),
+        t, fMean, fStd, yMean, yStd)
+    } finally { data.unpersist(blocking = false); () }
+  }
+
+  /** S11 artifact sink: architecture + weights as one parquet row. */
+  def save(model: CnnRegressionModel, path: String): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    Seq((model.uid, model.kernel, model.stride, model.sizes.toSeq,
+        model.convW.map(_.toSeq).toSeq, model.convB.map(_.toSeq).toSeq,
+        model.headW.toSeq, model.headB, model.seqLen,
+        model.featMean, model.featStd, model.labelMean, model.labelStd))
+      .toDF("uid", "kernel", "stride", "sizes", "conv_w", "conv_b",
+        "head_w", "head_b", "seq_len",
+        "feat_mean", "feat_std", "label_mean", "label_std")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** S11 artifact source. */
+  def load(spark: SparkSession, path: String): CnnRegressionModel = {
+    val r = spark.read.parquet(path).head()
+    new CnnRegressionModel(
+      r.getAs[String]("uid"), r.getAs[Int]("kernel"), r.getAs[Int]("stride"),
+      r.getAs[scala.collection.Seq[Int]]("sizes").toArray,
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("conv_w").map(_.toArray).toArray,
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("conv_b").map(_.toArray).toArray,
+      r.getAs[scala.collection.Seq[Double]]("head_w").toArray,
+      r.getAs[Double]("head_b"), r.getAs[Int]("seq_len"),
+      r.getAs[Double]("feat_mean"), r.getAs[Double]("feat_std"),
+      r.getAs[Double]("label_mean"), r.getAs[Double]("label_std"))
+  }
+}

@@ -142,6 +142,19 @@ object Forecaster {
       TcnRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
     }
 
+  /** M8 CNN head: one strided causal Conv1D net per horizon (the
+    * reference's largest plugin family — `predictor_plugin_cnn.py` and
+    * its six siblings — re-expressed, see [[CnnRegressor]]); the
+    * assembled lag window is read as the input sequence.
+    */
+  def fitPerHorizonCnn(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
+      conf: CnnRegressor.CnnConfig = CnnRegressor.CnnConfig(),
+      dropout: Double = 0.0,
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
+      CnnRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
+    }
+
   /** M8 recurrent head: one LSTM per horizon (the reference's LSTM
     * predictors re-expressed, see [[LstmRegressor]]); the assembled lag
     * window is walked as the input sequence.
@@ -211,6 +224,8 @@ object Forecaster {
         case mm: MlpRegressor.MlpRegressionModel =>
           McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
         case mm: TcnRegressor.TcnRegressionModel =>
+          McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
+        case mm: CnnRegressor.CnnRegressionModel =>
           McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
         case mm: LstmRegressor.LstmRegressionModel =>
           McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)

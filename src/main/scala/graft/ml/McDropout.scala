@@ -176,6 +176,33 @@ object McDropout {
     emit(df, idCol, featuresCol, fn)
   }
 
+  /** [[CnnRegressor]] MC-dropout: masks on every conv tanh activation
+    * (layer, position·C + channel) — the zoo's re-expression of the
+    * reference CNN's DenseFlipout stochastic forward. Same output
+    * contract: `pred_mean` / `pred_unc`, `rate = 0` ≡ `predict`.
+    */
+  def predictWithUncertainty(model: CnnRegressor.CnnRegressionModel, df: DataFrame,
+      idCol: String, featuresCol: String, passes: Int,
+      rate: Double, seed: Long): DataFrame = {
+    checkArgs(passes, rate)
+    val (k, stride, sizes) = (model.kernel, model.stride, model.sizes)
+    val (convW, convB) = (model.convW, model.convB)
+    val (headW, headB) = (model.headW, model.headB)
+    val t = model.seqLen
+    val (fm, fs, lm, ls) = (model.featMean, model.featStd, model.labelMean, model.labelStd)
+    val kScale = 1.0 / (1.0 - rate)
+    val fn = udf { (id: Long, v: Vector) =>
+      val x = stdWindow(v, t, fm, fs)
+      welford(passes) { p =>
+        val mask = (l: Int, u: Int) =>
+          if (rate == 0.0 || uniform(seed, id, p, l, u) >= rate) kScale else 0.0
+        CnnRegressor.forwardMasked(x, k, stride, sizes, convW, convB,
+          headW, headB, mask) * ls + lm
+      }
+    }
+    emit(df, idCol, featuresCol, fn)
+  }
+
   /** [[LstmRegressor]] MC-dropout: one variational mask per (pass,
     * sequence) on the hidden-state units, constant across timesteps
     * (Gal & Ghahramani, NeurIPS 2016). `rate = 0` ≡ `predict`.

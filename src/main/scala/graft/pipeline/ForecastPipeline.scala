@@ -108,7 +108,8 @@ object ForecastPipeline {
   /** MODEL-based slice (M8 end-to-end): lag features → per-horizon heads
     * fit on the `train` split — `head` = "linear" (normal-equation),
     * "gbt", or a native deep head: "mlp" (multi-layer tanh), "tcn"
-    * (dilated causal conv), "lstm" (recurrent), "attention" (single-head
+    * (dilated causal conv), "cnn" (strided causal conv),
+    * "lstm" (recurrent), "attention" (single-head
     * self-attention) — shared hyperparameters via `mlpConf` — → per-split MAE / Naive
     * MAE / R² rows, same grain as [[naiveMetrics]]. `modelDir` saves
     * each horizon's fitted model (S11 artifact sink); reload with the
@@ -146,6 +147,10 @@ object ForecastPipeline {
           case "tcn" => Forecaster.fitPerHorizonTcn(train, featureCols, config.horizons,
             graft.ml.TcnRegressor.TcnConfig(epochs = mlpConf.epochs, lr = mlpConf.lr,
               seed = mlpConf.seed), dropout = mlpConf.dropout)
+          case "cnn" => Forecaster.fitPerHorizonCnn(train, featureCols, config.horizons,
+            graft.ml.CnnRegressor.CnnConfig(channels = mlpConf.hidden,
+              epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
+            dropout = mlpConf.dropout)
           case "lstm" => Forecaster.fitPerHorizonLstm(train, featureCols, config.horizons,
             graft.ml.LstmRegressor.LstmConfig(units = mlpConf.hidden,
               epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
@@ -168,6 +173,8 @@ object ForecastPipeline {
           graft.ml.MlpRegressor.save(m, s"$dir/h$h")
         case (h, m: graft.ml.TcnRegressor.TcnRegressionModel) =>
           graft.ml.TcnRegressor.save(m, s"$dir/h$h")
+        case (h, m: graft.ml.CnnRegressor.CnnRegressionModel) =>
+          graft.ml.CnnRegressor.save(m, s"$dir/h$h")
         case (h, m: graft.ml.LstmRegressor.LstmRegressionModel) =>
           graft.ml.LstmRegressor.save(m, s"$dir/h$h")
         case (h, m: graft.ml.AttentionRegressor.AttentionRegressionModel) =>
