@@ -56,7 +56,10 @@ object ScaleProbe {
       "q49_seasonal_fit", "q58_sessionize", "q62_deep_flatten",
       // round-7 spectral operators: scaling axis = number of series
       // (q96 one bounded collect per series; q97 map-only DFT per row)
-      "q96_haar_dwt", "q97_multitaper")
+      "q96_haar_dwt", "q97_multitaper",
+      // round-7 ARIMA: one capped collect per series, kernel local —
+      // time must track series COUNT (the q96 shape), never series×iters
+      "q98_arima_fit", "q99_arima_order")
     // warm code paths
     queries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       .write.mode("overwrite").format("noop").save())
@@ -184,7 +187,7 @@ object ScaleProbe {
       // driver.
       val perHead = scala.collection.mutable.ArrayBuffer.empty[String]
       val (champion, champMae) = graft.ml.Forecaster.search[String](
-        Seq("linear", "gbt", "mlp", "tcn", "lstm", "attention", "nbeats"), { head =>
+        Seq("linear", "gbt", "mlp", "cnn", "tcn", "lstm", "attention", "nbeats"), { head =>
           val t0 = System.nanoTime()
           val rows = graft.pipeline.ForecastPipeline.modelMetrics(spark, cfg,
             nLags = 3, head = head,
