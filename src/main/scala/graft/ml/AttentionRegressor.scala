@@ -7,25 +7,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** M8 attention head: a single-head self-attention regressor — the
+/** M8 attention head: a multi-head self-attention regressor — the
   * Spark-native re-expression of the reference's Transformer predictors
   * (`predictor_plugins/predictor_plugin_transformer.py:5,65-66`:
   * `MultiHeadAttention` over the window with positional encoding;
-  * scaled dot-product attention from Vaswani et al. 2017). The
+  * scaled dot-product attention from Vaswani et al. 2017 §3.2.2). The
   * assembled features vector is read as a univariate sequence; each
   * position is embedded as `e_t = x_t·wE + pos_t` (learned positional
   * embedding — without it attention over a scalar window would be
-  * permutation-invariant), one scaled dot-product self-attention layer
-  * mixes the positions, and a mean-pool + linear readout produces the
-  * prediction. What attention buys over the conv/recurrent heads is
-  * CONTENT-BASED routing: position t attends to wherever the relevant
-  * signal IS, not to a fixed receptive field or a decaying state
-  * (spec-pinned on a soft-retrieval teacher).
+  * permutation-invariant), one attention layer with `heads` parallel
+  * heads mixes the positions — head h attends over its own D/H-wide
+  * subspace of Q/K/V with scale 1/√(D/H), and the per-head outputs
+  * concatenate by construction of the slicing — and a mean-pool +
+  * linear readout produces the prediction. What attention buys over
+  * the conv/recurrent heads is CONTENT-BASED routing: position t
+  * attends to wherever the relevant signal IS, not to a fixed
+  * receptive field or a decaying state (spec-pinned on a
+  * soft-retrieval teacher); extra heads buy INDEPENDENT routing
+  * patterns per subspace.
   *
-  * Re-expression boundaries: one head, one layer, no LayerNorm/FFN
-  * sublayer (full-batch exact gradients, spec-scale capacity), mean
-  * pooling instead of per-horizon stacked heads (the per-horizon split
-  * lives in `Forecaster.fitPerHorizonWith`).
+  * Re-expression boundaries: one layer, no LayerNorm/FFN sublayer and
+  * no output projection W_O (the head slices concatenate directly into
+  * the pooled readout — W_O folds into `headW` under mean pooling),
+  * mean pooling instead of per-horizon stacked heads (the per-horizon
+  * split lives in `Forecaster.fitPerHorizonWith`). `heads = 1`
+  * reproduces the former single-head code path bit-for-bit.
   *
   * Training: identical distributed full-batch pattern as
   * [[MlpRegressor]]/[[TcnRegressor]]/[[LstmRegressor]] — one exact
@@ -35,13 +41,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object AttentionRegressor {
 
-  /** `dim` = embedding width D. */
-  case class AttnConfig(dim: Int = 4, epochs: Int = 200, lr: Double = 0.1,
-      momentum: Double = 0.9, seed: Long = 42L)
+  /** `dim` = embedding width D; `heads` = parallel attention heads H
+    * (D must divide evenly into H subspaces). */
+  case class AttnConfig(dim: Int = 4, heads: Int = 1, epochs: Int = 200,
+      lr: Double = 0.1, momentum: Double = 0.9, seed: Long = 42L)
 
   class AttentionRegressionModel(
       override val uid: String,
       val dim: Int,
+      val heads: Int,
       val wE: Array[Double], // D: scalar input -> embedding
       val pos: Array[Double], // T×D row-major learned positional embedding
       val wq: Array[Double], // D×D row-major
@@ -63,16 +71,16 @@ object AttentionRegressor {
       val x = new Array[Double](t)
       var i = 0
       while (i < t) { x(i) = (features(i) - featMean) / featStd; i += 1 }
-      val out = forward(x, dim, wE, pos, wq, wk, wv, headW, headB, null)
+      val out = forward(x, dim, heads, wE, pos, wq, wk, wv, headW, headB, null)
       out * labelStd + labelMean
     }
 
     override def copy(extra: ParamMap): AttentionRegressionModel = copyValues(
-      new AttentionRegressionModel(uid, dim, wE, pos, wq, wk, wv, headW,
+      new AttentionRegressionModel(uid, dim, heads, wE, pos, wq, wk, wv, headW,
         headB, seqLen, featMean, featStd, labelMean, labelStd), extra)
 
     override def toString: String =
-      s"AttentionRegressionModel(uid=$uid, dim=$dim, T=$seqLen)"
+      s"AttentionRegressionModel(uid=$uid, dim=$dim, heads=$heads, T=$seqLen)"
   }
 
   /** Forward pass; with `keep` non-null stores (e, q, k, v, alpha, a)
@@ -85,7 +93,7 @@ object AttentionRegressor {
     * (`predictor_plugin_transformer.py`: Dropout on the block output).
     * Training passes null.
     */
-  private def forward(x: Array[Double], d: Int, wE: Array[Double],
+  private def forward(x: Array[Double], d: Int, nH: Int, wE: Array[Double],
       pos: Array[Double], wq: Array[Double], wk: Array[Double],
       wv: Array[Double], headW: Array[Double], headB: Double,
       keep: Array[Array[Double]],
@@ -115,38 +123,46 @@ object AttentionRegressor {
       }
       ti += 1
     }
-    val scale = 1.0 / math.sqrt(d.toDouble)
-    val alpha = new Array[Double](t * t)
+    // per-head scaled dot-product attention over the D/H-wide slices;
+    // alpha is H×T×T, indexed ((h·T + t)·T + s)
+    val dh = d / nH
+    val scale = 1.0 / math.sqrt(dh.toDouble)
+    val alpha = new Array[Double](nH * t * t)
     val a = new Array[Double](t * d)
     ti = 0
     while (ti < t) {
-      // softmax over s of q_t·k_s/sqrt(D), max-subtracted for stability
-      var mx = Double.NegativeInfinity
-      var s = 0
-      while (s < t) {
-        var l = 0.0
-        var j = 0
-        while (j < d) { l += q(ti * d + j) * k(s * d + j); j += 1 }
-        l *= scale
-        alpha(ti * t + s) = l
-        if (l > mx) mx = l
-        s += 1
-      }
-      var z = 0.0
-      s = 0
-      while (s < t) {
-        val ex = math.exp(alpha(ti * t + s) - mx)
-        alpha(ti * t + s) = ex
-        z += ex
-        s += 1
-      }
-      s = 0
-      while (s < t) {
-        val al = alpha(ti * t + s) / z
-        alpha(ti * t + s) = al
-        var j = 0
-        while (j < d) { a(ti * d + j) += al * v(s * d + j); j += 1 }
-        s += 1
+      var hh = 0
+      while (hh < nH) {
+        val base = hh * dh
+        // softmax over s of q_t·k_s/sqrt(D/H), max-subtracted for stability
+        var mx = Double.NegativeInfinity
+        var s = 0
+        while (s < t) {
+          var l = 0.0
+          var j = 0
+          while (j < dh) { l += q(ti * d + base + j) * k(s * d + base + j); j += 1 }
+          l *= scale
+          alpha((hh * t + ti) * t + s) = l
+          if (l > mx) mx = l
+          s += 1
+        }
+        var z = 0.0
+        s = 0
+        while (s < t) {
+          val ex = math.exp(alpha((hh * t + ti) * t + s) - mx)
+          alpha((hh * t + ti) * t + s) = ex
+          z += ex
+          s += 1
+        }
+        s = 0
+        while (s < t) {
+          val al = alpha((hh * t + ti) * t + s) / z
+          alpha((hh * t + ti) * t + s) = al
+          var j = 0
+          while (j < dh) { a(ti * d + base + j) += al * v(s * d + base + j); j += 1 }
+          s += 1
+        }
+        hh += 1
       }
       ti += 1
     }
@@ -174,11 +190,11 @@ object AttentionRegressor {
     * with a per-attended-unit mask, on a pre-standardized window.
     * Returns the STANDARDIZED-space prediction.
     */
-  private[ml] def forwardMasked(x: Array[Double], d: Int, wE: Array[Double],
-      pos: Array[Double], wq: Array[Double], wk: Array[Double],
-      wv: Array[Double], headW: Array[Double], headB: Double,
-      mask: (Int, Int) => Double): Double =
-    forward(x, d, wE, pos, wq, wk, wv, headW, headB, null, mask)
+  private[ml] def forwardMasked(x: Array[Double], d: Int, nH: Int,
+      wE: Array[Double], pos: Array[Double], wq: Array[Double],
+      wk: Array[Double], wv: Array[Double], headW: Array[Double],
+      headB: Double, mask: (Int, Int) => Double): Double =
+    forward(x, d, nH, wE, pos, wq, wk, wv, headW, headB, null, mask)
 
   /** Fit on an assembled frame — the `fitPerHorizonWith` contract.
     *
@@ -193,7 +209,9 @@ object AttentionRegressor {
       featuresCol: String = "features", dropout: Double = 0.0,
       callbacks: Seq[Callbacks.TrainingCallback] = Nil): AttentionRegressionModel = {
     val d = conf.dim
-    require(d > 0, s"AttentionRegressor.fit: bad config $conf")
+    val nH = conf.heads
+    require(d > 0 && nH > 0 && d % nH == 0,
+      s"AttentionRegressor.fit: dim must split evenly across heads, got $conf")
     require(dropout >= 0.0 && dropout < 1.0,
       s"AttentionRegressor.fit: dropout must be in [0, 1), got $dropout")
     val sc = df.sparkSession.sparkContext
@@ -246,7 +264,8 @@ object AttentionRegressor {
       i = 0
       while (i < d) { weights(hOff + i) = rnd.nextGaussian() * mScale; i += 1 }
       val velocity = new Array[Double](nW)
-      val scale = 1.0 / math.sqrt(d.toDouble)
+      val dh = d / nH
+      val scale = 1.0 / math.sqrt(dh.toDouble)
 
       var lrCur = conf.lr
       var stopped = false
@@ -277,7 +296,7 @@ object AttentionRegressor {
             var j = 0
             while (j < t) { x(j) = (xv(j) - fMean) / fStd; j += 1 }
             val keep = new Array[Array[Double]](6)
-            val out = forward(x, d, wE, pos, wq, wk, wv, headWm, headB, keep)
+            val out = forward(x, d, nH, wE, pos, wq, wk, wv, headWm, headB, keep)
             val err = out - (y - yMean) / yStd
             g(nW) += 0.5 * err * err // epoch loss accumulator
             val e = keep(0); val q = keep(1); val k = keep(2)
@@ -298,32 +317,41 @@ object AttentionRegressor {
             val dv = new Array[Double](t * d)
             var ti = 0
             while (ti < t) {
-              // dα_{t,s} = da_t·v_s ; softmax backward ; dv_s += α·da_t
-              val dal = new Array[Double](t)
-              var s = 0
-              while (s < t) {
-                var acc = 0.0
-                var j3 = 0
-                while (j3 < d) { acc += (err * headWm(j3) / t) * v(s * d + j3); j3 += 1 }
-                dal(s) = acc
-                s += 1
-              }
-              var dot = 0.0
-              s = 0
-              while (s < t) { dot += alpha(ti * t + s) * dal(s); s += 1 }
-              s = 0
-              while (s < t) {
-                val al = alpha(ti * t + s)
-                val dl = al * (dal(s) - dot) * scale
-                // dq_t += dl·k_s ; dk_s += dl·q_t ; dv via alpha
-                var j4 = 0
-                while (j4 < d) {
-                  dq(ti * d + j4) += dl * k(s * d + j4)
-                  dk(s * d + j4) += dl * q(ti * d + j4)
-                  dv(s * d + j4) += al * (err * headWm(j4) / t)
-                  j4 += 1
+              var hh = 0
+              while (hh < nH) {
+                val base = hh * dh
+                // dα_{t,s} = da_t·v_s over head h's slice; softmax
+                // backward per (t, h); dv_s += α·da_t within the slice
+                val dal = new Array[Double](t)
+                var s = 0
+                while (s < t) {
+                  var acc = 0.0
+                  var j3 = 0
+                  while (j3 < dh) {
+                    acc += (err * headWm(base + j3) / t) * v(s * d + base + j3)
+                    j3 += 1
+                  }
+                  dal(s) = acc
+                  s += 1
                 }
-                s += 1
+                var dot = 0.0
+                s = 0
+                while (s < t) { dot += alpha((hh * t + ti) * t + s) * dal(s); s += 1 }
+                s = 0
+                while (s < t) {
+                  val al = alpha((hh * t + ti) * t + s)
+                  val dl = al * (dal(s) - dot) * scale
+                  // dq_t += dl·k_s ; dk_s += dl·q_t ; dv via alpha
+                  var j4 = 0
+                  while (j4 < dh) {
+                    dq(ti * d + base + j4) += dl * k(s * d + base + j4)
+                    dk(s * d + base + j4) += dl * q(ti * d + base + j4)
+                    dv(s * d + base + j4) += al * (err * headWm(base + j4) / t)
+                    j4 += 1
+                  }
+                  s += 1
+                }
+                hh += 1
               }
               ti += 1
             }
@@ -381,7 +409,7 @@ object AttentionRegressor {
       }
 
       new AttentionRegressionModel(
-        s"attn_${java.util.UUID.randomUUID().toString.take(8)}", d,
+        s"attn_${java.util.UUID.randomUUID().toString.take(8)}", d, nH,
         java.util.Arrays.copyOfRange(weights, eOff, eOff + d),
         java.util.Arrays.copyOfRange(weights, pOff, pOff + t * d),
         java.util.Arrays.copyOfRange(weights, qOff, qOff + d * d),
@@ -396,12 +424,12 @@ object AttentionRegressor {
   def save(model: AttentionRegressionModel, path: String): Unit = {
     val spark = SparkSession.active
     import spark.implicits._
-    Seq((model.uid, model.dim, model.wE.toSeq, model.pos.toSeq, model.wq.toSeq,
-        model.wk.toSeq, model.wv.toSeq, model.headW.toSeq, model.headB,
-        model.seqLen, model.featMean, model.featStd, model.labelMean,
-        model.labelStd))
-      .toDF("uid", "dim", "w_e", "pos", "wq", "wk", "wv", "head_w", "head_b",
-        "seq_len", "feat_mean", "feat_std", "label_mean", "label_std")
+    Seq((model.uid, model.dim, model.heads, model.wE.toSeq, model.pos.toSeq,
+        model.wq.toSeq, model.wk.toSeq, model.wv.toSeq, model.headW.toSeq,
+        model.headB, model.seqLen, model.featMean, model.featStd,
+        model.labelMean, model.labelStd))
+      .toDF("uid", "dim", "heads", "w_e", "pos", "wq", "wk", "wv", "head_w",
+        "head_b", "seq_len", "feat_mean", "feat_std", "label_mean", "label_std")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -410,7 +438,7 @@ object AttentionRegressor {
     val r = spark.read.parquet(path).head()
     def arr(c: String) = r.getAs[scala.collection.Seq[Double]](c).toArray
     new AttentionRegressionModel(
-      r.getAs[String]("uid"), r.getAs[Int]("dim"),
+      r.getAs[String]("uid"), r.getAs[Int]("dim"), r.getAs[Int]("heads"),
       arr("w_e"), arr("pos"), arr("wq"), arr("wk"), arr("wv"), arr("head_w"),
       r.getAs[Double]("head_b"), r.getAs[Int]("seq_len"),
       r.getAs[Double]("feat_mean"), r.getAs[Double]("feat_std"),

@@ -260,6 +260,7 @@ object McDropout {
       rate: Double, seed: Long): DataFrame = {
     checkArgs(passes, rate)
     val d = model.dim
+    val nH = model.heads
     val (wE, pos) = (model.wE, model.pos)
     val (wq, wk, wv) = (model.wq, model.wk, model.wv)
     val (headW, headB) = (model.headW, model.headB)
@@ -271,7 +272,7 @@ object McDropout {
       welford(passes) { p =>
         val mask = (l: Int, un: Int) =>
           if (rate == 0.0 || uniform(seed, id, p, l, un) >= rate) kScale else 0.0
-        AttentionRegressor.forwardMasked(x, d, wE, pos, wq, wk, wv,
+        AttentionRegressor.forwardMasked(x, d, nH, wE, pos, wq, wk, wv,
           headW, headB, mask) * ls + lm
       }
     }

@@ -59,14 +59,58 @@ class AttentionRegressorSpec extends AnyFunSuite {
     assert(l160 < l40, s"loss not decreasing: 40=$l40 160=$l160")
   }
 
+  test("multi-head: two-pattern retrieval — both head counts converge, heads route differently") {
+    // Teacher = the SUM of a soft-argmax readout and a soft-argmin
+    // readout: two opposite content-routing patterns attended at once.
+    // NOTE a pooled single head can emulate extra heads along the QUERY
+    // axis (different positions learn different routings and the pool
+    // sums them), so strict 2-head superiority is NOT a theorem here —
+    // the pinned claims are: (a) the 2-head fit converges on the
+    // two-pattern teacher, (b) the per-head subspace slicing actually
+    // changes the model (equal seed, different weights), (c) `heads=1`
+    // stays the original single-softmax path (its mse matches the
+    // single-pattern spec's scale).
+    val rnd = new java.util.Random(47L)
+    val rows = (0 until 400).map { _ =>
+      val x = Array.fill(T)(rnd.nextGaussian())
+      val exP = x.map(v => math.exp(2.0 * v)); val zP = exP.sum
+      val exN = x.map(v => math.exp(-2.0 * v)); val zN = exN.sum
+      val y = exP.zip(x).map { case (e, v) => e / zP * v }.sum +
+        exN.zip(x).map { case (e, v) => e / zN * v }.sum
+      (Vectors.dense(x), y)
+    }
+    val df = rows.toDF("features", "label").cache()
+    try {
+      def fitOf(heads: Int) = AttentionRegressor.fit(df, "label",
+        AttentionRegressor.AttnConfig(dim = 4, heads = heads, epochs = 250,
+          lr = 0.25))
+      def mseOf(m: AttentionRegressor.AttentionRegressionModel): Double =
+        rows.map { case (v, y) => val e = m.predict(v) - y; e * e }.sum / rows.size
+      val (f1, f2) = (fitOf(1), fitOf(2))
+      val (m1, m2) = (mseOf(f1), mseOf(f2))
+      assert(m2 < 0.05, s"2-head fit should converge, mse=$m2")
+      assert(m1 < 0.05, s"1-head fit should converge, mse=$m1")
+      assert(f1.wq.toSeq != f2.wq.toSeq,
+        "head slicing must change the learned routing (same seed)")
+    } finally { df.unpersist(); () }
+  }
+
+  test("multi-head: dim must split evenly across heads") {
+    val df = windows(10, 53L).toDF("features", "label")
+    intercept[IllegalArgumentException] {
+      AttentionRegressor.fit(df, "label",
+        AttentionRegressor.AttnConfig(dim = 4, heads = 3, epochs = 1))
+    }
+  }
+
   test("S11: attention artifacts round-trip with bitwise-identical predictions") {
     val train = windows(60, 19L).toDF("features", "label")
     val m = AttentionRegressor.fit(train, "label",
-      AttentionRegressor.AttnConfig(dim = 3, epochs = 25))
+      AttentionRegressor.AttnConfig(dim = 4, heads = 2, epochs = 25))
     val path = java.nio.file.Files.createTempDirectory("model").toString + "/attn1"
     AttentionRegressor.save(m, path)
     val back = AttentionRegressor.load(spark, path)
-    assert(back.dim == m.dim && back.seqLen == m.seqLen)
+    assert(back.dim == m.dim && back.heads == 2 && back.seqLen == m.seqLen)
     windows(5, 23L).foreach { case (v, _) =>
       assert(java.lang.Double.doubleToRawLongBits(back.predict(v)) ==
         java.lang.Double.doubleToRawLongBits(m.predict(v)))

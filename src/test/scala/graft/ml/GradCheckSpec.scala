@@ -192,14 +192,17 @@ class GradCheckSpec extends AnyFunSuite {
     }
   }
 
-  test("attention gradient vs its own masked forward (pins softmax backprop)") {
-    val d = 2; val t = 4
+  test("attention gradient vs its own masked forward (pins the multi-head softmax backprop)") {
+    // heads = 2 over dim 4: the check covers the per-head slicing, the
+    // per-head softmax jacobian, and the 1/√(D/H) scale all at once
+    val d = 4; val nH = 2; val t = 4
     val drop = 0.5; val lr = 0.3; val seed = 17L
     val rnd = new scala.util.Random(41)
     val data = Seq.fill(6)((Vectors.dense(Array.fill(t)(rnd.nextGaussian())),
       rnd.nextGaussian()))
     val df = data.toDF("features", "y")
-    val conf = AttentionRegressor.AttnConfig(dim = d, epochs = 0, lr = lr, seed = seed)
+    val conf = AttentionRegressor.AttnConfig(dim = d, heads = nH, epochs = 0,
+      lr = lr, seed = seed)
     def flat(m: AttentionRegressor.AttentionRegressionModel): Array[Double] =
       m.wE ++ m.pos ++ m.wq ++ m.wk ++ m.wv ++ m.headW ++ Array(m.headB)
     val w0 = flat(AttentionRegressor.fit(df, "y", conf, dropout = drop))
@@ -224,7 +227,7 @@ class GradCheckSpec extends AnyFunSuite {
       val headB = take(1)(0)
       data.map { case (xv, y) =>
         val x = xv.toArray.map(v => (v - fMean) / fStd)
-        val out = AttentionRegressor.forwardMasked(x, d, wE, pos, wq, wk, wv,
+        val out = AttentionRegressor.forwardMasked(x, d, nH, wE, pos, wq, wk, wv,
           headW, headB, (_, _) => 1.0)
         val e = out - (y - yMean) / yStd
         0.5 * e * e
