@@ -180,7 +180,20 @@ object Forecaster {
       NBeatsRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
     }
 
-  /** M8 attention head: one single-head self-attention net per horizon
+  /** M8 TFT head: one gated-residual LSTM + attention fusion net per
+    * horizon (the reference's `predictor_plugin_tft.py` re-expressed,
+    * see [[TftRegressor]]).
+    */
+  def fitPerHorizonTft(train: DataFrame, featureCols: Seq[String],
+      horizons: Seq[Int],
+      conf: TftRegressor.TftConfig = TftRegressor.TftConfig(),
+      dropout: Double = 0.0,
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+    fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
+      TftRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
+    }
+
+  /** M8 attention head: one multi-head self-attention net per horizon
     * (the reference's Transformer predictors re-expressed, see
     * [[AttentionRegressor]]).
     */
@@ -230,6 +243,8 @@ object Forecaster {
         case mm: LstmRegressor.LstmRegressionModel =>
           McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
         case mm: AttentionRegressor.AttentionRegressionModel =>
+          McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
+        case mm: TftRegressor.TftRegressionModel =>
           McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)
         case mm: NBeatsRegressor.NBeatsRegressionModel =>
           McDropout.predictWithUncertainty(mm, d, idCol, "features", passes, rate, seed + h)

@@ -255,6 +255,28 @@ object McDropout {
     emit(df, idCol, featuresCol, fn)
   }
 
+  /** [[TftRegressor]] MC-dropout: masks on the GRN3 context units
+    * feeding the head (the reference's `tft_dropout` output placement).
+    * Same contract: `pred_mean` / `pred_unc`, `rate = 0` ≡ `predict`. */
+  def predictWithUncertainty(model: TftRegressor.TftRegressionModel,
+      df: DataFrame, idCol: String, featuresCol: String, passes: Int,
+      rate: Double, seed: Long): DataFrame = {
+    checkArgs(passes, rate)
+    val (u, nH, wts) = (model.units, model.heads, model.weights)
+    val t = model.seqLen
+    val (fm, fs, lm, ls) = (model.featMean, model.featStd, model.labelMean, model.labelStd)
+    val kScale = 1.0 / (1.0 - rate)
+    val fn = udf { (id: Long, v: Vector) =>
+      val x = stdWindow(v, t, fm, fs)
+      welford(passes) { p =>
+        val mask = (l: Int, un: Int) =>
+          if (rate == 0.0 || uniform(seed, id, p, l, un) >= rate) kScale else 0.0
+        TftRegressor.forwardMasked(x, u, nH, wts, mask) * ls + lm
+      }
+    }
+    emit(df, idCol, featuresCol, fn)
+  }
+
   def predictWithUncertainty(model: AttentionRegressor.AttentionRegressionModel,
       df: DataFrame, idCol: String, featuresCol: String, passes: Int,
       rate: Double, seed: Long): DataFrame = {

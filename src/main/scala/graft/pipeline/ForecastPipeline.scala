@@ -163,6 +163,12 @@ object ForecastPipeline {
             config.horizons, graft.ml.AttentionRegressor.AttnConfig(
               epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
             dropout = mlpConf.dropout)
+          case "tft" => Forecaster.fitPerHorizonTft(train, featureCols,
+            config.horizons, graft.ml.TftRegressor.TftConfig(
+              // rounded to an even width so the default 2 heads divide it
+              units = math.max(2, mlpConf.hidden / 4 * 2),
+              epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
+            dropout = mlpConf.dropout)
           case _ => Forecaster.fitPerHorizon(train, featureCols, config.horizons)
             .asInstanceOf[Map[Int, Forecaster.HorizonModel]]
         }
@@ -179,6 +185,8 @@ object ForecastPipeline {
           graft.ml.LstmRegressor.save(m, s"$dir/h$h")
         case (h, m: graft.ml.AttentionRegressor.AttentionRegressionModel) =>
           graft.ml.AttentionRegressor.save(m, s"$dir/h$h")
+        case (h, m: graft.ml.TftRegressor.TftRegressionModel) =>
+          graft.ml.TftRegressor.save(m, s"$dir/h$h")
         case (h, m: graft.ml.NBeatsRegressor.NBeatsRegressionModel) =>
           graft.ml.NBeatsRegressor.save(m, s"$dir/h$h")
         case (h, m) =>

@@ -187,7 +187,7 @@ object ScaleProbe {
       // driver.
       val perHead = scala.collection.mutable.ArrayBuffer.empty[String]
       val (champion, champMae) = graft.ml.Forecaster.search[String](
-        Seq("linear", "gbt", "mlp", "cnn", "tcn", "lstm", "attention", "nbeats"), { head =>
+        Seq("linear", "gbt", "mlp", "cnn", "tcn", "lstm", "attention", "tft", "nbeats"), { head =>
           val t0 = System.nanoTime()
           val rows = graft.pipeline.ForecastPipeline.modelMetrics(spark, cfg,
             nLags = 3, head = head,
