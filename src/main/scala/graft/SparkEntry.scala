@@ -2283,6 +2283,23 @@ object SparkEntry {
   private val q99Sql: String =
     graft.oracle.ArimaOracle.orderSearchSql(Q99Cands, Q98Steps)
 
+  /** Cluster-balanced resampling (`Similarity.clusterBalanceMirrorable`
+    * — DataComp/SemDeDup-style semantic-region mass capping): mirrorable
+    * k-means cells over the embedding corpus, per-cell counts, capped
+    * keep weights and the deterministic md5-uniform keep decision.
+    * HASH-EXACT oracle (`PqOracle.q100Sql`). */
+  private val Q100Cap = 40.0
+
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalanceMirrorable(
+      t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
+      "vec_id", "v", nCells = 16, cap = Q100Cap, iters = 2,
+      fitLimit = AnnFitLimit, cacheKey = s"q100cells|$dir")
+
+  private val q100Sql: String = graft.oracle.PqOracle.q100Sql(
+    d = 64, nCells = 16, iters = 2, fitLimit = AnnFitLimit, cap = Q100Cap)
+
   /** Shared trades relation for q46/q47: the state machine is the
     * expensive part (shuffle + ordered single pass per symbol), and the
     * summary is an aggregate OVER its output — computing it twice doubled
@@ -2612,7 +2629,8 @@ object SparkEntry {
     "q96_haar_dwt" -> (q96 _),
     "q97_multitaper" -> (q97 _),
     "q98_arima_fit" -> (q98 _),
-    "q99_arima_order" -> (q99 _)
+    "q99_arima_order" -> (q99 _),
+    "q100_cluster_balance" -> (q100 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2699,6 +2717,7 @@ object SparkEntry {
     "q97_multitaper" -> q97Sql,
     "q98_arima_fit" -> q98Sql,
     "q99_arima_order" -> q99Sql,
+    "q100_cluster_balance" -> q100Sql,
     "q56_dedup_clusters" -> q56Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact

@@ -197,6 +197,40 @@ object PqOracle {
        |WHERE rn <= $k""".stripMargin
   }
 
+  /** q100: cluster-balanced resampling
+    * (`Similarity.clusterBalanceMirrorable`). Centroids re-derived with
+    * the same kmeans CTEs as q53 (m = 1 over the full vectors),
+    * argmin-L2 cell assignment (ties to the lower cell), per-cell
+    * counts, weight = ROUND(LEAST(1, cap/n), 6), and the md5-uniform
+    * keep decision in the q59 hash-split syntax — every step replays
+    * the Spark operator bit-for-bit at any scale factor.
+    */
+  def q100Sql(d: Int, nCells: Int, iters: Int, fitLimit: Int,
+      cap: Double): String = {
+    val (ck, cfinal) = kmeansCtes("ck", "cfpts", nCells, d, iters)
+    val weight = s"ROUND(LEAST(1.0, $cap / CAST(ct.cluster_n AS DOUBLE)), 6) + 0.0"
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |fe AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT $fitLimit),
+       |cpts AS MATERIALIZED (SELECT vec_id AS id, 0 AS s, v AS p FROM e),
+       |cfpts AS MATERIALIZED (SELECT * FROM cpts
+       |  WHERE id IN (SELECT vec_id FROM fe)),
+       |$ck,
+       |coarse AS MATERIALIZED (SELECT c, cv FROM $cfinal),
+       |cells AS MATERIALIZED (SELECT id AS vec_id, c AS cell FROM (
+       |  SELECT pt.id, ct.c,
+       |    ROW_NUMBER() OVER (PARTITION BY pt.id
+       |      ORDER BY (${dist2("pt.p", "ct.cv", d)}), ct.c) AS rn
+       |  FROM cpts pt CROSS JOIN coarse ct) WHERE rn = 1),
+       |counts AS MATERIALIZED (SELECT cell, CAST(COUNT(*) AS INT) AS cluster_n
+       |  FROM cells GROUP BY cell)
+       |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, ct.cluster_n,
+       |  $weight AS keep_weight,
+       |  (('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 8))::UBIGINT
+       |     / 4294967296.0) < $weight AS keep
+       |FROM cells c JOIN counts ct USING (cell)""".stripMargin
+  }
+
   /** Coarse-quantizer CTEs shared by q88/q92: centroids (re-derived
     * kmeans over the `fe`-bounded fit sample's full vectors), per-vector
     * cell assignment (full corpus), and the per-query probe set (nProbe

@@ -488,6 +488,59 @@ object Similarity {
     cent
   }
 
+  /** Cluster-balanced resampling weights — the embedding-space corpus
+    * curation pass used by DataComp-style pipelines and SemDeDup §5
+    * (Abbas et al. 2023) follow-ups: cluster the corpus, then cap each
+    * cluster's expected mass so over-represented semantic regions stop
+    * dominating the training mixture. keep_weight = min(1, cap/|cell|)
+    * (clusters at-or-under `cap` survive whole; a 10×-over-cap cluster
+    * keeps ~cap expected docs), and `keep` materializes the decision
+    * with the repo's deterministic md5-uniform (the [[graft.ml.Splits]]
+    * hash-split pattern — reproducible on any engine with md5).
+    *
+    * MIRRORABLE end to end: centroids via [[kmeansMirrorable]] on the
+    * `fitLimit`-bounded deterministic sample, argmin-L2 assignment (ties
+    * to the lower cell), weight rounded to 6 dp — `PqOracle.q100Sql`
+    * replays it bit-for-bit (q100 hash-exact).
+    *
+    * 100 TB shape: one broadcast-UDF assignment scan (centroids are
+    * k×d doubles), one tiny groupBy(cell) count, one broadcast join
+    * back — no shuffle proportional to corpus width anywhere.
+    */
+  def clusterBalanceMirrorable(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, cap: Double, iters: Int = 2, fitLimit: Int = 1024,
+      cacheKey: String = ""): DataFrame = {
+    require(cap > 0, s"clusterBalance: cap must be positive, got $cap")
+    val spark = df.sparkSession
+    val centroids = kmeansMirrorable(
+      df.orderBy(col(idCol)).limit(fitLimit), idCol, vecCol,
+      m = 1, k = nCells, iters = iters, cacheKey = cacheKey)(0)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Double]) => {
+      val cs = bc.value
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        var dist = 0.0; var j = 0; val c = cs(i)
+        while (j < c.length) { val t = c(j) - v(j); dist += t * t; j += 1 }
+        if (dist < bd) { bd = dist; best = i }
+        i += 1
+      }
+      best
+    })
+    val assigned = df.select(col(idCol), col(vecCol))
+      .withColumn("cell", assignUdf(col(vecCol)))
+    val counts = assigned.groupBy("cell")
+      .agg(count(lit(1)).cast("int").as("cluster_n"))
+    assigned.join(broadcast(counts), Seq("cell"))
+      .withColumn("keep_weight",
+        round(least(lit(1.0), lit(cap) / col("cluster_n")), 6))
+      .withColumn("keep",
+        (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") / lit(4294967296.0)) < col("keep_weight"))
+      .select(col(idCol), col("cell"), col("cluster_n"),
+        col("keep_weight"), col("keep"))
+  }
+
   /** Encode vectors to `m`-byte PQ codes: code(s) = argmin centroid of
     * subvector s (ties to the lowest index). 8-byte codes for a 64-dim
     * fp64 vector = 64× compression — the difference between an embedding

@@ -378,4 +378,43 @@ class SimilaritySpec extends AnyFunSuite {
         "appended vectors never retrieved")
     }
   }
+
+  test("clusterBalance: weights cap over-represented clusters, keep is the md5 uniform") {
+    // two tight semantic regions of very different mass + a singleton:
+    // the big region must be down-weighted to ~cap expected survivors
+    val rnd = new java.util.Random(7L)
+    def around(c: Seq[Double], n: Int, base: Long) =
+      (0 until n).map(i => (base + i,
+        c.map(x => x + rnd.nextGaussian() * 0.01)))
+    val rows = around(Seq(10.0, 0.0, 0.0), 60, 0L) ++   // big cluster
+      around(Seq(0.0, 10.0, 0.0), 8, 1000L) ++          // small cluster
+      Seq((2000L, Seq(0.0, 0.0, 10.0)))                 // singleton
+    val df = rows.toDF("vec_id", "v")
+    val out = Similarity.clusterBalanceMirrorable(df, "vec_id", "v",
+      nCells = 3, cap = 10.0, iters = 2, fitLimit = 1024).cache()
+    try {
+      assert(out.count() == rows.size) // every vector weighted exactly once
+      val byN = out.select("cluster_n", "keep_weight").distinct().collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // clusters at-or-under cap keep everything; the big one caps to 10/n
+      byN.foreach { case (n, w) =>
+        if (n <= 10) assert(w == 1.0, s"n=$n w=$w")
+        else assert(math.abs(w - BigDecimal(10.0 / n).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12, s"n=$n w=$w")
+      }
+      // the keep decision is the deterministic md5 uniform: recompute it
+      val kept = out.collect().map { r =>
+        val id = r.getAs[Long]("vec_id")
+        val u = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+            .substring(0, 8), 16) / 4294967296.0
+        (u < r.getAs[Double]("keep_weight")) == r.getAs[Boolean]("keep")
+      }
+      assert(kept.forall(identity))
+      // weight-1 clusters keep every member
+      val smallKept = out.filter($"cluster_n" <= 10)
+        .select("keep").as[Boolean].collect()
+      assert(smallKept.forall(identity))
+    } finally { out.unpersist(); () }
+  }
 }
