@@ -2300,6 +2300,19 @@ object SparkEntry {
   private val q100Sql: String = graft.oracle.PqOracle.q100Sql(
     d = 64, nCells = 16, iters = 2, fitLimit = AnnFitLimit, cap = Q100Cap)
 
+  /** ACF + Ljung–Box per series (`Arima.acfLjungBox` — the
+    * model-diagnostic companion of q98's fit; Ljung & Box 1978).
+    * HASH-EXACT oracle (`ArimaOracle.acfSql`): mean/covariance sums
+    * under the dsum discipline, 6-dp ρ, Q folded from the rounded ρ. */
+  private val Q101Lags = 5
+
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Arima.acfLjungBox(t(s, dir, "events"), Seq("user_id"),
+      Seq("ts", "event_id"), "value", Q101Lags, Q98Steps)
+
+  private val q101Sql: String =
+    graft.oracle.ArimaOracle.acfSql(Q101Lags, Q98Steps)
+
   /** Shared trades relation for q46/q47: the state machine is the
     * expensive part (shuffle + ordered single pass per symbol), and the
     * summary is an aggregate OVER its output — computing it twice doubled
@@ -2630,7 +2643,8 @@ object SparkEntry {
     "q97_multitaper" -> (q97 _),
     "q98_arima_fit" -> (q98 _),
     "q99_arima_order" -> (q99 _),
-    "q100_cluster_balance" -> (q100 _)
+    "q100_cluster_balance" -> (q100 _),
+    "q101_acf_ljungbox" -> (q101 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2718,6 +2732,7 @@ object SparkEntry {
     "q98_arima_fit" -> q98Sql,
     "q99_arima_order" -> q99Sql,
     "q100_cluster_balance" -> q100Sql,
+    "q101_acf_ljungbox" -> q101Sql,
     "q56_dedup_clusters" -> q56Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact

@@ -300,6 +300,72 @@ object Arima {
         col("__b._3").as("best_q"), col("__b._4").as("aic")): _*)
   }
 
+  /** Autocorrelation function + Ljung–Box portmanteau statistic per
+    * series — the model-diagnostic companion of the ARIMA fit (what
+    * statsmodels computes behind the reference's `ARIMA(...).fit()`
+    * summary; Ljung & Box 1978): with sample mean x̄,
+    * ρ_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² for k = 1..maxLag and
+    * Q = n(n+2)·Σ ρ_k²/(n−k) — large Q rejects "residuals are white
+    * noise". Mirrorable under the repo discipline: mean and both sums
+    * accumulate as exact 6-dp decimal quanta ([[SeasonalRegression.micro6]],
+    * order-independent), ρ rounds to 6 dp, Q folds the ROUNDED ρ
+    * left-assoc — `graft.oracle.ArimaOracle.acfSql` replays it
+    * bit-for-bit (q101). Same single capped-collect shape as
+    * [[fitForecast]].
+    *
+    * Returns `keyCols…, n, rho1..rho{maxLag}, q_stat` (constant series:
+    * all zeros — the c₀ = 0 guard, mirrored in SQL). */
+  def acfLjungBox(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, maxLag: Int, maxSteps: Int): DataFrame = {
+    require(maxLag >= 1, s"acfLjungBox: maxLag must be >= 1, got $maxLag")
+    val acfUdf = udf { xs: Seq[Double] =>
+      val x = xs.toArray
+      val n = x.length
+      var sm = 0L
+      var i = 0
+      while (i < n) { sm = Math.addExact(sm, micro6(x(i))); i += 1 }
+      val mean = java.math.BigDecimal.valueOf(sm, 6).doubleValue / n
+      var c0m = 0L
+      i = 0
+      while (i < n) {
+        val d = x(i) - mean
+        c0m = Math.addExact(c0m, micro6(d * d))
+        i += 1
+      }
+      val c0 = java.math.BigDecimal.valueOf(c0m, 6).doubleValue
+      val rho = new Array[Double](maxLag)
+      var k = 1
+      while (k <= maxLag) {
+        if (c0 > 0.0 && n > k) {
+          var ckm = 0L
+          var t = 0
+          while (t < n - k) {
+            ckm = Math.addExact(ckm,
+              micro6((x(t) - mean) * (x(t + k) - mean)))
+            t += 1
+          }
+          rho(k - 1) = round6(
+            java.math.BigDecimal.valueOf(ckm, 6).doubleValue / c0)
+        }
+        k += 1
+      }
+      var s = 0.0
+      k = 1
+      while (k <= maxLag) {
+        if (n > k) s += rho(k - 1) * rho(k - 1) / (n - k)
+        k += 1
+      }
+      val q = round6(n.toDouble * (n.toDouble + 2.0) * s)
+      (n, rho, q)
+    }
+    val withAcf = seriesArrays(df, keyCols, orderCols, valueCol, maxSteps)
+      .withColumn("__a", acfUdf(col("__xs")))
+    withAcf.select(keyCols.map(col) ++
+      (col("__a._1").as("n") +:
+        (1 to maxLag).map(k => col("__a._2").getItem(k - 1).as(s"rho$k"))) :+
+      col("__a._3").as("q_stat"): _*)
+  }
+
   /** GA order search on one series — the reference CLI's exact shape
     * (single series, DEAP generational loop, AIC fitness, 1e6 failure
     * penalty), driven by the repo's [[GeneticSearch]]. Genomes decode

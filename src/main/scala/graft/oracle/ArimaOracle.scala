@@ -165,6 +165,63 @@ object ArimaOracle {
        |FROM rk WHERE rnk = 1""".stripMargin
   }
 
+  /** q101: ACF + Ljung–Box (`graft.ml.Arima.acfLjungBox`). The per-user
+    * value list comes from the same capped collect as the fits; the
+    * mean and both covariance sums replay the dsum discipline, ρ_k
+    * rounds to 6 dp, and Q folds the ROUNDED ρ left-assoc with the
+    * identical n>k and c₀=0 guards. */
+  def acfSql(maxLag: Int, maxSteps: Int): String = {
+    val rhoCtes = (1 to maxLag).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT user_id,
+         |    ${dsum(s"(y[t + 1] - mean) * (y[t + 1 + $k] - mean)", "ck")}
+         |  FROM (SELECT user_id, y, mean, unnest(range(0, n - $k)) AS t FROM mz)
+         |  GROUP BY user_id)""".stripMargin
+    }.mkString(",\n")
+    val rhoJoin = (1 to maxLag)
+      .map(k => s"LEFT JOIN r$k ON mz.user_id = r$k.user_id").mkString("\n  ")
+    val rhoSel = (1 to maxLag).map { k =>
+      s"""CASE WHEN c0 > 0.0 AND n > $k
+         |    THEN ROUND(COALESCE(r$k.ck, 0.0) / c0, 6) + 0.0
+         |    ELSE 0.0 END AS rho$k""".stripMargin
+    }.mkString(",\n  ")
+    val qTerms = (1 to maxLag)
+      .map(k => s"(CASE WHEN n > $k THEN rho$k * rho$k / (n - $k) ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT user_id, list(value ORDER BY rn) AS y
+       |  FROM (SELECT user_id, value,
+       |          ROW_NUMBER() OVER (PARTITION BY user_id
+       |                             ORDER BY epoch_us(ts), event_id) AS rn
+       |        FROM events)
+       |  WHERE rn <= $maxSteps GROUP BY user_id),
+       |m0 AS MATERIALIZED (
+       |  SELECT user_id,
+       |    ${dsum("y[t + 1]", "sm")}
+       |  FROM (SELECT user_id, y, unnest(range(0, len(y))) AS t FROM v0)
+       |  GROUP BY user_id),
+       |mz AS MATERIALIZED (
+       |  SELECT v0.user_id, y, len(y) AS n,
+       |    m0.sm / CAST(len(y) AS DOUBLE) AS mean
+       |  FROM v0 JOIN m0 ON v0.user_id = m0.user_id),
+       |c0c AS MATERIALIZED (
+       |  SELECT user_id,
+       |    ${dsum("(y[t + 1] - mean) * (y[t + 1] - mean)", "c0")}
+       |  FROM (SELECT user_id, y, mean, unnest(range(0, n)) AS t FROM mz)
+       |  GROUP BY user_id),
+       |$rhoCtes,
+       |rho AS MATERIALIZED (
+       |  SELECT mz.user_id, mz.n, c0c.c0,
+       |  $rhoSel
+       |  FROM mz JOIN c0c ON mz.user_id = c0c.user_id
+       |  $rhoJoin)
+       |SELECT user_id, CAST(n AS INT) AS n,
+       |  ${(1 to maxLag).map(k => s"rho$k").mkString(", ")},
+       |  ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ($qTerms), 6)
+       |    + 0.0 AS q_stat
+       |FROM rho""".stripMargin
+  }
+
   /** One candidate's pipeline as a WITH-body whose final CTE is
     * `${pref}res`. `full = false` emits only `(user_id, aic)` for the
     * order-search face. */

@@ -124,6 +124,33 @@ class ArimaSpec extends AnyFunSuite {
     assert(again == ((gp, gd, gq, gaAic)))
   }
 
+  test("acfLjungBox: AR(1) shows geometric rho and a large Q; noise stays small") {
+    val ar = arma(2000, 0.0, Seq(0.7), Nil, seed = 61, sd = 1.0)
+    val rnd = new scala.util.Random(67)
+    val wn = Array.fill(2000)(rnd.nextGaussian())
+    val df = (ar.toSeq.zipWithIndex.map { case (v, t) => ("ar", t.toLong, v) } ++
+      wn.toSeq.zipWithIndex.map { case (v, t) => ("wn", t.toLong, v) })
+      .toDF("k", "t", "y")
+    val out = Arima.acfLjungBox(df, Seq("k"), Seq("t"), "y",
+      maxLag = 3, maxSteps = 2000).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val arR = out("ar"); val wnR = out("wn")
+    assert(math.abs(arR.getAs[Double]("rho1") - 0.7) < 0.1,
+      s"rho1=${arR.getAs[Double]("rho1")}")
+    assert(arR.getAs[Double]("rho2") > arR.getAs[Double]("rho3"),
+      "AR(1) acf must decay")
+    assert(math.abs(wnR.getAs[Double]("rho1")) < 0.1)
+    assert(arR.getAs[Double]("q_stat") > 100.0 * wnR.getAs[Double]("q_stat"),
+      s"Q(ar)=${arR.getAs[Double]("q_stat")} Q(wn)=${wnR.getAs[Double]("q_stat")}")
+  }
+
+  test("acfLjungBox: constant series hits the zero-variance guard") {
+    val df = (0 until 50).map(t => ("c", t.toLong, 5.0)).toDF("k", "t", "y")
+    val r = Arima.acfLjungBox(df, Seq("k"), Seq("t"), "y", 2, 64).head()
+    assert(r.getAs[Double]("rho1") == 0.0 && r.getAs[Double]("rho2") == 0.0)
+    assert(r.getAs[Double]("q_stat") == 0.0)
+  }
+
   test("fit is independent of input row order (mirrorable decimal sums)") {
     val rnd = new scala.util.Random(31)
     val rows = (0 until 80).map(t => ("s", t.toLong, 50.0 + rnd.nextDouble() * 10))
