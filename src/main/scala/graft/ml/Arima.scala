@@ -313,8 +313,11 @@ object Arima {
     * bit-for-bit (q101). Same single capped-collect shape as
     * [[fitForecast]].
     *
-    * Returns `keyCols…, n, rho1..rho{maxLag}, q_stat` (constant series:
-    * all zeros — the c₀ = 0 guard, mirrored in SQL). */
+    * Returns `keyCols…, n, rho1..rho{maxLag}, pacf1..pacf{maxLag},
+    * q_stat` — the PACF via Durbin–Levinson on the rounded ρ (the
+    * order-selection pair: AR(p) cuts off in pacf after lag p, MA(q)
+    * in acf after lag q). Constant series: all zeros — the c₀ = 0
+    * guard, mirrored in SQL. */
   def acfLjungBox(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       valueCol: String, maxLag: Int, maxSteps: Int): DataFrame = {
     require(maxLag >= 1, s"acfLjungBox: maxLag must be >= 1, got $maxLag")
@@ -356,13 +359,43 @@ object Arima {
         k += 1
       }
       val q = round6(n.toDouble * (n.toDouble + 2.0) * s)
-      (n, rho, q)
+      // PACF by Durbin–Levinson on the ROUNDED rho (the order-selection
+      // companion: an AR(p) cuts off after lag p in pacf, an MA(q)
+      // after lag q in acf). phi matrix kept full-precision; only the
+      // emitted pacf_k = phi_{k,k} rounds — all ops are deterministic
+      // scalar arithmetic the oracle unrolls as a CTE chain.
+      val pacf = new Array[Double](maxLag)
+      val phi = new Array[Double](maxLag + 1) // phi(j) = phi_{k,j}
+      if (maxLag >= 1) {
+        phi(1) = rho(0)
+        pacf(0) = round6(phi(1))
+        k = 2
+        while (k <= maxLag) {
+          var num = rho(k - 1)
+          var den = 1.0
+          var j = 1
+          while (j < k) {
+            num -= phi(j) * rho(k - j - 1)
+            den -= phi(j) * rho(j - 1)
+            j += 1
+          }
+          val pkk = if (math.abs(den) > 1e-12) num / den else 0.0
+          val prev = phi.clone()
+          j = 1
+          while (j < k) { phi(j) = prev(j) - pkk * prev(k - j); j += 1 }
+          phi(k) = pkk
+          pacf(k - 1) = round6(pkk)
+          k += 1
+        }
+      }
+      (n, rho, q, pacf)
     }
     val withAcf = seriesArrays(df, keyCols, orderCols, valueCol, maxSteps)
       .withColumn("__a", acfUdf(col("__xs")))
     withAcf.select(keyCols.map(col) ++
       (col("__a._1").as("n") +:
-        (1 to maxLag).map(k => col("__a._2").getItem(k - 1).as(s"rho$k"))) :+
+        (1 to maxLag).map(k => col("__a._2").getItem(k - 1).as(s"rho$k"))) ++
+      (1 to maxLag).map(k => col("__a._4").getItem(k - 1).as(s"pacf$k")) :+
       col("__a._3").as("q_stat"): _*)
   }
 

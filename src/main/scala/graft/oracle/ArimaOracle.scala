@@ -188,6 +188,34 @@ object ArimaOracle {
     val qTerms = (1 to maxLag)
       .map(k => s"(CASE WHEN n > $k THEN rho$k * rho$k / (n - $k) ELSE 0.0 END)")
       .mkString(" + ")
+    // Durbin–Levinson on the rounded rho: one CTE pair per order k —
+    // pk computes phi_{k,k} (g$k, guard |den| > 1e-12 as in Scala),
+    // pku updates phi_{k,j} = phi_{k-1,j} − g_k·phi_{k-1,k-j}. Columns
+    // f{k}_{j} carry the full-precision phi matrix; pacf rounds at
+    // emission only.
+    val dlCtes = new scala.collection.mutable.ArrayBuffer[String]
+    if (maxLag >= 1) {
+      dlCtes += "p1 AS MATERIALIZED (SELECT *, rho1 AS g1, rho1 AS f1_1 FROM rho)"
+      for (k <- 2 to maxLag) {
+        val prev = if (k == 2) "p1" else s"p${k - 1}u"
+        val num = (s"rho$k" +:
+          (1 until k).map(j => s"f${k - 1}_$j * rho${k - j}")).mkString(" - ")
+        val den = ("1.0" +:
+          (1 until k).map(j => s"f${k - 1}_$j * rho$j")).mkString(" - ")
+        dlCtes +=
+          s"""p$k AS MATERIALIZED (SELECT *,
+             |  CASE WHEN ABS($den) > 1e-12 THEN ($num) / ($den)
+             |       ELSE 0.0 END AS g$k FROM $prev)""".stripMargin
+        val upd = (1 until k)
+          .map(j => s"f${k - 1}_$j - g$k * f${k - 1}_${k - j} AS f${k}_$j") :+
+          s"g$k AS f${k}_$k"
+        dlCtes += s"p${k}u AS MATERIALIZED (SELECT *, ${upd.mkString(", ")} FROM p$k)"
+      }
+    }
+    val dlText = dlCtes.mkString(",\n")
+    val lastDl = if (maxLag == 1) "p1" else s"p${maxLag}u"
+    val pacfSel = (1 to maxLag)
+      .map(k => s"ROUND(g$k, 6) + 0.0 AS pacf$k").mkString(", ")
     s"""WITH v0 AS MATERIALIZED (
        |  SELECT user_id, list(value ORDER BY rn) AS y
        |  FROM (SELECT user_id, value,
@@ -214,12 +242,14 @@ object ArimaOracle {
        |  SELECT mz.user_id, mz.n, c0c.c0,
        |  $rhoSel
        |  FROM mz JOIN c0c ON mz.user_id = c0c.user_id
-       |  $rhoJoin)
+       |  $rhoJoin),
+       |$dlText
        |SELECT user_id, CAST(n AS INT) AS n,
        |  ${(1 to maxLag).map(k => s"rho$k").mkString(", ")},
+       |  $pacfSel,
        |  ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ($qTerms), 6)
        |    + 0.0 AS q_stat
-       |FROM rho""".stripMargin
+       |FROM $lastDl""".stripMargin
   }
 
   /** One candidate's pipeline as a WITH-body whose final CTE is

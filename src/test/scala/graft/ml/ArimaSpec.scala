@@ -142,6 +142,12 @@ class ArimaSpec extends AnyFunSuite {
     assert(math.abs(wnR.getAs[Double]("rho1")) < 0.1)
     assert(arR.getAs[Double]("q_stat") > 100.0 * wnR.getAs[Double]("q_stat"),
       s"Q(ar)=${arR.getAs[Double]("q_stat")} Q(wn)=${wnR.getAs[Double]("q_stat")}")
+    // the AR(1) signature: pacf spikes at lag 1 then cuts off, while
+    // the acf decays geometrically — the order-selection pair
+    assert(math.abs(arR.getAs[Double]("pacf1") - 0.7) < 0.1)
+    assert(math.abs(arR.getAs[Double]("pacf2")) < 0.08 &&
+      math.abs(arR.getAs[Double]("pacf3")) < 0.08,
+      s"pacf2=${arR.getAs[Double]("pacf2")} pacf3=${arR.getAs[Double]("pacf3")}")
   }
 
   test("acfLjungBox: constant series hits the zero-variance guard") {
