@@ -49,15 +49,18 @@ object Arima {
   final case class Fit(nEff: Int, beta: Array[Double], sigma2: Double,
       aic: Double, forecast: Array[Double], fallback: Boolean)
 
-  /** d-fold first difference; length shrinks by d. */
+  /** d-fold first difference; length shrinks by d. Series shorter than
+    * d collapse to the empty array (never a negative tabulate), matching
+    * the oracle's empty `range()` — the caller then takes the penalty
+    * fallback. */
   private[ml] def difference(y: Array[Double], d: Int): Array[Double] = {
     var z = y
     var k = 0
-    while (k < d) {
+    while (k < d && z.nonEmpty) {
       z = Array.tabulate(z.length - 1)(i => z(i + 1) - z(i))
       k += 1
     }
-    z
+    if (k < d) Array.empty else z
   }
 
   /** OLS over rows [t0, m) under the mirrorable discipline: X'X and X'y
@@ -109,6 +112,7 @@ object Arima {
   private[ml] def fitOne(y: Array[Double], p: Int, d: Int, q: Int,
       h: Int): Fit = {
     require(p >= 0 && d >= 0 && q >= 0, s"negative ARIMA order ($p,$d,$q)")
+    if (y.length <= d) return fallbackFit(y, p, q, h, nEff = 0)
     val z = difference(y, d)
     val m = z.length
     val L = p + q + 1

@@ -433,12 +433,16 @@ object AttentionRegressor {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** S11 artifact source. */
+  /** S11 artifact source. Artifacts written before the multi-head change
+    * lack the `heads` column; they were single-head, so default to 1 —
+    * keeps the S11 round-trip loadable for existing modelDir checkpoints. */
   def load(spark: SparkSession, path: String): AttentionRegressionModel = {
     val r = spark.read.parquet(path).head()
     def arr(c: String) = r.getAs[scala.collection.Seq[Double]](c).toArray
+    val heads =
+      if (r.schema.fieldNames.contains("heads")) r.getAs[Int]("heads") else 1
     new AttentionRegressionModel(
-      r.getAs[String]("uid"), r.getAs[Int]("dim"), r.getAs[Int]("heads"),
+      r.getAs[String]("uid"), r.getAs[Int]("dim"), heads,
       arr("w_e"), arr("pos"), arr("wq"), arr("wk"), arr("wv"), arr("head_w"),
       r.getAs[Double]("head_b"), r.getAs[Int]("seq_len"),
       r.getAs[Double]("feat_mean"), r.getAs[Double]("feat_std"),

@@ -71,6 +71,19 @@ class ArimaSpec extends AnyFunSuite {
     assert(f.beta.forall(_ == 0.0))
   }
 
+  test("series shorter than d takes the penalty path, never a throw") {
+    // y.length <= d used to reach difference() and blow up in
+    // Array.tabulate(z.length - 1); now it must hit the documented
+    // 1e6-penalty fallback like the DuckDB oracle's empty range() does
+    val f1 = Arima.fitOne(Array(5.0), p = 1, d = 2, q = 1, h = 3)
+    assert(f1.fallback && f1.aic == Arima.PenaltyAic)
+    assert(f1.forecast.toSeq == Seq(5.0, 5.0, 5.0))
+    val f0 = Arima.fitOne(Array.empty[Double], p = 0, d = 1, q = 0, h = 2)
+    assert(f0.fallback && f0.forecast.toSeq == Seq(0.0, 0.0))
+    val f2 = Arima.fitOne(Array(1.0, 4.0), p = 1, d = 5, q = 0, h = 1)
+    assert(f2.fallback && f2.forecast.toSeq == Seq(4.0))
+  }
+
   test("fitForecast: per-series rows with coefficient and forecast columns") {
     val df = Seq("a", "b").flatMap { k =>
       val off = if (k == "a") 0.0 else 100.0

@@ -117,6 +117,23 @@ class AttentionRegressorSpec extends AnyFunSuite {
     }
   }
 
+  test("S11 compat: pre-multi-head artifacts (no 'heads' column) load as heads=1") {
+    val train = windows(40, 29L).toDF("features", "label")
+    val m = AttentionRegressor.fit(train, "label",
+      AttentionRegressor.AttnConfig(dim = 4, heads = 1, epochs = 10))
+    val path = java.nio.file.Files.createTempDirectory("model").toString + "/attn_old"
+    AttentionRegressor.save(m, path)
+    // rewrite the artifact without the 'heads' column, as pre-change save() did
+    val legacy = spark.read.parquet(path).drop("heads")
+    legacy.coalesce(1).write.mode("overwrite").parquet(path + "_legacy")
+    val back = AttentionRegressor.load(spark, path + "_legacy")
+    assert(back.heads == 1 && back.dim == m.dim)
+    windows(5, 31L).foreach { case (v, _) =>
+      assert(java.lang.Double.doubleToRawLongBits(back.predict(v)) ==
+        java.lang.Double.doubleToRawLongBits(m.predict(v)))
+    }
+  }
+
   test("fitPerHorizonAttention: Forecaster contract — predict adds pred_h columns") {
     import org.apache.spark.sql.functions._
     val xs = new Array[Double](260)

@@ -62,7 +62,9 @@ class TftRegressorSpec extends AnyFunSuite {
       if (err > worst) worst = err
       assert(err < 1e-4, s"weight $i: analytic=${analytic(i)} numeric=$num")
     }
-    assert(mkHead.contains(0.0) || mkHead.forall(_ != 0.0)) // masks materialized
+    // live-mask fixture check (matches CnnRegressorSpec): this seed must
+    // actually drop a unit, or the masked-gradient path isn't exercised
+    assert(mkHead.contains(0.0), s"seed $seed dropped no unit: ${mkHead.mkString(",")}")
   }
 
   test("descent strictly decreases the loss from init") {
