@@ -620,13 +620,28 @@ object Dedup {
   def substringDedup(df: DataFrame, textCol: String, idCol: String,
       l: Int): DataFrame = {
     require(l >= 2, s"substring match length must be >= 2 words, got $l")
+    // Both multi-consumer subtrees are persisted (tracked handles — see
+    // [[clearCaches]]): `toks` feeds the gram branch AND the final splice
+    // join, `grams` feeds the count aggregate AND the join-back probe.
+    // Unpersisted, Spark rebuilds each subtree per consumer — the corpus
+    // was tokenized 3x and gram-exploded 2x per run. Persist-vs-recompute
+    // at 100 TB: `toks` is corpus-width but column-narrow (id + token
+    // array ≈ the text itself) and MEMORY_AND_DISK degrades to a local
+    // disk spill — cheaper than re-reading + re-tokenizing the corpus;
+    // `grams` is ~words×(id, int, 16B digest) ≈ 3-4x the text. If
+    // executor-local disk can't hold grams at the target scale, drop
+    // ONLY the grams persist (the count-join shape stays valid) and pay
+    // one re-explode of the cached toks instead.
     val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = toks
       .filter(size(col("__t")) >= l)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), size(col("__t")) - l),
           i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(l))))))
           .as(Seq("__p", "__g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(toks); track(grams)
     // corpus-wide occurrence count via groupBy + join-back rather than a
     // count-over-partition window: the window pays one fewer shuffle on
     // mostly-unique corpora, but a boilerplate gram repeated billions of

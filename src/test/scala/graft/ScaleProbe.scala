@@ -9,10 +9,19 @@ import org.apache.spark.sql.functions._
   * each scale. Linear-ish growth = the partition strategy holds as the
   * series dimension grows, which is the 100 TB scaling axis.
   *
-  *   sbt "Test/runMain graft.ScaleProbe"
+  *   sbt "Test/runMain graft.ScaleProbe"           — every section
+  *   sbt "Test/runMain graft.ScaleProbe docs ann"  — only those sections
+  *
+  * Sections: docs (text/dedup kernels incl. q95 + dedupPipeline + CC),
+  * events (the ts-kernel sweep + SCALE-LONG anchors), baseline (the
+  * 9-head champion selection — the ~15 min block), r4 (range join /
+  * heavy hitters / bloom / ANN serving), balance (q100 on replicated
+  * embeddings dirs).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    val want: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet.contains _
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -33,9 +42,12 @@ object ScaleProbe {
           col("event_type"), col("value"), col("props"))
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
-    replicate(10, "/tmp/scale10")
-    replicate(100, "/tmp/scale100")
+    if (want("events") || want("r4")) {
+      replicate(10, "/tmp/scale10")
+      replicate(100, "/tmp/scale100")
+    }
 
+    if (want("events")) {
     // BASELINE anchor: the reference preprocesses 25,200-row series at
     // ws=144 (`sliding_windows.py` hot loop; BASELINE.md data scales).
     // The driver testdata never has series that long (scale adds USERS,
@@ -59,43 +71,13 @@ object ScaleProbe {
       "q96_haar_dwt", "q97_multitaper",
       // round-7 ARIMA: one capped collect per series, kernel local —
       // time must track series COUNT (the q96 shape), never series×iters
-      "q98_arima_fit", "q99_arima_order")
+      "q98_arima_fit", "q99_arima_order",
+      // round-8: ACF/Ljung–Box — same axis as q98 (one capped collect
+      // per series; time tracks series count, lags stay fixed)
+      "q101_acf_ljungbox")
     // warm code paths
     queries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       .write.mode("overwrite").format("noop").save())
-    // Text/dedup kernels on replicated documents (5k → 50k → 500k docs;
-    // replica docs get disjoint ids but IDENTICAL text, so dup groups
-    // grow with the factor — the adversarial case for candidate
-    // generation: a naive all-pairs LSH would blow up quadratically).
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    def replicateDocs(factor: Int, outDir: String): Unit = {
-      val reps = spark.range(factor).withColumnRenamed("id", "rep")
-      docs.crossJoin(reps)
-        .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
-          col("text"), col("lang"), col("source"), col("n_chars"))
-        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    }
-    replicateDocs(10, "/tmp/docs10")
-    replicateDocs(100, "/tmp/docs100")
-    val docQueries = Seq("q32_exact_dup", "q33_minhash_sig", "q34_minhash_pairs",
-      "q50_near_dedup", "q67_corpus_curation",
-      // round-7: ExactSubstr — replica docs make every gram duplicated
-      // corpus-wide (worst case for the dup-position join + span splice)
-      "q95_substring_dedup")
-    docQueries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
-      .write.mode("overwrite").format("noop").save())
-    graft.dedup.Dedup.clearCaches() // drain warm-up handles before timing
-    for (dir <- Seq("/root/testdata/sf0.1", "/tmp/docs10", "/tmp/docs100")) {
-      val times = docQueries.map { q =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // cache teardown is NOT part of the kernel time being reported
-        graft.dedup.Dedup.clearCaches()
-        f"$q=$elapsed%.2f"
-      }
-      println(s"SCALE-DOCS $dir: ${times.mkString(" ")}")
-    }
 
     // q48 at ws=144 on 4 × 25,000-row series (the reference's shape)
     val tLong0 = System.nanoTime()
@@ -119,6 +101,45 @@ object ScaleProbe {
         f"$q=${(System.nanoTime() - t0) / 1e9}%.2f"
       }
       println(s"SCALE $dir: ${times.mkString(" ")}")
+    }
+    } // want(events)
+
+    // Replicated documents (5k → 50k → 500k docs; replica docs get
+    // disjoint ids but IDENTICAL text, so dup groups grow with the
+    // factor — the adversarial case for candidate generation: a naive
+    // all-pairs LSH would blow up quadratically). Shared by docs + r4.
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def replicateDocs(factor: Int, outDir: String): Unit = {
+      val reps = spark.range(factor).withColumnRenamed("id", "rep")
+      docs.crossJoin(reps)
+        .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+    if (want("docs") || want("r4")) {
+      replicateDocs(10, "/tmp/docs10")
+      replicateDocs(100, "/tmp/docs100")
+    }
+
+    if (want("docs")) {
+    val docQueries = Seq("q32_exact_dup", "q33_minhash_sig", "q34_minhash_pairs",
+      "q50_near_dedup", "q67_corpus_curation",
+      // round-7: ExactSubstr — replica docs make every gram duplicated
+      // corpus-wide (worst case for the dup-position join + span splice)
+      "q95_substring_dedup")
+    docQueries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+      .write.mode("overwrite").format("noop").save())
+    graft.dedup.Dedup.clearCaches() // drain warm-up handles before timing
+    for (dir <- Seq("/root/testdata/sf0.1", "/tmp/docs10", "/tmp/docs100")) {
+      val times = docQueries.map { q =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // cache teardown is NOT part of the kernel time being reported
+        graft.dedup.Dedup.clearCaches()
+        f"$q=$elapsed%.2f"
+      }
+      println(s"SCALE-DOCS $dir: ${times.mkString(" ")}")
     }
 
     // The exact-first composition on the SAME adversarial 100×-replicated
@@ -149,7 +170,34 @@ object ScaleProbe {
       println(f"SCALE-CC 100k-node chain: rounds=$rounds labeled-to-min=$ok/100000 " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    } // want(docs)
 
+    // Round-8: q100 cluster balance on replicated embeddings dirs — the
+    // resample itself is corpus-width map-only (cell assignment + md5
+    // keep); the k-means fit reads the SAME bounded 1024-row sample at
+    // every scale, so time must grow only with the corpus-width pass.
+    if (want("balance")) {
+      val emb8 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      for ((factor, dir) <- Seq((10, "/tmp/emb10"), (100, "/tmp/emb100"))) {
+        val reps = spark.range(factor).withColumnRenamed("id", "rep")
+        emb8.crossJoin(reps)
+          .select((col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+            col("embedding"), col("label"))
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      SparkEntry.queries("q100_cluster_balance")(spark, "/root/testdata/sf0.01")
+        .write.mode("overwrite").format("noop").save() // warm
+      for ((name, dir) <- Seq(("sf0.1", "/root/testdata/sf0.1"),
+          ("x10", "/tmp/emb10"), ("x100", "/tmp/emb100"))) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q100_cluster_balance")(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        graft.similarity.Similarity.clearCaches()
+        println(f"SCALE-R8 q100_cluster_balance $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+
+    if (want("baseline")) {
     // BASELINE NEAT-candidate anchor: ONE candidate evaluation = full
     // modelMetrics (lag features → 6 per-horizon head fits → val
     // metrics) at the reference's largest per-split scale (25,200 rows;
@@ -204,6 +252,9 @@ object ScaleProbe {
       println(f"SCALE-BASELINE champion=$champion val MAE H1=$champMae%.6f " +
         "(reference: ~25 min/candidate, README champion fitness -1.22e-4)")
     }
+    } // want(baseline)
+
+    if (want("r4")) {
     // Round-4 operators on the replicated tables: the range join's point
     // side and heavy hitters' key stream grow 10×/100× while the
     // interval/candidate sides stay fixed — time must track the POINT
@@ -278,6 +329,7 @@ object ScaleProbe {
         codes.unpersist(); corpus.unpersist()
       }
     }
+    } // want(r4)
     spark.stop()
   }
 }
