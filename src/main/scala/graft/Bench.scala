@@ -10,7 +10,7 @@ object Bench {
     * regressions from host weather: query-time deltas that track `cal`
     * are environment, deltas that don't are real.
     */
-  private def calibrate(): Double = {
+  private[graft] def calibrate(): Double = {
     val t0 = System.nanoTime()
     var s = 0L
     var i = 0

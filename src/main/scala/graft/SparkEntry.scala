@@ -2335,21 +2335,66 @@ object SparkEntry {
     tradesCache.clear()
   }
 
+  private val BtParams = Backtest.Params(threshold = 10.0, tp = 20.0, sl = 10.0)
+
+  private def backtestBars(s: SparkSession, dir: String): Dataset[Backtest.Bar] = {
+    import s.implicits._
+    t(s, dir, "events").select(
+      col("user_id").cast("string").as("symbol"),
+      unix_micros(col("ts")).as("ts"),
+      col("value").as("open"),
+      (col("value") * 1.01).as("high"),
+      (col("value") * 0.99).as("low"),
+      col("value").as("close"),
+      (col("value") + (get_json_object(col("props"), "$.k").cast("double") - 50.0) / 2.0)
+        .as("pred")).as[Backtest.Bar]
+  }
+
   private def backtestTrades(s: SparkSession, dir: String): Dataset[Backtest.Trade] =
-    tradesCache.getOrElseUpdate((s, dir), {
-      import s.implicits._
-      val bars = t(s, dir, "events").select(
-        col("user_id").cast("string").as("symbol"),
-        unix_micros(col("ts")).as("ts"),
-        col("value").as("open"),
-        (col("value") * 1.01).as("high"),
-        (col("value") * 0.99).as("low"),
-        col("value").as("close"),
-        (col("value") + (get_json_object(col("props"), "$.k").cast("double") - 50.0) / 2.0)
-          .as("pred")).as[Backtest.Bar]
-      Backtest.run(bars, Backtest.Params(threshold = 10.0, tp = 20.0, sl = 10.0))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    tradesCache.getOrElseUpdate((s, dir),
+      Backtest.run(backtestBars(s, dir), BtParams)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The q46/q47 differential gate, run against the ACTUAL sfDir feed
+    * (not just the spec fixture): replays the same bars q46 consumes
+    * through the streaming `flatMapGroupsWithState` face in `chunks`
+    * ts-ordered micro-batches (state must survive the boundaries
+    * mid-trade) and compares trade-for-trade against the batch
+    * authority, then compares `Backtest.summary` over both trade sets
+    * (each single-partition ts-sorted, so float aggregation order is
+    * identical and exact equality is well-defined). `Verify` records
+    * the result in `differential.json` next to the parquet dumps —
+    * the structurally-no-oracle q46/q47 rows get a machine-checked
+    * verdict instead of a bare rows-only check.
+    *
+    * Returns (batchTrades, streamTrades, tradesMatch, summaryMatch).
+    */
+  def backtestDifferential(s: SparkSession, dir: String,
+      chunks: Int = 3): (Long, Long, Boolean, Boolean) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val tradeKey = (t: Backtest.Trade) => (t.symbol, t.entryTs, t.exitTs)
+    val batch = backtestTrades(s, dir).collect().toSeq.sortBy(tradeKey)
+    val bars = backtestBars(s, dir).collect().sortBy(_.ts)
+    val mem = MemoryStream[Backtest.Bar]
+    val name = s"btdiff_${math.abs(dir.hashCode)}"
+    val q = graft.streaming.StreamOps.streamingBacktest(mem.toDS(), BtParams)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    val stream =
+      try {
+        val per = math.max(1, (bars.length + chunks - 1) / chunks)
+        bars.grouped(per).foreach { c =>
+          mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+        }
+        s.table(name).as[Backtest.Trade].collect().toSeq.sortBy(tradeKey)
+      } finally q.stop()
+    def summarize(ts: Seq[Backtest.Trade]) =
+      Backtest.summary(s.createDataset(ts).coalesce(1).as[Backtest.Trade])
+        .orderBy(col("symbol")).collect().toSeq
+    val summaryMatch = summarize(batch) == summarize(stream)
+    (batch.length.toLong, stream.length.toLong, batch == stream, summaryMatch)
+  }
 
   /** §2.10 backtest state machine on per-user event series (close=value,
     * pseudo-prediction from the JSON payload) — rows-only.

@@ -24,9 +24,10 @@ object TimeQuery {
     // at the target SF measures first-touch of the data, not the JVM
     fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
     (1 to passes).foreach { i =>
+      val cal = Bench.calibrate()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      println(f"[timequery] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[timequery] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (cal=$cal%.3f)")
     }
     graft.dedup.Dedup.clearCaches()
     graft.similarity.Similarity.clearCaches()

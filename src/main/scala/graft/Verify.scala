@@ -51,6 +51,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The structurally-no-oracle q46/q47 get their batch≡streaming
+    // differential verdict recorded next to the dumps (see
+    // SparkEntry.backtestDifferential) — check_oracle.py folds it in.
+    if (selected("q46_backtest_trades") || selected("q47_backtest_summary")) {
+      val diff =
+        try {
+          val (b, st, tm, sm) = SparkEntry.backtestDifferential(spark, sfDir)
+          s"""{"q46_backtest_trades": {"diff_match": $tm, "batch_trades": $b, "stream_trades": $st},
+             | "q47_backtest_summary": {"diff_match": $sm, "batch_trades": $b, "stream_trades": $st}}""".stripMargin
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] differential failed: ${e.getMessage}")
+          s"""{"q46_backtest_trades": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}},
+             | "q47_backtest_summary": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}}""".stripMargin
+        }
+      Files.writeString(Paths.get(s"$outDir/differential.json"), diff)
+    }
     // drop persisted memo handles before shutdown — a long-lived harness
     // JVM (multi-round driver) must not retain them
     graft.dedup.Dedup.clearCaches()

@@ -122,6 +122,20 @@ for name, sql in sorted(oracle.items()):
     else:
         ok.append((name, len(got)))
 
+# Fold in the batch≡streaming differential verdicts Verify records for
+# the structurally-no-oracle backtest queries (q46/q47): diff_match=true
+# counts as a pass, false/missing as a fail.
+import os
+diff_path = f"{out_dir}/differential.json"
+if os.path.exists(diff_path):
+    for name, row in sorted(json.load(open(diff_path)).items()):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
+        if row.get("diff_match") is True:
+            ok.append((f"{name} [differential]", row.get("batch_trades", "?")))
+        else:
+            fail.append((f"{name} [differential]", row))
+
 for name, n in ok:
     print(f"PASS {name} ({n} rows)")
 for name, why in fail:
