@@ -105,6 +105,48 @@ object ForecastPipeline {
   case class MlpConf(hidden: Int = 8, epochs: Int = 300, lr: Double = 0.1,
       seed: Long = 42L, depth: Int = 1, dropout: Double = 0.0)
 
+  /** Head-name dispatch shared by [[modelMetrics]] and
+    * [[graft.pipeline.GoldenRun]] — the reference's `predictor_plugin`
+    * selector mapped to the per-horizon fit for each native head.
+    */
+  def fitHead(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
+      head: String, mlpConf: MlpConf): Map[Int, graft.ml.Forecaster.HorizonModel] = {
+    import graft.ml.Forecaster
+    head match {
+      case "gbt" => Forecaster.fitPerHorizonGbt(train, featureCols, horizons)
+      case "mlp" => Forecaster.fitPerHorizonDeepMlp(train, featureCols, horizons,
+        layers = Seq.fill(mlpConf.depth)(mlpConf.hidden), epochs = mlpConf.epochs,
+        lr = mlpConf.lr, seed = mlpConf.seed, dropout = mlpConf.dropout)
+      case "tcn" => Forecaster.fitPerHorizonTcn(train, featureCols, horizons,
+        graft.ml.TcnRegressor.TcnConfig(epochs = mlpConf.epochs, lr = mlpConf.lr,
+          seed = mlpConf.seed), dropout = mlpConf.dropout)
+      case "cnn" => Forecaster.fitPerHorizonCnn(train, featureCols, horizons,
+        graft.ml.CnnRegressor.CnnConfig(channels = mlpConf.hidden,
+          epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
+        dropout = mlpConf.dropout)
+      case "lstm" => Forecaster.fitPerHorizonLstm(train, featureCols, horizons,
+        graft.ml.LstmRegressor.LstmConfig(units = mlpConf.hidden,
+          epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
+        dropout = mlpConf.dropout)
+      case "nbeats" => Forecaster.fitPerHorizonNBeats(train, featureCols,
+        horizons, graft.ml.NBeatsRegressor.NBeatsConfig(
+          units = mlpConf.hidden, epochs = mlpConf.epochs, lr = mlpConf.lr,
+          seed = mlpConf.seed), dropout = mlpConf.dropout)
+      case "attention" => Forecaster.fitPerHorizonAttention(train, featureCols,
+        horizons, graft.ml.AttentionRegressor.AttnConfig(
+          epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
+        dropout = mlpConf.dropout)
+      case "tft" => Forecaster.fitPerHorizonTft(train, featureCols,
+        horizons, graft.ml.TftRegressor.TftConfig(
+          // rounded to an even width so the default 2 heads divide it
+          units = math.max(2, mlpConf.hidden / 4 * 2),
+          epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
+        dropout = mlpConf.dropout)
+      case _ => Forecaster.fitPerHorizon(train, featureCols, horizons)
+        .asInstanceOf[Map[Int, Forecaster.HorizonModel]]
+    }
+  }
+
   /** MODEL-based slice (M8 end-to-end): lag features → per-horizon heads
     * fit on the `train` split — `head` = "linear" (normal-equation),
     * "gbt", or a native deep head: "mlp" (multi-layer tanh), "tcn"
@@ -138,41 +180,8 @@ object ForecastPipeline {
     val featureCols = config.targetColumn +: (1 to nLags).map(i => s"lag_$i")
     val train = featurized(config.splits("train"), "train").cache()
     val models =
-      try {
-        head match {
-          case "gbt" => Forecaster.fitPerHorizonGbt(train, featureCols, config.horizons)
-          case "mlp" => Forecaster.fitPerHorizonDeepMlp(train, featureCols, config.horizons,
-            layers = Seq.fill(mlpConf.depth)(mlpConf.hidden), epochs = mlpConf.epochs,
-            lr = mlpConf.lr, seed = mlpConf.seed, dropout = mlpConf.dropout)
-          case "tcn" => Forecaster.fitPerHorizonTcn(train, featureCols, config.horizons,
-            graft.ml.TcnRegressor.TcnConfig(epochs = mlpConf.epochs, lr = mlpConf.lr,
-              seed = mlpConf.seed), dropout = mlpConf.dropout)
-          case "cnn" => Forecaster.fitPerHorizonCnn(train, featureCols, config.horizons,
-            graft.ml.CnnRegressor.CnnConfig(channels = mlpConf.hidden,
-              epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
-            dropout = mlpConf.dropout)
-          case "lstm" => Forecaster.fitPerHorizonLstm(train, featureCols, config.horizons,
-            graft.ml.LstmRegressor.LstmConfig(units = mlpConf.hidden,
-              epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
-            dropout = mlpConf.dropout)
-          case "nbeats" => Forecaster.fitPerHorizonNBeats(train, featureCols,
-            config.horizons, graft.ml.NBeatsRegressor.NBeatsConfig(
-              units = mlpConf.hidden, epochs = mlpConf.epochs, lr = mlpConf.lr,
-              seed = mlpConf.seed), dropout = mlpConf.dropout)
-          case "attention" => Forecaster.fitPerHorizonAttention(train, featureCols,
-            config.horizons, graft.ml.AttentionRegressor.AttnConfig(
-              epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
-            dropout = mlpConf.dropout)
-          case "tft" => Forecaster.fitPerHorizonTft(train, featureCols,
-            config.horizons, graft.ml.TftRegressor.TftConfig(
-              // rounded to an even width so the default 2 heads divide it
-              units = math.max(2, mlpConf.hidden / 4 * 2),
-              epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
-            dropout = mlpConf.dropout)
-          case _ => Forecaster.fitPerHorizon(train, featureCols, config.horizons)
-            .asInstanceOf[Map[Int, Forecaster.HorizonModel]]
-        }
-      } finally train.unpersist()
+      try fitHead(train, featureCols, config.horizons, head, mlpConf)
+      finally train.unpersist()
     modelDir.foreach { dir =>
       models.toSeq.sortBy(_._1).foreach {
         case (h, m: graft.ml.MlpRegressor.MlpRegressionModel) =>
