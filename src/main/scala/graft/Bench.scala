@@ -19,6 +19,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Multi-core calibration: the same integer workload on `n` threads at
+    * once, wall-clock. The round-7 post-mortem: the driver's cold pass
+    * ran 90.2 s where the identical commit re-benched at 55.5 s on a
+    * quiet host — with cal_pre/cal_mid NORMAL both times, because the
+    * single-threaded cal cannot see a neighbor occupying half the
+    * cores; a 32-way-parallel Spark stage can. calmc under contention
+    * rises roughly with oversubscription while cal stays flat, so the
+    * pair separates the three regimes: both flat = trust the numbers;
+    * cal up = whole host slow; calmc up alone = multi-core contention
+    * (the r7 cold-pass signature).
+    */
+  private[graft] def calibrateParallel(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { t =>
+      new Thread(() => {
+        var s = 0L
+        var i = 0
+        while (i < 400000000) { s += i * i; i += 1 }
+        blackhole ^= s + t
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,9 +89,12 @@ object Bench {
     // pass a host-weather swing landed on — with all three, a slow cold
     // total at normal cal_pre/cal_mid is a real plan regression, while
     // one that tracks an inflated cal_pre is environment.
+    val nCal = math.min(cpus.toInt, Runtime.getRuntime.availableProcessors)
     val calPre = calibrate()
+    val calmcPre = calibrateParallel(nCal)
     val cold = timedPass()
     val calMid = calibrate()
+    val calmcMid = calibrateParallel(nCal)
     val warmed = timedPass()
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
@@ -87,7 +115,8 @@ object Bench {
     val total = cold.map(_._2).sum
     val totalWarm = warmed.map(_._2).sum
     val cal = calibrate()
-    val cals = s""""cal_pre":${r3(calPre)},"cal_mid":${r3(calMid)},"cal_sec":${r3(cal)}"""
+    val cals = s""""cal_pre":${r3(calPre)},"cal_mid":${r3(calMid)},"cal_sec":${r3(cal)},""" +
+      s""""calmc_pre":${r3(calmcPre)},"calmc_mid":${r3(calmcMid)}"""
     val head = s"""{"metric":"total","value":${r3(total)},"value_warmed":${r3(totalWarm)},""" +
       s""""unit":"sec","sf":"$sfDir","n_queries":${cold.size},$cals"""
     val withWarm = s"""$head,"queries":${js(cold, short = true)},"queries_warmed":${js(warmed, short = true)}}"""
