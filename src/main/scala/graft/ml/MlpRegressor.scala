@@ -121,12 +121,21 @@ object MlpRegressor {
     * control — early stopping, LR-on-plateau, time budget, history —
     * fed by the per-epoch loss accumulated inside the same distributed
     * gradient pass. Empty (the default) leaves the loop untouched.
+    *
+    * `opt` (the [[Optimizer]] face): the default full-batch GD+momentum
+    * keeps the original loop bit-for-bit; any other config (mini-batch,
+    * Adam, AdamW — the reference's AdamW mini-batch training,
+    * `optimizer_plugins/base.py:260-322`) takes the deterministic
+    * mini-batch path: hash-assigned epoch-shuffled batches, one
+    * distributed pass per batch step, order-independent fixed-point
+    * gradient sums ⇒ bitwise-identical fits under any partitioning.
     */
   def fitLayers(df: DataFrame, labelCol: String, layers: Seq[Int],
       epochs: Int = 300, lr: Double = 0.1, momentum: Double = 0.9,
       seed: Long = 42L, featuresCol: String = "features",
       dropout: Double = 0.0,
-      callbacks: Seq[Callbacks.TrainingCallback] = Nil): MlpRegressionModel = {
+      callbacks: Seq[Callbacks.TrainingCallback] = Nil,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): MlpRegressionModel = {
     require(layers.nonEmpty && layers.forall(_ > 0),
       s"MlpRegressor.fitLayers: need at least one positive hidden width, got $layers")
     require(dropout >= 0.0 && dropout < 1.0,
@@ -160,10 +169,43 @@ object MlpRegressor {
         val s = math.sqrt(v)
         if (s < 1e-12) 1.0 else s // constant column: center only
       }
-      val fMean = Array.tabulate(d)(j => sx(j) / n)
-      val fStd = Array.tabulate(d)(j => std(sx(j), sxx(j)))
-      val yMean = sy / n
-      val yStd = std(sy, syy)
+      var fMean = Array.tabulate(d)(j => sx(j) / n)
+      var fStd = Array.tabulate(d)(j => std(sx(j), sxx(j)))
+      var yMean = sy / n
+      var yStd = std(sy, syy)
+      if (!opt.isFullBatchGd) {
+        // re-derive the stats from order-independent 1e-6 fixed-point
+        // sums: the double-sum stats above are partitioning-dependent in
+        // the low bits, which would leak into every standardized value
+        // and break the mini-batch path's bitwise-under-any-partitioning
+        // contract (see Optimizer.micro).
+        val (mx, mxx, my, myy) = OrderedAgg(data,
+          (new Array[Long](d), new Array[Long](d), 0L, 0L))(
+          seqOp = { case ((ax, axx, ay, ayy), (x, y)) =>
+            var j = 0
+            while (j < d) {
+              val v = x(j)
+              ax(j) = Math.addExact(ax(j), Optimizer.micro(v))
+              axx(j) = Math.addExact(axx(j), Optimizer.micro(v * v))
+              j += 1
+            }
+            (ax, axx, Math.addExact(ay, Optimizer.micro(y)),
+              Math.addExact(ayy, Optimizer.micro(y * y)))
+          },
+          combOp = { case ((ax, axx, ay, ayy), (bx, bxx, by, byy)) =>
+            var j = 0
+            while (j < d) {
+              ax(j) = Math.addExact(ax(j), bx(j))
+              axx(j) = Math.addExact(axx(j), bxx(j))
+              j += 1
+            }
+            (ax, axx, Math.addExact(ay, by), Math.addExact(ayy, byy))
+          })
+        fMean = Array.tabulate(d)(j => Optimizer.fromMicro(mx(j)) / n)
+        fStd = Array.tabulate(d)(j => std(Optimizer.fromMicro(mx(j)), Optimizer.fromMicro(mxx(j))))
+        yMean = Optimizer.fromMicro(my) / n
+        yStd = std(Optimizer.fromMicro(my), Optimizer.fromMicro(myy))
+      }
 
       // layer sizes d → h1 → … → hL → 1; flat vector [W0|b0|W1|b1|…]
       val sizes = (d +: layers :+ 1).toArray
@@ -198,6 +240,71 @@ object MlpRegressor {
       var lrCur = lr
       var stopped = false
       var epoch = 0
+      if (!opt.isFullBatchGd) {
+        // ---- optional mini-batch Adam/AdamW/SGD face (see Optimizer's
+        // scaladoc for the distributed semantics). Per batch step: one
+        // pass over the cached data, members pay forward/backward,
+        // non-members a hash test; per-row gradients accumulate as
+        // 1e-9 fixed-point longs, so the fit is bitwise identical under
+        // any partitioning. Dropout masks resample per BATCH (stepId),
+        // the Keras per-minibatch semantics the epoch-mask full-batch
+        // path approximates.
+        val keyed = data.map { case (x, y) => (x, y, Optimizer.rowKey(x, y)) }
+        val st = new Optimizer.OptState(nW, opt, momentum)
+        while (epoch < epochs && !stopped) {
+          var epochLossNano = 0L
+          var b = 0
+          while (b < opt.batches && !stopped) {
+            val stepId = epoch.toLong * opt.batches + b
+            val masks: Array[Array[Double]] =
+              if (dropout == 0.0) null
+              else Array.tabulate(nLayers - 1)(l => Array.tabulate(sizes(l + 1))(h =>
+                if (McDropout.uniform(seed, stepId, -1, l, h) < dropout) 0.0
+                else kScale))
+            val bc = sc.broadcast((weights.clone(), masks))
+            val (gN, lossN, nb) = OrderedAgg(keyed, (new Array[Long](nW), 0L, 0L))(
+              seqOp = { case (acc, (x, y, key)) =>
+                if (Optimizer.batchOf(key, epoch, opt.batches) != b) acc
+                else {
+                  val (g, ls, cnt) = acc
+                  val scratch = new Array[Double](nW)
+                  val loss = rowGradInto(x, (y - yMean) / yStd, bc.value._1,
+                    bc.value._2, sizes, wOff, bOff, fMean, fStd, scratch)
+                  var k = 0
+                  while (k < nW) {
+                    if (scratch(k) != 0.0)
+                      g(k) = Math.addExact(g(k), Optimizer.nano(scratch(k)))
+                    k += 1
+                  }
+                  (g, Math.addExact(ls, Optimizer.nano(loss)), cnt + 1)
+                }
+              },
+              combOp = { case ((ag, al, an), (bg, bl, bn)) =>
+                var k = 0
+                while (k < nW) { ag(k) = Math.addExact(ag(k), bg(k)); k += 1 }
+                (ag, Math.addExact(al, bl), an + bn)
+              })
+            bc.destroy()
+            if (nb > 0) {
+              val gm = Array.tabulate(nW)(k => Optimizer.fromNano(gN(k)) / nb)
+              st.step(weights, gm, lrCur)
+            }
+            epochLossNano = Math.addExact(epochLossNano, lossN)
+            b += 1
+          }
+          if (callbacks.nonEmpty) {
+            val loss = Optimizer.fromNano(epochLossNano) / n
+            callbacks.foreach { cb =>
+              cb.onEpochEnd(epoch, loss, lrCur) match {
+                case Callbacks.Stop      => stopped = true
+                case Callbacks.SetLr(nl) => lrCur = nl
+                case Callbacks.Continue  => ()
+              }
+            }
+          }
+          epoch += 1
+        }
+      } else
       while (epoch < epochs && !stopped) {
         // one inverted-dropout mask per hidden unit per EPOCH, from the
         // deterministic counter hash (pass = -1 separates the training
@@ -332,6 +439,82 @@ object MlpRegressor {
         s"mlp_${java.util.UUID.randomUUID().toString.take(8)}",
         layers.toArray, wMats, bVecs, fMean, fStd, yMean, yStd)
     } finally { data.unpersist(blocking = false); () }
+  }
+
+  /** One row's forward + backprop for the mini-batch path: fills
+    * `scratch` (caller-zeroed, length nW) with the row's ½(out − ys)²
+    * gradient and returns the row loss. Row-local and partitioning-
+    * independent by construction; the full-batch path keeps its
+    * original inline accumulation bit-for-bit, so the two share
+    * semantics but not float-op order.
+    */
+  private def rowGradInto(x: Vector, ys: Double, w: Array[Double],
+      mk: Array[Array[Double]], sizes: Array[Int], wOff: Array[Int],
+      bOff: Array[Int], fMean: Array[Double], fStd: Array[Double],
+      scratch: Array[Double]): Double = {
+    val d = fMean.length
+    val nLayers = sizes.length - 1
+    val acts = new Array[Array[Double]](nLayers + 1)
+    val a0 = new Array[Double](d)
+    var j = 0
+    while (j < d) { a0(j) = (x(j) - fMean(j)) / fStd(j); j += 1 }
+    acts(0) = a0
+    var l = 0
+    while (l < nLayers) {
+      val in = sizes(l); val out = sizes(l + 1)
+      val prev = acts(l)
+      val cur = new Array[Double](out)
+      var h = 0
+      while (h < out) {
+        var z = w(bOff(l) + h)
+        var k = 0
+        while (k < in) { z += w(wOff(l) + h * in + k) * prev(k); k += 1 }
+        cur(h) =
+          if (l >= nLayers - 1) z
+          else if (mk == null) math.tanh(z)
+          else math.tanh(z) * mk(l)(h)
+        h += 1
+      }
+      acts(l + 1) = cur
+      l += 1
+    }
+    var delta = new Array[Double](1)
+    delta(0) = acts(nLayers)(0) - ys
+    val loss = 0.5 * delta(0) * delta(0)
+    l = nLayers - 1
+    while (l >= 0) {
+      val in = sizes(l); val out = sizes(l + 1)
+      val prev = acts(l)
+      var h = 0
+      while (h < out) {
+        val dh = delta(h)
+        scratch(bOff(l) + h) += dh
+        var k = 0
+        while (k < in) { scratch(wOff(l) + h * in + k) += dh * prev(k); k += 1 }
+        h += 1
+      }
+      if (l > 0) {
+        val nd = new Array[Double](in)
+        var k = 0
+        while (k < in) {
+          var s = 0.0
+          var h2 = 0
+          while (h2 < out) { s += w(wOff(l) + h2 * in + k) * delta(h2); h2 += 1 }
+          val a = prev(k)
+          nd(k) =
+            if (mk == null) s * (1.0 - a * a)
+            else {
+              val mv = mk(l - 1)(k)
+              if (mv == 0.0) 0.0
+              else { val t = a / mv; s * mv * (1.0 - t * t) }
+            }
+          k += 1
+        }
+        delta = nd
+      }
+      l -= 1
+    }
+    loss
   }
 
   /** S11 artifact sink: layer widths + per-layer weights as one parquet row. */

@@ -102,8 +102,13 @@ object ForecastPipeline {
     * (`MlpRegressor.fitLayers`), the head-input masks for the
     * TCN/LSTM/attention heads.
     */
+  /** `opt`: the [[graft.ml.Optimizer]] face — defaults to the original
+    * full-batch GD; e.g. `OptConfig("adamw", batches = 8)` trains the
+    * MLP head with the reference's AdamW mini-batch regime.
+    */
   case class MlpConf(hidden: Int = 8, epochs: Int = 300, lr: Double = 0.1,
-      seed: Long = 42L, depth: Int = 1, dropout: Double = 0.0)
+      seed: Long = 42L, depth: Int = 1, dropout: Double = 0.0,
+      opt: graft.ml.Optimizer.OptConfig = graft.ml.Optimizer.FullBatchGd)
 
   /** Head-name dispatch shared by [[modelMetrics]] and
     * [[graft.pipeline.GoldenRun]] — the reference's `predictor_plugin`
@@ -116,7 +121,8 @@ object ForecastPipeline {
       case "gbt" => Forecaster.fitPerHorizonGbt(train, featureCols, horizons)
       case "mlp" => Forecaster.fitPerHorizonDeepMlp(train, featureCols, horizons,
         layers = Seq.fill(mlpConf.depth)(mlpConf.hidden), epochs = mlpConf.epochs,
-        lr = mlpConf.lr, seed = mlpConf.seed, dropout = mlpConf.dropout)
+        lr = mlpConf.lr, seed = mlpConf.seed, dropout = mlpConf.dropout,
+        opt = mlpConf.opt)
       case "tcn" => Forecaster.fitPerHorizonTcn(train, featureCols, horizons,
         graft.ml.TcnRegressor.TcnConfig(epochs = mlpConf.epochs, lr = mlpConf.lr,
           seed = mlpConf.seed), dropout = mlpConf.dropout)
