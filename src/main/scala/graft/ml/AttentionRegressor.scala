@@ -39,7 +39,9 @@ import org.apache.spark.storage.StorageLevel
   * backward lives inside the row kernel), tree-merged partials, driver
   * momentum update, weights broadcast.
   */
-object AttentionRegressor {
+// Serializable: fit's row-gradient helper is a local def lifted onto this
+// object; Spark task closures referencing it serialize the stateless object.
+object AttentionRegressor extends Serializable {
 
   /** `dim` = embedding width D; `heads` = parallel attention heads H
     * (D must divide evenly into H subspaces). */
@@ -207,7 +209,8 @@ object AttentionRegressor {
     */
   def fit(df: DataFrame, labelCol: String, conf: AttnConfig = AttnConfig(),
       featuresCol: String = "features", dropout: Double = 0.0,
-      callbacks: Seq[Callbacks.TrainingCallback] = Nil): AttentionRegressionModel = {
+      callbacks: Seq[Callbacks.TrainingCallback] = Nil,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): AttentionRegressionModel = {
     val d = conf.dim
     val nH = conf.heads
     require(d > 0 && nH > 0 && d % nH == 0,
@@ -238,10 +241,19 @@ object AttentionRegressor {
         val s = math.sqrt(vr)
         if (s < 1e-12) 1.0 else s
       }
-      val fMean = sx / (n.toDouble * t)
-      val fStd = stdOf(sx, sxx, n.toDouble * t)
-      val yMean = sy / n
-      val yStd = stdOf(sy, syy, n.toDouble)
+      var fMean = sx / (n.toDouble * t)
+      var fStd = stdOf(sx, sxx, n.toDouble * t)
+      var yMean = sy / n
+      var yStd = stdOf(sy, syy, n.toDouble)
+      if (!opt.isFullBatchGd) {
+        // order-independent stats for the mini-batch path's
+        // bitwise-under-any-partitioning contract (see Optimizer.micro)
+        val (mx, mxx, my, myy) = Optimizer.microStatsGlobal(data, t)
+        fMean = mx / (n.toDouble * t)
+        fStd = stdOf(mx, mxx, n.toDouble * t)
+        yMean = my / n
+        yStd = stdOf(my, myy, n.toDouble)
+      }
 
       // flat layout: [wE (d) | pos (t·d) | wq | wk | wv (d² each) | headW (d) | headB]
       val eOff = 0
@@ -267,20 +279,13 @@ object AttentionRegressor {
       val dh = d / nH
       val scale = 1.0 / math.sqrt(dh.toDouble)
 
-      var lrCur = conf.lr
-      var stopped = false
-      var epoch = 0
-      while (epoch < conf.epochs && !stopped) {
-        // per-epoch inverted-dropout mask on the head input (null = off)
-        val mk: Array[Double] =
-          if (dropout == 0.0) null
-          else Array.tabulate(d)(i =>
-            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 0, i) < dropout) 0.0
-            else 1.0 / (1.0 - dropout))
-        val bcW = sc.broadcast(weights.clone())
-        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
-          seqOp = { case (g, (xv, y)) =>
-            val wf = bcW.value
+      // Row-local forward+backward shared by BOTH training paths:
+      // accumulates the row's gradient into g(0 until nW) and its loss
+      // into g(nW); the full-batch aggregate hands its accumulator in
+      // directly (per-slot op order unchanged, bit-for-bit), the
+      // mini-batch loop a fresh scratch.
+      def rowGradInto(wf: Array[Double], mk: Array[Double], xv: Vector,
+          y: Double, g: Array[Double]): Unit = {
             val wE = java.util.Arrays.copyOfRange(wf, eOff, eOff + d)
             val pos = java.util.Arrays.copyOfRange(wf, pOff, pOff + t * d)
             val wq = java.util.Arrays.copyOfRange(wf, qOff, qOff + d * d)
@@ -381,7 +386,32 @@ object AttentionRegressor {
               }
               ti += 1
             }
-            g
+      }
+
+      // per-step inverted-dropout mask on the head input (null = off);
+      // stepId = epoch (full-batch) or epoch*B + b (mini-batch)
+      def mkMask(stepId: Long): Array[Double] =
+        if (dropout == 0.0) null
+        else Array.tabulate(d)(i =>
+          if (McDropout.uniform(conf.seed, stepId, -1, 0, i) < dropout) 0.0
+          else 1.0 / (1.0 - dropout))
+
+      var lrCur = conf.lr
+      var stopped = false
+      var epoch = 0
+      if (!opt.isFullBatchGd) {
+        // optional mini-batch Adam/AdamW/SGD face — see Optimizer
+        Optimizer.miniBatchLoop(sc, data, weights, opt, conf.epochs,
+          conf.lr, conf.momentum, n, callbacks)(mkMask) {
+          (w, mk, xv, y, scratch) => rowGradInto(w, mk, xv, y, scratch)
+        }
+      } else
+      while (epoch < conf.epochs && !stopped) {
+        val mk = mkMask(epoch.toLong)
+        val bcW = sc.broadcast(weights.clone())
+        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
+          seqOp = { case (g, (xv, y)) =>
+            rowGradInto(bcW.value, mk, xv, y, g); g
           },
           combOp = { (a2, b2) =>
             var k2 = 0

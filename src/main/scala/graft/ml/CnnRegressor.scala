@@ -35,7 +35,9 @@ import org.apache.spark.storage.StorageLevel
   * data-proportional ever concentrates on the driver; per-epoch cost is
   * one pass over the cached rows.
   */
-object CnnRegressor {
+// Serializable: fit's row-gradient helper is a local def lifted onto this
+// object; Spark task closures referencing it serialize the stateless object.
+object CnnRegressor extends Serializable {
 
   /** `layers` strided causal conv layers; layer i has
     * `max(minChannels, channels / divisor^i)` filters (the reference's
@@ -197,7 +199,8 @@ object CnnRegressor {
     * the same gradient pass. */
   def fit(df: DataFrame, labelCol: String, conf: CnnConfig = CnnConfig(),
       featuresCol: String = "features", dropout: Double = 0.0,
-      callbacks: Seq[Callbacks.TrainingCallback] = Nil): CnnRegressionModel = {
+      callbacks: Seq[Callbacks.TrainingCallback] = Nil,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): CnnRegressionModel = {
     val k = conf.kernel
     val stride = conf.stride
     val sizes = conf.sizes
@@ -233,10 +236,19 @@ object CnnRegressor {
         val s = math.sqrt(v)
         if (s < 1e-12) 1.0 else s
       }
-      val fMean = sx / (n.toDouble * t)
-      val fStd = std(sx, sxx, n.toDouble * t)
-      val yMean = sy / n
-      val yStd = std(sy, syy, n.toDouble)
+      var fMean = sx / (n.toDouble * t)
+      var fStd = std(sx, sxx, n.toDouble * t)
+      var yMean = sy / n
+      var yStd = std(sy, syy, n.toDouble)
+      if (!opt.isFullBatchGd) {
+        // order-independent stats for the mini-batch path's
+        // bitwise-under-any-partitioning contract (see Optimizer.micro)
+        val (mx, mxx, my, myy) = Optimizer.microStatsGlobal(data, t)
+        fMean = mx / (n.toDouble * t)
+        fStd = std(mx, mxx, n.toDouble * t)
+        yMean = my / n
+        yStd = std(my, myy, n.toDouble)
+      }
 
       // flat parameter vector: [W0|b0|W1|b1|...|headW|headB]
       val wSize = Array.tabulate(layers)(l =>
@@ -268,26 +280,14 @@ object CnnRegressor {
       while (i < hOff + cL) { weights(i) = rnd.nextGaussian() * math.sqrt(1.0 / cL); i += 1 }
       val velocity = new Array[Double](nW)
 
-      var lrCur = conf.lr
-      var stopped = false
-      var epoch = 0
-      while (epoch < conf.epochs && !stopped) {
-        // per-epoch inverted-dropout masks (null = off): layer 0 = head
-        // channels, layer 1+l = spatial mask per conv channel
-        val mk: Array[Double] =
-          if (dropout == 0.0) null
-          else Array.tabulate(cL)(i =>
-            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 0, i) < dropout) 0.0
-            else 1.0 / (1.0 - dropout))
-        val mkL: Array[Array[Double]] =
-          if (dropout == 0.0) null
-          else Array.tabulate(layers)(l => Array.tabulate(sizes(l))(i =>
-            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 1 + l, i) < dropout) 0.0
-            else 1.0 / (1.0 - dropout)))
-        val bcW = sc.broadcast(weights.clone())
-        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
-          seqOp = { case (g, (xv, y)) =>
-            val wFlat = bcW.value
+      // Row-local forward+backward shared by BOTH training paths:
+      // accumulates the row's gradient into g(0 until nW) and its loss
+      // into g(nW); the full-batch aggregate hands its accumulator in
+      // directly (per-slot op order unchanged, bit-for-bit), the
+      // mini-batch loop a fresh scratch.
+      def rowGradInto(wFlat: Array[Double], mk: Array[Double],
+          mkL: Array[Array[Double]], xv: Vector, y: Double,
+          g: Array[Double]): Unit = {
             val convW = Array.tabulate(layers)(l =>
               java.util.Arrays.copyOfRange(wFlat, wOff(l), wOff(l) + wSize(l)))
             val convB = Array.tabulate(layers)(l =>
@@ -380,7 +380,38 @@ object CnnRegressor {
               if (l2 > 0) delta = dPrev
               l2 -= 1
             }
-            g
+      }
+
+      // per-step inverted-dropout masks (null = off): layer 0 = head
+      // channels, layer 1+l = spatial mask per conv channel; stepId =
+      // epoch (full-batch) or epoch*B + b (mini-batch, Keras semantics)
+      def mkMask(stepId: Long): (Array[Double], Array[Array[Double]]) =
+        if (dropout == 0.0) (null, null)
+        else (
+          Array.tabulate(cL)(i =>
+            if (McDropout.uniform(conf.seed, stepId, -1, 0, i) < dropout) 0.0
+            else 1.0 / (1.0 - dropout)),
+          Array.tabulate(layers)(l => Array.tabulate(sizes(l))(i =>
+            if (McDropout.uniform(conf.seed, stepId, -1, 1 + l, i) < dropout) 0.0
+            else 1.0 / (1.0 - dropout))))
+
+      var lrCur = conf.lr
+      var stopped = false
+      var epoch = 0
+      if (!opt.isFullBatchGd) {
+        // optional mini-batch Adam/AdamW/SGD face — see Optimizer
+        Optimizer.miniBatchLoop(sc, data, weights, opt, conf.epochs,
+          conf.lr, conf.momentum, n, callbacks)(mkMask) {
+          case (w, (mk, mkL), xv, y, scratch) =>
+            rowGradInto(w, mk, mkL, xv, y, scratch)
+        }
+      } else
+      while (epoch < conf.epochs && !stopped) {
+        val (mk, mkL) = mkMask(epoch.toLong)
+        val bcW = sc.broadcast(weights.clone())
+        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
+          seqOp = { case (g, (xv, y)) =>
+            rowGradInto(bcW.value, mk, mkL, xv, y, g); g
           },
           combOp = { (a2, b3) =>
             var k2 = 0

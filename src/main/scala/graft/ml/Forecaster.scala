@@ -138,9 +138,10 @@ object Forecaster {
   def fitPerHorizonTcn(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
       conf: TcnRegressor.TcnConfig = TcnRegressor.TcnConfig(),
       dropout: Double = 0.0,
-      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): Map[Int, HorizonModel] =
     fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
-      TcnRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
+      TcnRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs, opt = opt)
     }
 
   /** M8 CNN head: one strided causal Conv1D net per horizon (the
@@ -151,9 +152,10 @@ object Forecaster {
   def fitPerHorizonCnn(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
       conf: CnnRegressor.CnnConfig = CnnRegressor.CnnConfig(),
       dropout: Double = 0.0,
-      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): Map[Int, HorizonModel] =
     fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
-      CnnRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
+      CnnRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs, opt = opt)
     }
 
   /** M8 recurrent head: one LSTM per horizon (the reference's LSTM
@@ -163,9 +165,10 @@ object Forecaster {
   def fitPerHorizonLstm(train: DataFrame, featureCols: Seq[String], horizons: Seq[Int],
       conf: LstmRegressor.LstmConfig = LstmRegressor.LstmConfig(),
       dropout: Double = 0.0,
-      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): Map[Int, HorizonModel] =
     fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
-      LstmRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
+      LstmRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs, opt = opt)
     }
 
   /** M8 N-BEATS head: one generic-basis doubly-residual stack per
@@ -176,9 +179,10 @@ object Forecaster {
       horizons: Seq[Int],
       conf: NBeatsRegressor.NBeatsConfig = NBeatsRegressor.NBeatsConfig(),
       dropout: Double = 0.0,
-      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): Map[Int, HorizonModel] =
     fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
-      NBeatsRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
+      NBeatsRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs, opt = opt)
     }
 
   /** M8 TFT head: one gated-residual LSTM + attention fusion net per
@@ -189,9 +193,10 @@ object Forecaster {
       horizons: Seq[Int],
       conf: TftRegressor.TftConfig = TftRegressor.TftConfig(),
       dropout: Double = 0.0,
-      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): Map[Int, HorizonModel] =
     fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
-      TftRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
+      TftRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs, opt = opt)
     }
 
   /** M8 attention head: one multi-head self-attention net per horizon
@@ -202,9 +207,10 @@ object Forecaster {
       horizons: Seq[Int],
       conf: AttentionRegressor.AttnConfig = AttentionRegressor.AttnConfig(),
       dropout: Double = 0.0,
-      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil): Map[Int, HorizonModel] =
+      callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): Map[Int, HorizonModel] =
     fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
-      AttentionRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs)
+      AttentionRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs, opt = opt)
     }
 
   /** Apply the per-horizon models: adds `pred_h{h}` columns. */

@@ -34,7 +34,9 @@ import org.apache.spark.storage.StorageLevel
   * h' = o⊙tanh(c'). Forget bias initialized to 1 (standard practice —
   * gradients flow through the cell path from epoch 0).
   */
-object LstmRegressor {
+// Serializable: fit's row-gradient helper is a local def lifted onto this
+// object; Spark task closures referencing it serialize the stateless object.
+object LstmRegressor extends Serializable {
 
   case class LstmConfig(units: Int = 6, epochs: Int = 200, lr: Double = 0.1,
       momentum: Double = 0.9, seed: Long = 42L)
@@ -172,7 +174,8 @@ object LstmRegressor {
   def fit(df: DataFrame, labelCol: String, conf: LstmConfig = LstmConfig(),
       featuresCol: String = "features", dropout: Double = 0.0,
       callbacks: Seq[Callbacks.TrainingCallback] = Nil,
-      recurrentDropout: Double = 0.0): LstmRegressionModel = {
+      recurrentDropout: Double = 0.0,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): LstmRegressionModel = {
     val u = conf.units
     require(u > 0, s"LstmRegressor.fit: bad config $conf")
     require(dropout >= 0.0 && dropout < 1.0,
@@ -203,10 +206,19 @@ object LstmRegressor {
         val s = math.sqrt(v)
         if (s < 1e-12) 1.0 else s
       }
-      val fMean = sx / (n.toDouble * t)
-      val fStd = std(sx, sxx, n.toDouble * t)
-      val yMean = sy / n
-      val yStd = std(sy, syy, n.toDouble)
+      var fMean = sx / (n.toDouble * t)
+      var fStd = std(sx, sxx, n.toDouble * t)
+      var yMean = sy / n
+      var yStd = std(sy, syy, n.toDouble)
+      if (!opt.isFullBatchGd) {
+        // order-independent stats for the mini-batch path's
+        // bitwise-under-any-partitioning contract (see Optimizer.micro)
+        val (mx, mxx, my, myy) = Optimizer.microStatsGlobal(data, t)
+        fMean = mx / (n.toDouble * t)
+        fStd = std(mx, mxx, n.toDouble * t)
+        yMean = my / n
+        yStd = std(my, myy, n.toDouble)
+      }
 
       // flat layout: [wx (4u) | wh (4u*u) | b (4u) | headW (u) | headB]
       val wxOff = 0
@@ -228,26 +240,14 @@ object LstmRegressor {
       while (i < u) { weights(hOff + i) = rnd.nextGaussian() * rScale; i += 1 }
       val velocity = new Array[Double](nW)
 
-      var lrCur = conf.lr
-      var stopped = false
-      var epoch = 0
-      while (epoch < conf.epochs && !stopped) {
-        // per-epoch inverted-dropout masks (null = off): head input
-        // (layer 0) and the variational recurrent mask (layer 1)
-        val mk: Array[Double] =
-          if (dropout == 0.0) null
-          else Array.tabulate(u)(i =>
-            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 0, i) < dropout) 0.0
-            else 1.0 / (1.0 - dropout))
-        val mkR: Array[Double] =
-          if (recurrentDropout == 0.0) null
-          else Array.tabulate(u)(i =>
-            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 1, i) < recurrentDropout) 0.0
-            else 1.0 / (1.0 - recurrentDropout))
-        val bcW = sc.broadcast(weights.clone())
-        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
-          seqOp = { case (g, (xv, y)) =>
-            val wf = bcW.value
+      // Row-local BPTT shared by BOTH training paths: accumulates the
+      // row's gradient into g(0 until nW) and its loss into g(nW); the
+      // full-batch aggregate hands its accumulator in directly
+      // (per-slot op order unchanged, bit-for-bit), the mini-batch loop
+      // a fresh scratch.
+      def rowGradInto(wf: Array[Double], mk: Array[Double],
+          mkR: Array[Double], xv: Vector, y: Double,
+          g: Array[Double]): Unit = {
             val wx = java.util.Arrays.copyOfRange(wf, wxOff, wxOff + 4 * u)
             val wh = java.util.Arrays.copyOfRange(wf, whOff, whOff + 4 * u * u)
             val bArr = java.util.Arrays.copyOfRange(wf, bOff, bOff + 4 * u)
@@ -329,7 +329,38 @@ object LstmRegressor {
               System.arraycopy(dcNext, 0, dc, 0, u)
               ti -= 1
             }
-            g
+      }
+
+      // per-step inverted-dropout masks (null = off): head input
+      // (layer 0) and the variational recurrent mask (layer 1); stepId =
+      // epoch (full-batch) or epoch*B + b (mini-batch, Keras semantics)
+      def mkMask(stepId: Long): (Array[Double], Array[Double]) = (
+        if (dropout == 0.0) null
+        else Array.tabulate(u)(i =>
+          if (McDropout.uniform(conf.seed, stepId, -1, 0, i) < dropout) 0.0
+          else 1.0 / (1.0 - dropout)),
+        if (recurrentDropout == 0.0) null
+        else Array.tabulate(u)(i =>
+          if (McDropout.uniform(conf.seed, stepId, -1, 1, i) < recurrentDropout) 0.0
+          else 1.0 / (1.0 - recurrentDropout)))
+
+      var lrCur = conf.lr
+      var stopped = false
+      var epoch = 0
+      if (!opt.isFullBatchGd) {
+        // optional mini-batch Adam/AdamW/SGD face — see Optimizer
+        Optimizer.miniBatchLoop(sc, data, weights, opt, conf.epochs,
+          conf.lr, conf.momentum, n, callbacks)(mkMask) {
+          case (w, (mk, mkR), xv, y, scratch) =>
+            rowGradInto(w, mk, mkR, xv, y, scratch)
+        }
+      } else
+      while (epoch < conf.epochs && !stopped) {
+        val (mk, mkR) = mkMask(epoch.toLong)
+        val bcW = sc.broadcast(weights.clone())
+        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
+          seqOp = { case (g, (xv, y)) =>
+            rowGradInto(bcW.value, mk, mkR, xv, y, g); g
           },
           combOp = { (a2, b2) =>
             var k2 = 0

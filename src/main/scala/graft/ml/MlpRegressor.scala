@@ -179,32 +179,11 @@ object MlpRegressor {
         // the low bits, which would leak into every standardized value
         // and break the mini-batch path's bitwise-under-any-partitioning
         // contract (see Optimizer.micro).
-        val (mx, mxx, my, myy) = OrderedAgg(data,
-          (new Array[Long](d), new Array[Long](d), 0L, 0L))(
-          seqOp = { case ((ax, axx, ay, ayy), (x, y)) =>
-            var j = 0
-            while (j < d) {
-              val v = x(j)
-              ax(j) = Math.addExact(ax(j), Optimizer.micro(v))
-              axx(j) = Math.addExact(axx(j), Optimizer.micro(v * v))
-              j += 1
-            }
-            (ax, axx, Math.addExact(ay, Optimizer.micro(y)),
-              Math.addExact(ayy, Optimizer.micro(y * y)))
-          },
-          combOp = { case ((ax, axx, ay, ayy), (bx, bxx, by, byy)) =>
-            var j = 0
-            while (j < d) {
-              ax(j) = Math.addExact(ax(j), bx(j))
-              axx(j) = Math.addExact(axx(j), bxx(j))
-              j += 1
-            }
-            (ax, axx, Math.addExact(ay, by), Math.addExact(ayy, byy))
-          })
-        fMean = Array.tabulate(d)(j => Optimizer.fromMicro(mx(j)) / n)
-        fStd = Array.tabulate(d)(j => std(Optimizer.fromMicro(mx(j)), Optimizer.fromMicro(mxx(j))))
-        yMean = Optimizer.fromMicro(my) / n
-        yStd = std(Optimizer.fromMicro(my), Optimizer.fromMicro(myy))
+        val (mx, mxx, my, myy) = Optimizer.microStatsPerDim(data, d)
+        fMean = Array.tabulate(d)(j => mx(j) / n)
+        fStd = Array.tabulate(d)(j => std(mx(j), mxx(j)))
+        yMean = my / n
+        yStd = std(my, myy)
       }
 
       // layer sizes d → h1 → … → hL → 1; flat vector [W0|b0|W1|b1|…]
@@ -241,68 +220,21 @@ object MlpRegressor {
       var stopped = false
       var epoch = 0
       if (!opt.isFullBatchGd) {
-        // ---- optional mini-batch Adam/AdamW/SGD face (see Optimizer's
-        // scaladoc for the distributed semantics). Per batch step: one
-        // pass over the cached data, members pay forward/backward,
-        // non-members a hash test; per-row gradients accumulate as
-        // 1e-9 fixed-point longs, so the fit is bitwise identical under
-        // any partitioning. Dropout masks resample per BATCH (stepId),
-        // the Keras per-minibatch semantics the epoch-mask full-batch
-        // path approximates.
-        val keyed = data.map { case (x, y) => (x, y, Optimizer.rowKey(x, y)) }
-        val st = new Optimizer.OptState(nW, opt, momentum)
-        while (epoch < epochs && !stopped) {
-          var epochLossNano = 0L
-          var b = 0
-          while (b < opt.batches && !stopped) {
-            val stepId = epoch.toLong * opt.batches + b
-            val masks: Array[Array[Double]] =
-              if (dropout == 0.0) null
-              else Array.tabulate(nLayers - 1)(l => Array.tabulate(sizes(l + 1))(h =>
-                if (McDropout.uniform(seed, stepId, -1, l, h) < dropout) 0.0
-                else kScale))
-            val bc = sc.broadcast((weights.clone(), masks))
-            val (gN, lossN, nb) = OrderedAgg(keyed, (new Array[Long](nW), 0L, 0L))(
-              seqOp = { case (acc, (x, y, key)) =>
-                if (Optimizer.batchOf(key, epoch, opt.batches) != b) acc
-                else {
-                  val (g, ls, cnt) = acc
-                  val scratch = new Array[Double](nW)
-                  val loss = rowGradInto(x, (y - yMean) / yStd, bc.value._1,
-                    bc.value._2, sizes, wOff, bOff, fMean, fStd, scratch)
-                  var k = 0
-                  while (k < nW) {
-                    if (scratch(k) != 0.0)
-                      g(k) = Math.addExact(g(k), Optimizer.nano(scratch(k)))
-                    k += 1
-                  }
-                  (g, Math.addExact(ls, Optimizer.nano(loss)), cnt + 1)
-                }
-              },
-              combOp = { case ((ag, al, an), (bg, bl, bn)) =>
-                var k = 0
-                while (k < nW) { ag(k) = Math.addExact(ag(k), bg(k)); k += 1 }
-                (ag, Math.addExact(al, bl), an + bn)
-              })
-            bc.destroy()
-            if (nb > 0) {
-              val gm = Array.tabulate(nW)(k => Optimizer.fromNano(gN(k)) / nb)
-              st.step(weights, gm, lrCur)
-            }
-            epochLossNano = Math.addExact(epochLossNano, lossN)
-            b += 1
-          }
-          if (callbacks.nonEmpty) {
-            val loss = Optimizer.fromNano(epochLossNano) / n
-            callbacks.foreach { cb =>
-              cb.onEpochEnd(epoch, loss, lrCur) match {
-                case Callbacks.Stop      => stopped = true
-                case Callbacks.SetLr(nl) => lrCur = nl
-                case Callbacks.Continue  => ()
-              }
-            }
-          }
-          epoch += 1
+        // ---- optional mini-batch Adam/AdamW/SGD face: the shared
+        // Optimizer.miniBatchLoop drives hash-assigned epoch-shuffled
+        // batches with order-independent fixed-point gradient sums
+        // (bitwise identical under any partitioning); this head supplies
+        // only its row-local forward/backward and per-step dropout masks.
+        val yM = yMean; val yS = yStd; val fM = fMean; val fS = fStd
+        Optimizer.miniBatchLoop(sc, data, weights, opt, epochs, lr,
+          momentum, n, callbacks)(
+          stepId =>
+            if (dropout == 0.0) null
+            else Array.tabulate(nLayers - 1)(l => Array.tabulate(sizes(l + 1))(h =>
+              if (McDropout.uniform(seed, stepId, -1, l, h) < dropout) 0.0
+              else kScale))
+        ) { (w, mk, x, y, scratch) =>
+          rowGradInto(x, (y - yM) / yS, w, mk, sizes, wOff, bOff, fM, fS, scratch)
         }
       } else
       while (epoch < epochs && !stopped) {
@@ -441,17 +373,17 @@ object MlpRegressor {
     } finally { data.unpersist(blocking = false); () }
   }
 
-  /** One row's forward + backprop for the mini-batch path: fills
-    * `scratch` (caller-zeroed, length nW) with the row's ½(out − ys)²
-    * gradient and returns the row loss. Row-local and partitioning-
-    * independent by construction; the full-batch path keeps its
-    * original inline accumulation bit-for-bit, so the two share
-    * semantics but not float-op order.
+  /** One row's forward + backprop for the mini-batch path: accumulates
+    * the row's ½(out − ys)² gradient into `scratch(0 until nW)` and the
+    * loss into `scratch(nW)` (the miniBatchLoop slot convention).
+    * Row-local and partitioning-independent by construction; the
+    * full-batch path keeps its original inline accumulation
+    * bit-for-bit, so the two share semantics but not float-op order.
     */
   private def rowGradInto(x: Vector, ys: Double, w: Array[Double],
       mk: Array[Array[Double]], sizes: Array[Int], wOff: Array[Int],
       bOff: Array[Int], fMean: Array[Double], fStd: Array[Double],
-      scratch: Array[Double]): Double = {
+      scratch: Array[Double]): Unit = {
     val d = fMean.length
     val nLayers = sizes.length - 1
     val acts = new Array[Array[Double]](nLayers + 1)
@@ -480,7 +412,7 @@ object MlpRegressor {
     }
     var delta = new Array[Double](1)
     delta(0) = acts(nLayers)(0) - ys
-    val loss = 0.5 * delta(0) * delta(0)
+    scratch(scratch.length - 1) += 0.5 * delta(0) * delta(0)
     l = nLayers - 1
     while (l >= 0) {
       val in = sizes(l); val out = sizes(l + 1)
@@ -514,7 +446,6 @@ object MlpRegressor {
       }
       l -= 1
     }
-    loss
   }
 
   /** S11 artifact sink: layer widths + per-layer weights as one parquet row. */

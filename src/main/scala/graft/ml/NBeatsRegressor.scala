@@ -30,7 +30,9 @@ import org.apache.spark.storage.StorageLevel
   * driver momentum update, weights broadcast. The backprop is verified
   * coordinate-wise against finite differences (`GradCheckSpec`).
   */
-object NBeatsRegressor {
+// Serializable: fit's row-gradient helper is a local def lifted onto this
+// object; Spark task closures referencing it serialize the stateless object.
+object NBeatsRegressor extends Serializable {
 
   /** `blocks` generic blocks, each an FC stack of `layers` tanh layers
     * of width `units`, then linear backcast (input width) + forecast
@@ -152,7 +154,8 @@ object NBeatsRegressor {
     * (per-epoch inverted masks, the zoo scheme); `callbacks` = M11. */
   def fit(df: DataFrame, labelCol: String, conf: NBeatsConfig = NBeatsConfig(),
       featuresCol: String = "features", dropout: Double = 0.0,
-      callbacks: Seq[Callbacks.TrainingCallback] = Nil): NBeatsRegressionModel = {
+      callbacks: Seq[Callbacks.TrainingCallback] = Nil,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): NBeatsRegressionModel = {
     require(conf.blocks > 0 && conf.layers > 0 && conf.units > 0,
       s"NBeatsRegressor.fit: bad config $conf")
     require(dropout >= 0.0 && dropout < 1.0,
@@ -182,10 +185,19 @@ object NBeatsRegressor {
         val s = math.sqrt(v)
         if (s < 1e-12) 1.0 else s
       }
-      val fMean = sx / (n.toDouble * t)
-      val fStd = std(sx, sxx, n.toDouble * t)
-      val yMean = sy / n
-      val yStd = std(sy, syy, n.toDouble)
+      var fMean = sx / (n.toDouble * t)
+      var fStd = std(sx, sxx, n.toDouble * t)
+      var yMean = sy / n
+      var yStd = std(sy, syy, n.toDouble)
+      if (!opt.isFullBatchGd) {
+        // order-independent stats for the mini-batch path's
+        // bitwise-under-any-partitioning contract (see Optimizer.micro)
+        val (mx, mxx, my, myy) = Optimizer.microStatsGlobal(data, t)
+        fMean = mx / (n.toDouble * t)
+        fStd = std(mx, mxx, n.toDouble * t)
+        yMean = my / n
+        yStd = std(my, myy, n.toDouble)
+      }
 
       val nW = nWeights(conf, t)
       val rnd = new java.util.Random(conf.seed)
@@ -218,19 +230,12 @@ object NBeatsRegressor {
       }
       val velocity = new Array[Double](nW)
 
-      var lrCur = conf.lr
-      var stopped = false
-      var epoch = 0
-      while (epoch < conf.epochs && !stopped) {
-        val mk: Array[Double] =
-          if (dropout == 0.0) null
-          else Array.tabulate(h)(i =>
-            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 0, i) < dropout) 0.0
-            else 1.0 / (1.0 - dropout))
-        val bcW = sc.broadcast(weights.clone())
-        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
-          seqOp = { case (g, (xv, y)) =>
-            val w = bcW.value
+      // Row-local forward+backward shared by BOTH training paths:
+      // gradient into g(0 until nW), loss into g(nW); the full-batch
+      // aggregate hands its accumulator in directly (bit-for-bit), the
+      // mini-batch loop a fresh scratch.
+      def rowGradInto(w: Array[Double], mk: Array[Double], xv: Vector,
+          y: Double, g: Array[Double]): Unit = {
             val x = new Array[Double](t)
             var j = 0
             while (j < t) { x(j) = (xv(j) - fMean) / fStd; j += 1 }
@@ -348,7 +353,36 @@ object NBeatsRegressor {
               while (i3 < t) { dRes(i3) += dA(i3); i3 += 1 }
               b -= 1
             }
-            g
+      }
+
+      // per-step inverted-dropout mask (null = off); stepId = epoch
+      // (full-batch) or epoch*B + b (mini-batch, Keras semantics)
+      def mkMask(stepId: Long): Array[Double] =
+        if (dropout == 0.0) null
+        else Array.tabulate(h)(i =>
+          if (McDropout.uniform(conf.seed, stepId, -1, 0, i) < dropout) 0.0
+          else 1.0 / (1.0 - dropout))
+
+      var lrCur = conf.lr
+      var stopped = false
+      var epoch = 0
+      if (!opt.isFullBatchGd) {
+        // optional mini-batch Adam/AdamW/SGD face — see Optimizer. The
+        // global-norm clip this head applies unconditionally on its
+        // full-batch path (spikes compound through the backcast
+        // subtractions) is forced on here too unless the caller set one.
+        val optC = if (opt.clipNorm > 0.0) opt else opt.copy(clipNorm = 1.0)
+        Optimizer.miniBatchLoop(sc, data, weights, optC, conf.epochs,
+          conf.lr, conf.momentum, n, callbacks)(mkMask) {
+          (w, mk, xv, y, scratch) => rowGradInto(w, mk, xv, y, scratch)
+        }
+      } else
+      while (epoch < conf.epochs && !stopped) {
+        val mk = mkMask(epoch.toLong)
+        val bcW = sc.broadcast(weights.clone())
+        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
+          seqOp = { case (g, (xv, y)) =>
+            rowGradInto(bcW.value, mk, xv, y, g); g
           },
           combOp = { (a2, b2) =>
             var k2 = 0

@@ -51,10 +51,12 @@ object Optimizer {
       beta1: Double = 0.9,
       beta2: Double = 0.999,
       eps: Double = 1e-8,
-      weightDecay: Double = 0.0) {
+      weightDecay: Double = 0.0,
+      clipNorm: Double = 0.0) {
     require(Set("gd", "adam", "adamw").contains(method),
       s"unknown optimizer method '$method' (gd | adam | adamw)")
     require(batches >= 1, s"batches must be >= 1, got $batches")
+    require(clipNorm >= 0.0, s"clipNorm must be >= 0 (0 = off), got $clipNorm")
     /** True when this is exactly the heads' original full-batch GD path. */
     def isFullBatchGd: Boolean = method == "gd" && batches == 1
   }
@@ -116,6 +118,139 @@ object Optimizer {
 
   def fromMicro(l: Long): Double = l / 1e6
 
+  /** The shared mini-batch training loop every native head delegates to
+    * when `opt` is not the full-batch default. `rowGrad` is the head's
+    * row-local forward+backward: it accumulates the row's gradient into
+    * `scratch(0 until nW)` and its ½-squared-error loss into
+    * `scratch(nW)` — the same slot convention as the heads' full-batch
+    * aggregates, so a head implements ONE row-gradient function and
+    * both paths share it (the full-batch path hands `rowGrad` its
+    * accumulator directly; per-slot addition order is unchanged, so
+    * that path stays bit-for-bit). `mkMasks` builds the head's dropout
+    * masks for a batch step (stepId = epoch·B + b — per-BATCH
+    * resampling, the Keras semantics); it is broadcast with the
+    * weights.
+    */
+  def miniBatchLoop[M](
+      sc: org.apache.spark.SparkContext,
+      data: org.apache.spark.rdd.RDD[(org.apache.spark.ml.linalg.Vector, Double)],
+      weights: Array[Double],
+      conf: OptConfig,
+      epochs: Int,
+      lr: Double,
+      momentum: Double,
+      n: Long,
+      callbacks: Seq[Callbacks.TrainingCallback])(
+      mkMasks: Long => M)(
+      rowGrad: (Array[Double], M, org.apache.spark.ml.linalg.Vector, Double, Array[Double]) => Unit): Unit = {
+    val nW = weights.length
+    val keyed = data.map { case (x, y) => (x, y, rowKey(x, y)) }
+    val st = new OptState(nW, conf, momentum)
+    var lrCur = lr
+    var stopped = false
+    var epoch = 0
+    while (epoch < epochs && !stopped) {
+      var epochLossNano = 0L
+      var b = 0
+      while (b < conf.batches && !stopped) {
+        val stepId = epoch.toLong * conf.batches + b
+        val bc = sc.broadcast((weights.clone(), mkMasks(stepId)))
+        val (gN, nb) = OrderedAgg(keyed, (new Array[Long](nW + 1), 0L))(
+          seqOp = { case (acc, (x, y, key)) =>
+            if (batchOf(key, epoch, conf.batches) != b) acc
+            else {
+              val (g, cnt) = acc
+              val scratch = new Array[Double](nW + 1)
+              rowGrad(bc.value._1, bc.value._2, x, y, scratch)
+              var k = 0
+              while (k <= nW) {
+                if (scratch(k) != 0.0) g(k) = Math.addExact(g(k), nano(scratch(k)))
+                k += 1
+              }
+              (g, cnt + 1)
+            }
+          },
+          combOp = { case ((ag, an), (bg, bn)) =>
+            var k = 0
+            while (k <= nW) { ag(k) = Math.addExact(ag(k), bg(k)); k += 1 }
+            (ag, an + bn)
+          })
+        bc.destroy()
+        if (nb > 0) {
+          val gm = Array.tabulate(nW)(k => fromNano(gN(k)) / nb)
+          st.step(weights, gm, lrCur)
+        }
+        epochLossNano = Math.addExact(epochLossNano, gN(nW))
+        b += 1
+      }
+      if (callbacks.nonEmpty) {
+        val loss = fromNano(epochLossNano) / n
+        callbacks.foreach { cb =>
+          cb.onEpochEnd(epoch, loss, lrCur) match {
+            case Callbacks.Stop      => stopped = true
+            case Callbacks.SetLr(nl) => lrCur = nl
+            case Callbacks.Continue  => ()
+          }
+        }
+      }
+      epoch += 1
+    }
+  }
+
+  /** Order-independent per-dimension standardization sums (1e-6
+    * fixed-point): (Σx_j, Σx²_j per dim, Σy, Σy²) — the mini-batch
+    * paths' replacement for the heads' double-sum stats (see `micro`).
+    */
+  def microStatsPerDim(data: org.apache.spark.rdd.RDD[(org.apache.spark.ml.linalg.Vector, Double)],
+      d: Int): (Array[Double], Array[Double], Double, Double) = {
+    val (mx, mxx, my, myy) = OrderedAgg(data,
+      (new Array[Long](d), new Array[Long](d), 0L, 0L))(
+      seqOp = { case ((ax, axx, ay, ayy), (x, y)) =>
+        var j = 0
+        while (j < d) {
+          val v = x(j)
+          ax(j) = Math.addExact(ax(j), micro(v))
+          axx(j) = Math.addExact(axx(j), micro(v * v))
+          j += 1
+        }
+        (ax, axx, Math.addExact(ay, micro(y)), Math.addExact(ayy, micro(y * y)))
+      },
+      combOp = { case ((ax, axx, ay, ayy), (bx, bxx, by, byy)) =>
+        var j = 0
+        while (j < d) {
+          ax(j) = Math.addExact(ax(j), bx(j))
+          axx(j) = Math.addExact(axx(j), bxx(j))
+          j += 1
+        }
+        (ax, axx, Math.addExact(ay, by), Math.addExact(ayy, byy))
+      })
+    (mx.map(fromMicro), mxx.map(fromMicro), fromMicro(my), fromMicro(myy))
+  }
+
+  /** Order-independent GLOBAL standardization sums (one scalar over all
+    * positions — the sequence heads' convention): (Σx, Σx², Σy, Σy²).
+    */
+  def microStatsGlobal(data: org.apache.spark.rdd.RDD[(org.apache.spark.ml.linalg.Vector, Double)],
+      t: Int): (Double, Double, Double, Double) = {
+    val (mx, mxx, my, myy) = OrderedAgg(data, (0L, 0L, 0L, 0L))(
+      seqOp = { case ((ax, axx, ay, ayy), (x, y)) =>
+        var a = ax; var aa = axx
+        var j = 0
+        while (j < t) {
+          val v = x(j)
+          a = Math.addExact(a, micro(v))
+          aa = Math.addExact(aa, micro(v * v))
+          j += 1
+        }
+        (a, aa, Math.addExact(ay, micro(y)), Math.addExact(ayy, micro(y * y)))
+      },
+      combOp = { case ((ax, axx, ay, ayy), (bx, bxx, by, byy)) =>
+        (Math.addExact(ax, bx), Math.addExact(axx, bxx),
+          Math.addExact(ay, by), Math.addExact(ayy, byy))
+      })
+    (fromMicro(mx), fromMicro(mxx), fromMicro(my), fromMicro(myy))
+  }
+
   /** Driver-side optimizer state + one `step` per (mini-)batch.
     * For "gd", `m` doubles as the momentum velocity.
     */
@@ -124,7 +259,20 @@ object Optimizer {
     private val v = new Array[Double](nW)
     private var t = 0
 
-    def step(w: Array[Double], gradMean: Array[Double], lr: Double): Unit =
+    def step(w: Array[Double], gradMean: Array[Double], lr: Double): Unit = {
+      if (conf.clipNorm > 0.0) {
+        // global-L2 clip of the mean gradient (the heads' stabilizer
+        // for residual stacks where spikes compound, e.g. N-BEATS)
+        var ss = 0.0
+        var k = 0
+        while (k < nW) { ss += gradMean(k) * gradMean(k); k += 1 }
+        val norm = math.sqrt(ss)
+        if (norm > conf.clipNorm) {
+          val sc = conf.clipNorm / norm
+          k = 0
+          while (k < nW) { gradMean(k) *= sc; k += 1 }
+        }
+      }
       if (conf.method == "gd") {
         var k = 0
         while (k < nW) {
@@ -147,5 +295,6 @@ object Optimizer {
           k += 1
         }
       }
+    }
   }
 }

@@ -38,7 +38,10 @@ import org.apache.spark.storage.StorageLevel
   * by its own moments; scaling folds into the model so `predict` takes
   * raw features.
   */
-object TcnRegressor {
+// Serializable: fit's row-gradient helper is a local def (it closes over
+// the layer geometry), which scalac lifts onto this object — Spark task
+// closures referencing it then serialize the (stateless) object itself.
+object TcnRegressor extends Serializable {
 
   /** `blocks` residual blocks of `channels` filters, kernel width
     * `kernel`, dilation 2^b in block b.
@@ -197,7 +200,8 @@ object TcnRegressor {
     */
   def fit(df: DataFrame, labelCol: String, conf: TcnConfig = TcnConfig(),
       featuresCol: String = "features", dropout: Double = 0.0,
-      callbacks: Seq[Callbacks.TrainingCallback] = Nil): TcnRegressionModel = {
+      callbacks: Seq[Callbacks.TrainingCallback] = Nil,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): TcnRegressionModel = {
     val c = conf.channels; val k = conf.kernel; val blocks = conf.blocks
     require(c > 0 && k > 0 && blocks > 0, s"TcnRegressor.fit: bad config $conf")
     require(dropout >= 0.0 && dropout < 1.0,
@@ -227,10 +231,19 @@ object TcnRegressor {
         val s = math.sqrt(v)
         if (s < 1e-12) 1.0 else s
       }
-      val fMean = sx / (n.toDouble * t)
-      val fStd = std(sx, sxx, n.toDouble * t)
-      val yMean = sy / n
-      val yStd = std(sy, syy, n.toDouble)
+      var fMean = sx / (n.toDouble * t)
+      var fStd = std(sx, sxx, n.toDouble * t)
+      var yMean = sy / n
+      var yStd = std(sy, syy, n.toDouble)
+      if (!opt.isFullBatchGd) {
+        // order-independent stats for the mini-batch path's
+        // bitwise-under-any-partitioning contract (see Optimizer.micro)
+        val (mx, mxx, my, myy) = Optimizer.microStatsGlobal(data, t)
+        fMean = mx / (n.toDouble * t)
+        fStd = std(mx, mxx, n.toDouble * t)
+        yMean = my / n
+        yStd = std(my, myy, n.toDouble)
+      }
 
       // flat parameter vector: [W0|b0|P?|W1|b1|...|headW|headB]
       val wSize = Array.tabulate(blocks)(b => (if (b == 0) 1 else c) * c * k)
@@ -267,26 +280,14 @@ object TcnRegressor {
       while (i < hOff + c) { weights(i) = rnd.nextGaussian() * math.sqrt(1.0 / c); i += 1 }
       val velocity = new Array[Double](nW)
 
-      var lrCur = conf.lr
-      var stopped = false
-      var epoch = 0
-      while (epoch < conf.epochs && !stopped) {
-        // per-epoch inverted-dropout masks (null = off): head input
-        // (layer 0) and one spatial mask per block channel (layer 1+b)
-        val mk: Array[Double] =
-          if (dropout == 0.0) null
-          else Array.tabulate(c)(i =>
-            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 0, i) < dropout) 0.0
-            else 1.0 / (1.0 - dropout))
-        val mkB: Array[Array[Double]] =
-          if (dropout == 0.0) null
-          else Array.tabulate(blocks)(b => Array.tabulate(c)(i =>
-            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 1 + b, i) < dropout) 0.0
-            else 1.0 / (1.0 - dropout)))
-        val bcW = sc.broadcast(weights.clone())
-        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
-          seqOp = { case (g, (xv, y)) =>
-            val wFlat = bcW.value
+      // Row-local forward+backward shared by BOTH training paths:
+      // accumulates the row's gradient into g(0 until nW) and its loss
+      // into g(nW). The full-batch aggregate hands its accumulator in
+      // directly (per-slot op order unchanged ⇒ that path stays
+      // bit-for-bit); the mini-batch loop hands a fresh scratch.
+      def rowGradInto(wFlat: Array[Double], mk: Array[Double],
+          mkB: Array[Array[Double]], xv: Vector, y: Double,
+          g: Array[Double]): Unit = {
             val convW = Array.tabulate(blocks)(b =>
               java.util.Arrays.copyOfRange(wFlat, wOff(b), wOff(b) + wSize(b)))
             val convB = Array.tabulate(blocks)(b =>
@@ -392,7 +393,39 @@ object TcnRegressor {
               if (b2 > 0) delta = dPrev
               b2 -= 1
             }
-            g
+      }
+
+      // per-step inverted-dropout masks (null = off): head input
+      // (layer 0) and one spatial mask per block channel (layer 1+b);
+      // stepId = epoch on the full-batch path, epoch·B + b on the
+      // mini-batch path (Keras per-minibatch resampling)
+      def mkMask(stepId: Long): (Array[Double], Array[Array[Double]]) =
+        if (dropout == 0.0) (null, null)
+        else (
+          Array.tabulate(c)(i =>
+            if (McDropout.uniform(conf.seed, stepId, -1, 0, i) < dropout) 0.0
+            else 1.0 / (1.0 - dropout)),
+          Array.tabulate(blocks)(b => Array.tabulate(c)(i =>
+            if (McDropout.uniform(conf.seed, stepId, -1, 1 + b, i) < dropout) 0.0
+            else 1.0 / (1.0 - dropout))))
+
+      var lrCur = conf.lr
+      var stopped = false
+      var epoch = 0
+      if (!opt.isFullBatchGd) {
+        // optional mini-batch Adam/AdamW/SGD face — see Optimizer
+        Optimizer.miniBatchLoop(sc, data, weights, opt, conf.epochs,
+          conf.lr, conf.momentum, n, callbacks)(mkMask) {
+          case (w, (mk, mkB), xv, y, scratch) =>
+            rowGradInto(w, mk, mkB, xv, y, scratch)
+        }
+      } else
+      while (epoch < conf.epochs && !stopped) {
+        val (mk, mkB) = mkMask(epoch.toLong)
+        val bcW = sc.broadcast(weights.clone())
+        val grad = OrderedAgg(data, new Array[Double](nW + 1))(
+          seqOp = { case (g, (xv, y)) =>
+            rowGradInto(bcW.value, mk, mkB, xv, y, g); g
           },
           combOp = { (a2, b3) =>
             var k2 = 0

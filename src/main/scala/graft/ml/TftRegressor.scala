@@ -37,7 +37,9 @@ import org.apache.spark.storage.StorageLevel
   * weights broadcast. Nothing data-proportional concentrates on the
   * driver.
   */
-object TftRegressor {
+// Serializable: fit's row-gradient helper is a local def lifted onto this
+// object; Spark task closures referencing it serialize the stateless object.
+object TftRegressor extends Serializable {
 
   /** `units` = hidden width U (must split across `heads`). */
   case class TftConfig(units: Int = 6, heads: Int = 2, epochs: Int = 200,
@@ -420,7 +422,8 @@ object TftRegressor {
     * the mask-free path bit-for-bit. `callbacks` (M11) as elsewhere. */
   def fit(df: DataFrame, labelCol: String, conf: TftConfig = TftConfig(),
       featuresCol: String = "features", dropout: Double = 0.0,
-      callbacks: Seq[Callbacks.TrainingCallback] = Nil): TftRegressionModel = {
+      callbacks: Seq[Callbacks.TrainingCallback] = Nil,
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): TftRegressionModel = {
     val u = conf.units
     val nH = conf.heads
     require(u > 0 && nH > 0 && u % nH == 0,
@@ -452,10 +455,19 @@ object TftRegressor {
         val s = math.sqrt(vr)
         if (s < 1e-12) 1.0 else s
       }
-      val fMean = sx / (n.toDouble * t)
-      val fStd = stdOf(sx, sxx, n.toDouble * t)
-      val yMean = sy / n
-      val yStd = stdOf(sy, syy, n.toDouble)
+      var fMean = sx / (n.toDouble * t)
+      var fStd = stdOf(sx, sxx, n.toDouble * t)
+      var yMean = sy / n
+      var yStd = stdOf(sy, syy, n.toDouble)
+      if (!opt.isFullBatchGd) {
+        // order-independent stats for the mini-batch path's
+        // bitwise-under-any-partitioning contract (see Optimizer.micro)
+        val (mx, mxx, my, myy) = Optimizer.microStatsGlobal(data, t)
+        fMean = mx / (n.toDouble * t)
+        fStd = stdOf(mx, mxx, n.toDouble * t)
+        yMean = my / n
+        yStd = stdOf(my, myy, n.toDouble)
+      }
 
       val rnd = new java.util.Random(conf.seed)
       val weights = new Array[Double](o.total)
@@ -471,19 +483,12 @@ object TftRegressor {
       val dhh = u / nH
       val scale = 1.0 / math.sqrt(dhh.toDouble)
 
-      var lrCur = conf.lr
-      var stopped = false
-      var epoch = 0
-      while (epoch < conf.epochs && !stopped) {
-        val mk: Array[Double] =
-          if (dropout == 0.0) null
-          else Array.tabulate(u)(i =>
-            if (McDropout.uniform(conf.seed, epoch.toLong, -1, 0, i) < dropout) 0.0
-            else 1.0 / (1.0 - dropout))
-        val bcW = sc.broadcast(weights.clone())
-        val grad = OrderedAgg(data, new Array[Double](o.total + 1))(
-          seqOp = { case (g, (xv, y)) =>
-            val w = bcW.value
+      // Row-local forward+backward shared by BOTH training paths:
+      // gradient into g(0 until o.total), loss into g(o.total); the
+      // full-batch aggregate hands its accumulator in directly
+      // (bit-for-bit), the mini-batch loop a fresh scratch.
+      def rowGradInto(w: Array[Double], mk: Array[Double], xv: Vector,
+          y: Double, g: Array[Double]): Unit = {
             val x = new Array[Double](t)
             var j = 0
             while (j < t) { x(j) = (xv(j) - fMean) / fStd; j += 1 }
@@ -680,7 +685,32 @@ object TftRegressor {
                 de, ti * u, dxSink, 0)
               ti += 1
             }
-            g
+      }
+
+      // per-step inverted-dropout mask (null = off); stepId = epoch
+      // (full-batch) or epoch*B + b (mini-batch, Keras semantics)
+      def mkMask(stepId: Long): Array[Double] =
+        if (dropout == 0.0) null
+        else Array.tabulate(u)(i =>
+          if (McDropout.uniform(conf.seed, stepId, -1, 0, i) < dropout) 0.0
+          else 1.0 / (1.0 - dropout))
+
+      var lrCur = conf.lr
+      var stopped = false
+      var epoch = 0
+      if (!opt.isFullBatchGd) {
+        // optional mini-batch Adam/AdamW/SGD face — see Optimizer
+        Optimizer.miniBatchLoop(sc, data, weights, opt, conf.epochs,
+          conf.lr, conf.momentum, n, callbacks)(mkMask) {
+          (w, mk, xv, y, scratch) => rowGradInto(w, mk, xv, y, scratch)
+        }
+      } else
+      while (epoch < conf.epochs && !stopped) {
+        val mk = mkMask(epoch.toLong)
+        val bcW = sc.broadcast(weights.clone())
+        val grad = OrderedAgg(data, new Array[Double](o.total + 1))(
+          seqOp = { case (g, (xv, y)) =>
+            rowGradInto(bcW.value, mk, xv, y, g); g
           },
           combOp = { (a2, b2) =>
             var k2 = 0

@@ -90,6 +90,77 @@ class OptimizerSpec extends AnyFunSuite {
     }
   }
 
+  test("TCN head: mini-batch adamw fit is bitwise partition-independent and converges") {
+    val base = rows(180, 41L).toDF("features", "label")
+    def fitW(parts: Int) = {
+      val hist = new Callbacks.History
+      val m = TcnRegressor.fit(base.repartition(parts), "label",
+        TcnRegressor.TcnConfig(channels = 3, blocks = 2, epochs = 12, lr = 0.03, seed = 19L),
+        dropout = 0.2, callbacks = Seq(hist),
+        opt = Optimizer.OptConfig(method = "adamw", batches = 3, weightDecay = 1e-3))
+      (m.convW.flatten ++ m.convB.flatten ++ m.headW :+ m.headB, hist.rows)
+    }
+    val (w1, h1) = fitW(1)
+    val (w5, h5) = fitW(5)
+    w1.zip(w5).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToRawLongBits(a) ==
+        java.lang.Double.doubleToRawLongBits(b))
+    }
+    assert(h1 == h5, "loss history must match bitwise too")
+    assert(h1.size == 12 && h1.last._2 < h1.head._2, s"loss not decreasing: ${h1.head._2} -> ${h1.last._2}")
+  }
+
+  test("zoo-wide: every deep head's mini-batch adam fit is bitwise partition-independent") {
+    val base = rows(120, 61L).toDF("features", "label")
+    val oc = Optimizer.OptConfig(method = "adam", batches = 2)
+    def weightsOf(head: String, parts: Int): (Array[Double], Seq[(Int, Double, Double)]) = {
+      val df = base.repartition(parts)
+      val hist = new Callbacks.History
+      val cbs = Seq(hist)
+      val w = head match {
+        case "cnn" =>
+          val m = CnnRegressor.fit(df, "label",
+            CnnRegressor.CnnConfig(channels = 3, layers = 1, epochs = 8, lr = 0.02, seed = 3L),
+            dropout = 0.2, callbacks = cbs, opt = oc)
+          m.convW.flatten ++ m.convB.flatten ++ m.headW :+ m.headB
+        case "lstm" =>
+          val m = LstmRegressor.fit(df, "label",
+            LstmRegressor.LstmConfig(units = 3, epochs = 8, lr = 0.02, seed = 3L),
+            dropout = 0.2, callbacks = cbs, opt = oc)
+          m.wx ++ m.wh ++ m.b ++ m.headW :+ m.headB
+        case "attention" =>
+          val m = AttentionRegressor.fit(df, "label",
+            AttentionRegressor.AttnConfig(dim = 4, heads = 2, epochs = 8, lr = 0.02, seed = 3L),
+            dropout = 0.2, callbacks = cbs, opt = oc)
+          m.wE ++ m.pos ++ m.wq ++ m.wk ++ m.wv ++ m.headW :+ m.headB
+        case "tft" =>
+          val m = TftRegressor.fit(df, "label",
+            TftRegressor.TftConfig(units = 4, heads = 2, epochs = 6, lr = 0.02, seed = 3L),
+            dropout = 0.2, callbacks = cbs, opt = oc)
+          m.weights
+        case "nbeats" =>
+          val m = NBeatsRegressor.fit(df, "label",
+            NBeatsRegressor.NBeatsConfig(blocks = 2, layers = 1, units = 4,
+              epochs = 8, lr = 0.02, seed = 3L),
+            dropout = 0.2, callbacks = cbs, opt = oc)
+          m.weights
+      }
+      (w, hist.rows)
+    }
+    for (head <- Seq("cnn", "lstm", "attention", "tft", "nbeats")) {
+      val (w1, h1) = weightsOf(head, 1)
+      val (w5, h5) = weightsOf(head, 5)
+      assert(w1.length == w5.length, s"$head: weight count differs")
+      w1.zip(w5).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(java.lang.Double.doubleToRawLongBits(a) ==
+          java.lang.Double.doubleToRawLongBits(b), s"$head weight $i: $a vs $b")
+      }
+      assert(h1 == h5, s"$head: loss history differs across partitionings")
+      assert(h1.last._2 < h1.head._2,
+        s"$head: adam loss not decreasing (${h1.head._2} -> ${h1.last._2})")
+    }
+  }
+
   test("callbacks fire on the mini-batch path: early stopping truncates") {
     val df = rows(200, 31L).toDF("features", "label")
     val hist = new Callbacks.History
