@@ -2408,6 +2408,57 @@ object SparkEntry {
   private def q47(s: SparkSession, dir: String): DataFrame =
     Backtest.summary(backtestTrades(s, dir))
 
+  /** The q61 differential gate: Spark's `approx_percentile` is
+    * implementation-defined (no DuckDB-matchable bits), but its
+    * Greenwald–Khanna contract IS checkable — the returned value's rank
+    * inside the group must lie within n/accuracy of the target rank
+    * p·n. Computed distributedly (the approx relation is #groups × #ps
+    * rows → broadcast join back to the events, one grouped count pass);
+    * `Verify` records the verdict in `differential.json` beside
+    * q46/q47, turning the last structurally-no-oracle row into a
+    * machine-checked bound.
+    *
+    * Returns (checks, violations, maxRankErrFrac, boundFrac): rank
+    * error as a fraction of n vs the sketch bound 1/accuracy (+1 rank
+    * of interpolation slack).
+    */
+  def percentileDifferential(s: SparkSession, dir: String,
+      accuracy: Int = 10000): (Long, Long, Double, Double) = {
+    val ps = Seq(0.5, 0.9, 0.99)
+    val approxRows = q61(s, dir)
+    val stacked = ps.map(p => approxRows.select(col("event_type"),
+        lit(p).as("p"), col(graft.metrics.Quantiles.label(p)).as("av")))
+      .reduce(_.unionByName(_))
+    val ranks = t(s, dir, "events").select(col("event_type"), col("value"))
+      .join(broadcast(stacked), "event_type")
+      .groupBy(col("event_type"), col("p"))
+      .agg(
+        sum(when(col("value") <= col("av"), 1L).otherwise(0L)).as("rle"),
+        sum(when(col("value") < col("av"), 1L).otherwise(0L)).as("rlt"),
+        count(lit(1)).as("n"))
+      .collect()
+    var checks = 0L
+    var violations = 0L
+    var maxErrFrac = 0.0
+    ranks.foreach { r =>
+      val p = r.getAs[Double]("p")
+      val rle = r.getAs[Long]("rle"); val rlt = r.getAs[Long]("rlt")
+      val n = r.getAs[Long]("n")
+      val target = p * n
+      // the value occupies rank interval [rlt+1, rle]; error = distance
+      // from the target rank to that interval
+      val err =
+        if (target < rlt + 1) (rlt + 1) - target
+        else if (target > rle) target - rle
+        else 0.0
+      val bound = n.toDouble / accuracy + 1.0 // +1 rank of slack
+      checks += 1
+      if (err > bound) violations += 1
+      if (n > 0) maxErrFrac = math.max(maxErrFrac, err / n)
+    }
+    (checks, violations, maxErrFrac, 1.0 / accuracy)
+  }
+
   /** The BASELINE-comparable preprocessing+metrics path (SURVEY §7 slice
     * at the reference's 25,200-row scale): per-series symlog feature +
     * log return, strict-causal ws=144 window tensors (materialized — the

@@ -54,18 +54,33 @@ object Verify {
     // The structurally-no-oracle q46/q47 get their batch≡streaming
     // differential verdict recorded next to the dumps (see
     // SparkEntry.backtestDifferential) — check_oracle.py folds it in.
-    if (selected("q46_backtest_trades") || selected("q47_backtest_summary")) {
-      val diff =
+    if (selected("q46_backtest_trades") || selected("q47_backtest_summary") ||
+        selected("q61_percentiles_approx")) {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (selected("q46_backtest_trades") || selected("q47_backtest_summary"))
         try {
           val (b, st, tm, sm) = SparkEntry.backtestDifferential(spark, sfDir)
-          s"""{"q46_backtest_trades": {"diff_match": $tm, "batch_trades": $b, "stream_trades": $st},
-             | "q47_backtest_summary": {"diff_match": $sm, "batch_trades": $b, "stream_trades": $st}}""".stripMargin
+          rows += s""""q46_backtest_trades": {"diff_match": $tm, "batch_trades": $b, "stream_trades": $st}"""
+          rows += s""""q47_backtest_summary": {"diff_match": $sm, "batch_trades": $b, "stream_trades": $st}"""
         } catch { case e: Throwable =>
-          System.err.println(s"[verify] differential failed: ${e.getMessage}")
-          s"""{"q46_backtest_trades": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}},
-             | "q47_backtest_summary": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}}""".stripMargin
+          System.err.println(s"[verify] backtest differential failed: ${e.getMessage}")
+          val err = q(String.valueOf(e.getMessage))
+          rows += s""""q46_backtest_trades": {"diff_match": false, "err": $err}"""
+          rows += s""""q47_backtest_summary": {"diff_match": false, "err": $err}"""
         }
-      Files.writeString(Paths.get(s"$outDir/differential.json"), diff)
+      if (selected("q61_percentiles_approx"))
+        try {
+          val (checks, viols, maxErr, bound) =
+            SparkEntry.percentileDifferential(spark, sfDir)
+          rows += s""""q61_percentiles_approx": {"diff_match": ${viols == 0 && checks > 0}, """ +
+            s""""rank_checks": $checks, "violations": $viols, """ +
+            s""""max_rank_err_frac": $maxErr, "bound_frac": $bound}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] percentile differential failed: ${e.getMessage}")
+          rows += s""""q61_percentiles_approx": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+        }
+      Files.writeString(Paths.get(s"$outDir/differential.json"),
+        rows.mkString("{", ",\n ", "}"))
     }
     // drop persisted memo handles before shutdown — a long-lived harness
     // JVM (multi-round driver) must not retain them

@@ -28,7 +28,7 @@ object Quantiles {
     * and produced duplicate columns that fail the next by-name select
     * (r2 ADVICE). p=0.5 → "p50", p=0.995 → "p99_5", p=0.5512 → "p55_12".
     */
-  private[metrics] def label(p: Double): String = {
+  private[graft] def label(p: Double): String = {
     // decimal-exact: BigDecimal(0.9 * 100) would carry the binary-float
     // artifact 90.00000000000001 into the label
     val s = (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros.toPlainString

@@ -132,7 +132,8 @@ if os.path.exists(diff_path):
         if prefixes and not any(name.startswith(p) for p in prefixes):
             continue
         if row.get("diff_match") is True:
-            ok.append((f"{name} [differential]", row.get("batch_trades", "?")))
+            ok.append((f"{name} [differential]",
+                       row.get("batch_trades", row.get("rank_checks", "?"))))
         else:
             fail.append((f"{name} [differential]", row))
 
