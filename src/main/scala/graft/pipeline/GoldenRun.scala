@@ -228,6 +228,12 @@ object GoldenRun {
       s"$outDir/prediction_csv", Seq("DATE_TIME"))
     Sources.writeCsv(uncertaintiesGolden(scoredTest, horizons),
       s"$outDir/uncertainties_csv", Seq("DATE_TIME"))
+    // the `*_predictions_plot.png` analog (stl_plots.py:30): H1 target vs
+    // prediction with the ±uncertainty envelope, SVG (see graft.io.Plots)
+    graft.io.Plots.predictionPlot(
+      scoredTest.filter(col("target_h1").isNotNull), "ts",
+      "target_h1", "pred_h1", "unc_h1",
+      s"$outDir/graft_phase_1_cnn_1h_predictions_plot.svg")
     scoredTest.unpersist()
     // single-file rename: writeCsv emits a directory with one part file
     for ((d, f) <- Seq("results_csv" -> "graft_phase_1_cnn_1h_results.csv",

@@ -1,0 +1,82 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The plots sink (`stl_plots.py` / `data_processor.py:649-654` analog):
+  * the distributed half (last-N slice + bucketed downsample) is checked
+  * for bounds and shape; the SVG half for structure and determinism.
+  */
+class PlotsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def wave(n: Int) = (0 until n).map { i =>
+    (i.toDouble, math.sin(i / 25.0) * 10 + i * 0.01, math.cos(i / 40.0) * 5)
+  }.toDF("x", "a", "b")
+
+  test("downsample bounds rows to maxPoints and preserves x order + value range") {
+    val df = wave(20000).repartition(16)
+    val down = Plots.downsample(df, "x", Seq("a", "b"), maxPoints = 200)
+    val rows = down.collect()
+    assert(rows.length <= 200 && rows.length >= 150, s"got ${rows.length} buckets")
+    val xs = rows.map(_.getAs[Double]("x"))
+    assert(xs.sameElements(xs.sorted), "x must come back ordered")
+    val as = rows.map(_.getAs[Double]("a"))
+    assert(as.max <= 210.5 && as.min >= -10.5, "bucket means outside the data envelope")
+  }
+
+  test("downsample is partitioning-independent (6-dp rounded bucket means)") {
+    val a = Plots.downsample(wave(5000).repartition(1), "x", Seq("a"), 100).collect()
+    val b = Plots.downsample(wave(5000).repartition(13), "x", Seq("a"), 100).collect()
+    assert(a.map(r => (r.getDouble(0), r.getDouble(1))).toSeq ==
+      b.map(r => (r.getDouble(0), r.getDouble(1))).toSeq)
+  }
+
+  test("lastN keeps ~the reference's plot_points tail without a global sort") {
+    val df = wave(10000)
+    val kept = Plots.lastN(df, "x", 1575)
+    val n = kept.count()
+    assert(n >= 1575 && n <= 1600, s"lastN kept $n") // approx_percentile slack
+    assert(kept.agg(min(col("x"))).head().getDouble(0) >= 8300.0)
+  }
+
+  test("predictionPlot writes a deterministic SVG with band + two lines") {
+    val df = (0 until 3000).map { i =>
+      val t = i.toDouble
+      (t, math.sin(t / 50) + 1.1, math.sin(t / 50) + 1.1 + 0.02 * math.cos(t / 7), 0.05 + 0.01 * math.sin(t / 90))
+    }.toDF("ts", "target_h1", "pred_h1", "unc_h1")
+    val p1 = java.nio.file.Files.createTempFile("plot", ".svg").toString
+    val p2 = java.nio.file.Files.createTempFile("plot", ".svg").toString
+    Plots.predictionPlot(df, "ts", "target_h1", "pred_h1", "unc_h1", p1)
+    Plots.predictionPlot(df.repartition(7), "ts", "target_h1", "pred_h1", "unc_h1", p2)
+    val svg = java.nio.file.Files.readString(java.nio.file.Paths.get(p1))
+    assert(svg.startsWith("<svg") && svg.endsWith("</svg>"))
+    assert(svg.sliding(9).count(_ == "<polyline") == 2, "expected exactly 2 series lines")
+    assert(svg.contains("<polygon"), "uncertainty band missing")
+    assert(svg == java.nio.file.Files.readString(java.nio.file.Paths.get(p2)),
+      "SVG must be byte-stable across partitionings")
+  }
+
+  test("decompositionPlot stacks one panel per component (STL shape)") {
+    val stl = (0 until 1000).map { i =>
+      val t = i.toDouble
+      (t, math.sin(t / 12) + t * 0.01 + 5, t * 0.01 + 5, math.sin(t / 12), 0.0)
+    }.toDF("ts", "observed", "trend", "seasonal", "resid")
+    val p = java.nio.file.Files.createTempFile("stl", ".svg").toString
+    Plots.decompositionPlot(stl, "ts", Seq("observed", "trend", "seasonal", "resid"), p)
+    val svg = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+    assert(svg.sliding(9).count(_ == "<polyline") == 4, "one line per component")
+    assert(Seq("observed", "trend", "seasonal", "resid").forall(svg.contains))
+  }
+
+  test("linePlot handles the loss-curve shape (small n, no downsampling loss)") {
+    val loss = (0 until 60).map(e => (e.toDouble, math.exp(-e / 20.0), math.exp(-e / 25.0) + 0.05))
+      .toDF("epoch", "train_loss", "val_loss")
+    val p = java.nio.file.Files.createTempFile("loss", ".svg").toString
+    Plots.linePlot(loss, "epoch", Seq("train_loss", "val_loss"), p, title = "Loss-Iter 1")
+    val svg = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+    assert(svg.contains("Loss-Iter 1") && svg.sliding(9).count(_ == "<polyline") == 2)
+  }
+}
