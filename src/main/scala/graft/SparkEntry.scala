@@ -2313,6 +2313,30 @@ object SparkEntry {
   private val q101Sql: String =
     graft.oracle.ArimaOracle.acfSql(Q101Lags, Q98Steps)
 
+  /** Plot-data downsample (the distributed half of the plots sink,
+    * `graft.io.Plots.downsample` — `stl_plots.py`'s every-k-th thinning
+    * re-expressed as value bucketing): ≤ N bucket means over the event
+    * stream, dsum-disciplined so the 6-dp means are order-independent
+    * and DuckDB-matchable. HASH-EXACT oracle.
+    */
+  private val Q102Buckets = 500
+
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    graft.io.Plots.downsample(
+      t(s, dir, "events").select(col("event_id").cast("double").as("x"),
+        col("value")),
+      "x", Seq("value"), Q102Buckets)
+
+  private val q102Sql: String =
+    s"""WITH src AS (SELECT CAST(event_id AS DOUBLE) AS x, value FROM events),
+       | mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM src),
+       | b AS (SELECT CAST(LEAST(FLOOR((x - mn) / (CASE WHEN mx > mn THEN mx - mn ELSE 1 END) * $Q102Buckets),
+       |                         ${Q102Buckets - 1}) AS INT) AS bk, x, value
+       |       FROM src CROSS JOIN mm)
+       |SELECT round(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS x,
+       |       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS value
+       |FROM b GROUP BY bk ORDER BY x""".stripMargin
+
   /** Shared trades relation for q46/q47: the state machine is the
     * expensive part (shuffle + ordered single pass per symbol), and the
     * summary is an aggregate OVER its output — computing it twice doubled
@@ -2740,7 +2764,8 @@ object SparkEntry {
     "q98_arima_fit" -> (q98 _),
     "q99_arima_order" -> (q99 _),
     "q100_cluster_balance" -> (q100 _),
-    "q101_acf_ljungbox" -> (q101 _)
+    "q101_acf_ljungbox" -> (q101 _),
+    "q102_plot_downsample" -> (q102 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2829,6 +2854,7 @@ object SparkEntry {
     "q99_arima_order" -> q99Sql,
     "q100_cluster_balance" -> q100Sql,
     "q101_acf_ljungbox" -> q101Sql,
+    "q102_plot_downsample" -> q102Sql,
     "q56_dedup_clusters" -> q56Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact

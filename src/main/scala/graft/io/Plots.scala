@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Plot sinks — the analog of the reference's matplotlib outputs
@@ -44,9 +44,15 @@ object Plots {
     val span = if (mx > mn) mx - mn else 1.0
     val bucket = least(floor((x - lit(mn)) / lit(span) * maxPoints),
       lit(maxPoints - 1)).cast("int")
+    // bucket means under the dsum discipline (exact decimal sum → double
+    // → one division → 6-dp round): order-independent, so the output is
+    // bitwise identical under any partitioning AND matchable by the
+    // DuckDB oracle (q102 pins this plan)
+    def dAvg(c: Column) = round(
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double") /
+        count(lit(1)), 6)
     df.groupBy(bucket.as("__b"))
-      .agg(round(avg(x), 6).as(xCol),
-        yCols.map(c => round(avg(col(c)), 6).as(c)): _*)
+      .agg(dAvg(x).as(xCol), yCols.map(c => dAvg(col(c)).as(c)): _*)
       .orderBy(col(xCol))
       .drop("__b")
   }
