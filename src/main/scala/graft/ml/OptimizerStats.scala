@@ -1,0 +1,79 @@
+package graft.ml
+
+/** The reference's optimizer output files (`app/main.py:281-284`;
+  * golden shapes `examples/results/phase_1_daily/
+  * phase_1_tcn_neat_1d_optimization_stats.json` and
+  * `…_optimization_parameters.json`): a stats JSON with champion
+  * metrics, NEAT population shape, and per-generation history, plus a
+  * flat best-hyperparameter dict. This module renders a
+  * [[NeatSearch.Result]] (+ champion split metrics) into those exact
+  * key shapes so downstream tooling pointed at the reference's files
+  * reads ours unchanged. Rendering is pure string building — key order
+  * fixed, doubles via `java.lang.Double.toString` (the same shortest
+  * round-trip form Python's json emits for floats).
+  */
+object OptimizerStats {
+
+  private def num(v: Double): String =
+    if (v == v.floor && math.abs(v) < 1e15 && !v.isInfinite) v.toLong.toString
+    else java.lang.Double.toString(v)
+
+  /** Champion metric values per (split, metric-suffix) — validation /
+    * test / train MAE and naive MAE, reference key spelling.
+    */
+  final case class ChampionMetrics(
+      fitness: Double,
+      validationMae: Double, validationNaiveMae: Double,
+      testMae: Double, testNaiveMae: Double,
+      trainMae: Double, trainNaiveMae: Double)
+
+  /** `*_optimization_stats.json` (NEAT variant): same top-level,
+    * species-detail, and history-entry key sets as the reference
+    * golden. `genDurations(i)` = wall seconds of generation i;
+    * `championPerGen` = (fitness, valMae, valNaiveMae) of the GLOBAL
+    * champion as of each generation.
+    */
+  def neatStatsJson(result: NeatSearch.Result, totalSeconds: Double,
+      champ: ChampionMetrics, genDurations: Seq[Double],
+      championPerGen: Seq[(Double, Double, Double)]): String = {
+    val pop = result.finalPopulation
+    val complexities = pop.map(_.complexity.toDouble)
+    val avgC = if (complexities.isEmpty) 0.0 else complexities.sum / complexities.size
+    // single-species detail rollup when the final population is one
+    // species-equivalent group; the reference reports per-species rows
+    val speciesCount = math.max(1, result.stats.lastOption.map(_.speciesCount).getOrElse(1))
+    val details =
+      s"""[{"id": 1, "size": ${pop.size}, "best_fitness": ${num(result.bestFitness)}, "avg_complexity": ${num(avgC)}}]"""
+    val history = result.stats.zipWithIndex.map { case (g, i) =>
+      val (cf, cv, cn) = championPerGen.lift(i)
+        .getOrElse((result.bestFitness, champ.validationMae, champ.validationNaiveMae))
+      s"""{"generation": ${g.generation}, "duration": ${num(genDurations.lift(i).getOrElse(0.0))}, """ +
+        s""""avg_fitness": ${num(g.meanFitness)}, "best_fitness_gen": ${num(g.bestFitness)}, """ +
+        s""""champion_fitness_global": ${num(cf)}, "champion_validation_mae_global": ${num(cv)}, """ +
+        s""""champion_validation_naive_mae_global": ${num(cn)}, "species_count": ${g.speciesCount}, """ +
+        s""""avg_complexity": ${num(g.meanComplexity)}}"""
+    }.mkString("[", ", ", "]")
+    s"""{"optimizer_type": "neat", "total_time_elapsed": ${num(totalSeconds)}, """ +
+      s""""candidates_evaluated_so_far": ${result.evaluations}, """ +
+      s""""champion_fitness": ${num(champ.fitness)}, """ +
+      s""""champion_validation_mae": ${num(champ.validationMae)}, """ +
+      s""""champion_validation_naive_mae": ${num(champ.validationNaiveMae)}, """ +
+      s""""champion_test_mae": ${num(champ.testMae)}, """ +
+      s""""champion_test_naive_mae": ${num(champ.testNaiveMae)}, """ +
+      s""""champion_train_mae": ${num(champ.trainMae)}, """ +
+      s""""champion_train_naive_mae": ${num(champ.trainNaiveMae)}, """ +
+      s""""neat_species_count": $speciesCount, "neat_avg_complexity": ${num(avgC)}, """ +
+      s""""neat_max_complexity": ${num(complexities.maxOption.getOrElse(0.0))}, """ +
+      s""""neat_min_complexity": ${num(complexities.minOption.getOrElse(0.0))}, """ +
+      s""""neat_species_details": $details, "history": $history}"""
+  }
+
+  /** `*_optimization_parameters.json`: the flat best-hyperparameter
+    * dict (ints rendered as ints, like the reference's
+    * `phase_1_tcn_neat_1d_optimization_parameters.json`).
+    */
+  def parametersJson(params: Map[String, Double]): String =
+    params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": ${num(v)}""" }
+      .mkString("{", ", ", "}")
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The optimizer output-file parity gate (SURVEY §5 last output
+  * family): the committed `golden/phase_1/` optimization artifacts must
+  * carry the reference's exact key shapes
+  * (`phase_1_tcn_neat_1d_optimization_stats.json` /
+  * `…_optimization_parameters.json`), diffed directly against the
+  * reference goldens when the checkout is present. Values are checked
+  * structurally (real search output, wall-clock timings allowed);
+  * key SETS and JSON well-formedness are exact.
+  */
+class OptimizationGoldenSpec extends AnyFunSuite {
+
+  private val dir = "golden/phase_1"
+
+  // dependency-free structural JSON reader: key extraction via the JDK
+  // is unavailable offline, so parse with a minimal recursive scanner
+  private def read(f: String): String = {
+    val p = java.nio.file.Paths.get(s"$dir/$f")
+    assert(java.nio.file.Files.exists(p),
+      s"committed optimizer golden missing: $p — run `runMain graft.pipeline.OptimizationGoldenRun`")
+    java.nio.file.Files.readString(p)
+  }
+
+  /** Keys of the top-level (or first-object-at-depth-1 for arrays)
+    * object in a JSON string — quotes-then-colon scan at the given
+    * brace depth, enough for these flat-keyed reference shapes.
+    */
+  private def keysAtTopLevel(json: String): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    var depth = 0; var i = 0; var inStr = false; var cur = new StringBuilder
+    var lastStr = ""
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (inStr) {
+        if (c == '\\') { cur.append(c); i += 1; if (i < json.length) cur.append(json.charAt(i)) }
+        else if (c == '"') { inStr = false; lastStr = cur.toString; cur = new StringBuilder }
+        else cur.append(c)
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case ':' if depth == 1 => out += lastStr
+        case _ => ()
+      }
+      i += 1
+    }
+    out.toSet
+  }
+
+  private def firstObjectOf(json: String, arrayKey: String): String = {
+    val start = json.indexOf("\"" + arrayKey + "\"")
+    assert(start >= 0, s"missing array $arrayKey")
+    val ob = json.indexOf('{', start)
+    var depth = 0; var i = ob
+    while (i < json.length) {
+      json.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) return json.substring(ob, i + 1)
+        case _ => ()
+      }
+      i += 1
+    }
+    fail(s"unterminated object in $arrayKey")
+  }
+
+  test("stats JSON carries the reference's top-level, history, and species key sets") {
+    val ours = read("graft_phase_1_mlp_neat_optimization_stats.json")
+    val expectedTop = Set("optimizer_type", "total_time_elapsed",
+      "candidates_evaluated_so_far", "champion_fitness",
+      "champion_validation_mae", "champion_validation_naive_mae",
+      "champion_test_mae", "champion_test_naive_mae", "champion_train_mae",
+      "champion_train_naive_mae", "neat_species_count", "neat_avg_complexity",
+      "neat_max_complexity", "neat_min_complexity", "neat_species_details",
+      "history")
+    assert(keysAtTopLevel(ours) == expectedTop)
+    val expectedHist = Set("generation", "duration", "avg_fitness",
+      "best_fitness_gen", "champion_fitness_global",
+      "champion_validation_mae_global", "champion_validation_naive_mae_global",
+      "species_count", "avg_complexity")
+    assert(keysAtTopLevel(firstObjectOf(ours, "history")) == expectedHist)
+    assert(keysAtTopLevel(firstObjectOf(ours, "neat_species_details")) ==
+      Set("id", "size", "best_fitness", "avg_complexity"))
+  }
+
+  test("parameters JSON is the flat best-hyperparameter dict") {
+    val ours = read("graft_phase_1_mlp_neat_optimization_parameters.json")
+    val keys = keysAtTopLevel(ours)
+    assert(keys == Set("hidden", "lr"), s"got $keys")
+    assert(ours.trim.startsWith("{") && ours.trim.endsWith("}"))
+  }
+
+  test("direct key diff against the reference goldens when the checkout is present") {
+    val ref = java.nio.file.Paths.get("/root/reference/examples/results/" +
+      "phase_1_daily/phase_1_tcn_neat_1d_optimization_stats.json")
+    assume(java.nio.file.Files.exists(ref), "reference checkout absent")
+    val refJson = java.nio.file.Files.readString(ref)
+    val ours = read("graft_phase_1_mlp_neat_optimization_stats.json")
+    val missingTop = keysAtTopLevel(refJson) -- keysAtTopLevel(ours)
+    assert(missingTop.isEmpty, s"reference stats keys missing from ours: $missingTop")
+    val missingHist = keysAtTopLevel(firstObjectOf(refJson, "history")) --
+      keysAtTopLevel(firstObjectOf(ours, "history"))
+    assert(missingHist.isEmpty, s"reference history keys missing: $missingHist")
+  }
+}
