@@ -68,6 +68,46 @@ object OptimizerStats {
       s""""neat_species_details": $details, "history": $history}"""
   }
 
+  /** `*_optimization_stats.json` (GA/mimo variant — the reference's
+    * DEAP optimizer shape, `phase_1_mimo_1d_optimization_stats.json`):
+    * per-epoch arrays plus a history with gen-best validation metrics.
+    * `perGen(i)` = (avgFitness, bestFitnessGen, bestValMaeGen,
+    * bestValNaiveMaeGen, championFitnessGlobal, championValMaeGlobal,
+    * championValNaiveMaeGlobal) for generation i.
+    */
+  def gaStatsJson(result: GeneticSearch.Result, totalSeconds: Double,
+      evaluations: Int, champ: ChampionMetrics, genDurations: Seq[Double],
+      perGen: Seq[(Double, Double, Double, Double, Double, Double, Double)]): String = {
+    val nGen = math.max(1, result.stats.size)
+    def arr(f: ((Double, Double, Double, Double, Double, Double, Double)) => Double) =
+      perGen.map(t => num(f(t))).mkString("[", ", ", "]")
+    val history = result.stats.zipWithIndex.map { case (g, i) =>
+      val (avgF, bestF, bestV, bestN, cf, cv, cn) = perGen(i)
+      s"""{"generation": ${g.generation}, "duration": ${num(genDurations.lift(i).getOrElse(0.0))}, """ +
+        s""""avg_fitness": ${num(avgF)}, "best_validation_mae_gen": ${num(bestV)}, """ +
+        s""""best_fitness_gen": ${num(bestF)}, "champion_fitness_global": ${num(cf)}, """ +
+        s""""champion_validation_mae_global": ${num(cv)}, """ +
+        s""""best_validation_naive_mae_gen": ${num(bestN)}, """ +
+        s""""champion_validation_naive_mae_global": ${num(cn)}}"""
+    }.mkString("[", ", ", "]")
+    s"""{"total_time_elapsed": ${num(totalSeconds)}, """ +
+      s""""average_time_per_epoch": ${num(totalSeconds / nGen)}, """ +
+      s""""candidates_evaluated_so_far": $evaluations, """ +
+      s""""champion_fitness": ${num(champ.fitness)}, """ +
+      s""""champion_validation_mae": ${num(champ.validationMae)}, """ +
+      s""""champion_validation_naive_mae": ${num(champ.validationNaiveMae)}, """ +
+      s""""champion_test_mae": ${num(champ.testMae)}, """ +
+      s""""champion_test_naive_mae": ${num(champ.testNaiveMae)}, """ +
+      s""""champion_train_mae": ${num(champ.trainMae)}, """ +
+      s""""champion_train_naive_mae": ${num(champ.trainNaiveMae)}, """ +
+      s""""average_fitness_per_epoch": ${arr(_._1)}, """ +
+      s""""champion_fitness_per_epoch": ${arr(_._5)}, """ +
+      s""""champion_validation_mae_per_epoch": ${arr(_._6)}, """ +
+      s""""best_fitness_per_epoch": ${arr(_._2)}, """ +
+      s""""best_validation_mae_per_epoch": ${arr(_._3)}, """ +
+      s""""history": $history}"""
+  }
+
   /** `*_optimization_parameters.json`: the flat best-hyperparameter
     * dict (ints rendered as ints, like the reference's
     * `phase_1_tcn_neat_1d_optimization_parameters.json`).

@@ -107,6 +107,49 @@ object OptimizationGoldenRun {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/graft_phase_1_mlp_neat_optimization_parameters.json"),
       OptimizerStats.parametersJson(result.bestParams))
+
+    // GA (DEAP/mimo) variant: same space through GeneticSearch over
+    // [0,1]^2, decoded to bounds — the reference's second stats shape
+    val bounds = Seq(("hidden", (2.0, 12.0)), ("lr", (0.02, 0.3)))
+    def decode(g: Vector[Double]): Map[String, Double] =
+      bounds.zip(g).map { case ((k, (lo, hi)), v) => k -> (lo + v * (hi - lo)) }.toMap
+    var gaEvals = 0
+    val memoGa = scala.collection.mutable.Map.empty[Double, (Double, Double)]
+    def gaFitness(g: Vector[Double]): Double = {
+      gaEvals += 1
+      val f = fitness(decode(g))
+      memoGa(f) = memo(f)
+      f
+    }
+    val tGa0 = System.nanoTime()
+    val gaResult = graft.ml.GeneticSearch.optimize(dim = 2, gaFitness,
+      graft.ml.GeneticSearch.Config(populationSize = 6, generations = 3, seed = 7L))
+    val gaSec = (System.nanoTime() - tGa0) / 1e9
+    val gaChampM = metricsFor(decode(gaResult.best))
+    val gaChamp = OptimizerStats.ChampionMetrics(
+      fitness = gaResult.bestFitness,
+      validationMae = gaChampM(("validation", "MAE")),
+      validationNaiveMae = gaChampM(("validation", "Naive MAE")),
+      testMae = gaChampM(("test", "MAE")),
+      testNaiveMae = gaChampM(("test", "Naive MAE")),
+      trainMae = gaChampM(("train", "MAE")),
+      trainNaiveMae = gaChampM(("train", "Naive MAE")))
+    var gaBest = Double.PositiveInfinity
+    val gaPerGen = gaResult.stats.map { g =>
+      gaBest = math.min(gaBest, g.bestFitness)
+      val (bv, bn) = memoGa.getOrElse(g.bestFitness,
+        (gaChamp.validationMae, gaChamp.validationNaiveMae))
+      val (cv, cn) = memoGa.getOrElse(gaBest,
+        (gaChamp.validationMae, gaChamp.validationNaiveMae))
+      (g.meanFitness, g.bestFitness, bv, bn, gaBest, cv, cn)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/graft_phase_1_mlp_ga_optimization_stats.json"),
+      OptimizerStats.gaStatsJson(gaResult, gaSec, gaEvals, gaChamp,
+        gaResult.stats.map(_ => gaSec / math.max(1, gaResult.stats.size)), gaPerGen))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/graft_phase_1_mlp_ga_optimization_parameters.json"),
+      OptimizerStats.parametersJson(decode(gaResult.best)))
     println(f"optimization golden written to $outDir%s " +
       f"(champion fitness=${result.bestFitness}%.6g, evals=${result.evaluations}%d, $totalSec%.1f s)")
     spark.stop()

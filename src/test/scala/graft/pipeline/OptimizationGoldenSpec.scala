@@ -92,6 +92,23 @@ class OptimizationGoldenSpec extends AnyFunSuite {
     assert(ours.trim.startsWith("{") && ours.trim.endsWith("}"))
   }
 
+  test("GA-variant stats JSON carries the reference's mimo key sets") {
+    val ours = read("graft_phase_1_mlp_ga_optimization_stats.json")
+    val expectedTop = Set("total_time_elapsed", "average_time_per_epoch",
+      "candidates_evaluated_so_far", "champion_fitness",
+      "champion_validation_mae", "champion_validation_naive_mae",
+      "champion_test_mae", "champion_test_naive_mae", "champion_train_mae",
+      "champion_train_naive_mae", "average_fitness_per_epoch",
+      "champion_fitness_per_epoch", "champion_validation_mae_per_epoch",
+      "best_fitness_per_epoch", "best_validation_mae_per_epoch", "history")
+    assert(keysAtTopLevel(ours) == expectedTop)
+    assert(keysAtTopLevel(firstObjectOf(ours, "history")) == Set(
+      "generation", "duration", "avg_fitness", "best_validation_mae_gen",
+      "best_fitness_gen", "champion_fitness_global",
+      "champion_validation_mae_global", "best_validation_naive_mae_gen",
+      "champion_validation_naive_mae_global"))
+  }
+
   test("direct key diff against the reference goldens when the checkout is present") {
     val ref = java.nio.file.Paths.get("/root/reference/examples/results/" +
       "phase_1_daily/phase_1_tcn_neat_1d_optimization_stats.json")
