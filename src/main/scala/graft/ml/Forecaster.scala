@@ -124,10 +124,11 @@ object Forecaster {
       layers: Seq[Int], epochs: Int = 300, lr: Double = 0.1,
       seed: Long = 42L, dropout: Double = 0.0,
       callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil,
-      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): Map[Int, HorizonModel] =
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd,
+      activation: String = "tanh"): Map[Int, HorizonModel] =
     fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
       MlpRegressor.fitLayers(df, label, layers, epochs = epochs, lr = lr, seed = seed,
-        dropout = dropout, callbacks = cbs, opt = opt)
+        dropout = dropout, callbacks = cbs, opt = opt, activation = activation)
     }
 
   /** M8 temporal-conv head: one dilated causal Conv1D net per horizon

@@ -49,7 +49,8 @@ object MlpRegressor {
       val featMean: Array[Double],
       val featStd: Array[Double],
       val labelMean: Double,
-      val labelStd: Double)
+      val labelStd: Double,
+      val activation: String = "tanh")
     extends PredictionModel[Vector, MlpRegressionModel] {
 
     /** Back-compat accessor: first hidden width. */
@@ -73,7 +74,9 @@ object MlpRegressor {
           var z = b(h)
           var k = 0
           while (k < in) { z += w(h * in + k) * a(k); k += 1 }
-          next(h) = math.tanh(z)
+          next(h) =
+            if (activation == "elu") { if (z > 0) z else math.exp(z) - 1.0 }
+            else math.tanh(z)
           h += 1
         }
         a = next
@@ -88,7 +91,7 @@ object MlpRegressor {
 
     override def copy(extra: ParamMap): MlpRegressionModel = copyValues(
       new MlpRegressionModel(uid, layers, weights, biases,
-        featMean, featStd, labelMean, labelStd), extra)
+        featMean, featStd, labelMean, labelStd, activation), extra)
 
     override def toString: String =
       s"MlpRegressionModel(uid=$uid, layers=${layers.mkString("[", ",", "]")}, d=$numFeatures)"
@@ -135,9 +138,12 @@ object MlpRegressor {
       seed: Long = 42L, featuresCol: String = "features",
       dropout: Double = 0.0,
       callbacks: Seq[Callbacks.TrainingCallback] = Nil,
-      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): MlpRegressionModel = {
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd,
+      activation: String = "tanh"): MlpRegressionModel = {
     require(layers.nonEmpty && layers.forall(_ > 0),
       s"MlpRegressor.fitLayers: need at least one positive hidden width, got $layers")
+    require(Set("tanh", "elu").contains(activation),
+      s"MlpRegressor.fitLayers: unknown activation '$activation' (tanh | elu)")
     require(dropout >= 0.0 && dropout < 1.0,
       s"MlpRegressor.fitLayers: dropout must be in [0, 1), got $dropout")
     val sc = df.sparkSession.sparkContext
@@ -214,6 +220,13 @@ object MlpRegressor {
       val velocity = new Array[Double](nW)
 
       val kScale = if (dropout > 0.0) 1.0 / (1.0 - dropout) else 1.0
+      // F(z): tanh (the original path, bit-for-bit - identical op
+      // sequence when selected) or ELU (the reference heads' hidden
+      // activation, predictor_plugin_tft.py:106-140); the derivative
+      // is recovered from the ACTIVATION VALUE so masked backprop
+      // needs no extra stored state: tanh' = 1-a^2,
+      // elu' = if (a > 0) 1 else a+1 (= e^z).
+      val elu = activation == "elu"
       // M11: callbacks observe the per-epoch training loss, accumulated
       // in ONE extra slot of the same gradient aggregate — no extra job.
       var lrCur = lr
@@ -234,7 +247,7 @@ object MlpRegressor {
               if (McDropout.uniform(seed, stepId, -1, l, h) < dropout) 0.0
               else kScale))
         ) { (w, mk, x, y, scratch) =>
-          rowGradInto(x, (y - yM) / yS, w, mk, sizes, wOff, bOff, fM, fS, scratch)
+          rowGradInto(x, (y - yM) / yS, w, mk, sizes, wOff, bOff, fM, fS, scratch, elu)
         }
       } else
       while (epoch < epochs && !stopped) {
@@ -275,8 +288,11 @@ object MlpRegressor {
                 while (k < in) { z += w(wOff(l) + h * in + k) * prev(k); k += 1 }
                 cur(h) =
                   if (l >= nLayers - 1) z
-                  else if (mk == null) math.tanh(z)
-                  else math.tanh(z) * mk(l)(h) // 0 or 1/(1−rate): inverted dropout
+                  else {
+                    val av = if (elu) { if (z > 0) z else math.exp(z) - 1.0 }
+                      else math.tanh(z)
+                    if (mk == null) av else av * mk(l)(h) // 0 or 1/(1−rate): inverted dropout
+                  }
                 h += 1
               }
               acts(l + 1) = cur
@@ -306,15 +322,18 @@ object MlpRegressor {
                   var s = 0.0
                   var h2 = 0
                   while (h2 < out) { s += w(wOff(l) + h2 * in + k) * delta(h2); h2 += 1 }
-                  val a = prev(k) // masked tanh when dropout is on
+                  val a = prev(k) // masked activation when dropout is on
+                  def fp(raw: Double): Double =
+                    if (elu) { if (raw > 0) 1.0 else raw + 1.0 }
+                    else 1.0 - raw * raw
                   nd(k) =
-                    if (mk == null) s * (1.0 - a * a) // prev is a tanh output for l>0
+                    if (mk == null) s * fp(a) // prev is an activation output for l>0
                     else {
                       val mv = mk(l - 1)(k)
-                      // d(m·tanh z)/dz = m·(1−tanh²z); dropped units (m=0)
+                      // d(m·F(z))/dz = m·F'(z); dropped units (m=0)
                       // pass no gradient
                       if (mv == 0.0) 0.0
-                      else { val t = a / mv; s * mv * (1.0 - t * t) }
+                      else s * mv * fp(a / mv)
                     }
                   k += 1
                 }
@@ -369,7 +388,7 @@ object MlpRegressor {
         java.util.Arrays.copyOfRange(weights, bOff(l), bOff(l) + sizes(l + 1)))
       new MlpRegressionModel(
         s"mlp_${java.util.UUID.randomUUID().toString.take(8)}",
-        layers.toArray, wMats, bVecs, fMean, fStd, yMean, yStd)
+        layers.toArray, wMats, bVecs, fMean, fStd, yMean, yStd, activation)
     } finally { data.unpersist(blocking = false); () }
   }
 
@@ -383,7 +402,7 @@ object MlpRegressor {
   private def rowGradInto(x: Vector, ys: Double, w: Array[Double],
       mk: Array[Array[Double]], sizes: Array[Int], wOff: Array[Int],
       bOff: Array[Int], fMean: Array[Double], fStd: Array[Double],
-      scratch: Array[Double]): Unit = {
+      scratch: Array[Double], elu: Boolean = false): Unit = {
     val d = fMean.length
     val nLayers = sizes.length - 1
     val acts = new Array[Array[Double]](nLayers + 1)
@@ -403,8 +422,11 @@ object MlpRegressor {
         while (k < in) { z += w(wOff(l) + h * in + k) * prev(k); k += 1 }
         cur(h) =
           if (l >= nLayers - 1) z
-          else if (mk == null) math.tanh(z)
-          else math.tanh(z) * mk(l)(h)
+          else {
+            val av = if (elu) { if (z > 0) z else math.exp(z) - 1.0 }
+              else math.tanh(z)
+            if (mk == null) av else av * mk(l)(h)
+          }
         h += 1
       }
       acts(l + 1) = cur
@@ -433,12 +455,15 @@ object MlpRegressor {
           var h2 = 0
           while (h2 < out) { s += w(wOff(l) + h2 * in + k) * delta(h2); h2 += 1 }
           val a = prev(k)
+          def fp(raw: Double): Double =
+            if (elu) { if (raw > 0) 1.0 else raw + 1.0 }
+            else 1.0 - raw * raw
           nd(k) =
-            if (mk == null) s * (1.0 - a * a)
+            if (mk == null) s * fp(a)
             else {
               val mv = mk(l - 1)(k)
               if (mv == 0.0) 0.0
-              else { val t = a / mv; s * mv * (1.0 - t * t) }
+              else s * mv * fp(a / mv)
             }
           k += 1
         }
@@ -455,21 +480,26 @@ object MlpRegressor {
     Seq((model.uid, model.layers.toSeq,
         model.weights.map(_.toSeq).toSeq, model.biases.map(_.toSeq).toSeq,
         model.featMean.toSeq, model.featStd.toSeq,
-        model.labelMean, model.labelStd))
+        model.labelMean, model.labelStd, model.activation))
       .toDF("uid", "layers", "weights", "biases",
-        "feat_mean", "feat_std", "label_mean", "label_std")
+        "feat_mean", "feat_std", "label_mean", "label_std", "activation")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** S11 artifact source. */
   def load(spark: SparkSession, path: String): MlpRegressionModel = {
     val r = spark.read.parquet(path).head()
+    // artifacts written before the activation option lack the column;
+    // they were tanh (the S11 back-compat contract, as AttentionRegressor)
+    val act =
+      if (r.schema.fieldNames.contains("activation")) r.getAs[String]("activation")
+      else "tanh"
     new MlpRegressionModel(
       r.getAs[String]("uid"),
       r.getAs[scala.collection.Seq[Int]]("layers").toArray,
       r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("weights").map(_.toArray).toArray,
       r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("biases").map(_.toArray).toArray,
       r.getAs[Seq[Double]]("feat_mean").toArray, r.getAs[Seq[Double]]("feat_std").toArray,
-      r.getAs[Double]("label_mean"), r.getAs[Double]("label_std"))
+      r.getAs[Double]("label_mean"), r.getAs[Double]("label_std"), act)
   }
 }

@@ -108,7 +108,8 @@ object ForecastPipeline {
     */
   case class MlpConf(hidden: Int = 8, epochs: Int = 300, lr: Double = 0.1,
       seed: Long = 42L, depth: Int = 1, dropout: Double = 0.0,
-      opt: graft.ml.Optimizer.OptConfig = graft.ml.Optimizer.FullBatchGd)
+      opt: graft.ml.Optimizer.OptConfig = graft.ml.Optimizer.FullBatchGd,
+      activation: String = "tanh")
 
   /** Head-name dispatch shared by [[modelMetrics]] and
     * [[graft.pipeline.GoldenRun]] — the reference's `predictor_plugin`
@@ -122,32 +123,32 @@ object ForecastPipeline {
       case "mlp" => Forecaster.fitPerHorizonDeepMlp(train, featureCols, horizons,
         layers = Seq.fill(mlpConf.depth)(mlpConf.hidden), epochs = mlpConf.epochs,
         lr = mlpConf.lr, seed = mlpConf.seed, dropout = mlpConf.dropout,
-        opt = mlpConf.opt)
+        opt = mlpConf.opt, activation = mlpConf.activation)
       case "tcn" => Forecaster.fitPerHorizonTcn(train, featureCols, horizons,
         graft.ml.TcnRegressor.TcnConfig(epochs = mlpConf.epochs, lr = mlpConf.lr,
-          seed = mlpConf.seed), dropout = mlpConf.dropout)
+          seed = mlpConf.seed), dropout = mlpConf.dropout, opt = mlpConf.opt)
       case "cnn" => Forecaster.fitPerHorizonCnn(train, featureCols, horizons,
         graft.ml.CnnRegressor.CnnConfig(channels = mlpConf.hidden,
           epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
-        dropout = mlpConf.dropout)
+        dropout = mlpConf.dropout, opt = mlpConf.opt)
       case "lstm" => Forecaster.fitPerHorizonLstm(train, featureCols, horizons,
         graft.ml.LstmRegressor.LstmConfig(units = mlpConf.hidden,
           epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
-        dropout = mlpConf.dropout)
+        dropout = mlpConf.dropout, opt = mlpConf.opt)
       case "nbeats" => Forecaster.fitPerHorizonNBeats(train, featureCols,
         horizons, graft.ml.NBeatsRegressor.NBeatsConfig(
           units = mlpConf.hidden, epochs = mlpConf.epochs, lr = mlpConf.lr,
-          seed = mlpConf.seed), dropout = mlpConf.dropout)
+          seed = mlpConf.seed), dropout = mlpConf.dropout, opt = mlpConf.opt)
       case "attention" => Forecaster.fitPerHorizonAttention(train, featureCols,
         horizons, graft.ml.AttentionRegressor.AttnConfig(
           epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
-        dropout = mlpConf.dropout)
+        dropout = mlpConf.dropout, opt = mlpConf.opt)
       case "tft" => Forecaster.fitPerHorizonTft(train, featureCols,
         horizons, graft.ml.TftRegressor.TftConfig(
           // rounded to an even width so the default 2 heads divide it
           units = math.max(2, mlpConf.hidden / 4 * 2),
           epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
-        dropout = mlpConf.dropout)
+        dropout = mlpConf.dropout, opt = mlpConf.opt)
       case _ => Forecaster.fitPerHorizon(train, featureCols, horizons)
         .asInstanceOf[Map[Int, Forecaster.HorizonModel]]
     }
