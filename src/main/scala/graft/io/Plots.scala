@@ -40,6 +40,8 @@ object Plots {
     require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
     val x = col(xCol).cast("double")
     val mm = df.agg(min(x).as("mn"), max(x).as("mx")).head()
+    if (mm.isNullAt(0)) // empty input: an empty plot, not an NPE
+      return df.select((xCol +: yCols).map(c => col(c).cast("double").as(c)): _*).limit(0)
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
     val span = if (mx > mn) mx - mn else 1.0
     val bucket = least(floor((x - lit(mn)) / lit(span) * maxPoints),

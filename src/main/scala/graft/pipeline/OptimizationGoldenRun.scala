@@ -69,8 +69,6 @@ object OptimizationGoldenRun {
     }
 
     val t0 = System.nanoTime()
-    val genT = scala.collection.mutable.ArrayBuffer.empty[Long]
-    genT += t0
     val result = NeatSearch.optimize(
       bounds = Seq("hidden" -> (2.0, 12.0), "lr" -> (0.02, 0.3)),
       fitness = fitness,

@@ -74,7 +74,10 @@ object ScaleProbe {
       "q98_arima_fit", "q99_arima_order",
       // round-8: ACF/Ljung–Box — same axis as q98 (one capped collect
       // per series; time tracks series count, lags stay fixed)
-      "q101_acf_ljungbox")
+      "q101_acf_ljungbox",
+      // round-8: plot downsample — scan-shaped (one min/max agg + one
+      // bucketed groupBy); output stays 500 rows at every scale
+      "q102_plot_downsample")
     // warm code paths
     queries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       .write.mode("overwrite").format("noop").save())

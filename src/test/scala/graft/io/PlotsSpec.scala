@@ -34,6 +34,13 @@ class PlotsSpec extends AnyFunSuite {
       b.map(r => (r.getDouble(0), r.getDouble(1))).toSeq)
   }
 
+  test("downsample of an empty frame returns an empty frame, not an NPE") {
+    val empty = wave(10).filter(col("x") < -1)
+    val out = Plots.downsample(empty, "x", Seq("a"), 50)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq == Seq("x", "a"))
+  }
+
   test("lastN keeps ~the reference's plot_points tail without a global sort") {
     val df = wave(10000)
     val kept = Plots.lastN(df, "x", 1575)
