@@ -116,4 +116,55 @@ object OptimizerStats {
     params.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": ${num(v)}""" }
       .mkString("{", ", ", "}")
+
+  /** `*_optimization_resume.json` (the reference's NEAT checkpoint,
+    * `modules/resume_operations.py` /
+    * `phase_1_tcn_neat_1d_optimization_resume.json`): generation +
+    * population, each genome as `{genes: {"<innov>": {innovation,
+    * param_name, value}}, fitness, species_id}`. Unevaluated fitness
+    * (NaN) serializes as null, the JSON-representable form; the
+    * resume path re-evaluates those, matching the reference's
+    * re-fire-unevaluated contract.
+    */
+  def neatResumeJson(generation: Int,
+      population: Seq[NeatSearch.Genome]): String = {
+    val genomes = population.map { g =>
+      val genes = g.genes.toSeq.sortBy(_._1).map { case (innov, gene) =>
+        s""""$innov": {"innovation": ${gene.innovation}, """ +
+          s""""param_name": "${gene.name}", "value": ${num(gene.value)}}"""
+      }.mkString("{", ", ", "}")
+      val fit = if (g.fitness.isNaN) "null" else num(g.fitness)
+      s"""{"genes": $genes, "fitness": $fit, "species_id": 1}"""
+    }.mkString("[", ", ", "]")
+    s"""{"generation": $generation, "population": $genomes}"""
+  }
+
+  /** Parse a resume checkpoint (ours or a reference-shaped one) back
+    * into `(generation, population)` for `NeatSearch.optimize`'s
+    * `resumeFrom`. Jackson databind — the same parser family the q62
+    * JSON operators use, already on Spark's classpath.
+    */
+  def parseNeatResume(json: String): (Int, Seq[NeatSearch.Genome]) = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val generation = root.path("generation").asInt(0)
+    val pop = scala.collection.mutable.ArrayBuffer.empty[NeatSearch.Genome]
+    val it = root.path("population").elements()
+    while (it.hasNext) {
+      val g = it.next()
+      val genes = scala.collection.mutable.Map.empty[Int, NeatSearch.Gene]
+      val fields = g.path("genes").fields()
+      while (fields.hasNext) {
+        val e = fields.next()
+        val innov = e.getValue.path("innovation").asInt(e.getKey.toInt)
+        genes(innov) = NeatSearch.Gene(innov,
+          e.getValue.path("param_name").asText(),
+          e.getValue.path("value").asDouble())
+      }
+      val fitNode = g.path("fitness")
+      val fit = if (fitNode.isNull || fitNode.isMissingNode) Double.NaN
+        else fitNode.asDouble()
+      pop += NeatSearch.Genome(genes.toMap, fit)
+    }
+    (generation, pop.toSeq)
+  }
 }

@@ -105,6 +105,11 @@ object OptimizationGoldenRun {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/graft_phase_1_mlp_neat_optimization_parameters.json"),
       OptimizerStats.parametersJson(result.bestParams))
+    // resume checkpoint (the reference's third optimizer file): final
+    // population, reloadable into NeatSearch.optimize(resumeFrom = ...)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/graft_phase_1_mlp_neat_optimization_resume.json"),
+      OptimizerStats.neatResumeJson(result.stats.size, result.finalPopulation))
 
     // GA (DEAP/mimo) variant: same space through GeneticSearch over
     // [0,1]^2, decoded to bounds — the reference's second stats shape

@@ -109,6 +109,40 @@ class OptimizationGoldenSpec extends AnyFunSuite {
       "champion_validation_naive_mae_global"))
   }
 
+  test("resume checkpoint round-trips and restarts the search") {
+    import graft.ml.{NeatSearch, OptimizerStats}
+    // a cheap synthetic fitness — the resume contract is structural
+    def f(p: Map[String, Double]): Double =
+      math.pow(p.getOrElse("a", 0.0) - 0.3, 2) + math.pow(p.getOrElse("b", 0.0) - 0.7, 2)
+    val bounds = Seq("a" -> (0.0, 1.0), "b" -> (0.0, 1.0))
+    val cfg = NeatSearch.Config(populationSize = 5, generations = 2, seed = 3L)
+    val r1 = NeatSearch.optimize(bounds, f, cfg)
+    val json = OptimizerStats.neatResumeJson(2, r1.finalPopulation)
+    val (gen, pop) = OptimizerStats.parseNeatResume(json)
+    assert(gen == 2 && pop.size == r1.finalPopulation.size)
+    pop.zip(r1.finalPopulation).foreach { case (a, b) =>
+      assert(a.genes == b.genes)
+      assert(a.fitness == b.fitness || (a.fitness.isNaN && b.fitness.isNaN))
+    }
+    val r2 = NeatSearch.optimize(bounds, f, cfg, resumeFrom = Some(pop))
+    assert(r2.bestFitness <= r1.bestFitness + 1e-12,
+      s"resumed search regressed: ${r2.bestFitness} vs ${r1.bestFitness}")
+  }
+
+  test("parses the REFERENCE resume checkpoint directly (interop)") {
+    val ref = java.nio.file.Paths.get("/root/reference/examples/results/" +
+      "phase_1_daily/phase_1_tcn_neat_1d_optimization_resume.json")
+    assume(java.nio.file.Files.exists(ref), "reference checkout absent")
+    val (gen, pop) = graft.ml.OptimizerStats.parseNeatResume(
+      java.nio.file.Files.readString(ref))
+    assert(gen > 0 && pop.nonEmpty)
+    assert(pop.forall(_.genes.nonEmpty))
+    val names = pop.flatMap(_.genes.values.map(_.name)).toSet
+    assert(names.contains("window_size"),
+      s"expected the reference's param names, got ${names.take(5)}")
+    assert(pop.exists(g => !g.fitness.isNaN), "reference genomes carry fitness")
+  }
+
   test("direct key diff against the reference goldens when the checkout is present") {
     val ref = java.nio.file.Paths.get("/root/reference/examples/results/" +
       "phase_1_daily/phase_1_tcn_neat_1d_optimization_stats.json")
