@@ -42,20 +42,36 @@ object Plots {
     val mm = df.agg(min(x).as("mn"), max(x).as("mx")).head()
     if (mm.isNullAt(0)) // empty input: an empty plot, not an NPE
       return df.select((xCol +: yCols).map(c => col(c).cast("double").as(c)): _*).limit(0)
-    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
-    val span = if (mx > mn) mx - mn else 1.0
-    val bucket = least(floor((x - lit(mn)) / lit(span) * maxPoints),
+    downsampleFixed(df, xCol, yCols, mm.getDouble(0), mm.getDouble(1), maxPoints)
+      .orderBy(col(xCol))
+  }
+
+  /** Bucket index of x over the FIXED axis window [xMin, xMax]. */
+  private[graft] def bucketExpr(x: Column, xMin: Double, xMax: Double,
+      maxPoints: Int): Column = {
+    val span = if (xMax > xMin) xMax - xMin else 1.0
+    least(greatest(floor((x - lit(xMin)) / lit(span) * maxPoints), lit(0)),
       lit(maxPoints - 1)).cast("int")
-    // bucket means under the dsum discipline (exact decimal sum → double
-    // → one division → 6-dp round): order-independent, so the output is
-    // bitwise identical under any partitioning AND matchable by the
-    // DuckDB oracle (q102 pins this plan)
+  }
+
+  /** Downsample over a caller-fixed axis window — the shared kernel of
+    * the batch path (which derives the window from the data) and the
+    * streaming face (`StreamOps.streamingDownsample` — a stream has no
+    * global min/max, so the dashboard's axis IS the window). Unordered;
+    * bucket means under the dsum discipline (exact decimal sum → double
+    * → one division → 6-dp round): order-independent, so the output is
+    * bitwise identical under any partitioning, batch ≡ streaming on the
+    * same rows, AND matchable by the DuckDB oracle (q102 pins the plan).
+    */
+  def downsampleFixed(df: DataFrame, xCol: String, yCols: Seq[String],
+      xMin: Double, xMax: Double, maxPoints: Int): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    val x = col(xCol).cast("double")
     def dAvg(c: Column) = round(
       sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double") /
         count(lit(1)), 6)
-    df.groupBy(bucket.as("__b"))
+    df.groupBy(bucketExpr(x, xMin, xMax, maxPoints).as("__b"))
       .agg(dAvg(x).as(xCol), yCols.map(c => dAvg(col(c)).as(c)): _*)
-      .orderBy(col(xCol))
       .drop("__b")
   }
 

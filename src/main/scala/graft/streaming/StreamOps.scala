@@ -166,6 +166,21 @@ object StreamOps {
         col("n_total"))
   }
 
+  /** Streaming face of the plot downsample (`graft.io.Plots` — the
+    * live-dashboard shape): per-bucket running means over a FIXED axis
+    * window [xMin, xMax] — a stream has no global min/max, so the
+    * dashboard's axis IS the window (out-of-window rows clamp to the
+    * edge buckets). The aggregation is the identical dsum-disciplined
+    * kernel as the batch `Plots.downsampleFixed`, so once the same rows
+    * have arrived, streaming output ≡ batch output row-for-row
+    * (spec-pinned). Use `outputMode("complete")`: bucket means refine
+    * as data arrives — the live-refresh semantics of a dashboard tile.
+    * State is O(maxPoints) per query regardless of stream length.
+    */
+  def streamingDownsample(stream: DataFrame, xCol: String, yCols: Seq[String],
+      xMin: Double, xMax: Double, maxPoints: Int): DataFrame =
+    graft.io.Plots.downsampleFixed(stream, xCol, yCols, xMin, xMax, maxPoints)
+
   /** Streaming benchmark decontamination — the streaming face of
     * `Dedup.decontaminate`: the BENCHMARK's distinct n-gram set is
     * collected once (bounded by the decontamination contract: benchmark

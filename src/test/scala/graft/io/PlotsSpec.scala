@@ -41,6 +41,28 @@ class PlotsSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("x", "a"))
   }
 
+  test("streaming downsample ≡ batch downsampleFixed once the same rows arrived") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 4000).map(i =>
+      (i.toDouble, math.sin(i / 30.0) * 4 + 0.002 * i))
+    val batch = Plots.downsampleFixed(rows.toDF("x", "a"), "x", Seq("a"),
+      xMin = 0.0, xMax = 4000.0, maxPoints = 80)
+      .orderBy(col("x")).collect().toSeq
+    val mem = MemoryStream[(Double, Double)]
+    val q = graft.streaming.StreamOps.streamingDownsample(
+        mem.toDF().toDF("x", "a"), "x", Seq("a"), 0.0, 4000.0, 80)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sdown").start()
+    try {
+      val (c1, c2) = rows.splitAt(1700)
+      mem.addData(c1: _*); q.processAllAvailable()
+      mem.addData(c2: _*); q.processAllAvailable()
+      val streamed = spark.table("sdown").orderBy(col("x")).collect().toSeq
+      assert(streamed == batch, "streaming bucket means must equal the batch kernel's")
+    } finally q.stop()
+  }
+
   test("lastN keeps ~the reference's plot_points tail without a global sort") {
     val df = wave(10000)
     val kept = Plots.lastN(df, "x", 1575)
