@@ -2391,16 +2391,31 @@ object SparkEntry {
     * the structurally-no-oracle q46/q47 rows get a machine-checked
     * verdict instead of a bare rows-only check.
     *
+    * The streaming replay is inherently driver-side (MemoryStream), so
+    * the bar collect is capped to a ts-ordered prefix of `maxBars`; when
+    * the cap binds, BOTH sides (batch authority and stream) replay the
+    * same prefix, so the differential stays apples-to-apples instead of
+    * OOMing the driver on a large sfDir. At verify scale (sf≤0.1 ≪
+    * maxBars) the cap never binds and the full-feed behavior is
+    * unchanged.
+    *
     * Returns (batchTrades, streamTrades, tradesMatch, summaryMatch).
     */
   def backtestDifferential(s: SparkSession, dir: String,
-      chunks: Int = 3): (Long, Long, Boolean, Boolean) = {
+      chunks: Int = 3, maxBars: Int = 2000000): (Long, Long, Boolean, Boolean) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val tradeKey = (t: Backtest.Trade) => (t.symbol, t.entryTs, t.exitTs)
-    val batch = backtestTrades(s, dir).collect().toSeq.sortBy(tradeKey)
-    val bars = backtestBars(s, dir).collect().sortBy(_.ts)
+    val capped = backtestBars(s, dir).count() > maxBars
+    val bars =
+      if (!capped) backtestBars(s, dir).collect().sortBy(_.ts)
+      else backtestBars(s, dir).orderBy(col("ts"), col("symbol"))
+        .limit(maxBars).as[Backtest.Bar].collect()
+    val batchDs =
+      if (!capped) backtestTrades(s, dir)
+      else Backtest.run(s.createDataset(bars.toIndexedSeq), BtParams)
+    val batch = batchDs.collect().toSeq.sortBy(tradeKey)
     val mem = MemoryStream[Backtest.Bar]
     val name = s"btdiff_${math.abs(dir.hashCode)}"
     val q = graft.streaming.StreamOps.streamingBacktest(mem.toDS(), BtParams)

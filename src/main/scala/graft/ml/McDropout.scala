@@ -61,6 +61,9 @@ object McDropout {
     val fs = model.featStd
     val lm = model.labelMean
     val ls = model.labelStd
+    // honor the model's hidden activation: an ELU-trained MLP must run
+    // an ELU MC forward, or rate = 0 would not reproduce model.predict
+    val elu = model.activation == "elu"
     val kScale = 1.0 / (1.0 - rate)
     val fn = udf { (id: Long, v: Vector) =>
       val d = fm.length
@@ -86,9 +89,11 @@ object McDropout {
             var k = 0
             while (k < in) { z += w(h * in + k) * a(k); k += 1 }
             next(h) =
-              if (rate == 0.0 || uniform(seed, id, p, l, h) >= rate)
-                math.tanh(z) * kScale
-              else 0.0
+              if (rate == 0.0 || uniform(seed, id, p, l, h) >= rate) {
+                val av = if (elu) { if (z > 0) z else math.exp(z) - 1.0 }
+                  else math.tanh(z)
+                av * kScale
+              } else 0.0
             h += 1
           }
           a = next

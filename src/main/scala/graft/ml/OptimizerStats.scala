@@ -15,7 +15,8 @@ package graft.ml
 object OptimizerStats {
 
   private def num(v: Double): String =
-    if (v == v.floor && math.abs(v) < 1e15 && !v.isInfinite) v.toLong.toString
+    if (v.isNaN || v.isInfinite) "null" // bare NaN/Infinity is invalid JSON
+    else if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString
     else java.lang.Double.toString(v)
 
   /** Champion metric values per (split, metric-suffix) — validation /
@@ -39,9 +40,11 @@ object OptimizerStats {
     val pop = result.finalPopulation
     val complexities = pop.map(_.complexity.toDouble)
     val avgC = if (complexities.isEmpty) 0.0 else complexities.sum / complexities.size
-    // single-species detail rollup when the final population is one
-    // species-equivalent group; the reference reports per-species rows
-    val speciesCount = math.max(1, result.stats.lastOption.map(_.speciesCount).getOrElse(1))
+    // the final population carries no per-genome species assignment, so
+    // details is a single whole-population rollup row; the top-level
+    // count must agree with it (1) — per-generation species counts live
+    // in each history row's species_count, where the assignment existed
+    val speciesCount = 1
     val details =
       s"""[{"id": 1, "size": ${pop.size}, "best_fitness": ${num(result.bestFitness)}, "avg_complexity": ${num(avgC)}}]"""
     val history = result.stats.zipWithIndex.map { case (g, i) =>
@@ -155,7 +158,12 @@ object OptimizerStats {
       val fields = g.path("genes").fields()
       while (fields.hasNext) {
         val e = fields.next()
-        val innov = e.getValue.path("innovation").asInt(e.getKey.toInt)
+        // prefer the innovation field; fall back to the map key only
+        // when the field is missing, so a non-numeric key in a
+        // reference-shaped file with the field present still parses
+        val innovNode = e.getValue.path("innovation")
+        val innov =
+          if (innovNode.isMissingNode) e.getKey.toInt else innovNode.asInt()
         genes(innov) = NeatSearch.Gene(innov,
           e.getValue.path("param_name").asText(),
           e.getValue.path("value").asDouble())

@@ -50,6 +50,25 @@ class McDropoutSpec extends AnyFunSuite {
     assert(high > low, s"high=$high low=$low")
   }
 
+  test("rate 0 reproduces predict for an ELU-trained model (activation honored)") {
+    // an ELU model scored through the MC forward must run an ELU
+    // forward — a tanh forward over ELU weights would silently break
+    // the rate = 0 ≡ predict contract (round-8 advice, high)
+    val eluModel = MlpRegressor.fitLayers(scored, "y", Seq(8),
+      epochs = 120, lr = 0.2, activation = "elu")
+    assert(eluModel.activation == "elu")
+    val out = McDropout.predictWithUncertainty(eluModel, scored, "id", rate = 0.0, passes = 4)
+      .withColumn("plain", udf((v: org.apache.spark.ml.linalg.Vector) => eluModel.predict(v))
+        .apply(col("features")))
+    assert(out.filter(col("pred_unc") =!= 0.0).count() == 0)
+    assert(out.filter(col("pred_mean") =!= col("plain")).count() == 0)
+    // and under dropout the ELU MC forward still produces finite,
+    // positive uncertainty (the masked path exercises the ELU branch)
+    val unc = McDropout.predictWithUncertainty(eluModel, scored, "id", rate = 0.2, passes = 20)
+      .agg(avg("pred_unc")).head().getDouble(0)
+    assert(unc > 0.0 && java.lang.Double.isFinite(unc), s"unc=$unc")
+  }
+
   test("MC mean stays close to the deterministic prediction at low rate") {
     val out = McDropout.predictWithUncertainty(model, scored, "id", rate = 0.05, passes = 50)
       .withColumn("plain", udf((v: org.apache.spark.ml.linalg.Vector) => model.predict(v))

@@ -143,6 +143,49 @@ class OptimizationGoldenSpec extends AnyFunSuite {
     assert(pop.exists(g => !g.fitness.isNaN), "reference genomes carry fitness")
   }
 
+  test("non-finite metrics render as JSON null, never bare NaN/Infinity tokens") {
+    import graft.ml.{NeatSearch, OptimizerStats}
+    val cfg = NeatSearch.Config(populationSize = 4, generations = 1, seed = 5L)
+    val r = NeatSearch.optimize(Seq("a" -> (0.0, 1.0)), p => p("a"), cfg)
+    val champ = OptimizerStats.ChampionMetrics(Double.NaN, Double.NaN,
+      Double.PositiveInfinity, 0.1, 0.2, Double.NegativeInfinity, 0.3)
+    val json = OptimizerStats.neatStatsJson(r, Double.NaN, champ,
+      Seq(Double.NaN), Seq((Double.NaN, Double.NaN, Double.NaN)))
+    // a diverged fit must still produce machine-parseable files
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(root.path("champion_fitness").isNull)
+    assert(root.path("champion_validation_naive_mae").isNull)
+    assert(root.path("champion_train_mae").isNull)
+    assert(root.path("champion_test_mae").asDouble() == 0.1)
+    assert(!json.contains("NaN") && !json.contains("Infinity"))
+    val ga = OptimizerStats.gaStatsJson(
+      graft.ml.GeneticSearch.Result(Vector(0.5), Double.NaN,
+        Seq(graft.ml.GeneticSearch.GenerationStats(0, Double.NaN, Double.NaN, Double.NaN)),
+        Seq(Vector(0.5))),
+      Double.NaN, 4, champ, Seq(Double.NaN),
+      Seq((Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN)))
+    assert(!new com.fasterxml.jackson.databind.ObjectMapper().readTree(ga).isMissingNode)
+    assert(!ga.contains("NaN") && !ga.contains("Infinity"))
+  }
+
+  test("neat_species_count agrees with the species-details rollup") {
+    val ours = read("graft_phase_1_mlp_neat_optimization_stats.json")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(ours)
+    assert(root.path("neat_species_count").asInt() ==
+      root.path("neat_species_details").size(),
+      "top-level species count must match the number of detail rows")
+  }
+
+  test("resume parse prefers the innovation field over a non-numeric genes key") {
+    val json = """{"generation": 3, "population": [{"genes": {"lr_gene":
+      {"innovation": 7, "param_name": "lr", "value": 0.25}}, "fitness": 0.5,
+      "species_id": 1}]}"""
+    val (gen, pop) = graft.ml.OptimizerStats.parseNeatResume(json)
+    assert(gen == 3 && pop.size == 1)
+    assert(pop.head.genes.keySet == Set(7))
+    assert(pop.head.genes(7).name == "lr" && pop.head.genes(7).value == 0.25)
+  }
+
   test("direct key diff against the reference goldens when the checkout is present") {
     val ref = java.nio.file.Paths.get("/root/reference/examples/results/" +
       "phase_1_daily/phase_1_tcn_neat_1d_optimization_stats.json")
