@@ -26,7 +26,15 @@ import org.apache.spark.storage.StorageLevel
   * soft-retrieval teacher); extra heads buy INDEPENDENT routing
   * patterns per subspace.
   *
-  * Re-expression boundaries: one layer, no LayerNorm/FFN sublayer and
+  * `AttnConfig(layerNorm = true)` adds the reference's post-attention
+  * residual + LayerNormalization
+  * (`predictor_plugin_transformer.py:73-74`: `Add()([x, attn])` then
+  * `LayerNormalization()`): `z_t = LN(e_t + a_t)` with learned
+  * gain/bias over the embedding dim (Keras epsilon 1e-3, row-local so
+  * the fit stays partition-independent), mean-pooled into the head.
+  * Off (the default) keeps the former pool-over-`a` path bit-for-bit.
+  *
+  * Remaining re-expression boundaries: one layer, no FFN sublayer and
   * no output projection W_O (the head slices concatenate directly into
   * the pooled readout — W_O folds into `headW` under mean pooling),
   * mean pooling instead of per-horizon stacked heads (the per-horizon
@@ -44,9 +52,31 @@ import org.apache.spark.storage.StorageLevel
 object AttentionRegressor extends Serializable {
 
   /** `dim` = embedding width D; `heads` = parallel attention heads H
-    * (D must divide evenly into H subspaces). */
+    * (D must divide evenly into H subspaces); `layerNorm` = the
+    * reference's post-attention residual + LN (off = former path). */
   case class AttnConfig(dim: Int = 4, heads: Int = 1, epochs: Int = 200,
-      lr: Double = 0.1, momentum: Double = 0.9, seed: Long = 42L)
+      lr: Double = 0.1, momentum: Double = 0.9, seed: Long = 42L,
+      layerNorm: Boolean = false)
+
+  private val LnEps = 1e-3 // Keras LayerNormalization default epsilon
+
+  /** LN over the embedding dim with learned γ/β; out may alias p. */
+  private def lnForward(lnG: Array[Double], lnB: Array[Double], d: Int,
+      p: Array[Double], pOff: Int, out: Array[Double], outOff: Int): Unit = {
+    var mu = 0.0
+    var j = 0
+    while (j < d) { mu += p(pOff + j); j += 1 }
+    mu /= d
+    var va = 0.0
+    j = 0
+    while (j < d) { val d0 = p(pOff + j) - mu; va += d0 * d0; j += 1 }
+    val inv = 1.0 / math.sqrt(va / d + LnEps)
+    j = 0
+    while (j < d) {
+      out(outOff + j) = lnG(j) * ((p(pOff + j) - mu) * inv) + lnB(j)
+      j += 1
+    }
+  }
 
   class AttentionRegressionModel(
       override val uid: String,
@@ -63,7 +93,9 @@ object AttentionRegressor extends Serializable {
       val featMean: Double,
       val featStd: Double,
       val labelMean: Double,
-      val labelStd: Double)
+      val labelStd: Double,
+      val lnG: Array[Double] = null, // LN gain/bias; null = LN off
+      val lnB: Array[Double] = null)
     extends PredictionModel[Vector, AttentionRegressionModel] {
 
     override def numFeatures: Int = seqLen
@@ -73,31 +105,34 @@ object AttentionRegressor extends Serializable {
       val x = new Array[Double](t)
       var i = 0
       while (i < t) { x(i) = (features(i) - featMean) / featStd; i += 1 }
-      val out = forward(x, dim, heads, wE, pos, wq, wk, wv, headW, headB, null)
+      val out = forward(x, dim, heads, wE, pos, wq, wk, wv, headW, headB,
+        lnG, lnB, null)
       out * labelStd + labelMean
     }
 
     override def copy(extra: ParamMap): AttentionRegressionModel = copyValues(
       new AttentionRegressionModel(uid, dim, heads, wE, pos, wq, wk, wv, headW,
-        headB, seqLen, featMean, featStd, labelMean, labelStd), extra)
+        headB, seqLen, featMean, featStd, labelMean, labelStd, lnG, lnB), extra)
 
     override def toString: String =
-      s"AttentionRegressionModel(uid=$uid, dim=$dim, heads=$heads, T=$seqLen)"
+      s"AttentionRegressionModel(uid=$uid, dim=$dim, heads=$heads, T=$seqLen, ln=${lnG != null})"
   }
 
-  /** Forward pass; with `keep` non-null stores (e, q, k, v, alpha, a)
-    * flattened for backprop. Returns the standardized-space prediction.
+  /** Forward pass; with `keep` non-null stores (e, q, k, v, alpha, a,
+    * p) flattened for backprop — p (the pre-LN residual sums, T×D) only
+    * in LN mode. Returns the standardized-space prediction.
     *
     * `mask` (null = off) is the MC-dropout hook: a multiplier on each
     * attended-output entry, indexed (0, position·D + dim), applied
-    * between attention and the pooled head — the reference's
-    * dropout-after-attention placement
-    * (`predictor_plugin_transformer.py`: Dropout on the block output).
-    * Training passes null.
+    * between attention and what follows (the pooled head, or the
+    * residual + LN when on) — the reference's dropout-after-attention
+    * placement (`predictor_plugin_transformer.py`: Dropout on the
+    * block output). Training passes null.
     */
   private def forward(x: Array[Double], d: Int, nH: Int, wE: Array[Double],
       pos: Array[Double], wq: Array[Double], wk: Array[Double],
       wv: Array[Double], headW: Array[Double], headB: Double,
+      lnG: Array[Double], lnB: Array[Double],
       keep: Array[Array[Double]],
       mask: (Int, Int) => Double = null): Double = {
     val t = x.length
@@ -168,24 +203,53 @@ object AttentionRegressor extends Serializable {
       }
       ti += 1
     }
-    if (keep != null) {
-      keep(0) = e; keep(1) = q; keep(2) = k; keep(3) = v
-      keep(4) = alpha; keep(5) = a
-    }
-    var y = headB
-    var j = 0
-    while (j < d) {
-      var sm = 0.0
-      var ti2 = 0
-      while (ti2 < t) {
-        val av = a(ti2 * d + j)
-        sm += (if (mask != null) av * mask(0, ti2 * d + j) else av)
-        ti2 += 1
+    if (lnG != null) {
+      // reference post-attention block: z_t = LN(e_t + a_t), mean-pool z
+      val p = new Array[Double](t * d)
+      val zt = new Array[Double](d)
+      var y = headB
+      val pooled = new Array[Double](d)
+      ti = 0
+      while (ti < t) {
+        var j = 0
+        while (j < d) {
+          val av = a(ti * d + j)
+          val am = if (mask != null) av * mask(0, ti * d + j) else av
+          p(ti * d + j) = e(ti * d + j) + am
+          j += 1
+        }
+        lnForward(lnG, lnB, d, p, ti * d, zt, 0)
+        j = 0
+        while (j < d) { pooled(j) += zt(j); j += 1 }
+        ti += 1
       }
-      y += headW(j) * (sm / t)
-      j += 1
+      var j = 0
+      while (j < d) { y += headW(j) * (pooled(j) / t); j += 1 }
+      if (keep != null) {
+        keep(0) = e; keep(1) = q; keep(2) = k; keep(3) = v
+        keep(4) = alpha; keep(5) = a; keep(6) = p
+      }
+      y
+    } else {
+      if (keep != null) {
+        keep(0) = e; keep(1) = q; keep(2) = k; keep(3) = v
+        keep(4) = alpha; keep(5) = a
+      }
+      var y = headB
+      var j = 0
+      while (j < d) {
+        var sm = 0.0
+        var ti2 = 0
+        while (ti2 < t) {
+          val av = a(ti2 * d + j)
+          sm += (if (mask != null) av * mask(0, ti2 * d + j) else av)
+          ti2 += 1
+        }
+        y += headW(j) * (sm / t)
+        j += 1
+      }
+      y
     }
-    y
   }
 
   /** MC-dropout bridge for [[graft.ml.McDropout]]: the shared forward
@@ -195,16 +259,16 @@ object AttentionRegressor extends Serializable {
   private[ml] def forwardMasked(x: Array[Double], d: Int, nH: Int,
       wE: Array[Double], pos: Array[Double], wq: Array[Double],
       wk: Array[Double], wv: Array[Double], headW: Array[Double],
-      headB: Double, mask: (Int, Int) => Double): Double =
-    forward(x, d, nH, wE, pos, wq, wk, wv, headW, headB, null, mask)
+      headB: Double, mask: (Int, Int) => Double,
+      lnG: Array[Double] = null, lnB: Array[Double] = null): Double =
+    forward(x, d, nH, wE, pos, wq, wk, wv, headW, headB, lnG, lnB, null, mask)
 
   /** Fit on an assembled frame — the `fitPerHorizonWith` contract.
     *
-    * `dropout` > 0: TRAIN-TIME dropout of the pooled attended
-    * representation feeding the linear head (the reference's
-    * post-attention `Dropout`, `predictor_plugin_tft.py:81`): per-epoch
-    * inverted masks from the McDropout counter hash, applied by masking
-    * `headW` in the forward/backprop — `dropout = 0` stays bit-for-bit.
+    * `dropout` > 0: TRAIN-TIME dropout of the attended representation
+    * feeding what follows (the reference's post-attention `Dropout`,
+    * `predictor_plugin_tft.py:81`): per-epoch inverted masks from the
+    * McDropout counter hash — `dropout = 0` stays bit-for-bit.
     * `callbacks` (M11): epoch-end control from the same gradient pass.
     */
   def fit(df: DataFrame, labelCol: String, conf: AttnConfig = AttnConfig(),
@@ -213,6 +277,7 @@ object AttentionRegressor extends Serializable {
       opt: Optimizer.OptConfig = Optimizer.FullBatchGd): AttentionRegressionModel = {
     val d = conf.dim
     val nH = conf.heads
+    val ln = conf.layerNorm
     require(d > 0 && nH > 0 && d % nH == 0,
       s"AttentionRegressor.fit: dim must split evenly across heads, got $conf")
     require(dropout >= 0.0 && dropout < 1.0,
@@ -255,7 +320,9 @@ object AttentionRegressor extends Serializable {
         yStd = stdOf(my, myy, n.toDouble)
       }
 
-      // flat layout: [wE (d) | pos (t·d) | wq | wk | wv (d² each) | headW (d) | headB]
+      // flat layout: [wE (d) | pos (t·d) | wq | wk | wv (d² each) |
+      // headW (d) | headB] + LN mode appends [γ (d) | β (d)] so the
+      // default layout — and its seeded init draws — are unchanged
       val eOff = 0
       val pOff = d
       val qOff = pOff + t * d
@@ -263,7 +330,9 @@ object AttentionRegressor extends Serializable {
       val vOff = kOff + d * d
       val hOff = vOff + d * d
       val hbOff = hOff + d
-      val nW = hbOff + 1
+      val gOff = hbOff + 1
+      val bOff = gOff + d
+      val nW = if (ln) bOff + d else hbOff + 1
       val rnd = new java.util.Random(conf.seed)
       val weights = new Array[Double](nW)
       var i = 0
@@ -275,6 +344,10 @@ object AttentionRegressor extends Serializable {
       while (i < hOff) { weights(i) = rnd.nextGaussian() * mScale; i += 1 }
       i = 0
       while (i < d) { weights(hOff + i) = rnd.nextGaussian() * mScale; i += 1 }
+      if (ln) {
+        i = 0
+        while (i < d) { weights(gOff + i) = 1.0; weights(bOff + i) = 0.0; i += 1 }
+      }
       val velocity = new Array[Double](nW)
       val dh = d / nH
       val scale = 1.0 / math.sqrt(dh.toDouble)
@@ -293,30 +366,100 @@ object AttentionRegressor extends Serializable {
             val wv = java.util.Arrays.copyOfRange(wf, vOff, vOff + d * d)
             val headW = java.util.Arrays.copyOfRange(wf, hOff, hOff + d)
             val headB = wf(hbOff)
-            // masked head = dropout on the pooled attended vector
+            val lnG = if (ln) java.util.Arrays.copyOfRange(wf, gOff, gOff + d) else null
+            val lnB = if (ln) java.util.Arrays.copyOfRange(wf, bOff, bOff + d) else null
+            // legacy path: masked head = dropout on the pooled attended
+            // vector (equivalent to per-entry masks under linear pooling)
             val headWm =
-              if (mk == null) headW
+              if (mk == null || ln) headW
               else Array.tabulate(d)(i => headW(i) * mk(i))
             val x = new Array[Double](t)
             var j = 0
             while (j < t) { x(j) = (xv(j) - fMean) / fStd; j += 1 }
-            val keep = new Array[Array[Double]](6)
-            val out = forward(x, d, nH, wE, pos, wq, wk, wv, headWm, headB, keep)
+            val keep = new Array[Array[Double]](7)
+            // LN path: masks are per attended entry (constant across t)
+            val fwdMask: (Int, Int) => Double =
+              if (ln && mk != null) (_: Int, idx: Int) => mk(idx % d) else null
+            val out = forward(x, d, nH, wE, pos, wq, wk, wv, headWm, headB,
+              lnG, lnB, keep, fwdMask)
             val err = out - (y - yMean) / yStd
             g(nW) += 0.5 * err * err // epoch loss accumulator
             val e = keep(0); val q = keep(1); val k = keep(2)
             val v = keep(3); val alpha = keep(4); val a = keep(5)
-            // head
-            var j2 = 0
-            while (j2 < d) {
-              var sm = 0.0
-              var ti = 0
-              while (ti < t) { sm += a(ti * d + j2); ti += 1 }
-              g(hOff + j2) += err * (sm / t) * (if (mk == null) 1.0 else mk(j2))
-              j2 += 1
+            val p = keep(6) // pre-LN residual sums (LN mode)
+            // da_t(j): LN mode varies by position (through LN backward);
+            // legacy is the constant err·headW_m(j)/T, evaluated inline
+            // below to keep the former float-op sequence bit-for-bit
+            val daArr = if (ln) new Array[Double](t * d) else null
+            // dp contribution to the embedding path (LN mode residual)
+            val dpArr = if (ln) new Array[Double](t * d) else null
+            if (ln) {
+              // head: y = headB + headW · mean_t z_t
+              val zt = new Array[Double](d)
+              val pooled = new Array[Double](d)
+              var ti0 = 0
+              while (ti0 < t) {
+                lnForward(lnG, lnB, d, p, ti0 * d, zt, 0)
+                var j0 = 0
+                while (j0 < d) { pooled(j0) += zt(j0); j0 += 1 }
+                ti0 += 1
+              }
+              var j0 = 0
+              while (j0 < d) { g(hOff + j0) += err * (pooled(j0) / t); j0 += 1 }
+              g(hbOff) += err
+              // LN backward per position: dz_t(j) = err·headW(j)/T
+              ti0 = 0
+              while (ti0 < t) {
+                var mu = 0.0
+                var j1 = 0
+                while (j1 < d) { mu += p(ti0 * d + j1); j1 += 1 }
+                mu /= d
+                var va = 0.0
+                j1 = 0
+                while (j1 < d) { val d0 = p(ti0 * d + j1) - mu; va += d0 * d0; j1 += 1 }
+                val inv = 1.0 / math.sqrt(va / d + LnEps)
+                var mDx = 0.0
+                var mDxX = 0.0
+                j1 = 0
+                while (j1 < d) {
+                  val xh = (p(ti0 * d + j1) - mu) * inv
+                  val dy = err * headW(j1) / t
+                  g(gOff + j1) += dy * xh
+                  g(bOff + j1) += dy
+                  val dxh = dy * lnG(j1)
+                  mDx += dxh
+                  mDxX += dxh * xh
+                  j1 += 1
+                }
+                mDx /= d
+                mDxX /= d
+                j1 = 0
+                while (j1 < d) {
+                  val xh = (p(ti0 * d + j1) - mu) * inv
+                  val dxh = (err * headW(j1) / t) * lnG(j1)
+                  val dp = (dxh - mDx - xh * mDxX) * inv
+                  dpArr(ti0 * d + j1) = dp
+                  // residual p = e + a·m: the a path carries the mask factor
+                  daArr(ti0 * d + j1) = if (mk == null) dp else dp * mk(j1)
+                  j1 += 1
+                }
+                ti0 += 1
+              }
+            } else {
+              // head (legacy pooled-a path)
+              var j2 = 0
+              while (j2 < d) {
+                var sm = 0.0
+                var ti = 0
+                while (ti < t) { sm += a(ti * d + j2); ti += 1 }
+                g(hOff + j2) += err * (sm / t) * (if (mk == null) 1.0 else mk(j2))
+                j2 += 1
+              }
+              g(hbOff) += err
             }
-            g(hbOff) += err
-            // da_t = err·headW/T for every t
+            // attention backward from da_t (LN: daArr; legacy: err·headWm/T)
+            @inline def daOf(ti: Int, j: Int): Double =
+              if (ln) daArr(ti * d + j) else err * headWm(j) / t
             val dq = new Array[Double](t * d)
             val dk = new Array[Double](t * d)
             val dv = new Array[Double](t * d)
@@ -333,7 +476,7 @@ object AttentionRegressor extends Serializable {
                   var acc = 0.0
                   var j3 = 0
                   while (j3 < dh) {
-                    acc += (err * headWm(base + j3) / t) * v(s * d + base + j3)
+                    acc += daOf(ti, base + j3) * v(s * d + base + j3)
                     j3 += 1
                   }
                   dal(s) = acc
@@ -351,7 +494,7 @@ object AttentionRegressor extends Serializable {
                   while (j4 < dh) {
                     dq(ti * d + base + j4) += dl * k(s * d + base + j4)
                     dk(s * d + base + j4) += dl * q(ti * d + base + j4)
-                    dv(s * d + base + j4) += al * (err * headWm(base + j4) / t)
+                    dv(s * d + base + j4) += al * daOf(ti, base + j4)
                     j4 += 1
                   }
                   s += 1
@@ -360,7 +503,7 @@ object AttentionRegressor extends Serializable {
               }
               ti += 1
             }
-            // matrices + embedding backward
+            // matrices + embedding backward (+ the LN residual's de)
             ti = 0
             while (ti < t) {
               val de = new Array[Double](d)
@@ -380,8 +523,9 @@ object AttentionRegressor extends Serializable {
               }
               var j5 = 0
               while (j5 < d) {
-                g(pOff + ti * d + j5) += de(j5)
-                g(eOff + j5) += de(j5) * x(ti)
+                val dev = de(j5) + (if (ln) dpArr(ti * d + j5) else 0.0)
+                g(pOff + ti * d + j5) += dev
+                g(eOff + j5) += dev * x(ti)
                 j5 += 1
               }
               ti += 1
@@ -446,7 +590,9 @@ object AttentionRegressor extends Serializable {
         java.util.Arrays.copyOfRange(weights, kOff, kOff + d * d),
         java.util.Arrays.copyOfRange(weights, vOff, vOff + d * d),
         java.util.Arrays.copyOfRange(weights, hOff, hOff + d),
-        weights(hbOff), t, fMean, fStd, yMean, yStd)
+        weights(hbOff), t, fMean, fStd, yMean, yStd,
+        if (ln) java.util.Arrays.copyOfRange(weights, gOff, gOff + d) else null,
+        if (ln) java.util.Arrays.copyOfRange(weights, bOff, bOff + d) else null)
     } finally { data.unpersist(blocking = false); () }
   }
 
@@ -457,25 +603,35 @@ object AttentionRegressor extends Serializable {
     Seq((model.uid, model.dim, model.heads, model.wE.toSeq, model.pos.toSeq,
         model.wq.toSeq, model.wk.toSeq, model.wv.toSeq, model.headW.toSeq,
         model.headB, model.seqLen, model.featMean, model.featStd,
-        model.labelMean, model.labelStd))
+        model.labelMean, model.labelStd,
+        if (model.lnG == null) Seq.empty[Double] else model.lnG.toSeq,
+        if (model.lnB == null) Seq.empty[Double] else model.lnB.toSeq))
       .toDF("uid", "dim", "heads", "w_e", "pos", "wq", "wk", "wv", "head_w",
-        "head_b", "seq_len", "feat_mean", "feat_std", "label_mean", "label_std")
+        "head_b", "seq_len", "feat_mean", "feat_std", "label_mean", "label_std",
+        "ln_g", "ln_b")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** S11 artifact source. Artifacts written before the multi-head change
-    * lack the `heads` column; they were single-head, so default to 1 —
-    * keeps the S11 round-trip loadable for existing modelDir checkpoints. */
+    * lack the `heads` column (single-head, default 1); before the LN
+    * change they lack `ln_g`/`ln_b` (LN off, default null) — keeps the
+    * S11 round-trip loadable for existing modelDir checkpoints. */
   def load(spark: SparkSession, path: String): AttentionRegressionModel = {
     val r = spark.read.parquet(path).head()
     def arr(c: String) = r.getAs[scala.collection.Seq[Double]](c).toArray
+    val fields = r.schema.fieldNames.toSet
     val heads =
-      if (r.schema.fieldNames.contains("heads")) r.getAs[Int]("heads") else 1
+      if (fields.contains("heads")) r.getAs[Int]("heads") else 1
+    val lnG =
+      if (fields.contains("ln_g") && arr("ln_g").nonEmpty) arr("ln_g") else null
+    val lnB =
+      if (fields.contains("ln_b") && arr("ln_b").nonEmpty) arr("ln_b") else null
     new AttentionRegressionModel(
       r.getAs[String]("uid"), r.getAs[Int]("dim"), heads,
       arr("w_e"), arr("pos"), arr("wq"), arr("wk"), arr("wv"), arr("head_w"),
       r.getAs[Double]("head_b"), r.getAs[Int]("seq_len"),
       r.getAs[Double]("feat_mean"), r.getAs[Double]("feat_std"),
-      r.getAs[Double]("label_mean"), r.getAs[Double]("label_std"))
+      r.getAs[Double]("label_mean"), r.getAs[Double]("label_std"),
+      lnG, lnB)
   }
 }

@@ -25,8 +25,11 @@ import org.apache.spark.storage.StorageLevel
   * one net per horizon, the zoo's uniform contract); the reference's
   * BiLSTM readout is covered by the zoo's dedicated [[LstmRegressor]]
   * head; its DenseFlipout Bayesian output becomes the zoo-wide
-  * MC-dropout stochastic forward ([[McDropout]]); tanh instead of ReLU
-  * (the zoo's bounded-gradient determinism convention).
+  * MC-dropout stochastic forward ([[McDropout]]). The conv activation
+  * routes through `CnnConfig.activation`: tanh (the zoo's
+  * bounded-gradient default, bit-for-bit the former path), relu (the
+  * reference family's default, `predictor_plugin_cnn.py:27,66`), or
+  * elu — each pinned by its own finite-difference gradient check.
   *
   * Training is the zoo's DISTRIBUTED full-batch pattern: per epoch one
   * `treeAggregate` ([[OrderedAgg]] — partition-id-ordered merges, so
@@ -42,11 +45,14 @@ object CnnRegressor extends Serializable {
   /** `layers` strided causal conv layers; layer i has
     * `max(minChannels, channels / divisor^i)` filters (the reference's
     * size plan with a configurable floor), kernel width `kernel`,
-    * stride `stride`. */
+    * stride `stride`. `activation` routes the conv nonlinearity —
+    * `tanh` (the zoo default, bit-for-bit the former path), `relu`
+    * (the reference CNN family's default,
+    * `predictor_plugin_cnn.py:27,66`), or `elu`. */
   case class CnnConfig(channels: Int = 8, kernel: Int = 3, layers: Int = 2,
       divisor: Int = 2, minChannels: Int = 2, stride: Int = 2,
       epochs: Int = 200, lr: Double = 0.1, momentum: Double = 0.9,
-      seed: Long = 42L) {
+      seed: Long = 42L, activation: String = "tanh") {
     /** Per-layer filter counts (`predictor_plugin_cnn.py:87-89`). */
     def sizes: Array[Int] = {
       var s = channels
@@ -86,7 +92,8 @@ object CnnRegressor extends Serializable {
       val featMean: Double,
       val featStd: Double,
       val labelMean: Double,
-      val labelStd: Double)
+      val labelStd: Double,
+      val activation: String = "tanh")
     extends PredictionModel[Vector, CnnRegressionModel] {
 
     override def numFeatures: Int = seqLen
@@ -96,13 +103,14 @@ object CnnRegressor extends Serializable {
       var i = 0
       while (i < seqLen) { x(i) = (features(i) - featMean) / featStd; i += 1 }
       val out = forward(x, kernel, stride, sizes, convW, convB, headW, headB,
-        null)
+        null, act = activation)
       out * labelStd + labelMean
     }
 
     override def copy(extra: ParamMap): CnnRegressionModel = copyValues(
       new CnnRegressionModel(uid, kernel, stride, sizes, convW, convB,
-        headW, headB, seqLen, featMean, featStd, labelMean, labelStd),
+        headW, headB, seqLen, featMean, featStd, labelMean, labelStd,
+        activation),
       extra)
 
     override def toString: String =
@@ -119,7 +127,10 @@ object CnnRegressor extends Serializable {
       sizes: Array[Int], convW: Array[Array[Double]],
       convB: Array[Array[Double]], headW: Array[Double], headB: Double,
       keep: Array[Array[Double]],
-      mask: (Int, Int) => Double = null): Double = {
+      mask: (Int, Int) => Double = null,
+      act: String = "tanh"): Double = {
+    val relu = act == "relu"
+    val elu = act == "elu"
     val layers = sizes.length
     val lens = lensOf(x.length, layers, stride)
     var prev = x
@@ -147,7 +158,10 @@ object CnnRegressor extends Serializable {
             }
             j += 1
           }
-          val a0 = math.tanh(z)
+          val a0 =
+            if (relu) { if (z > 0) z else 0.0 }
+            else if (elu) { if (z > 0) z else math.exp(z) - 1.0 }
+            else math.tanh(z)
           out(ti * cout + co) =
             if (mask != null) a0 * mask(l, ti * cout + co) else a0
           co += 1
@@ -179,8 +193,8 @@ object CnnRegressor extends Serializable {
   private[ml] def forwardMasked(x: Array[Double], k: Int, stride: Int,
       sizes: Array[Int], convW: Array[Array[Double]],
       convB: Array[Array[Double]], headW: Array[Double], headB: Double,
-      mask: (Int, Int) => Double): Double =
-    forward(x, k, stride, sizes, convW, convB, headW, headB, null, mask)
+      mask: (Int, Int) => Double, act: String = "tanh"): Double =
+    forward(x, k, stride, sizes, convW, convB, headW, headB, null, mask, act)
 
   /** Fit on an assembled frame (featuresCol: MLlib Vector = the lag
     * window read as a sequence, labelCol numeric) — the
@@ -204,9 +218,12 @@ object CnnRegressor extends Serializable {
     val k = conf.kernel
     val stride = conf.stride
     val sizes = conf.sizes
+    val act = conf.activation
     val layers = sizes.length
     require(layers > 0 && k > 0 && stride > 0 && sizes.forall(_ > 0),
       s"CnnRegressor.fit: bad config $conf")
+    require(Set("tanh", "relu", "elu").contains(act),
+      s"CnnRegressor.fit: unknown activation '$act' (tanh | relu | elu)")
     require(dropout >= 0.0 && dropout < 1.0,
       s"CnnRegressor.fit: dropout must be in [0, 1), got $dropout")
     val sc = df.sparkSession.sparkContext
@@ -304,7 +321,8 @@ object CnnRegressor extends Serializable {
             val out = forward(x, k, stride, sizes, convW, convB, headWm,
               headB, keep,
               mask = if (mkL == null) null
-              else (l, idx) => mkL(l)(idx % sizes(l)))
+              else (l, idx) => mkL(l)(idx % sizes(l)),
+              act = act)
             val err = out - (y - yMean) / yStd
             g(nW) += 0.5 * err * err // epoch loss accumulator
             val tL = lens(layers)
@@ -335,7 +353,7 @@ object CnnRegressor extends Serializable {
               val cout = sizes(l2)
               val tout = lens(l2 + 1)
               val in: Array[Double] = if (l2 == 0) x else keep(l2 - 1)
-              val act = keep(l2)
+              val actMap = keep(l2)
               val w = convW(l2)
               val dPrev = new Array[Double](lens(l2) * cin)
               var ti2 = 0
@@ -344,14 +362,21 @@ object CnnRegressor extends Serializable {
                 while (co3 < cout) {
                   val d = delta(ti2 * cout + co3)
                   if (d != 0.0) {
-                    val a = act(ti2 * cout + co3)
-                    // masked activation a = m·tanh(z) ⇒ da/dz = m·(1−tanh²z)
+                    val a = actMap(ti2 * cout + co3)
+                    // masked activation a = m·F(z) ⇒ da/dz = m·F'(z);
+                    // F' recovered from the activation value: tanh' =
+                    // 1−a², relu' = [a>0], elu' = if a>0 1 else a+1
+                    def fp(raw: Double): Double = act match {
+                      case "relu" => if (raw > 0) 1.0 else 0.0
+                      case "elu"  => if (raw > 0) 1.0 else raw + 1.0
+                      case _      => 1.0 - raw * raw
+                    }
                     val dz =
-                      if (mkL == null) d * (1.0 - a * a)
+                      if (mkL == null) d * fp(a)
                       else {
                         val m = mkL(l2)(co3)
                         if (m == 0.0) 0.0
-                        else { val th = a / m; d * m * (1.0 - th * th) }
+                        else d * m * fp(a / m)
                       }
                     if (dz != 0.0) {
                       g(bOff(l2) + co3) += dz
@@ -447,7 +472,7 @@ object CnnRegressor extends Serializable {
           java.util.Arrays.copyOfRange(weights, bOff(l), bOff(l) + sizes(l))),
         java.util.Arrays.copyOfRange(weights, hOff, hOff + cL),
         weights(hbOff),
-        t, fMean, fStd, yMean, yStd)
+        t, fMean, fStd, yMean, yStd, act)
     } finally { data.unpersist(blocking = false); () }
   }
 
@@ -458,16 +483,22 @@ object CnnRegressor extends Serializable {
     Seq((model.uid, model.kernel, model.stride, model.sizes.toSeq,
         model.convW.map(_.toSeq).toSeq, model.convB.map(_.toSeq).toSeq,
         model.headW.toSeq, model.headB, model.seqLen,
-        model.featMean, model.featStd, model.labelMean, model.labelStd))
+        model.featMean, model.featStd, model.labelMean, model.labelStd,
+        model.activation))
       .toDF("uid", "kernel", "stride", "sizes", "conv_w", "conv_b",
         "head_w", "head_b", "seq_len",
-        "feat_mean", "feat_std", "label_mean", "label_std")
+        "feat_mean", "feat_std", "label_mean", "label_std", "activation")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** S11 artifact source. */
+  /** S11 artifact source. Artifacts written before the activation
+    * option lack the column; they were tanh (the S11 back-compat
+    * contract, as MlpRegressor). */
   def load(spark: SparkSession, path: String): CnnRegressionModel = {
     val r = spark.read.parquet(path).head()
+    val act =
+      if (r.schema.fieldNames.contains("activation")) r.getAs[String]("activation")
+      else "tanh"
     new CnnRegressionModel(
       r.getAs[String]("uid"), r.getAs[Int]("kernel"), r.getAs[Int]("stride"),
       r.getAs[scala.collection.Seq[Int]]("sizes").toArray,
@@ -476,6 +507,6 @@ object CnnRegressor extends Serializable {
       r.getAs[scala.collection.Seq[Double]]("head_w").toArray,
       r.getAs[Double]("head_b"), r.getAs[Int]("seq_len"),
       r.getAs[Double]("feat_mean"), r.getAs[Double]("feat_std"),
-      r.getAs[Double]("label_mean"), r.getAs[Double]("label_std"))
+      r.getAs[Double]("label_mean"), r.getAs[Double]("label_std"), act)
   }
 }

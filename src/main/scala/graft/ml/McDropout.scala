@@ -166,6 +166,7 @@ object McDropout {
     val (c, k, blocks) = (model.channels, model.kernel, model.blocks)
     val (convW, convB, skipP) = (model.convW, model.convB, model.skipP)
     val (headW, headB) = (model.headW, model.headB)
+    val act = model.activation
     val t = model.seqLen
     val (fm, fs, lm, ls) = (model.featMean, model.featStd, model.labelMean, model.labelStd)
     val kScale = 1.0 / (1.0 - rate)
@@ -175,7 +176,7 @@ object McDropout {
         val mask = (l: Int, u: Int) =>
           if (rate == 0.0 || uniform(seed, id, p, l, u) >= rate) kScale else 0.0
         TcnRegressor.forwardMasked(x, c, k, blocks, convW, convB, skipP,
-          headW, headB, mask) * ls + lm
+          headW, headB, mask, act) * ls + lm
       }
     }
     emit(df, idCol, featuresCol, fn)
@@ -193,6 +194,7 @@ object McDropout {
     val (k, stride, sizes) = (model.kernel, model.stride, model.sizes)
     val (convW, convB) = (model.convW, model.convB)
     val (headW, headB) = (model.headW, model.headB)
+    val act = model.activation
     val t = model.seqLen
     val (fm, fs, lm, ls) = (model.featMean, model.featStd, model.labelMean, model.labelStd)
     val kScale = 1.0 / (1.0 - rate)
@@ -202,7 +204,7 @@ object McDropout {
         val mask = (l: Int, u: Int) =>
           if (rate == 0.0 || uniform(seed, id, p, l, u) >= rate) kScale else 0.0
         CnnRegressor.forwardMasked(x, k, stride, sizes, convW, convB,
-          headW, headB, mask) * ls + lm
+          headW, headB, mask, act) * ls + lm
       }
     }
     emit(df, idCol, featuresCol, fn)
@@ -218,6 +220,7 @@ object McDropout {
     checkArgs(passes, rate)
     val u = model.units
     val (wx, wh, b) = (model.wx, model.wh, model.b)
+    val (wx2, wh2, b2) = (model.wx2, model.wh2, model.b2)
     val (headW, headB) = (model.headW, model.headB)
     val t = model.seqLen
     val (fm, fs, lm, ls) = (model.featMean, model.featStd, model.labelMean, model.labelStd)
@@ -227,7 +230,8 @@ object McDropout {
       welford(passes) { p =>
         val mask = (l: Int, un: Int) =>
           if (rate == 0.0 || uniform(seed, id, p, l, un) >= rate) kScale else 0.0
-        LstmRegressor.forwardMasked(x, u, wx, wh, b, headW, headB, mask) * ls + lm
+        LstmRegressor.forwardMasked(x, u, wx, wh, b, headW, headB, mask,
+          wx2, wh2, b2) * ls + lm
       }
     }
     emit(df, idCol, featuresCol, fn)
@@ -268,6 +272,7 @@ object McDropout {
       rate: Double, seed: Long): DataFrame = {
     checkArgs(passes, rate)
     val (u, nH, wts) = (model.units, model.heads, model.weights)
+    val (nL, ln) = (model.lstmLayers, model.layerNorm)
     val t = model.seqLen
     val (fm, fs, lm, ls) = (model.featMean, model.featStd, model.labelMean, model.labelStd)
     val kScale = 1.0 / (1.0 - rate)
@@ -276,7 +281,7 @@ object McDropout {
       welford(passes) { p =>
         val mask = (l: Int, un: Int) =>
           if (rate == 0.0 || uniform(seed, id, p, l, un) >= rate) kScale else 0.0
-        TftRegressor.forwardMasked(x, u, nH, wts, mask) * ls + lm
+        TftRegressor.forwardMasked(x, u, nH, wts, mask, nL, ln) * ls + lm
       }
     }
     emit(df, idCol, featuresCol, fn)
@@ -291,6 +296,7 @@ object McDropout {
     val (wE, pos) = (model.wE, model.pos)
     val (wq, wk, wv) = (model.wq, model.wk, model.wv)
     val (headW, headB) = (model.headW, model.headB)
+    val (lnG, lnB) = (model.lnG, model.lnB)
     val t = model.seqLen
     val (fm, fs, lm, ls) = (model.featMean, model.featStd, model.labelMean, model.labelStd)
     val kScale = 1.0 / (1.0 - rate)
@@ -300,7 +306,7 @@ object McDropout {
         val mask = (l: Int, un: Int) =>
           if (rate == 0.0 || uniform(seed, id, p, l, un) >= rate) kScale else 0.0
         AttentionRegressor.forwardMasked(x, d, nH, wE, pos, wq, wk, wv,
-          headW, headB, mask) * ls + lm
+          headW, headB, mask, lnG, lnB) * ls + lm
       }
     }
     emit(df, idCol, featuresCol, fn)

@@ -24,8 +24,10 @@ import org.apache.spark.storage.StorageLevel
   * per residual block (the reference stacks two — equivalent receptive
   * field via one more block), no dropout/LayerNorm (full-batch exact
   * gradients don't need the stochastic regularizers; the reference
-  * trains minibatch Adam), tanh instead of ELU (matches the MLP head's
-  * activation and its bounded-gradient determinism).
+  * trains minibatch Adam); the conv activation routes through
+  * `TcnConfig.activation` (tanh default — the zoo's bounded-gradient
+  * convention, bit-for-bit the former path — with relu/elu options
+  * matching the reference conv family's defaults).
   *
   * Training is the same DISTRIBUTED full-batch pattern as
   * [[MlpRegressor]]: per epoch one `treeAggregate` computes the exact
@@ -44,11 +46,14 @@ import org.apache.spark.storage.StorageLevel
 object TcnRegressor extends Serializable {
 
   /** `blocks` residual blocks of `channels` filters, kernel width
-    * `kernel`, dilation 2^b in block b.
+    * `kernel`, dilation 2^b in block b. `activation` routes the conv
+    * nonlinearity — tanh (the zoo default, bit-for-bit the former
+    * path), relu (the reference conv family's default,
+    * `predictor_plugin_cnn.py:27`), or elu.
     */
   case class TcnConfig(channels: Int = 4, kernel: Int = 3, blocks: Int = 2,
       epochs: Int = 200, lr: Double = 0.1, momentum: Double = 0.9,
-      seed: Long = 42L)
+      seed: Long = 42L, activation: String = "tanh")
 
   /** Fitted model. Parameter layout per block b:
     * `convW(b)` row-major [out-channel][in-channel][tap] (in-channels = 1
@@ -71,7 +76,8 @@ object TcnRegressor extends Serializable {
       val featMean: Double,
       val featStd: Double,
       val labelMean: Double,
-      val labelStd: Double)
+      val labelStd: Double,
+      val activation: String = "tanh")
     extends PredictionModel[Vector, TcnRegressionModel] {
 
     override def numFeatures: Int = seqLen
@@ -82,13 +88,14 @@ object TcnRegressor extends Serializable {
       var i = 0
       while (i < t) { x(i) = (features(i) - featMean) / featStd; i += 1 }
       val out = forward(x, channels, kernel, blocks, convW, convB, skipP,
-        headW, headB, null)
+        headW, headB, null, act = activation)
       out * labelStd + labelMean
     }
 
     override def copy(extra: ParamMap): TcnRegressionModel = copyValues(
       new TcnRegressionModel(uid, channels, kernel, blocks, convW, convB,
-        skipP, headW, headB, seqLen, featMean, featStd, labelMean, labelStd),
+        skipP, headW, headB, seqLen, featMean, featStd, labelMean, labelStd,
+        activation),
       extra)
 
     override def toString: String =
@@ -112,7 +119,10 @@ object TcnRegressor extends Serializable {
       convW: Array[Array[Double]], convB: Array[Array[Double]],
       skipP: Array[Double], headW: Array[Double], headB: Double,
       keep: Array[Array[Double]],
-      mask: (Int, Int) => Double = null): Double = {
+      mask: (Int, Int) => Double = null,
+      act: String = "tanh"): Double = {
+    val relu = act == "relu"
+    val elu = act == "elu"
     val t = x.length
     var prev: Array[Double] = null // T×C row-major after block 0
     var b = 0
@@ -121,7 +131,7 @@ object TcnRegressor extends Serializable {
       val cin = if (b == 0) 1 else c
       val w = convW(b); val bias = convB(b)
       val out = new Array[Double](t * c)
-      val act = new Array[Double](t * c)
+      val actArr = new Array[Double](t * c)
       var ti = 0
       while (ti < t) {
         var co = 0
@@ -142,9 +152,12 @@ object TcnRegressor extends Serializable {
             }
             j += 1
           }
-          val a0 = math.tanh(z)
+          val a0 =
+            if (relu) { if (z > 0) z else 0.0 }
+            else if (elu) { if (z > 0) z else math.exp(z) - 1.0 }
+            else math.tanh(z)
           val a = if (mask != null) a0 * mask(b, ti * c + co) else a0
-          act(ti * c + co) = a
+          actArr(ti * c + co) = a
           val skip =
             if (b == 0) { if (c == 1) x(ti) else skipP(co) * x(ti) }
             else prev(ti * c + co)
@@ -153,7 +166,7 @@ object TcnRegressor extends Serializable {
         }
         ti += 1
       }
-      if (keep != null) { keep(2 * b) = act; keep(2 * b + 1) = out }
+      if (keep != null) { keep(2 * b) = actArr; keep(2 * b + 1) = out }
       prev = out
       b += 1
     }
@@ -177,8 +190,8 @@ object TcnRegressor extends Serializable {
   private[ml] def forwardMasked(x: Array[Double], c: Int, k: Int, blocks: Int,
       convW: Array[Array[Double]], convB: Array[Array[Double]],
       skipP: Array[Double], headW: Array[Double], headB: Double,
-      mask: (Int, Int) => Double): Double =
-    forward(x, c, k, blocks, convW, convB, skipP, headW, headB, null, mask)
+      mask: (Int, Int) => Double, act: String = "tanh"): Double =
+    forward(x, c, k, blocks, convW, convB, skipP, headW, headB, null, mask, act)
 
   /** Fit on an assembled frame (featuresCol: MLlib Vector = the lag
     * window read as a sequence, labelCol numeric) — the
@@ -203,7 +216,10 @@ object TcnRegressor extends Serializable {
       callbacks: Seq[Callbacks.TrainingCallback] = Nil,
       opt: Optimizer.OptConfig = Optimizer.FullBatchGd): TcnRegressionModel = {
     val c = conf.channels; val k = conf.kernel; val blocks = conf.blocks
+    val act = conf.activation
     require(c > 0 && k > 0 && blocks > 0, s"TcnRegressor.fit: bad config $conf")
+    require(Set("tanh", "relu", "elu").contains(act),
+      s"TcnRegressor.fit: unknown activation '$act' (tanh | relu | elu)")
     require(dropout >= 0.0 && dropout < 1.0,
       s"TcnRegressor.fit: dropout must be in [0, 1), got $dropout")
     val sc = df.sparkSession.sparkContext
@@ -308,7 +324,8 @@ object TcnRegressor extends Serializable {
             val keep = new Array[Array[Double]](2 * blocks)
             val out = forward(x, c, k, blocks, convW, convB, skipP, headWm,
               headB, keep,
-              mask = if (mkB == null) null else (b, idx) => mkB(b)(idx % c))
+              mask = if (mkB == null) null else (b, idx) => mkB(b)(idx % c),
+              act = act)
             val err = out - (y - yMean) / yStd
             g(nW) += 0.5 * err * err // epoch loss accumulator
             // head gradients; delta on the final block output = err·w/T
@@ -337,7 +354,7 @@ object TcnRegressor extends Serializable {
             while (b2 >= 0) {
               val dil = 1 << b2
               val cin = if (b2 == 0) 1 else c
-              val act = keep(2 * b2)
+              val actMap = keep(2 * b2)
               val prevOut: Array[Double] = if (b2 == 0) null else keep(2 * b2 - 1)
               val w = convW(b2)
               val dPrev = new Array[Double](t * (if (b2 == 0) 1 else c))
@@ -347,17 +364,24 @@ object TcnRegressor extends Serializable {
                 while (co3 < c) {
                   val d = delta(ti2 * c + co3)
                   if (d != 0.0) {
-                    val a = act(ti2 * c + co3)
-                    // masked activation a = m·tanh(z) ⇒ da/dz = m·(1−tanh²z);
-                    // a dropped channel (m = 0) passes no conv-path gradient
+                    val a = actMap(ti2 * c + co3)
+                    // masked activation a = m·F(z) ⇒ da/dz = m·F'(z) with
+                    // F' recovered from the activation value (tanh' =
+                    // 1−a², relu' = [a>0], elu' = if a>0 1 else a+1); a
+                    // dropped channel (m = 0) passes no conv-path gradient
                     // (the skip path below is untouched — residuals are
                     // never masked)
+                    def fp(raw: Double): Double = act match {
+                      case "relu" => if (raw > 0) 1.0 else 0.0
+                      case "elu"  => if (raw > 0) 1.0 else raw + 1.0
+                      case _      => 1.0 - raw * raw
+                    }
                     val dz =
-                      if (mkB == null) d * (1.0 - a * a)
+                      if (mkB == null) d * fp(a)
                       else {
                         val m = mkB(b2)(co3)
                         if (m == 0.0) 0.0
-                        else { val th = a / m; d * m * (1.0 - th * th) }
+                        else d * m * fp(a / m)
                       }
                     g(bOff(b2) + co3) += dz
                     var j2 = 0
@@ -463,7 +487,7 @@ object TcnRegressor extends Serializable {
         else Array.empty[Double],
         java.util.Arrays.copyOfRange(weights, hOff, hOff + c),
         weights(hbOff),
-        t, fMean, fStd, yMean, yStd)
+        t, fMean, fStd, yMean, yStd, act)
     } finally { data.unpersist(blocking = false); () }
   }
 
@@ -474,16 +498,22 @@ object TcnRegressor extends Serializable {
     Seq((model.uid, model.channels, model.kernel, model.blocks,
         model.convW.map(_.toSeq).toSeq, model.convB.map(_.toSeq).toSeq,
         model.skipP.toSeq, model.headW.toSeq, model.headB, model.seqLen,
-        model.featMean, model.featStd, model.labelMean, model.labelStd))
+        model.featMean, model.featStd, model.labelMean, model.labelStd,
+        model.activation))
       .toDF("uid", "channels", "kernel", "blocks", "conv_w", "conv_b",
         "skip_p", "head_w", "head_b", "seq_len",
-        "feat_mean", "feat_std", "label_mean", "label_std")
+        "feat_mean", "feat_std", "label_mean", "label_std", "activation")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** S11 artifact source. */
+  /** S11 artifact source. Artifacts written before the activation
+    * option lack the column; they were tanh (the S11 back-compat
+    * contract, as MlpRegressor). */
   def load(spark: SparkSession, path: String): TcnRegressionModel = {
     val r = spark.read.parquet(path).head()
+    val act =
+      if (r.schema.fieldNames.contains("activation")) r.getAs[String]("activation")
+      else "tanh"
     new TcnRegressionModel(
       r.getAs[String]("uid"), r.getAs[Int]("channels"), r.getAs[Int]("kernel"),
       r.getAs[Int]("blocks"),
@@ -493,6 +523,6 @@ object TcnRegressor extends Serializable {
       r.getAs[scala.collection.Seq[Double]]("head_w").toArray,
       r.getAs[Double]("head_b"), r.getAs[Int]("seq_len"),
       r.getAs[Double]("feat_mean"), r.getAs[Double]("feat_std"),
-      r.getAs[Double]("label_mean"), r.getAs[Double]("label_std"))
+      r.getAs[Double]("label_mean"), r.getAs[Double]("label_std"), act)
   }
 }

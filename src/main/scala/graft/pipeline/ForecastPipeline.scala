@@ -105,11 +105,23 @@ object ForecastPipeline {
   /** `opt`: the [[graft.ml.Optimizer]] face — defaults to the original
     * full-batch GD; e.g. `OptConfig("adamw", batches = 8)` trains the
     * MLP head with the reference's AdamW mini-batch regime.
+    *
+    * Architecture-fidelity knobs (each defaults to the former path
+    * bit-for-bit): `activation` routes the MLP (tanh|elu) and the
+    * CNN/TCN conv family (tanh|relu|elu — reference default relu,
+    * `predictor_plugin_cnn.py:27`); `layerNorm` enables the reference's
+    * LayerNormalization sites in the TFT and attention heads
+    * (`predictor_plugin_tft.py:85,127`,
+    * `predictor_plugin_transformer.py:74`); `lstmLayers` stacks the
+    * TFT encoder (`predictor_plugin_tft.py:113-116`, reference default
+    * 2); `bidirectional` wraps the LSTM head's cell
+    * (`predictor_plugin_lstm.py:506-510`).
     */
   case class MlpConf(hidden: Int = 8, epochs: Int = 300, lr: Double = 0.1,
       seed: Long = 42L, depth: Int = 1, dropout: Double = 0.0,
       opt: graft.ml.Optimizer.OptConfig = graft.ml.Optimizer.FullBatchGd,
-      activation: String = "tanh")
+      activation: String = "tanh", layerNorm: Boolean = false,
+      lstmLayers: Int = 1, bidirectional: Boolean = false)
 
   /** Head-name dispatch shared by [[modelMetrics]] and
     * [[graft.pipeline.GoldenRun]] — the reference's `predictor_plugin`
@@ -126,14 +138,17 @@ object ForecastPipeline {
         opt = mlpConf.opt, activation = mlpConf.activation)
       case "tcn" => Forecaster.fitPerHorizonTcn(train, featureCols, horizons,
         graft.ml.TcnRegressor.TcnConfig(epochs = mlpConf.epochs, lr = mlpConf.lr,
-          seed = mlpConf.seed), dropout = mlpConf.dropout, opt = mlpConf.opt)
+          seed = mlpConf.seed, activation = mlpConf.activation),
+        dropout = mlpConf.dropout, opt = mlpConf.opt)
       case "cnn" => Forecaster.fitPerHorizonCnn(train, featureCols, horizons,
         graft.ml.CnnRegressor.CnnConfig(channels = mlpConf.hidden,
-          epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
+          epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed,
+          activation = mlpConf.activation),
         dropout = mlpConf.dropout, opt = mlpConf.opt)
       case "lstm" => Forecaster.fitPerHorizonLstm(train, featureCols, horizons,
         graft.ml.LstmRegressor.LstmConfig(units = mlpConf.hidden,
-          epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
+          epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed,
+          bidirectional = mlpConf.bidirectional),
         dropout = mlpConf.dropout, opt = mlpConf.opt)
       case "nbeats" => Forecaster.fitPerHorizonNBeats(train, featureCols,
         horizons, graft.ml.NBeatsRegressor.NBeatsConfig(
@@ -141,13 +156,15 @@ object ForecastPipeline {
           seed = mlpConf.seed), dropout = mlpConf.dropout, opt = mlpConf.opt)
       case "attention" => Forecaster.fitPerHorizonAttention(train, featureCols,
         horizons, graft.ml.AttentionRegressor.AttnConfig(
-          epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
+          epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed,
+          layerNorm = mlpConf.layerNorm),
         dropout = mlpConf.dropout, opt = mlpConf.opt)
       case "tft" => Forecaster.fitPerHorizonTft(train, featureCols,
         horizons, graft.ml.TftRegressor.TftConfig(
           // rounded to an even width so the default 2 heads divide it
           units = math.max(2, mlpConf.hidden / 4 * 2),
-          epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed),
+          epochs = mlpConf.epochs, lr = mlpConf.lr, seed = mlpConf.seed,
+          lstmLayers = mlpConf.lstmLayers, layerNorm = mlpConf.layerNorm),
         dropout = mlpConf.dropout, opt = mlpConf.opt)
       case _ => Forecaster.fitPerHorizon(train, featureCols, horizons)
         .asInstanceOf[Map[Int, Forecaster.HorizonModel]]

@@ -117,6 +117,42 @@ class AttentionRegressorSpec extends AnyFunSuite {
     }
   }
 
+  test("layerNorm default-off keeps the former fit bit-for-bit; flagged path trains and round-trips") {
+    val rows = windows(40, 37L)
+    val df = rows.toDF("features", "label")
+    val base = AttentionRegressor.AttnConfig(dim = 4, heads = 2, epochs = 10, lr = 0.1)
+    val a = AttentionRegressor.fit(df, "label", base)
+    val b = AttentionRegressor.fit(df, "label", base.copy(layerNorm = false))
+    def flat(m: AttentionRegressor.AttentionRegressionModel) =
+      (m.wE ++ m.pos ++ m.wq ++ m.wk ++ m.wv ++ m.headW ++ Array(m.headB)).toSeq
+    assert(flat(a) == flat(b) && a.lnG == null)
+    // the reference post-attention residual + LN path trains
+    val lnConf = base.copy(layerNorm = true, epochs = 80, lr = 0.05, momentum = 0.0)
+    def mse(m: AttentionRegressor.AttentionRegressionModel): Double =
+      rows.map { case (v, y) => val e = m.predict(v) - y; e * e }.sum / rows.size
+    val early = mse(AttentionRegressor.fit(df, "label", lnConf.copy(epochs = 1)))
+    val m = AttentionRegressor.fit(df, "label", lnConf)
+    assert(mse(m) < early, s"LN path not training: ${mse(m)} vs $early")
+    assert(m.lnG != null && m.lnG.length == 4)
+    val path = java.nio.file.Files.createTempDirectory("model").toString + "/attn_ln"
+    AttentionRegressor.save(m, path)
+    val back = AttentionRegressor.load(spark, path)
+    assert(back.lnG.toSeq == m.lnG.toSeq && back.lnB.toSeq == m.lnB.toSeq)
+    rows.take(5).foreach { case (v, _) =>
+      assert(java.lang.Double.doubleToRawLongBits(back.predict(v)) ==
+        java.lang.Double.doubleToRawLongBits(m.predict(v)))
+    }
+    // MC-dropout honors the model's LN (rate = 0 ≡ predict)
+    import org.apache.spark.sql.functions._
+    val withId = df.withColumn("id", monotonically_increasing_id())
+    val zero = McDropout.predictWithUncertainty(m, withId, "id", "features",
+      passes = 4, rate = 0.0, seed = 7L)
+      .withColumn("plain", udf((v: org.apache.spark.ml.linalg.Vector) => m.predict(v))
+        .apply(col("features")))
+    assert(zero.filter(col("pred_unc") =!= 0.0).count() == 0)
+    assert(zero.filter(col("pred_mean") =!= col("plain")).count() == 0)
+  }
+
   test("S11 compat: pre-multi-head artifacts (no 'heads' column) load as heads=1") {
     val train = windows(40, 29L).toDF("features", "label")
     val m = AttentionRegressor.fit(train, "label",

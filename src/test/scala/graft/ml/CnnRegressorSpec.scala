@@ -149,6 +149,83 @@ class CnnRegressorSpec extends AnyFunSuite {
       "fixture should drop at least one unit")
   }
 
+  for (act <- Seq("relu", "elu"))
+  test(s"cnn $act gradient vs its own forward (activation routing, $act)") {
+    // the reference CNN family defaults relu (predictor_plugin_cnn.py:27,66)
+    val t = 6; val lr = 0.3
+    val conf = CnnRegressor.CnnConfig(channels = 2, kernel = 3, layers = 2,
+      minChannels = 2, epochs = 0, lr = lr, seed = 13L, activation = act)
+    val rnd = new scala.util.Random(47)
+    val data = Seq.fill(6)((Vectors.dense(Array.fill(t)(rnd.nextGaussian())),
+      rnd.nextGaussian()))
+    val df = data.toDF("features", "y")
+    val sizes = conf.sizes
+    // fit's true flat layout: [W0|b0|W1|b1|headW|headB]
+    def flat(m: CnnRegressor.CnnRegressionModel): Array[Double] =
+      m.convW.zip(m.convB).flatMap { case (w, b) => w ++ b } ++
+        m.headW ++ Array(m.headB)
+    val m0 = CnnRegressor.fit(df, "y", conf)
+    val m1 = CnnRegressor.fit(df, "y", conf.copy(epochs = 1))
+    assert(m0.activation == act)
+    val w0 = flat(m0)
+    val n = data.length
+    val analytic = w0.zip(flat(m1)).map { case (a, b) => (a - b) * n / lr }
+    val allX = data.flatMap(_._1.toArray)
+    val fMean = allX.sum / allX.length
+    val fStd = { val v = allX.map(x => (x - fMean) * (x - fMean)).sum / allX.length
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    val yMean = data.map(_._2).sum / n
+    val yStd = { val v = data.map(r => math.pow(r._2 - yMean, 2)).sum / n
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    val cL = sizes.last
+    def loss(w: Array[Double]): Double = {
+      var off = 0
+      def take(m: Int) = { val a = java.util.Arrays.copyOfRange(w, off, off + m); off += m; a }
+      val convW = new Array[Array[Double]](sizes.length)
+      val convB = new Array[Array[Double]](sizes.length)
+      for (l <- sizes.indices) {
+        val cin = if (l == 0) 1 else sizes(l - 1)
+        convW(l) = take(cin * sizes(l) * conf.kernel)
+        convB(l) = take(sizes(l))
+      }
+      val headW = take(cL)
+      val headB = take(1)(0)
+      data.map { case (xv, y) =>
+        val x = xv.toArray.map(v => (v - fMean) / fStd)
+        val out = CnnRegressor.forwardMasked(x, conf.kernel, conf.stride,
+          sizes, convW, convB, headW, headB, (_, _) => 1.0, act)
+        val e = out - (y - yMean) / yStd
+        0.5 * e * e
+      }.sum
+    }
+    val eps = 1e-5
+    for (i <- w0.indices) {
+      val wp = w0.clone(); wp(i) += eps
+      val wm = w0.clone(); wm(i) -= eps
+      val num = (loss(wp) - loss(wm)) / (2 * eps)
+      val err = math.abs(num - analytic(i)) / math.max(1.0, math.abs(num))
+      assert(err < 1e-4, s"[$act] weight $i: analytic=${analytic(i)} numeric=$num")
+    }
+  }
+
+  test("activation default-off keeps the former fit bit-for-bit; S11 routes it") {
+    val rows = windows(60, 31L)
+    val df = rows.toDF("features", "label")
+    val base = CnnRegressor.CnnConfig(channels = 2, layers = 2, epochs = 10, lr = 0.2)
+    val a = CnnRegressor.fit(df, "label", base)
+    val b = CnnRegressor.fit(df, "label", base.copy(activation = "tanh"))
+    assert(a.convW.flatten.toSeq == b.convW.flatten.toSeq)
+    val m = CnnRegressor.fit(df, "label", base.copy(activation = "relu", epochs = 25))
+    val dir = java.nio.file.Files.createTempDirectory("cnn_act").toString
+    CnnRegressor.save(m, s"$dir/model")
+    val back = CnnRegressor.load(spark, s"$dir/model")
+    assert(back.activation == "relu")
+    rows.take(5).foreach { case (v, _) =>
+      assert(java.lang.Double.doubleToRawLongBits(back.predict(v)) ==
+        java.lang.Double.doubleToRawLongBits(m.predict(v)))
+    }
+  }
+
   test("S11: CNN model round-trips through save/load with identical predictions") {
     val rows = windows(80, 29L)
     val df = rows.toDF("features", "label")

@@ -148,6 +148,64 @@ class GradCheckSpec extends AnyFunSuite {
     checkAll(w0, analytic, loss)
   }
 
+  test("bidirectional lstm gradient vs its own masked forward (pins the two-cell BPTT)") {
+    // the reference's Bidirectional(LSTM) wrapper
+    // (predictor_plugin_lstm.py:506-510): independent backward cell over
+    // the reversed sequence, concat readout — the check covers both
+    // cells' gate weights, the 2u head, and per-direction variational
+    // recurrent masks
+    val u = 2; val t = 4
+    val drop = 0.5; val rDrop = 0.4; val lr = 0.3; val seed = 13L
+    val rnd = new scala.util.Random(53)
+    val data = Seq.fill(6)((Vectors.dense(Array.fill(t)(rnd.nextGaussian())),
+      rnd.nextGaussian()))
+    val df = data.toDF("features", "y")
+    val conf = LstmRegressor.LstmConfig(units = u, epochs = 0, lr = lr,
+      seed = seed, bidirectional = true)
+    // fit's flat layout: [wx|wh|b|headW_f(u)|headB|wx2|wh2|b2|headW_b(u)]
+    def flat(m: LstmRegressor.LstmRegressionModel): Array[Double] =
+      m.wx ++ m.wh ++ m.b ++ m.headW.take(u) ++ Array(m.headB) ++
+        m.wx2 ++ m.wh2 ++ m.b2 ++ m.headW.drop(u)
+    val m0 = LstmRegressor.fit(df, "y", conf, dropout = drop,
+      recurrentDropout = rDrop)
+    assert(m0.bidirectional && m0.headW.length == 2 * u)
+    val w0 = flat(m0)
+    val w1 = flat(LstmRegressor.fit(df, "y", conf.copy(epochs = 1),
+      dropout = drop, recurrentDropout = rDrop))
+    val n = data.length
+    val analytic = w0.zip(w1).map { case (a, b) => (a - b) * n / lr }
+    val allX = data.flatMap(_._1.toArray)
+    val fMean = allX.sum / allX.length
+    val fStd = { val v = allX.map(x => (x - fMean) * (x - fMean)).sum / allX.length
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    val yMean = data.map(_._2).sum / n
+    val yStd = { val v = data.map(r => math.pow(r._2 - yMean, 2)).sum / n
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    val mkHead = Array.tabulate(2 * u)(i =>
+      if (McDropout.uniform(seed, 0L, -1, 0, i) < drop) 0.0 else 1.0 / (1.0 - drop))
+    val mkR = Array.tabulate(u)(i =>
+      if (McDropout.uniform(seed, 0L, -1, 1, i) < rDrop) 0.0 else 1.0 / (1.0 - rDrop))
+    val mkR2 = Array.tabulate(u)(i =>
+      if (McDropout.uniform(seed, 0L, -1, 2, i) < rDrop) 0.0 else 1.0 / (1.0 - rDrop))
+    def loss(w: Array[Double]): Double = {
+      var off = 0
+      def take(m: Int) = { val a = java.util.Arrays.copyOfRange(w, off, off + m); off += m; a }
+      val wx = take(4 * u); val wh = take(4 * u * u); val b = take(4 * u)
+      val hwF = take(u); val headB = take(1)(0)
+      val wx2 = take(4 * u); val wh2 = take(4 * u * u); val b2 = take(4 * u)
+      val hwB = take(u)
+      val headW = (hwF ++ hwB).zip(mkHead).map { case (x, m) => x * m }
+      data.map { case (xv, y) =>
+        val x = xv.toArray.map(v => (v - fMean) / fStd)
+        val out = LstmRegressor.forwardMasked(x, u, wx, wh, b, headW, headB,
+          (l, v) => if (l == 0) mkR(v) else mkR2(v), wx2, wh2, b2)
+        val e = out - (y - yMean) / yStd
+        0.5 * e * e
+      }.sum
+    }
+    checkAll(w0, analytic, loss)
+  }
+
   test("nbeats gradient vs its own masked forward (pins the residual stack)") {
     val t = 6
     val conf = NBeatsRegressor.NBeatsConfig(blocks = 2, layers = 2, units = 3,
@@ -229,6 +287,56 @@ class GradCheckSpec extends AnyFunSuite {
         val x = xv.toArray.map(v => (v - fMean) / fStd)
         val out = AttentionRegressor.forwardMasked(x, d, nH, wE, pos, wq, wk, wv,
           headW, headB, (_, _) => 1.0)
+        val e = out - (y - yMean) / yStd
+        0.5 * e * e
+      }.sum
+    }
+    checkAll(w0, analytic, loss)
+  }
+
+  test("attention gradient with layerNorm (pins the residual + LN backward)") {
+    // the reference transformer's post-attention block
+    // (predictor_plugin_transformer.py:73-74): Add(e, a) then
+    // LayerNormalization — the check covers the LN gain/bias and the
+    // residual's split gradient alongside the attention weights
+    val d = 4; val nH = 2; val t = 4
+    val drop = 0.5; val lr = 0.3; val seed = 17L
+    val rnd = new scala.util.Random(43)
+    val data = Seq.fill(6)((Vectors.dense(Array.fill(t)(rnd.nextGaussian())),
+      rnd.nextGaussian()))
+    val df = data.toDF("features", "y")
+    val conf = AttentionRegressor.AttnConfig(dim = d, heads = nH, epochs = 0,
+      lr = lr, seed = seed, layerNorm = true)
+    def flat(m: AttentionRegressor.AttentionRegressionModel): Array[Double] =
+      m.wE ++ m.pos ++ m.wq ++ m.wk ++ m.wv ++ m.headW ++ Array(m.headB) ++
+        m.lnG ++ m.lnB
+    val w0 = flat(AttentionRegressor.fit(df, "y", conf, dropout = drop))
+    val w1 = flat(AttentionRegressor.fit(df, "y", conf.copy(epochs = 1), dropout = drop))
+    val n = data.length
+    val analytic = w0.zip(w1).map { case (a, b) => (a - b) * n / lr }
+    val allX = data.flatMap(_._1.toArray)
+    val fMean = allX.sum / allX.length
+    val fStd = { val v = allX.map(x => (x - fMean) * (x - fMean)).sum / allX.length
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    val yMean = data.map(_._2).sum / n
+    val yStd = { val v = data.map(r => math.pow(r._2 - yMean, 2)).sum / n
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    val mkHead = Array.tabulate(d)(i =>
+      if (McDropout.uniform(seed, 0L, -1, 0, i) < drop) 0.0 else 1.0 / (1.0 - drop))
+    assert(mkHead.contains(0.0), "seed must drop a unit to exercise the mask")
+    def loss(w: Array[Double]): Double = {
+      var off = 0
+      def take(m: Int) = { val a = java.util.Arrays.copyOfRange(w, off, off + m); off += m; a }
+      val wE = take(d); val pos = take(t * d)
+      val wq = take(d * d); val wk = take(d * d); val wv = take(d * d)
+      val headW = take(d)
+      val headB = take(1)(0)
+      val lnG = take(d); val lnB = take(d)
+      data.map { case (xv, y) =>
+        val x = xv.toArray.map(v => (v - fMean) / fStd)
+        // LN mode masks per attended entry (constant across positions)
+        val out = AttentionRegressor.forwardMasked(x, d, nH, wE, pos, wq, wk, wv,
+          headW, headB, (_, idx) => mkHead(idx % d), lnG, lnB)
         val e = out - (y - yMean) / yStd
         0.5 * e * e
       }.sum

@@ -78,6 +78,75 @@ class LstmRegressorSpec extends AnyFunSuite {
     }
   }
 
+  test("bidirectional default-off keeps the former fit bit-for-bit") {
+    val train = windows(40, 21L).toDF("features", "label")
+    val base = LstmRegressor.LstmConfig(units = 3, epochs = 8)
+    val a = LstmRegressor.fit(train, "label", base)
+    val b = LstmRegressor.fit(train, "label", base.copy(bidirectional = false))
+    assert(a.wx.toSeq == b.wx.toSeq && a.wh.toSeq == b.wh.toSeq &&
+      a.headW.toSeq == b.headW.toSeq && a.headB == b.headB)
+    assert(a.wx2 == null && !a.bidirectional)
+  }
+
+  test("bidirectional LSTM fits a direction-asymmetric teacher the forward cell can't") {
+    // y = f(x(0)): the forward cell must carry position 0 across T
+    // steps of decaying state; the backward cell reads it at its LAST
+    // step (predictor_plugin_lstm.py:506-510 Bidirectional rationale)
+    val T = 16
+    val rnd = new java.util.Random(33L)
+    val rows = (0 until 150).map { _ =>
+      val x = Array.fill(T)(rnd.nextGaussian())
+      (org.apache.spark.ml.linalg.Vectors.dense(x), math.tanh(2.0 * x(0)))
+    }
+    val df = rows.toDF("features", "label").cache()
+    try {
+      def mse(bi: Boolean): Double = {
+        val m = LstmRegressor.fit(df, "label",
+          LstmRegressor.LstmConfig(units = 3, epochs = 120, lr = 0.2,
+            bidirectional = bi))
+        rows.map { case (v, y) => val e = m.predict(v) - y; e * e }.sum / rows.size
+      }
+      val (fwd, bi) = (mse(false), mse(true))
+      assert(bi < 0.5 * fwd,
+        s"bidirectional should dominate on an early-position teacher: bi=$bi fwd=$fwd")
+    } finally { df.unpersist(); () }
+  }
+
+  test("S11: bidirectional artifacts round-trip; pre-bi artifacts load forward-only") {
+    val train = windows(50, 27L).toDF("features", "label")
+    val m = LstmRegressor.fit(train, "label",
+      LstmRegressor.LstmConfig(units = 3, epochs = 20, bidirectional = true))
+    val path = java.nio.file.Files.createTempDirectory("model").toString + "/lstm_bi"
+    LstmRegressor.save(m, path)
+    val back = LstmRegressor.load(spark, path)
+    assert(back.bidirectional && back.headW.length == 6)
+    windows(5, 17L).foreach { case (v, _) =>
+      assert(java.lang.Double.doubleToRawLongBits(back.predict(v)) ==
+        java.lang.Double.doubleToRawLongBits(m.predict(v)))
+    }
+    // a pre-bidirectional artifact (no wx2/wh2/b2 columns) loads forward-only
+    val fm = LstmRegressor.fit(train, "label",
+      LstmRegressor.LstmConfig(units = 3, epochs = 10))
+    LstmRegressor.save(fm, path + "_fwd")
+    val legacy = spark.read.parquet(path + "_fwd").drop("wx2", "wh2", "b2")
+    legacy.coalesce(1).write.mode("overwrite").parquet(path + "_legacy")
+    val backF = LstmRegressor.load(spark, path + "_legacy")
+    assert(!backF.bidirectional)
+    windows(5, 19L).foreach { case (v, _) =>
+      assert(java.lang.Double.doubleToRawLongBits(backF.predict(v)) ==
+        java.lang.Double.doubleToRawLongBits(fm.predict(v)))
+    }
+    // MC-dropout honors the backward cell (rate = 0 ≡ predict)
+    import org.apache.spark.sql.functions._
+    val withId = train.withColumn("id", monotonically_increasing_id())
+    val zero = McDropout.predictWithUncertainty(m, withId, "id", "features",
+      passes = 4, rate = 0.0, seed = 7L)
+      .withColumn("plain", udf((v: org.apache.spark.ml.linalg.Vector) => m.predict(v))
+        .apply(col("features")))
+    assert(zero.filter(col("pred_unc") =!= 0.0).count() == 0)
+    assert(zero.filter(col("pred_mean") =!= col("plain")).count() == 0)
+  }
+
   test("fitPerHorizonLstm: Forecaster contract — predict adds pred_h columns") {
     import org.apache.spark.sql.functions._
     val xs = new Array[Double](260)

@@ -67,6 +67,84 @@ class TftRegressorSpec extends AnyFunSuite {
     assert(mkHead.contains(0.0), s"seed $seed dropped no unit: ${mkHead.mkString(",")}")
   }
 
+  test("tft gradient with layerNorm + 2 encoder layers (pins the LN/stacked backward)") {
+    // the reference architecture's true shape: LayerNormalization at
+    // every GRN tail + the post-attention residual
+    // (predictor_plugin_tft.py:85,127) and tft_lstm_layers = 2
+    // (:113-116); the finite-difference check covers EVERY weight,
+    // including the appended layer-2 LSTM/GRN blocks and LN gain/bias
+    val u = 4; val nH = 2; val t = 5
+    val drop = 0.5; val lr = 0.3; val seed = 23L
+    val rnd = new scala.util.Random(61)
+    val data = Seq.fill(5)((Vectors.dense(Array.fill(t)(rnd.nextGaussian())),
+      rnd.nextGaussian()))
+    val df = data.toDF("features", "y")
+    val conf = TftRegressor.TftConfig(units = u, heads = nH, epochs = 0,
+      lr = lr, seed = seed, lstmLayers = 2, layerNorm = true)
+    val m0 = TftRegressor.fit(df, "y", conf, dropout = drop)
+    val m1 = TftRegressor.fit(df, "y", conf.copy(epochs = 1), dropout = drop)
+    val w0 = m0.weights
+    val n = data.length
+    val analytic = w0.zip(m1.weights).map { case (a, b) => (a - b) * n / lr }
+    val allX = data.flatMap(_._1.toArray)
+    val fMean = allX.sum / allX.length
+    val fStd = { val v = allX.map(x => (x - fMean) * (x - fMean)).sum / allX.length
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    val yMean = data.map(_._2).sum / n
+    val yStd = { val v = data.map(r => math.pow(r._2 - yMean, 2)).sum / n
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    val mkHead = Array.tabulate(u)(i =>
+      if (McDropout.uniform(seed, 0L, -1, 0, i) < drop) 0.0 else 1.0 / (1.0 - drop))
+    def loss(w: Array[Double]): Double =
+      data.map { case (xv, y) =>
+        val x = xv.toArray.map(v => (v - fMean) / fStd)
+        val out = TftRegressor.forwardMasked(x, u, nH, w, (_, i) => mkHead(i),
+          layers = 2, ln = true)
+        val e = out - (y - yMean) / yStd
+        0.5 * e * e
+      }.sum
+    val eps = 1e-5
+    for (i <- w0.indices) {
+      val wp = w0.clone(); wp(i) += eps
+      val wm = w0.clone(); wm(i) -= eps
+      val num = (loss(wp) - loss(wm)) / (2 * eps)
+      val err = math.abs(num - analytic(i)) / math.max(1.0, math.abs(num))
+      assert(err < 1e-4, s"weight $i: analytic=${analytic(i)} numeric=$num")
+    }
+    assert(mkHead.contains(0.0), s"seed $seed dropped no unit: ${mkHead.mkString(",")}")
+  }
+
+  test("layerNorm default-off keeps the former fit bit-for-bit") {
+    val rows = windows(30, 41L)
+    val df = rows.toDF("features", "label")
+    val base = TftRegressor.TftConfig(units = 4, heads = 2, epochs = 8, lr = 0.1)
+    val a = TftRegressor.fit(df, "label", base)
+    val b = TftRegressor.fit(df, "label", base.copy(lstmLayers = 1, layerNorm = false))
+    assert(a.weights.toSeq == b.weights.toSeq)
+  }
+
+  test("flagged LN + stacked path trains (loss decreases) and round-trips S11") {
+    val rows = windows(40, 43L)
+    val df = rows.toDF("features", "label").cache()
+    try {
+      val conf = TftRegressor.TftConfig(units = 4, heads = 2, epochs = 60,
+        lr = 0.05, momentum = 0.0, lstmLayers = 2, layerNorm = true)
+      def mse(m: TftRegressor.TftRegressionModel): Double =
+        rows.map { case (v, y) => val e = m.predict(v) - y; e * e }.sum / rows.size
+      val early = mse(TftRegressor.fit(df, "label", conf.copy(epochs = 1)))
+      val m = TftRegressor.fit(df, "label", conf)
+      assert(mse(m) < early, s"LN path not training: ${mse(m)} vs $early")
+      val dir = java.nio.file.Files.createTempDirectory("tft_ln_s11").toString
+      TftRegressor.save(m, s"$dir/model")
+      val back = TftRegressor.load(spark, s"$dir/model")
+      assert(back.lstmLayers == 2 && back.layerNorm)
+      rows.take(5).foreach { case (v, _) =>
+        assert(java.lang.Double.doubleToRawLongBits(back.predict(v)) ==
+          java.lang.Double.doubleToRawLongBits(m.predict(v)))
+      }
+    } finally { df.unpersist(); () }
+  }
+
   test("descent strictly decreases the loss from init") {
     val rows = windows(12, 7L)
     val df = rows.toDF("features", "label")

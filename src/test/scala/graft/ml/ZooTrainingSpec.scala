@@ -122,6 +122,87 @@ class ZooTrainingSpec extends AnyFunSuite {
     assert(maxErr < 1e-4)
   }
 
+  for (act <- Seq("relu", "elu"))
+  test(s"tcn $act gradient vs its own forward (activation routing, $act)") {
+    val c = 2; val k = 2; val blocks = 2; val t = 4; val lr = 0.5
+    val rnd = new scala.util.Random(29)
+    val data = Seq.fill(6)((Vectors.dense(Array.fill(t)(rnd.nextGaussian())),
+      rnd.nextGaussian()))
+    val df = data.toDF("features", "y")
+    val conf = TcnRegressor.TcnConfig(channels = c, kernel = k, blocks = blocks,
+      epochs = 0, lr = lr, momentum = 0.9, seed = 7L, activation = act)
+    def flat(m: TcnRegressor.TcnRegressionModel): Array[Double] =
+      (m.convW(0) ++ m.convB(0) ++ m.convW(1) ++ m.convB(1) ++ m.skipP ++
+        m.headW ++ Array(m.headB))
+    val m0 = TcnRegressor.fit(df, "y", conf)
+    assert(m0.activation == act)
+    val w0 = flat(m0)
+    val w1 = flat(TcnRegressor.fit(df, "y", conf.copy(epochs = 1)))
+    val n = data.length
+    val analytic = w0.zip(w1).map { case (a, b) => (a - b) * n / lr }
+    val allX = data.flatMap(_._1.toArray)
+    val fMean = allX.sum / allX.length
+    val fStd = { val v = allX.map(x => (x - fMean) * (x - fMean)).sum / allX.length
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    val ys0 = data.map(_._2)
+    val yMean = ys0.sum / n
+    val yStd = { val v = ys0.map(y => (y - yMean) * (y - yMean)).sum / n
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s }
+    def loss(w: Array[Double]): Double = {
+      var off = 0
+      def take(m: Int) = { val a = java.util.Arrays.copyOfRange(w, off, off + m); off += m; a }
+      val cw0 = take(c * k); val cb0 = take(c)
+      val cw1 = take(c * c * k); val cb1 = take(c)
+      val skipP = take(c)
+      val headW = take(c)
+      val headB = take(1)(0)
+      data.map { case (xv, y) =>
+        val x = xv.toArray.map(v => (v - fMean) / fStd)
+        val out = TcnRegressor.forwardMasked(x, c, k, blocks,
+          Array(cw0, cw1), Array(cb0, cb1), skipP, headW, headB,
+          (_, _) => 1.0, act)
+        val e = out - (y - yMean) / yStd
+        0.5 * e * e
+      }.sum
+    }
+    val eps = 1e-5
+    for (i <- w0.indices) {
+      val wp = w0.clone(); wp(i) += eps
+      val wm = w0.clone(); wm(i) -= eps
+      val num = (loss(wp) - loss(wm)) / (2 * eps)
+      val err = math.abs(num - analytic(i)) / math.max(1.0, math.abs(num))
+      assert(err < 1e-4, s"[$act] weight $i: analytic=${analytic(i)} numeric=$num")
+    }
+  }
+
+  test("pipeline wiring: architecture knobs reach the heads (activation/LN/layers/bi)") {
+    import graft.pipeline.ForecastPipeline
+    val rnd = new java.util.Random(11L)
+    val rows = (0 until 30).map { _ =>
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian()
+      (a, b, a + 0.5 * b)
+    }
+    val df = rows.toDF("f1", "f2", "target_h1")
+    val cols = Seq("f1", "f2")
+    val conf = ForecastPipeline.MlpConf(hidden = 4, epochs = 2, lr = 0.1,
+      activation = "relu", layerNorm = true, lstmLayers = 2, bidirectional = true)
+    val cnn = ForecastPipeline.fitHead(df, cols, Seq(1), "cnn", conf)(1)
+      .asInstanceOf[CnnRegressor.CnnRegressionModel]
+    assert(cnn.activation == "relu")
+    val tcn = ForecastPipeline.fitHead(df, cols, Seq(1), "tcn", conf)(1)
+      .asInstanceOf[TcnRegressor.TcnRegressionModel]
+    assert(tcn.activation == "relu")
+    val lstm = ForecastPipeline.fitHead(df, cols, Seq(1), "lstm", conf)(1)
+      .asInstanceOf[LstmRegressor.LstmRegressionModel]
+    assert(lstm.bidirectional)
+    val tft = ForecastPipeline.fitHead(df, cols, Seq(1), "tft", conf)(1)
+      .asInstanceOf[TftRegressor.TftRegressionModel]
+    assert(tft.lstmLayers == 2 && tft.layerNorm)
+    val attn = ForecastPipeline.fitHead(df, cols, Seq(1), "attention", conf)(1)
+      .asInstanceOf[AttentionRegressor.AttentionRegressionModel]
+    assert(attn.lnG != null)
+  }
+
   test("pipeline wiring: MlpConf.dropout reaches the sequence heads") {
     import graft.pipeline.ForecastPipeline
     def writeSplit(n: Int, x0: Double): String = {
