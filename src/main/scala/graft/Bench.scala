@@ -44,6 +44,20 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Contention-suspect rule for the settle pass: a query whose cold
+    * time is both 3× and 0.75 s above its own warmed time is recording
+    * first-touch-or-neighbor noise, not a plan property (a real plan
+    * regression moves warm time too). Failed queries are excluded (their
+    * timings are crash latencies); the worst 12 by cold time bound the
+    * extra wall-clock.
+    */
+  private[graft] def settleSuspects(cold: Seq[(String, Double)],
+      warmedMap: Map[String, Double], failed: Set[String]): Set[String] =
+    cold.filter { case (n, t) =>
+      val w = warmedMap.getOrElse(n, t)
+      !failed.contains(n) && t > math.max(3.0 * w, w + 0.75)
+    }.sortBy(-_._2).take(12).map(_._1).toSet
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -98,6 +112,27 @@ object Bench {
     val warmed = timedPass()
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
+    // SETTLE pass (r8 verdict: the committed BENCH_r08 artifact recorded
+    // contention-polluted numbers — q52 5.80 s cold vs 0.78 s on a quiet
+    // host — which the calmc instrumentation DETECTED but the artifact
+    // didn't correct). Any query whose cold time is far above its warmed
+    // time (> max(3×warm, warm+0.75 s)) is a contention/first-touch
+    // suspect, not a plan property: re-time it once more, steady-state,
+    // and emit the third number as `queries_settled`. A contended run
+    // thus self-annotates — cold stays the honest first-touch record,
+    // settled is the reproducible floor a reader should trust for
+    // plan-vs-plan comparison. Capped at 12 re-runs to bound wall-clock;
+    // calmc_post brackets the settle pass like pre/mid bracket the
+    // first two.
+    val suspects = settleSuspects(cold, warmed.toMap, failed.toSet)
+    val calmcPost = if (suspects.nonEmpty) calibrateParallel(nCal) else calmcMid
+    val settled = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => suspects.contains(q._1))
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try run(fn, sfDir) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     // The driver keeps only the LAST 2000 chars of the log (measured from
     // BENCH_r03.json), and sbt appends a ~75-char "[success] Total time"
     // line after us — r3's full-name cold+warm line was ~4.5k chars, so
@@ -116,16 +151,22 @@ object Bench {
     val totalWarm = warmed.map(_._2).sum
     val cal = calibrate()
     val cals = s""""cal_pre":${r3(calPre)},"cal_mid":${r3(calMid)},"cal_sec":${r3(cal)},""" +
-      s""""calmc_pre":${r3(calmcPre)},"calmc_mid":${r3(calmcMid)}"""
+      s""""calmc_pre":${r3(calmcPre)},"calmc_mid":${r3(calmcMid)},"calmc_post":${r3(calmcPost)}"""
+    val settledJs =
+      if (settled.isEmpty) "" else s""","queries_settled":${js(settled, short = true)}"""
     val head = s"""{"metric":"total","value":${r3(total)},"value_warmed":${r3(totalWarm)},""" +
       s""""unit":"sec","sf":"$sfDir","n_queries":${cold.size},$cals"""
-    val withWarm = s"""$head,"queries":${js(cold, short = true)},"queries_warmed":${js(warmed, short = true)}}"""
+    val withWarm = s"""$head,"queries":${js(cold, short = true)},"queries_warmed":${js(warmed, short = true)}$settledJs}"""
+    val noSettle = s"""$head,"queries":${js(cold, short = true)},"queries_warmed":${js(warmed, short = true)}}"""
     val line =
       if (withWarm.length <= 1850) withWarm
+      else if (noSettle.length <= 1850) noSettle
       else s"""$head,"queries":${js(cold, short = true)}}"""
+    val settledFull =
+      if (settled.isEmpty) "" else s""","queries_settled":${js(settled, short = false)}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       s"""{"value":${r3(total)},"value_warmed":${r3(totalWarm)},"sf":"$sfDir",$cals,""" +
-        s""""queries":${js(cold, short = false)},"queries_warmed":${js(warmed, short = false)}}""")
+        s""""queries":${js(cold, short = false)},"queries_warmed":${js(warmed, short = false)}$settledFull}""")
     println(line)
     // drop persisted memo handles before shutdown — a long-lived harness
     // JVM (sbt session, multi-round driver) must not retain them
