@@ -75,6 +75,43 @@ object Plots {
       .drop("__b")
   }
 
+  /** Rank-based downsample: bucket edges are the (1..K-1)/K approximate
+    * quantiles of x, so every bucket holds ~1/K of the ROWS regardless
+    * of how the axis values cluster — the fix for value-bucketing's
+    * degeneracy on non-uniform x (a series with 95% of its timestamps
+    * in one burst collapses `downsample`'s uniform grid into a few
+    * buckets; here it still yields ~maxPoints plot points).
+    *
+    * Same scale shape as the default path: ONE extra aggregate
+    * (approx_percentile over the K-1 quantile vector, a mergeable
+    * sketch), edges collected (≤ maxPoints doubles) and re-broadcast as
+    * a literal into the O(log K)/row [[graft.functions.BucketSearch]],
+    * then the identical dsum-mean kernel — no global sort, partial
+    * aggregation absorbs corpus growth. Kept OFF the q102 oracle path:
+    * approx_percentile's sketch is not DuckDB-matchable, so the default
+    * `downsample` stays the hash-exact contract and this is the
+    * explicitly-chosen variant for skewed axes.
+    */
+  def downsampleQuantile(df: DataFrame, xCol: String, yCols: Seq[String],
+      maxPoints: Int = 1500, accuracy: Int = 10000): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    val x = col(xCol).cast("double")
+    val ps = (1 until maxPoints).map(_.toDouble / maxPoints)
+    val edgeRow = df.agg(
+      approx_percentile(x, array(ps.map(lit): _*), lit(accuracy))).head()
+    if (edgeRow.isNullAt(0)) // empty input: an empty plot, not an NPE
+      return df.select((xCol +: yCols).map(c => col(c).cast("double").as(c)): _*).limit(0)
+    val edges = edgeRow.getSeq[Double](0).toArray
+    def dAvg(c: Column) = round(
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double") /
+        count(lit(1)), 6)
+    df.groupBy(graft.functions.BucketSearch(x,
+        array(edges.toSeq.map(lit): _*)).as("__b"))
+      .agg(dAvg(x).as(xCol), yCols.map(c => dAvg(col(c)).as(c)): _*)
+      .drop("__b")
+      .orderBy(col(xCol))
+  }
+
   /** Last-N slice on the x order (the reference's `plot_points`
     * contract) without a global sort: one max(x) aggregate, then a
     * pushed-down range filter. `n` is approximate under duplicate x

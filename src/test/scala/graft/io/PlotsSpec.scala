@@ -34,6 +34,40 @@ class PlotsSpec extends AnyFunSuite {
       b.map(r => (r.getDouble(0), r.getDouble(1))).toSeq)
   }
 
+  // a clustered axis: 95% of the points in a dense burst at x∈[0,1],
+  // the rest sparsely spread to x=1000 — uniform value-bucketing puts
+  // the burst in ~1 bucket
+  private def clustered(n: Int) = (0 until n).map { i =>
+    val x = if (i >= 10) (i % 997) / 997.0 // dense burst in [0,1]
+            else (i + 1) * 100.0           // 10 far outliers up to x=1000
+    (x, math.sin(x) * 3, math.cos(x))
+  }.toDF("x", "a", "b")
+
+  test("downsampleQuantile keeps ~maxPoints buckets on a clustered axis " +
+      "where value-bucketing degenerates (r8 verdict)") {
+    val df = clustered(20000).repartition(16)
+    val uniform = Plots.downsample(df, "x", Seq("a"), maxPoints = 200).collect()
+    val ranked = Plots.downsampleQuantile(df, "x", Seq("a"), maxPoints = 200).collect()
+    // uniform grid: the dense burst collapses into few buckets
+    assert(uniform.length < 100, s"expected degenerate uniform grid, got ${uniform.length}")
+    // quantile edges: at least maxPoints/2 non-empty buckets survive
+    assert(ranked.length >= 100, s"expected >=100 rank buckets, got ${ranked.length}")
+    assert(ranked.length <= 200)
+    val xs = ranked.map(_.getAs[Double]("x"))
+    assert(xs.sameElements(xs.sorted), "x must come back ordered")
+  }
+
+  test("downsampleQuantile is partitioning-independent and empty-safe") {
+    val a = Plots.downsampleQuantile(clustered(5000).repartition(1), "x", Seq("a"), 100).collect()
+    val b = Plots.downsampleQuantile(clustered(5000).repartition(13), "x", Seq("a"), 100).collect()
+    assert(a.map(r => (r.getDouble(0), r.getDouble(1))).toSeq ==
+      b.map(r => (r.getDouble(0), r.getDouble(1))).toSeq)
+    val empty = wave(10).filter(col("x") < -1)
+    val out = Plots.downsampleQuantile(empty, "x", Seq("a"), 50)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq == Seq("x", "a"))
+  }
+
   test("downsample of an empty frame returns an empty frame, not an NPE") {
     val empty = wave(10).filter(col("x") < -1)
     val out = Plots.downsample(empty, "x", Seq("a"), 50)
