@@ -1,0 +1,196 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+import graft.metrics.Metrics
+import graft.ml.{Forecaster, Optimizer}
+import graft.target.Targets
+
+/** SURVEY §5(b) QUANTITATIVE golden parity: run the forecast pipeline on
+  * the reference's own committed phase-1 EURUSD hourly bars and emit the
+  * reference's results-CSV grid with metrics in DENORMALIZED PRICE space
+  * (`pipeline_plugins/stl_metrics.py:66-90`: MAE/R² on
+  * `denormalize(pred)` vs `denormalize(target)`, Uncertainty =
+  * `mean|denormalize_returns(unc)|`, SNR = `mean(pred_price)/(unc+1e-9)`)
+  * so the committed artifact's magnitudes are directly comparable to
+  * `examples/results/phase_1/phase_1_ann_12600_1h_results.csv` and
+  * `…_1575_…` — the quality-parity evidence `QuantParitySpec` asserts.
+  *
+  * Input reconstruction (the experiment's exact train file is not in the
+  * reference's committed data):
+  *   - the reference trains on `normalized_d4.csv` (hourly EURUSD
+  *     2012-09→2017-09, z-scored per `normalization_config_b.json`),
+  *     validates on `normalized_d5`, tests on `normalized_d6`
+  *     (`examples/config/phase_1/phase_1_ann_12600_1h_config.json`).
+  *     Only `base_d5`/`base_d6` (the SAME validation/test periods, raw)
+  *     and `base_d2`/`base_d3` (the two splits immediately BEFORE the
+  *     train period: 2010-04→2012-09, 15,424 rows) are committed.
+  *   - so: train = first `maxStepsTrain` rows of base_d2 ⧺ base_d3
+  *     (chronological), validation = base_d5, test = first 6300 rows of
+  *     base_d6 (`max_steps_test`), every column z-scored with the
+  *     committed `normalization_config_b.json` stats — identical
+  *     validation/test TARGETS to the reference run; only the training
+  *     years differ (documented in the spec's tolerance justification).
+  *
+  * Faithful-by-construction pieces: first-N row truncation
+  * (`default_preprocessor.py:144`, our `Sources.loadCsv(maxRows)`),
+  * z-normalization from the committed stats JSON (S4), tanh MLP
+  * [48, 24] (`intermediate_layers: 2`, `initial_layer_size: 48`,
+  * `layer_size_divisor: 2`, `activation: "tanh"`), mc_samples 20,
+  * horizons 1–6, population Std Dev across re-fit iterations.
+  * The model predicts h-step RETURNS (`use_returns: true` in the
+  * producing configs) with metrics reconstructed in price space.
+  * Documented re-expressions: 4 band columns + 24 CLOSE lag deltas
+  * instead of the 144-step flattened level window (the
+  * per-horizon-head boundary, SURVEY §2.9; see the feature-map comment
+  * in `main`), and the repo's r8 OptProbe-tuned AdamW regime (b8, lr
+  * 0.03, wd 1e-4) instead of Adam lr 1e-3 × batch 128 × 400 epochs +
+  * early stopping — fewer, curvature-adaptive steps reaching the same
+  * loss basin (PLANS.md round-8 table).
+  *
+  * Row-for-row diffable: the emitted grid carries the same metric set
+  * and order as the reference artifact (MAE, R2, Uncertainty, SNR —
+  * the committed runs' `metric_names`; Naive MAE is absent there
+  * because their `baseline` was None).
+  */
+object ParityRun {
+
+  val RefData = "/root/reference/examples/data/phase_1"
+
+  /** Z-score every column that has stats; leaves ts/DATE_TIME alone.
+    * Mirrors the reference preprocessor's per-column standardization
+    * that produced `normalized_d*.csv` from `base_d*.csv`. */
+  def normalize(df: DataFrame, stats: Map[String, (Double, Double)]): DataFrame =
+    stats.foldLeft(df) { case (d, (c, (mean, std))) =>
+      if (d.columns.contains(c)) d.withColumn(c, (col(c) - lit(mean)) / lit(std))
+      else d
+    }
+
+  /** One iteration's (split, metric, horizon, value) rows with metrics in
+    * price space, returns regime (`use_returns: true` — the config that
+    * produced the committed reference CSVs): the model predicts the
+    * normalized h-step return, and the metric pipeline reconstructs
+    * prices as `baseline + return` before measuring
+    * (`stl_pipeline_old.py:177-196`: MAE =
+    * `mean|denormalize_returns(pred − target)|`, R² =
+    * `r2_score(denormalize(baseline+target), denormalize(baseline+pred))`,
+    * SNR = `mean(pred_price)/(unc+1e-9)` — which the z-score affine map
+    * lets us apply algebraically): MAE and Uncertainty scale
+    * by the CLOSE std (`pScale`), R² is computed on the RECONSTRUCTED
+    * price pair (affine-invariant, so directly on
+    * `close_z + ret_z`), and SNR divides the mean reconstructed
+    * prediction PRICE by the price-unit uncertainty — which is why the
+    * reference's SNR values sit in the thousands (≈1.2 / 0.0004). */
+  def priceMetricRows(scored: DataFrame, horizons: Seq[Int], targetCol: String,
+      pScale: Double, pShift: Double, split: String): DataFrame = {
+    val closeZ = col(targetCol)
+    val aggs: Seq[Column] = horizons.flatMap { h =>
+      Seq(
+        (Metrics.mae(col(s"pred_h$h"), col(s"target_h$h")) * lit(pScale)).as(s"mae_h$h"),
+        Metrics.r2(closeZ + col(s"pred_h$h"), closeZ + col(s"target_h$h")).as(s"r2_h$h"),
+        (avg(abs(col(s"unc_h$h"))) * lit(pScale)).as(s"uncertainty_h$h"),
+        ((avg(closeZ + col(s"pred_h$h")) * lit(pScale) + lit(pShift)) /
+          (avg(abs(col(s"unc_h$h"))) * lit(pScale) + lit(1e-9))).as(s"snr_h$h"))
+    }
+    val wide = scored
+      .filter(horizons.map(h => col(s"target_h$h").isNotNull).reduce(_ && _))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("split", lit(split))
+    horizons.flatMap { h =>
+      Seq(s"mae_h$h" -> ("MAE", h), s"r2_h$h" -> ("R2", h),
+        s"uncertainty_h$h" -> ("Uncertainty", h), s"snr_h$h" -> ("SNR", h))
+    }.map { case (c, (name, h)) =>
+      wide.select(col("split"), lit(name).as("metric"), lit(h).as("horizon"),
+        col(c).as("value"))
+    }.reduce(_.unionByName(_))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("golden/phase_1_parity")
+    val epochs = args.lift(1).map(_.toInt).getOrElse(60)
+    val variants = args.lift(2).map(_.split(",").toSeq)
+      .getOrElse(Seq("12600", "1575"))
+      .map(l => l -> l.toInt)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+
+    val stats = Sources.loadNormStats(spark, s"$RefData/normalization_config_b.json")
+    val (pShift, pScale) = stats("CLOSE")
+    val horizons = 1 to 6
+    val nLags = 24
+    // Level-invariant feature map (the documented re-expression of the
+    // reference's 144×8 normalized-level window): the 4 intra-bar band
+    // columns (already differences) + 24 CLOSE lag DELTAS
+    // `lag_i − CLOSE`. An invertible linear function of the reference's
+    // window entries that carries the same relative structure WITHOUT
+    // the absolute price level — the level shifts by whole z-units
+    // between the committed train years (2010-12, ~1.30-1.45) and the
+    // reference's val/test years (2017-20, ~1.08-1.25), and a
+    // small per-horizon head, unlike the reference's 144-wide net,
+    // cannot both memorize and ignore it.
+    val featureCols = Seq("BC-BO", "BH-BL", "BH-BO", "BO-BL") ++
+      (1 to nLags).map(i => s"lagd_$i")
+    val w = Window.orderBy(col("ts"))
+
+    def loadNorm(file: String, maxRows: Option[Int] = None): DataFrame =
+      normalize(Sources.loadCsv(spark, s"$RefData/$file", maxRows = maxRows), stats)
+
+    // train pool: the two committed splits immediately preceding the
+    // reference's train period, chronological
+    val pool = loadNorm("base_d2.csv").unionByName(loadNorm("base_d3.csv"))
+      .orderBy("ts")
+    val validation = loadNorm("base_d5.csv")
+    val test = loadNorm("base_d6.csv", maxRows = Some(6300))
+
+    // returns regime (`use_returns: true`): targets are h-step CLOSE
+    // deltas in z-units; `target_h*` naming keeps the Forecaster faces'
+    // contract
+    def featurized(df: DataFrame): DataFrame = {
+      val ret = Targets.multiHorizonReturns(df, "CLOSE", horizons, w)
+      val named = horizons.foldLeft(ret)((d, h) =>
+        d.withColumnRenamed(s"ret_h$h", s"target_h$h"))
+      val lagged = Forecaster.withLagFeatures(named, "CLOSE", nLags, Nil, Seq("ts"))
+      (1 to nLags).foldLeft(lagged)((d, i) =>
+        d.withColumn(s"lagd_$i", col(s"lag_$i") - col("CLOSE")))
+    }
+
+    val valF = featurized(validation).cache()
+    val testF = featurized(test).cache()
+
+    for ((label, maxTrain) <- variants) {
+      val trainF = featurized(pool.limit(maxTrain)).cache()
+      val iterRows = (1 to 3).map { it =>
+        val seed = 42L + 1000L * it
+        val models = Forecaster.fitPerHorizonDeepMlp(trainF, featureCols, horizons,
+          layers = Seq(48, 24), epochs = epochs, lr = 0.03, seed = seed,
+          opt = Optimizer.OptConfig(method = "adamw", batches = 8,
+            weightDecay = 1e-4))
+        Seq(("Train", trainF), ("Validation", valF), ("Test", testF)).map {
+          case (split, df) =>
+            val scored = Forecaster.predictWithUncertainty(models, df, "ts",
+              featureCols, passes = 20, rate = 0.1, seed = seed)
+            priceMetricRows(scored, horizons, "CLOSE", pScale, pShift, split)
+        }.reduce(_.unionByName(_)).withColumn("iteration", lit(it))
+      }.reduce(_.unionByName(_))
+      Sources.writeCsv(GoldenRun.resultsGolden(iterRows), s"$outDir/results_$label", Nil)
+      val dir = new java.io.File(s"$outDir/results_$label")
+      val part = dir.listFiles().find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$outDir/graft_phase_1_ann_${label}_1h_results.csv"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dir.listFiles().foreach(_.delete()); dir.delete()
+      trainF.unpersist()
+      println(s"parity artifact for $label written")
+    }
+    spark.stop()
+  }
+}
