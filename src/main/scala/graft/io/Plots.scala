@@ -59,7 +59,12 @@ object Plots {
     * streaming face (`StreamOps.streamingDownsample` — a stream has no
     * global min/max, so the dashboard's axis IS the window). Unordered;
     * bucket means under the dsum discipline (exact decimal sum → double
-    * → one division → 6-dp round): order-independent, so the output is
+    * → one division → 6-dp round). DECIMAL(30,6), not the usual (18,6):
+    * a plot axis is often epoch MICROseconds (~1.7e15), and 12 integer
+    * digits overflow on the very first row — 24 digits hold a full
+    * 1e9-row bucket of epoch-micro values (found by the r9 plots
+    * ScaleProbe, which feeds unix_micros as x). Order-independent, so
+    * the output is
     * bitwise identical under any partitioning, batch ≡ streaming on the
     * same rows, AND matchable by the DuckDB oracle (q102 pins the plan).
     */
@@ -68,7 +73,7 @@ object Plots {
     require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
     val x = col(xCol).cast("double")
     def dAvg(c: Column) = round(
-      sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double") /
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(30, 6))).cast("double") /
         count(lit(1)), 6)
     df.groupBy(bucketExpr(x, xMin, xMax, maxPoints).as("__b"))
       .agg(dAvg(x).as(xCol), yCols.map(c => dAvg(col(c)).as(c)): _*)
@@ -103,7 +108,7 @@ object Plots {
       return df.select((xCol +: yCols).map(c => col(c).cast("double").as(c)): _*).limit(0)
     val edges = edgeRow.getSeq[Double](0).toArray
     def dAvg(c: Column) = round(
-      sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double") /
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(30, 6))).cast("double") /
         count(lit(1)), 6)
     df.groupBy(graft.functions.BucketSearch(x,
         array(edges.toSeq.map(lit): _*)).as("__b"))

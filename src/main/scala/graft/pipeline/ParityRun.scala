@@ -166,30 +166,70 @@ object ParityRun {
     val valF = featurized(validation).cache()
     val testF = featurized(test).cache()
 
+    // chronological (oldest → newest) lag-delta sequence for the
+    // sequence heads: conv/recurrent/attention heads read the assembled
+    // feature vector as the input window in featureCols order
+    val seqCols = (nLags to 1 by -1).map(i => s"lagd_$i")
+    val adamw = Optimizer.OptConfig(method = "adamw", batches = 8,
+      weightDecay = 1e-4)
+
+    // head → (feature layout, fit). Architectures mirror the reference
+    // plugin family: ann = tanh MLP [48,24]
+    // (`predictor_plugin_ann.py`), cnn = relu conv stack
+    // (`predictor_plugin_cnn.py:27,66`), lstm = Bidirectional LSTM
+    // (`predictor_plugin_lstm.py:506-510`), transformer = multi-head
+    // attention + post-attention LayerNorm
+    // (`predictor_plugin_transformer.py:73-74`) — each as the
+    // per-horizon native head (SURVEY §2.9 M8), all under the same
+    // AdamW regime.
+    def fitFor(head: String, trainF: DataFrame, seed: Long)
+        : (Seq[String], Map[Int, Forecaster.HorizonModel]) = head match {
+      case "ann" => (featureCols, Forecaster.fitPerHorizonDeepMlp(
+        trainF, featureCols, horizons, layers = Seq(48, 24), epochs = epochs,
+        lr = 0.03, seed = seed, opt = adamw))
+      case "cnn" => (seqCols, Forecaster.fitPerHorizonCnn(
+        trainF, seqCols, horizons, graft.ml.CnnRegressor.CnnConfig(
+          channels = 16, epochs = epochs, lr = 0.03, seed = seed,
+          activation = "relu"), opt = adamw))
+      case "lstm" => (seqCols, Forecaster.fitPerHorizonLstm(
+        trainF, seqCols, horizons, graft.ml.LstmRegressor.LstmConfig(
+          units = 8, epochs = epochs, lr = 0.03, seed = seed,
+          bidirectional = true), opt = adamw))
+      case "transformer" => (seqCols, Forecaster.fitPerHorizonAttention(
+        trainF, seqCols, horizons, graft.ml.AttentionRegressor.AttnConfig(
+          dim = 8, heads = 2, epochs = epochs, lr = 0.03, seed = seed,
+          layerNorm = true), opt = adamw))
+      case other => throw new IllegalArgumentException(s"unknown parity head '$other'")
+    }
+    val heads = args.lift(3).map(_.split(",").toSeq).getOrElse(Seq("ann"))
+
     for ((label, maxTrain) <- variants) {
       val trainF = featurized(pool.limit(maxTrain)).cache()
-      val iterRows = (1 to 3).map { it =>
-        val seed = 42L + 1000L * it
-        val models = Forecaster.fitPerHorizonDeepMlp(trainF, featureCols, horizons,
-          layers = Seq(48, 24), epochs = epochs, lr = 0.03, seed = seed,
-          opt = Optimizer.OptConfig(method = "adamw", batches = 8,
-            weightDecay = 1e-4))
-        Seq(("Train", trainF), ("Validation", valF), ("Test", testF)).map {
-          case (split, df) =>
-            val scored = Forecaster.predictWithUncertainty(models, df, "ts",
-              featureCols, passes = 20, rate = 0.1, seed = seed)
-            priceMetricRows(scored, horizons, "CLOSE", pScale, pShift, split)
-        }.reduce(_.unionByName(_)).withColumn("iteration", lit(it))
-      }.reduce(_.unionByName(_))
-      Sources.writeCsv(GoldenRun.resultsGolden(iterRows), s"$outDir/results_$label", Nil)
-      val dir = new java.io.File(s"$outDir/results_$label")
-      val part = dir.listFiles().find(_.getName.startsWith("part-")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$outDir/graft_phase_1_ann_${label}_1h_results.csv"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dir.listFiles().foreach(_.delete()); dir.delete()
+      // the deep-head zoo runs at the cheap 1575 variant only (the
+      // reference's four 1575 grids are near-identical, so 1575 is the
+      // head-parity scale; 12600 is the ann data-scale anchor)
+      for (head <- heads if head == "ann" || label == "1575") {
+        val iterRows = (1 to 3).map { it =>
+          val seed = 42L + 1000L * it
+          val (feats, models) = fitFor(head, trainF, seed)
+          Seq(("Train", trainF), ("Validation", valF), ("Test", testF)).map {
+            case (split, df) =>
+              val scored = Forecaster.predictWithUncertainty(models, df, "ts",
+                feats, passes = 20, rate = 0.1, seed = seed)
+              priceMetricRows(scored, horizons, "CLOSE", pScale, pShift, split)
+          }.reduce(_.unionByName(_)).withColumn("iteration", lit(it))
+        }.reduce(_.unionByName(_))
+        Sources.writeCsv(GoldenRun.resultsGolden(iterRows),
+          s"$outDir/results_${head}_$label", Nil)
+        val dir = new java.io.File(s"$outDir/results_${head}_$label")
+        val part = dir.listFiles().find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$outDir/graft_phase_1_${head}_${label}_1h_results.csv"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dir.listFiles().foreach(_.delete()); dir.delete()
+        println(s"parity artifact for $head/$label written")
+      }
       trainF.unpersist()
-      println(s"parity artifact for $label written")
     }
     spark.stop()
   }

@@ -107,6 +107,30 @@ object ScaleProbe {
     }
     } // want(events)
 
+    // round-9: the plot SINK end-to-end (lastN → downsample → SVG
+    // write) — q102 covers the downsample kernel; this measures the
+    // full user path including lastN's approx_percentile threshold scan
+    // and the bounded (≤ maxPoints) collect into the SVG writer, at
+    // 1×/10×/100× the sf0.1 events table.
+    if (want("plots")) {
+      if (!new java.io.File("/tmp/scale10/events.parquet").exists) replicate(10, "/tmp/scale10")
+      if (!new java.io.File("/tmp/scale100/events.parquet").exists) replicate(100, "/tmp/scale100")
+      for (dir <- Seq("/root/testdata/sf0.1", "/tmp/scale10", "/tmp/scale100")) {
+        val ev = graft.io.Sources.table(spark, dir, "events")
+          .select(unix_micros(col("ts")).cast("double").as("x"), col("value").as("y"))
+        // warm the scan, then time the pieces and the whole
+        ev.write.mode("overwrite").format("noop").save()
+        val t0 = System.nanoTime()
+        graft.io.Plots.lastN(ev, "x", 100000L).write.mode("overwrite").format("noop").save()
+        val tLastN = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.io.Plots.linePlot(ev, "x", Seq("y"), "/tmp/scaleprobe_plot.svg",
+          plotPoints = 100000L, maxPoints = 1500)
+        val tLine = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE-PLOTS $dir: lastN=$tLastN%.2f s linePlot_e2e=$tLine%.2f s")
+      }
+    }
+
     // Replicated documents (5k → 50k → 500k docs; replica docs get
     // disjoint ids but IDENTICAL text, so dup groups grow with the
     // factor — the adversarial case for candidate generation: a naive

@@ -143,6 +143,35 @@ class QuantParitySpec extends AnyFunSuite {
     }
   }
 
+  /** Head-zoo parity at the 1575 scale: the reference's four
+    * 1575-grid runs (ann/cnn/lstm/transformer) are near-identical on
+    * TRAIN (H1 MAE 0.00095–0.00111) but their deep heads DEGRADE on the
+    * shifted validation/test periods (cnn validation H1 0.0041 = 4× its
+    * train; lstm validation 0.0024); our native heads (relu CNN,
+    * bidirectional LSTM, attention+LayerNorm — the r9 fidelity flags)
+    * under AdamW + level-invariant lag-delta inputs do not, so the
+    * lower band edge reaches 1/8 — every sub-1 ratio is our model
+    * BEATING the reference's committed run on its own files. Upper edge
+    * 3×, same train-years justification as the ann anchor.
+    */
+  test("head zoo (cnn, lstm, transformer) H1 MAE within [1/8, 3] at 1575") {
+    for (head <- Seq("cnn", "lstm", "transformer")) {
+      val ours = load(s"$ourDir/graft_phase_1_${head}_1575_1h_results.csv")
+      val ref = load(s"$refDir/phase_1_${head}_1575_1h_results.csv")
+      for (split <- Seq("Train", "Validation", "Test")) {
+        val r = ratio(ours, ref, s"$split MAE H1")
+        assert(r > 0.125 && r < 3.0, s"$head $split MAE H1 ratio $r outside [1/8, 3]")
+      }
+      for (h <- horizons; split <- Seq("Train", "Validation", "Test")) {
+        val r = ratio(ours, ref, s"$split MAE H$h")
+        assert(r > 1.0 / 12 && r < 12.0, s"$head $split MAE H$h ratio $r")
+        val key = s"$split R2 H$h"
+        assert(math.abs(ours(key) - ref(key)) < 0.08 && ours(key) >= 0.90,
+          s"$head $key: ours ${ours(key)} vs ref ${ref(key)}")
+      }
+    }
+  }
+
   test("Uncertainty within an order of magnitude; SNR within [1/10, 15]") {
     for (v <- Seq("12600", "1575")) forVariant(v) { (ours, ref) =>
       for (h <- horizons; split <- Seq("Train", "Validation", "Test")) {
