@@ -25,15 +25,19 @@ import graft.target.Targets
   *     2012-09→2017-09, z-scored per `normalization_config_b.json`),
   *     validates on `normalized_d5`, tests on `normalized_d6`
   *     (`examples/config/phase_1/phase_1_ann_12600_1h_config.json`).
-  *     Only `base_d5`/`base_d6` (the SAME validation/test periods, raw)
-  *     and `base_d2`/`base_d3` (the two splits immediately BEFORE the
-  *     train period: 2010-04→2012-09, 15,424 rows) are committed.
+  *     NONE of the run's exact split files are committed: the committed
+  *     `base_d2/d3/d5/d6` are a LATER RE-CUT of the same EURUSD hourly
+  *     series — the run's own prediction CSV
+  *     (`phase_1_ann_1575_1h_prediction.csv`) spans 2017-05→2018-05 and
+  *     its `test_CLOSE` values differ from the committed bars at shared
+  *     timestamps by a consistent ~100-140 pips (different feed cut).
   *   - so: train = first `maxStepsTrain` rows of base_d2 ⧺ base_d3
   *     (chronological), validation = base_d5, test = first 6300 rows of
   *     base_d6 (`max_steps_test`), every column z-scored with the
-  *     committed `normalization_config_b.json` stats — identical
-  *     validation/test TARGETS to the reference run; only the training
-  *     years differ (documented in the spec's tolerance justification).
+  *     committed `normalization_config_b.json` stats — the same
+  *     instrument, frequency, schema, normalization, and experiment
+  *     shape, on the data the reference actually commits (the spec's
+  *     tolerance justification accounts for the period/feed gap).
   *
   * Faithful-by-construction pieces: first-N row truncation
   * (`default_preprocessor.py:144`, our `Sources.loadCsv(maxRows)`),

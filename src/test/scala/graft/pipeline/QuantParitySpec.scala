@@ -8,8 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * stated factors of the reference's committed result MAGNITUDES
   * (`examples/results/phase_1/phase_1_ann_{12600,1575}_1h_results.csv`)
   * — metric grids from real runs of the reference's Keras ANN on the
-  * same instrument, the same normalization stats, the SAME
-  * validation/test files.
+  * same instrument, frequency, and normalization stats. (None of the
+  * run's exact split files are committed: the committed base bars are a
+  * later re-cut of the series — the run's own prediction CSV disagrees
+  * with them by ~100-140 pips at shared timestamps — so EVERY split
+  * differs in period/feed, which the bands below absorb.)
   *
   * Tolerance justification (each band is stated against a concrete
   * difference between the two experiments, not tuned to the output):
@@ -20,7 +23,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *     trains on the committed immediately-preceding splits
   *     (base_d2⧺d3, 2010-12); same instrument and frequency, EURUSD
   *     hourly realized volatility varies by ~2× between those regimes,
-  *     and h-step return MAE tracks realized vol. The asymmetric lower
+  *     and h-step return MAE tracks realized vol; validation/test cover
+  *     the committed d5/d6 periods vs the run's 2017-05→2018-05 window.
+  *     The asymmetric lower
   *     edge (1/4) exists because we BEAT the reference on its own
   *     degraded 1575 test split (their test MAE jumps 3× from their
   *     validation MAE; ours does not) — a ratio below 1 in our favor
