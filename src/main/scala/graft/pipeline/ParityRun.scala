@@ -63,13 +63,44 @@ import graft.target.Targets
 object ParityRun {
 
   val RefData = "/root/reference/examples/data/phase_1"
+  val RefData21 = "/root/reference/examples/data/phase_2_1"
 
-  /** Z-score every column that has stats; leaves ts/DATE_TIME alone.
-    * Mirrors the reference preprocessor's per-column standardization
-    * that produced `normalized_d*.csv` from `base_d*.csv`. */
-  def normalize(df: DataFrame, stats: Map[String, (Double, Double)]): DataFrame =
-    stats.foldLeft(df) { case (d, (c, (mean, std))) =>
-      if (d.columns.contains(c)) d.withColumn(c, (col(c) - lit(mean)) / lit(std))
+  /** One reference experiment family whose committed inputs + results
+    * grid this runner reconstructs. `minMax` selects the normalization
+    * regime (`stl_norm.py` supports both forms under the CLOSE entry):
+    * phase_1 is z-score (`normalization_config_b.json` mean/std),
+    * phase_2_1 is min-max (`phase_2_1_debug_out.json`,
+    * `normalization_range [0,1]`). `trainFiles` are absolute — the
+    * phase_2_1 run's train period (≈2010-03→2014-03, 25,200 rows,
+    * uncommitted) CONTAINS phase_1's committed base_d2⧺d3 (2010-04→
+    * 2012-09), so its reconstruction trains on an actual SUBSET of the
+    * true train window. `bandCols`: phase_2_1's schema is bare OHLC (no
+    * intra-bar band columns), so its ann features are the lag deltas
+    * alone. */
+  case class PhaseData(normJsonPath: String, minMax: Boolean,
+      trainFiles: Seq[String], valFile: String, testFile: String,
+      testMax: Int, bandCols: Seq[String], artifactPrefix: String)
+
+  val Phases: Map[String, PhaseData] = Map(
+    "1" -> PhaseData(s"$RefData/normalization_config_b.json", minMax = false,
+      Seq(s"$RefData/base_d2.csv", s"$RefData/base_d3.csv"),
+      s"$RefData/base_d5.csv", s"$RefData/base_d6.csv", 6300,
+      Seq("BC-BO", "BH-BL", "BH-BO", "BO-BL"), "graft_phase_1"),
+    "2_1" -> PhaseData(s"$RefData21/phase_2_1_debug_out.json", minMax = true,
+      Seq(s"$RefData/base_d2.csv", s"$RefData/base_d3.csv"),
+      s"$RefData21/base_d2.csv", s"$RefData21/base_d3.csv", 6300,
+      Nil, "graft_phase_2_1"))
+
+  /** Normalize every column that has stats; leaves ts/DATE_TIME alone.
+    * Mirrors the reference preprocessor's per-column standardization —
+    * z-score `(x − mean)/std` or min-max `(x − min)/(max − min)`
+    * (`normalization_range [0,1]`) — that produced `normalized_d*.csv`
+    * from `base_d*.csv`. */
+  def normalize(df: DataFrame, stats: Map[String, (Double, Double)],
+      minMax: Boolean = false): DataFrame =
+    stats.foldLeft(df) { case (d, (c, (a, b))) =>
+      val scale = if (minMax) b - a else b
+      if (d.columns.contains(c)) d.withColumn(c, (col(c) - lit(a)) / lit(scale))
       else d
     }
 
@@ -127,33 +158,38 @@ object ParityRun {
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
 
-    val stats = Sources.loadNormStats(spark, s"$RefData/normalization_config_b.json")
-    val (pShift, pScale) = stats("CLOSE")
+    val phase = Phases(args.lift(4).getOrElse("1"))
+    val stats = Sources.loadNormStats(spark, phase.normJsonPath)
+    val (closeA, closeB) = stats("CLOSE")
+    // z-denorm slope/shift of CLOSE: z-score → (std, mean); min-max →
+    // (max − min, min)
+    val (pScale, pShift) =
+      if (phase.minMax) (closeB - closeA, closeA) else (closeB, closeA)
     val horizons = 1 to 6
     val nLags = 24
     // Level-invariant feature map (the documented re-expression of the
-    // reference's 144×8 normalized-level window): the 4 intra-bar band
-    // columns (already differences) + 24 CLOSE lag DELTAS
+    // reference's 144×8 normalized-level window): the intra-bar band
+    // columns (already differences; phase_1 only) + 24 CLOSE lag DELTAS
     // `lag_i − CLOSE`. An invertible linear function of the reference's
     // window entries that carries the same relative structure WITHOUT
-    // the absolute price level — the level shifts by whole z-units
-    // between the committed train years (2010-12, ~1.30-1.45) and the
-    // reference's val/test years (2017-20, ~1.08-1.25), and a
+    // the absolute price level — the level shifts by whole normalized
+    // units between the committed train years (2010-12, ~1.30-1.45) and
+    // the reference's val/test years (2017-20, ~1.08-1.25), and a
     // small per-horizon head, unlike the reference's 144-wide net,
     // cannot both memorize and ignore it.
-    val featureCols = Seq("BC-BO", "BH-BL", "BH-BO", "BO-BL") ++
-      (1 to nLags).map(i => s"lagd_$i")
+    val featureCols = phase.bandCols ++ (1 to nLags).map(i => s"lagd_$i")
     val w = Window.orderBy(col("ts"))
 
-    def loadNorm(file: String, maxRows: Option[Int] = None): DataFrame =
-      normalize(Sources.loadCsv(spark, s"$RefData/$file", maxRows = maxRows), stats)
+    def loadNorm(path: String, maxRows: Option[Int] = None): DataFrame =
+      normalize(Sources.loadCsv(spark, path, maxRows = maxRows), stats,
+        phase.minMax)
 
-    // train pool: the two committed splits immediately preceding the
-    // reference's train period, chronological
-    val pool = loadNorm("base_d2.csv").unionByName(loadNorm("base_d3.csv"))
+    // train pool: the committed splits nearest the experiment's
+    // (uncommitted) train period, chronological
+    val pool = phase.trainFiles.map(f => loadNorm(f)).reduce(_.unionByName(_))
       .orderBy("ts")
-    val validation = loadNorm("base_d5.csv")
-    val test = loadNorm("base_d6.csv", maxRows = Some(6300))
+    val validation = loadNorm(phase.valFile)
+    val test = loadNorm(phase.testFile, maxRows = Some(phase.testMax))
 
     // returns regime (`use_returns: true`): targets are h-step CLOSE
     // deltas in z-units; `target_h*` naming keeps the Forecaster faces'
@@ -228,7 +264,7 @@ object ParityRun {
         val dir = new java.io.File(s"$outDir/results_${head}_$label")
         val part = dir.listFiles().find(_.getName.startsWith("part-")).get
         java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$outDir/graft_phase_1_${head}_${label}_1h_results.csv"),
+          java.nio.file.Paths.get(s"$outDir/${phase.artifactPrefix}_${head}_${label}_1h_results.csv"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         dir.listFiles().foreach(_.delete()); dir.delete()
         println(s"parity artifact for $head/$label written")
