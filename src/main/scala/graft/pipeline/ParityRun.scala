@@ -79,7 +79,22 @@ object ParityRun {
     * alone. */
   case class PhaseData(normJsonPath: String, minMax: Boolean,
       trainFiles: Seq[String], valFile: String, testFile: String,
-      testMax: Int, bandCols: Seq[String], artifactPrefix: String)
+      testMax: Int, bandCols: Seq[String], artifactPrefix: String,
+      targetCol: String = "CLOSE", horizons: Seq[Int] = 1 to 6,
+      suffix: String = "1h", preNormalized: Boolean = false,
+      // decoupled weight decay: the runner's substitute for the
+      // reference's val-loss early stopping. The 1d family's long
+      // horizons (24-144 bars = 4-24 days) are mostly UNpredictable —
+      // the reference's own committed grid shows its net learned ≈
+      // nothing beyond naive there (its Train R2 H144 is NEGATIVE,
+      // -0.218, with Train MAE ≈ the naive level) and early stopping is
+      // what kept it that way on val/test; without stopping, a lightly
+      // decayed head overfits train residual noise and transfers it as
+      // systematic test error. Heavier decay prices in the same
+      // capacity control.
+      weightDecay: Double = 1e-4)
+
+  val RefData1d = "/root/reference/examples/data_downsampled/phase_1"
 
   val Phases: Map[String, PhaseData] = Map(
     "1" -> PhaseData(s"$RefData/normalization_config_b.json", minMax = false,
@@ -89,7 +104,36 @@ object ParityRun {
     "2_1" -> PhaseData(s"$RefData21/phase_2_1_debug_out.json", minMax = true,
       Seq(s"$RefData/base_d2.csv", s"$RefData/base_d3.csv"),
       s"$RefData21/base_d2.csv", s"$RefData21/base_d3.csv", 6300,
-      Nil, "graft_phase_2_1"))
+      Nil, "graft_phase_2_1"),
+    // The downsampled (4-hour-bar) family: the one experiment whose
+    // train/validation/test files are all committed verbatim
+    // (`normalized_d4/d5/d6.csv`, consumed untouched). Target
+    // `typical_price`; horizons from the committed grid's own labels
+    // (H24…H144 bar leads); levels regime reached via the residual
+    // reparameterization label = lead − current (bijective; under it
+    // `stl_metrics.py`'s level-space formulas reduce exactly to
+    // [[priceMetricRows]]). NO PARITY ARTIFACT IS COMMITTED for this
+    // family: the committed grid is PROVABLY not a product of the
+    // committed data — its Test MAE H144 (0.012831 price = 0.1128 z)
+    // forces MSE ≥ MAE² = 0.01273 z² (Jensen), but the committed
+    // normalized_d6's H144 target variance is only 0.01844 z², capping
+    // R² at 0.310 where the grid reports +0.778 (H24: cap 0.741 vs
+    // reported 0.865). `QuantParitySpec` pins this bound so the
+    // exclusion is machine-checked rather than asserted. The runner
+    // path is kept working for users with consistent daily data.
+    "1d" -> PhaseData(s"$RefData1d/normalization_config_b.json", minMax = false,
+      Seq(s"$RefData1d/normalized_d4.csv"),
+      s"$RefData1d/normalized_d5.csv", s"$RefData1d/normalized_d6.csv", 6300,
+      // hod/dow cyclics generalize (session/week effects); dom/moy are
+      // EXCLUDED — over a 1575-bar (~9-month) train slice, month-of-year
+      // is a pure drift-memorization channel whose seasonal residuals
+      // transfer as systematic test error (the role the reference's
+      // val-loss early stopping polices in its run)
+      Seq("hod_sin", "hod_cos", "dow_sin", "dow_cos",
+        "rolling_std_24", "price_minus_ema"),
+      "graft_phase_1", targetCol = "typical_price",
+      horizons = Seq(24, 48, 72, 96, 120, 144), suffix = "1d",
+      preNormalized = true, weightDecay = 1e-2))
 
   /** Normalize every column that has stats; leaves ts/DATE_TIME alone.
     * Mirrors the reference preprocessor's per-column standardization —
@@ -160,12 +204,12 @@ object ParityRun {
 
     val phase = Phases(args.lift(4).getOrElse("1"))
     val stats = Sources.loadNormStats(spark, phase.normJsonPath)
-    val (closeA, closeB) = stats("CLOSE")
-    // z-denorm slope/shift of CLOSE: z-score → (std, mean); min-max →
+    val (closeA, closeB) = stats(phase.targetCol)
+    // denorm slope/shift of the target: z-score → (std, mean); min-max →
     // (max − min, min)
     val (pScale, pShift) =
       if (phase.minMax) (closeB - closeA, closeA) else (closeB, closeA)
-    val horizons = 1 to 6
+    val horizons = phase.horizons
     val nLags = 24
     // Level-invariant feature map (the documented re-expression of the
     // reference's 144×8 normalized-level window): the intra-bar band
@@ -180,9 +224,10 @@ object ParityRun {
     val featureCols = phase.bandCols ++ (1 to nLags).map(i => s"lagd_$i")
     val w = Window.orderBy(col("ts"))
 
-    def loadNorm(path: String, maxRows: Option[Int] = None): DataFrame =
-      normalize(Sources.loadCsv(spark, path, maxRows = maxRows), stats,
-        phase.minMax)
+    def loadNorm(path: String, maxRows: Option[Int] = None): DataFrame = {
+      val raw = Sources.loadCsv(spark, path, maxRows = maxRows)
+      if (phase.preNormalized) raw else normalize(raw, stats, phase.minMax)
+    }
 
     // train pool: the committed splits nearest the experiment's
     // (uncommitted) train period, chronological
@@ -195,12 +240,13 @@ object ParityRun {
     // deltas in z-units; `target_h*` naming keeps the Forecaster faces'
     // contract
     def featurized(df: DataFrame): DataFrame = {
-      val ret = Targets.multiHorizonReturns(df, "CLOSE", horizons, w)
+      val ret = Targets.multiHorizonReturns(df, phase.targetCol, horizons, w)
       val named = horizons.foldLeft(ret)((d, h) =>
         d.withColumnRenamed(s"ret_h$h", s"target_h$h"))
-      val lagged = Forecaster.withLagFeatures(named, "CLOSE", nLags, Nil, Seq("ts"))
+      val lagged = Forecaster.withLagFeatures(named, phase.targetCol, nLags,
+        Nil, Seq("ts"))
       (1 to nLags).foldLeft(lagged)((d, i) =>
-        d.withColumn(s"lagd_$i", col(s"lag_$i") - col("CLOSE")))
+        d.withColumn(s"lagd_$i", col(s"lag_$i") - col(phase.targetCol)))
     }
 
     val valF = featurized(validation).cache()
@@ -211,7 +257,7 @@ object ParityRun {
     // feature vector as the input window in featureCols order
     val seqCols = (nLags to 1 by -1).map(i => s"lagd_$i")
     val adamw = Optimizer.OptConfig(method = "adamw", batches = 8,
-      weightDecay = 1e-4)
+      weightDecay = phase.weightDecay)
 
     // head → (feature layout, fit). Architectures mirror the reference
     // plugin family: ann = tanh MLP [48,24]
@@ -256,7 +302,8 @@ object ParityRun {
             case (split, df) =>
               val scored = Forecaster.predictWithUncertainty(models, df, "ts",
                 feats, passes = 20, rate = 0.1, seed = seed)
-              priceMetricRows(scored, horizons, "CLOSE", pScale, pShift, split)
+              priceMetricRows(scored, horizons, phase.targetCol, pScale,
+                pShift, split)
           }.reduce(_.unionByName(_)).withColumn("iteration", lit(it))
         }.reduce(_.unionByName(_))
         Sources.writeCsv(GoldenRun.resultsGolden(iterRows),
@@ -264,7 +311,7 @@ object ParityRun {
         val dir = new java.io.File(s"$outDir/results_${head}_$label")
         val part = dir.listFiles().find(_.getName.startsWith("part-")).get
         java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$outDir/${phase.artifactPrefix}_${head}_${label}_1h_results.csv"),
+          java.nio.file.Paths.get(s"$outDir/${phase.artifactPrefix}_${head}_${label}_${phase.suffix}_results.csv"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         dir.listFiles().foreach(_.delete()); dir.delete()
         println(s"parity artifact for $head/$label written")

@@ -252,4 +252,39 @@ class QuantParitySpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Why the daily (4h-bar) family has NO committed parity artifact,
+    * machine-checked: the reference's committed 1d grid cannot have
+    * been produced from the reference's committed 1d data. For any
+    * predictor, MSE >= MAE^2 (Jensen), so its R2 on a file is capped at
+    * 1 - MAE^2/Var(target). The committed
+    * `phase_1_ann_1575_1d_results.csv` reports Test MAE H144 0.012831
+    * (price units) TOGETHER WITH Test R2 H144 +0.778 — but on the
+    * committed `normalized_d6.csv` that MAE caps R2 at ~0.31. The same
+    * contradiction holds at H24 (cap ~0.74 vs reported 0.865). A grid
+    * self-inconsistent with its named inputs is not a parity anchor;
+    * `ParityRun`'s 1d phase machinery stays available for consistent
+    * daily data. */
+  test("daily-family exclusion: the committed 1d grid violates the MAE^2/Var R2 bound on the committed 1d data") {
+    val ref = load("/root/reference/examples/results/phase_1_daily/phase_1_ann_1575_1d_results.csv")
+    val std = 0.11373908895981327 // typical_price std, committed normalization_config_b
+    // target variance of the committed test file at each lead, z-units
+    val src = scala.io.Source.fromFile(
+      "/root/reference/examples/data_downsampled/phase_1/normalized_d6.csv")
+    val lines = try src.getLines().toVector finally src.close()
+    val tpIdx = lines.head.split(",").indexOf("typical_price")
+    val tp = lines.tail.map(_.split(",")(tpIdx).toDouble)
+    for ((h, reportedFloor) <- Seq(24 -> 0.86, 144 -> 0.77)) {
+      val tgt = tp.drop(h)
+      val mean = tgt.sum / tgt.size
+      val varZ = tgt.map(v => (v - mean) * (v - mean)).sum / tgt.size
+      val maeZ = ref(s"Test MAE H$h") / std
+      val r2Cap = 1.0 - maeZ * maeZ / varZ
+      val r2Reported = ref(s"Test R2 H$h")
+      assert(r2Reported > reportedFloor, s"grid moved: H$h R2 $r2Reported") // pin the anchor
+      assert(r2Reported > r2Cap + 0.05,
+        s"H$h: reported R2 $r2Reported no longer exceeds the committed-data cap $r2Cap — " +
+          "the exclusion rationale has changed; revisit the 1d parity artifact")
+    }
+  }
 }
