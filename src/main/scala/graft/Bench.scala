@@ -128,10 +128,19 @@ object Bench {
     val calmcPost = if (suspects.nonEmpty) calibrateParallel(nCal) else calmcMid
     val settled = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => suspects.contains(q._1))
-      .map { case (name, fn) =>
+      .flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        try run(fn, sfDir) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        // a query that crashes on the settle re-run must not publish its
+        // time-to-crash as "the reproducible floor" — drop it (the
+        // cold/warm maps still carry its honest timings)
+        try {
+          run(fn, sfDir)
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] settle re-run of $name FAILED: ${e.getMessage}")
+            None
+        }
       }
     // The driver keeps only the LAST 2000 chars of the log (measured from
     // BENCH_r03.json), and sbt appends a ~75-char "[success] Total time"

@@ -369,7 +369,7 @@ object SparkEntry {
 
   private val q19Sql =
     """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, COUNT(*) AS n,
-      | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** J6 backward as-of join: latest prior 'error' value at each purchase.
@@ -740,7 +740,7 @@ object SparkEntry {
       |  FROM g)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       | MAX(aus) - MIN(aus) AS duration_us,
-      | CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS sum_value_micros
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_micros
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
   /** Deterministic hash-based train/val/test split (80/10/10) with
@@ -756,7 +756,7 @@ object SparkEntry {
     """SELECT CASE WHEN b < 80 THEN 'train'
       |            WHEN b < 90 THEN 'validation' ELSE 'test' END AS split,
       | COUNT(*) AS n,
-      | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_value
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
       |FROM (SELECT value,
       |        ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b
       |      FROM events)
@@ -812,7 +812,7 @@ object SparkEntry {
       |  regexp_extract(metric, '^(Train|Validation|Test) (.+?) H(\d+)$', 2) AS metric_name,
       |  CAST(regexp_extract(metric, '^(Train|Validation|Test) (.+?) H(\d+)$', 3) AS INT) AS horizon,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,
       |  MIN(value) AS min_value,
       |  MAX(value) AS max_value
       |FROM m GROUP BY 1, 2, 3""".stripMargin
@@ -862,7 +862,7 @@ object SparkEntry {
       |    WHEN 'MAE' THEN 'mae' WHEN 'Naive MAE' THEN 'naive_mae' END AS metric_key,
       |  CAST(regexp_extract(metric, '^(Train|Validation|Test) (.+?) H(\d+)$', 3) AS INT) AS horizon_key,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mean_avg
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_avg
       |FROM m GROUP BY 1, 2, 3""".stripMargin
 
   /** A9 MMD (Gaussian kernel) between two deterministic 256-row samples
@@ -948,7 +948,7 @@ object SparkEntry {
   private val q52Sql =
     """SELECT event_type,
       | CAST(SUM(CAST(unc AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS unc_mean,
-      | (CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+      | (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
       |   / (CAST(SUM(CAST(unc AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) + 1e-9) AS snr
       |FROM (SELECT event_type, value,
       |        ABS(CAST(json_extract_string(props, '$.k') AS DOUBLE) - 50.0) AS unc
@@ -2407,7 +2407,9 @@ object SparkEntry {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val tradeKey = (t: Backtest.Trade) => (t.symbol, t.entryTs, t.exitTs)
-    val capped = backtestBars(s, dir).count() > maxBars
+    // bounded probe: limit(maxBars+1).count() answers "more than
+    // maxBars?" with capped work instead of a full-table count scan
+    val capped = backtestBars(s, dir).limit(maxBars + 1).count() > maxBars
     val bars =
       if (!capped) backtestBars(s, dir).collect().sortBy(_.ts)
       else backtestBars(s, dir).orderBy(col("ts"), col("symbol"))

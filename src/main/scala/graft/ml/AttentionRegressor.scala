@@ -58,7 +58,11 @@ object AttentionRegressor extends Serializable {
       lr: Double = 0.1, momentum: Double = 0.9, seed: Long = 42L,
       layerNorm: Boolean = false)
 
-  private val LnEps = 1e-3 // Keras LayerNormalization default epsilon
+  // Keras LayerNormalization default epsilon. NOTE: TftRegressor.LnEps
+  // and its packed-offset lnForward/lnBackward implement the SAME
+  // kernel under a different weight layout — a numerical change here
+  // (epsilon, stabilization) must be mirrored there.
+  private val LnEps = 1e-3
 
   /** LN over the embedding dim with learned γ/β; out may alias p. */
   private def lnForward(lnG: Array[Double], lnB: Array[Double], d: Int,

@@ -346,6 +346,10 @@ object CnnRegressor extends Serializable {
               }
               ti += 1
             }
+            // activation dispatch hoisted out of the per-element hot
+            // loop (the forward does the same at method scope)
+            val bpRelu = act == "relu"
+            val bpElu = act == "elu"
             // backprop through layers (reverse)
             var l2 = layers - 1
             while (l2 >= 0) {
@@ -366,11 +370,10 @@ object CnnRegressor extends Serializable {
                     // masked activation a = m·F(z) ⇒ da/dz = m·F'(z);
                     // F' recovered from the activation value: tanh' =
                     // 1−a², relu' = [a>0], elu' = if a>0 1 else a+1
-                    def fp(raw: Double): Double = act match {
-                      case "relu" => if (raw > 0) 1.0 else 0.0
-                      case "elu"  => if (raw > 0) 1.0 else raw + 1.0
-                      case _      => 1.0 - raw * raw
-                    }
+                    def fp(raw: Double): Double =
+                      if (bpRelu) { if (raw > 0) 1.0 else 0.0 }
+                      else if (bpElu) { if (raw > 0) 1.0 else raw + 1.0 }
+                      else 1.0 - raw * raw
                     val dz =
                       if (mkL == null) d * fp(a)
                       else {

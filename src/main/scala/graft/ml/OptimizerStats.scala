@@ -158,12 +158,14 @@ object OptimizerStats {
       val fields = g.path("genes").fields()
       while (fields.hasNext) {
         val e = fields.next()
-        // prefer the innovation field; fall back to the map key only
-        // when the field is missing, so a non-numeric key in a
-        // reference-shaped file with the field present still parses
+        // prefer a NUMERIC innovation field; fall back to the map key
+        // when the field is missing OR non-numeric (Jackson's asInt
+        // would silently yield 0 there, colliding with a real gene 0),
+        // so a reference-shaped file stays parseable whichever side
+        // carries the number
         val innovNode = e.getValue.path("innovation")
         val innov =
-          if (innovNode.isMissingNode) e.getKey.toInt else innovNode.asInt()
+          if (innovNode.canConvertToInt) innovNode.asInt() else e.getKey.toInt
         genes(innov) = NeatSearch.Gene(innov,
           e.getValue.path("param_name").asText(),
           e.getValue.path("value").asDouble())

@@ -349,6 +349,10 @@ object TcnRegressor extends Serializable {
               }
               ti += 1
             }
+            // activation dispatch hoisted out of the per-element hot
+            // loop (the forward does the same at method scope)
+            val bpRelu = act == "relu"
+            val bpElu = act == "elu"
             // backprop through blocks (reverse)
             var b2 = blocks - 1
             while (b2 >= 0) {
@@ -371,11 +375,10 @@ object TcnRegressor extends Serializable {
                     // dropped channel (m = 0) passes no conv-path gradient
                     // (the skip path below is untouched — residuals are
                     // never masked)
-                    def fp(raw: Double): Double = act match {
-                      case "relu" => if (raw > 0) 1.0 else 0.0
-                      case "elu"  => if (raw > 0) 1.0 else raw + 1.0
-                      case _      => 1.0 - raw * raw
-                    }
+                    def fp(raw: Double): Double =
+                      if (bpRelu) { if (raw > 0) 1.0 else 0.0 }
+                      else if (bpElu) { if (raw > 0) 1.0 else raw + 1.0 }
+                      else 1.0 - raw * raw
                     val dz =
                       if (mkB == null) d * fp(a)
                       else {

@@ -198,6 +198,8 @@ object TftRegressor extends Serializable {
   // params at off: [γ (U) | β (U)]; y_j = γ_j·(p_j − μ)/√(σ² + ε) + β_j
   // with μ/σ² over the hidden dim — row-local, so the fit stays
   // partition-independent.
+  // Keras LayerNormalization default epsilon; AttentionRegressor.LnEps
+  // + its separate-array LN kernel mirror this — keep numerics in sync.
   private val LnEps = 1e-3
 
   private def lnForward(w: Array[Double], off: Int, u: Int,
