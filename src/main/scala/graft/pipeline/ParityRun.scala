@@ -285,6 +285,16 @@ object ParityRun {
         trainF, seqCols, horizons, graft.ml.AttentionRegressor.AttnConfig(
           dim = 8, heads = 2, epochs = epochs, lr = 0.03, seed = seed,
           layerNorm = true), opt = adamw))
+      // the reference's TRUE TFT architecture (LayerNorm at the
+      // gated-residual + post-attention sites, 2 stacked LSTM encoder
+      // layers — `predictor_plugin_tft.py:85,113-116,127`). No
+      // reference TFT results grid exists for phase_1, so the artifact
+      // is a graft-only quality grid; `QuantParitySpec` pins it to the
+      // family's own magnitude range instead of a reference anchor.
+      case "tft" => (seqCols, Forecaster.fitPerHorizonTft(
+        trainF, seqCols, horizons, graft.ml.TftRegressor.TftConfig(
+          units = 8, epochs = epochs, lr = 0.03, seed = seed,
+          lstmLayers = 2, layerNorm = true), opt = adamw))
       case other => throw new IllegalArgumentException(s"unknown parity head '$other'")
     }
     val heads = args.lift(3).map(_.split(",").toSeq).getOrElse(Seq("ann"))

@@ -253,6 +253,28 @@ class QuantParitySpec extends AnyFunSuite {
     }
   }
 
+  /** The TFT head runs the reference's TRUE architecture (LayerNorm at
+    * the gated-residual and post-attention sites + a 2-layer stacked
+    * LSTM encoder — the r9 fidelity flags ON, `predictor_plugin_tft.py:
+    * 85,113-116,127`). The reference commits no phase_1 TFT results
+    * grid, so the artifact is pinned to the FAMILY's own magnitude
+    * range: every committed head at 1575 (ann/cnn/lstm/transformer)
+    * lands its val/test H1 MAE within a narrow band of the ann head's,
+    * and a TFT grid outside 3x of ann would mean the flagged
+    * architecture does not really train at this shape. */
+  test("tft (LayerNorm + stacked encoder, reference architecture) trains into the family band") {
+    val tft = load(s"$ourDir/graft_phase_1_tft_1575_1h_results.csv")
+    val ann = load(s"$ourDir/graft_phase_1_ann_1575_1h_results.csv")
+    for (split <- Seq("Validation", "Test")) {
+      val r = tft(s"$split MAE H1") / ann(s"$split MAE H1")
+      assert(r > 1.0 / 3 && r < 3.0, s"tft $split H1 MAE $r x ann — outside the family band")
+      val g = tft(s"$split MAE H6") / tft(s"$split MAE H1")
+      assert(g > 1.0 && g < 4.0, s"tft $split H6/H1 growth $g")
+      for (h <- horizons)
+        assert(tft(s"$split R2 H$h") >= 0.90, s"tft $split R2 H$h ${tft(s"$split R2 H$h")}")
+    }
+  }
+
   /** Why the daily (4h-bar) family has NO committed parity artifact,
     * machine-checked: the reference's committed 1d grid cannot have
     * been produced from the reference's committed 1d data. For any
