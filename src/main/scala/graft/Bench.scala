@@ -58,6 +58,52 @@ object Bench {
       !failed.contains(n) && t > math.max(3.0 * w, w + 0.75)
     }.sortBy(-_._2).take(12).map(_._1).toSet
 
+  private def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  private def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+  private def js(rs: Seq[(String, Double)], short: Boolean) =
+    rs.map { case (k, v) =>
+      "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + (if (short) r2(v) else r3(v))
+    }.mkString("{", ",", "}")
+
+  /** The ONE driver-protocol line. The driver keeps only the LAST 2000
+    * chars of the log (measured from BENCH_r03.json) and sbt appends a
+    * ~75-char "[success]" line, so the budget is 1850 chars — which for
+    * 97 queries can never fit cold + warmed + settled maps at once
+    * (~2.6k). The r9 artifact therefore carried cold-only per-query
+    * numbers: exactly the contention-polluted view (q62 "7.73 s" where
+    * the settle pass measured 0.70 s) the settle machinery was built to
+    * correct. So the line's per-query map is the REPRODUCIBLE FLOOR —
+    * `settled ?? min(cold, warm)` — the number a plan-vs-plan reader
+    * should trust, with `value` (cold total) and `value_warmed` keeping
+    * the honest pass totals, `value_settled` the floor-map sum, and
+    * `settled` naming the re-run queries so a contended round
+    * self-annotates in the driver artifact itself. The honest
+    * cold/warm/settled triple per query stays in bench_full.json.
+    * Degradation if ever over budget: the settled-names list collapses
+    * to `n_settled` (so the log still records that a settle pass ran —
+    * never silently), then the floor map itself is dropped.
+    */
+  private[graft] def driverLine(cold: Seq[(String, Double)],
+      warmed: Seq[(String, Double)], settled: Seq[(String, Double)],
+      cals: String, sfDir: String): String = {
+    val warmMap = warmed.toMap
+    val settledMap = settled.toMap
+    val floor = cold.map { case (n, c) =>
+      n -> settledMap.getOrElse(n, math.min(c, warmMap.getOrElse(n, c)))
+    }
+    val head = s"""{"metric":"total","value":${r3(cold.map(_._2).sum)},""" +
+      s""""value_warmed":${r3(warmed.map(_._2).sum)},""" +
+      s""""value_settled":${r3(floor.map(_._2).sum)},""" +
+      s""""unit":"sec","sf":"$sfDir","n_queries":${cold.size},$cals"""
+    val names = settled.map(s => "\"" + s._1.takeWhile(_ != '_') + "\"")
+      .mkString("[", ",", "]")
+    val full = s"""$head,"queries":${js(floor, short = true)},"settled":$names}"""
+    val marked = s"""$head,"queries":${js(floor, short = true)},"n_settled":${settled.size}}"""
+    if (full.length <= 1850) full
+    else if (marked.length <= 1850) marked
+    else s"""$head,"n_settled":${settled.size}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -142,35 +188,12 @@ object Bench {
             None
         }
       }
-    // The driver keeps only the LAST 2000 chars of the log (measured from
-    // BENCH_r03.json), and sbt appends a ~75-char "[success] Total time"
-    // line after us — r3's full-name cold+warm line was ~4.5k chars, so
-    // the front (the totals!) was cut and the driver recorded parsed:null
-    // two rounds running. Emit ONE line that provably fits: short keys
-    // ("q01"), 2-decimal per-query values, and drop the warmed map (keep
-    // its total) if the line would still exceed the budget. The
-    // full-fidelity numbers go to bench_full.json for our own tracking.
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    def js(rs: Seq[(String, Double)], short: Boolean) =
-      rs.map { case (k, v) =>
-        "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + (if (short) r2(v) else r3(v))
-      }.mkString("{", ",", "}")
-    val total = cold.map(_._2).sum
-    val totalWarm = warmed.map(_._2).sum
     val cal = calibrate()
     val cals = s""""cal_pre":${r3(calPre)},"cal_mid":${r3(calMid)},"cal_sec":${r3(cal)},""" +
       s""""calmc_pre":${r3(calmcPre)},"calmc_mid":${r3(calmcMid)},"calmc_post":${r3(calmcPost)}"""
-    val settledJs =
-      if (settled.isEmpty) "" else s""","queries_settled":${js(settled, short = true)}"""
-    val head = s"""{"metric":"total","value":${r3(total)},"value_warmed":${r3(totalWarm)},""" +
-      s""""unit":"sec","sf":"$sfDir","n_queries":${cold.size},$cals"""
-    val withWarm = s"""$head,"queries":${js(cold, short = true)},"queries_warmed":${js(warmed, short = true)}$settledJs}"""
-    val noSettle = s"""$head,"queries":${js(cold, short = true)},"queries_warmed":${js(warmed, short = true)}}"""
-    val line =
-      if (withWarm.length <= 1850) withWarm
-      else if (noSettle.length <= 1850) noSettle
-      else s"""$head,"queries":${js(cold, short = true)}}"""
+    val line = driverLine(cold, warmed, settled, cals, sfDir)
+    val total = cold.map(_._2).sum
+    val totalWarm = warmed.map(_._2).sum
     val settledFull =
       if (settled.isEmpty) "" else s""","queries_settled":${js(settled, short = false)}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),

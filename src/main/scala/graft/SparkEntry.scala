@@ -2337,6 +2337,55 @@ object SparkEntry {
        |       round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS value
        |FROM b GROUP BY bk ORDER BY x""".stripMargin
 
+  /** Technical indicators over the per-user event series (the phase-3
+    * feature schema's bounded-window family — momentum, ROC, Lane
+    * stochastic %K, Williams %R, SMA-ATR; `graft.ts.TechIndicators`).
+    * OHLC is derived deterministically from `value` (high/low as
+    * |1-step-return| envelopes) so the same formulas are exercised on a
+    * table DuckDB also sees. Warm-up rows emit null on both sides. The
+    * recursive Wilder family (EMA/RSI/ADX/MACD) is inherently IIR —
+    * not expressible in a DuckDB window — and is spec-verified instead
+    * (`TechIndicatorsSpec` vs independent array references).
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    import graft.ts.TechIndicators
+    val ret1 = coalesce(col("value") - lag(col("value"), 1).over(evWindow), lit(0.0))
+    val base = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"),
+      col("value").as("close"),
+      (col("value") + lit(0.5) * abs(ret1)).as("high"),
+      (col("value") - lit(0.3) * abs(ret1)).as("low"))
+    val withTr = base.withColumn("tr",
+      TechIndicators.trueRange(col("high"), col("low"), col("close"), evWindow))
+    withTr.select(col("event_id"), col("user_id"),
+      round(TechIndicators.momentum(col("close"), evWindow, 6), 6).as("mom_6"),
+      round(TechIndicators.roc(col("close"), evWindow, 6), 6).as("roc_6"),
+      round(TechIndicators.stochasticK(col("close"), col("high"), col("low"), evWindow, 14), 6).as("stoch_k_14"),
+      round(TechIndicators.williamsR(col("close"), col("high"), col("low"), evWindow, 14), 6).as("wr_14"),
+      round(TechIndicators.atrSma(col("tr"), evWindow, 14), 6).as("atr_14"))
+  }
+
+  private val q103Sql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, ts, value AS close,
+      |    value + 0.5*ABS(COALESCE(value - LAG(value,1) OVER w, 0)) AS high,
+      |    value - 0.3*ABS(COALESCE(value - LAG(value,1) OVER w, 0)) AS low
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |trr AS (
+      |  SELECT *, CASE WHEN LAG(close,1) OVER w IS NULL THEN high - low
+      |    ELSE GREATEST(high - low, ABS(high - LAG(close,1) OVER w), ABS(low - LAG(close,1) OVER w)) END AS tr
+      |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id,
+      |  ROUND(close - LAG(close,6) OVER w, 6) + 0.0 AS mom_6,
+      |  ROUND(CASE WHEN LAG(close,6) OVER w <> 0 THEN (close/LAG(close,6) OVER w - 1)*100 END, 6) + 0.0 AS roc_6,
+      |  ROUND(CASE WHEN COUNT(*) OVER w14 >= 14 AND MAX(high) OVER w14 <> MIN(low) OVER w14
+      |    THEN (close - MIN(low) OVER w14)/(MAX(high) OVER w14 - MIN(low) OVER w14)*100 END, 6) + 0.0 AS stoch_k_14,
+      |  ROUND(CASE WHEN COUNT(*) OVER w14 >= 14 AND MAX(high) OVER w14 <> MIN(low) OVER w14
+      |    THEN (MAX(high) OVER w14 - close)/(MAX(high) OVER w14 - MIN(low) OVER w14)*-100 END, 6) + 0.0 AS wr_14,
+      |  ROUND(CASE WHEN COUNT(*) OVER w14 >= 14 THEN AVG(tr) OVER w14 END, 6) + 0.0 AS atr_14
+      |FROM trr
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |  w14 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Shared trades relation for q46/q47: the state machine is the
     * expensive part (shuffle + ordered single pass per symbol), and the
     * summary is an aggregate OVER its output — computing it twice doubled
@@ -2412,7 +2461,11 @@ object SparkEntry {
     val capped = backtestBars(s, dir).limit(maxBars + 1).count() > maxBars
     val bars =
       if (!capped) backtestBars(s, dir).collect().sortBy(_.ts)
-      else backtestBars(s, dir).orderBy(col("ts"), col("symbol"))
+      // every Bar column joins the sort so the capped prefix is a
+      // deterministic function of the data even if (ts, symbol) repeats
+      // — repeated runs on large data must compare the SAME prefix
+      else backtestBars(s, dir).orderBy(col("ts"), col("symbol"),
+          col("open"), col("high"), col("low"), col("close"), col("pred"))
         .limit(maxBars).as[Backtest.Bar].collect()
     val batchDs =
       if (!capped) backtestTrades(s, dir)
@@ -2782,7 +2835,8 @@ object SparkEntry {
     "q99_arima_order" -> (q99 _),
     "q100_cluster_balance" -> (q100 _),
     "q101_acf_ljungbox" -> (q101 _),
-    "q102_plot_downsample" -> (q102 _)
+    "q102_plot_downsample" -> (q102 _),
+    "q103_tech_indicators" -> (q103 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2872,6 +2926,7 @@ object SparkEntry {
     "q100_cluster_balance" -> q100Sql,
     "q101_acf_ljungbox" -> q101Sql,
     "q102_plot_downsample" -> q102Sql,
+    "q103_tech_indicators" -> q103Sql,
     "q56_dedup_clusters" -> q56Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact

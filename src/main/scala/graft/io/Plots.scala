@@ -96,6 +96,14 @@ object Plots {
     * approx_percentile's sketch is not DuckDB-matchable, so the default
     * `downsample` stays the hash-exact contract and this is the
     * explicitly-chosen variant for skewed axes.
+    *
+    * NOT bitwise partition-independent, unlike `downsample`: the bucket
+    * edges come from approx_percentile, whose sketch merge is
+    * partition-order-sensitive, so re-running on a repartitioned input
+    * can shift edge values in the last ulps and move boundary rows
+    * between buckets. Fine for plots (the visual shape is stable);
+    * do not use where downstream logic assumes deterministic bucket
+    * membership — use `downsample` there.
     */
   def downsampleQuantile(df: DataFrame, xCol: String, yCols: Seq[String],
       maxPoints: Int = 1500, accuracy: Int = 10000): DataFrame = {

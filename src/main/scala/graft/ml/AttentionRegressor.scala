@@ -278,7 +278,10 @@ object AttentionRegressor extends Serializable {
   def fit(df: DataFrame, labelCol: String, conf: AttnConfig = AttnConfig(),
       featuresCol: String = "features", dropout: Double = 0.0,
       callbacks: Seq[Callbacks.TrainingCallback] = Nil,
-      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): AttentionRegressionModel = {
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd,
+      // val-loss monitor set (same shape as df) — mini-batch path only;
+      // the full-batch path's callbacks keep seeing train loss
+      valData: Option[DataFrame] = None): AttentionRegressionModel = {
     val d = conf.dim
     val nH = conf.heads
     val ln = conf.layerNorm
@@ -549,10 +552,11 @@ object AttentionRegressor extends Serializable {
       var epoch = 0
       if (!opt.isFullBatchGd) {
         // optional mini-batch Adam/AdamW/SGD face — see Optimizer
-        Optimizer.miniBatchLoop(sc, data, weights, opt, conf.epochs,
-          conf.lr, conf.momentum, n, callbacks)(mkMask) {
+        val valRdd = Optimizer.valRddOf(valData, featuresCol, labelCol)
+        try Optimizer.miniBatchLoop(sc, data, weights, opt, conf.epochs,
+          conf.lr, conf.momentum, n, callbacks, valRdd)(mkMask) {
           (w, mk, xv, y, scratch) => rowGradInto(w, mk, xv, y, scratch)
-        }
+        } finally valRdd.foreach(_._1.unpersist())
       } else
       while (epoch < conf.epochs && !stopped) {
         val mk = mkMask(epoch.toLong)

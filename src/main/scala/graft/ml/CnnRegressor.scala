@@ -214,7 +214,10 @@ object CnnRegressor extends Serializable {
   def fit(df: DataFrame, labelCol: String, conf: CnnConfig = CnnConfig(),
       featuresCol: String = "features", dropout: Double = 0.0,
       callbacks: Seq[Callbacks.TrainingCallback] = Nil,
-      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): CnnRegressionModel = {
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd,
+      // val-loss monitor set (same shape as df) — mini-batch path only;
+      // the full-batch path's callbacks keep seeing train loss
+      valData: Option[DataFrame] = None): CnnRegressionModel = {
     val k = conf.kernel
     val stride = conf.stride
     val sizes = conf.sizes
@@ -428,11 +431,13 @@ object CnnRegressor extends Serializable {
       var epoch = 0
       if (!opt.isFullBatchGd) {
         // optional mini-batch Adam/AdamW/SGD face — see Optimizer
-        Optimizer.miniBatchLoop(sc, data, weights, opt, conf.epochs,
-          conf.lr, conf.momentum, n, callbacks)(mkMask) {
+        val valRdd = Optimizer.valRddOf(valData, featuresCol, labelCol)
+        try Optimizer.miniBatchLoop(sc, data, weights, opt, conf.epochs,
+          conf.lr, conf.momentum, n, callbacks, valRdd,
+          valMasks = (null: Array[Double], null: Array[Array[Double]]))(mkMask) {
           case (w, (mk, mkL), xv, y, scratch) =>
             rowGradInto(w, mk, mkL, xv, y, scratch)
-        }
+        } finally valRdd.foreach(_._1.unpersist())
       } else
       while (epoch < conf.epochs && !stopped) {
         val (mk, mkL) = mkMask(epoch.toLong)

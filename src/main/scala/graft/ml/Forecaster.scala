@@ -77,6 +77,29 @@ object Forecaster {
     } finally assembled.unpersist()
   }
 
+  /** [[fitPerHorizonWith]] + a per-horizon VALIDATION split: `fit` also
+    * receives the assembled val rows for its horizon (label non-null),
+    * for heads that monitor val loss (the reference's
+    * `EarlyStopping(monitor='val_loss')` contract — every Keras plugin
+    * fits with `validation_data`, e.g. `predictor_plugin_ann.py`'s
+    * `model.fit(..., validation_data=(x_val, y_val))`). */
+  def fitPerHorizonWithVal(train: DataFrame, valDf: DataFrame,
+      featureCols: Seq[String], horizons: Seq[Int],
+      callbacks: Int => Seq[Callbacks.TrainingCallback])(
+      fit: (DataFrame, String, Seq[Callbacks.TrainingCallback], DataFrame) => HorizonModel): Map[Int, HorizonModel] = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+    val assembled = assembler.transform(train).cache()
+    val assembledVal = assembler.transform(valDf).cache()
+    try {
+      horizons.map { h =>
+        val label = s"target_h$h"
+        h -> fit(assembled.filter(col(label).isNotNull), label, callbacks(h),
+          assembledVal.filter(col(label).isNotNull))
+      }.toMap
+    } finally { assembled.unpersist(); assembledVal.unpersist() }
+  }
+
   /** M8: one linear model per horizon (normal-equation solver — one
     * distributed pass per fit).
     */
@@ -125,11 +148,19 @@ object Forecaster {
       seed: Long = 42L, dropout: Double = 0.0,
       callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil,
       opt: Optimizer.OptConfig = Optimizer.FullBatchGd,
-      activation: String = "tanh"): Map[Int, HorizonModel] =
-    fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
+      activation: String = "tanh",
+      valData: Option[DataFrame] = None): Map[Int, HorizonModel] = valData match {
+    case Some(v) => fitPerHorizonWithVal(train, v, featureCols, horizons, callbacks) {
+      (df, label, cbs, vdf) =>
+        MlpRegressor.fitLayers(df, label, layers, epochs = epochs, lr = lr, seed = seed,
+          dropout = dropout, callbacks = cbs, opt = opt, activation = activation,
+          valData = Some(vdf))
+    }
+    case None => fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
       MlpRegressor.fitLayers(df, label, layers, epochs = epochs, lr = lr, seed = seed,
         dropout = dropout, callbacks = cbs, opt = opt, activation = activation)
     }
+  }
 
   /** M8 temporal-conv head: one dilated causal Conv1D net per horizon
     * (the reference's champion TCN architecture re-expressed, see
@@ -154,10 +185,17 @@ object Forecaster {
       conf: CnnRegressor.CnnConfig = CnnRegressor.CnnConfig(),
       dropout: Double = 0.0,
       callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil,
-      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): Map[Int, HorizonModel] =
-    fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd,
+      valData: Option[DataFrame] = None): Map[Int, HorizonModel] = valData match {
+    case Some(v) => fitPerHorizonWithVal(train, v, featureCols, horizons, callbacks) {
+      (df, label, cbs, vdf) =>
+        CnnRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs,
+          opt = opt, valData = Some(vdf))
+    }
+    case None => fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
       CnnRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs, opt = opt)
     }
+  }
 
   /** M8 recurrent head: one LSTM per horizon (the reference's LSTM
     * predictors re-expressed, see [[LstmRegressor]]); the assembled lag
@@ -167,10 +205,17 @@ object Forecaster {
       conf: LstmRegressor.LstmConfig = LstmRegressor.LstmConfig(),
       dropout: Double = 0.0,
       callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil,
-      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): Map[Int, HorizonModel] =
-    fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd,
+      valData: Option[DataFrame] = None): Map[Int, HorizonModel] = valData match {
+    case Some(v) => fitPerHorizonWithVal(train, v, featureCols, horizons, callbacks) {
+      (df, label, cbs, vdf) =>
+        LstmRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs,
+          opt = opt, valData = Some(vdf))
+    }
+    case None => fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
       LstmRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs, opt = opt)
     }
+  }
 
   /** M8 N-BEATS head: one generic-basis doubly-residual stack per
     * horizon (the reference's `predictor_plugin_n_beats.py` re-expressed,
@@ -195,10 +240,17 @@ object Forecaster {
       conf: TftRegressor.TftConfig = TftRegressor.TftConfig(),
       dropout: Double = 0.0,
       callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil,
-      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): Map[Int, HorizonModel] =
-    fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd,
+      valData: Option[DataFrame] = None): Map[Int, HorizonModel] = valData match {
+    case Some(v) => fitPerHorizonWithVal(train, v, featureCols, horizons, callbacks) {
+      (df, label, cbs, vdf) =>
+        TftRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs,
+          opt = opt, valData = Some(vdf))
+    }
+    case None => fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
       TftRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs, opt = opt)
     }
+  }
 
   /** M8 attention head: one multi-head self-attention net per horizon
     * (the reference's Transformer predictors re-expressed, see
@@ -209,10 +261,17 @@ object Forecaster {
       conf: AttentionRegressor.AttnConfig = AttentionRegressor.AttnConfig(),
       dropout: Double = 0.0,
       callbacks: Int => Seq[Callbacks.TrainingCallback] = _ => Nil,
-      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): Map[Int, HorizonModel] =
-    fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd,
+      valData: Option[DataFrame] = None): Map[Int, HorizonModel] = valData match {
+    case Some(v) => fitPerHorizonWithVal(train, v, featureCols, horizons, callbacks) {
+      (df, label, cbs, vdf) =>
+        AttentionRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs,
+          opt = opt, valData = Some(vdf))
+    }
+    case None => fitPerHorizonWith(train, featureCols, horizons, callbacks) { (df, label, cbs) =>
       AttentionRegressor.fit(df, label, conf, dropout = dropout, callbacks = cbs, opt = opt)
     }
+  }
 
   /** Apply the per-horizon models: adds `pred_h{h}` columns. */
   def predict(models: Map[Int, _ <: HorizonModel], df: DataFrame,

@@ -302,7 +302,10 @@ object LstmRegressor extends Serializable {
       featuresCol: String = "features", dropout: Double = 0.0,
       callbacks: Seq[Callbacks.TrainingCallback] = Nil,
       recurrentDropout: Double = 0.0,
-      opt: Optimizer.OptConfig = Optimizer.FullBatchGd): LstmRegressionModel = {
+      opt: Optimizer.OptConfig = Optimizer.FullBatchGd,
+      // val-loss monitor set (same shape as df) — mini-batch path only;
+      // the full-batch path's callbacks keep seeing train loss
+      valData: Option[DataFrame] = None): LstmRegressionModel = {
     val u = conf.units
     val bi = conf.bidirectional
     require(u > 0, s"LstmRegressor.fit: bad config $conf")
@@ -490,11 +493,13 @@ object LstmRegressor extends Serializable {
       var epoch = 0
       if (!opt.isFullBatchGd) {
         // optional mini-batch Adam/AdamW/SGD face — see Optimizer
-        Optimizer.miniBatchLoop(sc, data, weights, opt, conf.epochs,
-          conf.lr, conf.momentum, n, callbacks)(mkMask) {
+        val valRdd = Optimizer.valRddOf(valData, featuresCol, labelCol)
+        try Optimizer.miniBatchLoop(sc, data, weights, opt, conf.epochs,
+          conf.lr, conf.momentum, n, callbacks, valRdd,
+          valMasks = (null: Array[Double], null: Array[Double], null: Array[Double]))(mkMask) {
           case (w, (mk, mkR, mkR2), xv, y, scratch) =>
             rowGradInto(w, mk, mkR, mkR2, xv, y, scratch)
-        }
+        } finally valRdd.foreach(_._1.unpersist())
       } else
       while (epoch < conf.epochs && !stopped) {
         val (mk, mkR, mkR2) = mkMask(epoch.toLong)

@@ -139,7 +139,10 @@ object MlpRegressor {
       dropout: Double = 0.0,
       callbacks: Seq[Callbacks.TrainingCallback] = Nil,
       opt: Optimizer.OptConfig = Optimizer.FullBatchGd,
-      activation: String = "tanh"): MlpRegressionModel = {
+      activation: String = "tanh",
+      // val-loss monitor set (same shape as df) — mini-batch path only;
+      // the full-batch path's callbacks keep seeing train loss
+      valData: Option[DataFrame] = None): MlpRegressionModel = {
     require(layers.nonEmpty && layers.forall(_ > 0),
       s"MlpRegressor.fitLayers: need at least one positive hidden width, got $layers")
     require(Set("tanh", "elu").contains(activation),
@@ -239,8 +242,9 @@ object MlpRegressor {
         // (bitwise identical under any partitioning); this head supplies
         // only its row-local forward/backward and per-step dropout masks.
         val yM = yMean; val yS = yStd; val fM = fMean; val fS = fStd
-        Optimizer.miniBatchLoop(sc, data, weights, opt, epochs, lr,
-          momentum, n, callbacks)(
+        val valRdd = Optimizer.valRddOf(valData, featuresCol, labelCol)
+        try Optimizer.miniBatchLoop(sc, data, weights, opt, epochs, lr,
+          momentum, n, callbacks, valRdd)(
           stepId =>
             if (dropout == 0.0) null
             else Array.tabulate(nLayers - 1)(l => Array.tabulate(sizes(l + 1))(h =>
@@ -248,7 +252,7 @@ object MlpRegressor {
               else kScale))
         ) { (w, mk, x, y, scratch) =>
           rowGradInto(x, (y - yM) / yS, w, mk, sizes, wOff, bOff, fM, fS, scratch, elu)
-        }
+        } finally valRdd.foreach(_._1.unpersist())
       } else
       while (epoch < epochs && !stopped) {
         // one inverted-dropout mask per hidden unit per EPOCH, from the

@@ -130,6 +130,17 @@ object Optimizer {
     * masks for a batch step (stepId = epoch·B + b — per-BATCH
     * resampling, the Keras semantics); it is broadcast with the
     * weights.
+    *
+    * `valData`: optional (rows, count) monitor set in the same raw
+    * (features, label) form as `data`. When present, the loss handed to
+    * `callbacks` at each epoch end is the VALIDATION loss — one extra
+    * forward-only pass per epoch over the val rows with the weights of
+    * that epoch and dropout OFF (`valMasks`, the head's inference-mode
+    * mask value — null or a tuple of nulls depending on the head's mask
+    * shape) — the Keras `EarlyStopping(monitor='val_loss')` /
+    * `ReduceLROnPlateau(monitor='val_loss')` semantics
+    * (`predictor_plugins/common/callbacks.py:12-30`). Absent, callbacks
+    * see the train loss as before (bit-for-bit unchanged).
     */
   def miniBatchLoop[M](
       sc: org.apache.spark.SparkContext,
@@ -140,7 +151,9 @@ object Optimizer {
       lr: Double,
       momentum: Double,
       n: Long,
-      callbacks: Seq[Callbacks.TrainingCallback])(
+      callbacks: Seq[Callbacks.TrainingCallback],
+      valData: Option[(org.apache.spark.rdd.RDD[(org.apache.spark.ml.linalg.Vector, Double)], Long)] = None,
+      valMasks: M = null.asInstanceOf[M])(
       mkMasks: Long => M)(
       rowGrad: (Array[Double], M, org.apache.spark.ml.linalg.Vector, Double, Array[Double]) => Unit): Unit = {
     val nW = weights.length
@@ -184,7 +197,24 @@ object Optimizer {
         b += 1
       }
       if (callbacks.nonEmpty) {
-        val loss = fromNano(epochLossNano) / n
+        val loss = valData match {
+          case Some((vd, vn)) if vn > 0 =>
+            // forward-only val pass: same rowGrad, inference-mode
+            // masks, only the loss slot consumed; fixed-point sum keeps
+            // the monitored value partition-order independent like the
+            // train loss it replaces
+            val bcW = sc.broadcast((weights.clone(), valMasks))
+            val lossN = OrderedAgg(vd, 0L)(
+              seqOp = { case (acc, (x, y)) =>
+                val scratch = new Array[Double](nW + 1)
+                rowGrad(bcW.value._1, bcW.value._2, x, y, scratch)
+                Math.addExact(acc, nano(scratch(nW)))
+              },
+              combOp = Math.addExact)
+            bcW.destroy()
+            fromNano(lossN) / vn
+          case _ => fromNano(epochLossNano) / n
+        }
         callbacks.foreach { cb =>
           cb.onEpochEnd(epoch, loss, lrCur) match {
             case Callbacks.Stop      => stopped = true
@@ -196,6 +226,22 @@ object Optimizer {
       epoch += 1
     }
   }
+
+  /** [[miniBatchLoop]]'s `valData` from a DataFrame in the head's
+    * (featuresCol, labelCol) shape — the same selection the heads apply
+    * to their train input, so the monitored loss is the head's own loss
+    * function on raw val rows (standardized inside `rowGrad` with the
+    * TRAIN-fit stats, the Keras semantics). Caller unpersists the RDD.
+    */
+  def valRddOf(df: Option[org.apache.spark.sql.DataFrame], featuresCol: String,
+      labelCol: String): Option[(org.apache.spark.rdd.RDD[(org.apache.spark.ml.linalg.Vector, Double)], Long)] =
+    df.map { v =>
+      val r = v.select(org.apache.spark.sql.functions.col(featuresCol),
+          org.apache.spark.sql.functions.col(labelCol).cast("double"))
+        .rdd.map(rr => (rr.getAs[org.apache.spark.ml.linalg.Vector](0), rr.getDouble(1)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (r, r.count())
+    }
 
   /** Order-independent per-dimension standardization sums (1e-6
     * fixed-point): (Σx_j, Σx²_j per dim, Σy, Σy²) — the mini-batch

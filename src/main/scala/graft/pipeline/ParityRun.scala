@@ -82,6 +82,11 @@ object ParityRun {
       testMax: Int, bandCols: Seq[String], artifactPrefix: String,
       targetCol: String = "CLOSE", horizons: Seq[Int] = 1 to 6,
       suffix: String = "1h", preNormalized: Boolean = false,
+      // derive the intra-bar band columns from OHLC (cuts whose files
+      // are bare OHLC; the bands are exact OHLC differences — see
+      // [[ExtendedCuts]]) and/or compute the phase_3 TA-indicator
+      // feature chain before normalization
+      deriveBands: Boolean = false, indicators: Boolean = false,
       // decoupled weight decay: the runner's substitute for the
       // reference's val-loss early stopping. The 1d family's long
       // horizons (24-144 bars = 4-24 days) are mostly UNpredictable —
@@ -95,6 +100,31 @@ object ParityRun {
       weightDecay: Double = 1e-4)
 
   val RefData1d = "/root/reference/examples/data_downsampled/phase_1"
+  val RefData3 = "/root/reference/examples/data/phase_3"
+
+  /** Every committed hourly cut of the EURUSD series usable as phase_1
+    * TRAIN data — the r9 verdict's open question ("does phase_3 extend
+    * the phase_1 pool?") answered by period analysis: the cuts agree
+    * EXACTLY (0 value diffs at every shared timestamp — same feed), and
+    * together the pre-validation bars number 37,141 distinct hours:
+    *   phase_1 d2⧺d3   2010-04→2012-09 (15,424)
+    *   phase_3 d2⧺d3   2010-03→2012-09 (+262 new at the start)
+    *   phase_2_1 d2    2014-03→2017-03 (18,439 — the missing middle)
+    *   phase_2_1 d3    2017-03→2020-03 (3,016 pre-validation rows)
+    *   phase_3 d5      2017-08→2018-11 (619 pre-val rows, all shared
+    *                   with phase_2_1 d3)
+    * so the 25200 data-scale cell IS reachable from committed data
+    * (`QuantParitySpec` pins the cross-cut agreement). phase_2_1/3
+    * files carry bare OHLC; the band columns are derived — they are
+    * exact OHLC differences (BC-BO = CLOSE−OPEN, BH-BL = HIGH−LOW,
+    * BH-BO = HIGH−OPEN, BO-BL = OPEN−LOW; verified 0 mismatches on
+    * the committed phase_1 files), so derivation is applied uniformly
+    * to every cut for bitwise determinism of the union.
+    */
+  val ExtendedCuts: Seq[String] = Seq(
+    s"$RefData/base_d2.csv", s"$RefData/base_d3.csv",
+    s"$RefData3/base_d2.csv", s"$RefData3/base_d3.csv", s"$RefData3/base_d5.csv",
+    s"$RefData21/base_d2.csv", s"$RefData21/base_d3.csv")
 
   val Phases: Map[String, PhaseData] = Map(
     "1" -> PhaseData(s"$RefData/normalization_config_b.json", minMax = false,
@@ -105,6 +135,26 @@ object ParityRun {
       Seq(s"$RefData/base_d2.csv", s"$RefData/base_d3.csv"),
       s"$RefData21/base_d2.csv", s"$RefData21/base_d3.csv", 6300,
       Nil, "graft_phase_2_1"),
+    // phase_3_1 (`examples/config/phase_3_1/phase_3_1_ann_25200_1h_
+    // config.json`): the stl_pipeline + stl_preprocessor family whose
+    // feature schema (`phase_3_debug_out.json`) carries the TA
+    // indicator columns — RSI, MACD family, EMA, stochastic, ADX/DI±,
+    // ATR, CCI, WilliamsR, Momentum, ROC — min-max normalized. The
+    // train file (`normalized_d4`, 25,200 rows) is uncommitted like
+    // phase_1's; the committed phase_3 bars are bare OHLC, so bands AND
+    // indicators are computed here from the standard public formulas
+    // (`graft.ts.TechIndicators`; the reference repo commits no
+    // indicator code — the columns arrive precomputed in its data
+    // files) and normalized with the committed per-indicator min/max
+    // stats. Features excluded as UNRECONSTRUCTABLE from committed
+    // data: S&P500_Close, vix_close (external feeds), CLOSE_15m/30m
+    // sub-bar ticks (no committed sub-hourly bars); calendar columns
+    // excluded for the documented phase_1 drift-memorization reason.
+    "3_1" -> PhaseData(s"$RefData3/phase_3_debug_out.json", minMax = true,
+      Seq(s"$RefData3/base_d2.csv", s"$RefData3/base_d3.csv"),
+      s"$RefData3/base_d5.csv", s"$RefData3/base_d6.csv", 6300,
+      Seq("BC-BO", "BH-BL", "BH-BO", "BO-BL"), "graft_phase_3_1",
+      deriveBands = true, indicators = true),
     // The downsampled (4-hour-bar) family: the one experiment whose
     // train/validation/test files are all committed verbatim
     // (`normalized_d4/d5/d6.csv`, consumed untouched). Target
@@ -134,6 +184,63 @@ object ParityRun {
       "graft_phase_1", targetCol = "typical_price",
       horizons = Seq(24, 48, 72, 96, 120, 144), suffix = "1d",
       preNormalized = true, weightDecay = 1e-2))
+
+  /** The phase_3 feature schema's indicator column names, spelled as the
+    * committed `phase_3_debug_out.json` normalization keys spell them. */
+  val IndicatorCols: Seq[String] = Seq("EMA", "RSI", "ATR", "ADX", "DI+", "DI-",
+    "MACD", "MACD_Signal", "MACD_Histogram", "Momentum", "ROC",
+    "Stochastic_%K", "Stochastic_%D", "WilliamsR", "CCI")
+
+  /** The band columns as OHLC differences (exact on the committed
+    * phase_1 files — see [[ExtendedCuts]]). */
+  val BandExprs: Seq[(String, Column)] = Seq(
+    "BC-BO" -> (col("CLOSE") - col("OPEN")), "BH-BL" -> (col("HIGH") - col("LOW")),
+    "BH-BO" -> (col("HIGH") - col("OPEN")), "BO-BL" -> (col("OPEN") - col("LOW")))
+
+  def withBands(df: DataFrame): DataFrame =
+    BandExprs.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }
+
+  /** The TA feature chain on RAW OHLC (indicators are computed in price
+    * units, then min-max normalized with the committed per-indicator
+    * stats — RSI's committed range [7.04, 94.04] is a raw-RSI range).
+    * Standard public periods: Wilder 14 for RSI/ATR/ADX, MACD 12-26-9,
+    * Momentum/ROC 10, stochastic 14/3, CCI 20 (the reference commits no
+    * indicator code or periods — only the columns' min/max stats). */
+  def withIndicators(df: DataFrame): DataFrame = {
+    import graft.ts.TechIndicators
+    val w = Window.orderBy(col("ts"))
+    TechIndicators.withRecursiveIndicators(df, Nil, Seq("ts"), "HIGH", "LOW", "CLOSE")
+      .withColumnRenamed("DI_plus", "DI+")
+      .withColumnRenamed("DI_minus", "DI-")
+      .withColumn("Momentum", TechIndicators.momentum(col("CLOSE"), w, 10))
+      .withColumn("ROC", TechIndicators.roc(col("CLOSE"), w, 10))
+      .withColumn("Stochastic_%K",
+        TechIndicators.stochasticK(col("CLOSE"), col("HIGH"), col("LOW"), w, 14))
+      .withColumn("Stochastic_%D",
+        TechIndicators.stochasticD(col("Stochastic_%K"), w))
+      .withColumn("WilliamsR",
+        TechIndicators.williamsR(col("CLOSE"), col("HIGH"), col("LOW"), w, 14))
+      .withColumn("CCI",
+        TechIndicators.cci(col("HIGH"), col("LOW"), col("CLOSE"), w, 20))
+  }
+
+  /** The phase-family featurization (shared with
+    * [[ParityOptimizationRun]]): h-step return targets in normalized
+    * units (`use_returns: true`, named `target_h*` for the Forecaster
+    * faces' contract) + `nLags` CLOSE lag DELTAS `lag_i − CLOSE` — the
+    * level-invariant feature map documented in [[main]].
+    */
+  def featurize(df: DataFrame, targetCol: String, horizons: Seq[Int],
+      nLags: Int): DataFrame = {
+    val w = Window.orderBy(col("ts"))
+    val ret = Targets.multiHorizonReturns(df, targetCol, horizons, w)
+    val named = horizons.foldLeft(ret)((d, h) =>
+      d.withColumnRenamed(s"ret_h$h", s"target_h$h"))
+    val lagged = Forecaster.withLagFeatures(named, targetCol, nLags,
+      Nil, Seq("ts"))
+    (1 to nLags).foldLeft(lagged)((d, i) =>
+      d.withColumn(s"lagd_$i", col(s"lag_$i") - col(targetCol)))
+  }
 
   /** Normalize every column that has stats; leaves ts/DATE_TIME alone.
     * Mirrors the reference preprocessor's per-column standardization —
@@ -202,7 +309,8 @@ object ParityRun {
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
 
-    val phase = Phases(args.lift(4).getOrElse("1"))
+    val phaseKey = args.lift(4).getOrElse("1")
+    val phase = Phases(phaseKey)
     val stats = Sources.loadNormStats(spark, phase.normJsonPath)
     val (closeA, closeB) = stats(phase.targetCol)
     // denorm slope/shift of the target: z-score → (std, mean); min-max →
@@ -221,11 +329,13 @@ object ParityRun {
     // the reference's val/test years (2017-20, ~1.08-1.25), and a
     // small per-horizon head, unlike the reference's 144-wide net,
     // cannot both memorize and ignore it.
-    val featureCols = phase.bandCols ++ (1 to nLags).map(i => s"lagd_$i")
-    val w = Window.orderBy(col("ts"))
+    val featureCols = phase.bandCols ++ (1 to nLags).map(i => s"lagd_$i") ++
+      (if (phase.indicators) IndicatorCols else Nil)
 
     def loadNorm(path: String, maxRows: Option[Int] = None): DataFrame = {
-      val raw = Sources.loadCsv(spark, path, maxRows = maxRows)
+      val raw0 = Sources.loadCsv(spark, path, maxRows = maxRows)
+      val raw1 = if (phase.deriveBands) withBands(raw0) else raw0
+      val raw = if (phase.indicators) withIndicators(raw1) else raw1
       if (phase.preNormalized) raw else normalize(raw, stats, phase.minMax)
     }
 
@@ -233,20 +343,39 @@ object ParityRun {
     // (uncommitted) train period, chronological
     val pool = phase.trainFiles.map(f => loadNorm(f)).reduce(_.unionByName(_))
       .orderBy("ts")
+    val poolCount = pool.count()
     val validation = loadNorm(phase.valFile)
     val test = loadNorm(phase.testFile, maxRows = Some(phase.testMax))
+
+    /** The 25200-scale pool: union of [[ExtendedCuts]] deduped by
+      * timestamp (cuts agree exactly at shared hours), bands derived
+      * uniformly from OHLC, capped to bars BEFORE the validation period
+      * (training on d5/d6 hours would leak the val/test splits), then
+      * the LAST `maxTrain` bars — the window with maximal overlap with
+      * the reference's actual (uncommitted) train file d4 (2012-09→
+      * 2017-09): 21,455 of the 25,200 selected bars lie inside d4's
+      * true period; the remaining 3,745 precede it by ≤7 months.
+      */
+    def extendedPool(maxTrain: Int): DataFrame = {
+      val valStart = validation.agg(min(col("ts"))).head().getTimestamp(0)
+      val raw = ExtendedCuts.map { f =>
+        withBands(Sources.loadCsv(spark, f).select("ts", "OPEN", "LOW", "HIGH", "CLOSE"))
+      }.reduce(_.unionByName(_))
+      val merged = raw.dropDuplicates("ts").filter(col("ts") < lit(valStart))
+      val lastN = merged.orderBy(col("ts").desc).limit(maxTrain).orderBy("ts")
+      // indicator state crosses the union's two period seams with ~40
+      // rows of warm-up distortion each — negligible at 25,200 rows
+      val feat = if (phase.indicators) withIndicators(lastN) else lastN
+      normalize(feat, stats, phase.minMax).orderBy("ts")
+    }
 
     // returns regime (`use_returns: true`): targets are h-step CLOSE
     // deltas in z-units; `target_h*` naming keeps the Forecaster faces'
     // contract
     def featurized(df: DataFrame): DataFrame = {
-      val ret = Targets.multiHorizonReturns(df, phase.targetCol, horizons, w)
-      val named = horizons.foldLeft(ret)((d, h) =>
-        d.withColumnRenamed(s"ret_h$h", s"target_h$h"))
-      val lagged = Forecaster.withLagFeatures(named, phase.targetCol, nLags,
-        Nil, Seq("ts"))
-      (1 to nLags).foldLeft(lagged)((d, i) =>
-        d.withColumn(s"lagd_$i", col(s"lag_$i") - col(phase.targetCol)))
+      val f = featurize(df, phase.targetCol, horizons, nLags)
+      // indicator warm-up rows (nulls) are dropped like lag warm-ups
+      if (phase.indicators) f.na.drop(IndicatorCols) else f
     }
 
     val valF = featurized(validation).cache()
@@ -256,8 +385,21 @@ object ParityRun {
     // sequence heads: conv/recurrent/attention heads read the assembled
     // feature vector as the input window in featureCols order
     val seqCols = (nLags to 1 by -1).map(i => s"lagd_$i")
+    // arg 5 "earlystop": fit under the reference's LITERAL capacity
+    // control instead of the documented weight-decay substitute —
+    // `EarlyStopping(monitor='val_loss')` through the heads' val-loss
+    // monitor (`Callbacks.EarlyStopping`; config `early_patience`,
+    // `min_delta: 1e-7`), weight decay off so the two regimes are not
+    // stacked. Run with epochs high enough that stopping, not the
+    // budget, ends training (e.g. 200). Intended for the r9-verdict
+    // regime comparison at 12600 (PLANS.md row); the committed
+    // artifacts keep whichever regime lands closer.
+    val earlyStop = args.lift(5).contains("earlystop")
     val adamw = Optimizer.OptConfig(method = "adamw", batches = 8,
-      weightDecay = phase.weightDecay)
+      weightDecay = if (earlyStop) 0.0 else phase.weightDecay)
+    val fitCallbacks: Int => Seq[graft.ml.Callbacks.TrainingCallback] =
+      if (earlyStop) _ => Seq(new graft.ml.Callbacks.EarlyStopping(patience = 20, minDelta = 1e-7))
+      else _ => Nil
 
     // head → (feature layout, fit). Architectures mirror the reference
     // plugin family: ann = tanh MLP [48,24]
@@ -272,19 +414,23 @@ object ParityRun {
         : (Seq[String], Map[Int, Forecaster.HorizonModel]) = head match {
       case "ann" => (featureCols, Forecaster.fitPerHorizonDeepMlp(
         trainF, featureCols, horizons, layers = Seq(48, 24), epochs = epochs,
-        lr = 0.03, seed = seed, opt = adamw))
+        lr = 0.03, seed = seed, opt = adamw, callbacks = fitCallbacks,
+        valData = if (earlyStop) Some(valF) else None))
       case "cnn" => (seqCols, Forecaster.fitPerHorizonCnn(
         trainF, seqCols, horizons, graft.ml.CnnRegressor.CnnConfig(
           channels = 16, epochs = epochs, lr = 0.03, seed = seed,
-          activation = "relu"), opt = adamw))
+          activation = "relu"), opt = adamw, callbacks = fitCallbacks,
+        valData = if (earlyStop) Some(valF) else None))
       case "lstm" => (seqCols, Forecaster.fitPerHorizonLstm(
         trainF, seqCols, horizons, graft.ml.LstmRegressor.LstmConfig(
           units = 8, epochs = epochs, lr = 0.03, seed = seed,
-          bidirectional = true), opt = adamw))
+          bidirectional = true), opt = adamw, callbacks = fitCallbacks,
+        valData = if (earlyStop) Some(valF) else None))
       case "transformer" => (seqCols, Forecaster.fitPerHorizonAttention(
         trainF, seqCols, horizons, graft.ml.AttentionRegressor.AttnConfig(
           dim = 8, heads = 2, epochs = epochs, lr = 0.03, seed = seed,
-          layerNorm = true), opt = adamw))
+          layerNorm = true), opt = adamw, callbacks = fitCallbacks,
+        valData = if (earlyStop) Some(valF) else None))
       // the reference's TRUE TFT architecture (LayerNorm at the
       // gated-residual + post-attention sites, 2 stacked LSTM encoder
       // layers — `predictor_plugin_tft.py:85,113-116,127`). No
@@ -294,17 +440,25 @@ object ParityRun {
       case "tft" => (seqCols, Forecaster.fitPerHorizonTft(
         trainF, seqCols, horizons, graft.ml.TftRegressor.TftConfig(
           units = 8, epochs = epochs, lr = 0.03, seed = seed,
-          lstmLayers = 2, layerNorm = true), opt = adamw))
+          lstmLayers = 2, layerNorm = true), opt = adamw, callbacks = fitCallbacks,
+        valData = if (earlyStop) Some(valF) else None))
       case other => throw new IllegalArgumentException(s"unknown parity head '$other'")
     }
     val heads = args.lift(3).map(_.split(",").toSeq).getOrElse(Seq("ann"))
 
     for ((label, maxTrain) <- variants) {
-      val trainF = featurized(pool.limit(maxTrain)).cache()
-      // the deep-head zoo runs at the cheap 1575 variant only (the
-      // reference's four 1575 grids are near-identical, so 1575 is the
-      // head-parity scale; 12600 is the ann data-scale anchor)
-      for (head <- heads if head == "ann" || label == "1575") {
+      // a phase-1 variant that outgrows the d2⧺d3 pool (only 25200
+      // does) draws from the extended all-committed-cuts pool; the
+      // other phases keep the original semantics (limit beyond the pool
+      // = the whole pool — the committed phase_2_1 artifact's regime)
+      val trainF = featurized(
+        if ((phaseKey == "1" || phaseKey == "3_1") && maxTrain > poolCount)
+          extendedPool(maxTrain)
+        else pool.limit(maxTrain)).cache()
+      // head × scale is caller-controlled (args 2/3): the committed set
+      // runs ann at every scale and the deep zoo at 1575/3150/6300 (the
+      // scales where the reference's grids are anomaly-free, r9 verdict)
+      for (head <- heads) {
         val iterRows = (1 to 3).map { it =>
           val seed = 42L + 1000L * it
           val (feats, models) = fitFor(head, trainF, seed)

@@ -41,4 +41,50 @@ class BenchSettleSpec extends AnyFunSuite {
   test("a query missing from the warm map is its own baseline (never flagged)") {
     assert(Bench.settleSuspects(Seq("x" -> 9.0), Map.empty, Set.empty).isEmpty)
   }
+
+  // --- driver line (r9 verdict "what's wrong" #1: with 97 queries the
+  // cold+warm+settled maps never fit the 1850-char driver budget, so the
+  // emitted artifact always fell back to contention-polluted cold-only
+  // per-query numbers; the line now carries the settled-corrected floor) ---
+
+  private val cals = """"cal_pre":1.234,"cal_mid":1.234,"cal_sec":1.234,""" +
+    """"calmc_pre":1.234,"calmc_mid":1.234,"calmc_post":1.234"""
+  // realistic worst case: 97 full-length query names, double-digit
+  // seconds everywhere, all 12 settle slots used
+  private val cold97 = (1 to 97).map(i => f"q$i%02d_some_longer_query_name" -> 87.77)
+  private val warm97 = (1 to 97).map(i => f"q$i%02d_some_longer_query_name" -> 44.33)
+  private val settled12 = cold97.take(12).map { case (n, _) => n -> 12.34 }
+
+  test("driver line fits the 1850-char budget at 97 queries with every map populated") {
+    val line = Bench.driverLine(cold97, warm97, settled12, cals, "/root/testdata/sf0.1")
+    assert(line.length <= 1850, s"driver line ${line.length} chars exceeds the 1850 budget")
+    // the settle evidence must be IN the driver line, not only bench_full
+    assert(line.contains(""""settled":["q01""""))
+    assert(line.contains(""""value_settled":"""))
+  }
+
+  test("per-query values are the reproducible floor: settled ?? min(cold, warm)") {
+    val line = Bench.driverLine(
+      Seq("q62_cluster" -> 7.73, "q10_returns" -> 0.30, "q55_cd" -> 1.20),
+      Seq("q62_cluster" -> 1.50, "q10_returns" -> 0.45, "q55_cd" -> 1.57),
+      Seq("q62_cluster" -> 0.70), cals, "sf")
+    assert(line.contains(""""q62":0.70""")) // settled wins over cold AND warm
+    assert(line.contains(""""q10":0.30""")) // min(cold, warm) when no settle
+    assert(line.contains(""""q55":1.20"""))
+    assert(line.contains(""""value":9.23"""))         // cold total stays honest
+    assert(line.contains(""""value_settled":2.20""")) // 0.70 + 0.30 + 1.20
+    assert(line.contains(""""settled":["q62"]"""))
+  }
+
+  test("over-budget degradation keeps a settle marker, never drops it silently") {
+    // 250 queries overflow even the short-key floor map (~3k chars),
+    // forcing the drop-the-map fallback — which must still say a settle
+    // pass ran
+    val huge = (1 to 250).map(i => f"q$i%03d_query" -> 87.77)
+    val line = Bench.driverLine(huge, huge, huge.take(12).map(t => t._1 -> 1.0),
+      cals, "/root/testdata/sf0.1")
+    assert(line.length <= 1850)
+    assert(line.contains(""""n_settled":12"""))
+    assert(!line.contains(""""queries":"""))
+  }
 }

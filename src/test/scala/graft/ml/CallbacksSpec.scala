@@ -53,6 +53,55 @@ class CallbacksSpec extends AnyFunSuite {
     assert(es.stoppedEpoch == 2)
   }
 
+  test("M11 val-loss monitor: callbacks see VALIDATION loss on the mini-batch path") {
+    // val set with the label relationship INVERTED: as the net fits
+    // train, val loss must end far above train loss — the monitored
+    // sequence proves the callbacks watch the val split, not train
+    val rnd = new scala.util.Random(11)
+    val valDf = Seq.tabulate(120) { _ =>
+      val x1 = rnd.nextDouble(); val x2 = rnd.nextDouble()
+      (x1, x2, -2.0 * x1 + x2)
+    }.toDF("x1", "x2", "y")
+    val valAssembled = new VectorAssembler().setInputCols(Array("x1", "x2"))
+      .setOutputCol("features").transform(valDf).select($"features", $"y")
+    val opt = Optimizer.OptConfig(method = "adamw", batches = 2)
+    val hTrain = new Callbacks.History
+    val m1 = MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 30, lr = 0.05,
+      callbacks = Seq(hTrain), opt = opt)
+    val hVal = new Callbacks.History
+    val m2 = MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 30, lr = 0.05,
+      callbacks = Seq(hVal), opt = opt, valData = Some(valAssembled))
+    assert(hVal.rows.length == 30 && hTrain.rows.length == 30)
+    assert(hVal.rows.map(_._2).forall(java.lang.Double.isFinite))
+    // the monitor pass is forward-only: it must not perturb the fit
+    val probe = assembled.head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+    assert(m1.predict(probe) == m2.predict(probe),
+      "val-loss monitoring changed the fitted weights")
+    // only the MONITORED value differs, and the anti-correlated val
+    // loss ends well above train
+    assert(hVal.rows.last._2 > 4.0 * hTrain.rows.last._2,
+      s"val ${hVal.rows.last._2} vs train ${hTrain.rows.last._2}")
+  }
+
+  test("M11 val-loss monitor: early stopping fires on a worsening val split") {
+    // train is learnable; val is anti-correlated, so val loss RISES as
+    // train loss falls -> EarlyStopping(patience=3) must halt early
+    val rnd = new scala.util.Random(13)
+    val valDf = Seq.tabulate(120) { _ =>
+      val x1 = rnd.nextDouble(); val x2 = rnd.nextDouble()
+      (x1, x2, -2.0 * x1 + x2)
+    }.toDF("x1", "x2", "y")
+    val valAssembled = new VectorAssembler().setInputCols(Array("x1", "x2"))
+      .setOutputCol("features").transform(valDf).select($"features", $"y")
+    val es = new Callbacks.EarlyStopping(patience = 3, minDelta = 0.0)
+    val h = new Callbacks.History
+    MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 100, lr = 0.05,
+      callbacks = Seq(h, es), opt = Optimizer.OptConfig(method = "adamw", batches = 2),
+      valData = Some(valAssembled))
+    assert(es.stoppedEpoch >= 0, "early stopping never fired on a worsening val loss")
+    assert(h.rows.length < 100, s"ran all ${h.rows.length} epochs")
+  }
+
   test("M11 fit loop: plateau callback lowers the live learning rate") {
     val h = new Callbacks.History
     val rp = new Callbacks.ReduceLrOnPlateau(factor = 0.5, patience = 1,

@@ -63,8 +63,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class QuantParitySpec extends AnyFunSuite {
 
   private val ourDir = "golden/phase_1_parity"
-  /** All committed ann scales (the reference's 25200 needs more train
-    * rows than the committed pool's 15,424). */
+  /** The ann scales under the r8 band set. 25200 (reconstructable since
+    * r10 via `ParityRun.ExtendedCuts`) has its own test below with
+    * bands justified against its grid's anomalies, like phase_2_1. */
   private val AnnVariants = Seq("12600", "6300", "3150", "1575")
   private val refDir = "/root/reference/examples/results/phase_1"
   private val horizons = 1 to 6
@@ -202,7 +203,7 @@ class QuantParitySpec extends AnyFunSuite {
     * horizon-flatness anomaly applies, our test cells match within 2×
     * (observed: 0.99 at both). */
   test("learning curve: val/test MAE H1 improves monotonically with train rows, like the reference's") {
-    val scales = Seq("1575", "3150", "6300", "12600")
+    val scales = Seq("1575", "3150", "6300", "12600", "25200")
     val ours = scales.map(v => load(s"$ourDir/graft_phase_1_ann_${v}_1h_results.csv"))
     val refs = scales.map(v => load(s"$refDir/phase_1_ann_${v}_1h_results.csv"))
     for (split <- Seq("Validation", "Test")) {
@@ -272,6 +273,130 @@ class QuantParitySpec extends AnyFunSuite {
       assert(g > 1.0 && g < 4.0, s"tft $split H6/H1 growth $g")
       for (h <- horizons)
         assert(tft(s"$split R2 H$h") >= 0.90, s"tft $split R2 H$h ${tft(s"$split R2 H$h")}")
+    }
+  }
+
+  /** The 25200 data-scale cell (r9 verdict task #2, closed in r10 via
+    * the extended committed pool — see the provenance test). Band
+    * rationale, each factor named by the reference's own numbers:
+    *
+    *   - H1 MAE within [1/8, 8]: the reference's OWN 12600→25200 step
+    *     is its largest quality jump (Train 0.000653→0.000135 = 4.8×,
+    *     Test 0.000574→0.000128 = 4.5×) — and it lands the grid in an
+    *     anomalous regime: its 25200 Validation MAE H1 (0.000142) sits
+    *     ~5× BELOW the naive random-walk MAE computable from its own
+    *     committed validation bars (0.000737), while its own 1575 grid
+    *     sits 48% ABOVE that floor. A returns model 5× below naive on
+    *     hourly FX is not reproducible from the committed inputs (the
+    *     same class of inconsistency as the machine-checked daily
+    *     exclusion, in degree rather than by a hard bound), so the
+    *     band prices their scale step (4.8) with margin, anchored by
+    *     the pinned sub-naive check below.
+    *   - All-horizon within [1/25, 25]: the phase_2_1 precedent —
+    *     4.8 (their scale step) × 2.45 (√6 horizon-flatness: their H6
+    *     0.000138 ≈ their H1, ours grows ≈√h) × ~2 margin.
+    *   - REAL two-sided signal: our val/test cells must IMPROVE on our
+    *     own committed 12600 cells (the added 2014-17 train years are
+    *     adjacent to the val period) while staying within [0.4, 1.05]
+    *     — the genuine learning-curve extension on reconstructed data.
+    *   - R² within 0.08 of theirs and ≥ 0.90, the family floor
+    *     (observed: gap 0.003 at H1, 0.013 at H4).
+    */
+  test("25200 cell: bounded MAE gap, sub-naive anomaly pinned, learning-curve improvement vs 12600") {
+    val ours = load(s"$ourDir/graft_phase_1_ann_25200_1h_results.csv")
+    val ref = load(s"$refDir/phase_1_ann_25200_1h_results.csv")
+    assert(ours.keySet == ref.keySet)
+    val o12 = load(s"$ourDir/graft_phase_1_ann_12600_1h_results.csv")
+    // pin the anomaly the band prices in: their grid sits far below the
+    // naive floor of its own committed validation file
+    val src = scala.io.Source.fromFile(
+      "/root/reference/examples/data/phase_1/base_d5.csv")
+    val lines = try src.getLines().toVector finally src.close()
+    val ci = lines.head.split(",").indexOf("CLOSE")
+    val closes = lines.tail.map(_.split(",")(ci).toDouble)
+    val naive = closes.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (closes.size - 1)
+    assert(ref("Validation MAE H1") < naive / 4.0,
+      s"reference 25200 val MAE ${ref("Validation MAE H1")} no longer sits far below " +
+        s"its own data's naive floor $naive — the band rationale has changed")
+    for (split <- Seq("Train", "Validation", "Test")) {
+      val rH1 = ratio(ours, ref, s"$split MAE H1")
+      assert(rH1 > 0.125 && rH1 < 8.0, s"25200 $split MAE H1 ratio $rH1 outside [1/8, 8]")
+      val g = ours(s"$split MAE H6") / ours(s"$split MAE H1")
+      assert(g > 1.0 && g < 4.0, s"25200 $split H6/H1 growth $g")
+      for (h <- horizons) {
+        val r = ratio(ours, ref, s"$split MAE H$h")
+        assert(r > 1.0 / 25 && r < 25.0, s"25200 $split MAE H$h ratio $r outside [1/25, 25]")
+        val key = s"$split R2 H$h"
+        assert(math.abs(ours(key) - ref(key)) < 0.08 && ours(key) >= 0.90,
+          s"25200 $key: ours ${ours(key)} vs ref ${ref(key)}")
+      }
+    }
+    for (split <- Seq("Validation", "Test")) {
+      val cross = ours(s"$split MAE H1") / o12(s"$split MAE H1")
+      assert(cross > 0.4 && cross < 1.05,
+        s"25200 vs our own 12600 $split H1 ratio $cross — more committed train data " +
+          "must not hurt (observed 0.92/0.86)")
+    }
+  }
+
+  /** Provenance basis of the 25200 train pool (`ParityRun.ExtendedCuts`):
+    * the committed phase_1 / phase_2_1 / phase_3 base bars are cuts of
+    * the SAME feed — they agree exactly (string-identical OHLC) at every
+    * shared timestamp — and together provide 37,141 distinct
+    * pre-validation hours, which is why the 25200 data-scale cell is
+    * reachable while phase_1's own d2⧺d3 (15,424) is not. Pins:
+    * (a) exact cross-cut agreement (any disagreement would mean a
+    * different feed cut, collapsing the union's legitimacy — the test
+    * that MUST fail if the reference data ever changes); (b) the
+    * distinct pre-val count; (c) the band-column identity (BC-BO =
+    * CLOSE−OPEN etc.) that lets bare-OHLC cuts join the banded pool.
+    */
+  test("25200 pool provenance: committed cuts agree exactly; 37,141 distinct pre-val hours; bands are OHLC differences") {
+    val refData = "/root/reference/examples/data"
+    def readBars(path: String): (Seq[String], Map[String, IndexedSeq[String]]) = {
+      val src = scala.io.Source.fromFile(path)
+      val lines = try src.getLines().toVector finally src.close()
+      val hdr = lines.head.split(",").toSeq
+      val oi = Seq("OPEN", "LOW", "HIGH", "CLOSE").map(hdr.indexOf)
+      (hdr, lines.tail.map { l =>
+        val c = l.split(","); c(0) -> oi.map(c).toIndexedSeq
+      }.toMap)
+    }
+    val cuts = Map(
+      "p1_d2" -> s"$refData/phase_1/base_d2.csv", "p1_d3" -> s"$refData/phase_1/base_d3.csv",
+      "p1_d5" -> s"$refData/phase_1/base_d5.csv",
+      "p3_d2" -> s"$refData/phase_3/base_d2.csv", "p3_d3" -> s"$refData/phase_3/base_d3.csv",
+      "p3_d5" -> s"$refData/phase_3/base_d5.csv",
+      "p21_d2" -> s"$refData/phase_2_1/base_d2.csv", "p21_d3" -> s"$refData/phase_2_1/base_d3.csv")
+    val bars = cuts.map { case (k, p) => k -> readBars(p)._2 }
+    // (a) exact agreement at shared timestamps, across every overlapping pair
+    for (Seq(a, b) <- bars.keys.toSeq.sorted.combinations(2)) {
+      val shared = bars(a).keySet & bars(b).keySet
+      val diffs = shared.count(ts => bars(a)(ts) != bars(b)(ts))
+      assert(diffs == 0, s"$a vs $b: $diffs OHLC diffs at ${shared.size} shared ts " +
+        "— the committed cuts no longer agree; the 25200 union is invalid")
+    }
+    // (b) the pool arithmetic: phase_1's own pool is too small, the
+    // union is big enough, and everything sits before the val period
+    val valStart = bars("p1_d5").keys.min
+    assert(valStart == "2017-09-15 06:00:00", s"phase_1 val period moved: $valStart")
+    val p1Own = bars("p1_d2").keySet ++ bars("p1_d3").keySet
+    assert(p1Own.size == 15424, s"d2⧺d3 pool ${p1Own.size}")
+    val preVal = (bars - "p1_d5").values.flatMap(_.keys).filter(_ < valStart).toSet
+    assert(preVal.size == 37141, s"distinct pre-val hours ${preVal.size}")
+    assert(preVal.size >= 25200 && p1Own.size < 25200)
+    // (c) band columns are exact OHLC differences on the banded cut
+    val (hdr, _) = readBars(s"$refData/phase_1/base_d2.csv")
+    val src = scala.io.Source.fromFile(s"$refData/phase_1/base_d2.csv")
+    val lines = try src.getLines().toVector finally src.close()
+    val idx = hdr.zipWithIndex.toMap
+    for (l <- lines.tail.take(500)) {
+      val c = l.split(",")
+      def v(n: String) = c(idx(n)).toDouble
+      assert(math.abs(v("BC-BO") - (v("CLOSE") - v("OPEN"))) < 1e-9)
+      assert(math.abs(v("BH-BL") - (v("HIGH") - v("LOW"))) < 1e-9)
+      assert(math.abs(v("BH-BO") - (v("HIGH") - v("OPEN"))) < 1e-9)
+      assert(math.abs(v("BO-BL") - (v("OPEN") - v("LOW"))) < 1e-9)
     }
   }
 
