@@ -131,6 +131,38 @@ object ScaleProbe {
       }
     }
 
+    if (want("tech")) {
+      if (!new java.io.File("/tmp/scale10/events.parquet").exists) replicate(10, "/tmp/scale10")
+      if (!new java.io.File("/tmp/scale100/events.parquet").exists) replicate(100, "/tmp/scale100")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      for (dir <- Seq("/root/testdata/sf0.1", "/tmp/scale10", "/tmp/scale100")) {
+        val ev = graft.io.Sources.table(spark, dir, "events")
+        // derive OHLC like q103 so both families run their real shapes
+        val ret1 = coalesce(col("value") - lag(col("value"), 1).over(w), lit(0.0))
+        val base = ev.select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("close"),
+          (col("value") + lit(0.5) * abs(ret1)).as("high"),
+          (col("value") - lit(0.3) * abs(ret1)).as("low"))
+        base.write.mode("overwrite").format("noop").save() // warm scan
+        val t0 = System.nanoTime()
+        base.withColumn("tr", graft.ts.TechIndicators.trueRange(col("high"), col("low"), col("close"), w))
+          .select(col("event_id"),
+            graft.ts.TechIndicators.momentum(col("close"), w, 6).as("m"),
+            graft.ts.TechIndicators.stochasticK(col("close"), col("high"), col("low"), w, 14).as("k"),
+            graft.ts.TechIndicators.atrSma(col("tr"), w, 14).as("a"),
+            graft.ts.TechIndicators.cci(col("high"), col("low"), col("close"), w, 20).as("c"))
+          .write.mode("overwrite").format("noop").save()
+        val tWin = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.ts.TechIndicators.withRecursiveIndicators(base, Seq("user_id"),
+          Seq("ts", "event_id"), "high", "low", "close")
+          .write.mode("overwrite").format("noop").save()
+        val tRec = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE-TECH $dir: window_family=$tWin%.2f s recursive_family=$tRec%.2f s")
+      }
+    }
+
     // Replicated documents (5k → 50k → 500k docs; replica docs get
     // disjoint ids but IDENTICAL text, so dup groups grow with the
     // factor — the adversarial case for candidate generation: a naive

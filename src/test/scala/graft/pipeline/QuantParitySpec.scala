@@ -165,20 +165,25 @@ class QuantParitySpec extends AnyFunSuite {
     * BEATING the reference's committed run on its own files. Upper edge
     * 3×, same train-years justification as the ann anchor.
     */
-  test("head zoo (cnn, lstm, transformer) H1 MAE within [1/8, 3] at 1575") {
-    for (head <- Seq("cnn", "lstm", "transformer")) {
-      val ours = load(s"$ourDir/graft_phase_1_${head}_1575_1h_results.csv")
-      val ref = load(s"$refDir/phase_1_${head}_1575_1h_results.csv")
+  test("head zoo (cnn, lstm, transformer) H1 MAE within [1/8, 3] at 1575, 3150, and 6300") {
+    // r9 gated the zoo at 1575 only; r10 (verdict task #4) adds the two
+    // mid scales — exactly the scales where the reference's grids are
+    // anomaly-free. Observed H1 ratios at 3150/6300: 0.63–1.50, i.e.
+    // we BEAT the reference's committed runs on val/test and sit within
+    // 1.5× on train.
+    for (scale <- Seq("1575", "3150", "6300"); head <- Seq("cnn", "lstm", "transformer")) {
+      val ours = load(s"$ourDir/graft_phase_1_${head}_${scale}_1h_results.csv")
+      val ref = load(s"$refDir/phase_1_${head}_${scale}_1h_results.csv")
       for (split <- Seq("Train", "Validation", "Test")) {
         val r = ratio(ours, ref, s"$split MAE H1")
-        assert(r > 0.125 && r < 3.0, s"$head $split MAE H1 ratio $r outside [1/8, 3]")
+        assert(r > 0.125 && r < 3.0, s"$head/$scale $split MAE H1 ratio $r outside [1/8, 3]")
       }
       for (h <- horizons; split <- Seq("Train", "Validation", "Test")) {
         val r = ratio(ours, ref, s"$split MAE H$h")
-        assert(r > 1.0 / 12 && r < 12.0, s"$head $split MAE H$h ratio $r")
+        assert(r > 1.0 / 12 && r < 12.0, s"$head/$scale $split MAE H$h ratio $r")
         val key = s"$split R2 H$h"
         assert(math.abs(ours(key) - ref(key)) < 0.08 && ours(key) >= 0.90,
-          s"$head $key: ours ${ours(key)} vs ref ${ref(key)}")
+          s"$head/$scale $key: ours ${ours(key)} vs ref ${ref(key)}")
       }
     }
   }
@@ -397,6 +402,55 @@ class QuantParitySpec extends AnyFunSuite {
       assert(math.abs(v("BH-BL") - (v("HIGH") - v("LOW"))) < 1e-9)
       assert(math.abs(v("BH-BO") - (v("HIGH") - v("OPEN"))) < 1e-9)
       assert(math.abs(v("BO-BL") - (v("OPEN") - v("LOW"))) < 1e-9)
+    }
+  }
+
+  /** Phase_3_1 (r9 verdict task #6, the stl_preprocessor family at
+    * 25,200 rows): the committed phase_3 bars are bare OHLC, so the
+    * whole TA feature chain — bands + RSI/MACD/EMA/stochastic/ADX/DI±/
+    * ATR/CCI/WilliamsR/Momentum/ROC — is computed by
+    * `graft.ts.TechIndicators` from the standard public formulas and
+    * min-max normalized with the committed per-indicator stats
+    * (`phase_3_debug_out.json`); externals (S&P500, VIX) and 15m/30m
+    * sub-bar ticks are uncommitted and documented out. Bands are the
+    * phase_2_1 precedent ([1/25, 25] all-horizon, each factor named by
+    * the reference's own numbers) because this grid belongs to the same
+    * anomalous family as phase_1's 25200: its Validation MAE H1
+    * (0.000094) sits ~8× BELOW the naive floor of its own committed
+    * validation bars — pinned below. The sharp evidence is
+    * CROSS-CONSISTENCY: our phase_3_1 cells land within 1.01–1.21× of
+    * our own phase_1 25200 cells — same series, same scale, two
+    * different normalization regimes and feature chains.
+    */
+  test("phase_3_1 (TA-indicator regime): bounded MAE gap, R2 parity, cross-consistent with phase_1 25200") {
+    val ours = load(s"$ourDir/graft_phase_3_1_ann_25200_1h_results.csv")
+    val ref = load("/root/reference/examples/results/phase_3_1/phase_3_1_ann_25200_1h_results.csv")
+    assert(ours.keySet == ref.keySet)
+    val p1 = load(s"$ourDir/graft_phase_1_ann_25200_1h_results.csv")
+    val src = scala.io.Source.fromFile(
+      "/root/reference/examples/data/phase_3/base_d5.csv")
+    val lines = try src.getLines().toVector finally src.close()
+    val ci = lines.head.split(",").indexOf("CLOSE")
+    val closes = lines.tail.map(_.split(",")(ci).toDouble)
+    val naive = closes.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (closes.size - 1)
+    assert(ref("Validation MAE H1") < naive / 4.0,
+      s"reference phase_3_1 val MAE ${ref("Validation MAE H1")} no longer sits far below " +
+        s"its own data's naive floor $naive — revisit the band rationale")
+    for (split <- Seq("Train", "Validation", "Test")) {
+      val rH1 = ratio(ours, ref, s"$split MAE H1")
+      assert(rH1 > 1.0 / 12 && rH1 < 12.0, s"p3_1 $split MAE H1 ratio $rH1")
+      val g = ours(s"$split MAE H6") / ours(s"$split MAE H1")
+      assert(g > 1.0 && g < 4.0, s"p3_1 $split H6/H1 growth $g")
+      val cross = ours(s"$split MAE H1") / p1(s"$split MAE H1")
+      assert(cross > 0.5 && cross < 2.0,
+        s"p3_1 vs our own phase_1 25200 $split H1 ratio $cross outside [1/2, 2]")
+      for (h <- horizons) {
+        val r = ratio(ours, ref, s"$split MAE H$h")
+        assert(r > 1.0 / 25 && r < 25.0, s"p3_1 $split MAE H$h ratio $r outside [1/25, 25]")
+        val key = s"$split R2 H$h"
+        assert(math.abs(ours(key) - ref(key)) < 0.08 && ours(key) >= 0.90,
+          s"p3_1 $key: ours ${ours(key)} vs ref ${ref(key)}")
+      }
     }
   }
 
