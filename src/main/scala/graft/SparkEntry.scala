@@ -2356,12 +2356,18 @@ object SparkEntry {
       (col("value") - lit(0.3) * abs(ret1)).as("low"))
     val withTr = base.withColumn("tr",
       TechIndicators.trueRange(col("high"), col("low"), col("close"), evWindow))
-    withTr.select(col("event_id"), col("user_id"),
+    // %K materialized UNROUNDED so %D smooths the same values DuckDB's
+    // subquery sees (window-over-window needs its own projection level)
+    val withK = withTr.withColumn("k14",
+      TechIndicators.stochasticK(col("close"), col("high"), col("low"), evWindow, 14))
+    withK.select(col("event_id"), col("user_id"),
       round(TechIndicators.momentum(col("close"), evWindow, 6), 6).as("mom_6"),
       round(TechIndicators.roc(col("close"), evWindow, 6), 6).as("roc_6"),
-      round(TechIndicators.stochasticK(col("close"), col("high"), col("low"), evWindow, 14), 6).as("stoch_k_14"),
+      round(col("k14"), 6).as("stoch_k_14"),
+      round(TechIndicators.stochasticD(col("k14"), evWindow), 6).as("stoch_d_14"),
       round(TechIndicators.williamsR(col("close"), col("high"), col("low"), evWindow, 14), 6).as("wr_14"),
-      round(TechIndicators.atrSma(col("tr"), evWindow, 14), 6).as("atr_14"))
+      round(TechIndicators.atrSma(col("tr"), evWindow, 14), 6).as("atr_14"),
+      round(TechIndicators.cci(col("high"), col("low"), col("close"), evWindow, 20), 6).as("cci_20"))
   }
 
   private val q103Sql: String =
@@ -2372,19 +2378,33 @@ object SparkEntry {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |trr AS (
       |  SELECT *, CASE WHEN LAG(close,1) OVER w IS NULL THEN high - low
-      |    ELSE GREATEST(high - low, ABS(high - LAG(close,1) OVER w), ABS(low - LAG(close,1) OVER w)) END AS tr
-      |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |    ELSE GREATEST(high - low, ABS(high - LAG(close,1) OVER w), ABS(low - LAG(close,1) OVER w)) END AS tr,
+      |    (high + low + close)/3 AS tp
+      |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |k AS (
+      |  SELECT *,
+      |    CASE WHEN COUNT(*) OVER w14 >= 14 AND MAX(high) OVER w14 <> MIN(low) OVER w14
+      |      THEN (close - MIN(low) OVER w14)/(MAX(high) OVER w14 - MIN(low) OVER w14)*100 END AS k14,
+      |    CASE WHEN COUNT(*) OVER w14 >= 14 AND MAX(high) OVER w14 <> MIN(low) OVER w14
+      |      THEN (MAX(high) OVER w14 - close)/(MAX(high) OVER w14 - MIN(low) OVER w14)*-100 END AS wr14,
+      |    CASE WHEN COUNT(*) OVER w14 >= 14 THEN AVG(tr) OVER w14 END AS atr14,
+      |    AVG(tp) OVER w20 AS tpm, COUNT(*) OVER w20 AS tpc, list(tp) OVER w20 AS tpl
+      |  FROM trr WINDOW
+      |    w14 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+      |    w20 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
       |SELECT event_id, user_id,
       |  ROUND(close - LAG(close,6) OVER w, 6) + 0.0 AS mom_6,
       |  ROUND(CASE WHEN LAG(close,6) OVER w <> 0 THEN (close/LAG(close,6) OVER w - 1)*100 END, 6) + 0.0 AS roc_6,
-      |  ROUND(CASE WHEN COUNT(*) OVER w14 >= 14 AND MAX(high) OVER w14 <> MIN(low) OVER w14
-      |    THEN (close - MIN(low) OVER w14)/(MAX(high) OVER w14 - MIN(low) OVER w14)*100 END, 6) + 0.0 AS stoch_k_14,
-      |  ROUND(CASE WHEN COUNT(*) OVER w14 >= 14 AND MAX(high) OVER w14 <> MIN(low) OVER w14
-      |    THEN (MAX(high) OVER w14 - close)/(MAX(high) OVER w14 - MIN(low) OVER w14)*-100 END, 6) + 0.0 AS wr_14,
-      |  ROUND(CASE WHEN COUNT(*) OVER w14 >= 14 THEN AVG(tr) OVER w14 END, 6) + 0.0 AS atr_14
-      |FROM trr
+      |  ROUND(k14, 6) + 0.0 AS stoch_k_14,
+      |  ROUND(CASE WHEN COUNT(k14) OVER w3 >= 3 THEN AVG(k14) OVER w3 END, 6) + 0.0 AS stoch_d_14,
+      |  ROUND(wr14, 6) + 0.0 AS wr_14,
+      |  ROUND(atr14, 6) + 0.0 AS atr_14,
+      |  ROUND(CASE WHEN tpc >= 20
+      |      AND list_aggregate(list_transform(list_sort(tpl), x -> abs(x - tpm)), 'sum')/20 <> 0
+      |    THEN (tp - tpm)/(0.015 * (list_aggregate(list_transform(list_sort(tpl), x -> abs(x - tpm)), 'sum')/20)) END, 6) + 0.0 AS cci_20
+      |FROM k
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-      |  w14 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin
+      |  w3 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
   /** Shared trades relation for q46/q47: the state machine is the
     * expensive part (shuffle + ordered single pass per symbol), and the

@@ -383,6 +383,48 @@ object StreamOps {
   case class Tick(userId: Long, ts: Long, value: Double)
   case class Position(userId: Long, nTicks: Long, total: Double, lastValue: Double)
 
+  case class IndicatorBar(key: String, ts: Long, high: Double, low: Double,
+      close: Double)
+  case class IndicatorRow(key: String, ts: Long, ema: Option[Double],
+      rsi: Option[Double], atr: Option[Double], adx: Option[Double],
+      diPlus: Option[Double], diMinus: Option[Double], macd: Option[Double],
+      macdSignal: Option[Double], macdHistogram: Option[Double])
+
+  /** Streaming face of the recursive TA-indicator family (EMA, Wilder
+    * RSI/ATR/ADX + DI±, MACD 12-26-9): one `flatMapGroupsWithState`
+    * group per series folding the SAME pure step function as the batch
+    * kernel (`TechIndicators.recursiveStep` — the `Backtest.stepBar`
+    * differential structure), so batch ≡ streaming holds
+    * value-for-value (spec-pinned in `StreamOpsSpec`). In-batch bars
+    * sort by ts (deterministic); cross-batch arrival order is the feed
+    * contract. State is one O(1) [[graft.ts.TechIndicators.RecState]]
+    * per series — a live feature-serving path where an indicator value
+    * is emitted per bar as it arrives, with warm-up rows emitting
+    * nulls exactly like the batch kernel.
+    */
+  def streamingIndicators(bars: Dataset[IndicatorBar],
+      conf: graft.ts.TechIndicators.RecursiveConfig = graft.ts.TechIndicators.RecursiveConfig())
+      : Dataset[IndicatorRow] = {
+    import graft.ts.TechIndicators
+    import bars.sparkSession.implicits._
+    bars.groupByKey(_.key)
+      .flatMapGroupsWithState[TechIndicators.RecState, IndicatorRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[IndicatorBar], state: GroupState[TechIndicators.RecState]) =>
+          val batch = rows.toSeq.sortBy(_.ts)
+          var st = state.getOption.getOrElse(TechIndicators.RecState())
+          val out = batch.map { b =>
+            val (next, v) = TechIndicators.recursiveStep(st, b.high, b.low, b.close, conf)
+            st = next
+            def o(i: Int): Option[Double] =
+              if (java.lang.Double.isFinite(v(i))) Some(v(i)) else None
+            IndicatorRow(key, b.ts, o(0), o(1), o(2), o(3), o(4), o(5), o(6), o(7), o(8))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stateful per-key accumulator via flatMapGroupsWithState — the
     * streaming analog of the backtest's per-series position state:
     * arbitrary state survives across micro-batches, one state object per

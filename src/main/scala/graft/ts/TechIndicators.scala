@@ -137,80 +137,98 @@ object TechIndicators {
     "EMA", "RSI", "ATR", "ADX", "DI_plus", "DI_minus",
     "MACD", "MACD_Signal", "MACD_Histogram")
 
-  /** O(1)-state exponential smoother: seeded with the SMA of the first
-    * `n` inputs (the classic charting seed), then
-    * s ← s + α·(x − s). `wilder` selects α = 1/n (Wilder's smoothing)
-    * vs the EMA α = 2/(n+1). Emits NaN until seeded (mapped to null at
-    * the row boundary). */
-  private final class Smoother(n: Int, wilder: Boolean) {
-    private val alpha = if (wilder) 1.0 / n else 2.0 / (n + 1)
-    private var seedSum = 0.0
-    private var seen = 0
-    private var s = Double.NaN
-    def update(x: Double): Double = {
-      if (seen < n) {
-        seedSum += x; seen += 1
-        if (seen == n) s = seedSum / n
-      } else s += alpha * (x - s)
-      s
+  /** O(1) exponential-smoother state: seeded with the SMA of the first
+    * `n` inputs (the classic charting seed), then s ← s + α·(x − s),
+    * α = 1/n (Wilder) or 2/(n+1) (EMA). `s` is NaN until seeded.
+    * Immutable so it can live in a Structured Streaming `GroupState`. */
+  final case class SmootherState(seedSum: Double = 0.0, seen: Int = 0,
+      s: Double = Double.NaN)
+
+  private def smooth(st: SmootherState, n: Int, wilder: Boolean,
+      x: Double): SmootherState =
+    if (st.seen < n) {
+      val sum = st.seedSum + x
+      val seen = st.seen + 1
+      SmootherState(sum, seen, if (seen == n) sum / n else Double.NaN)
+    } else {
+      val alpha = if (wilder) 1.0 / n else 2.0 / (n + 1)
+      st.copy(s = st.s + alpha * (x - st.s))
     }
-    def value: Double = s
+
+  /** Full recursive-indicator state — ONE immutable value per series,
+    * shared verbatim by the batch kernel and the streaming face, so
+    * batch ≡ streaming holds value-for-value (the same differential
+    * structure as `Backtest.stepBar`). */
+  final case class RecState(
+      ema: SmootherState = SmootherState(), emaFast: SmootherState = SmootherState(),
+      emaSlow: SmootherState = SmootherState(), emaSig: SmootherState = SmootherState(),
+      gain: SmootherState = SmootherState(), loss: SmootherState = SmootherState(),
+      atr: SmootherState = SmootherState(), dmP: SmootherState = SmootherState(),
+      dmM: SmootherState = SmootherState(), adx: SmootherState = SmootherState(),
+      prevH: Double = Double.NaN, prevL: Double = Double.NaN,
+      prevC: Double = Double.NaN)
+
+  /** One bar through the recursive family: (next state, the 9
+    * [[RecursiveCols]] values in order, NaN = undefined/warm-up). Pure —
+    * the single step function both execution faces fold. */
+  def recursiveStep(st: RecState, h: Double, l: Double, c: Double,
+      conf: RecursiveConfig): (RecState, Array[Double]) = {
+    val ema = smooth(st.ema, conf.emaN, wilder = false, c)
+    val emaFast = smooth(st.emaFast, conf.macdFast, wilder = false, c)
+    val emaSlow = smooth(st.emaSlow, conf.macdSlow, wilder = false, c)
+    val macd = if (java.lang.Double.isFinite(emaFast.s) && java.lang.Double.isFinite(emaSlow.s))
+      emaFast.s - emaSlow.s else Double.NaN
+    // signal line smooths MACD from the first defined MACD value on
+    val emaSig = if (java.lang.Double.isFinite(macd))
+      smooth(st.emaSig, conf.macdSignal, wilder = false, macd) else st.emaSig
+    val sig = if (java.lang.Double.isFinite(macd)) emaSig.s else Double.NaN
+    val hist = macd - sig
+    var gain = st.gain; var loss = st.loss; var atr = st.atr
+    var dmP = st.dmP; var dmM = st.dmM; var adx = st.adx
+    var rsi = Double.NaN; var atrV = Double.NaN
+    var diP = Double.NaN; var diM = Double.NaN; var adxV = Double.NaN
+    if (!st.prevC.isNaN) {
+      val d = c - st.prevC
+      gain = smooth(gain, conf.rsiN, wilder = true, math.max(d, 0.0))
+      loss = smooth(loss, conf.rsiN, wilder = true, math.max(-d, 0.0))
+      if (java.lang.Double.isFinite(gain.s))
+        rsi = if (loss.s == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + gain.s / loss.s)
+      val tr = math.max(h - l, math.max(math.abs(h - st.prevC), math.abs(l - st.prevC)))
+      atr = smooth(atr, conf.atrN, wilder = true, tr)
+      atrV = atr.s
+      val upM = h - st.prevH
+      val dnM = st.prevL - l
+      val pdm = if (upM > dnM && upM > 0) upM else 0.0
+      val mdm = if (dnM > upM && dnM > 0) dnM else 0.0
+      dmP = smooth(dmP, conf.adxN, wilder = true, pdm)
+      dmM = smooth(dmM, conf.adxN, wilder = true, mdm)
+      if (java.lang.Double.isFinite(dmP.s) && java.lang.Double.isFinite(atrV) && atrV != 0.0) {
+        diP = 100.0 * dmP.s / atrV
+        diM = 100.0 * dmM.s / atrV
+        val dx = if (diP + diM == 0.0) 0.0
+          else 100.0 * math.abs(diP - diM) / (diP + diM)
+        adx = smooth(adx, conf.adxN, wilder = true, dx)
+        adxV = adx.s
+      }
+    }
+    val next = RecState(ema, emaFast, emaSlow, emaSig, gain, loss, atr,
+      dmP, dmM, adx, h, l, c)
+    (next, Array(ema.s, rsi, atrV, adxV, diP, diM, macd, sig, hist))
   }
 
   /** One streaming pass over an ORDERED series iterator, appending the
     * [[RecursiveCols]] values to each row. Constant state; never
-    * materializes the series. */
+    * materializes the series. Inputs must be non-null doubles (P5
+    * finiteness-guard upstream). */
   private[ts] def recursivePass(rows: Iterator[Row], hi: Int, li: Int,
       ci: Int, conf: RecursiveConfig): Iterator[Row] = {
-    val ema = new Smoother(conf.emaN, wilder = false)
-    val emaFast = new Smoother(conf.macdFast, wilder = false)
-    val emaSlow = new Smoother(conf.macdSlow, wilder = false)
-    val emaSig = new Smoother(conf.macdSignal, wilder = false)
-    val gain = new Smoother(conf.rsiN, wilder = true)
-    val loss = new Smoother(conf.rsiN, wilder = true)
-    val atr = new Smoother(conf.atrN, wilder = true)
-    val dmP = new Smoother(conf.adxN, wilder = true)
-    val dmM = new Smoother(conf.adxN, wilder = true)
-    val adx = new Smoother(conf.adxN, wilder = true)
-    var prevH = Double.NaN; var prevL = Double.NaN; var prevC = Double.NaN
+    var st = RecState()
     def orNull(v: Double): Any = if (java.lang.Double.isFinite(v)) v else null
     rows.map { r =>
-      val h = r.getDouble(hi); val l = r.getDouble(li); val c = r.getDouble(ci)
-      val e = ema.update(c)
-      val f = emaFast.update(c); val s = emaSlow.update(c)
-      val macd = if (java.lang.Double.isFinite(f) && java.lang.Double.isFinite(s))
-        f - s else Double.NaN
-      // signal line smooths MACD from the first defined MACD value on
-      val sig = if (java.lang.Double.isFinite(macd)) emaSig.update(macd) else Double.NaN
-      val hist = macd - sig
-      var rsi = Double.NaN; var atrV = Double.NaN
-      var diP = Double.NaN; var diM = Double.NaN; var adxV = Double.NaN
-      if (!prevC.isNaN) {
-        val d = c - prevC
-        val g = gain.update(math.max(d, 0.0))
-        val lo = loss.update(math.max(-d, 0.0))
-        if (java.lang.Double.isFinite(g))
-          rsi = if (lo == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + g / lo)
-        val tr = math.max(h - l, math.max(math.abs(h - prevC), math.abs(l - prevC)))
-        atrV = atr.update(tr)
-        val upM = h - prevH
-        val dnM = prevL - l
-        val pdm = if (upM > dnM && upM > 0) upM else 0.0
-        val mdm = if (dnM > upM && dnM > 0) dnM else 0.0
-        val sp = dmP.update(pdm)
-        val sm = dmM.update(mdm)
-        if (java.lang.Double.isFinite(sp) && java.lang.Double.isFinite(atrV) && atrV != 0.0) {
-          diP = 100.0 * sp / atrV
-          diM = 100.0 * sm / atrV
-          val dx = if (diP + diM == 0.0) 0.0
-            else 100.0 * math.abs(diP - diM) / (diP + diM)
-          adxV = adx.update(dx)
-        }
-      }
-      prevH = h; prevL = l; prevC = c
-      Row.fromSeq(r.toSeq ++ Seq(orNull(e), orNull(rsi), orNull(atrV),
-        orNull(adxV), orNull(diP), orNull(diM), orNull(macd), orNull(sig),
-        orNull(hist)))
+      val (next, v) = recursiveStep(st, r.getDouble(hi), r.getDouble(li),
+        r.getDouble(ci), conf)
+      st = next
+      Row.fromSeq(r.toSeq ++ v.map(orNull))
     }
   }
 

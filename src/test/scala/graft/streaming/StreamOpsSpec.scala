@@ -369,4 +369,47 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(u2.nTicks == 1 && u2.total == 7.0)
     } finally q.stop()
   }
+
+  test("streamingIndicators equals the batch recursive kernel value-for-value") {
+    implicit val sqlCtx = spark.sqlContext
+    // two interleaved series, long enough that every indicator (incl.
+    // the MACD signal at 26+9 and ADX at 2x14) is well past warm-up
+    val rnd = new scala.util.Random(31)
+    def mkSeries(key: String, n: Int): Seq[StreamOps.IndicatorBar] = {
+      var c = 100.0
+      (1 to n).map { i =>
+        c += rnd.nextGaussian() * 0.4
+        val h = c + math.abs(rnd.nextGaussian()) * 0.2
+        val l = c - math.abs(rnd.nextGaussian()) * 0.2
+        StreamOps.IndicatorBar(key, i.toLong, h, l, c)
+      }
+    }
+    val bars = mkSeries("x", 90) ++ mkSeries("y", 60)
+    val mem = MemoryStream[StreamOps.IndicatorBar]
+    val q = StreamOps.streamingIndicators(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("ti").start()
+    try {
+      // deliver in 3 chunks split mid-warm-up to exercise cross-batch state
+      bars.grouped(50).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("ti").as[StreamOps.IndicatorRow].collect()
+        .map(r => (r.key, r.ts) -> r).toMap
+      val batch = graft.ts.TechIndicators.withRecursiveIndicators(
+        bars.toDF("key", "ts", "high", "low", "close"),
+        Seq("key"), Seq("ts"), "high", "low", "close")
+        .collect()
+      assert(batch.length == bars.length && streamed.size == bars.length)
+      batch.foreach { r =>
+        val s = streamed((r.getAs[String]("key"), r.getAs[Long]("ts")))
+        def b(n: String): Option[Double] =
+          if (r.isNullAt(r.fieldIndex(n))) None else Some(r.getAs[Double](n))
+        assert(s.ema == b("EMA") && s.rsi == b("RSI") && s.atr == b("ATR") &&
+          s.adx == b("ADX") && s.diPlus == b("DI_plus") && s.diMinus == b("DI_minus") &&
+          s.macd == b("MACD") && s.macdSignal == b("MACD_Signal") &&
+          s.macdHistogram == b("MACD_Histogram"),
+          s"batch/stream divergence at ${(r.getAs[String]("key"), r.getAs[Long]("ts"))}")
+      }
+    } finally q.stop()
+  }
 }
