@@ -102,6 +102,25 @@ class CallbacksSpec extends AnyFunSuite {
     assert(h.rows.length < 100, s"ran all ${h.rows.length} epochs")
   }
 
+  test("M11 val-loss monitor: ReduceLrOnPlateau reacts to the val split (Keras monitor='val_loss')") {
+    // anti-correlated val -> monitored loss plateaus/rises immediately
+    // -> the plateau callback must cut the lr within the patience
+    val rnd = new scala.util.Random(17)
+    val valDf = Seq.tabulate(120) { _ =>
+      val x1 = rnd.nextDouble(); val x2 = rnd.nextDouble()
+      (x1, x2, -2.0 * x1 + x2)
+    }.toDF("x1", "x2", "y")
+    val valAssembled = new VectorAssembler().setInputCols(Array("x1", "x2"))
+      .setOutputCol("features").transform(valDf).select($"features", $"y")
+    val rp = new Callbacks.ReduceLrOnPlateau(factor = 0.5, patience = 2, minLr = 1e-4)
+    val h = new Callbacks.History
+    MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 25, lr = 0.05,
+      callbacks = Seq(h, rp), opt = Optimizer.OptConfig(method = "adamw", batches = 2),
+      valData = Some(valAssembled))
+    assert(rp.reductions >= 1, "plateau callback never fired on a worsening val loss")
+    assert(h.rows.last._3 < 0.05, s"lr never dropped: ${h.rows.last._3}")
+  }
+
   test("M11 fit loop: plateau callback lowers the live learning rate") {
     val h = new Callbacks.History
     val rp = new Callbacks.ReduceLrOnPlateau(factor = 0.5, patience = 1,
