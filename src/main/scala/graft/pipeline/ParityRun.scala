@@ -297,9 +297,16 @@ object ParityRun {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("golden/phase_1_parity")
     val epochs = args.lift(1).map(_.toInt).getOrElse(60)
+    // an `ext` suffix (e.g. "12600ext") draws the variant's train rows
+    // from the extended all-committed-cuts pool (last N pre-validation
+    // hours) regardless of the base pool's size — the PERIOD-MATCH
+    // probe: at 12600 that window (≈2016-04→2017-09) lies inside the
+    // reference's actual (uncommitted) train period, isolating how much
+    // of the committed artifact's train-MAE gap is the 2010-12 vs
+    // 2012-17 volatility-regime difference rather than method.
     val variants = args.lift(2).map(_.split(",").toSeq)
       .getOrElse(Seq("12600", "1575"))
-      .map(l => l -> l.toInt)
+      .map(l => l -> l.stripSuffix("ext").toInt)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -452,7 +459,8 @@ object ParityRun {
       // other phases keep the original semantics (limit beyond the pool
       // = the whole pool — the committed phase_2_1 artifact's regime)
       val trainF = featurized(
-        if ((phaseKey == "1" || phaseKey == "3_1") && maxTrain > poolCount)
+        if (((phaseKey == "1" || phaseKey == "3_1") && maxTrain > poolCount)
+            || label.endsWith("ext"))
           extendedPool(maxTrain)
         else pool.limit(maxTrain)).cache()
       // head × scale is caller-controlled (args 2/3): the committed set

@@ -454,6 +454,58 @@ class QuantParitySpec extends AnyFunSuite {
     }
   }
 
+  /** Phase_3_1 zoo (r10 extension of verdict task #6): the reference
+    * commits the TA-regime grids for all four heads — and all four are
+    * the same sub-naive anomalous family (val MAE H1 3–15× BELOW the
+    * naive floor computable from their own committed base_d5 bars:
+    * ann 8×, cnn 15×, transformer 7×, lstm 3.1× — guarded per head
+    * below), so ref-ratio bands would be vacuous [1/25, 25]-style
+    * envelopes. The binding claims are instead:
+    *   - FLOOR-RELATIVE quality: our validation MAE H1 sits AT the
+    *     no-signal floor of the committed validation bars ([0.85, 1.5]×
+    *     naive) — the best any model can honestly do on this data (the
+    *     r10 NEAT search converged to the same floor), and our cnn
+    *     lands at 1.00× it;
+    *   - FAMILY-CONSISTENCY: each head's cells land within [1/2, 2] of
+    *     our own phase_3_1 ann cells at every split — same data, same
+    *     regime, four architectures agreeing (observed cnn: 0.84–1.00);
+    *   - the √h growth shape and price-space R² parity the whole
+    *     phase_1/phase_2_1/phase_3_1 family is pinned on.
+    */
+  test("phase_3_1 zoo (cnn/lstm/transformer): at the naive floor, family-consistent, R2 parity") {
+    val ann = load(s"$ourDir/graft_phase_3_1_ann_25200_1h_results.csv")
+    val src = scala.io.Source.fromFile(
+      "/root/reference/examples/data/phase_3/base_d5.csv")
+    val lines = try src.getLines().toVector finally src.close()
+    val ci = lines.head.split(",").indexOf("CLOSE")
+    val closes = lines.tail.map(_.split(",")(ci).toDouble)
+    val naive = closes.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (closes.size - 1)
+    for (head <- Seq("cnn", "lstm", "transformer")) {
+      val ours = load(s"$ourDir/graft_phase_3_1_${head}_25200_1h_results.csv")
+      val ref = load(
+        s"/root/reference/examples/results/phase_3_1/phase_3_1_${head}_25200_1h_results.csv")
+      assert(ours.keySet == ref.keySet, s"$head row sets diverge")
+      assert(ref("Validation MAE H1") < naive / 2.5,
+        s"reference phase_3_1 $head val MAE ${ref("Validation MAE H1")} no longer sits " +
+          s"well below its own data's naive floor $naive — revisit the band rationale")
+      val floorR = ours("Validation MAE H1") / naive
+      assert(floorR > 0.85 && floorR < 1.5,
+        s"$head val H1 not at the no-signal floor: ${floorR}x naive")
+      for (split <- Seq("Train", "Validation", "Test")) {
+        val cross = ours(s"$split MAE H1") / ann(s"$split MAE H1")
+        assert(cross > 0.5 && cross < 2.0,
+          s"$head vs our ann 3_1 $split H1 ratio $cross outside [1/2, 2]")
+        val g = ours(s"$split MAE H6") / ours(s"$split MAE H1")
+        assert(g > 1.0 && g < 4.0, s"$head $split H6/H1 growth $g")
+        for (h <- horizons) {
+          val key = s"$split R2 H$h"
+          assert(math.abs(ours(key) - ref(key)) < 0.08 && ours(key) >= 0.90,
+            s"$head $key: ours ${ours(key)} vs ref ${ref(key)}")
+        }
+      }
+    }
+  }
+
   /** The early-stopping regime artifact (r9 verdict task #3): the same
     * 12600 experiment refit under the reference's LITERAL
     * `EarlyStopping(monitor='val_loss')` (ParityRun `earlystop` flag —
