@@ -22,22 +22,62 @@ object Callbacks {
   /** Epoch-end observer: sees (epoch, training loss, current lr). */
   trait TrainingCallback {
     def onEpochEnd(epoch: Int, loss: Double, lr: Double): Action
+
+    /** Weight-aware variant the fit loops call: `weights` is the LIVE
+      * weight array of the fit — a callback may snapshot it and, on
+      * `Stop`, write a snapshot back (the Keras
+      * `restore_best_weights` contract). Default delegates to the
+      * plain observer, ignoring the weights.
+      */
+    def onEpochEnd(epoch: Int, loss: Double, lr: Double,
+        weights: Array[Double]): Action = onEpochEnd(epoch, loss, lr)
   }
 
   /** `EarlyStoppingWithPatienceCounter` (`callbacks.py:22-30`, Keras
     * semantics): stop after `patience` epochs without the monitored loss
-    * improving by more than `minDelta`. */
-  final class EarlyStopping(patience: Int, minDelta: Double = 0.0)
-      extends TrainingCallback {
+    * improving by more than `minDelta`.
+    *
+    * `restoreBestWeights` mirrors Keras
+    * `EarlyStopping(restore_best_weights=True)` — the instantiation the
+    * reference's plugins actually use
+    * (`predictor_plugin_ann_best.py:631`): snapshot the weights at each
+    * new best monitored loss and write them back when stopping
+    * triggers. Like Keras, NO restore happens if the epoch budget runs
+    * out before the patience trips (Keras restores inside the
+    * stop branch of `on_epoch_end`, not unconditionally at train end).
+    * Requires the fit loop to call the weight-aware `onEpochEnd`; every
+    * native head and the shared mini-batch loop do.
+    */
+  final class EarlyStopping(patience: Int, minDelta: Double = 0.0,
+      restoreBestWeights: Boolean = false) extends TrainingCallback {
     require(patience >= 1, s"patience must be >= 1, got $patience")
     private var best = Double.PositiveInfinity
+    private var bestWeights: Array[Double] = null
     private var stall = 0
     var stoppedEpoch: Int = -1
-    def onEpochEnd(epoch: Int, loss: Double, lr: Double): Action = {
-      if (loss < best - minDelta) { best = loss; stall = 0; Continue }
-      else {
+    var restored: Boolean = false
+    def onEpochEnd(epoch: Int, loss: Double, lr: Double): Action =
+      onEpochEnd(epoch, loss, lr, null)
+    override def onEpochEnd(epoch: Int, loss: Double, lr: Double,
+        weights: Array[Double]): Action = {
+      if (loss < best - minDelta) {
+        best = loss; stall = 0
+        if (restoreBestWeights) {
+          require(weights != null,
+            "restoreBestWeights needs a weight-aware fit loop")
+          bestWeights = weights.clone()
+        }
+        Continue
+      } else {
         stall += 1
-        if (stall >= patience) { stoppedEpoch = epoch; Stop } else Continue
+        if (stall >= patience) {
+          stoppedEpoch = epoch
+          if (restoreBestWeights && bestWeights != null) {
+            System.arraycopy(bestWeights, 0, weights, 0, weights.length)
+            restored = true
+          }
+          Stop
+        } else Continue
       }
     }
   }

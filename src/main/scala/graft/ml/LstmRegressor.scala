@@ -523,7 +523,7 @@ object LstmRegressor extends Serializable {
         if (callbacks.nonEmpty) {
           val loss = grad(nW) / n
           callbacks.foreach { cb =>
-            cb.onEpochEnd(epoch, loss, lrCur) match {
+            cb.onEpochEnd(epoch, loss, lrCur, weights) match {
               case Callbacks.Stop      => stopped = true
               case Callbacks.SetLr(nl) => lrCur = nl
               case Callbacks.Continue  => ()

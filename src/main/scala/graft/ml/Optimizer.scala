@@ -199,24 +199,28 @@ object Optimizer {
       if (callbacks.nonEmpty) {
         val loss = valData match {
           case Some((vd, vn)) if vn > 0 =>
-            // forward-only val pass: same rowGrad, inference-mode
-            // masks, only the loss slot consumed; fixed-point sum keeps
-            // the monitored value partition-order independent like the
-            // train loss it replaces
+            // val monitor pass: same rowGrad, inference-mode masks,
+            // only the loss slot consumed; fixed-point sum keeps the
+            // monitored value partition-order independent like the
+            // train loss it replaces. One scratch is allocated per
+            // PARTITION and reused row-to-row (rowGrad accumulates, so
+            // the unused gradient slots just stay dirty); only the loss
+            // slot is zeroed per row — no O(valRows × nW) allocation.
             val bcW = sc.broadcast((weights.clone(), valMasks))
-            val lossN = OrderedAgg(vd, 0L)(
-              seqOp = { case (acc, (x, y)) =>
-                val scratch = new Array[Double](nW + 1)
+            val lossN = OrderedAgg(vd, (0L, null: Array[Double]))(
+              seqOp = { case ((acc, s0), (x, y)) =>
+                val scratch = if (s0 != null) s0 else new Array[Double](nW + 1)
+                scratch(nW) = 0.0
                 rowGrad(bcW.value._1, bcW.value._2, x, y, scratch)
-                Math.addExact(acc, nano(scratch(nW)))
+                (Math.addExact(acc, nano(scratch(nW))), scratch)
               },
-              combOp = Math.addExact)
+              combOp = { case ((a, _), (b, _)) => (Math.addExact(a, b), null) })._1
             bcW.destroy()
             fromNano(lossN) / vn
           case _ => fromNano(epochLossNano) / n
         }
         callbacks.foreach { cb =>
-          cb.onEpochEnd(epoch, loss, lrCur) match {
+          cb.onEpochEnd(epoch, loss, lrCur, weights) match {
             case Callbacks.Stop      => stopped = true
             case Callbacks.SetLr(nl) => lrCur = nl
             case Callbacks.Continue  => ()

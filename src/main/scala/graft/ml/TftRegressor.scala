@@ -952,7 +952,7 @@ object TftRegressor extends Serializable {
         if (callbacks.nonEmpty) {
           val loss = grad(o.total) / n
           callbacks.foreach { cb =>
-            cb.onEpochEnd(epoch, loss, lrCur) match {
+            cb.onEpochEnd(epoch, loss, lrCur, weights) match {
               case Callbacks.Stop      => stopped = true
               case Callbacks.SetLr(nl) => lrCur = nl
               case Callbacks.Continue  => ()

@@ -86,11 +86,16 @@ object ParityOptimizationRun {
           weightDecay = math.pow(10.0, params("log10_wd"))),
         callbacks = _ => Seq(new Callbacks.TimeBudget(120)))
 
-    val memo = scala.collection.mutable.Map.empty[Double, (Double, Double)]
+    // chronological evaluation log (params, fitness, mae, naive):
+    // championPerGen below resolves each generation's champion metrics
+    // from it. NOT keyed by the raw fitness Double — two candidates
+    // with equal fitness must not overwrite each other's metrics.
+    val evals = scala.collection.mutable.ArrayBuffer
+      .empty[(Map[String, Double], Double, Double, Double)]
     def fitness(params: Map[String, Double]): Double = {
       val (mae, naive) = score(fitFor(params), valF)
       val f = mae - naive
-      memo(f) = (mae, naive)
+      evals += ((params, f, mae, naive))
       f
     }
 
@@ -113,10 +118,17 @@ object ParityOptimizationRun {
       testMae = tMae, testNaiveMae = tNaive,
       trainMae = trMae, trainNaiveMae = trNaive)
 
+    // The champion after generation g is the FIRST evaluation reaching
+    // min(bestFitness over gens <= g): NeatSearch's champion update is
+    // strict (<) and its within-generation minBy takes the first of
+    // equals, both matching first-in-chronological-order here — so each
+    // generation's reported val (mae, naive) is the actual champion's,
+    // not a reverse lookup that the final champion could shadow.
     var best = Double.PositiveInfinity
     val championPerGen = result.stats.map { g =>
       best = math.min(best, g.bestFitness)
-      val (cv, cn) = memo.getOrElse(best, (vMae, vNaive))
+      val (_, _, cv, cn) = evals.find(_._2 == best)
+        .getOrElse((Map.empty[String, Double], best, vMae, vNaive))
       (best, cv, cn)
     }
     val perGen = result.stats.map(_ => totalSec / math.max(1, result.stats.size))

@@ -394,9 +394,12 @@ object ParityRun {
     val seqCols = (nLags to 1 by -1).map(i => s"lagd_$i")
     // arg 5 "earlystop": fit under the reference's LITERAL capacity
     // control instead of the documented weight-decay substitute —
-    // `EarlyStopping(monitor='val_loss')` through the heads' val-loss
-    // monitor (`Callbacks.EarlyStopping`; config `early_patience`,
-    // `min_delta: 1e-7`), weight decay off so the two regimes are not
+    // `EarlyStopping(monitor='val_loss', restore_best_weights=True)`,
+    // the exact instantiation the reference's plugins use
+    // (`predictor_plugin_ann_best.py:631`), through the heads'
+    // val-loss monitor (`Callbacks.EarlyStopping`; config
+    // `early_patience`, `min_delta: 1e-7`, best-val-epoch weights
+    // restored on stop), weight decay off so the two regimes are not
     // stacked. Run with epochs high enough that stopping, not the
     // budget, ends training (e.g. 200). Intended for the r9-verdict
     // regime comparison at 12600 (PLANS.md row); the committed
@@ -405,7 +408,8 @@ object ParityRun {
     val adamw = Optimizer.OptConfig(method = "adamw", batches = 8,
       weightDecay = if (earlyStop) 0.0 else phase.weightDecay)
     val fitCallbacks: Int => Seq[graft.ml.Callbacks.TrainingCallback] =
-      if (earlyStop) _ => Seq(new graft.ml.Callbacks.EarlyStopping(patience = 20, minDelta = 1e-7))
+      if (earlyStop) _ => Seq(new graft.ml.Callbacks.EarlyStopping(
+        patience = 20, minDelta = 1e-7, restoreBestWeights = true))
       else _ => Nil
 
     // head → (feature layout, fit). Architectures mirror the reference
@@ -478,14 +482,24 @@ object ParityRun {
                 pShift, split)
           }.reduce(_.unionByName(_)).withColumn("iteration", lit(it))
         }.reduce(_.unionByName(_))
-        Sources.writeCsv(GoldenRun.resultsGolden(iterRows),
-          s"$outDir/results_${head}_$label", Nil)
-        val dir = new java.io.File(s"$outDir/results_${head}_$label")
-        val part = dir.listFiles().find(_.getName.startsWith("part-")).get
+        // Stage the Spark CSV write OUTSIDE golden/ (a job dying
+        // mid-write must not leave `_temporary` trees next to committed
+        // fixtures), then move only the final CSV in atomically.
+        val scratch =
+          java.nio.file.Files.createTempDirectory("parityrun_").toFile
+        val stage = new java.io.File(scratch, s"results_${head}_$label")
+        Sources.writeCsv(GoldenRun.resultsGolden(iterRows), stage.getPath, Nil)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        // the earlystop regime gets its own artifact name — it must
+        // never silently overwrite the committed wd-regime grid
+        val regimeTag = if (earlyStop) "_earlystop" else ""
         java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$outDir/${phase.artifactPrefix}_${head}_${label}_${phase.suffix}_results.csv"),
+          java.nio.file.Paths.get(s"$outDir/${phase.artifactPrefix}_${head}_${label}_${phase.suffix}${regimeTag}_results.csv"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dir.listFiles().foreach(_.delete()); dir.delete()
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+        }
+        rmTree(scratch)
         println(s"parity artifact for $head/$label written")
       }
       trainF.unpersist()

@@ -401,28 +401,59 @@ object StreamOps {
     * per series — a live feature-serving path where an indicator value
     * is emitted per bar as it arrives, with warm-up rows emitting
     * nulls exactly like the batch kernel.
+    *
+    * `idleTimeout`: optional processing-time eviction of series whose
+    * feed has gone quiet — with unbounded/churning key cardinality the
+    * per-series state would otherwise accumulate forever. An evicted
+    * series that later resumes restarts its warm-up (EMA/Wilder
+    * recursions are re-seeded), exactly as a fresh key would; the
+    * bounded-key parity use keeps the `None` default (never evict, the
+    * batch≡streaming contract over any pause).
     */
   def streamingIndicators(bars: Dataset[IndicatorBar],
-      conf: graft.ts.TechIndicators.RecursiveConfig = graft.ts.TechIndicators.RecursiveConfig())
+      conf: graft.ts.TechIndicators.RecursiveConfig = graft.ts.TechIndicators.RecursiveConfig(),
+      idleTimeout: Option[scala.concurrent.duration.Duration] = None)
       : Dataset[IndicatorRow] = {
     import graft.ts.TechIndicators
     import bars.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     bars.groupByKey(_.key)
       .flatMapGroupsWithState[TechIndicators.RecState, IndicatorRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (key: String, rows: Iterator[IndicatorBar], state: GroupState[TechIndicators.RecState]) =>
-          val batch = rows.toSeq.sortBy(_.ts)
-          var st = state.getOption.getOrElse(TechIndicators.RecState())
-          val out = batch.map { b =>
-            val (next, v) = TechIndicators.recursiveStep(st, b.high, b.low, b.close, conf)
-            st = next
-            def o(i: Int): Option[Double] =
-              if (java.lang.Double.isFinite(v(i))) Some(v(i)) else None
-            IndicatorRow(key, b.ts, o(0), o(1), o(2), o(3), o(4), o(5), o(6), o(7), o(8))
-          }
-          state.update(st)
-          out.iterator
+          indicatorGroupStep(key, rows, state, conf, idleTimeout)
       }
+  }
+
+  /** Per-group step of [[streamingIndicators]], named so the
+    * timeout/eviction branch is unit-testable with Spark's public
+    * `TestGroupState` (forcing a real processing-time timeout through a
+    * MemoryStream is wall-clock-coupled and, with a short timeout,
+    * keeps the no-data micro-batch loop spinning).
+    */
+  def indicatorGroupStep(key: String, rows: Iterator[IndicatorBar],
+      state: GroupState[graft.ts.TechIndicators.RecState],
+      conf: graft.ts.TechIndicators.RecursiveConfig,
+      idleTimeout: Option[scala.concurrent.duration.Duration]): Iterator[IndicatorRow] = {
+    import graft.ts.TechIndicators
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val batch = rows.toSeq.sortBy(_.ts)
+      var st = state.getOption.getOrElse(TechIndicators.RecState())
+      val out = batch.map { b =>
+        val (next, v) = TechIndicators.recursiveStep(st, b.high, b.low, b.close, conf)
+        st = next
+        def o(i: Int): Option[Double] =
+          if (java.lang.Double.isFinite(v(i))) Some(v(i)) else None
+        IndicatorRow(key, b.ts, o(0), o(1), o(2), o(3), o(4), o(5), o(6), o(7), o(8))
+      }
+      state.update(st)
+      idleTimeout.foreach(d => state.setTimeoutDuration(d.toMillis))
+      out.iterator
+    }
   }
 
   /** Stateful per-key accumulator via flatMapGroupsWithState — the

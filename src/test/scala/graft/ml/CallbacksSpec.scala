@@ -163,4 +163,76 @@ class CallbacksSpec extends AnyFunSuite {
       callbacks = Seq(new Callbacks.History))
     assert(w(a) == w(b))
   }
+
+  test("M11 unit: restore_best_weights snapshots each new best and restores on Stop only") {
+    // Keras EarlyStopping(restore_best_weights=True) semantics
+    // (predictor_plugin_ann_best.py:631): restore happens inside the
+    // stop branch — never when the epoch budget runs out first.
+    val w = Array(1.0, 2.0)
+    val es = new Callbacks.EarlyStopping(patience = 2, restoreBestWeights = true)
+    assert(es.onEpochEnd(0, 1.0, 0.1, w) == Callbacks.Continue) // best @ (1,2)
+    w(0) = 3.0; w(1) = 4.0
+    assert(es.onEpochEnd(1, 0.5, 0.1, w) == Callbacks.Continue) // new best @ (3,4)
+    w(0) = 5.0; w(1) = 6.0
+    assert(es.onEpochEnd(2, 0.6, 0.1, w) == Callbacks.Continue) // stall 1
+    w(0) = 7.0; w(1) = 8.0
+    assert(es.onEpochEnd(3, 0.7, 0.1, w) == Callbacks.Stop) // stall 2 -> restore
+    assert(w.toSeq == Seq(3.0, 4.0) && es.restored)
+    // budget exhaustion (caller stops calling): weights stay last-epoch
+    val w2 = Array(1.0)
+    val es2 = new Callbacks.EarlyStopping(patience = 5, restoreBestWeights = true)
+    assert(es2.onEpochEnd(0, 1.0, 0.1, w2) == Callbacks.Continue)
+    w2(0) = 9.0
+    assert(es2.onEpochEnd(1, 2.0, 0.1, w2) == Callbacks.Continue)
+    assert(w2(0) == 9.0 && !es2.restored)
+  }
+
+  test("M11: restore_best_weights returns the best-epoch weights bit-for-bit (full-batch path)") {
+    def w(m: MlpRegressor.MlpRegressionModel) = m.weights.flatten.toSeq
+    // minDelta = 1e9: only epoch 0 ever counts as an improvement, so the
+    // best snapshot is the weights after exactly one epoch — the
+    // restored fit must equal a 1-epoch fit bit-for-bit, not the
+    // 3-epoch weights the loop actually reached before stopping.
+    val es = new Callbacks.EarlyStopping(patience = 2, minDelta = 1e9,
+      restoreBestWeights = true)
+    val restored = MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 100,
+      lr = 0.1, callbacks = Seq(es))
+    assert(es.stoppedEpoch == 2 && es.restored)
+    val oneEpoch = MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 1, lr = 0.1)
+    val threeEpochs = MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 3, lr = 0.1)
+    assert(w(restored) == w(oneEpoch), "restore did not return the best-epoch weights")
+    assert(w(restored) != w(threeEpochs), "restore was a no-op (last-epoch weights)")
+  }
+
+  test("M11: restore_best_weights on the val-monitored mini-batch path never loses to last-epoch weights") {
+    // anti-correlated val split: val loss rises as the net fits train,
+    // so stopping is 3 epochs past the val optimum; restoring must hand
+    // back a model at-or-below the non-restored run's val MSE
+    val rnd = new scala.util.Random(13)
+    val valDf = Seq.tabulate(120) { _ =>
+      val x1 = rnd.nextDouble(); val x2 = rnd.nextDouble()
+      (x1, x2, -2.0 * x1 + x2)
+    }.toDF("x1", "x2", "y")
+    val valAssembled = new VectorAssembler().setInputCols(Array("x1", "x2"))
+      .setOutputCol("features").transform(valDf).select($"features", $"y")
+    val opt = Optimizer.OptConfig(method = "adamw", batches = 2)
+    def valMse(m: MlpRegressor.MlpRegressionModel): Double = {
+      val rows = valAssembled.collect()
+      rows.map { r =>
+        val e = m.predict(r.getAs[org.apache.spark.ml.linalg.Vector](0)) - r.getDouble(1)
+        e * e
+      }.sum / rows.length
+    }
+    val esPlain = new Callbacks.EarlyStopping(patience = 3)
+    val plain = MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 100,
+      lr = 0.05, callbacks = Seq(esPlain), opt = opt, valData = Some(valAssembled))
+    val esRestore = new Callbacks.EarlyStopping(patience = 3, restoreBestWeights = true)
+    val best = MlpRegressor.fitLayers(assembled, "y", Seq(4), epochs = 100,
+      lr = 0.05, callbacks = Seq(esRestore), opt = opt, valData = Some(valAssembled))
+    assert(esPlain.stoppedEpoch == esRestore.stoppedEpoch,
+      "restore changed the training trajectory itself")
+    assert(esRestore.restored)
+    assert(valMse(best) <= valMse(plain),
+      s"restored val MSE ${valMse(best)} above last-epoch ${valMse(plain)}")
+  }
 }

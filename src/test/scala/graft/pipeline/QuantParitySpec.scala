@@ -188,6 +188,74 @@ class QuantParitySpec extends AnyFunSuite {
     }
   }
 
+  /** Zoo at 12600 (r11, closing the five-scale grid): the reference
+    * commits all four heads at 12600, but its cnn grid belongs to the
+    * anomalous family already pinned for ann-25200/phase_3_1 — its
+    * validation MAE H1 sits ~3.4× BELOW the naive floor computable
+    * from its own committed validation bars, with HORIZON-FLAT errors
+    * (H6/H1 = 0.98; a returns model's error must grow with lead).
+    * lstm and transformer are clean (1.08–1.09× naive, growth
+    * 2.2–2.6), so those two get the [1/8, 3] H1 ref-ratio band of the
+    * 1575–6300 zoo test, while cnn gets the floor-relative +
+    * family-consistency claims of the phase_3_1 zoo (its ref-MAE
+    * ratios, 3.2–22.6, would only measure the reference's anomaly,
+    * not our quality — observed: our cnn val lands at 1.00× the naive
+    * floor and 0.82–1.02× our own ann cells). R² parity binds for all
+    * three heads (observed gap ≤ 0.018).
+    */
+  test("head zoo at 12600: lstm/transformer in the ref band; cnn pinned to the naive floor; R2 parity") {
+    val src = scala.io.Source.fromFile(
+      "/root/reference/examples/data/phase_1/base_d5.csv")
+    val lines = try src.getLines().toVector finally src.close()
+    val ci = lines.head.split(",").indexOf("CLOSE")
+    val closes = lines.tail.map(_.split(",")(ci).toDouble)
+    val naive = closes.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (closes.size - 1)
+    // machine-check the clean/anomalous split the bands are built on
+    val refCnn = load(s"$refDir/phase_1_cnn_12600_1h_results.csv")
+    assert(refCnn("Validation MAE H1") < naive / 2.0,
+      "reference cnn 12600 no longer sub-naive — revisit the band split")
+    assert(refCnn("Validation MAE H6") / refCnn("Validation MAE H1") < 1.5,
+      "reference cnn 12600 no longer horizon-flat — revisit the band split")
+    for (head <- Seq("lstm", "transformer")) {
+      val ours = load(s"$ourDir/graft_phase_1_${head}_12600_1h_results.csv")
+      val ref = load(s"$refDir/phase_1_${head}_12600_1h_results.csv")
+      assert(ours.keySet == ref.keySet, s"$head row sets diverge")
+      assert(ref("Validation MAE H1") > 0.9 * naive,
+        s"reference $head 12600 joined the anomalous family — revisit its band")
+      for (split <- Seq("Train", "Validation", "Test")) {
+        val r = ratio(ours, ref, s"$split MAE H1")
+        assert(r > 0.125 && r < 3.0, s"$head/12600 $split MAE H1 ratio $r outside [1/8, 3]")
+        val g = ours(s"$split MAE H6") / ours(s"$split MAE H1")
+        assert(g > 1.0 && g < 4.0, s"$head/12600 $split H6/H1 growth $g")
+        for (h <- horizons) {
+          val rh = ratio(ours, ref, s"$split MAE H$h")
+          assert(rh > 1.0 / 12 && rh < 12.0, s"$head/12600 $split MAE H$h ratio $rh")
+          val key = s"$split R2 H$h"
+          assert(math.abs(ours(key) - ref(key)) < 0.08 && ours(key) >= 0.90,
+            s"$head/12600 $key: ours ${ours(key)} vs ref ${ref(key)}")
+        }
+      }
+    }
+    val cnn = load(s"$ourDir/graft_phase_1_cnn_12600_1h_results.csv")
+    val ann = load(s"$ourDir/graft_phase_1_ann_12600_1h_results.csv")
+    assert(cnn.keySet == refCnn.keySet, "cnn row sets diverge")
+    val floorR = cnn("Validation MAE H1") / naive
+    assert(floorR > 0.85 && floorR < 1.5,
+      s"cnn/12600 val H1 not at the no-signal floor: ${floorR}x naive")
+    for (split <- Seq("Train", "Validation", "Test")) {
+      val cross = cnn(s"$split MAE H1") / ann(s"$split MAE H1")
+      assert(cross > 0.5 && cross < 2.0,
+        s"cnn/12600 vs our ann $split H1 ratio $cross outside [1/2, 2]")
+      val g = cnn(s"$split MAE H6") / cnn(s"$split MAE H1")
+      assert(g > 1.0 && g < 4.0, s"cnn/12600 $split H6/H1 growth $g")
+      for (h <- horizons) {
+        val key = s"$split R2 H$h"
+        assert(math.abs(cnn(key) - refCnn(key)) < 0.08 && cnn(key) >= 0.90,
+          s"cnn/12600 $key: ours ${cnn(key)} vs ref ${refCnn(key)}")
+      }
+    }
+  }
+
   test("Uncertainty within an order of magnitude; SNR within [1/10, 15]") {
     for (v <- AnnVariants) forVariant(v) { (ours, ref) =>
       for (h <- horizons; split <- Seq("Train", "Validation", "Test")) {
@@ -341,6 +409,38 @@ class QuantParitySpec extends AnyFunSuite {
       assert(cross > 0.4 && cross < 1.05,
         s"25200 vs our own 12600 $split H1 ratio $cross — more committed train data " +
           "must not hurt (observed 0.92/0.86)")
+    }
+  }
+
+  /** The `12600ext` PERIOD-MATCH probe (ParityRun's `ext` variant
+    * suffix): the same 12600-row experiment with the train rows drawn
+    * from the extended pool's last pre-validation window (≈2016-04→
+    * 2017-09 — INSIDE the reference's actual, uncommitted train period)
+    * instead of the committed 2010-12 cuts. It isolates the committed
+    * cell's train-MAE gap: against the reference's 12600 grid, our
+    * committed-pool train H1 sits ~2.1× (different, higher-vol years)
+    * while the period-matched probe lands at ~1.2× — most of the gap is
+    * the volatility-regime difference, not method. Val/test read the
+    * SAME files in both regimes and move <15% — generalization is
+    * unchanged; only the train-period attribution differs.
+    */
+  test("12600ext probe: period-matched pool closes the train gap to ~parity; val/test cells unchanged") {
+    val ext = load(s"$ourDir/graft_phase_1_ann_12600ext_1h_results.csv")
+    val own = load(s"$ourDir/graft_phase_1_ann_12600_1h_results.csv")
+    val ref = load(s"$refDir/phase_1_ann_12600_1h_results.csv")
+    assert(ext.keySet == own.keySet)
+    val rExt = ext("Train MAE H1") / ref("Train MAE H1")
+    val rOwn = own("Train MAE H1") / ref("Train MAE H1")
+    assert(rExt > 0.5 && rExt < 2.0,
+      s"period-matched train H1 ratio $rExt outside [1/2, 2] (observed 1.19)")
+    assert(rExt < 0.75 * rOwn,
+      s"the probe no longer closes the train gap ($rExt vs committed-pool $rOwn) — " +
+        "the vol-regime attribution has changed; revisit the 12600ext rationale")
+    for (split <- Seq("Validation", "Test"); h <- Seq(1, 6)) {
+      val r = ext(s"$split MAE H$h") / own(s"$split MAE H$h")
+      assert(r > 0.80 && r < 1.15,
+        s"12600ext $split MAE H$h moved ${r}x vs the committed-pool cell — " +
+          "the probe should only change the train period, not generalization")
     }
   }
 
@@ -508,18 +608,23 @@ class QuantParitySpec extends AnyFunSuite {
 
   /** The early-stopping regime artifact (r9 verdict task #3): the same
     * 12600 experiment refit under the reference's LITERAL
-    * `EarlyStopping(monitor='val_loss')` (ParityRun `earlystop` flag —
-    * patience 20, min_delta 1e-7, weight decay off, epoch budget 200)
-    * instead of the documented AdamW weight-decay substitute. The
-    * committed five-scale family stays in the uniform wd regime (the
-    * learning-curve and cross-consistency tests compare cells across
-    * scales; the verdict's tiebreaker anchor — Train H1 ratio — is
-    * wd-closer), and THIS test pins what the flag buys: genuine
-    * val-loss stopping must land at-or-better than the substitute on
-    * every validation/test H1/H6 cell (observed: val H1 0.000825 →
-    * 0.000777, test H1 0.000620 → 0.000558 = 0.97× the reference's own
-    * committed test cell) while remaining equivalent capacity control
-    * on train (within 10%).
+    * `EarlyStopping(monitor='val_loss', restore_best_weights=True)`
+    * (ParityRun `earlystop` flag — patience 20, min_delta 1e-7, weight
+    * decay off, epoch budget 200; since r11 the callback also restores
+    * the best-val-epoch weights on stop, completing the literal Keras
+    * contract the reference's plugins instantiate,
+    * `predictor_plugin_ann_best.py:631`) instead of the documented
+    * AdamW weight-decay substitute. The committed five-scale family
+    * stays in the uniform wd regime (the learning-curve and
+    * cross-consistency tests compare cells across scales; the
+    * verdict's tiebreaker anchor — Train H1 ratio — is wd-closer), and
+    * THIS test pins what the flag buys: genuine val-loss stopping must
+    * land at-or-better than the substitute on every validation/test
+    * H1/H6 cell (observed under restore: val H1 0.000825 → 0.000748,
+    * test H1 0.000620 → 0.000522 = 0.91× the reference's own committed
+    * test cell; the r10 no-restore run sat at 0.000777/0.000558)
+    * while remaining equivalent capacity control on train (within
+    * 10%; observed drift 1.023).
     */
   test("earlystop regime (12600): improves every val/test cell over the wd substitute; train within 10%") {
     val es = load(s"$ourDir/graft_phase_1_ann_12600_1h_earlystop_results.csv")

@@ -412,4 +412,57 @@ class StreamOpsSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streamingIndicators idleTimeout: timed-out state is evicted; a resumed series restarts warm-up") {
+    // the group-step function directly, with Spark's public
+    // TestGroupState — the only deterministic way to drive the
+    // processing-time timeout branch (a real MemoryStream timeout is
+    // wall-clock-coupled)
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import scala.concurrent.duration._
+    import graft.ts.TechIndicators
+    val conf = TechIndicators.RecursiveConfig()
+    def bar(ts: Long) = StreamOps.IndicatorBar("x", ts, 101.0 + ts, 99.0 + ts, 100.0 + ts)
+    def freshState(opt: Optional[TechIndicators.RecState], timedOut: Boolean) =
+      TestGroupState.create[TechIndicators.RecState](
+        opt, GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+        Optional.empty[Long],
+        timedOut)
+    // batch 1: 20 bars — past the EMA(12) seed, state updated, timeout armed
+    val s1 = freshState(Optional.empty(), timedOut = false)
+    val out1 = StreamOps.indicatorGroupStep("x", (1L to 20L).map(bar).iterator,
+      s1, conf, Some(10.minutes)).toVector
+    assert(out1.size == 20 && out1.last.ema.isDefined,
+      "series not past warm-up before the eviction probe")
+    assert(s1.isUpdated && s1.getTimeoutTimestampMs.isPresent,
+      "idleTimeout did not arm a processing-time timeout")
+    assert(s1.getTimeoutTimestampMs.get == 1000L + 10.minutes.toMillis)
+    val carried = s1.get
+    // the timeout fires: the handler must evict and emit nothing
+    val s2 = freshState(Optional.of(carried), timedOut = true)
+    val out2 = StreamOps.indicatorGroupStep("x", Iterator.empty, s2, conf,
+      Some(10.minutes)).toVector
+    assert(out2.isEmpty && s2.isRemoved, "timed-out state was not evicted")
+    // the series resumes after eviction: a fresh warm-up row (null EMA),
+    // not a continuation of the 20-bar state (which would carry an EMA)
+    val s3 = freshState(Optional.empty(), timedOut = false)
+    val resumed = StreamOps.indicatorGroupStep("x", Iterator(bar(21L)), s3,
+      conf, Some(10.minutes)).toVector
+    assert(resumed.head.ema.isEmpty,
+      "resumed series continued from pre-eviction state (EMA defined)")
+    // same bar against the SURVIVING 20-bar state: EMA defined — the
+    // eviction, not the bar, is what reset the warm-up
+    val s4 = freshState(Optional.of(carried), timedOut = false)
+    val continued = StreamOps.indicatorGroupStep("x", Iterator(bar(21L)), s4,
+      conf, Some(10.minutes)).toVector
+    assert(continued.head.ema.isDefined)
+    // the bounded-key default (no idleTimeout) must not arm a timeout
+    val s5 = TestGroupState.create[TechIndicators.RecState](
+      Optional.empty(), GroupStateTimeout.NoTimeout, 1000L,
+      Optional.empty[Long],
+      false)
+    StreamOps.indicatorGroupStep("x", Iterator(bar(1L)), s5, conf, None).toVector
+    assert(s5.isUpdated && !s5.getTimeoutTimestampMs.isPresent)
+  }
 }
