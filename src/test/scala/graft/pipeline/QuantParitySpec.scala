@@ -727,4 +727,62 @@ class QuantParitySpec extends AnyFunSuite {
           "the exclusion rationale has changed; revisit the 1d parity artifact")
     }
   }
+
+  /** Why the parity family stops at phase_3_1 / 25200 — the remaining
+    * reference experiment families (phase_3_2, phase_4_x) are not
+    * reconstructable from the committed repository, machine-checked:
+    *
+    *   (a) every input their configs NAME is uncommitted: the phase_4
+    *       train files are SYNTHETIC-prepended series
+    *       (`normalized_d4_25200_synthetic_*_prepended.csv` — generated
+    *       data, unreproducible by definition), the phase_3 normalized
+    *       val/test files they point at are absent, and the trained
+    *       feature-extractor encoder every 3_2/4_x config requires
+    *       (`train_fe: true` + `feature_extractor_file: …h5.keras`) is
+    *       committed nowhere;
+    *   (b) the committed cuts cannot cover the claimed scales anyway:
+    *       all cuts together provide 37,141 distinct pre-validation
+    *       hours (pinned in the provenance test) while these configs
+    *       demand 50,400–75,600 train steps;
+    *   (c) the family's scale naming is internally inconsistent — the
+    *       config NAMED 25200 demands `max_steps_train` 50400 and the
+    *       one named 50400 demands 75600.
+    *
+    * If any of this changes (inputs land, an encoder is committed, the
+    * step counts move), this test fails and the exclusion must be
+    * revisited.
+    */
+  test("phase_3_2/phase_4_x exclusion: synthetic or uncommitted inputs, uncommitted encoder, inconsistent scale naming") {
+    val refRoot = "/root/reference"
+    def slurp(p: String): String = {
+      val src = scala.io.Source.fromFile(p)
+      try src.mkString finally src.close()
+    }
+    def field(json: String, name: String): String =
+      s""""$name": "?([^",}]+)"?""".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse(fail(s"config lacks $name"))
+    val c25 = slurp(s"$refRoot/examples/config/phase_4_1/phase_4_1_transformer_1h_25200_config.json")
+    val c50 = slurp(s"$refRoot/examples/config/phase_4_1/phase_4_1_transformer_1h_50400_config.json")
+    val c32 = slurp(s"$refRoot/examples/config/phase_3_2/phase_3_2_ann_25200_1h_config.json")
+    // (a) synthetic train inputs, all named inputs uncommitted
+    for (c <- Seq(c25, c50)) {
+      val xt = field(c, "x_train_file")
+      assert(xt.contains("synthetic"), s"phase_4 train input no longer synthetic: $xt")
+      for (k <- Seq("x_train_file", "x_validation_file", "x_test_file", "feature_extractor_file"))
+        assert(!new java.io.File(s"$refRoot/${field(c, k)}").exists(),
+          s"phase_4 input $k now committed (${field(c, k)}) — revisit the exclusion")
+    }
+    assert(""""train_fe"\s*:\s*true""".r.findFirstIn(c32).nonEmpty,
+      "phase_3_2 no longer trains an encoder")
+    assert(!new java.io.File(s"$refRoot/${field(c32, "feature_extractor_file")}").exists(),
+      "phase_3_2 encoder now committed — revisit the exclusion")
+    // (b) + (c) demanded scales exceed the committed pool; names disagree
+    // with their own step counts
+    assert(field(c25, "max_steps_train") == "50400",
+      s"config named 25200 now demands ${field(c25, "max_steps_train")}")
+    assert(field(c50, "max_steps_train") == "75600",
+      s"config named 50400 now demands ${field(c50, "max_steps_train")}")
+    val committedPoolHours = 37141 // pinned exactly in the provenance test
+    assert(committedPoolHours < 50400 && committedPoolHours < 75600)
+  }
 }
