@@ -413,6 +413,71 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingIndicators equals the batch kernel under randomized series lengths and chunk boundaries") {
+    // adversarial-split differential: 4 series of random lengths
+    // (some never leaving warm-up), interleaved arrival, random chunk
+    // sizes — so every batch boundary lands at an arbitrary point of
+    // every indicator's recursion. Seeded, so failures reproduce.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(20260815L)
+    def mkSeries(key: String, n: Int): Seq[StreamOps.IndicatorBar] = {
+      var c = 50.0 + rnd.nextDouble() * 100
+      (1 to n).map { i =>
+        c += rnd.nextGaussian() * 0.7
+        val h = c + math.abs(rnd.nextGaussian()) * 0.3
+        val l = c - math.abs(rnd.nextGaussian()) * 0.3
+        StreamOps.IndicatorBar(key, i.toLong, h, l, c)
+      }
+    }
+    // lengths straddle every warm-up boundary: 5 (< ATR(14) seed),
+    // 20 (between EMA(12) and MACD signal 26+9), 40, 120
+    val series = Seq("a" -> 5, "b" -> 20, "c" -> 40, "d" -> 120)
+      .map { case (k, n) => mkSeries(k, n) }
+    // interleave by timestamp so chunks mix series
+    val bars = series.flatten.sortBy(b => (b.ts, b.key))
+    val chunks = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[StreamOps.IndicatorBar]]
+      var rest = bars
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(40)
+        buf += rest.take(n); rest = rest.drop(n)
+      }
+      buf.toSeq
+    }
+    assert(chunks.size >= 5, s"randomized chunking degenerate: ${chunks.size}")
+    val mem = MemoryStream[StreamOps.IndicatorBar]
+    val q = StreamOps.streamingIndicators(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("ti_rand").start()
+    try {
+      chunks.foreach { chunk => mem.addData(chunk: _*); q.processAllAvailable() }
+      val streamed = spark.table("ti_rand").as[StreamOps.IndicatorRow].collect()
+        .map(r => (r.key, r.ts) -> r).toMap
+      val batch = graft.ts.TechIndicators.withRecursiveIndicators(
+        bars.toDF("key", "ts", "high", "low", "close"),
+        Seq("key"), Seq("ts"), "high", "low", "close").collect()
+      assert(batch.length == bars.length && streamed.size == bars.length)
+      var defined = 0
+      batch.foreach { r =>
+        val s = streamed((r.getAs[String]("key"), r.getAs[Long]("ts")))
+        def b(n: String): Option[Double] =
+          if (r.isNullAt(r.fieldIndex(n))) None else Some(r.getAs[Double](n))
+        val cells = Seq(s.ema -> "EMA", s.rsi -> "RSI", s.atr -> "ATR",
+          s.adx -> "ADX", s.diPlus -> "DI_plus", s.diMinus -> "DI_minus",
+          s.macd -> "MACD", s.macdSignal -> "MACD_Signal",
+          s.macdHistogram -> "MACD_Histogram")
+        cells.foreach { case (sv, n) =>
+          assert(sv == b(n), s"$n diverges at ${(s.key, s.ts)}: stream $sv vs batch ${b(n)}")
+          if (sv.isDefined) defined += 1
+        }
+      }
+      // the differential must have exercised real values, not all-warm-up
+      assert(defined > 500, s"too few non-null cells compared: $defined")
+      // and series "a" (5 bars) must be all warm-up nulls in BOTH faces
+      assert(streamed.collect { case ((k, _), r) if k == "a" => r }
+        .forall(r => r.ema.isEmpty && r.macd.isEmpty))
+    } finally q.stop()
+  }
+
   test("streamingIndicators idleTimeout: timed-out state is evicted; a resumed series restarts warm-up") {
     // the group-step function directly, with Spark's public
     // TestGroupState — the only deterministic way to drive the
