@@ -2406,6 +2406,61 @@ object SparkEntry {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
       |  w3 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** W14 time-axis reversal as a driver query (previously spec-only):
+    * the last-6 inclusive window per event, REVERSED
+    * (`Windows.reverseWindow` — step 0 = the row itself, step 5 = the
+    * oldest), emitted long-form like q65 so no array column crosses the
+    * oracle hash. Values are copied, not computed — hash-exact.
+    */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
+    graft.feature.Windows.slidingInclusive(base, Seq("value"), 6, evWindow)
+      .withColumn("rw", graft.feature.Windows.reverseWindow(col("window")))
+      .select(col("user_id"), col("event_id"),
+        posexplode(col("rw")).as(Seq("step", "__v")))
+      .select(col("user_id"), col("event_id"),
+        col("step").cast("int").as("step"), col("__v")(0).as("value_rw"))
+  }
+
+  private val q104Sql =
+    """WITH g AS (SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT a.user_id, a.event_id, CAST(s.step AS INT) AS step,
+      |       b.value AS value_rw
+      |FROM g a
+      |JOIN (SELECT UNNEST(range(6)) AS step) s ON true
+      |JOIN g b ON b.user_id = a.user_id AND b.rn = a.rn - s.step
+      |WHERE a.rn >= 6""".stripMargin
+
+  /** J4 horizontal concat as a driver query (previously spec-only), in
+    * its keyed at-scale form (`Windows.alignByRowNumberKeyed`): the
+    * k-th click aligned with the k-th purchase within each user —
+    * row numbers under `partitionBy(user_id)`, then a plain equi-join
+    * on (user_id, position). No single-partition window.
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    def side(tpe: String, as: String) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value").as(as))
+    graft.feature.Windows.alignByRowNumberKeyed(
+        side("click", "click_value"), side("purchase", "purchase_value"),
+        Seq("user_id"), Seq("ts", "event_id"), Seq("ts", "event_id"))
+      .select("user_id", "rn", "click_value", "purchase_value")
+  }
+
+  private val q105Sql =
+    """WITH x AS (SELECT user_id, value AS click_value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE event_type = 'click'),
+      |y AS (SELECT user_id, value AS purchase_value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT x.user_id, CAST(x.rn AS BIGINT) AS rn, click_value, purchase_value
+      |FROM x JOIN y ON x.user_id = y.user_id AND x.rn = y.rn""".stripMargin
+
   /** Shared trades relation for q46/q47: the state machine is the
     * expensive part (shuffle + ordered single pass per symbol), and the
     * summary is an aggregate OVER its output — computing it twice doubled
@@ -2856,7 +2911,9 @@ object SparkEntry {
     "q100_cluster_balance" -> (q100 _),
     "q101_acf_ljungbox" -> (q101 _),
     "q102_plot_downsample" -> (q102 _),
-    "q103_tech_indicators" -> (q103 _)
+    "q103_tech_indicators" -> (q103 _),
+    "q104_time_reversal" -> (q104 _),
+    "q105_row_concat" -> (q105 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2947,6 +3004,8 @@ object SparkEntry {
     "q101_acf_ljungbox" -> q101Sql,
     "q102_plot_downsample" -> q102Sql,
     "q103_tech_indicators" -> q103Sql,
+    "q104_time_reversal" -> q104Sql,
+    "q105_row_concat" -> q105Sql,
     "q56_dedup_clusters" -> q56Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact

@@ -113,4 +113,22 @@ object Windows {
       .join(y.withColumn("__rn", row_number().over(wy)), Seq("__rn"), "inner")
       .drop("__rn")
   }
+
+  /** J4 horizontal concat, keyed (the at-scale form of
+    * [[alignByRowNumber]]): align the k-th row of `x` with the k-th row
+    * of `y` WITHIN each key group. The row numbers are computed under
+    * `Window.partitionBy(keys)` — no single-partition window — and the
+    * join is a plain shuffled equi-join on (keys, position), so the
+    * operator scales with key cardinality like every other per-series
+    * op. The position is exposed as `rn` (1-based, long).
+    */
+  def alignByRowNumberKeyed(x: DataFrame, y: DataFrame, keys: Seq[String],
+      xOrder: Seq[String], yOrder: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wx = Window.partitionBy(keys.map(col): _*).orderBy(xOrder.map(col): _*)
+    val wy = Window.partitionBy(keys.map(col): _*).orderBy(yOrder.map(col): _*)
+    x.withColumn("rn", row_number().over(wx).cast("long"))
+      .join(y.withColumn("rn", row_number().over(wy).cast("long")),
+        keys :+ "rn", "inner")
+  }
 }

@@ -93,4 +93,23 @@ class WindowsSpec extends AnyFunSuite {
       .as[Seq[Double]].head()
     assert(win == Seq(2.0, 1.0, 0.0))
   }
+
+  test("alignByRowNumberKeyed: positional concat within each key, mismatched tails dropped") {
+    // key 1: 3 x-rows vs 2 y-rows (tail dropped); key 2: 1 vs 1;
+    // key 3: only x (no output) — and the per-key positions restart
+    val x = Seq((1L, 30L, "c"), (1L, 10L, "a"), (1L, 20L, "b"),
+      (2L, 10L, "k2a"), (3L, 10L, "k3a")).toDF("sid", "t", "x")
+    val y = Seq((1L, 200L, 2.0), (1L, 100L, 1.0), (2L, 100L, 9.0))
+      .toDF("sid", "u", "y")
+    val out = Windows.alignByRowNumberKeyed(x, y, Seq("sid"), Seq("t"), Seq("u"))
+      .orderBy("sid", "rn")
+      .select($"sid", $"rn", $"x", $"y").as[(Long, Long, String, Double)]
+      .collect().toSeq
+    assert(out == Seq((1L, 1L, "a", 1.0), (1L, 2L, "b", 2.0), (2L, 1L, "k2a", 9.0)))
+    // the plan must not contain a single-partition window: every window
+    // operator is keyed by sid
+    val plan = Windows.alignByRowNumberKeyed(x, y, Seq("sid"), Seq("t"), Seq("u"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition window in:\n$plan")
+  }
 }
