@@ -77,7 +77,11 @@ object ScaleProbe {
       "q101_acf_ljungbox",
       // round-8: plot downsample — scan-shaped (one min/max agg + one
       // bucketed groupBy); output stays 500 rows at every scale
-      "q102_plot_downsample")
+      "q102_plot_downsample",
+      // round-11: W14 reversal (keyed window + generate, output 6× the
+      // input rows) and J4 keyed positional concat (two keyed windows +
+      // an equi-join on (user, position)) — axis = series count
+      "q104_time_reversal", "q105_row_concat")
     // warm code paths
     queries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       .write.mode("overwrite").format("noop").save())
@@ -112,6 +116,24 @@ object ScaleProbe {
     // full user path including lastN's approx_percentile threshold scan
     // and the bounded (≤ maxPoints) collect into the SVG writer, at
     // 1×/10×/100× the sf0.1 events table.
+    // round-11: time ONLY the two new kernels (the full events sweep is
+    // the expensive block; this section reuses its replicas)
+    if (want("r11")) {
+      if (!new java.io.File("/tmp/scale10/events.parquet").exists) replicate(10, "/tmp/scale10")
+      if (!new java.io.File("/tmp/scale100/events.parquet").exists) replicate(100, "/tmp/scale100")
+      val qs = Seq("q104_time_reversal", "q105_row_concat")
+      qs.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+        .write.mode("overwrite").format("noop").save())
+      for (dir <- Seq("/root/testdata/sf0.1", "/tmp/scale10", "/tmp/scale100")) {
+        val times = qs.map { q =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+          f"$q=${(System.nanoTime() - t0) / 1e9}%.2f"
+        }
+        println(s"SCALE-R11 $dir: ${times.mkString(" ")}")
+      }
+    }
+
     if (want("plots")) {
       if (!new java.io.File("/tmp/scale10/events.parquet").exists) replicate(10, "/tmp/scale10")
       if (!new java.io.File("/tmp/scale100/events.parquet").exists) replicate(100, "/tmp/scale100")
