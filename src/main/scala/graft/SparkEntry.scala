@@ -333,6 +333,37 @@ object SparkEntry {
       |  FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY event_type) s
       |ON e.event_type = s.event_type""".stripMargin
 
+  /** F4 min-max (de)normalization as a driver query (previously
+    * spec+parity only): per-type min/max fit on the pre-2024-01-20
+    * train slice (the A1 fit-on-train pattern), broadcast-applied like
+    * q17, with the zero-range→divide-by-1 guard; the denormalized
+    * round-trip column must reproduce the raw value through the same
+    * float ops on both engines.
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val stats = ev.filter(unix_micros(col("ts")) < lit(1705708800000000L))
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val range = when(abs(col("hi") - col("lo")) < 1e-12, lit(1.0))
+      .otherwise(col("hi") - col("lo"))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("lo")) / range, 6).as("mm"),
+        round(((col("value") - col("lo")) / range) * range + col("lo"), 6).as("roundtrip"))
+  }
+
+  private val q106Sql =
+    """SELECT event_id, e.event_type,
+      | ROUND((value - lo) / r, 6) + 0.0 AS mm,
+      | ROUND(((value - lo) / r) * r + lo, 6) + 0.0 AS roundtrip
+      |FROM events e JOIN
+      | (SELECT event_type, MIN(value) AS lo,
+      |    CASE WHEN ABS(MAX(value) - MIN(value)) < 1e-12 THEN 1
+      |         ELSE MAX(value) - MIN(value) END AS r
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY event_type) s
+      |ON e.event_type = s.event_type""".stripMargin
+
   /** W16/A2 naive-forecast MAE per series (exact via decimal sums). */
   private def q18(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events")
@@ -2913,7 +2944,8 @@ object SparkEntry {
     "q102_plot_downsample" -> (q102 _),
     "q103_tech_indicators" -> (q103 _),
     "q104_time_reversal" -> (q104 _),
-    "q105_row_concat" -> (q105 _)
+    "q105_row_concat" -> (q105 _),
+    "q106_minmax_norm" -> (q106 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3006,6 +3038,7 @@ object SparkEntry {
     "q103_tech_indicators" -> q103Sql,
     "q104_time_reversal" -> q104Sql,
     "q105_row_concat" -> q105Sql,
+    "q106_minmax_norm" -> q106Sql,
     "q56_dedup_clusters" -> q56Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
