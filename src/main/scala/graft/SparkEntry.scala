@@ -2597,13 +2597,16 @@ object SparkEntry {
   }
 
   /** §2.10 backtest state machine on per-user event series (close=value,
-    * pseudo-prediction from the JSON payload) — rows-only.
+    * pseudo-prediction from the JSON payload) — hash-exact since r12
+    * against `BacktestOracle.q46Sql`'s recursive-CTE replay; the
+    * batch≡streaming differential remains a second check.
     */
   private def q46(s: SparkSession, dir: String): DataFrame =
     backtestTrades(s, dir).toDF()
 
-  /** A10 backtest trade summary per symbol — rows-only (aggregates the
-    * SAME persisted trades relation as q46, not a recomputation).
+  /** A10 backtest trade summary per symbol — hash-exact since r12
+    * against `BacktestOracle.q47Sql` (aggregates the SAME persisted
+    * trades relation as q46, not a recomputation).
     */
   private def q47(s: SparkSession, dir: String): DataFrame =
     Backtest.summary(backtestTrades(s, dir))
@@ -3040,6 +3043,12 @@ object SparkEntry {
     "q105_row_concat" -> q105Sql,
     "q106_minmax_norm" -> q106Sql,
     "q56_dedup_clusters" -> q56Sql,
+    // Backtest family: generated recursive-CTE replay of the per-symbol
+    // TP/SL state machine (graft.oracle.BacktestOracle) — hash-exact;
+    // the batch≡streaming differential stays as a second, independent
+    // check in differential.json.
+    "q46_backtest_trades" -> graft.oracle.BacktestOracle.q46Sql(BtParams),
+    "q47_backtest_summary" -> graft.oracle.BacktestOracle.q47Sql(BtParams),
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
     // at any SF, no data-pinned literals.

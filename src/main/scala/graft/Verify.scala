@@ -51,9 +51,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // The structurally-no-oracle q46/q47 get their batch≡streaming
-    // differential verdict recorded next to the dumps (see
-    // SparkEntry.backtestDifferential) — check_oracle.py folds it in.
+    // q46/q47 are hash-exact against the BacktestOracle replay SQL since
+    // r12; the batch≡streaming differential verdict recorded here (see
+    // SparkEntry.backtestDifferential) stays as a second, independent
+    // check — check_oracle.py folds it in as extra rows.
     if (selected("q46_backtest_trades") || selected("q47_backtest_summary") ||
         selected("q61_percentiles_approx")) {
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
