@@ -525,14 +525,62 @@ object SparkEntry {
       | ROUND(quantile_cont(value, 0.99), 6) + 0.0 AS p99
       |FROM events GROUP BY event_type""".stripMargin
 
-  /** Scale-path percentiles: approx_percentile quantile sketch — bounded
-    * memory per group, partial-merge across partitions. Rows-only (sketch
-    * results are engine-specific by construction; the exact/approx bound
-    * is spec-checked in QuantilesSpec).
+  private val Q61Ps = Seq(0.5, 0.9, 0.99)
+  private val Q61Accuracy = 10000
+
+  /** The raw sketch relation behind q61 (and the percentile
+    * differential): one `approx_percentile` per (event_type, p).
     */
-  private def q61(s: SparkSession, dir: String): DataFrame =
+  private def q61Approx(s: SparkSession, dir: String): DataFrame =
     graft.metrics.Quantiles.groupedApprox(
-      t(s, dir, "events"), Seq("event_type"), "value", Seq(0.5, 0.9, 0.99))
+      t(s, dir, "events"), Seq("event_type"), "value", Q61Ps, Q61Accuracy)
+
+  /** Scale-path percentiles: approx_percentile quantile sketch — bounded
+    * memory per group, partial-merge across partitions. The sketch's
+    * VALUES are engine-specific by construction (no DuckDB-matchable
+    * bits), so the driver-checkable output is the sketch's Greenwald-
+    * Khanna CONTRACT instead: per (group, p), the exact rank interval
+    * of the returned value must sit within n/accuracy (+1 interpolation
+    * rank) of the target rank p·n. Computed distributedly — the
+    * #groups × #ps approx rows broadcast back onto events, one grouped
+    * count pass — and emitted as `within_bound`; the oracle asserts the
+    * same rows with TRUE, so a sketch contract violation is a driver
+    * hash FAIL, not a silent `err` row. The quantitative verdict (max
+    * rank-error fraction) additionally lands in differential.json via
+    * [[percentileDifferential]].
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val approxRows = q61Approx(s, dir)
+    val stacked = Q61Ps.map(p => approxRows.select(col("event_type"),
+        lit(p).as("p"), col(graft.metrics.Quantiles.label(p)).as("av")))
+      .reduce(_.unionByName(_))
+    val target = col("p") * col("n")
+    val err = when(target < col("rlt") + lit(1L), col("rlt") + lit(1L) - target)
+      .when(target > col("rle"), target - col("rle"))
+      .otherwise(lit(0.0))
+    val bound = col("n") / lit(Q61Accuracy.toDouble) + lit(1.0)
+    t(s, dir, "events").select(col("event_type"), col("value"))
+      .join(broadcast(stacked), "event_type")
+      .groupBy(col("event_type"), col("p"))
+      .agg(
+        sum(when(col("value") <= col("av"), 1L).otherwise(0L)).as("rle"),
+        sum(when(col("value") < col("av"), 1L).otherwise(0L)).as("rlt"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("p"), col("n"),
+        bound.as("err_bound_ranks"),
+        (err <= bound).as("within_bound"))
+  }
+
+  private val q61Sql =
+    """SELECT event_type, CAST(p AS DOUBLE) AS p,
+      | CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(COUNT(*) AS DOUBLE) / CAST(10000.0 AS DOUBLE)
+      |   + CAST(1.0 AS DOUBLE) AS err_bound_ranks,
+      | TRUE AS within_bound
+      |FROM events
+      |CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+      |            (CAST(0.99 AS DOUBLE))) t(p)
+      |GROUP BY event_type, p""".stripMargin
 
   /** Nested experiment config synthesized per event row — shared input
     * shape for q62/q63 (the testdata has no nested-JSON column, so both
@@ -2627,8 +2675,8 @@ object SparkEntry {
     */
   def percentileDifferential(s: SparkSession, dir: String,
       accuracy: Int = 10000): (Long, Long, Double, Double) = {
-    val ps = Seq(0.5, 0.9, 0.99)
-    val approxRows = q61(s, dir)
+    val ps = Q61Ps
+    val approxRows = q61Approx(s, dir)
     val stacked = ps.map(p => approxRows.select(col("event_type"),
         lit(p).as("p"), col(graft.metrics.Quantiles.label(p)).as("av")))
       .reduce(_.unionByName(_))
@@ -3049,6 +3097,10 @@ object SparkEntry {
     // check in differential.json.
     "q46_backtest_trades" -> graft.oracle.BacktestOracle.q46Sql(BtParams),
     "q47_backtest_summary" -> graft.oracle.BacktestOracle.q47Sql(BtParams),
+    // The sketch contract emitted as data: the oracle asserts
+    // within_bound=TRUE per (group, p); a GK-bound violation on the
+    // Spark side is a hash FAIL (see q61's scaladoc).
+    "q61_percentiles_approx" -> q61Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
     // at any SF, no data-pinned literals.
