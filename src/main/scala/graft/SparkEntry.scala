@@ -364,6 +364,106 @@ object SparkEntry {
       |  FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY event_type) s
       |ON e.event_type = s.event_type""".stripMargin
 
+  /** W9 daily multi-step targets as a driver query (previously
+    * spec-only): from an hourly-style series, step d lands at
+    * `t + d·24` (`Targets.dailySteps`, reference
+    * `data_processor copy.py:87-123`), trimmed at the last day. Values
+    * are copied, not computed — hash-exact. One window pass (Catalyst
+    * collapses both leads onto the same sort), partitioned on the
+    * series key: the 100 TB axis is the series count.
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    graft.target.Targets.dailySteps(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        "value", days = 2, evWindow, stepsPerDay = 24)
+      .select("user_id", "event_id", "target_d1", "target_d2")
+
+  private val q107Sql =
+    """SELECT user_id, event_id, target_d1, target_d2 FROM (
+      |  SELECT user_id, event_id,
+      |    LEAD(value, 24) OVER w AS target_d1,
+      |    LEAD(value, 48) OVER w AS target_d2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |WHERE target_d2 IS NOT NULL""".stripMargin
+
+  /** A8 Monte-Carlo predictive mean/uncertainty as a driver query
+    * (previously spec-only): the MC sample axis exploded into rows —
+    * `passes` deterministic pseudo-predictions per event (a seeded
+    * integer hash stands in for the dropout mask; the container has no
+    * TF, and the oracle needs the same bits) — then one grouped
+    * avg/stddev_pop back to the row grain (reference
+    * `common/bayesian.py:70-134`; the sequential Welford kernel the ML
+    * boundary uses is spec'd ≡ to this aggregate in `McDropoutSpec`).
+    * Map-side partial aggregation folds the pass axis before any
+    * shuffle, so the wire carries one row per event, not per pass.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val passes = 10
+    t(s, dir, "events")
+      .select(col("event_id"), col("value"),
+        explode(sequence(lit(0L), lit(passes - 1L))).as("p"))
+      .withColumn("mc_pred",
+        col("value") +
+          pmod(col("event_id") * (col("p") + lit(7L)), lit(13L)).cast("double") / lit(10.0))
+      .groupBy(col("event_id"))
+      .agg(
+        round(avg(col("mc_pred")), 6).as("mc_mean"),
+        round(stddev_pop(col("mc_pred")), 6).as("mc_unc"))
+  }
+
+  private val q108Sql =
+    """SELECT event_id,
+      | ROUND(AVG(mc_pred), 6) + 0.0 AS mc_mean,
+      | ROUND(STDDEV_POP(mc_pred), 6) + 0.0 AS mc_unc
+      |FROM (SELECT event_id,
+      |        value + CAST((event_id * (p + 7)) % 13 AS DOUBLE) / 10.0 AS mc_pred
+      |      FROM events CROSS JOIN (SELECT UNNEST(range(10)) AS p))
+      |GROUP BY event_id""".stripMargin
+
+  /** F5 delta/uncertainty rescale + F13 prediction scaling in one
+    * normalization query (previously spec-only): per-type stats fit on
+    * the pre-2024-01-20 train slice (the A1/q17 pattern), broadcast
+    * back, then three scale-only columns over the one-step delta —
+    * `delta · σ` (F5 mean/std form, `stl_norm.py:119-170`
+    * `denormalize_returns` incl. its σ=0 → unchanged guard),
+    * `|delta| · (max−min)` (F5 min/max uncertainty form, same guard),
+    * and `delta / target_scaling_factor` (F13,
+    * `app/data_processor.py:336-341`, default factor 100). No offset
+    * anywhere — deltas rescale linearly.
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val stats = ev.filter(unix_micros(col("ts")) < lit(1705708800000000L))
+      .groupBy(col("event_type"))
+      .agg(stddev_pop(col("value")).as("sigma"),
+        (max(col("value")) - min(col("value"))).as("range"))
+    val invScale = 1.0 / 100.0
+    ev.withColumn("delta", lead(col("value"), 1).over(evWindow) - col("value"))
+      .filter(col("delta").isNotNull)
+      .join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(col("delta") *
+          when(col("sigma") === 0.0, 1.0).otherwise(col("sigma")), 6).as("delta_px_std"),
+        round(abs(col("delta")) *
+          when(col("range") === 0.0, 1.0).otherwise(col("range")), 6).as("unc_px_range"),
+        round(col("delta") * lit(invScale), 6).as("pred_scaled"))
+  }
+
+  private val q109Sql =
+    """SELECT event_id, e.event_type,
+      | ROUND(delta * (CASE WHEN sigma = 0 THEN 1 ELSE sigma END), 6) + 0.0 AS delta_px_std,
+      | ROUND(ABS(delta) * (CASE WHEN r = 0 THEN 1 ELSE r END), 6) + 0.0 AS unc_px_range,
+      | ROUND(delta * CAST(0.01 AS DOUBLE), 6) + 0.0 AS pred_scaled
+      |FROM (SELECT event_id, event_type,
+      |        LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value AS delta
+      |      FROM events) e
+      |JOIN (SELECT event_type, STDDEV_POP(value) AS sigma,
+      |        MAX(value) - MIN(value) AS r
+      |      FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY event_type) s
+      |ON e.event_type = s.event_type
+      |WHERE delta IS NOT NULL""".stripMargin
+
   /** W16/A2 naive-forecast MAE per series (exact via decimal sums). */
   private def q18(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events")
@@ -2996,7 +3096,10 @@ object SparkEntry {
     "q103_tech_indicators" -> (q103 _),
     "q104_time_reversal" -> (q104 _),
     "q105_row_concat" -> (q105 _),
-    "q106_minmax_norm" -> (q106 _)
+    "q106_minmax_norm" -> (q106 _),
+    "q107_daily_targets" -> (q107 _),
+    "q108_mc_welford" -> (q108 _),
+    "q109_delta_rescale" -> (q109 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3090,6 +3193,9 @@ object SparkEntry {
     "q104_time_reversal" -> q104Sql,
     "q105_row_concat" -> q105Sql,
     "q106_minmax_norm" -> q106Sql,
+    "q107_daily_targets" -> q107Sql,
+    "q108_mc_welford" -> q108Sql,
+    "q109_delta_rescale" -> q109Sql,
     "q56_dedup_clusters" -> q56Sql,
     // Backtest family: generated recursive-CTE replay of the per-symbol
     // TP/SL state machine (graft.oracle.BacktestOracle) — hash-exact;
