@@ -91,17 +91,18 @@ object OlapEtl {
       experimentKey: String, factPath: String): DataFrame = {
     val updates = parseResults(results)
       .withColumn("experiment_key", lit(experimentKey))
-    val existing =
-      try Some(spark.read.parquet(factPath)) catch { case _: Exception => None }
+    val existing = SnapshotStore.read(spark, factPath)
     val merged = upsert(existing, updates,
       Seq("experiment_key", "split_key", "metric_key", "horizon_key"))
-    // Materialize BEFORE overwriting the path the plan lazily reads:
-    // localCheckpoint truncates the lineage to executor-local blocks, so
-    // the overwrite can't trigger a recompute against deleted files
-    // (cache() alone would recompute from the source on eviction).
-    val stable = merged.localCheckpoint(true)
-    stable.write.mode("overwrite").parquet(factPath)
-    stable
+    // Transactional commit via SnapshotStore (the reference runs its
+    // upserts inside a Postgres transaction, `etl_migrate_v2.py:292-397`):
+    // the merge plan reads the PREVIOUS snapshot while writing the next
+    // directory, so there is no overwrite-while-reading hazard (the old
+    // localCheckpoint materialization is gone) and a crash at any point
+    // leaves the previous version readable. Old snapshots GC to current+1.
+    SnapshotStore.commit(merged, factPath)
+    SnapshotStore.gc(factPath)
+    SnapshotStore.read(spark, factPath).get
   }
 
   /** The Metabase config-flatten view analog (J5): explode a JSON config

@@ -1,0 +1,151 @@
+package graft.olap
+
+import java.nio.file.{AtomicMoveNotSupportedException, Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Transactional snapshot commits for parquet-backed warehouse tables —
+  * the ACID face of the star-schema upserts (SURVEY §2.1 S9/S10). The
+  * reference runs `INSERT … ON CONFLICT DO UPDATE` inside a Postgres
+  * transaction (`olap/etl_migrate_v2.py:292-397`): a crashed ETL leaves
+  * the table at its previous committed state, and readers never observe
+  * a half-applied batch. Plain `write.mode("overwrite").parquet(path)`
+  * has neither property (overwrite deletes the old files first), so this
+  * store emulates the transaction within container limits (no
+  * Delta/Iceberg offline):
+  *
+  * Layout under `tablePath/`:
+  *   - `v<N>/`       immutable parquet snapshot directories;
+  *   - `_MANIFEST`   one-line text file naming the current snapshot.
+  *
+  * Write protocol: [[stage]] writes the FULL next version to a fresh
+  * `v<N>` directory (old files untouched — the merge plan can read the
+  * previous snapshot while writing the next, no
+  * materialize-before-overwrite needed); [[publish]] then swaps the
+  * manifest via same-directory tmp file + `ATOMIC_MOVE` rename.
+  * `rename(2)` on one filesystem is atomic, so a reader resolving the
+  * manifest sees the old version or the new one, never a torn file —
+  * and a crash anywhere between stage and publish leaves the manifest
+  * (hence every reader) on the previous version. The tmp file is
+  * created INSIDE `tablePath` so the move can never silently degrade to
+  * copy+delete across filesystems; if the platform truly cannot do an
+  * atomic move we fail the publish rather than tear the manifest.
+  *
+  * Readers ([[read]]) resolve the manifest once per call. [[gc]]
+  * removes unreferenced snapshot directories, keeping the current and
+  * (by default) one predecessor for in-flight readers.
+  */
+object SnapshotStore {
+
+  private val ManifestName = "_MANIFEST"
+  private val VersionRe = "^v(\\d+)$".r
+
+  /** A staged-but-unpublished snapshot: the data is durable, the table
+    * still points at the previous version until [[publish]].
+    */
+  final case class Staged(tablePath: String, version: String)
+
+  /** The snapshot directory name the manifest currently points at, if
+    * the table exists and has a committed version.
+    */
+  def currentVersion(tablePath: String): Option[String] = {
+    val m = Paths.get(tablePath, ManifestName)
+    if (Files.isRegularFile(m)) {
+      val v = Files.readString(m).trim
+      if (v.nonEmpty && Files.isDirectory(Paths.get(tablePath, v))) Some(v)
+      else None
+    } else None
+  }
+
+  /** Read the current committed snapshot; None if never committed. */
+  def read(spark: SparkSession, tablePath: String): Option[DataFrame] =
+    currentVersion(tablePath).map(v => spark.read.parquet(s"$tablePath/$v"))
+
+  /** Children of `dir` (closed stream — `Files.list` leaks an fd if the
+    * stream is abandoned mid-iteration).
+    */
+  private def children(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator.asScala.toSeq finally s.close()
+    }
+
+  private def versionDirs(dir: Path): Seq[(Long, Path)] =
+    children(dir)
+      .flatMap(p => VersionRe.findFirstMatchIn(p.getFileName.toString)
+        .map(m => (m.group(1).toLong, p)))
+      .sortBy(_._1)
+
+  private def nextVersionName(dir: Path): String = {
+    // max over ALL v-dirs (not the manifest): a staged-but-unpublished
+    // version must never be overwritten by the next stage
+    val existing = versionDirs(dir).map(_._1)
+    s"v${if (existing.isEmpty) 0L else existing.max + 1L}"
+  }
+
+  /** Write `df` as the table's next snapshot WITHOUT publishing it.
+    * Crash-safe by construction: nothing references the new directory
+    * yet, and the previous snapshot's files are never touched.
+    */
+  def stage(df: DataFrame, tablePath: String): Staged = {
+    val dir = Paths.get(tablePath)
+    Files.createDirectories(dir)
+    val v = nextVersionName(dir)
+    df.write.mode("overwrite").parquet(s"$tablePath/$v")
+    Staged(tablePath, v)
+  }
+
+  /** Atomically point the table at a staged snapshot. The only mutation
+    * visible to readers is the single manifest rename.
+    */
+  def publish(staged: Staged): Unit = {
+    val dir = Paths.get(staged.tablePath)
+    require(Files.isDirectory(dir.resolve(staged.version)),
+      s"staged snapshot ${staged.version} missing under ${staged.tablePath}")
+    // tmp lives in the SAME directory as the manifest: same filesystem,
+    // so ATOMIC_MOVE is a true rename (the ParityRun r12 lesson — a
+    // default-tmpdir stage can silently fall back to copy+delete)
+    val tmp = Files.createTempFile(dir, s".manifest-${staged.version}-", ".tmp")
+    try {
+      Files.writeString(tmp, staged.version)
+      try Files.move(tmp, dir.resolve(ManifestName),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      catch { case e: AtomicMoveNotSupportedException =>
+        // refuse a non-atomic fallback: a torn manifest is exactly the
+        // failure mode this store exists to prevent
+        throw new IllegalStateException(
+          s"filesystem at ${staged.tablePath} cannot atomically replace the manifest", e)
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** stage + publish; returns the committed version name. */
+  def commit(df: DataFrame, tablePath: String): String = {
+    val staged = stage(df, tablePath)
+    publish(staged)
+    staged.version
+  }
+
+  /** Remove snapshot directories no reader can legitimately resolve,
+    * keeping the newest `keep` versions up to and INCLUDING the current
+    * one (staged-ahead versions newer than the manifest are kept too —
+    * they may be mid-publish). Returns the deleted directory names.
+    */
+  def gc(tablePath: String, keep: Int = 2): Seq[String] = {
+    require(keep >= 1, s"gc must keep at least the current version, got $keep")
+    val dir = Paths.get(tablePath)
+    val cur = currentVersion(tablePath).map(v => VersionRe.findFirstMatchIn(v).get.group(1).toLong)
+    if (!Files.isDirectory(dir) || cur.isEmpty) return Seq.empty
+    val versions = versionDirs(dir)
+    val retained = versions.filter(_._1 <= cur.get).takeRight(keep).map(_._1).toSet
+    val doomed = versions.filter(v => v._1 <= cur.get && !retained.contains(v._1))
+    doomed.foreach { case (_, p) => deleteRecursively(p) }
+    doomed.map(_._2.getFileName.toString)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) children(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
