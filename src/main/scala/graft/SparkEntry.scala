@@ -464,6 +464,66 @@ object SparkEntry {
       |ON e.event_type = s.event_type
       |WHERE delta IS NOT NULL""".stripMargin
 
+  /** Legacy OLAP fact_predictions end-to-end as a driver query: the S7
+    * wide prediction shape (`DATE_TIME, test_CLOSE, Target_H{h},
+    * Prediction_H{h}, Uncertainty_H{h}` — `stl_io.py:16-117`) is
+    * synthesized per user from events (targets are leads; predictions/
+    * uncertainties derive from the JSON signal with exact-decimal
+    * arithmetic), melted to the `fact_predictions` grain
+    * (`olap_schema_postgres.sql:54-64`) by `OlapEtl.meltPredictions`,
+    * FK-resolved against the seeded `dim_horizon` (broadcast), and
+    * rolled up to one MAE/uncertainty row per (experiment, horizon) —
+    * exact via the dsum decimal discipline. Scale: the melt is a
+    * Generate (no shuffle), the dim join broadcasts 6 rows, and the
+    * rollup is a partial-agg'd groupBy on the (series × horizon) grain.
+    */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val horizons = Seq(1, 3, 6)
+    val base = t(s, dir, "events").select(
+      col("user_id"), col("event_id"), col("ts"), col("value"),
+      (get_json_object(col("props"), "$.k").cast("double") - lit(50.0)).as("sig"))
+    val wide0 = horizons.foldLeft(base) { (d, h) =>
+      d.withColumn(s"Target_H$h", lead(col("value"), h).over(evWindow))
+        .withColumn(s"Prediction_H$h", col("value") + col("sig") * lit(h.toDouble))
+        .withColumn(s"Uncertainty_H$h", abs(col("sig")) * lit(h.toDouble) / lit(4.0))
+    }
+    val wide = wide0.filter(col(s"Target_H${horizons.max}").isNotNull)
+      .withColumnRenamed("ts", "DATE_TIME")
+      .withColumn("test_CLOSE", col("value"))
+    val fact = graft.olap.OlapEtl.meltPredictions(wide, None, col("user_id"))
+    fact.join(broadcast(graft.olap.OlapEtl.dimHorizon(s)), "horizon_key")
+      .groupBy(col("experiment_key"), col("horizon_key"))
+      .agg(
+        (dsum(abs(col("prediction_value") - col("target_value"))) / count(lit(1))).as("mae"),
+        dsum(col("uncertainty")).as("total_unc"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q110Sql =
+    """WITH wide AS (
+      |  SELECT user_id, value,
+      |    CAST(json_extract_string(props, '$.k') AS DOUBLE) - 50.0 AS sig,
+      |    LEAD(value, 1) OVER w AS t1,
+      |    LEAD(value, 3) OVER w AS t3,
+      |    LEAD(value, 6) OVER w AS t6
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |fact AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS experiment_key, h.horizon_key,
+      |    CASE h.horizon_key WHEN 1 THEN t1 WHEN 3 THEN t3 ELSE t6 END AS target_value,
+      |    value + sig * CAST(h.horizon_key AS DOUBLE) AS prediction_value,
+      |    ABS(sig) * CAST(h.horizon_key AS DOUBLE) / 4.0 AS uncertainty
+      |  FROM wide CROSS JOIN (VALUES (1), (3), (6)) h(horizon_key)
+      |  WHERE t6 IS NOT NULL)
+      |SELECT experiment_key, horizon_key,
+      |  CAST(SUM(CAST(ABS(prediction_value - target_value) AS DECIMAL(18,6))) AS DOUBLE)
+      |    / COUNT(*) AS mae,
+      |  CAST(SUM(CAST(uncertainty AS DECIMAL(18,6))) AS DOUBLE) AS total_unc,
+      |  COUNT(*) AS n
+      |FROM fact
+      |WHERE horizon_key IN (SELECT UNNEST(range(1, 7)))
+      |GROUP BY experiment_key, horizon_key""".stripMargin
+
   /** W16/A2 naive-forecast MAE per series (exact via decimal sums). */
   private def q18(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events")
@@ -3099,7 +3159,8 @@ object SparkEntry {
     "q106_minmax_norm" -> (q106 _),
     "q107_daily_targets" -> (q107 _),
     "q108_mc_welford" -> (q108 _),
-    "q109_delta_rescale" -> (q109 _)
+    "q109_delta_rescale" -> (q109 _),
+    "q110_fact_predictions" -> (q110 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3196,6 +3257,7 @@ object SparkEntry {
     "q107_daily_targets" -> q107Sql,
     "q108_mc_welford" -> q108Sql,
     "q109_delta_rescale" -> q109Sql,
+    "q110_fact_predictions" -> q110Sql,
     "q56_dedup_clusters" -> q56Sql,
     // Backtest family: generated recursive-CTE replay of the per-symbol
     // TP/SL state machine (graft.oracle.BacktestOracle) — hash-exact;

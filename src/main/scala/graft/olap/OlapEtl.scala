@@ -105,6 +105,118 @@ object OlapEtl {
     SnapshotStore.read(spark, factPath).get
   }
 
+  /** Legacy star-schema fact `olap.fact_predictions`
+    * (`olap_schema_postgres.sql:54-64`): one row per (experiment,
+    * horizon, ts) with test_close/target/prediction/uncertainty. The
+    * reference keeps the table for schema/migration compat without an
+    * active loader; this loader melts the engine's own S7 wide
+    * prediction output (`stl_io.py:16-117`: `DATE_TIME, test_CLOSE,
+    * Target_H{h}, Prediction_H{h}` + a separate `Uncertainty_H{h}`
+    * file) into the fact grain. The melt is one `explode(array(struct))`
+    * pass — no shuffle until the keyed upsert; the optional
+    * uncertainties frame joins on DATE_TIME before melting (one
+    * co-grained join).
+    */
+  def meltPredictions(predictionsWide: DataFrame,
+      uncertaintiesWide: Option[DataFrame], experimentKey: String): DataFrame =
+    meltPredictions(predictionsWide, uncertaintiesWide, lit(experimentKey))
+
+  /** Column-keyed overload: `experimentKey` evaluated against the wide
+    * frame (e.g. a per-series key column for multi-experiment melts).
+    */
+  def meltPredictions(predictionsWide: DataFrame,
+      uncertaintiesWide: Option[DataFrame],
+      experimentKey: org.apache.spark.sql.Column): DataFrame = {
+    val horizons = predictionsWide.columns
+      .flatMap("^Prediction_H(\\d+)$".r.findFirstMatchIn(_).map(_.group(1).toInt))
+      .sorted
+    require(horizons.nonEmpty, "no Prediction_H{h} columns to melt")
+    val joined = uncertaintiesWide match {
+      case Some(u) => predictionsWide.join(u, Seq("DATE_TIME"), "left")
+      case None => predictionsWide
+    }
+    def unc(h: Int) =
+      if (joined.columns.contains(s"Uncertainty_H$h"))
+        col(s"Uncertainty_H$h").cast("double")
+      else lit(null).cast("double")
+    joined.select(
+        experimentKey.cast("string").as("experiment_key"),
+        col("DATE_TIME").as("ts"),
+        col("test_CLOSE").cast("double").as("test_close"),
+        explode(array(horizons.map(h => struct(
+          lit(h).as("horizon_key"),
+          col(s"Target_H$h").cast("double").as("target_value"),
+          col(s"Prediction_H$h").cast("double").as("prediction_value"),
+          unc(h).as("uncertainty"))): _*)).as("__h"))
+      .select(
+        col("experiment_key"),
+        col("__h.horizon_key").as("horizon_key"),
+        col("ts"), col("test_close"),
+        col("__h.target_value").as("target_value"),
+        col("__h.prediction_value").as("prediction_value"),
+        col("__h.uncertainty").as("uncertainty"))
+  }
+
+  /** Load [[meltPredictions]] output into the snapshot-versioned
+    * `fact_predictions` (upsert grain: experiment × horizon × ts).
+    */
+  def loadFactPredictions(spark: SparkSession, predictionsWide: DataFrame,
+      uncertaintiesWide: Option[DataFrame], experimentKey: String,
+      factPath: String): DataFrame = {
+    val updates = meltPredictions(predictionsWide, uncertaintiesWide, experimentKey)
+    val merged = upsert(SnapshotStore.read(spark, factPath), updates,
+      Seq("experiment_key", "horizon_key", "ts"))
+    SnapshotStore.commit(merged, factPath)
+    SnapshotStore.gc(factPath)
+    SnapshotStore.read(spark, factPath).get
+  }
+
+  /** Legacy star-schema fact `olap.fact_trade_metrics`
+    * (`olap_schema_postgres.sql:66-78`): one aggregated strategy-result
+    * row per (experiment, horizon?) from the backtest trades relation
+    * the engine already produces (`Backtest.Trade` shape — the
+    * reference's `heuristic_strategy.py:313-332` summary stats plus the
+    * schema's ratio columns). Conventions (the reference has no loader
+    * to pin them): per-trade profit is the return unit — sharpe =
+    * mean/stddev_pop of per-trade profit, sortino uses downside
+    * root-mean-square (profits clamped at 0), no annualization;
+    * max_drawdown = the worst intra-trade adverse excursion.
+    * One aggregation pass over the trades.
+    */
+  def tradeMetrics(trades: DataFrame, experimentKey: String,
+      horizonKey: Option[Int] = None): DataFrame = {
+    val downside = when(col("profit") < 0.0, col("profit")).otherwise(lit(0.0))
+    trades.agg(
+        sum(col("profit")).as("total_profit"),
+        max(col("maxDrawdown")).as("max_drawdown"),
+        avg(col("profit")).as("__mean"),
+        stddev_pop(col("profit")).as("__sd"),
+        sqrt(avg(downside * downside)).as("__dd"),
+        (count(when(col("profit") > 0.0, 1)) / count(lit(1)).cast("double")).as("win_rate"),
+        avg(col("profit")).as("avg_trade_return"),
+        count(lit(1)).cast("int").as("trades_count"))
+      .select(
+        lit(experimentKey).as("experiment_key"),
+        horizonKey.map(h => lit(h)).getOrElse(lit(null)).cast("int").as("horizon_key"),
+        col("total_profit"), col("max_drawdown"),
+        when(col("__sd") > 0.0, col("__mean") / col("__sd")).as("sharpe"),
+        when(col("__dd") > 0.0, col("__mean") / col("__dd")).as("sortino"),
+        col("win_rate"), col("avg_trade_return"), col("trades_count"))
+  }
+
+  /** Load [[tradeMetrics]] into the snapshot-versioned
+    * `fact_trade_metrics` (upsert grain: experiment × horizon).
+    */
+  def loadFactTradeMetrics(spark: SparkSession, trades: DataFrame,
+      experimentKey: String, horizonKey: Option[Int], factPath: String): DataFrame = {
+    val updates = tradeMetrics(trades, experimentKey, horizonKey)
+    val merged = upsert(SnapshotStore.read(spark, factPath), updates,
+      Seq("experiment_key", "horizon_key"))
+    SnapshotStore.commit(merged, factPath)
+    SnapshotStore.gc(factPath)
+    SnapshotStore.read(spark, factPath).get
+  }
+
   /** The Metabase config-flatten view analog (J5): explode a JSON config
     * column into (key, value) rows (`olap_metabase_helpers.sql:4-23`).
     * One level only — for nested configs use [[deepConfigKv]].

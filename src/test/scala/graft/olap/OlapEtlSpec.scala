@@ -77,6 +77,77 @@ class OlapEtlSpec extends AnyFunSuite {
       ("e1", "model.opt.sched", "cosine")))
   }
 
+  test("meltPredictions: S7 wide shape → fact_predictions grain, uncertainties joined") {
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val wide = Seq(
+      (ts1, 100.0, 101.0, 100.5, 103.0, 102.0),
+      (ts2, 101.0, 102.0, 101.5, 104.0, 103.5)
+    ).toDF("DATE_TIME", "test_CLOSE", "Target_H1", "Prediction_H1", "Target_H6", "Prediction_H6")
+    val unc = Seq((ts1, 0.1, 0.6), (ts2, 0.2, 0.7))
+      .toDF("DATE_TIME", "Uncertainty_H1", "Uncertainty_H6")
+    val melted = OlapEtl.meltPredictions(wide, Some(unc), "exp1")
+    assert(melted.count() == 4) // 2 ts × 2 horizons
+    assert(melted.columns.toSeq == Seq("experiment_key", "horizon_key", "ts",
+      "test_close", "target_value", "prediction_value", "uncertainty"))
+    val h6 = melted.filter($"horizon_key" === 6 && $"ts" === ts1).head()
+    assert(h6.getAs[Double]("target_value") == 103.0)
+    assert(h6.getAs[Double]("prediction_value") == 102.0)
+    assert(h6.getAs[Double]("uncertainty") == 0.6)
+    // no uncertainties frame → NULL uncertainty, same grain
+    val bare = OlapEtl.meltPredictions(wide, None, "exp1")
+    assert(bare.count() == 4 && bare.filter($"uncertainty".isNull).count() == 4)
+  }
+
+  test("loadFactPredictions upserts on (experiment, horizon, ts) through snapshots") {
+    val path = Files.createTempDirectory("factp").toString + "/fact_predictions"
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val wide = Seq((ts1, 100.0, 101.0, 100.5))
+      .toDF("DATE_TIME", "test_CLOSE", "Target_H1", "Prediction_H1")
+    assert(OlapEtl.loadFactPredictions(spark, wide, None, "exp1", path).count() == 1)
+    // same key re-load: prediction revised, no duplicate row
+    val wide2 = Seq((ts1, 100.0, 101.0, 100.9))
+      .toDF("DATE_TIME", "test_CLOSE", "Target_H1", "Prediction_H1")
+    val after = OlapEtl.loadFactPredictions(spark, wide2, None, "exp1", path)
+    assert(after.count() == 1)
+    assert(after.head().getAs[Double]("prediction_value") == 100.9)
+    // second experiment appends
+    assert(OlapEtl.loadFactPredictions(spark, wide, None, "exp2", path).count() == 2)
+  }
+
+  test("tradeMetrics: fact_trade_metrics columns from a trades relation") {
+    val trades = Seq(
+      (20.0, 3.0), (-10.0, 12.0), (20.0, 5.0), (-10.0, 11.0)
+    ).toDF("profit", "maxDrawdown")
+    val m = OlapEtl.tradeMetrics(trades, "exp1", Some(1)).head()
+    assert(m.getAs[String]("experiment_key") == "exp1")
+    assert(m.getAs[Int]("horizon_key") == 1)
+    assert(m.getAs[Double]("total_profit") == 20.0)
+    assert(m.getAs[Double]("max_drawdown") == 12.0)
+    assert(m.getAs[Double]("win_rate") == 0.5)
+    assert(m.getAs[Double]("avg_trade_return") == 5.0)
+    assert(m.getAs[Int]("trades_count") == 4)
+    // sharpe = mean/stddev_pop = 5/15; sortino = mean/rms(downside) = 5/sqrt(50)
+    assert(math.abs(m.getAs[Double]("sharpe") - 5.0 / 15.0) < 1e-12)
+    assert(math.abs(m.getAs[Double]("sortino") - 5.0 / math.sqrt(50.0)) < 1e-12)
+    // degenerate: all-equal profits → sharpe NULL, not Infinity
+    val flat = OlapEtl.tradeMetrics(
+      Seq((1.0, 0.0), (1.0, 0.0)).toDF("profit", "maxDrawdown"), "e", None).head()
+    assert(flat.isNullAt(flat.fieldIndex("sharpe")))
+    assert(flat.isNullAt(flat.fieldIndex("horizon_key")))
+  }
+
+  test("loadFactTradeMetrics upserts on (experiment, horizon) through snapshots") {
+    val path = Files.createTempDirectory("factt").toString + "/fact_trade_metrics"
+    val t1 = Seq((20.0, 3.0), (-10.0, 12.0)).toDF("profit", "maxDrawdown")
+    assert(OlapEtl.loadFactTradeMetrics(spark, t1, "exp1", Some(1), path).count() == 1)
+    val revised = OlapEtl.loadFactTradeMetrics(spark,
+      t1.union(Seq((5.0, 1.0)).toDF("profit", "maxDrawdown")), "exp1", Some(1), path)
+    assert(revised.count() == 1) // same key → replaced
+    assert(revised.head().getAs[Int]("trades_count") == 3)
+    assert(OlapEtl.loadFactTradeMetrics(spark, t1, "exp1", Some(6), path).count() == 2)
+  }
+
   test("dimExperiment extracts typed config fields; missing/bad fields → NULL") {
     val cfg =
       """{"window_size":144,"batch_size":128,"learning_rate":0.0005,
