@@ -246,6 +246,24 @@ object Plots {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), svg)
   }
 
+  /** The `*_loss_plot.png` analog (`data_processor.py:383-391`:
+    * per-training epoch-loss curves, legend per curve): named (epoch,
+    * loss) curves from `Callbacks.History` rows. Training histories are
+    * driver-side by construction (one point per epoch, recorded by the
+    * sequential epoch-control loop), so this renders directly — no
+    * DataFrame, no downsample pass.
+    */
+  def lossPlot(curves: Seq[(String, Seq[(Int, Double)])], path: String,
+      title: String = "Model Loss"): Unit = {
+    require(curves.nonEmpty && curves.forall(_._2.nonEmpty),
+      "lossPlot needs at least one non-empty loss history")
+    val series = curves.map { case (name, rows) =>
+      Series(name, rows.map(_._1.toDouble).toArray, rows.map(_._2).toArray)
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      renderSvg(Seq((title, series, None))))
+  }
+
   /** Decomposition panels (`*_stl_decomposition_plot.png` shape): one
     * stacked panel per component column over the same x axis.
     */

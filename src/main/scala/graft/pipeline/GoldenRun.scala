@@ -213,9 +213,19 @@ object GoldenRun {
       Targets.multiHorizon(Sources.loadCsv(spark, cfg.splits("train")),
         cfg.targetColumn, horizons, w),
       cfg.targetColumn, nLags, Nil, Seq("ts")).cache()
+    // same dispatch as ForecastPipeline.fitHead("cnn", …) but with a
+    // History attached per horizon so the loss-plot artifact comes from
+    // the SAME fit that produces the prediction file (callbacks only
+    // observe — the weight trajectory, hence the CSVs, are unchanged)
+    val histories = horizons.map(h => h -> new graft.ml.Callbacks.History).toMap
+    val predConf = mlp.copy(seed = mlp.seed + 1000L)
     val models =
-      try ForecastPipeline.fitHead(train, featureCols, horizons, "cnn",
-        mlp.copy(seed = mlp.seed + 1000L))
+      try Forecaster.fitPerHorizonCnn(train, featureCols, horizons,
+        graft.ml.CnnRegressor.CnnConfig(channels = predConf.hidden,
+          epochs = predConf.epochs, lr = predConf.lr, seed = predConf.seed,
+          activation = predConf.activation),
+        dropout = predConf.dropout, callbacks = h => Seq(histories(h)),
+        opt = predConf.opt)
       finally train.unpersist()
     val scoredTest = Forecaster.predictWithUncertainty(models,
       Forecaster.withLagFeatures(
@@ -234,6 +244,13 @@ object GoldenRun {
       scoredTest.filter(col("target_h1").isNotNull), "ts",
       "target_h1", "pred_h1", "unc_h1",
       s"$outDir/graft_phase_1_cnn_1h_predictions_plot.svg")
+    // the `*_loss_plot.png` analog (`data_processor.py:383-391`): H1
+    // epoch-loss curve from the prediction fit's History (train loss —
+    // this fit monitors no validation split, so one curve)
+    graft.io.Plots.lossPlot(
+      Seq("loss" -> histories(1).rows.map(r => (r._1, r._2))),
+      s"$outDir/graft_phase_1_cnn_1h_loss_plot.svg",
+      title = "Model Loss for CNN - 1")
     scoredTest.unpersist()
     // single-file rename: writeCsv emits a directory with one part file
     for ((d, f) <- Seq("results_csv" -> "graft_phase_1_cnn_1h_results.csv",

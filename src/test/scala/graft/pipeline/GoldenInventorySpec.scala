@@ -53,6 +53,7 @@ class GoldenInventorySpec extends AnyFunSuite {
 
   test("golden/phase_1 holds exactly the golden-run artifact set") {
     val expected = Set(
+      "graft_phase_1_cnn_1h_loss_plot.svg",
       "graft_phase_1_cnn_1h_prediction.csv",
       "graft_phase_1_cnn_1h_predictions_plot.svg",
       "graft_phase_1_cnn_1h_results.csv",
