@@ -413,16 +413,59 @@ object StreamOps {
   def streamingIndicators(bars: Dataset[IndicatorBar],
       conf: graft.ts.TechIndicators.RecursiveConfig = graft.ts.TechIndicators.RecursiveConfig(),
       idleTimeout: Option[scala.concurrent.duration.Duration] = None)
-      : Dataset[IndicatorRow] = {
+      : Dataset[IndicatorRow] =
+    streamingIndicators(bars, conf,
+      idleTimeout.map(ProcessingTimeIdle.apply).getOrElse(NeverEvict))
+
+  /** Idle-state eviction policy for [[streamingIndicators]]. */
+  sealed trait IdleEviction
+  /** Bounded-key default: state never evicts — the batch≡streaming
+    * parity contract over any pause. */
+  case object NeverEvict extends IdleEviction
+  /** Wall-clock eviction (r11): evict a series whose feed has been
+    * quiet for `timeout` of PROCESSING time. Simple, but not
+    * replayable — a checkpoint-restore replay evicts at different
+    * points than the original run. */
+  final case class ProcessingTimeIdle(timeout: scala.concurrent.duration.Duration)
+    extends IdleEviction
+  /** Event-time eviction (r12): the eviction point is a function of
+    * the DATA — a series evicts when the stream's watermark passes
+    * (its own max event time + `timeout`) — so replays and
+    * checkpoint restores evict at exactly the same bar boundaries.
+    * `lateness` is the watermark delay granted to out-of-order bars
+    * (orthogonal to the idle timeout). IndicatorBar.ts is read as
+    * epoch MILLIS for the watermark/timeout arithmetic.
+    */
+  final case class EventTimeIdle(timeout: scala.concurrent.duration.Duration,
+      lateness: scala.concurrent.duration.Duration = scala.concurrent.duration.Duration.Zero)
+    extends IdleEviction
+
+  /** Eviction-policy face of [[streamingIndicators]]. */
+  def streamingIndicators(bars: Dataset[IndicatorBar],
+      conf: graft.ts.TechIndicators.RecursiveConfig,
+      eviction: IdleEviction): Dataset[IndicatorRow] = {
     import graft.ts.TechIndicators
     import bars.sparkSession.implicits._
-    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
-    bars.groupByKey(_.key)
+    val timeoutConf = eviction match {
+      case NeverEvict => GroupStateTimeout.NoTimeout()
+      case _: ProcessingTimeIdle => GroupStateTimeout.ProcessingTimeTimeout()
+      case _: EventTimeIdle => GroupStateTimeout.EventTimeTimeout()
+    }
+    // event-time timeouts require a watermark on the input stream; the
+    // extra event-time column survives the .as[] (encoders select by
+    // name) and carries the watermark into flatMapGroupsWithState
+    val src = eviction match {
+      case EventTimeIdle(_, lateness) =>
+        bars.withColumn("__evt", timestamp_millis(col("ts")))
+          .withWatermark("__evt", s"${math.max(0L, lateness.toMillis)} milliseconds")
+          .as[IndicatorBar]
+      case _ => bars
+    }
+    src.groupByKey(_.key)
       .flatMapGroupsWithState[TechIndicators.RecState, IndicatorRow](
         OutputMode.Append(), timeoutConf) {
         (key: String, rows: Iterator[IndicatorBar], state: GroupState[TechIndicators.RecState]) =>
-          indicatorGroupStep(key, rows, state, conf, idleTimeout)
+          indicatorGroupStep(key, rows, state, conf, eviction)
       }
   }
 
@@ -435,7 +478,15 @@ object StreamOps {
   def indicatorGroupStep(key: String, rows: Iterator[IndicatorBar],
       state: GroupState[graft.ts.TechIndicators.RecState],
       conf: graft.ts.TechIndicators.RecursiveConfig,
-      idleTimeout: Option[scala.concurrent.duration.Duration]): Iterator[IndicatorRow] = {
+      idleTimeout: Option[scala.concurrent.duration.Duration]): Iterator[IndicatorRow] =
+    indicatorGroupStep(key, rows, state, conf,
+      idleTimeout.map(ProcessingTimeIdle.apply).getOrElse(NeverEvict))
+
+  /** Eviction-policy face of the group step. */
+  def indicatorGroupStep(key: String, rows: Iterator[IndicatorBar],
+      state: GroupState[graft.ts.TechIndicators.RecState],
+      conf: graft.ts.TechIndicators.RecursiveConfig,
+      eviction: IdleEviction): Iterator[IndicatorRow] = {
     import graft.ts.TechIndicators
     if (state.hasTimedOut) {
       state.remove()
@@ -451,7 +502,16 @@ object StreamOps {
         IndicatorRow(key, b.ts, o(0), o(1), o(2), o(3), o(4), o(5), o(6), o(7), o(8))
       }
       state.update(st)
-      idleTimeout.foreach(d => state.setTimeoutDuration(d.toMillis))
+      eviction match {
+        case NeverEvict => ()
+        case ProcessingTimeIdle(d) => state.setTimeoutDuration(d.toMillis)
+        case EventTimeIdle(d, _) if batch.nonEmpty =>
+          // deterministic eviction point: this key's own max event time
+          // plus the idle budget — fired by watermark advance, so a
+          // replay evicts at the same bar boundary
+          state.setTimeoutTimestamp(batch.map(_.ts).max + d.toMillis)
+        case _: EventTimeIdle => ()
+      }
       out.iterator
     }
   }

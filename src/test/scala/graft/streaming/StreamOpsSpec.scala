@@ -530,4 +530,45 @@ class StreamOpsSpec extends AnyFunSuite {
     StreamOps.indicatorGroupStep("x", Iterator(bar(1L)), s5, conf, None).toVector
     assert(s5.isUpdated && !s5.getTimeoutTimestampMs.isPresent)
   }
+
+  test("streamingIndicators EventTimeIdle: eviction pinned to the data's event time, replayable") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import scala.concurrent.duration._
+    import graft.ts.TechIndicators
+    val conf = TechIndicators.RecursiveConfig()
+    // ts = epoch millis under the event-time contract
+    def bar(ts: Long) = StreamOps.IndicatorBar("x", ts, 101.0, 99.0, 100.0)
+    def st(opt: Optional[TechIndicators.RecState], watermarkMs: Long, timedOut: Boolean) =
+      TestGroupState.create[TechIndicators.RecState](
+        opt, GroupStateTimeout.EventTimeTimeout, 1000L,
+        Optional.of(watermarkMs), timedOut)
+    val idle = StreamOps.EventTimeIdle(5.minutes)
+    // batch 1: bars up to t=20_000 → timeout armed at max event time +
+    // idle budget, INDEPENDENT of the 1000L processing time
+    val s1 = st(Optional.empty(), watermarkMs = 0L, timedOut = false)
+    val out1 = StreamOps.indicatorGroupStep("x",
+      (1L to 20L).map(i => bar(i * 1000L)).iterator, s1, conf, idle).toVector
+    assert(out1.size == 20 && out1.last.ema.isDefined)
+    assert(s1.getTimeoutTimestampMs.isPresent &&
+      s1.getTimeoutTimestampMs.get == 20000L + 5.minutes.toMillis,
+      "event-time eviction point must be maxEventTime + timeout")
+    val carried = s1.get
+    // the watermark passes the eviction point → evict, emit nothing
+    val s2 = st(Optional.of(carried), watermarkMs = 20000L + 5.minutes.toMillis + 1,
+      timedOut = true)
+    assert(StreamOps.indicatorGroupStep("x", Iterator.empty, s2, conf, idle).isEmpty
+      && s2.isRemoved)
+    // a REPLAY of batch 1 arms the identical eviction point — the
+    // deterministic property the processing-time variant lacks
+    val r1 = st(Optional.empty(), watermarkMs = 0L, timedOut = false)
+    StreamOps.indicatorGroupStep("x",
+      (1L to 20L).map(i => bar(i * 1000L)).iterator, r1, conf, idle).toVector
+    assert(r1.getTimeoutTimestampMs.get == s1.getTimeoutTimestampMs.get)
+    // resumed after eviction: fresh warm-up (no EMA), like a new key
+    val s3 = st(Optional.empty(), watermarkMs = 0L, timedOut = false)
+    val resumed = StreamOps.indicatorGroupStep("x",
+      Iterator(bar(30.minutes.toMillis)), s3, conf, idle).toVector
+    assert(resumed.head.ema.isEmpty)
+  }
 }
