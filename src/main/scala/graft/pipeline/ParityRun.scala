@@ -482,11 +482,18 @@ object ParityRun {
                 pShift, split)
           }.reduce(_.unionByName(_)).withColumn("iteration", lit(it))
         }.reduce(_.unionByName(_))
-        // Stage the Spark CSV write OUTSIDE golden/ (a job dying
-        // mid-write must not leave `_temporary` trees next to committed
-        // fixtures), then move only the final CSV in atomically.
-        val scratch =
-          java.nio.file.Files.createTempDirectory("parityrun_").toFile
+        // Stage the Spark CSV write in a dot-prefixed scratch dir UNDER
+        // outDir: (a) a job dying mid-write leaves no `_temporary`
+        // trees next to committed fixtures (the dot-dir is gitignored),
+        // and (b) the final move is a SAME-FILESYSTEM rename — staging
+        // on the default temp filesystem let Files.move silently fall
+        // back to copy+delete, where a crash mid-move could land a
+        // truncated CSV under the final artifact name (r11 ADVICE).
+        // ATOMIC_MOVE is requested explicitly so any residual
+        // cross-device surprise fails loudly instead of tearing.
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        val scratch = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(outDir), ".parityrun_").toFile
         val stage = new java.io.File(scratch, s"results_${head}_$label")
         Sources.writeCsv(GoldenRun.resultsGolden(iterRows), stage.getPath, Nil)
         val part = stage.listFiles().find(_.getName.startsWith("part-")).get
@@ -495,7 +502,8 @@ object ParityRun {
         val regimeTag = if (earlyStop) "_earlystop" else ""
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(s"$outDir/${phase.artifactPrefix}_${head}_${label}_${phase.suffix}${regimeTag}_results.csv"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         def rmTree(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
         }
