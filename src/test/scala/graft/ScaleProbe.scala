@@ -134,6 +134,33 @@ object ScaleProbe {
       }
     }
 
+    // round-12: the promoted/new kernels — q61 (sketch agg + broadcast
+    // of the groups×ps approx relation back onto events), q106
+    // (broadcast 5-row stats apply), q107 (two leads in one keyed
+    // window), q108 (explode ×10 folded by map-side partial agg before
+    // the event_id shuffle), q109 (keyed window delta + broadcast
+    // stats), q110 (Generate melt ×3 + broadcast dim join + grouped
+    // exact-decimal rollup). Axis = row/series count; every shape is
+    // keyed-window, broadcast, or partial-agg — nothing
+    // single-partition, nothing driver-resident.
+    if (want("r12")) {
+      if (!new java.io.File("/tmp/scale10/events.parquet").exists) replicate(10, "/tmp/scale10")
+      if (!new java.io.File("/tmp/scale100/events.parquet").exists) replicate(100, "/tmp/scale100")
+      val qs = Seq("q61_percentiles_approx", "q106_minmax_norm",
+        "q107_daily_targets", "q108_mc_welford", "q109_delta_rescale",
+        "q110_fact_predictions")
+      qs.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+        .write.mode("overwrite").format("noop").save())
+      for (dir <- Seq("/root/testdata/sf0.1", "/tmp/scale10", "/tmp/scale100")) {
+        val times = qs.map { q =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+          f"$q=${(System.nanoTime() - t0) / 1e9}%.2f"
+        }
+        println(s"SCALE-R12 $dir: ${times.mkString(" ")}")
+      }
+    }
+
     if (want("plots")) {
       if (!new java.io.File("/tmp/scale10/events.parquet").exists) replicate(10, "/tmp/scale10")
       if (!new java.io.File("/tmp/scale100/events.parquet").exists) replicate(100, "/tmp/scale100")
