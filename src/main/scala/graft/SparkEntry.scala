@@ -2819,6 +2819,68 @@ object SparkEntry {
   private def q47(s: SparkSession, dir: String): DataFrame =
     Backtest.summary(backtestTrades(s, dir))
 
+  /** Legacy OLAP fact_trade_metrics as a driver query
+    * (`olap_schema_postgres.sql:66-78`; loader face =
+    * `OlapEtl.tradeMetrics`): one strategy-results row per symbol
+    * (each per-series backtest standing in for an experiment run) from
+    * the SAME persisted trades relation as q46/q47. The ratio columns
+    * are computed via the exact-decimal sum discipline instead of
+    * `stddev_pop` (whose single-pass central-moment accumulation is
+    * engine-private): per-trade profits come bit-identical out of the
+    * sequential state machine, their decimal-cast sums are order-free,
+    * and sharpe/sortino re-derive from (Σp, Σp², Σdown², n) with the
+    * same straight-line IEEE ops on both engines — hash-exact. The
+    * nullable horizon FK is omitted (an all-NULL int column has no
+    * stable cross-engine pandas dtype).
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val tr = backtestTrades(s, dir).toDF()
+    def d4(c: Column) = sum(c.cast(DecimalType(18, 4))).cast("double")
+    val mean = col("__sp") / col("__n")
+    val sd = sqrt(col("__spp") / col("__n") - mean * mean)
+    val dd = sqrt(col("__sdd") / col("__n"))
+    tr.groupBy(col("symbol"))
+      .agg(
+        dsum(col("profit")).as("__sp"),
+        d4(col("profit") * col("profit")).as("__spp"),
+        d4(when(col("profit") < 0.0, col("profit") * col("profit"))
+          .otherwise(lit(0.0))).as("__sdd"),
+        max(col("maxDrawdown")).as("max_drawdown"),
+        count(when(col("profit") > 0.0, 1)).as("__wins"),
+        count(lit(1)).as("__n"))
+      .select(
+        col("symbol").as("experiment_key"),
+        col("__sp").as("total_profit"),
+        col("max_drawdown"),
+        when(sd > 0.0, mean / sd).as("sharpe"),
+        when(dd > 0.0, mean / dd).as("sortino"),
+        (col("__wins") / col("__n")).as("win_rate"),
+        mean.as("avg_trade_return"),
+        col("__n").cast("int").as("trades_count"))
+  }
+
+  private def q111Sql: String =
+    graft.oracle.BacktestOracle.walkCte(BtParams) + """
+      |, tm AS (
+      |  SELECT symbol,
+      |    CAST(SUM(CAST(t_profit AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+      |    CAST(SUM(CAST(t_profit * t_profit AS DECIMAL(18,4))) AS DOUBLE) AS spp,
+      |    CAST(SUM(CAST(CASE WHEN t_profit < 0 THEN t_profit * t_profit
+      |                       ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS sdd,
+      |    MAX(t_max_dd) AS max_drawdown,
+      |    COUNT(CASE WHEN t_profit > 0 THEN 1 END) AS wins,
+      |    COUNT(*) AS n
+      |  FROM walk WHERE t_reason IS NOT NULL GROUP BY symbol)
+      |SELECT symbol AS experiment_key, sp AS total_profit, max_drawdown,
+      |  CASE WHEN SQRT(spp / n - (sp / n) * (sp / n)) > 0
+      |    THEN (sp / n) / SQRT(spp / n - (sp / n) * (sp / n)) END AS sharpe,
+      |  CASE WHEN SQRT(sdd / n) > 0
+      |    THEN (sp / n) / SQRT(sdd / n) END AS sortino,
+      |  wins / n AS win_rate,
+      |  sp / n AS avg_trade_return,
+      |  CAST(n AS INTEGER) AS trades_count
+      |FROM tm""".stripMargin
+
   /** The q61 differential gate: Spark's `approx_percentile` is
     * implementation-defined (no DuckDB-matchable bits), but its
     * Greenwald–Khanna contract IS checkable — the returned value's rank
@@ -3160,7 +3222,8 @@ object SparkEntry {
     "q107_daily_targets" -> (q107 _),
     "q108_mc_welford" -> (q108 _),
     "q109_delta_rescale" -> (q109 _),
-    "q110_fact_predictions" -> (q110 _)
+    "q110_fact_predictions" -> (q110 _),
+    "q111_fact_trade_metrics" -> (q111 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3258,6 +3321,7 @@ object SparkEntry {
     "q108_mc_welford" -> q108Sql,
     "q109_delta_rescale" -> q109Sql,
     "q110_fact_predictions" -> q110Sql,
+    "q111_fact_trade_metrics" -> q111Sql,
     "q56_dedup_clusters" -> q56Sql,
     // Backtest family: generated recursive-CTE replay of the per-symbol
     // TP/SL state machine (graft.oracle.BacktestOracle) — hash-exact;
