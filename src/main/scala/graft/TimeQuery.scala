@@ -20,6 +20,14 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
+    // SPARK_GRAFT_EXPLAIN=1: dump the formatted physical plan (the
+    // plan-audit loop: broadcasts broadcast, filters pushed, aggs
+    // partial, no single-partition windows) and exit without timing
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      fn(spark, sfDir).explain("formatted")
+      spark.stop()
+      return
+    }
     // same protocol as Bench: warm codegen/JIT on the tiny SF so pass 1
     // at the target SF measures first-touch of the data, not the JVM
     fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
