@@ -2881,6 +2881,64 @@ object SparkEntry {
       |  CAST(n AS INTEGER) AS trades_count
       |FROM tm""".stripMargin
 
+  /** Legacy OLAP fact_experiment_metrics as a driver query
+    * (`olap_schema_postgres.sql:40-52`; loader face =
+    * `OlapEtl.experimentMetrics`): synthesize the S8 results-CSV shape
+    * from events (metric string per row, Average = exact-decimal mean),
+    * then regex-parse + canonicalize + PIVOT the five metrics into the
+    * wide fact columns — one grouped conditional-aggregation pass, no
+    * `pivot()` plan (the metric set is fixed by the DDL).
+    */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val metric = concat(
+      when(col("event_id") % 3 === 0, "Train")
+        .when(col("event_id") % 3 === 1, "Validation")
+        .otherwise("Test"),
+      lit(" "),
+      when(col("event_id") % 5 === 0, "MAE")
+        .when(col("event_id") % 5 === 1, "Naive MAE")
+        .when(col("event_id") % 5 === 2, "R2")
+        .when(col("event_id") % 5 === 3, "Uncertainty")
+        .otherwise("SNR"),
+      lit(" H"), (col("event_id") % 6 + 1).cast("string"))
+    val results = t(s, dir, "events")
+      .select(metric.as("Metric"), col("value"))
+      .groupBy(col("Metric"))
+      .agg(
+        (dsum(col("value")) / count(lit(1))).as("Average"),
+        lit(0.0).as("Std Dev"),
+        min(col("value")).as("Min"),
+        max(col("value")).as("Max"))
+    graft.olap.OlapEtl.experimentMetrics(results, "exp_events")
+  }
+
+  private val q112Sql =
+    """WITH m AS (SELECT
+      |  (CASE WHEN event_id % 3 = 0 THEN 'Train'
+      |        WHEN event_id % 3 = 1 THEN 'Validation' ELSE 'Test' END
+      |   || ' ' ||
+      |   CASE WHEN event_id % 5 = 0 THEN 'MAE'
+      |        WHEN event_id % 5 = 1 THEN 'Naive MAE'
+      |        WHEN event_id % 5 = 2 THEN 'R2'
+      |        WHEN event_id % 5 = 3 THEN 'Uncertainty' ELSE 'SNR' END
+      |   || ' H' || CAST(event_id % 6 + 1 AS VARCHAR)) AS metric, value
+      | FROM events),
+      |r AS (SELECT metric,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_v
+      | FROM m GROUP BY metric),
+      |p AS (SELECT
+      |  lower(regexp_extract(metric, '^(Train|Validation|Test) (.+?) H(\d+)$', 1)) AS split_key,
+      |  regexp_extract(metric, '^(Train|Validation|Test) (.+?) H(\d+)$', 2) AS name,
+      |  CAST(regexp_extract(metric, '^(Train|Validation|Test) (.+?) H(\d+)$', 3) AS INTEGER) AS horizon_key,
+      |  avg_v FROM r)
+      |SELECT 'exp_events' AS experiment_key, split_key, horizon_key,
+      |  MAX(CASE WHEN name = 'MAE' THEN avg_v END) AS mae,
+      |  MAX(CASE WHEN name = 'R2' THEN avg_v END) AS r2,
+      |  MAX(CASE WHEN name = 'Uncertainty' THEN avg_v END) AS uncertainty,
+      |  MAX(CASE WHEN name = 'SNR' THEN avg_v END) AS snr,
+      |  MAX(CASE WHEN name = 'Naive MAE' THEN avg_v END) AS naive_error
+      |FROM p GROUP BY split_key, horizon_key""".stripMargin
+
   /** The q61 differential gate: Spark's `approx_percentile` is
     * implementation-defined (no DuckDB-matchable bits), but its
     * Greenwald–Khanna contract IS checkable — the returned value's rank
@@ -3223,7 +3281,8 @@ object SparkEntry {
     "q108_mc_welford" -> (q108 _),
     "q109_delta_rescale" -> (q109 _),
     "q110_fact_predictions" -> (q110 _),
-    "q111_fact_trade_metrics" -> (q111 _)
+    "q111_fact_trade_metrics" -> (q111 _),
+    "q112_experiment_metrics" -> (q112 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3322,6 +3381,7 @@ object SparkEntry {
     "q109_delta_rescale" -> q109Sql,
     "q110_fact_predictions" -> q110Sql,
     "q111_fact_trade_metrics" -> q111Sql,
+    "q112_experiment_metrics" -> q112Sql,
     "q56_dedup_clusters" -> q56Sql,
     // Backtest family: generated recursive-CTE replay of the per-symbol
     // TP/SL state machine (graft.oracle.BacktestOracle) — hash-exact;

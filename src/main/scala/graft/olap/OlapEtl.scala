@@ -217,6 +217,62 @@ object OlapEtl {
     SnapshotStore.read(spark, factPath).get
   }
 
+  /** Legacy star-schema fact `olap.fact_experiment_metrics`
+    * (`olap_schema_postgres.sql:40-52`): per (experiment, split,
+    * horizon) row with the five metrics PIVOTED into columns (mae, r2,
+    * uncertainty, snr, naive_error) — the wide face of the long
+    * `fact_performance` grain. Built from [[parseResults]] output by
+    * one grouped conditional-aggregation pass (no `pivot()` — the
+    * metric set is fixed by the DDL, so `max(when(...))` keeps the
+    * plan a plain partial-agg'd groupBy).
+    */
+  def experimentMetrics(results: DataFrame, experimentKey: String): DataFrame = {
+    def m(key: String) =
+      max(when(col("metric_key") === key, col("avg_value"))).as(
+        if (key == "naive_mae") "naive_error" else key)
+    parseResults(results)
+      .groupBy(col("split_key"), col("horizon_key"))
+      .agg(m("mae"), m("r2"), m("uncertainty"), m("snr"), m("naive_mae"))
+      .select(lit(experimentKey).as("experiment_key"),
+        col("split_key"), col("horizon_key"),
+        col("mae"), col("r2"), col("uncertainty"), col("snr"),
+        col("naive_error"))
+  }
+
+  /** Load [[experimentMetrics]] into the snapshot-versioned
+    * `fact_experiment_metrics` (upsert grain: experiment × split ×
+    * horizon).
+    */
+  def loadFactExperimentMetrics(spark: SparkSession, results: DataFrame,
+      experimentKey: String, factPath: String): DataFrame = {
+    val updates = experimentMetrics(results, experimentKey)
+    val merged = upsert(SnapshotStore.read(spark, factPath), updates,
+      Seq("experiment_key", "split_key", "horizon_key"))
+    SnapshotStore.commit(merged, factPath)
+    SnapshotStore.gc(factPath)
+    SnapshotStore.read(spark, factPath).get
+  }
+
+  /** Legacy star-schema fact `olap.fact_strategy_params`
+    * (`olap_schema_postgres.sql:80-87`): one row per experiment's
+    * strategy config — name, bar frequency, and the raw params JSON
+    * (the JSONB column; queryable through [[configKv]]/[[deepConfigKv]]
+    * like the experiment config). Upsert grain: experiment ×
+    * strategy_name.
+    */
+  def loadFactStrategyParams(spark: SparkSession, experimentKey: String,
+      strategyName: String, freq: String, paramsJson: String,
+      factPath: String): DataFrame = {
+    import spark.implicits._
+    val updates = Seq((experimentKey, strategyName, freq, paramsJson))
+      .toDF("experiment_key", "strategy_name", "freq", "params")
+    val merged = upsert(SnapshotStore.read(spark, factPath), updates,
+      Seq("experiment_key", "strategy_name"))
+    SnapshotStore.commit(merged, factPath)
+    SnapshotStore.gc(factPath)
+    SnapshotStore.read(spark, factPath).get
+  }
+
   /** The Metabase config-flatten view analog (J5): explode a JSON config
     * column into (key, value) rows (`olap_metabase_helpers.sql:4-23`).
     * One level only — for nested configs use [[deepConfigKv]].

@@ -148,6 +148,53 @@ class OlapEtlSpec extends AnyFunSuite {
     assert(OlapEtl.loadFactTradeMetrics(spark, t1, "exp1", Some(6), path).count() == 2)
   }
 
+  test("experimentMetrics pivots the five DDL metrics to the wide fact grain") {
+    val res = Seq(
+      ("Train MAE H1", 0.10, 0.0, 0.0, 0.0),
+      ("Train Naive MAE H1", 0.20, 0.0, 0.0, 0.0),
+      ("Train R2 H1", 0.90, 0.0, 0.0, 0.0),
+      ("Train Uncertainty H1", 0.05, 0.0, 0.0, 0.0),
+      ("Train SNR H1", 12.0, 0.0, 0.0, 0.0),
+      ("Test MAE H6", 0.30, 0.0, 0.0, 0.0)
+    ).toDF("Metric", "Average", "Std Dev", "Min", "Max")
+    val wide = OlapEtl.experimentMetrics(res, "e1")
+    assert(wide.columns.toSeq == Seq("experiment_key", "split_key",
+      "horizon_key", "mae", "r2", "uncertainty", "snr", "naive_error"))
+    assert(wide.count() == 2)
+    val tr = wide.filter($"split_key" === "train").head()
+    assert(tr.getAs[Double]("mae") == 0.10 && tr.getAs[Double]("naive_error") == 0.20)
+    assert(tr.getAs[Double]("r2") == 0.90 && tr.getAs[Double]("snr") == 12.0)
+    val te = wide.filter($"split_key" === "test").head()
+    assert(te.getAs[Double]("mae") == 0.30)
+    assert(te.isNullAt(te.fieldIndex("r2"))) // unreported metric → NULL
+  }
+
+  test("loadFactExperimentMetrics + loadFactStrategyParams upsert through snapshots") {
+    val base = Files.createTempDirectory("factx").toString
+    val res = Seq(("Train MAE H1", 0.10, 0.0, 0.0, 0.0))
+      .toDF("Metric", "Average", "Std Dev", "Min", "Max")
+    val fm = base + "/fact_experiment_metrics"
+    assert(OlapEtl.loadFactExperimentMetrics(spark, res, "e1", fm).count() == 1)
+    val res2 = Seq(("Train MAE H1", 0.15, 0.0, 0.0, 0.0))
+      .toDF("Metric", "Average", "Std Dev", "Min", "Max")
+    val after = OlapEtl.loadFactExperimentMetrics(spark, res2, "e1", fm)
+    assert(after.count() == 1 && after.head().getAs[Double]("mae") == 0.15)
+    assert(OlapEtl.loadFactExperimentMetrics(spark, res, "e2", fm).count() == 2)
+    val fs = base + "/fact_strategy_params"
+    val p1 = OlapEtl.loadFactStrategyParams(spark, "e1", "heuristic", "1h",
+      """{"tp":20,"sl":10}""", fs)
+    assert(p1.count() == 1)
+    // params queryable through the JSONB flatten path like experiment configs
+    val kv = OlapEtl.configKv(p1, "experiment_key", "params")
+      .orderBy("conf_key").as[(String, String, String)].collect().toSeq
+    assert(kv == Seq(("e1", "sl", "10"), ("e1", "tp", "20")))
+    val p2 = OlapEtl.loadFactStrategyParams(spark, "e1", "heuristic", "4h",
+      """{"tp":25}""", fs)
+    assert(p2.count() == 1 && p2.head().getAs[String]("freq") == "4h") // replaced
+    assert(OlapEtl.loadFactStrategyParams(spark, "e1", "ma_cross", "1h",
+      "{}", fs).count() == 2) // new strategy appends
+  }
+
   test("dimExperiment extracts typed config fields; missing/bad fields → NULL") {
     val cfg =
       """{"window_size":144,"batch_size":128,"learning_rate":0.0005,
