@@ -360,24 +360,104 @@ object StreamOps {
     * entry timestamps inside the frequency-cap window.
     */
   def streamingBacktest(bars: Dataset[graft.backtest.Backtest.Bar],
-      params: graft.backtest.Backtest.Params): Dataset[graft.backtest.Backtest.Trade] = {
+      params: graft.backtest.Backtest.Params): Dataset[graft.backtest.Backtest.Trade] =
+    streamingBacktest(bars, params, NeverEvict)
+
+  /** Eviction-policy face of [[streamingBacktest]] — bounded state
+    * under unbounded/churning symbol cardinality, with the backtest's
+    * semantics protected by two rules:
+    *
+    *   - only a FLAT position evicts: a fired timeout on a symbol with
+    *     an open trade keeps the state and re-arms, so a live trade can
+    *     never be forgotten mid-flight;
+    *   - the idle timeout must be ≥ `params.capWindow`: a flat state
+    *     carries only the A11 trailing entry timestamps, all of which
+    *     the next bar would filter out after capWindow of quiet anyway
+    *     — so for a qualifying timeout, evict-then-resume is EXACTLY
+    *     the never-evict behavior (spec-pinned), not an approximation.
+    */
+  def streamingBacktest(bars: Dataset[graft.backtest.Backtest.Bar],
+      params: graft.backtest.Backtest.Params,
+      eviction: IdleEviction): Dataset[graft.backtest.Backtest.Trade] = {
     import graft.backtest.Backtest
     import bars.sparkSession.implicits._
-    bars.groupByKey(_.symbol)
+    requireCapCompatible(params, eviction)
+    val timeoutConf = eviction match {
+      case NeverEvict => GroupStateTimeout.NoTimeout()
+      case _: ProcessingTimeIdle => GroupStateTimeout.ProcessingTimeTimeout()
+      case _: EventTimeIdle => GroupStateTimeout.EventTimeTimeout()
+    }
+    val src = eviction match {
+      case EventTimeIdle(_, lateness) =>
+        // Bar.ts is unix MICROS (unix_micros in the bar feed)
+        bars.withColumn("__evt", timestamp_micros(col("ts")))
+          .withWatermark("__evt", s"${math.max(0L, lateness.toMillis)} milliseconds")
+          .as[Backtest.Bar]
+      case _ => bars
+    }
+    src.groupByKey(_.symbol)
       .flatMapGroupsWithState[Backtest.BtState, Backtest.Trade](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (sym: String, rows: Iterator[Backtest.Bar], state: GroupState[Backtest.BtState]) =>
-          val batch = rows.toSeq.sortBy(_.ts)
-          var st = state.getOption.getOrElse(Backtest.BtState())
-          val out = scala.collection.mutable.ListBuffer.empty[Backtest.Trade]
-          batch.foreach { b =>
-            val (next, closed) = Backtest.stepBar(sym, st, b, params)
-            st = next
-            closed.foreach(out += _)
-          }
-          state.update(st)
-          out.iterator
+          backtestGroupStep(sym, rows, state, params, eviction)
       }
+  }
+
+  private def requireCapCompatible(params: graft.backtest.Backtest.Params,
+      eviction: IdleEviction): Unit = eviction match {
+    case NeverEvict => ()
+    case ProcessingTimeIdle(t) =>
+      require(t.toMillis * 1000L >= params.capWindow,
+        s"idle timeout ($t) must be >= capWindow (${params.capWindow} us) " +
+          "so flat-state eviction preserves the trade-cap semantics")
+    case EventTimeIdle(t, _) =>
+      require(t.toMillis * 1000L >= params.capWindow,
+        s"idle timeout ($t) must be >= capWindow (${params.capWindow} us) " +
+          "so flat-state eviction preserves the trade-cap semantics")
+  }
+
+  /** Per-group step of [[streamingBacktest]], named so the eviction
+    * branches are unit-testable with `TestGroupState` (the
+    * `indicatorGroupStep` pattern).
+    */
+  def backtestGroupStep(sym: String,
+      rows: Iterator[graft.backtest.Backtest.Bar],
+      state: GroupState[graft.backtest.Backtest.BtState],
+      params: graft.backtest.Backtest.Params,
+      eviction: IdleEviction): Iterator[graft.backtest.Backtest.Trade] = {
+    import graft.backtest.Backtest
+    def arm(maxEventTsUs: Long): Unit = eviction match {
+      case NeverEvict => ()
+      case ProcessingTimeIdle(d) => state.setTimeoutDuration(d.toMillis)
+      case EventTimeIdle(d, _) =>
+        state.setTimeoutTimestamp(maxEventTsUs / 1000L + d.toMillis)
+    }
+    if (state.hasTimedOut) {
+      val st = state.getOption.getOrElse(Backtest.BtState())
+      if (st.open) {
+        // never forget a live trade: keep the state, re-arm from the
+        // current clock/watermark and wait for the feed to resume
+        eviction match {
+          case ProcessingTimeIdle(d) => state.setTimeoutDuration(d.toMillis)
+          case EventTimeIdle(d, _) =>
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + d.toMillis)
+          case NeverEvict => ()
+        }
+      } else state.remove()
+      Iterator.empty
+    } else {
+      val batch = rows.toSeq.sortBy(_.ts)
+      var st = state.getOption.getOrElse(Backtest.BtState())
+      val out = scala.collection.mutable.ListBuffer.empty[Backtest.Trade]
+      batch.foreach { b =>
+        val (next, closed) = Backtest.stepBar(sym, st, b, params)
+        st = next
+        closed.foreach(out += _)
+      }
+      state.update(st)
+      if (batch.nonEmpty) arm(batch.map(_.ts).max)
+      out.iterator
+    }
   }
 
   case class Tick(userId: Long, ts: Long, value: Double)

@@ -531,6 +531,64 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(s5.isUpdated && !s5.getTimeoutTimestampMs.isPresent)
   }
 
+  test("streamingBacktest idle eviction: flat evicts EXACTLY like never-evict; open trades survive") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import scala.concurrent.duration._
+    import graft.backtest.Backtest
+    val p = Backtest.Params(threshold = 1.0, tp = 5.0, sl = 3.0,
+      capWindow = 1000000L, maxTradesPerWindow = 2) // 1s cap window (µs)
+    val idle = StreamOps.ProcessingTimeIdle(10.minutes) // ≥ capWindow
+    def st(opt: Optional[Backtest.BtState], timedOut: Boolean) =
+      TestGroupState.create[Backtest.BtState](
+        opt, GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+        Optional.empty[Long], timedOut)
+    // prices flat (no SL/TP), pred >> close = immediate long entry
+    def quietBar(ts: Long) = Backtest.Bar("x", ts, 100.0, 100.5, 99.5, 100.0, 100.0)
+    def entryBar(ts: Long) = Backtest.Bar("x", ts, 100.0, 100.5, 99.5, 100.0, 105.0)
+    // flat state, timeout fires → evicted
+    val s1 = st(Optional.of(Backtest.BtState(entries = List(5L))), timedOut = true)
+    assert(StreamOps.backtestGroupStep("x", Iterator.empty, s1, p, idle).isEmpty
+      && s1.isRemoved)
+    // OPEN position, timeout fires → state retained and re-armed, no emit
+    val openSt = Backtest.BtState(open = true, dir = "long", entryTs = 1L,
+      entryPrice = 100.0)
+    val s2 = st(Optional.of(openSt), timedOut = true)
+    assert(StreamOps.backtestGroupStep("x", Iterator.empty, s2, p, idle).isEmpty)
+    assert(!s2.isRemoved && s2.exists && s2.getTimeoutTimestampMs.isPresent,
+      "open trade must survive the idle timeout")
+    // processing a batch arms the timeout
+    val s3 = st(Optional.empty(), timedOut = false)
+    StreamOps.backtestGroupStep("x", Iterator(quietBar(1L)), s3, p, idle).toVector
+    assert(s3.getTimeoutTimestampMs.isPresent)
+    // EXACT equivalence (the timeout ≥ capWindow argument): after an
+    // entry at t0 and quiet past the cap window, never-evict and
+    // evict-then-resume reach the SAME state on the resume bar —
+    // the surviving entries list is exactly what the cap filter
+    // would have dropped anyway
+    val resumeTs = 10000000L // 10s ≫ 1s capWindow
+    val sA = st(Optional.empty(), timedOut = false)
+    StreamOps.backtestGroupStep("x", Iterator(entryBar(0L)), sA, p,
+      StreamOps.NeverEvict).toVector // opens at t0; entries=[0]
+    // close the position via duration? keep it simple: flat path —
+    // no-entry bar so the state stays flat with a cap entry recorded
+    val sFlatA = st(Optional.of(Backtest.BtState(entries = List(0L))), timedOut = false)
+    val outA = StreamOps.backtestGroupStep("x", Iterator(entryBar(resumeTs)),
+      sFlatA, p, StreamOps.NeverEvict).toVector
+    val sFlatB = st(Optional.empty(), timedOut = false) // evicted + resumed
+    val outB = StreamOps.backtestGroupStep("x", Iterator(entryBar(resumeTs)),
+      sFlatB, p, idle).toVector
+    assert(outA == outB && sFlatA.get == sFlatB.get,
+      "evict-then-resume must equal never-evict for flat state past capWindow")
+    // the guard: a timeout shorter than capWindow is refused
+    val spark0 = spark
+    import spark0.implicits._
+    intercept[IllegalArgumentException] {
+      StreamOps.streamingBacktest(spark0.emptyDataset[Backtest.Bar], p,
+        StreamOps.ProcessingTimeIdle(500.millis))
+    }
+  }
+
   test("streamingIndicators EventTimeIdle: eviction pinned to the data's event time, replayable") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
