@@ -186,4 +186,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"verify join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"training scan must not sort-merge:\n$p")
   }
+
+  test("q108 MC explode: the pass axis folds in a partial agg BEFORE the shuffle") {
+    val p = plan(graft.SparkEntry.queries("q108_mc_welford")(spark, sf))
+    assert("Generate".r.findAllIn(p).size == 1, s"expected one Generate:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange:\n$p")
+    // partial + final HashAggregate: the ×passes row blowup never
+    // crosses the wire
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+    val (pre, post) = p.splitAt(p.indexOf("Exchange hashpartitioning"))
+    assert(post.contains("Generate") && post.contains("HashAggregate"),
+      s"Generate and the partial agg must sit below the exchange:\n$p")
+    assert(pre.contains("HashAggregate"), s"final agg above the exchange:\n$p")
+  }
+
+  test("q110 fact melt: one keyed-window exchange, broadcast dim, partial agg") {
+    val p = plan(graft.SparkEntry.queries("q110_fact_predictions")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dim_horizon must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a 6-row dim must never sort-merge:\n$p")
+    assert("Generate".r.findAllIn(p).size == 1, s"expected one melt Generate:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected window + final-agg exchanges only:\n$p")
+  }
+
+  test("q107 daily targets: both leads collapse into ONE keyed window pass") {
+    val p = plan(graft.SparkEntry.queries("q107_daily_targets")(spark, sf))
+    assert("Window".r.findAllIn(p).size == 1,
+      s"CollapseWindow must fuse the lead stack:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected only the window's key exchange:\n$p")
+  }
+
+  test("q61 contract check: the approx relation broadcasts back onto events") {
+    val p = plan(graft.SparkEntry.queries("q61_percentiles_approx")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the groups×ps relation must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge for a 15-row side:\n$p")
+  }
+
+  test("q111 trade metrics: aggregates the persisted trades, no recompute") {
+    val p = plan(graft.SparkEntry.queries("q111_fact_trade_metrics")(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      s"must reuse the persisted q46/q47 trades relation:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+    graft.SparkEntry.clearTradesCache()
+  }
 }
