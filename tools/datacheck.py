@@ -40,6 +40,26 @@ def main() -> int:
     meta = pq.ParquetFile("/root/testdata/sf0.01/events.parquet").metadata
     print(f"events sf0.01: rows={meta.num_rows} row_groups={meta.num_row_groups} "
           f"created_by={meta.created_by}")
+    # (user_id, ts) uniqueness in events: the BacktestOracle recursion
+    # (q46/q47/q111) numbers bars by ROW_NUMBER() OVER (ORDER BY ts) per
+    # user, mirroring Backtest.run's sortWithinPartitions(symbol, ts) —
+    # BOTH become tie-order-nondeterministic if a regenerated testdata
+    # ever repeats a (user, ts). Checked r12 clean at all three SFs;
+    # flag loudly if a regen changes that.
+    try:
+        import duckdb
+        for sf in SFS:
+            dup = duckdb.sql(
+                f"SELECT COUNT(*) FROM (SELECT user_id, ts FROM "
+                f"'/root/testdata/sf{sf}/events.parquet' "
+                f"GROUP BY 1, 2 HAVING COUNT(*) > 1)").fetchone()[0]
+            if dup:
+                flagged.append(
+                    f"sf{sf}/events: {dup} duplicated (user_id, ts) pairs — "
+                    "BacktestOracle/q46 bar order is no longer well-defined; "
+                    "add a total tie-break to Backtest.run AND the oracle")
+    except ImportError:
+        print("duckdb unavailable - (user_id, ts) uniqueness probe skipped")
     if flagged:
         print("DRIFT FLAGS (update Sources.table defenses + SKILL.md):")
         for f in flagged:
