@@ -371,10 +371,15 @@ object TextAnalysis {
     val tgtB = bucketed(target)
     val rawCnt = rawB.groupBy("__b").agg(count(lit(1)).as("__rc"))
     val tgtCnt = tgtB.groupBy("__b").agg(count(lit(1)).as("__tc"))
-    val totals = rawB.agg(count(lit(1)).as("__tr"))
-      .crossJoin(tgtB.agg(count(lit(1)).as("__tt")))
-    val ratios = rawCnt.join(tgtCnt, Seq("__b"), "full_outer")
+    val joined = rawCnt.join(tgtCnt, Seq("__b"), "full_outer")
       .na.fill(0L, Seq("__rc", "__tc"))
+    // gram totals come from the ≤`buckets`-row count relation (every
+    // gram lands in exactly one bucket), NOT from re-tokenizing the
+    // corpora — r12: this removes two of the five tokenize+md5 corpus
+    // scans (the remaining three are inherent: target counts, raw
+    // counts, and the per-doc scoring pass that must see the ratios)
+    val totals = joined.agg(sum(col("__rc")).as("__tr"), sum(col("__tc")).as("__tt"))
+    val ratios = joined
       .crossJoin(broadcast(totals))
       .select(col("__b"), round(
         log((col("__tc") + 1.0) / (col("__tt") + buckets)) -
