@@ -408,8 +408,11 @@ object TextAnalysis {
     val shareExpr = shares.foldLeft(lit(0.0)) { case (acc, (g, s)) =>
       when(col(groupCol) === g, s).otherwise(acc)
     }
-    val thresholds = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("__total"))))
+    val grouped = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    // the corpus total is the sum of the per-group counts — derived from
+    // the #groups-row relation, not a second full scan of df (r12)
+    val thresholds = grouped
+      .crossJoin(broadcast(grouped.agg(sum(col("__cnt")).as("__total"))))
       .withColumn("__thresh",
         floor(least(lit(1.0), shareExpr * col("__total") / col("__cnt"))
           * resolution).cast("long"))
@@ -426,8 +429,11 @@ object TextAnalysis {
     */
   def unigramLm(df: DataFrame, textCol: String): DataFrame = {
     val terms = df.select(explode(tokens(col(textCol))).as("term"))
-    terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(terms.agg(count(lit(1)).as("__total"))))
+    val termCnt = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    // token total = sum of the per-term counts — one tokenize pass over
+    // the corpus, not two (r12)
+    termCnt
+      .crossJoin(broadcast(termCnt.agg(sum(col("c")).as("__total"))))
       .select(col("term"), round(log(col("c") / col("__total")), 6).as("logp"))
   }
 
