@@ -4,6 +4,9 @@
 set -e -o pipefail
 cd "$(dirname "$0")/.."
 
+echo "== datacheck (testdata layouts + oracle data assumptions) =="
+python3 tools/datacheck.py
+
 echo "== sbt test =="
 sbt -batch test > /tmp/gate_test.log 2>&1 || { tail -5 /tmp/gate_test.log; exit 1; }
 grep -E "Tests:" /tmp/gate_test.log | tail -1
@@ -23,6 +26,9 @@ python3 tools/check_oracle.py /root/testdata/sf0.1 /tmp/gate_sf01 | tail -1
 echo "== Verify + DuckDB oracle (sf0.01, DRIVER-LIKE env: +05:30 tz, default shuffle) =="
 SPARK_GRAFT_DRIVERLIKE=1 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_driverlike" >/dev/null 2>&1
 python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gate_driverlike | tail -1
+
+echo "== Entry smoke (driver checks rows > 0) =="
+tools/runmain.sh graft.EntrySmoke 2>/dev/null | grep ENTRYROWS
 
 echo "== Bench (sf0.1) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 \
