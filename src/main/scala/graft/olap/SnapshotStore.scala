@@ -86,12 +86,24 @@ object SnapshotStore {
 
   /** Write `df` as the table's next snapshot WITHOUT publishing it.
     * Crash-safe by construction: nothing references the new directory
-    * yet, and the previous snapshot's files are never touched.
+    * yet, and the previous snapshot's files are never touched. The
+    * version directory is CLAIMED with an atomic `createDirectory`
+    * before the write — two concurrent stagers (the reference
+    * serializes writers inside Postgres; this store does not assume a
+    * single ETL process) race on the mkdir, and the loser simply claims
+    * the next number instead of overwriting the winner's files.
     */
   def stage(df: DataFrame, tablePath: String): Staged = {
     val dir = Paths.get(tablePath)
     Files.createDirectories(dir)
-    val v = nextVersionName(dir)
+    var v = nextVersionName(dir)
+    var claimed = false
+    while (!claimed) {
+      try { Files.createDirectory(dir.resolve(v)); claimed = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        v = nextVersionName(dir) // lost the race — take the next number
+      }
+    }
     df.write.mode("overwrite").parquet(s"$tablePath/$v")
     Staged(tablePath, v)
   }

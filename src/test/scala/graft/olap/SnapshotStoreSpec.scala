@@ -71,6 +71,17 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(p, "_MANIFEST")).trim == "v1")
   }
 
+  test("stage claims its version dir atomically — a pre-claimed number is skipped") {
+    val p = freshTable()
+    SnapshotStore.commit(df(1), p) // v0
+    // another writer has already claimed v1 (mkdir won, parquet pending)
+    Files.createDirectories(Paths.get(p, "v1"))
+    val staged = SnapshotStore.stage(df(2), p)
+    assert(staged.version == "v2", "stage must not write into a claimed dir")
+    SnapshotStore.publish(staged)
+    assert(readVals(p) == Seq(2))
+  }
+
   test("publishing a missing staged version is refused") {
     val p = freshTable()
     SnapshotStore.commit(df(1), p)
