@@ -2953,8 +2953,16 @@ object SparkEntry {
     * error as a fraction of n vs the sketch bound 1/accuracy (+1 rank
     * of interpolation slack).
     */
+  /** GK contract check over q61's sketch values. Returns
+    * (checks, violations, maxErrRanks, maxBoundRanks, maxErrOverBound,
+    * nominalFrac): the ENFORCED bound is `n/accuracy + 1` ABSOLUTE ranks
+    * per (group, p) — at small n the `+1` interpolation rank dominates,
+    * so the per-n error FRACTION legitimately exceeds the nominal
+    * `1/accuracy` without any violation. `maxErrOverBound` is the
+    * self-consistent verdict number: ≤ 1.0 ⟺ violations == 0.
+    */
   def percentileDifferential(s: SparkSession, dir: String,
-      accuracy: Int = 10000): (Long, Long, Double, Double) = {
+      accuracy: Int = 10000): (Long, Long, Double, Double, Double, Double) = {
     val ps = Q61Ps
     val approxRows = q61Approx(s, dir)
     val stacked = ps.map(p => approxRows.select(col("event_type"),
@@ -2970,7 +2978,9 @@ object SparkEntry {
       .collect()
     var checks = 0L
     var violations = 0L
-    var maxErrFrac = 0.0
+    var maxErrRanks = 0.0
+    var maxBoundRanks = 0.0
+    var maxErrOverBound = 0.0
     ranks.foreach { r =>
       val p = r.getAs[Double]("p")
       val rle = r.getAs[Long]("rle"); val rlt = r.getAs[Long]("rlt")
@@ -2985,9 +2995,11 @@ object SparkEntry {
       val bound = n.toDouble / accuracy + 1.0 // +1 rank of slack
       checks += 1
       if (err > bound) violations += 1
-      if (n > 0) maxErrFrac = math.max(maxErrFrac, err / n)
+      maxErrRanks = math.max(maxErrRanks, err)
+      maxBoundRanks = math.max(maxBoundRanks, bound)
+      maxErrOverBound = math.max(maxErrOverBound, err / bound)
     }
-    (checks, violations, maxErrFrac, 1.0 / accuracy)
+    (checks, violations, maxErrRanks, maxBoundRanks, maxErrOverBound, 1.0 / accuracy)
   }
 
   /** The BASELINE-comparable preprocessing+metrics path (SURVEY §7 slice

@@ -71,11 +71,18 @@ object Verify {
         }
       if (selected("q61_percentiles_approx"))
         try {
-          val (checks, viols, maxErr, bound) =
+          // the ENFORCED contract is absolute ranks (n/accuracy + 1), so
+          // the fields are rank-denominated; max_err_over_bound <= 1.0 is
+          // exactly the zero-violations verdict — no source-reading needed
+          // to see the numbers agree (nominal_frac retained for context:
+          // at small n the +1 rank dominates n*nominal_frac, which is why
+          // an error FRACTION above nominal is not a violation)
+          val (checks, viols, maxErrRanks, maxBoundRanks, maxErrOverBound, nominal) =
             SparkEntry.percentileDifferential(spark, sfDir)
           rows += s""""q61_percentiles_approx": {"diff_match": ${viols == 0 && checks > 0}, """ +
             s""""rank_checks": $checks, "violations": $viols, """ +
-            s""""max_rank_err_frac": $maxErr, "bound_frac": $bound}"""
+            s""""max_err_ranks": $maxErrRanks, "err_bound_ranks": $maxBoundRanks, """ +
+            s""""max_err_over_bound": $maxErrOverBound, "nominal_frac": $nominal}"""
         } catch { case e: Throwable =>
           System.err.println(s"[verify] percentile differential failed: ${e.getMessage}")
           rows += s""""q61_percentiles_approx": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""

@@ -110,11 +110,30 @@ object SnapshotStore {
 
   /** Atomically point the table at a staged snapshot. The only mutation
     * visible to readers is the single manifest rename.
+    *
+    * Version-monotonic: publishing a snapshot OLDER than the current
+    * manifest is refused. Staging is already multi-writer-safe (atomic
+    * mkdir claim), and without this check the commit leg would not be —
+    * writer A stages v1, writer B stages AND publishes v2, then A's
+    * late publish of v1 would silently roll the table back and lose
+    * B's committed batch. The loser must restage on top of the new
+    * current version (re-running [[commit]] does exactly that).
     */
   def publish(staged: Staged): Unit = {
     val dir = Paths.get(staged.tablePath)
     require(Files.isDirectory(dir.resolve(staged.version)),
       s"staged snapshot ${staged.version} missing under ${staged.tablePath}")
+    val stagedN = VersionRe.findFirstMatchIn(staged.version).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed staged version name: ${staged.version}"))
+    currentVersion(staged.tablePath)
+      .flatMap(v => VersionRe.findFirstMatchIn(v).map(_.group(1).toLong))
+      .foreach { curN =>
+        if (stagedN <= curN) throw new IllegalStateException(
+          s"stale publish refused: staged ${staged.version} is not newer than " +
+            s"committed v$curN at ${staged.tablePath} — another writer committed " +
+            "first; restage against the current snapshot and retry")
+      }
     // tmp lives in the SAME directory as the manifest: same filesystem,
     // so ATOMIC_MOVE is a true rename (the ParityRun r12 lesson — a
     // default-tmpdir stage can silently fall back to copy+delete)

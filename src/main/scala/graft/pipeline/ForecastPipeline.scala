@@ -35,6 +35,13 @@ object ForecastPipeline {
   /** Per-split naive-forecast metrics on the denormalized target.
     * Output: one row per (split, metric, horizon) with the metric value —
     * the "iteration" grain of `stl_metrics.py:18-110` for the naive model.
+    *
+    * Parity face, SINGLE series by contract (one series per input file,
+    * like the reference) — it uses an unpartitioned `Window.orderBy(ts)`
+    * and is deliberately not a driver query. For multi-series data use
+    * the keyed forms the driver measures instead:
+    * `Metrics.naiveMae` / q18/q25's per-symbol windows partition by the
+    * series key and scale across executors.
     */
   def naiveMetrics(spark: SparkSession, config: Config): DataFrame = {
     val perSplit = config.splits.toSeq.sortBy(_._1).map { case (split, path) =>

@@ -372,9 +372,23 @@ object StreamOps {
     *     never be forgotten mid-flight;
     *   - the idle timeout must be ≥ `params.capWindow`: a flat state
     *     carries only the A11 trailing entry timestamps, all of which
-    *     the next bar would filter out after capWindow of quiet anyway
-    *     — so for a qualifying timeout, evict-then-resume is EXACTLY
-    *     the never-evict behavior (spec-pinned), not an approximation.
+    *     the next bar would filter out after capWindow of quiet anyway.
+    *
+    * Exactness depends on the clock the timeout measures. For
+    * [[EventTimeIdle]] the guarantee is unconditional: the timeout is
+    * armed off the symbol's own max EVENT time (ceiling-rounded to ms,
+    * so ≥-capWindow comparisons stay sound at sub-ms boundaries) and
+    * fires only when the watermark — also event time — passes it, so a
+    * flat state is evicted only after ≥ capWindow of event-time quiet:
+    * evict-then-resume is EXACTLY the never-evict behavior
+    * (spec-pinned), not an approximation. For [[ProcessingTimeIdle]]
+    * the timeout measures WALL-CLOCK idle while capWindow is event
+    * time, so the equivalence holds only when processing time tracks
+    * event time (a live feed); on a stalled or faster-than-realtime
+    * replay, wall-clock idle can exceed the timeout while event time
+    * advances less than capWindow, dropping cap entries the next bar
+    * would still count. Replayed/backfilled feeds must use
+    * [[EventTimeIdle]] (or [[NeverEvict]]).
     */
   def streamingBacktest(bars: Dataset[graft.backtest.Backtest.Bar],
       params: graft.backtest.Backtest.Params,
@@ -407,6 +421,9 @@ object StreamOps {
       eviction: IdleEviction): Unit = eviction match {
     case NeverEvict => ()
     case ProcessingTimeIdle(t) =>
+      // necessary but NOT sufficient: t is wall-clock while capWindow is
+      // event time — see the streamingBacktest scaladoc for when the
+      // evict≡never-evict equivalence actually holds under this policy
       require(t.toMillis * 1000L >= params.capWindow,
         s"idle timeout ($t) must be >= capWindow (${params.capWindow} us) " +
           "so flat-state eviction preserves the trade-cap semantics")
@@ -430,7 +447,14 @@ object StreamOps {
       case NeverEvict => ()
       case ProcessingTimeIdle(d) => state.setTimeoutDuration(d.toMillis)
       case EventTimeIdle(d, _) =>
-        state.setTimeoutTimestamp(maxEventTsUs / 1000L + d.toMillis)
+        // CEILING division: flooring µs→ms would let a timeout exactly
+        // equal to capWindow fire up to ~1ms of event time early and
+        // forget a cap entry sitting at the window edge. Clamp to just
+        // past the watermark — GroupStateImpl rejects a timestamp at or
+        // below it, which a tiny d on a long-quiet key could produce.
+        state.setTimeoutTimestamp(
+          math.max((maxEventTsUs + 999L) / 1000L + d.toMillis,
+            state.getCurrentWatermarkMs() + 1L))
     }
     if (state.hasTimedOut) {
       val st = state.getOption.getOrElse(Backtest.BtState())
@@ -440,6 +464,8 @@ object StreamOps {
         eviction match {
           case ProcessingTimeIdle(d) => state.setTimeoutDuration(d.toMillis)
           case EventTimeIdle(d, _) =>
+            // d > 0 is constructor-enforced, so watermark + d is always
+            // strictly past the watermark
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + d.toMillis)
           case NeverEvict => ()
         }
@@ -507,7 +533,11 @@ object StreamOps {
     * replayable — a checkpoint-restore replay evicts at different
     * points than the original run. */
   final case class ProcessingTimeIdle(timeout: scala.concurrent.duration.Duration)
-    extends IdleEviction
+    extends IdleEviction {
+    require(timeout.toMillis >= 1L,
+      s"idle timeout must be >= 1ms (got $timeout): GroupState timeouts have " +
+        "millisecond granularity and a zero duration is rejected at runtime")
+  }
   /** Event-time eviction (r12): the eviction point is a function of
     * the DATA — a series evicts when the stream's watermark passes
     * (its own max event time + `timeout`) — so replays and
@@ -518,7 +548,11 @@ object StreamOps {
     */
   final case class EventTimeIdle(timeout: scala.concurrent.duration.Duration,
       lateness: scala.concurrent.duration.Duration = scala.concurrent.duration.Duration.Zero)
-    extends IdleEviction
+    extends IdleEviction {
+    require(timeout.toMillis >= 1L,
+      s"idle timeout must be >= 1ms (got $timeout): a zero event-time timeout " +
+        "would arm at/below the watermark, which GroupStateImpl rejects at runtime")
+  }
 
   /** Eviction-policy face of [[streamingIndicators]]. */
   def streamingIndicators(bars: Dataset[IndicatorBar],
@@ -588,8 +622,12 @@ object StreamOps {
         case EventTimeIdle(d, _) if batch.nonEmpty =>
           // deterministic eviction point: this key's own max event time
           // plus the idle budget — fired by watermark advance, so a
-          // replay evicts at the same bar boundary
-          state.setTimeoutTimestamp(batch.map(_.ts).max + d.toMillis)
+          // replay evicts at the same bar boundary. Clamped just past
+          // the watermark: a late batch of old bars could otherwise
+          // propose a timestamp GroupStateImpl rejects.
+          state.setTimeoutTimestamp(
+            math.max(batch.map(_.ts).max + d.toMillis,
+              state.getCurrentWatermarkMs() + 1L))
         case _: EventTimeIdle => ()
       }
       out.iterator

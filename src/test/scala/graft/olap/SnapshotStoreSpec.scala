@@ -90,6 +90,21 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("stale publish is refused: a slower writer cannot roll the manifest back") {
+    val p = freshTable()
+    SnapshotStore.commit(df(1), p)              // v0 committed
+    val slow = SnapshotStore.stage(df(2), p)    // writer A stages v1 ...
+    val fast = SnapshotStore.stage(df(3), p)    // ... writer B stages v2
+    SnapshotStore.publish(fast)                 // B commits first
+    assert(readVals(p) == Seq(3))
+    // A's late publish of the OLDER version must not silently lose B's batch
+    intercept[IllegalStateException] { SnapshotStore.publish(slow) }
+    assert(readVals(p) == Seq(3), "manifest moved backward past a newer commit")
+    // A recovers by restaging on top of the new current version
+    val retried = SnapshotStore.commit(df(2), p)
+    assert(retried == "v3" && readVals(p) == Seq(2))
+  }
+
   test("gc keeps current + previous, removes older, never staged-ahead") {
     val p = freshTable()
     (0 to 3).foreach(i => SnapshotStore.commit(df(i), p))   // v0..v3

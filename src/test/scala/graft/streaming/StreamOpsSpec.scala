@@ -628,5 +628,47 @@ class StreamOpsSpec extends AnyFunSuite {
     val resumed = StreamOps.indicatorGroupStep("x",
       Iterator(bar(30.minutes.toMillis)), s3, conf, idle).toVector
     assert(resumed.head.ema.isEmpty)
+    // a LATE batch (all bars far below the watermark) must not arm a
+    // timestamp at/below the watermark — GroupStateImpl rejects those at
+    // runtime; the arm clamps to watermark + 1ms instead
+    val wm = 1.hour.toMillis
+    val s4 = st(Optional.empty(), watermarkMs = wm, timedOut = false)
+    StreamOps.indicatorGroupStep("x", Iterator(bar(1000L)), s4, conf,
+      StreamOps.EventTimeIdle(1.milli)).toVector
+    assert(s4.getTimeoutTimestampMs.isPresent &&
+      s4.getTimeoutTimestampMs.get == wm + 1L,
+      "late-batch eviction point must clamp to watermark + 1ms")
+  }
+
+  test("idle eviction guards: zero timeouts are rejected at construction; backtest arm rounds up") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import scala.concurrent.duration._
+    import graft.backtest.Backtest
+    // a zero (or sub-ms) timeout would arm at/below the watermark →
+    // IllegalArgumentException deep inside the streaming runtime; fail
+    // fast at policy construction instead
+    intercept[IllegalArgumentException] { StreamOps.EventTimeIdle(Duration.Zero) }
+    intercept[IllegalArgumentException] { StreamOps.EventTimeIdle(500.micros) }
+    intercept[IllegalArgumentException] { StreamOps.ProcessingTimeIdle(Duration.Zero) }
+    // backtest event-time arm: bar ts is MICROS; µs→ms must round UP so a
+    // timeout exactly equal to capWindow can never fire early and drop a
+    // cap entry sitting at the window edge
+    val p = Backtest.Params(threshold = 1.0, tp = 5.0, sl = 3.0,
+      capWindow = 1000000L, maxTradesPerWindow = 2)
+    val idle = StreamOps.EventTimeIdle(1.second) // == capWindow
+    def st() = TestGroupState.create[Backtest.BtState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout, 1000L,
+      Optional.of(0L), false)
+    def bar(tsUs: Long) = Backtest.Bar("x", tsUs, 100.0, 100.5, 99.5, 100.0, 100.0)
+    val s1 = st()
+    StreamOps.backtestGroupStep("x", Iterator(bar(1000500L)), s1, p, idle).toVector
+    assert(s1.getTimeoutTimestampMs.isPresent &&
+      s1.getTimeoutTimestampMs.get == 1001L + 1000L, // ceil(1000.5ms) + 1s
+      s"expected ceil-rounded arm, got ${s1.getTimeoutTimestampMs}")
+    // exact-ms bar: ceiling must not add a spurious ms
+    val s2 = st()
+    StreamOps.backtestGroupStep("x", Iterator(bar(2000000L)), s2, p, idle).toVector
+    assert(s2.getTimeoutTimestampMs.get == 2000L + 1000L)
   }
 }
