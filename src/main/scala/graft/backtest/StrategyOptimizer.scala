@@ -1,0 +1,189 @@
+package graft.backtest
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ml.GeneticSearch
+
+/** GA over backtest strategy parameters — the reference's
+  * `app/optimizer_ga.py:16-96`: a DEAP GA whose genome is
+  * `(profit_threshold, tp_multiplier, sl_multiplier, rel_volume,
+  * lower_rr, upper_rr)` (attribute bounds `:70-75`) and whose fitness is
+  * the backtest's final profit (`evaluate_strategy:16-60` — one full
+  * `cerebro.run()` per individual). Re-expressed Spark-first: each
+  * fitness evaluation is one DISTRIBUTED [[Backtest.run]] over the bar
+  * feed (parallel across symbols, exactly the candidate-=-one-Spark-job
+  * shape of the M10 optimizers), with only the scalar profit crossing
+  * the driver; the generational loop itself is [[GeneticSearch]]
+  * (driver-side, like the reference's DEAP loop).
+  *
+  * Genome → strategy decoding (`heuristic_strategy.py:50-62,175-186`):
+  *   - `profit_threshold` → [[Backtest.Params.threshold]] (the entry
+  *     signal gate, `:189-190`);
+  *   - `tp_multiplier` / `sl_multiplier` scale the base TP/SL distances
+  *     (`:175-176,185-186` — the reference multiplies the per-entry
+  *     ideal pips; our state machine models fixed pip distances, so the
+  *     multipliers scale those);
+  *   - `rel_volume`, `lower_rr`, `upper_rr` set the ORDER SIZE
+  *     (`compute_size:230-243`): linear interpolation between min and
+  *     max volume by the strategy's reward/risk ratio (tp/sl), capped
+  *     by `cash * rel_volume * leverage`. Size multiplies per-trade
+  *     price profit into cash profit — it scales fitness without
+  *     touching the (oracle-pinned) state machine.
+  *
+  * Fitness sums per-trade profit through an exact DECIMAL cast
+  * (deterministic across partition orders — the dsum discipline), so a
+  * seeded search is reproducible run-to-run: spec-pinned.
+  */
+object StrategyOptimizer {
+
+  /** Genome bounds, `optimizer_ga.py:70-75` verbatim. */
+  val Space: Seq[(String, (Double, Double))] = Seq(
+    "profit_threshold" -> (1.0, 20.0),
+    "tp_multiplier" -> (0.8, 1.2),
+    "sl_multiplier" -> (1.5, 3.0),
+    "rel_volume" -> (0.01, 0.1),
+    "lower_rr" -> (0.3, 1.0),
+    "upper_rr" -> (1.5, 3.0))
+
+  /** Account/sizing constants — `heuristic_strategy.py:52-54` defaults
+    * verbatim (min 10000 / max 1000000 units, leverage 1000) plus
+    * `optimizer_ga.py:49`'s setcash(10000). With these, the cash cap
+    * `cash × rel_volume × leverage` spans [100k, 1M] over the
+    * rel_volume gene's [0.01, 0.1] range and genuinely binds against
+    * the RR-interpolated volume, exactly as in `compute_size:241-243`.
+    */
+  final case class Sizing(cash: Double = 10000.0, leverage: Double = 1000.0,
+      minVolume: Double = 10000.0, maxVolume: Double = 1000000.0)
+
+  /** A decoded candidate: the state-machine params plus the sizing
+    * genes that turn price profit into cash profit.
+    */
+  final case class Strategy(params: Backtest.Params, relVolume: Double,
+      lowerRr: Double, upperRr: Double, decoded: Map[String, Double])
+
+  /** Unit-interval genome → [[Strategy]] against base params (the
+    * multipliers need a base TP/SL distance to scale, as the reference's
+    * multipliers scale the per-entry ideal pips).
+    */
+  def decode(genome: Vector[Double], base: Backtest.Params): Strategy = {
+    require(genome.size == Space.size,
+      s"genome dim ${genome.size} != ${Space.size} (${Space.map(_._1).mkString(",")})")
+    val g = Space.zip(genome).map { case ((k, (lo, hi)), v) =>
+      k -> (lo + math.min(1.0, math.max(0.0, v)) * (hi - lo))
+    }.toMap
+    Strategy(
+      params = base.copy(
+        threshold = g("profit_threshold"),
+        tp = g("tp_multiplier") * base.tp,
+        sl = g("sl_multiplier") * base.sl),
+      relVolume = g("rel_volume"),
+      lowerRr = g("lower_rr"),
+      upperRr = g("upper_rr"),
+      decoded = g)
+  }
+
+  /** `compute_size` (`heuristic_strategy.py:230-243`): linear
+    * interpolation between min and max volume by reward/risk ratio,
+    * capped by available cash × rel_volume × leverage. RR is the
+    * strategy's tp/sl distance ratio (the reference computes it from the
+    * same TP/SL distances it places the orders at).
+    */
+  def orderSize(s: Strategy, sz: Sizing = Sizing()): Double = {
+    val rr = if (s.params.sl > 0) s.params.tp / s.params.sl else 0.0
+    val interp =
+      if (rr >= s.upperRr) sz.maxVolume
+      else if (rr <= s.lowerRr) sz.minVolume
+      else sz.minVolume +
+        (rr - s.lowerRr) / (s.upperRr - s.lowerRr) * (sz.maxVolume - sz.minVolume)
+    math.min(interp, sz.cash * s.relVolume * sz.leverage)
+  }
+
+  /** One candidate evaluation: the price-profit sum (exact-decimal,
+    * partition-order-independent), trade count, and the cash profit
+    * (= size × price profit) the GA maximizes.
+    */
+  final case class Eval(priceProfit: Double, nTrades: Long, cashProfit: Double)
+
+  def evaluate(bars: Dataset[Backtest.Bar], s: Strategy,
+      sz: Sizing = Sizing()): Eval = {
+    val agg = Backtest.run(bars, s.params)
+      .agg(
+        sum(col("profit").cast(DecimalType(28, 10))).as("p"),
+        count(lit(1)).as("n"))
+      .head()
+    val priceProfit =
+      Option(agg.getDecimal(0)).map(_.doubleValue()).getOrElse(0.0)
+    Eval(priceProfit, agg.getLong(1), orderSize(s, sz) * priceProfit)
+  }
+
+  final case class GenStats(generation: Int, maxProfit: Double, avgProfit: Double)
+
+  final case class Result(best: Strategy, bestEval: Eval,
+      stats: Seq[GenStats], evaluations: Int, uniqueEvaluations: Int)
+
+  /** The `optimizer_ga.py:97-137` main loop: maximize backtest profit
+    * over the six-gene space. Evaluations memoize by genome — the GA
+    * re-scores carried-over elites each generation, and re-firing an
+    * identical distributed backtest for an identical genome is pure
+    * waste (the reference pays this cost; `ind.fitness.valid` only
+    * skips untouched clones). The bar feed is persisted across the
+    * search and released before returning.
+    */
+  def optimize(bars: Dataset[Backtest.Bar],
+      base: Backtest.Params = Backtest.Params(),
+      cfg: GeneticSearch.Config = GeneticSearch.Config(),
+      sizing: Sizing = Sizing()): Result = {
+    val persisted = bars.persist()
+    try {
+      var evals = 0
+      val memo = scala.collection.mutable.Map.empty[Vector[Double], Eval]
+      def eval(g: Vector[Double]): Eval = {
+        evals += 1
+        memo.getOrElseUpdate(g, evaluate(persisted, decode(g, base), sizing))
+      }
+      // GeneticSearch minimizes; profit is maximized → negate
+      val r = GeneticSearch.optimize(Space.size, g => -eval(g).cashProfit, cfg)
+      val best = decode(r.best, base)
+      Result(best, memo(r.best),
+        r.stats.map(s => GenStats(s.generation, -s.bestFitness, -s.meanFitness)),
+        evals, memo.size)
+    } finally persisted.unpersist()
+  }
+
+  private def num(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null"
+    else java.lang.Double.toString(v)
+
+  /** `*_optimization_stats.json` for the strategy GA — the
+    * per-generation `Max Profit` / `Avg Profit` report the reference
+    * prints (`optimizer_ga.py:135-150`) plus the champion block, in the
+    * optimizer-stats file family (`OptimizerStats`).
+    */
+  def statsJson(r: Result, totalSeconds: Double): String = {
+    val history = r.stats.map(s =>
+      s"""{"generation": ${s.generation}, "max_profit": ${num(s.maxProfit)}, """ +
+        s""""avg_profit": ${num(s.avgProfit)}}""").mkString("[", ", ", "]")
+    s"""{"optimizer_type": "ga_backtest", "total_time_elapsed": ${num(totalSeconds)}, """ +
+      s""""candidates_evaluated_so_far": ${r.evaluations}, """ +
+      s""""unique_candidates_evaluated": ${r.uniqueEvaluations}, """ +
+      s""""champion_profit": ${num(r.bestEval.cashProfit)}, """ +
+      s""""champion_price_profit": ${num(r.bestEval.priceProfit)}, """ +
+      s""""champion_n_trades": ${r.bestEval.nTrades}, """ +
+      s""""history": $history}"""
+  }
+
+  /** The flat champion dict for `*_optimization_parameters.json` and the
+    * `fact_strategy_params` JSONB payload
+    * (`olap_schema_postgres.sql:80-87` via
+    * `OlapEtl.loadFactStrategyParams`): the six genes plus the derived
+    * state-machine params they decode to.
+    */
+  def championParams(r: Result): Map[String, Double] =
+    r.best.decoded ++ Map(
+      "threshold" -> r.best.params.threshold,
+      "tp" -> r.best.params.tp,
+      "sl" -> r.best.params.sl,
+      "order_size" -> orderSize(r.best))
+}

@@ -68,4 +68,15 @@ class GoldenInventorySpec extends AnyFunSuite {
       s"unexpected=${(onDisk -- expected).toSeq.sorted.take(5)} " +
         s"missing=${(expected -- onDisk).toSeq.sorted.take(5)}")
   }
+
+  test("golden/backtest holds exactly the strategy-GA artifact pair") {
+    // read (and exactly replayed) by StrategyOptimizerSpec
+    val expected = Set(
+      "graft_backtest_ga_optimization_parameters.json",
+      "graft_backtest_ga_optimization_stats.json")
+    val onDisk = listAll("golden/backtest")
+    assert(onDisk == expected,
+      s"unexpected=${(onDisk -- expected).toSeq.sorted.take(5)} " +
+        s"missing=${(expected -- onDisk).toSeq.sorted.take(5)}")
+  }
 }
