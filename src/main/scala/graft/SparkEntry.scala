@@ -742,6 +742,72 @@ object SparkEntry {
       |            (CAST(0.99 AS DOUBLE))) t(p)
       |GROUP BY event_type, p""".stripMargin
 
+  private val Q113Compression = 20.0
+
+  /** VALUE-exact t-digest percentiles — the q61 companion row: q61
+    * proves the sketch CONTRACT (rank bound) because approx_percentile's
+    * values are engine-specific, while this query's values are not. The
+    * construction is `TDigest.sortedStep`'s deterministic ascending
+    * fold: per user, values stream in sorted order through a
+    * merge-into-last-centroid rule whose k₁ bound is computed against
+    * the group's TOTAL weight (a broadcast count join supplies it — the
+    * fit-statistic pattern, like the scaler paths) — a per-group
+    * sequential state machine with a fixed IEEE op order, so DuckDB
+    * replays it bit-exactly ([[graft.oracle.TDigestOracle]], prototyped
+    * in `tools/proto_tdigest_oracle.py`). Physical plan is the
+    * `Backtest.run` pattern: repartition(user_id) +
+    * sortWithinPartitions + one `mapPartitions` pass with O(centroids)
+    * state per group — groups are never buffered, parallelism is the
+    * user dimension, and the same fold would stream a 100 TB feed.
+    * `n_centroids` is emitted so the merge/append DECISION sequence is
+    * hash-checked, not just the final interpolation.
+    */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Q113Compression
+    val ev = t(s, dir, "events").select(col("user_id"), col("value"))
+    val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    ev.join(broadcast(counts), "user_id")
+      .select(col("user_id"), col("value"), col("n"))
+      .as[(Long, Double, Long)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("value"))
+      .mapPartitions { it =>
+        new Iterator[(Long, Int, Double, Double, Double)] {
+          private var cur = 0L
+          private var open = false
+          private val m = scala.collection.mutable.ArrayBuffer.empty[Double]
+          private val w = scala.collection.mutable.ArrayBuffer.empty[Double]
+          private var wsum = 0.0
+          private var out: Option[(Long, Int, Double, Double, Double)] = None
+          private def emit(): (Long, Int, Double, Double, Double) = {
+            val ma = m.toArray; val wa = w.toArray
+            val r = (cur, ma.length,
+              graft.metrics.TDigest.quantile(ma, wa, 0.5),
+              graft.metrics.TDigest.quantile(ma, wa, 0.9),
+              graft.metrics.TDigest.quantile(ma, wa, 0.99))
+            m.clear(); w.clear(); wsum = 0.0
+            r
+          }
+          override def hasNext: Boolean = {
+            while (out.isEmpty && it.hasNext) {
+              val (uid, x, n) = it.next()
+              if (!open) { cur = uid; open = true }
+              else if (uid != cur) { out = Some(emit()); cur = uid }
+              wsum = graft.metrics.TDigest.sortedStep(m, w, wsum, x, n.toDouble, c)
+            }
+            if (out.isEmpty && open && m.nonEmpty) { out = Some(emit()); open = false }
+            out.nonEmpty
+          }
+          override def next(): (Long, Int, Double, Double, Double) = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = out.get; out = None; r
+          }
+        }
+      }
+      .toDF("user_id", "n_centroids", "p50", "p90", "p99")
+  }
+
   /** Nested experiment config synthesized per event row — shared input
     * shape for q62/q63 (the testdata has no nested-JSON column, so both
     * engines build the identical JSON text from the same row values).
@@ -3294,7 +3360,8 @@ object SparkEntry {
     "q109_delta_rescale" -> (q109 _),
     "q110_fact_predictions" -> (q110 _),
     "q111_fact_trade_metrics" -> (q111 _),
-    "q112_experiment_metrics" -> (q112 _)
+    "q112_experiment_metrics" -> (q112 _),
+    "q113_tdigest_values" -> (q113 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3401,6 +3468,9 @@ object SparkEntry {
     // check in differential.json.
     "q46_backtest_trades" -> graft.oracle.BacktestOracle.q46Sql(BtParams),
     "q47_backtest_summary" -> graft.oracle.BacktestOracle.q47Sql(BtParams),
+    // t-digest value face: generated recursive-CTE replay of the
+    // deterministic ascending fold (graft.oracle.TDigestOracle)
+    "q113_tdigest_values" -> graft.oracle.TDigestOracle.q113Sql(Q113Compression),
     // The sketch contract emitted as data: the oracle asserts
     // within_bound=TRUE per (group, p); a GK-bound violation on the
     // Spark side is a hash FAIL (see q61's scaladoc).

@@ -120,6 +120,54 @@ object TDigest {
     override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
   }
 
+  /** One step of the DETERMINISTIC ascending-input t-digest fold (the
+    * q113 value-exact face): a new unit-weight point merges into the
+    * LAST centroid when [[compress]]'s k₁ size bound — computed against
+    * the group's TOTAL weight `totalW`, known upfront from a count pass
+    * (the fit-statistic pattern) — allows, else opens a new centroid.
+    * This is exactly `compress`'s greedy left-to-right rule applied
+    * online: input ascending means the candidate centroid is always the
+    * last one and means stay sorted, so the whole construction is a
+    * per-group sequential state machine with a fixed IEEE op order —
+    * bit-exact replayable in DuckDB as a recursive CTE carrying the
+    * centroid lists (`oracle/TDigestOracle`), unlike the
+    * merge-tree-dependent [[QuantilesAgg]] whose values vary with
+    * partition boundaries. (Using the weight seen SO FAR instead of
+    * `totalW` degenerates: the open centroid always sits at q≈1 where
+    * k₁ capacity is ~1, so nothing ever merges.) Mutates
+    * `means`/`weights` in place; returns the new weight sum.
+    */
+  def sortedStep(means: scala.collection.mutable.ArrayBuffer[Double],
+      weights: scala.collection.mutable.ArrayBuffer[Double],
+      wSum: Double, x: Double, totalW: Double, compression: Double): Double = {
+    if (means.isEmpty) { means += x; weights += 1.0; return 1.0 }
+    val lastW = weights(weights.size - 1)
+    val mergedW = lastW + 1.0
+    val wBefore = wSum - lastW
+    val q = (wBefore + mergedW / 2.0) / totalW
+    val limit = 4.0 * totalW * q * (1.0 - q) / compression
+    if (mergedW <= math.max(limit, 1.0)) {
+      means(means.size - 1) =
+        means(means.size - 1) + (x - means(means.size - 1)) * 1.0 / mergedW
+      weights(weights.size - 1) = mergedW
+    } else { means += x; weights += 1.0 }
+    wSum + 1.0
+  }
+
+  /** Fold [[sortedStep]] over ascending values (spec/oracle-prototyping
+    * convenience; the distributed face streams the step inside
+    * `mapPartitions`).
+    */
+  def sortedDigest(ascending: Iterable[Double],
+      compression: Double): (Array[Double], Array[Double]) = {
+    val m = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val w = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val totalW = ascending.size.toDouble
+    var s = 0.0
+    ascending.foreach(x => s = sortedStep(m, w, s, x, totalW, compression))
+    (m.toArray, w.toArray)
+  }
+
   /** Grouped t-digest quantiles with the same output shape/labels as
     * `Quantiles.groupedApprox` (p50, p99_5, …). NULL values are dropped
     * first — the typed Double input would coerce them to 0.0 and skew the

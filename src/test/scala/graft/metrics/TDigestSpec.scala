@@ -79,4 +79,40 @@ class TDigestSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
     assert(approx.keySet == out.keySet && approx("b").isEmpty)
   }
+
+  test("sortedDigest (q113 face): deterministic, bounded, sorted, weight-complete") {
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(5000)(math.exp(rnd.nextGaussian())).sorted
+    val (m1, w1) = TDigest.sortedDigest(xs, compression = 20.0)
+    val (m2, w2) = TDigest.sortedDigest(xs, compression = 20.0)
+    // bit-for-bit deterministic re-fold — the property the q113 oracle
+    // replay rests on
+    assert(java.util.Arrays.equals(m1, m2) && java.util.Arrays.equals(w1, w2))
+    // the ascending construction keeps centroids sorted (quantile()'s
+    // precondition) and conserves total weight
+    assert(m1.zip(m1.tail).forall { case (a, b) => a <= b })
+    assert(w1.sum == xs.length.toDouble)
+    // bounded state: centroid count scales with compression, not n
+    assert(m1.length < 200, s"centroids=${m1.length} for n=5000, c=20")
+    val (m3, _) = TDigest.sortedDigest(xs, compression = 100.0)
+    assert(m3.length > m1.length, "higher compression keeps more centroids")
+  }
+
+  test("sortedDigest quantiles stay rank-accurate against the exact path") {
+    val rnd = new scala.util.Random(11)
+    val xs = Array.fill(20000)(math.exp(rnd.nextGaussian() * 1.5)).sorted
+    val (m, w) = TDigest.sortedDigest(xs, compression = 20.0)
+    val n = xs.length.toDouble
+    Seq(0.5, 0.9, 0.99).foreach { p =>
+      val est = TDigest.quantile(m, w, p)
+      val rank = xs.count(_ <= est) / n
+      assert(math.abs(rank - p) < 0.02,
+        s"p=$p: estimate $est has rank $rank (err ${math.abs(rank - p)})")
+    }
+    // single- and two-element folds hit quantile()'s clamp branches
+    val (ms, ws) = TDigest.sortedDigest(Seq(42.0), 20.0)
+    assert(TDigest.quantile(ms, ws, 0.99) == 42.0)
+    val (m2, w2) = TDigest.sortedDigest(Seq(1.0, 3.0), 1e9) // force 2 centroids
+    assert(TDigest.quantile(m2, w2, 0.0) == 1.0 && TDigest.quantile(m2, w2, 1.0) == 3.0)
+  }
 }

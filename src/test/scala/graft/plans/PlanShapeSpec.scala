@@ -226,6 +226,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no sort-merge for a 15-row side:\n$p")
   }
 
+  test("q113 t-digest fold: count broadcast + one key exchange, no window, no global sort") {
+    val p = plan(graft.SparkEntry.queries("q113_tdigest_values")(spark, sf))
+    // the Backtest.run pattern plus the fit-statistic count join:
+    // exchanges are exactly (counts agg, repartition(user_id)); the
+    // per-user count relation broadcasts, never sort-merges
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected counts-agg + repartition exchanges only:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"count relation must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge for the tiny count side:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"group-local sort must not become a global sort:\n$p")
+    assert(p.contains("Sort ") && p.contains("MapPartitions"),
+      s"expected in-partition sort feeding the fold:\n$p")
+    assert(!p.contains("Window"), s"the fold IS the aggregation — no window:\n$p")
+    // only the two referenced columns are read
+    assert(p.contains("ReadSchema: struct<user_id:bigint,value:double>"),
+      s"columns not pruned:\n$p")
+  }
+
   test("q111 trade metrics: aggregates the persisted trades, no recompute") {
     val p = plan(graft.SparkEntry.queries("q111_fact_trade_metrics")(spark, sf))
     assert(p.contains("InMemoryTableScan"),
