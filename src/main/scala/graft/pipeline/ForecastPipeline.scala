@@ -190,24 +190,32 @@ object ForecastPipeline {
     * per-split frames stay distributed; only the fitted
     * coefficients/trees/weights cross the driver.
     */
+  /** Lag-featurized split frame — shared by [[modelMetrics]] (fit +
+    * evaluate) and [[evaluateSavedMetrics]] (the `load_model` branch),
+    * so both paths featurize identically by construction.
+    */
+  private def featurizedSplit(spark: SparkSession, config: Config,
+      nLags: Int)(path: String, split: String): DataFrame = {
+    import graft.ml.Forecaster
+    val w = Window.orderBy(col("ts"))
+    val raw = Sources.loadCsv(spark, path, maxRows = config.maxSteps.get(split))
+    val denorm = config.normStats.get(config.targetColumn) match {
+      case Some((mean, std)) =>
+        raw.withColumn(config.targetColumn,
+          TS.zDenorm(col(config.targetColumn), mean, std))
+      case None => raw
+    }
+    Forecaster.withLagFeatures(
+      Targets.multiHorizon(denorm, config.targetColumn, config.horizons, w),
+      config.targetColumn, nLags, Nil, Seq("ts"))
+  }
+
   def modelMetrics(spark: SparkSession, config: Config, nLags: Int = 3,
       head: String = "linear", modelDir: Option[String] = None,
       mlpConf: MlpConf = MlpConf()): DataFrame = {
-    import graft.ml.Forecaster
     require(config.splits.contains("train"), "modelMetrics needs a 'train' split")
-    val w = Window.orderBy(col("ts"))
-    def featurized(path: String, split: String): DataFrame = {
-      val raw = Sources.loadCsv(spark, path, maxRows = config.maxSteps.get(split))
-      val denorm = config.normStats.get(config.targetColumn) match {
-        case Some((mean, std)) =>
-          raw.withColumn(config.targetColumn,
-            TS.zDenorm(col(config.targetColumn), mean, std))
-        case None => raw
-      }
-      Forecaster.withLagFeatures(
-        Targets.multiHorizon(denorm, config.targetColumn, config.horizons, w),
-        config.targetColumn, nLags, Nil, Seq("ts"))
-    }
+    def featurized(path: String, split: String): DataFrame =
+      featurizedSplit(spark, config, nLags)(path, split)
     val featureCols = config.targetColumn +: (1 to nLags).map(i => s"lag_$i")
     val train = featurized(config.splits("train"), "train").cache()
     val models =
@@ -234,8 +242,19 @@ object ForecastPipeline {
             .write.overwrite().save(s"$dir/h$h")
       }
     }
+    headMetricRows(config, models, featureCols, featurized)
+  }
+
+  /** Per-split (split, metric, horizon, value) rows for an already-built
+    * model map — the evaluate half [[modelMetrics]] and
+    * [[evaluateSavedMetrics]] share.
+    */
+  private def headMetricRows(config: Config,
+      models: Map[Int, graft.ml.Forecaster.HorizonModel],
+      featureCols: Seq[String],
+      featurized: (String, String) => DataFrame): DataFrame = {
     val perSplit = config.splits.toSeq.sortBy(_._1).map { case (split, path) =>
-      val pred = Forecaster.predict(models, featurized(path, split), featureCols)
+      val pred = graft.ml.Forecaster.predict(models, featurized(path, split), featureCols)
       val aggs = config.horizons.flatMap { h =>
         Seq(
           Metrics.mae(col(s"pred_h$h"), col(s"target_h$h")).as(s"mae_h$h"),
@@ -254,6 +273,46 @@ object ForecastPipeline {
       wide.select(col("split"), lit(name).as("metric"), lit(h).as("horizon"),
         col(c).as("value"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** S11 read side: load each horizon's saved artifact back into a
+    * [[graft.ml.Forecaster.HorizonModel]] — the inverse of
+    * [[modelMetrics]]' `modelDir` sink, dispatched by the same head
+    * names as [[fitHead]].
+    */
+  def loadHead(spark: SparkSession, head: String, dir: String,
+      horizons: Seq[Int]): Map[Int, graft.ml.Forecaster.HorizonModel] =
+    horizons.map { h =>
+      val p = s"$dir/h$h"
+      val m: graft.ml.Forecaster.HorizonModel = head match {
+        case "mlp" => graft.ml.MlpRegressor.load(spark, p)
+        case "tcn" => graft.ml.TcnRegressor.load(spark, p)
+        case "cnn" => graft.ml.CnnRegressor.load(spark, p)
+        case "lstm" => graft.ml.LstmRegressor.load(spark, p)
+        case "attention" => graft.ml.AttentionRegressor.load(spark, p)
+        case "tft" => graft.ml.TftRegressor.load(spark, p)
+        case "nbeats" => graft.ml.NBeatsRegressor.load(spark, p)
+        case "linear" => org.apache.spark.ml.regression.LinearRegressionModel.load(p)
+        case "gbt" => org.apache.spark.ml.regression.GBTRegressionModel.load(p)
+        case other => throw new IllegalArgumentException(
+          s"loadHead: unknown head '$other'")
+      }
+      h -> m
+    }.toMap
+
+  /** The `load_model` → evaluate branch (`app/main.py:265-272`): load a
+    * saved per-horizon model and emit the SAME per-split metric rows as
+    * [[modelMetrics]], with no fit — both paths share
+    * [[featurizedSplit]] and [[headMetricRows]], so a save → load →
+    * evaluate round-trip reproduces the training run's evaluation
+    * exactly (spec-pinned in `CliMainSpec`).
+    */
+  def evaluateSavedMetrics(spark: SparkSession, config: Config, head: String,
+      modelDir: String, nLags: Int = 3): DataFrame = {
+    val featureCols = config.targetColumn +: (1 to nLags).map(i => s"lag_$i")
+    val models = loadHead(spark, head, modelDir, config.horizons)
+    headMetricRows(config, models, featureCols,
+      featurizedSplit(spark, config, nLags))
   }
 
   /** Reference predictor-plugin selection (the `predictor_plugin` config

@@ -229,6 +229,106 @@ object ScaleProbe {
       replicateDocs(100, "/tmp/docs100")
     }
 
+    // round-13: the 1000× points on the heavy-tail kernels — the r12
+    // verdict's remaining evidence gap: a 100× grid cannot resolve a
+    // super-linear term that only dominates later. Per-kernel axes:
+    //   - q55 / q83: row axis ×100/×1000 (60M/600M lineitem rows,
+    //     group count FIXED so rows-per-group grows 1000×) — the
+    //     two-phase distinct-agg expand and the bucketed range join
+    //     must stay linear in the point stream;
+    //   - q95 / q90: 500k/5M docs with every gram duplicated
+    //     corpus-wide (q95's adversarial case) — the tokenize-once /
+    //     gram-once handles and bucketed joins must stay linear;
+    //   - identical-copy dedup at 1000×: candidate generation is
+    //     inherently quadratic per dup group (1000² pairs per text),
+    //     so the PRESCRIBED scale shape is measured — exact-first
+    //     dedupPipeline, which collapses copy groups in one digest
+    //     shuffle before banding (q56's CC consumes those pairs);
+    //   - CC round growth (the q56 axis): a 1M-node path must close in
+    //     ~log2(1e6) ≈ 20 star-contraction rounds, 10× the nodes of
+    //     the standing 100k probe for ~1.2× the rounds.
+    // Prints a growth exponent per kernel: log10(t_1000x / t_100x) —
+    // 1.0 = linear in the replication factor, <1 sublinear.
+    if (want("r13")) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey"),
+          col("l_quantity"), col("l_shipdate"))
+      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      for ((factor, dir) <- Seq((100, "/tmp/li100"), (1000, "/tmp/li1000"))) {
+        if (!new java.io.File(s"$dir/lineitem.parquet").exists) {
+          val reps = spark.range(factor).withColumnRenamed("id", "rep")
+          li.crossJoin(reps).drop("rep")
+            .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+          ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        }
+      }
+      if (!new java.io.File("/tmp/docs100/documents.parquet").exists)
+        replicateDocs(100, "/tmp/docs100")
+      if (!new java.io.File("/tmp/docs1000/documents.parquet").exists)
+        replicateDocs(1000, "/tmp/docs1000")
+
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def runQ(q: String, dir: String): Double = {
+        val t = timed(SparkEntry.queries(q)(spark, dir)
+          .write.mode("overwrite").format("noop").save())
+        graft.dedup.Dedup.clearCaches()
+        t
+      }
+      // warm code paths once at the tiny scale
+      Seq("q55_count_distinct", "q83_range_join", "q95_substring_dedup",
+        "q90_dsir_scores").foreach(q => runQ(q, "/root/testdata/sf0.01"))
+
+      def exponent(q: String, dir100: String, dir1000: String): Unit = {
+        val t1 = runQ(q, "/root/testdata/sf0.1")
+        val t100 = runQ(q, dir100)
+        val t1000 = runQ(q, dir1000)
+        val exp = math.log10(t1000 / t100)
+        println(f"SCALE-R13 $q: 1x=$t1%.2f s 100x=$t100%.2f s 1000x=$t1000%.2f s " +
+          f"exponent(100x->1000x)=$exp%.2f")
+      }
+      exponent("q55_count_distinct", "/tmp/li100", "/tmp/li1000")
+      exponent("q83_range_join", "/tmp/li100", "/tmp/li1000")
+      exponent("q90_dsir_scores", "/tmp/docs100", "/tmp/docs1000")
+      exponent("q95_substring_dedup", "/tmp/docs100", "/tmp/docs1000")
+
+      // exact-first dedup composition at 5M docs (identical-copy groups
+      // of 1000 — the shape where banding first would blow up)
+      {
+        val t100 = timed {
+          graft.dedup.Dedup.dedupPipeline(
+              spark.read.parquet("/tmp/docs100/documents.parquet"),
+              "text", "doc_id", 3, 2, 2, 0.5)
+            .write.mode("overwrite").format("noop").save()
+          graft.dedup.Dedup.clearCaches()
+        }
+        val t1000 = timed {
+          graft.dedup.Dedup.dedupPipeline(
+              spark.read.parquet("/tmp/docs1000/documents.parquet"),
+              "text", "doc_id", 3, 2, 2, 0.5)
+            .write.mode("overwrite").format("noop").save()
+          graft.dedup.Dedup.clearCaches()
+        }
+        println(f"SCALE-R13 dedupPipeline(exact-first): 500k=$t100%.2f s " +
+          f"5M=$t1000%.2f s exponent=${math.log10(t1000 / t100)}%.2f")
+      }
+
+      // CC round growth on a 10×-longer path
+      {
+        val chain = spark.range(999999)
+          .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        val t0 = System.nanoTime()
+        val (labels, rounds) =
+          graft.dedup.Dedup.connectedComponentsWithRounds(chain, maxIter = 40)
+        val ok = labels.filter(col("component") === 0).count()
+        println(f"SCALE-R13 CC 1M-node chain: rounds=$rounds " +
+          f"labeled-to-min=$ok/1000000 ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          "(100k chain: 18 rounds, 13.9 s — PLANS.md)")
+      }
+    }
+
+
     if (want("docs")) {
     val docQueries = Seq("q32_exact_dup", "q33_minhash_sig", "q34_minhash_pairs",
       "q50_near_dedup", "q67_corpus_curation",
