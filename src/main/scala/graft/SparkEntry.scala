@@ -2885,6 +2885,56 @@ object SparkEntry {
   private def q47(s: SparkSession, dir: String): DataFrame =
     Backtest.summary(backtestTrades(s, dir))
 
+  /** The strategy-parameter grid the q114 driver query evaluates — three
+    * spreads around `BtParams` covering loose/tight entry gates and
+    * asymmetric TP/SL, i.e. the corners `StrategyOptimizer`'s genome
+    * space moves through.
+    */
+  private val Q114Grid: Seq[(Int, Backtest.Params)] = Seq(
+    1 -> BtParams,
+    2 -> Backtest.Params(threshold = 5.0, tp = 10.0, sl = 6.0),
+    3 -> Backtest.Params(threshold = 15.0, tp = 30.0, sl = 8.0))
+
+  /** The `optimizer_ga.py` EVALUATION kernel as a driver query: the same
+    * bar feed as q46, backtested under a fixed 3-point strategy grid —
+    * one row per parameter set with its corpus-wide trade count and
+    * exact-decimal total/abs profit (the scalar the GA maximizes). Each
+    * set is an independent distributed backtest (repartition(symbol) +
+    * fold); the oracle replays each set's walk via
+    * [[graft.oracle.BacktestOracle]] and folds the SAME per-trade
+    * decimal casts, so the whole grid evaluation is hash-exact. (The GA
+    * champion itself is data-dependent — not expressible as static
+    * oracle SQL — so the kernel it iterates is what gets the hard
+    * driver row; the search loop is spec'd in `StrategyOptimizerSpec`.)
+    */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val bars = backtestBars(s, dir)
+    Q114Grid.map { case (id, p) =>
+      Backtest.run(bars, p).agg(
+          count(lit(1)).as("n_trades"),
+          coalesce(dsum(col("profit")), lit(0.0)).as("total_profit"),
+          coalesce(dsum(abs(col("profit"))), lit(0.0)).as("total_abs_profit"))
+        .select(lit(id).as("param_id"), lit(p.threshold).as("threshold"),
+          lit(p.tp).as("tp"), lit(p.sl).as("sl"),
+          col("n_trades"), col("total_profit"), col("total_abs_profit"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def q114Sql: String =
+    Q114Grid.map { case (id, p) =>
+      s"""SELECT CAST($id AS INTEGER) AS param_id,
+         | CAST(${p.threshold} AS DOUBLE) AS threshold,
+         | CAST(${p.tp} AS DOUBLE) AS tp, CAST(${p.sl} AS DOUBLE) AS sl,
+         | COUNT(*) AS n_trades,
+         | COALESCE(CAST(SUM(CAST(profit AS DECIMAL(18,6))) AS DOUBLE),
+         |          CAST(0.0 AS DOUBLE)) AS total_profit,
+         | COALESCE(CAST(SUM(CAST(ABS(profit) AS DECIMAL(18,6))) AS DOUBLE),
+         |          CAST(0.0 AS DOUBLE)) AS total_abs_profit
+         |FROM (
+         |${graft.oracle.BacktestOracle.q46Sql(p)}
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Legacy OLAP fact_trade_metrics as a driver query
     * (`olap_schema_postgres.sql:66-78`; loader face =
     * `OlapEtl.tradeMetrics`): one strategy-results row per symbol
@@ -3361,7 +3411,8 @@ object SparkEntry {
     "q110_fact_predictions" -> (q110 _),
     "q111_fact_trade_metrics" -> (q111 _),
     "q112_experiment_metrics" -> (q112 _),
-    "q113_tdigest_values" -> (q113 _)
+    "q113_tdigest_values" -> (q113 _),
+    "q114_strategy_grid" -> (q114 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3471,6 +3522,8 @@ object SparkEntry {
     // t-digest value face: generated recursive-CTE replay of the
     // deterministic ascending fold (graft.oracle.TDigestOracle)
     "q113_tdigest_values" -> graft.oracle.TDigestOracle.q113Sql(Q113Compression),
+    // strategy grid: one BacktestOracle walk per parameter set
+    "q114_strategy_grid" -> q114Sql,
     // The sketch contract emitted as data: the oracle asserts
     // within_bound=TRUE per (group, p); a GK-bound violation on the
     // Spark side is a hash FAIL (see q61's scaladoc).
