@@ -249,23 +249,62 @@ object ScaleProbe {
     //     the standing 100k probe for ~1.2× the rounds.
     // Prints a growth exponent per kernel: log10(t_1000x / t_100x) —
     // 1.0 = linear in the replication factor, <1 sublinear.
+    // round-13 promoted queries on the events replicas: q113 (broadcast
+    // count join + repartition(user) + in-partition sort + O(centroids)
+    // sequential fold — axis = series count) and q114 (three independent
+    // keyed backtest folds — axis = rows; each set is repartition(symbol)
+    // + one pass). Both are the Backtest.run physical shape, so time
+    // must track the row axis linearly.
+    if (want("r13q")) {
+      if (!new java.io.File("/tmp/scale10/events.parquet").exists) replicate(10, "/tmp/scale10")
+      if (!new java.io.File("/tmp/scale100/events.parquet").exists) replicate(100, "/tmp/scale100")
+      val qs = Seq("q113_tdigest_values", "q114_strategy_grid")
+      qs.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+        .write.mode("overwrite").format("noop").save())
+      for (dir <- Seq("/root/testdata/sf0.1", "/tmp/scale10", "/tmp/scale100")) {
+        val times = qs.map { q =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+          f"$q=${(System.nanoTime() - t0) / 1e9}%.2f"
+        }
+        println(s"SCALE-R13Q $dir: ${times.mkString(" ")}")
+      }
+    }
+
     if (want("r13")) {
+      // Replica LAYOUT matters as much as row count: replicated rows
+      // compress so well that a naive write packs 600M rows into ~129MB
+      // — one or two parquet input splits, so every "scaled" query
+      // bottlenecks on a single decompressing core and measures the
+      // file layout, not the kernel (observed: q83's 1000× point sat at
+      // 100% of ONE core for 20+ min). A 100 TB table is never one
+      // file; write the replicas with scan-parallel file counts.
       val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
         .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey"),
           col("l_quantity"), col("l_shipdate"))
       val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
-      for ((factor, dir) <- Seq((100, "/tmp/li100"), (1000, "/tmp/li1000"))) {
+      for ((factor, shards, dir) <- Seq((100, 64, "/tmp/li100"), (1000, 512, "/tmp/li1000"))) {
         if (!new java.io.File(s"$dir/lineitem.parquet").exists) {
           val reps = spark.range(factor).withColumnRenamed("id", "rep")
-          li.crossJoin(reps).drop("rep")
+          li.crossJoin(reps).drop("rep").repartition(shards)
             .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
           ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
         }
       }
-      if (!new java.io.File("/tmp/docs100/documents.parquet").exists)
-        replicateDocs(100, "/tmp/docs100")
-      if (!new java.io.File("/tmp/docs1000/documents.parquet").exists)
-        replicateDocs(1000, "/tmp/docs1000")
+      // dedicated docs replicas on the SAME uniform layout (docs100r,
+      // not the standing /tmp/docs100) so the 100×→1000× exponent
+      // compares kernels, not file counts
+      def replicateDocsSharded(factor: Int, shards: Int, outDir: String): Unit =
+        if (!new java.io.File(s"$outDir/documents.parquet").exists) {
+          val reps = spark.range(factor).withColumnRenamed("id", "rep")
+          docs.crossJoin(reps)
+            .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+              col("text"), col("lang"), col("source"), col("n_chars"))
+            .repartition(shards)
+            .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+        }
+      replicateDocsSharded(100, 64, "/tmp/docs100r")
+      replicateDocsSharded(1000, 512, "/tmp/docs1000")
 
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -290,15 +329,15 @@ object ScaleProbe {
       }
       exponent("q55_count_distinct", "/tmp/li100", "/tmp/li1000")
       exponent("q83_range_join", "/tmp/li100", "/tmp/li1000")
-      exponent("q90_dsir_scores", "/tmp/docs100", "/tmp/docs1000")
-      exponent("q95_substring_dedup", "/tmp/docs100", "/tmp/docs1000")
+      exponent("q90_dsir_scores", "/tmp/docs100r", "/tmp/docs1000")
+      exponent("q95_substring_dedup", "/tmp/docs100r", "/tmp/docs1000")
 
       // exact-first dedup composition at 5M docs (identical-copy groups
       // of 1000 — the shape where banding first would blow up)
       {
         val t100 = timed {
           graft.dedup.Dedup.dedupPipeline(
-              spark.read.parquet("/tmp/docs100/documents.parquet"),
+              spark.read.parquet("/tmp/docs100r/documents.parquet"),
               "text", "doc_id", 3, 2, 2, 0.5)
             .write.mode("overwrite").format("noop").save()
           graft.dedup.Dedup.clearCaches()
