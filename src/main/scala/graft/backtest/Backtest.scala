@@ -41,10 +41,18 @@ object Backtest {
   /** Per-symbol position state — the COMPLETE state machine state, so
     * a streaming face can persist it across micro-batches: open-position
     * fields plus the A11 trailing entry timestamps inside `capWindow`.
+    * `maxSeenTs` is maintained ONLY by the streaming face (the group
+    * step, after each fold): the symbol's max event time across ALL
+    * batches, so the event-time idle-eviction point is monotone — an
+    * admitted out-of-order batch of older bars must never LOWER a
+    * previously armed eviction point (that would evict flat state
+    * before capWindow of the symbol's real event-time quiet and
+    * over-admit against the trade cap). [[stepBar]] ignores it.
     */
   case class BtState(open: Boolean = false, dir: String = "",
       entryTs: Long = 0L, entryPrice: Double = 0.0, duration: Int = 0,
-      maxDD: Double = 0.0, entries: List[Long] = Nil)
+      maxDD: Double = 0.0, entries: List[Long] = Nil,
+      maxSeenTs: Long = Long.MinValue)
 
   /** One bar through the state machine — the SINGLE implementation the
     * batch `mapPartitions` pass and the streaming

@@ -120,8 +120,12 @@ object StrategyOptimizer {
 
   final case class GenStats(generation: Int, maxProfit: Double, avgProfit: Double)
 
+  /** `sizing` is the account model the search actually ran under — the
+    * champion artifacts must be derived from it, not from defaults.
+    */
   final case class Result(best: Strategy, bestEval: Eval,
-      stats: Seq[GenStats], evaluations: Int, uniqueEvaluations: Int)
+      stats: Seq[GenStats], evaluations: Int, uniqueEvaluations: Int,
+      sizing: Sizing)
 
   /** The `optimizer_ga.py:97-137` main loop: maximize backtest profit
     * over the six-gene space. Evaluations memoize by genome — the GA
@@ -148,7 +152,7 @@ object StrategyOptimizer {
       val best = decode(r.best, base)
       Result(best, memo(r.best),
         r.stats.map(s => GenStats(s.generation, -s.bestFitness, -s.meanFitness)),
-        evals, memo.size)
+        evals, memo.size, sizing)
     } finally persisted.unpersist()
   }
 
@@ -185,5 +189,7 @@ object StrategyOptimizer {
       "threshold" -> r.best.params.threshold,
       "tp" -> r.best.params.tp,
       "sl" -> r.best.params.sl,
-      "order_size" -> orderSize(r.best))
+      // the sizing the search ran under — a default-Sizing order_size
+      // would not reproduce champion_profit from champion_price_profit
+      "order_size" -> orderSize(r.best, r.sizing))
 }

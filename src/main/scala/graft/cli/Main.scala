@@ -112,15 +112,22 @@ object Main {
         epochs = intOr("epochs", 60),
         lr = conf.get("learning_rate").map(_.toString.toDouble).getOrElse(0.1))
 
+      // the result tables are multi-union plans: cache before the
+      // write + count pair, or the count re-fires every per-split
+      // predict/aggregate job just to print a number
+      def writeCounted(results: org.apache.spark.sql.DataFrame): Long = {
+        results.cache()
+        try { Sources.writeCsv(results, out, Seq("Metric")); results.count() }
+        finally results.unpersist()
+      }
       str("load_model") match {
         case Some(modelDir) =>
           // main.py:265-272 — load and evaluate, no fit
-          val results = ForecastPipeline.resultsTable(
+          val n = writeCounted(ForecastPipeline.resultsTable(
             ForecastPipeline.evaluateSavedMetrics(spark, cfg,
-              head.getOrElse("mlp"), modelDir))
-          Sources.writeCsv(results, out, Seq("Metric"))
+              head.getOrElse("mlp"), modelDir)))
           println(s"[graft] evaluated saved model at $modelDir -> " +
-            s"${results.count()} result rows to $out")
+            s"$n result rows to $out")
         case None if str("use_optimizer").isDefined =>
           // main.py:274-291 — optimize, save champion params; the
           // optimization REPLACES the pipeline run, as in the reference
@@ -130,17 +137,16 @@ object Main {
             intOr("population_size", 6), intOr("generations", 3), mlpConf, optOut)
           println(s"[graft] optimized parameters saved to $optOut")
         case None =>
-          val results = head match {
+          val n = head match {
             case Some(h) =>
-              val r = ForecastPipeline.resultsTable(
+              val c = writeCounted(ForecastPipeline.resultsTable(
                 ForecastPipeline.modelMetrics(spark, cfg, nLags = 3, head = h,
-                  modelDir = str("save_model"), mlpConf = mlpConf))
-              Sources.writeCsv(r, out, Seq("Metric"))
+                  modelDir = str("save_model"), mlpConf = mlpConf)))
               str("save_model").foreach(d => println(s"[graft] saved model to $d"))
-              r
-            case None => ForecastPipeline.run(spark, cfg, Some(out))
+              c
+            case None => ForecastPipeline.run(spark, cfg, Some(out)).count()
           }
-          println(s"[graft] wrote ${results.count()} result rows to $out")
+          println(s"[graft] wrote $n result rows to $out")
       }
     }
   }
@@ -156,9 +162,19 @@ object Main {
       cfg: ForecastPipeline.Config, optimizer: String, populationSize: Int,
       generations: Int, mlpConf: ForecastPipeline.MlpConf,
       outFile: String): Map[String, Double] = {
+    // out-of-sample fitness only: silently falling back to the train
+    // split would reward memorization and persist a champion selected
+    // with zero held-out signal — surface the misconfiguration instead
     val valSplit =
       if (cfg.splits.contains("validation")) "validation"
-      else cfg.splits.keys.head
+      else if (cfg.splits.contains("test")) "test"
+      else throw new IllegalArgumentException(
+        "use_optimizer needs a held-out split: name x_validation_file " +
+          "(or x_test_file) in the config")
+    // the PRIMARY horizon scores the search (the reference optimizer's
+    // single-fitness shape); keying without the horizon would silently
+    // collapse multi-horizon rows to an arbitrary one
+    val h = cfg.horizons.head
     def fitness(params: Map[String, Double]): Double = {
       val mc = mlpConf.copy(
         hidden = math.max(2, params("hidden").round.toInt),
@@ -166,8 +182,9 @@ object Main {
       val rows = ForecastPipeline.modelMetrics(spark, cfg, nLags = 3,
           head = "mlp", mlpConf = mc)
         .collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
-      rows((valSplit, "MAE")) - rows((valSplit, "Naive MAE"))
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      rows((valSplit, "MAE", h)) - rows((valSplit, "Naive MAE", h))
     }
     val bounds = Seq("hidden" -> (2.0, 12.0), "lr" -> (0.02, 0.3))
     val best: Map[String, Double] = optimizer match {

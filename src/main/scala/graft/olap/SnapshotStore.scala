@@ -119,7 +119,7 @@ object SnapshotStore {
     * B's committed batch. The loser must restage on top of the new
     * current version (re-running [[commit]] does exactly that).
     */
-  def publish(staged: Staged): Unit = {
+  def publish(staged: Staged): Unit = withPublishLock(staged.tablePath) {
     val dir = Paths.get(staged.tablePath)
     require(Files.isDirectory(dir.resolve(staged.version)),
       s"staged snapshot ${staged.version} missing under ${staged.tablePath}")
@@ -150,6 +150,29 @@ object SnapshotStore {
       }
     } finally Files.deleteIfExists(tmp)
   }
+
+  /** Serializes the version check + manifest rename in [[publish]]: the
+    * monotonicity check alone is check-then-act — two publishers can
+    * both read the old current version, pass the check, and still land
+    * their renames in either order. An exclusive lock on a sidecar file
+    * makes check+rename one critical section across PROCESSES
+    * (`FileChannel.lock` is an OS advisory lock); the JVM-level monitor
+    * covers in-process concurrency, where a second `lock()` on the same
+    * file would throw `OverlappingFileLockException` instead of
+    * queueing.
+    */
+  private val publishMonitor = new Object
+  private def withPublishLock[A](tablePath: String)(body: => A): A =
+    publishMonitor.synchronized {
+      val lockPath = Paths.get(tablePath, ".publish.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
 
   /** stage + publish; returns the committed version name. */
   def commit(df: DataFrame, tablePath: String): String = {

@@ -473,15 +473,23 @@ object StreamOps {
       Iterator.empty
     } else {
       val batch = rows.toSeq.sortBy(_.ts)
-      var st = state.getOption.getOrElse(Backtest.BtState())
+      val prev = state.getOption.getOrElse(Backtest.BtState())
+      var st = prev
       val out = scala.collection.mutable.ListBuffer.empty[Backtest.Trade]
       batch.foreach { b =>
         val (next, closed) = Backtest.stepBar(sym, st, b, params)
         st = next
         closed.foreach(out += _)
       }
-      state.update(st)
-      if (batch.nonEmpty) arm(batch.map(_.ts).max)
+      // monotone eviction point: the arm is a function of the symbol's
+      // max event time across ALL batches (carried in BtState.maxSeenTs),
+      // not just this batch's — an in-lateness batch of older bars must
+      // never lower a previously armed point (silent early eviction)
+      val maxSeen =
+        if (batch.isEmpty) prev.maxSeenTs
+        else math.max(prev.maxSeenTs, batch.map(_.ts).max)
+      state.update(st.copy(maxSeenTs = maxSeen))
+      if (batch.nonEmpty) arm(maxSeen)
       out.iterator
     }
   }
@@ -503,8 +511,9 @@ object StreamOps {
     * differential structure), so batch ≡ streaming holds
     * value-for-value (spec-pinned in `StreamOpsSpec`). In-batch bars
     * sort by ts (deterministic); cross-batch arrival order is the feed
-    * contract. State is one O(1) [[graft.ts.TechIndicators.RecState]]
-    * per series — a live feature-serving path where an indicator value
+    * contract. State is one O(1) [[IndState]] (the pure
+    * [[graft.ts.TechIndicators.RecState]] plus the key's max event
+    * time) per series — a live feature-serving path where an indicator value
     * is emitted per bar as it arrives, with warm-up rows emitting
     * nulls exactly like the batch kernel.
     *
@@ -576,12 +585,23 @@ object StreamOps {
       case _ => bars
     }
     src.groupByKey(_.key)
-      .flatMapGroupsWithState[TechIndicators.RecState, IndicatorRow](
+      .flatMapGroupsWithState[IndState, IndicatorRow](
         OutputMode.Append(), timeoutConf) {
-        (key: String, rows: Iterator[IndicatorBar], state: GroupState[TechIndicators.RecState]) =>
+        (key: String, rows: Iterator[IndicatorBar], state: GroupState[IndState]) =>
           indicatorGroupStep(key, rows, state, conf, eviction)
       }
   }
+
+  /** Streaming state for [[streamingIndicators]]: the pure TA fold state
+    * plus the key's max event time across ALL batches, so the event-time
+    * eviction point is MONOTONE — `GroupState` exposes no getter for the
+    * armed timestamp, and re-arming from only the current batch's max
+    * would let an admitted out-of-order batch of older bars lower a
+    * previously armed point and evict (= reset warm-up) early.
+    */
+  final case class IndState(rec: graft.ts.TechIndicators.RecState =
+        graft.ts.TechIndicators.RecState(),
+      maxSeenTs: Long = Long.MinValue)
 
   /** Per-group step of [[streamingIndicators]], named so the
     * timeout/eviction branch is unit-testable with Spark's public
@@ -590,7 +610,7 @@ object StreamOps {
     * keeps the no-data micro-batch loop spinning).
     */
   def indicatorGroupStep(key: String, rows: Iterator[IndicatorBar],
-      state: GroupState[graft.ts.TechIndicators.RecState],
+      state: GroupState[IndState],
       conf: graft.ts.TechIndicators.RecursiveConfig,
       idleTimeout: Option[scala.concurrent.duration.Duration]): Iterator[IndicatorRow] =
     indicatorGroupStep(key, rows, state, conf,
@@ -598,7 +618,7 @@ object StreamOps {
 
   /** Eviction-policy face of the group step. */
   def indicatorGroupStep(key: String, rows: Iterator[IndicatorBar],
-      state: GroupState[graft.ts.TechIndicators.RecState],
+      state: GroupState[IndState],
       conf: graft.ts.TechIndicators.RecursiveConfig,
       eviction: IdleEviction): Iterator[IndicatorRow] = {
     import graft.ts.TechIndicators
@@ -607,7 +627,8 @@ object StreamOps {
       Iterator.empty
     } else {
       val batch = rows.toSeq.sortBy(_.ts)
-      var st = state.getOption.getOrElse(TechIndicators.RecState())
+      val prev = state.getOption.getOrElse(IndState())
+      var st = prev.rec
       val out = batch.map { b =>
         val (next, v) = TechIndicators.recursiveStep(st, b.high, b.low, b.close, conf)
         st = next
@@ -615,18 +636,23 @@ object StreamOps {
           if (java.lang.Double.isFinite(v(i))) Some(v(i)) else None
         IndicatorRow(key, b.ts, o(0), o(1), o(2), o(3), o(4), o(5), o(6), o(7), o(8))
       }
-      state.update(st)
+      val maxSeen =
+        if (batch.isEmpty) prev.maxSeenTs
+        else math.max(prev.maxSeenTs, batch.map(_.ts).max)
+      state.update(IndState(st, maxSeen))
       eviction match {
         case NeverEvict => ()
         case ProcessingTimeIdle(d) => state.setTimeoutDuration(d.toMillis)
         case EventTimeIdle(d, _) if batch.nonEmpty =>
-          // deterministic eviction point: this key's own max event time
-          // plus the idle budget — fired by watermark advance, so a
-          // replay evicts at the same bar boundary. Clamped just past
-          // the watermark: a late batch of old bars could otherwise
-          // propose a timestamp GroupStateImpl rejects.
+          // deterministic MONOTONE eviction point: the key's max event
+          // time across all batches plus the idle budget — fired by
+          // watermark advance, so a replay evicts at the same bar
+          // boundary and a late batch can only RE-ASSERT (never lower)
+          // the armed point. Clamped just past the watermark: a key
+          // first seen via late bars could otherwise propose a
+          // timestamp GroupStateImpl rejects.
           state.setTimeoutTimestamp(
-            math.max(batch.map(_.ts).max + d.toMillis,
+            math.max(maxSeen + d.toMillis,
               state.getCurrentWatermarkMs() + 1L))
         case _: EventTimeIdle => ()
       }

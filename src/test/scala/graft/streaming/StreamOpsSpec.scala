@@ -489,8 +489,8 @@ class StreamOpsSpec extends AnyFunSuite {
     import graft.ts.TechIndicators
     val conf = TechIndicators.RecursiveConfig()
     def bar(ts: Long) = StreamOps.IndicatorBar("x", ts, 101.0 + ts, 99.0 + ts, 100.0 + ts)
-    def freshState(opt: Optional[TechIndicators.RecState], timedOut: Boolean) =
-      TestGroupState.create[TechIndicators.RecState](
+    def freshState(opt: Optional[StreamOps.IndState], timedOut: Boolean) =
+      TestGroupState.create[StreamOps.IndState](
         opt, GroupStateTimeout.ProcessingTimeTimeout, 1000L,
         Optional.empty[Long],
         timedOut)
@@ -523,7 +523,7 @@ class StreamOpsSpec extends AnyFunSuite {
       conf, Some(10.minutes)).toVector
     assert(continued.head.ema.isDefined)
     // the bounded-key default (no idleTimeout) must not arm a timeout
-    val s5 = TestGroupState.create[TechIndicators.RecState](
+    val s5 = TestGroupState.create[StreamOps.IndState](
       Optional.empty(), GroupStateTimeout.NoTimeout, 1000L,
       Optional.empty[Long],
       false)
@@ -597,8 +597,8 @@ class StreamOpsSpec extends AnyFunSuite {
     val conf = TechIndicators.RecursiveConfig()
     // ts = epoch millis under the event-time contract
     def bar(ts: Long) = StreamOps.IndicatorBar("x", ts, 101.0, 99.0, 100.0)
-    def st(opt: Optional[TechIndicators.RecState], watermarkMs: Long, timedOut: Boolean) =
-      TestGroupState.create[TechIndicators.RecState](
+    def st(opt: Optional[StreamOps.IndState], watermarkMs: Long, timedOut: Boolean) =
+      TestGroupState.create[StreamOps.IndState](
         opt, GroupStateTimeout.EventTimeTimeout, 1000L,
         Optional.of(watermarkMs), timedOut)
     val idle = StreamOps.EventTimeIdle(5.minutes)
@@ -628,6 +628,16 @@ class StreamOpsSpec extends AnyFunSuite {
     val resumed = StreamOps.indicatorGroupStep("x",
       Iterator(bar(30.minutes.toMillis)), s3, conf, idle).toVector
     assert(resumed.head.ema.isEmpty)
+    // MONOTONE eviction point: an admitted in-lateness batch holding
+    // only OLDER bars must not LOWER the armed point — the state
+    // carries the key's max event time across batches, so the arm
+    // re-asserts 20s + d, not 5s + d (which would evict the state
+    // before the key's real event-time quiet reached the budget)
+    val carried2 = s1.get // maxSeenTs = 20_000 from batch 1
+    val sLate = st(Optional.of(carried2), watermarkMs = 6000L, timedOut = false)
+    StreamOps.indicatorGroupStep("x", Iterator(bar(5000L)), sLate, conf, idle).toVector
+    assert(sLate.getTimeoutTimestampMs.get == 20000L + 5.minutes.toMillis,
+      s"late batch lowered the eviction point: ${sLate.getTimeoutTimestampMs}")
     // a LATE batch (all bars far below the watermark) must not arm a
     // timestamp at/below the watermark — GroupStateImpl rejects those at
     // runtime; the arm clamps to watermark + 1ms instead
@@ -670,5 +680,16 @@ class StreamOpsSpec extends AnyFunSuite {
     val s2 = st()
     StreamOps.backtestGroupStep("x", Iterator(bar(2000000L)), s2, p, idle).toVector
     assert(s2.getTimeoutTimestampMs.get == 2000L + 1000L)
+    // MONOTONE: a late batch of older bars re-asserts the max-seen
+    // eviction point instead of lowering it (BtState.maxSeenTs)
+    val carried = s2.get
+    assert(carried.maxSeenTs == 2000000L)
+    val s3 = TestGroupState.create[Backtest.BtState](
+      Optional.of(carried), GroupStateTimeout.EventTimeTimeout, 1000L,
+      Optional.of(500L), false)
+    StreamOps.backtestGroupStep("x", Iterator(bar(1000000L)), s3, p, idle).toVector
+    assert(s3.getTimeoutTimestampMs.get == 2000L + 1000L,
+      s"late batch lowered the backtest eviction point: ${s3.getTimeoutTimestampMs}")
+    assert(s3.get.maxSeenTs == 2000000L)
   }
 }
