@@ -249,6 +249,37 @@ object ScaleProbe {
     //     the standing 100k probe for ~1.2× the rounds.
     // Prints a growth exponent per kernel: log10(t_1000x / t_100x) —
     // 1.0 = linear in the replication factor, <1 sublinear.
+    // round-13 extension: the events-axis kernels at the 1000× point
+    // (100M rows, 150k series) — generalizes the heavy-tail 1000× table
+    // to the r12-promoted shapes + the r13 queries. Sharded replica
+    // write (the layout lesson: compressed replicas must not collapse
+    // into single input splits).
+    if (want("r13e")) {
+      if (!new java.io.File("/tmp/scale1000/events.parquet").exists) {
+        val reps = spark.range(1000).withColumnRenamed("id", "rep")
+        base.crossJoin(reps)
+          .select(
+            (col("event_id") + col("rep") * 100000000L).as("event_id"),
+            col("ts"),
+            (col("user_id") + col("rep") * 10000L).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(512)
+          .write.mode("overwrite").parquet("/tmp/scale1000/events.parquet")
+      }
+      val qs = Seq("q61_percentiles_approx", "q106_minmax_norm",
+        "q107_daily_targets", "q108_mc_welford", "q109_delta_rescale",
+        "q110_fact_predictions", "q113_tdigest_values", "q114_strategy_grid")
+      qs.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+        .write.mode("overwrite").format("noop").save())
+      val times = qs.map { q =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, "/tmp/scale1000").write.mode("overwrite")
+          .format("noop").save()
+        f"$q=${(System.nanoTime() - t0) / 1e9}%.2f"
+      }
+      println(s"SCALE-R13E /tmp/scale1000 (100M rows): ${times.mkString(" ")}")
+    }
+
     // round-13 promoted queries on the events replicas: q113 (broadcast
     // count join + repartition(user) + in-partition sort + O(centroids)
     // sequential fold — axis = series count) and q114 (three independent
