@@ -93,8 +93,10 @@ object Backtest {
     } else {
       val signal = bar.pred - bar.close
       val entries = st.entries.filter(_ >= bar.ts - p.capWindow)
+      // st.copy, not a fresh BtState: the entry transition must not
+      // reset fields the state machine doesn't own (maxSeenTs)
       if (math.abs(signal) > p.threshold && entries.size < p.maxTradesPerWindow)
-        (BtState(open = true, dir = if (signal > 0) "long" else "short",
+        (st.copy(open = true, dir = if (signal > 0) "long" else "short",
           entryTs = bar.ts, entryPrice = bar.close, duration = 0,
           maxDD = 0.0, entries = bar.ts :: entries), None)
       else (st.copy(entries = entries), None)

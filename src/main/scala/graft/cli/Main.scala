@@ -144,7 +144,7 @@ object Main {
                   modelDir = str("save_model"), mlpConf = mlpConf)))
               str("save_model").foreach(d => println(s"[graft] saved model to $d"))
               c
-            case None => ForecastPipeline.run(spark, cfg, Some(out)).count()
+            case None => writeCounted(ForecastPipeline.run(spark, cfg, None))
           }
           println(s"[graft] wrote $n result rows to $out")
       }
@@ -167,8 +167,14 @@ object Main {
     // with zero held-out signal — surface the misconfiguration instead
     val valSplit =
       if (cfg.splits.contains("validation")) "validation"
-      else if (cfg.splits.contains("test")) "test"
-      else throw new IllegalArgumentException(
+      else if (cfg.splits.contains("test")) {
+        // loud, not silent: selecting on test contaminates it — its
+        // metrics are no longer held-out after this run
+        System.err.println("[graft] WARNING: no x_validation_file — " +
+          "scoring optimizer candidates on the TEST split; test metrics " +
+          "are no longer held-out for the champion")
+        "test"
+      } else throw new IllegalArgumentException(
         "use_optimizer needs a held-out split: name x_validation_file " +
           "(or x_test_file) in the config")
     // the PRIMARY horizon scores the search (the reference optimizer's

@@ -159,11 +159,16 @@ object SnapshotStore {
     * (`FileChannel.lock` is an OS advisory lock); the JVM-level monitor
     * covers in-process concurrency, where a second `lock()` on the same
     * file would throw `OverlappingFileLockException` instead of
-    * queueing.
+    * queueing. Monitors are PER TABLE (canonical path): a global one
+    * would hold the JVM lock while blocked on another process's file
+    * lock, stalling publishes of unrelated tables.
     */
-  private val publishMonitor = new Object
-  private def withPublishLock[A](tablePath: String)(body: => A): A =
-    publishMonitor.synchronized {
+  private val publishMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withPublishLock[A](tablePath: String)(body: => A): A = {
+    val key = Paths.get(tablePath).toAbsolutePath.normalize.toString
+    val monitor = publishMonitors.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
       val lockPath = Paths.get(tablePath, ".publish.lock")
       val ch = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE,
@@ -173,6 +178,7 @@ object SnapshotStore {
         try body finally lock.release()
       } finally ch.close()
     }
+  }
 
   /** stage + publish; returns the committed version name. */
   def commit(df: DataFrame, tablePath: String): String = {

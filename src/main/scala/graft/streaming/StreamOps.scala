@@ -389,6 +389,12 @@ object StreamOps {
     * advances less than capWindow, dropping cap entries the next bar
     * would still count. Replayed/backfilled feeds must use
     * [[EventTimeIdle]] (or [[NeverEvict]]).
+    *
+    * State-schema note: `BtState` gained `maxSeenTs` in r13 (the
+    * monotone-eviction fix). Spark's state-store schema check rejects a
+    * restart from a checkpoint written by the previous schema — resume
+    * such a query by replaying the feed into a fresh checkpoint (the
+    * batch face is the replay authority), not by deleting state blind.
     */
   def streamingBacktest(bars: Dataset[graft.backtest.Backtest.Bar],
       params: graft.backtest.Backtest.Params,
@@ -598,6 +604,9 @@ object StreamOps {
     * armed timestamp, and re-arming from only the current batch's max
     * would let an admitted out-of-order batch of older bars lower a
     * previously armed point and evict (= reset warm-up) early.
+    * (State-schema note: this wrapper replaced the bare `RecState` in
+    * r13 — a pre-r13 checkpoint cannot restart against it; replay the
+    * feed into a fresh checkpoint.)
     */
   final case class IndState(rec: graft.ts.TechIndicators.RecState =
         graft.ts.TechIndicators.RecState(),
