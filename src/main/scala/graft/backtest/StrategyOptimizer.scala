@@ -156,6 +156,46 @@ object StrategyOptimizer {
     } finally persisted.unpersist()
   }
 
+  /** One walk-forward fold: the champion found on everything BEFORE the
+    * fold window, and its performance ON the window it never saw.
+    */
+  final case class FoldResult(fold: Int, trainBars: Long, testBars: Long,
+      champion: Strategy, inSample: Eval, outOfSample: Eval)
+
+  /** Walk-forward validation — the overfit guard the reference's demo
+    * lacks (`optimizer_ga.py` optimizes and reports on the SAME 2014
+    * window): split the feed into `folds + 1` equal time slices, and
+    * for fold k = 1..folds optimize on every bar before slice k's start
+    * (expanding window) and evaluate the champion on slice k alone.
+    * A strategy that only memorized its training window shows up as
+    * in-sample profit ≫ out-of-sample profit across folds — the number
+    * a user must read before trusting a champion at scale. Each fold is
+    * a full seeded [[optimize]] run (distributed evaluations, memoized);
+    * the time cuts come from one min/max aggregate over the feed.
+    */
+  def walkForward(bars: Dataset[Backtest.Bar],
+      base: Backtest.Params = Backtest.Params(),
+      cfg: GeneticSearch.Config = GeneticSearch.Config(),
+      sizing: Sizing = Sizing(), folds: Int = 3): Seq[FoldResult] = {
+    require(folds >= 1, s"need at least one fold, got $folds")
+    val persisted = bars.persist()
+    try {
+      val mm = persisted.agg(min(col("ts")), max(col("ts"))).head()
+      require(!mm.isNullAt(0), "walkForward needs a non-empty bar feed")
+      val (tsMin, tsMax) = (mm.getLong(0), mm.getLong(1))
+      val slices = folds + 1
+      def cut(i: Int): Long = tsMin + (tsMax - tsMin + 1L) * i / slices
+      (1 to folds).map { k =>
+        val lo = cut(k); val hi = cut(k + 1)
+        val train = persisted.filter(col("ts") < lo)
+        val test = persisted.filter(col("ts") >= lo && col("ts") < hi)
+        val r = optimize(train, base, cfg, sizing)
+        FoldResult(k, train.count(), test.count(), r.best, r.bestEval,
+          evaluate(test, r.best, sizing))
+      }
+    } finally persisted.unpersist()
+  }
+
   private def num(v: Double): String =
     if (v.isNaN || v.isInfinite) "null"
     else java.lang.Double.toString(v)

@@ -116,6 +116,34 @@ class StrategyOptimizerSpec extends AnyFunSuite {
     }
   }
 
+  test("walkForward: expanding train windows, disjoint test slices, out-of-sample verdict") {
+    val bars = StrategyOptGoldenRun.fixtureBars(spark) // 3 symbols × 1200 bars
+    val cfg = GeneticSearch.Config(populationSize = 6, generations = 2, seed = 42L)
+    val fr = walkForward(bars, cfg = cfg, folds = 3)
+    assert(fr.map(_.fold) == Seq(1, 2, 3))
+    // expanding train (300/600/900 bars per symbol), equal disjoint test
+    // slices covering the rest of the feed
+    assert(fr.map(_.trainBars) == Seq(900L, 1800L, 2700L), fr.map(_.trainBars))
+    assert(fr.map(_.testBars) == Seq(900L, 900L, 900L), fr.map(_.testBars))
+    fr.foreach { f =>
+      // the champion was selected WITHOUT seeing the test slice; its
+      // out-of-sample eval ran on that slice alone (trade count bounded
+      // by what 900 bars can produce, never the training window's)
+      assert(f.inSample.nTrades >= 0 && f.outOfSample.nTrades <= 900,
+        s"fold ${f.fold}: ${f.outOfSample.nTrades} trades from 900 test bars")
+      Space.zip(Vector.fill(6)(0.0)).foreach { case ((k, (lo, hi)), _) =>
+        val v = f.champion.decoded(k)
+        assert(v >= lo && v <= hi, s"fold ${f.fold}: $k=$v outside [$lo,$hi]")
+      }
+    }
+    // deterministic: the same seeded walk reproduces fold champions
+    val fr2 = walkForward(bars, cfg = cfg, folds = 3)
+    assert(fr.map(_.champion.decoded) == fr2.map(_.champion.decoded))
+    assert(fr.map(_.outOfSample) == fr2.map(_.outOfSample))
+    // degenerate folds rejected
+    intercept[IllegalArgumentException] { walkForward(bars, folds = 0) }
+  }
+
   test("champion persists through fact_strategy_params and flattens back out") {
     val factPath = java.nio.file.Files.createTempDirectory("fact_strategy").toString
     val json = graft.ml.OptimizerStats.parametersJson(championParams(rerun))
