@@ -254,6 +254,43 @@ object ScaleProbe {
     // to the r12-promoted shapes + the r13 queries. Sharded replica
     // write (the layout lesson: compressed replicas must not collapse
     // into single input splits).
+    // round-13 ANN serving at the 1000× point (5M codes) — completes
+    // the r4 1×/10×/100× serving grid one decade further: index build
+    // must stay linear (bounded-sample fits + one assignment pass),
+    // flat ADC search linear in the code count, IVF-PQ search
+    // nProbe/nCells of it.
+    if (want("r13a")) {
+      val emb1k = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val reps = spark.range(1000).withColumnRenamed("id", "rep")
+      val corpus = emb1k.crossJoin(reps)
+        .select((col("vec_id") + col("rep") * 10000000L).as("vec_id"), col("v"))
+        .repartition(256)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count()
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val tIdx0 = System.nanoTime()
+      val idx = graft.similarity.Similarity.buildIvfPqIndex(
+        corpus, "vec_id", "v", nCells = 64, m = 8, ksub = 16)
+      val codes = idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      val tIdx = (System.nanoTime() - tIdx0) / 1e9
+      val t0 = System.nanoTime()
+      graft.similarity.Similarity.knnPq(queries, codes,
+          "qid", "vec_id", "qv", idx.codebooks, 10)
+        .write.mode("overwrite").format("noop").save()
+      val tFlat = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.similarity.Similarity.searchIvfPq(idx, queries, "qid", "qv",
+          nProbe = 8, k = 10)
+        .write.mode("overwrite").format("noop").save()
+      val tIvf = (System.nanoTime() - t1) / 1e9
+      println(f"SCALE-R13A ANN 1000x (5000000 codes): " +
+        f"index=$tIdx%.2f s flatPQsearch=$tFlat%.2f s ivfPQsearch=$tIvf%.2f s")
+      codes.unpersist(); corpus.unpersist()
+    }
+
     if (want("r13e")) {
       if (!new java.io.File("/tmp/scale1000/events.parquet").exists) {
         val reps = spark.range(1000).withColumnRenamed("id", "rep")
