@@ -709,17 +709,35 @@ object SparkEntry {
     * rank-error fraction) additionally lands in differential.json via
     * [[percentileDifferential]].
     */
-  private def q61(s: SparkSession, dir: String): DataFrame = {
-    val approxRows = q61Approx(s, dir)
-    val stacked = Q61Ps.map(p => approxRows.select(col("event_type"),
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    sketchRankVerdict(t(s, dir, "events"),
+      stackSketch(q61Approx(s, dir), Q61Ps),
+      col("n") / lit(Q61Accuracy.toDouble) + lit(1.0))
+
+  /** (group, p₁..pₖ wide) sketch relation → stacked (event_type, p, av)
+    * rows, one per (group, p) — the shape [[sketchRankVerdict]] joins
+    * back onto the events.
+    */
+  private def stackSketch(wide: DataFrame, ps: Seq[Double]): DataFrame =
+    ps.map(p => wide.select(col("event_type"),
         lit(p).as("p"), col(graft.metrics.Quantiles.label(p)).as("av")))
       .reduce(_.unionByName(_))
+
+  /** Shared contract-as-data verdict for sketch-valued percentile
+    * queries (q61/q115): sketch VALUES are merge-order-specific, so the
+    * driver-checkable output is the exact rank interval of each
+    * returned value vs the sketch's rank-error `bound` (a Column over
+    * `n`/`p`). Distributed: the #groups × #ps sketch rows broadcast
+    * back onto the events, one grouped count pass — no per-group value
+    * buffering anywhere, so the check itself holds at 100 TB.
+    */
+  private def sketchRankVerdict(ev: DataFrame, stacked: DataFrame,
+      bound: Column): DataFrame = {
     val target = col("p") * col("n")
     val err = when(target < col("rlt") + lit(1L), col("rlt") + lit(1L) - target)
       .when(target > col("rle"), target - col("rle"))
       .otherwise(lit(0.0))
-    val bound = col("n") / lit(Q61Accuracy.toDouble) + lit(1.0)
-    t(s, dir, "events").select(col("event_type"), col("value"))
+    ev.select(col("event_type"), col("value"))
       .join(broadcast(stacked), "event_type")
       .groupBy(col("event_type"), col("p"))
       .agg(
@@ -807,6 +825,60 @@ object SparkEntry {
       }
       .toDF("user_id", "n_centroids", "p50", "p90", "p99")
   }
+
+  private[graft] val Q115Ps = Seq(0.5, 0.9, 0.99)
+  private[graft] val Q115Compression = 100.0
+
+  /** The raw mergeable-digest relation behind q115 (and the t-digest
+    * differential / merge-invariance spec): one [[graft.metrics.TDigest.QuantilesAgg]]
+    * UDAF sketch per event_type.
+    */
+  private[graft] def q115Digest(s: SparkSession, dir: String): DataFrame =
+    graft.metrics.TDigest.grouped(
+      t(s, dir, "events"), Seq("event_type"), "value", Q115Ps, Q115Compression)
+
+  /** MERGEABLE t-digest percentiles — the distributed shape for
+    * quantiles over one giant key, completing the percentile triptych:
+    * q60 exact (oracle-only at scale), q61 approx_percentile (GK
+    * contract), q113 value-exact sequential fold (per-key state
+    * machine). This one is the shape you'd actually run when a single
+    * group holds 10¹⁰ values: `TDigest.QuantilesAgg` reduces map-side
+    * partials and merges them across the exchange like any built-in
+    * aggregate — bounded memory per group, no value buffering, no
+    * sort. The digest's VALUES depend on the merge tree (partition
+    * boundaries), so the driver-checkable output is the t-digest
+    * CONTRACT via [[sketchRankVerdict]]: the returned value's exact
+    * rank interval must sit within 8·n·p(1−p)/δ + 2 ranks of the
+    * target rank p·n — the quantile interpolates between two adjacent
+    * centroids, each k₁-capped at 4·n·q(1−q)/δ (`TDigest.compress`),
+    * so their half-weight sum is ≤ one cap; the factor-2 slack absorbs
+    * merge-tree degradation (a centroid's final quantile position can
+    * drift from where its cap was computed) and the +2 covers midpoint
+    * interpolation between two SINGLETON tail centroids, where the
+    * estimate legitimately sits ~1.5 ranks off target while the
+    * capacity term contributes < 1 (the small-n regime: measured 0.94
+    * of a +1 bound at sf0.001, 0.70 of this one). `MergeInvarianceSpec` pins that the verdict columns are
+    * identical from 1 through 200 shuffle partitions; violation = hash
+    * FAIL, and the quantitative margin lands in differential.json via
+    * [[tdigestDifferential]].
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    sketchRankVerdict(t(s, dir, "events"),
+      stackSketch(q115Digest(s, dir), Q115Ps),
+      lit(4.0) * lit(2.0) * col("n") * col("p") * (lit(1.0) - col("p"))
+        / lit(Q115Compression) + lit(2.0))
+
+  private val q115Sql =
+    """SELECT event_type, CAST(p AS DOUBLE) AS p,
+      | CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(4.0 AS DOUBLE) * CAST(2.0 AS DOUBLE) * COUNT(*) * p
+      |   * (CAST(1.0 AS DOUBLE) - p) / CAST(100.0 AS DOUBLE)
+      |   + CAST(2.0 AS DOUBLE) AS err_bound_ranks,
+      | TRUE AS within_bound
+      |FROM events
+      |CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+      |            (CAST(0.99 AS DOUBLE))) t(p)
+      |GROUP BY event_type, p""".stripMargin
 
   /** Nested experiment config synthesized per event row — shared input
     * shape for q62/q63 (the testdata has no nested-JSON column, so both
@@ -3079,11 +3151,29 @@ object SparkEntry {
     */
   def percentileDifferential(s: SparkSession, dir: String,
       accuracy: Int = 10000): (Long, Long, Double, Double, Double, Double) = {
-    val ps = Q61Ps
-    val approxRows = q61Approx(s, dir)
-    val stacked = ps.map(p => approxRows.select(col("event_type"),
-        lit(p).as("p"), col(graft.metrics.Quantiles.label(p)).as("av")))
-      .reduce(_.unionByName(_))
+    val (checks, violations, maxErrRanks, maxBoundRanks, maxErrOverBound) =
+      rankDifferential(s, dir, stackSketch(q61Approx(s, dir), Q61Ps),
+        (_, n) => n.toDouble / accuracy + 1.0) // +1 rank of slack
+    (checks, violations, maxErrRanks, maxBoundRanks, maxErrOverBound, 1.0 / accuracy)
+  }
+
+  /** Quantitative t-digest verdict for differential.json — q115's
+    * within_bound booleans with the margin numbers kept: how close the
+    * mergeable digest's worst (group, p) sits to the 8·n·p(1−p)/δ + 2
+    * rank bound.
+    */
+  def tdigestDifferential(s: SparkSession, dir: String)
+      : (Long, Long, Double, Double, Double) =
+    rankDifferential(s, dir, stackSketch(q115Digest(s, dir), Q115Ps),
+      (p, n) => 8.0 * n * p * (1.0 - p) / Q115Compression + 2.0)
+
+  /** Shared driver-side fold of [[sketchRankVerdict]]'s rank intervals:
+    * returns (checks, violations, maxErrRanks, maxBoundRanks,
+    * maxErrOverBound) under `boundFn(p, n)`.
+    */
+  private def rankDifferential(s: SparkSession, dir: String,
+      stacked: DataFrame, boundFn: (Double, Long) => Double)
+      : (Long, Long, Double, Double, Double) = {
     val ranks = t(s, dir, "events").select(col("event_type"), col("value"))
       .join(broadcast(stacked), "event_type")
       .groupBy(col("event_type"), col("p"))
@@ -3108,14 +3198,14 @@ object SparkEntry {
         if (target < rlt + 1) (rlt + 1) - target
         else if (target > rle) target - rle
         else 0.0
-      val bound = n.toDouble / accuracy + 1.0 // +1 rank of slack
+      val bound = boundFn(p, n)
       checks += 1
       if (err > bound) violations += 1
       maxErrRanks = math.max(maxErrRanks, err)
       maxBoundRanks = math.max(maxBoundRanks, bound)
       maxErrOverBound = math.max(maxErrOverBound, err / bound)
     }
-    (checks, violations, maxErrRanks, maxBoundRanks, maxErrOverBound, 1.0 / accuracy)
+    (checks, violations, maxErrRanks, maxBoundRanks, maxErrOverBound)
   }
 
   /** The BASELINE-comparable preprocessing+metrics path (SURVEY §7 slice
@@ -3412,7 +3502,8 @@ object SparkEntry {
     "q111_fact_trade_metrics" -> (q111 _),
     "q112_experiment_metrics" -> (q112 _),
     "q113_tdigest_values" -> (q113 _),
-    "q114_strategy_grid" -> (q114 _)
+    "q114_strategy_grid" -> (q114 _),
+    "q115_tdigest_mergeable" -> (q115 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3528,6 +3619,9 @@ object SparkEntry {
     // within_bound=TRUE per (group, p); a GK-bound violation on the
     // Spark side is a hash FAIL (see q61's scaladoc).
     "q61_percentiles_approx" -> q61Sql,
+    // Same pattern for the mergeable t-digest UDAF (q115): the t-digest
+    // rank bound 8·n·p(1−p)/δ + 2 asserted TRUE per (group, p).
+    "q115_tdigest_mergeable" -> q115Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
     // at any SF, no data-pinned literals.

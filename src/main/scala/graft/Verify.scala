@@ -56,7 +56,7 @@ object Verify {
     // SparkEntry.backtestDifferential) stays as a second, independent
     // check — check_oracle.py folds it in as extra rows.
     if (selected("q46_backtest_trades") || selected("q47_backtest_summary") ||
-        selected("q61_percentiles_approx")) {
+        selected("q61_percentiles_approx") || selected("q115_tdigest_mergeable")) {
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       if (selected("q46_backtest_trades") || selected("q47_backtest_summary"))
         try {
@@ -86,6 +86,20 @@ object Verify {
         } catch { case e: Throwable =>
           System.err.println(s"[verify] percentile differential failed: ${e.getMessage}")
           rows += s""""q61_percentiles_approx": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+        }
+      if (selected("q115_tdigest_mergeable"))
+        try {
+          // same rank-denominated fields as q61, under the t-digest bound
+          // 8·n·p(1−p)/δ + 2 (see SparkEntry.q115's scaladoc)
+          val (checks, viols, maxErrRanks, maxBoundRanks, maxErrOverBound) =
+            SparkEntry.tdigestDifferential(spark, sfDir)
+          rows += s""""q115_tdigest_mergeable": {"diff_match": ${viols == 0 && checks > 0}, """ +
+            s""""rank_checks": $checks, "violations": $viols, """ +
+            s""""max_err_ranks": $maxErrRanks, "err_bound_ranks": $maxBoundRanks, """ +
+            s""""max_err_over_bound": $maxErrOverBound}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] t-digest differential failed: ${e.getMessage}")
+          rows += s""""q115_tdigest_mergeable": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
         }
       Files.writeString(Paths.get(s"$outDir/differential.json"),
         rows.mkString("{", ",\n ", "}"))

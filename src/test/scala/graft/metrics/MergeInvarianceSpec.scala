@@ -1,0 +1,84 @@
+package graft.metrics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** q115's driver contract, pinned: the mergeable t-digest's VERDICT
+  * columns (group, p, n, err_bound_ranks, within_bound) must be
+  * invariant to the merge tree. Shuffle partitioning / input
+  * partitioning change which partials exist and the order
+  * `QuantilesAgg.merge` combines them — the digest's VALUES legitimately
+  * move — but the rank-contract verdict may never flip, or the driver
+  * row would be partition-count-dependent (the r12 q61 lesson: the
+  * driver runs Spark-default 200 shuffle partitions, the tuned session
+  * runs 32, and both must hash to the oracle's all-TRUE rows).
+  */
+class MergeInvarianceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withShufflePartitions[A](n: String)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("q115 verdict rows are identical from 1 to 200 shuffle partitions") {
+    val runs = Seq("1", "7", "200").map { sp =>
+      sp -> withShufflePartitions(sp) {
+        SparkEntry.queries("q115_tdigest_mergeable")(spark, sfDir)
+          .collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+            r.getDouble(3), r.getBoolean(4)))
+          .sortBy(t => (t._1, t._2))
+          .toSeq
+      }
+    }
+    runs.foreach { case (sp, rows) =>
+      assert(rows.nonEmpty, s"sp=$sp produced no verdict rows")
+      assert(rows.forall(_._5), s"sp=$sp bound violation: ${rows.filterNot(_._5)}")
+    }
+    val (_, ref) = runs.head
+    runs.tail.foreach { case (sp, rows) =>
+      assert(rows == ref, s"verdict rows differ at sp=$sp vs sp=${runs.head._1}")
+    }
+  }
+
+  test("kernel: rank error stays within 8·n·p(1−p)/δ + 2 across input partitionings") {
+    // TDigestSpec's skewed shape (log-normal two-group), tail p = 0.999
+    // included: tail capacity 4·n·q(1−q)/δ < 1 means near-singleton
+    // centroids there, so the tight absolute bound is genuinely testable
+    val rnd = new scala.util.Random(13)
+    val a = (0 until 20000).map(_ => ("a", math.exp(rnd.nextGaussian() * 1.5)))
+    val b = (0 until 20000).map(_ => ("b", 100.0 * math.exp(rnd.nextGaussian() * 0.8)))
+    val skewed = (a ++ b).toDF("g", "v")
+    val ps = Seq(0.5, 0.9, 0.99, 0.999)
+    val compression = 100.0
+    val exact = Map(
+      "a" -> a.map(_._2).sorted.toArray,
+      "b" -> b.map(_._2).sorted.toArray)
+    for (reps <- Seq(1, 4, 32)) {
+      val est = TDigest.grouped(skewed.repartition(reps), Seq("g"), "v", ps, compression)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+      for (g <- Seq("a", "b"); (p, i) <- ps.zipWithIndex) {
+        val values = exact(g)
+        val n = values.length
+        val v = est(g)(i)
+        val rle = values.count(_ <= v).toLong
+        val rlt = values.count(_ < v).toLong
+        val target = p * n
+        val err =
+          if (target < rlt + 1) (rlt + 1) - target
+          else if (target > rle) target - rle
+          else 0.0
+        val bound = 8.0 * n * p * (1.0 - p) / compression + 2.0
+        assert(err <= bound,
+          s"reps=$reps g=$g p=$p err=$err > bound=$bound (est=$v)")
+      }
+    }
+  }
+}
