@@ -3167,6 +3167,104 @@ object SparkEntry {
     rankDifferential(s, dir, stackSketch(q115Digest(s, dir), Q115Ps),
       (p, n) => 8.0 * n * p * (1.0 - p) / Q115Compression + 2.0)
 
+  /** Batch≡streaming differential for the quantile family (the
+    * q46/q47 pattern): the events feed, keyed by event_type, replays
+    * through `StreamOps.streamingQuantiles` (the §2.10 face of q115's
+    * mergeable t-digest) in `chunks` deterministic micro-batches, and
+    * three verdicts are recorded:
+    *
+    *  1. `foldMatch` — the stream's FULL emission history (every
+    *     live-update row) equals a driver-side replay of the same
+    *     chunks through the same `QuantilesAgg` fold, bit-for-bit:
+    *     state carry, in-batch ordering, and loss/duplication are all
+    *     pinned (the digest is deterministic GIVEN chunk boundaries;
+    *     the boundaries are fixed by the (ts, event_id) sort).
+    *  2. `nMatch` — each key's final count equals the batch count.
+    *  3. the final streaming digest per key obeys q115's rank bound
+    *     (8·n·p(1−p)/δ + 2) against the exact sorted values — stream
+    *     and batch-UDAF merge trees differ, so the CONTRACT is their
+    *     shared invariant, exactly as across shuffle partitionings.
+    *
+    * The tick collect is capped like [[backtestDifferential]]'s
+    * (deterministic (ts, event_id)-prefix; cap never binds at verify
+    * scale). Returns (ticks, keys, foldMatch, nMatch, violations,
+    * maxErrOverBound).
+    */
+  def streamingQuantilesDifferential(s: SparkSession, dir: String,
+      chunks: Int = 3, maxTicks: Int = 2000000)
+      : (Long, Long, Boolean, Boolean, Long, Double) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.streaming.StreamOps
+    val ps = Q115Ps
+    val agg = new graft.metrics.TDigest.QuantilesAgg(ps, Q115Compression)
+    val src = t(s, dir, "events").select(col("event_type").as("key"),
+      unix_micros(col("ts")).as("ts"), col("value"), col("event_id"))
+    val capped = src.limit(maxTicks + 1).count() > maxTicks
+    val base = if (capped) src.orderBy(col("ts"), col("event_id")).limit(maxTicks)
+      else src
+    val raw = base.as[(String, Long, Double, Long)].collect()
+      .sortBy(r => (r._2, r._4)) // (ts, event_id): total, data-deterministic
+    val ticks = raw.map(r => StreamOps.QuantileTick(r._1, r._2, r._3))
+    val mem = MemoryStream[StreamOps.QuantileTick]
+    val name = s"qdiff_${math.abs(dir.hashCode)}"
+    val q = StreamOps.streamingQuantiles(mem.toDS(), ps, Q115Compression)
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    val streamRows =
+      try {
+        val per = math.max(1, (ticks.length + chunks - 1) / chunks)
+        ticks.grouped(per).foreach { c =>
+          mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+        }
+        s.table(name).as[StreamOps.QuantileRow].collect().toSeq
+      } finally q.stop()
+    // driver-side replay of the same chunk sequence through the same fold
+    val bufs = scala.collection.mutable.Map.empty[String, graft.metrics.TDigest.Buf]
+    val ns = scala.collection.mutable.Map.empty[String, Long]
+    val replay = scala.collection.mutable.ArrayBuffer.empty[StreamOps.QuantileRow]
+    val per = math.max(1, (ticks.length + chunks - 1) / chunks)
+    ticks.grouped(per).foreach { chunk =>
+      chunk.groupBy(_.key).foreach { case (k, ks) =>
+        var buf = bufs.getOrElse(k, graft.metrics.TDigest.Buf(Array.empty, Array.empty))
+        ks.sortBy(t => (t.ts, t.value)).foreach(t => buf = agg.reduce(buf, t.value))
+        bufs(k) = buf
+        val n = ns.getOrElse(k, 0L) + ks.length
+        ns(k) = n
+        replay += StreamOps.QuantileRow(k, n, closed = false, agg.finish(buf))
+      }
+    }
+    def sorted(rs: Seq[StreamOps.QuantileRow]) =
+      rs.sortBy(r => (r.key, r.n)).map(r =>
+        (r.key, r.n, r.closed, r.quantiles.toList))
+    val foldMatch = sorted(streamRows) == sorted(replay.toSeq)
+    // final digest per key: count parity + q115's rank contract
+    val valuesByKey = raw.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._3).sorted }
+    var nMatch = streamRows.nonEmpty
+    var violations = 0L
+    var maxOver = 0.0
+    streamRows.groupBy(_.key).foreach { case (k, rs) =>
+      val fin = rs.maxBy(_.n)
+      val values = valuesByKey(k)
+      val n = values.length
+      if (fin.n != n) nMatch = false
+      ps.zip(fin.quantiles).foreach { case (p, v) =>
+        val rle = values.count(_ <= v).toLong
+        val rlt = values.count(_ < v).toLong
+        val target = p * n
+        val err =
+          if (target < rlt + 1) (rlt + 1) - target
+          else if (target > rle) target - rle
+          else 0.0
+        val bound = 8.0 * n * p * (1.0 - p) / Q115Compression + 2.0
+        if (err > bound) violations += 1
+        maxOver = math.max(maxOver, err / bound)
+      }
+    }
+    (ticks.length.toLong, valuesByKey.size.toLong, foldMatch, nMatch,
+      violations, maxOver)
+  }
+
   /** Shared driver-side fold of [[sketchRankVerdict]]'s rank intervals:
     * returns (checks, violations, maxErrRanks, maxBoundRanks,
     * maxErrOverBound) under `boundFn(p, n)`.

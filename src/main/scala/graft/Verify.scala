@@ -101,6 +101,21 @@ object Verify {
           System.err.println(s"[verify] t-digest differential failed: ${e.getMessage}")
           rows += s""""q115_tdigest_mergeable": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
         }
+      if (selected("q115_tdigest_mergeable"))
+        try {
+          // batch≡streaming for the quantile family: full emission
+          // history == driver replay (exact), final counts == batch,
+          // final stream digest within q115's rank bound
+          val (ticks, keys, foldMatch, nMatch, viols, maxOver) =
+            SparkEntry.streamingQuantilesDifferential(spark, sfDir)
+          rows += s""""q115_streaming_quantiles": {"diff_match": ${foldMatch && nMatch && viols == 0 && keys > 0}, """ +
+            s""""ticks": $ticks, "keys": $keys, "fold_match": $foldMatch, """ +
+            s""""n_match": $nMatch, "violations": $viols, """ +
+            s""""max_err_over_bound": $maxOver}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] streaming quantiles differential failed: ${e.getMessage}")
+          rows += s""""q115_streaming_quantiles": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+        }
       Files.writeString(Paths.get(s"$outDir/differential.json"),
         rows.mkString("{", ",\n ", "}"))
     }

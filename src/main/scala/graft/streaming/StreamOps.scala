@@ -669,6 +669,121 @@ object StreamOps {
     }
   }
 
+  case class QuantileTick(key: String, ts: Long, value: Double)
+
+  /** Streaming state for [[streamingQuantiles]]: the mergeable t-digest
+    * buffer (encoder-friendly arrays, ≤ maxUnmerged + centroids entries),
+    * the running count, and the key's max event time across ALL batches
+    * (the [[IndState]] pattern — monotone event-time arming).
+    */
+  final case class QuantState(means: Array[Double], weights: Array[Double],
+      n: Long, maxSeenTs: Long)
+
+  /** One live-quantile emission: the key's t-digest quantile estimates
+    * over everything seen so far (`closed=false`, one per batch that
+    * touches the key) or the terminal estimates emitted when the key's
+    * state evicts on idle timeout (`closed=true`).
+    */
+  case class QuantileRow(key: String, n: Long, closed: Boolean,
+      quantiles: Seq[Double])
+
+  /** Streaming percentiles — the §2.10 face of the quantile family
+    * (q60 exact / q61 GK sketch / q113 sequential value-exact / q115
+    * mergeable t-digest): one `flatMapGroupsWithState` group per key
+    * folding the SAME mergeable sketch as the batch path
+    * (`TDigest.QuantilesAgg.reduce` — q115's UDAF), so the streaming
+    * state is exactly a batch partial aggregate that never finalizes.
+    * Emits the key's current quantile estimates on every batch that
+    * touches it (Update mode — live telemetry), and, under an eviction
+    * policy, a terminal `closed=true` row when the key idles out
+    * ([[EventTimeIdle]]: the watermark passes max-seen-event-time +
+    * timeout — deterministic, replayable; [[ProcessingTimeIdle]]:
+    * wall-clock, with the same non-replayability caveat as
+    * [[streamingIndicators]]).
+    *
+    * Batch ≡ streaming contract (recorded per round in
+    * differential.json via `SparkEntry.streamingQuantilesDifferential`):
+    * in-batch rows fold in (ts, value) order, so the full emission
+    * history is a deterministic function of the chunk boundaries — a
+    * driver-side replay of the same chunks through the same
+    * `QuantilesAgg` reproduces every row bit-for-bit — and the final
+    * digest per key obeys the same rank bound as q115 (the VALUES are
+    * merge-tree-specific; stream vs batch-UDAF trees differ, their
+    * shared contract is the bound).
+    */
+  def streamingQuantiles(ticks: Dataset[QuantileTick], ps: Seq[Double],
+      compression: Double = 100.0, maxUnmerged: Int = 256,
+      eviction: IdleEviction = NeverEvict): Dataset[QuantileRow] = {
+    import ticks.sparkSession.implicits._
+    val agg = new graft.metrics.TDigest.QuantilesAgg(ps, compression, maxUnmerged)
+    val timeoutConf = eviction match {
+      case NeverEvict => GroupStateTimeout.NoTimeout()
+      case _: ProcessingTimeIdle => GroupStateTimeout.ProcessingTimeTimeout()
+      case _: EventTimeIdle => GroupStateTimeout.EventTimeTimeout()
+    }
+    // QuantileTick.ts is epoch MILLIS for the watermark/timeout
+    // arithmetic, exactly like IndicatorBar
+    val src = eviction match {
+      case EventTimeIdle(_, lateness) =>
+        ticks.withColumn("__evt", timestamp_millis(col("ts")))
+          .withWatermark("__evt", s"${math.max(0L, lateness.toMillis)} milliseconds")
+          .as[QuantileTick]
+      case _ => ticks
+    }
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState[QuantState, QuantileRow](
+        OutputMode.Update(), timeoutConf) {
+        (key: String, rows: Iterator[QuantileTick], state: GroupState[QuantState]) =>
+          quantilesGroupStep(key, rows, state, agg, eviction)
+      }
+  }
+
+  /** Per-group step of [[streamingQuantiles]], named so the
+    * timeout/eviction branch is unit-testable with `TestGroupState`
+    * (the r11 lesson — don't drive stateful timeouts through
+    * MemoryStream).
+    */
+  def quantilesGroupStep(key: String, rows: Iterator[QuantileTick],
+      state: GroupState[QuantState],
+      agg: graft.metrics.TDigest.QuantilesAgg,
+      eviction: IdleEviction): Iterator[QuantileRow] = {
+    import graft.metrics.TDigest
+    if (state.hasTimedOut) {
+      val terminal = state.getOption.collect { case q if q.n > 0 =>
+        QuantileRow(key, q.n, closed = true,
+          agg.finish(TDigest.Buf(q.means, q.weights)))
+      }
+      state.remove()
+      terminal.iterator
+    } else {
+      // deterministic in-batch fold order; equal (ts, value) pairs are
+      // interchangeable under reduce, so this is a total order on the
+      // fold RESULT even when ties exist
+      val batch = rows.toSeq.sortBy(t => (t.ts, t.value))
+      if (batch.isEmpty) Iterator.empty
+      else {
+        val prev = state.getOption
+          .getOrElse(QuantState(Array.empty, Array.empty, 0L, Long.MinValue))
+        var buf = TDigest.Buf(prev.means, prev.weights)
+        batch.foreach(t => buf = agg.reduce(buf, t.value))
+        val n = prev.n + batch.size
+        val maxSeen = math.max(prev.maxSeenTs, batch.map(_.ts).max)
+        state.update(QuantState(buf.means, buf.weights, n, maxSeen))
+        eviction match {
+          case NeverEvict => ()
+          case ProcessingTimeIdle(d) => state.setTimeoutDuration(d.toMillis)
+          case EventTimeIdle(d, _) =>
+            // monotone arming clamped past the watermark — see
+            // indicatorGroupStep's scaladoc for both invariants
+            state.setTimeoutTimestamp(
+              math.max(maxSeen + d.toMillis,
+                state.getCurrentWatermarkMs() + 1L))
+        }
+        Iterator.single(QuantileRow(key, n, closed = false, agg.finish(buf)))
+      }
+    }
+  }
+
   /** Stateful per-key accumulator via flatMapGroupsWithState — the
     * streaming analog of the backtest's per-series position state:
     * arbitrary state survives across micro-batches, one state object per
