@@ -3007,6 +3007,51 @@ object SparkEntry {
          |)""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** `fact_strategy_params` as a driver query — the OLAP landing of the
+    * strategy-optimizer champion (`olap_schema_postgres.sql:80-87`; the
+    * walk-forward loader face is
+    * `StrategyOptimizer.walkForwardFactRows` →
+    * `OlapEtl.loadFactStrategyParamsRows`, SnapshotStore-committed and
+    * round-tripped in `StrategyOptimizerSpec`): the grid champion —
+    * argmax total_profit over the q114 evaluation kernel, param_id
+    * tie-break — becomes the fact's JSONB params payload (both engines
+    * build the identical JSON text from the same walked values, the
+    * q63 discipline) and flattens back out through
+    * `OlapEtl.deepConfigKv` (J5's recursive JSONB flatten). Champion
+    * selection is a TakeOrdered over the 3 aggregate rows — no window,
+    * no shuffle beyond q114's own backtests.
+    */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val champ = q114(s, dir)
+      .orderBy(col("total_profit").desc, col("param_id")).limit(1)
+    val payload = concat(
+      lit("""{"strategy_name":"grid_champion","threshold":"""),
+      col("threshold").cast("string"),
+      lit(""","tp":"""), col("tp").cast("string"),
+      lit(""","sl":"""), col("sl").cast("string"),
+      lit(""","n_trades":"""), col("n_trades").cast("string"),
+      lit("}"))
+    val fact = champ.select(
+      lit("exp_grid").as("experiment_key"),
+      lit("grid_champion").as("strategy_name"),
+      lit("1h").as("freq"),
+      payload.as("params"))
+    graft.olap.OlapEtl.deepConfigKv(fact, "strategy_name", "params")
+  }
+
+  private def q116Sql: String =
+    s"""WITH eval AS (
+       |${q114Sql}
+       |), champ AS (
+       |  SELECT * FROM eval ORDER BY total_profit DESC, param_id LIMIT 1)
+       |SELECT 'grid_champion' AS strategy_name,
+       |       'strategy_name' AS conf_path, 'grid_champion' AS conf_value
+       |FROM champ
+       |UNION ALL SELECT 'grid_champion', 'threshold', CAST(threshold AS VARCHAR) FROM champ
+       |UNION ALL SELECT 'grid_champion', 'tp', CAST(tp AS VARCHAR) FROM champ
+       |UNION ALL SELECT 'grid_champion', 'sl', CAST(sl AS VARCHAR) FROM champ
+       |UNION ALL SELECT 'grid_champion', 'n_trades', CAST(n_trades AS VARCHAR) FROM champ""".stripMargin
+
   /** Legacy OLAP fact_trade_metrics as a driver query
     * (`olap_schema_postgres.sql:66-78`; loader face =
     * `OlapEtl.tradeMetrics`): one strategy-results row per symbol
@@ -3601,7 +3646,8 @@ object SparkEntry {
     "q112_experiment_metrics" -> (q112 _),
     "q113_tdigest_values" -> (q113 _),
     "q114_strategy_grid" -> (q114 _),
-    "q115_tdigest_mergeable" -> (q115 _)
+    "q115_tdigest_mergeable" -> (q115 _),
+    "q116_strategy_fact" -> (q116 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3713,6 +3759,8 @@ object SparkEntry {
     "q113_tdigest_values" -> graft.oracle.TDigestOracle.q113Sql(Q113Compression),
     // strategy grid: one BacktestOracle walk per parameter set
     "q114_strategy_grid" -> q114Sql,
+    // grid champion → fact_strategy_params payload → JSONB flatten
+    "q116_strategy_fact" -> q116Sql,
     // The sketch contract emitted as data: the oracle asserts
     // within_bound=TRUE per (group, p); a GK-bound violation on the
     // Spark side is a hash FAIL (see q61's scaladoc).

@@ -185,12 +185,21 @@ object StrategyOptimizer {
       val (tsMin, tsMax) = (mm.getLong(0), mm.getLong(1))
       val slices = folds + 1
       def cut(i: Int): Long = tsMin + (tsMax - tsMin + 1L) * i / slices
+      // fold metadata in ONE pass: per-slice conditional counts over the
+      // persisted feed (cumulative prefix = the fold's expanding train
+      // size) instead of two count() actions per fold
+      val sliceExprs = (1 to slices).map(j =>
+        sum(when(col("ts") >= cut(j - 1) && col("ts") < cut(j), 1L)
+          .otherwise(0L)).as(s"c$j"))
+      val sliceRow = persisted.agg(sliceExprs.head, sliceExprs.tail: _*).head()
+      val sliceCounts = (0 until slices).map(sliceRow.getLong)
+      val trainCum = sliceCounts.scanLeft(0L)(_ + _)
       (1 to folds).map { k =>
         val lo = cut(k); val hi = cut(k + 1)
         val train = persisted.filter(col("ts") < lo)
         val test = persisted.filter(col("ts") >= lo && col("ts") < hi)
         val r = optimize(train, base, cfg, sizing)
-        FoldResult(k, train.count(), test.count(), r.best, r.bestEval,
+        FoldResult(k, trainCum(k), sliceCounts(k), r.best, r.bestEval,
           evaluate(test, r.best, sizing))
       }
     } finally persisted.unpersist()
@@ -225,11 +234,65 @@ object StrategyOptimizer {
     * state-machine params they decode to.
     */
   def championParams(r: Result): Map[String, Double] =
-    r.best.decoded ++ Map(
-      "threshold" -> r.best.params.threshold,
-      "tp" -> r.best.params.tp,
-      "sl" -> r.best.params.sl,
+    championParams(r.best, r.sizing)
+
+  /** Per-strategy face of [[championParams]] (walk-forward fold
+    * champions carry the fold's sizing explicitly).
+    */
+  def championParams(s: Strategy, sizing: Sizing): Map[String, Double] =
+    s.decoded ++ Map(
+      "threshold" -> s.params.threshold,
+      "tp" -> s.params.tp,
+      "sl" -> s.params.sl,
       // the sizing the search ran under — a default-Sizing order_size
       // would not reproduce champion_profit from champion_price_profit
-      "order_size" -> orderSize(r.best, r.sizing))
+      "order_size" -> orderSize(s, sizing))
+
+  /** Walk-forward fold champions as `fact_strategy_params` upsert rows
+    * (`olap_schema_postgres.sql:80-87` grain: experiment ×
+    * strategy_name): one row per fold, `strategy_name =
+    * wf_fold_<k>_champion`, params = the [[championParams]] JSON the
+    * single-champion path persists. Load with
+    * `OlapEtl.loadFactStrategyParamsRows` — ONE SnapshotStore
+    * upsert/commit for the whole walk, not one commit per fold.
+    */
+  def walkForwardFactRows(spark: org.apache.spark.sql.SparkSession,
+      experimentKey: String, freq: String, folds: Seq[FoldResult],
+      sizing: Sizing = Sizing()): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    folds.map { f =>
+      (experimentKey, s"wf_fold_${f.fold}_champion", freq,
+        graft.ml.OptimizerStats.parametersJson(
+          championParams(f.champion, sizing)))
+    }.toDF("experiment_key", "strategy_name", "freq", "params")
+  }
+
+  /** `*_walkforward_stats.json`: per-fold champion + in/out-of-sample
+    * profit — the overfit report [[walkForward]] exists to produce
+    * (in-sample ≫ out-of-sample across folds = the champion memorized
+    * its training window). Champion blocks are the same flat dict as
+    * [[championParams]], so the stats file and the
+    * `fact_strategy_params` payloads cross-check key-for-key.
+    */
+  def walkForwardStatsJson(folds: Seq[FoldResult], totalSeconds: Double,
+      sizing: Sizing = Sizing()): String = {
+    def evalJson(e: Eval): String =
+      s"""{"price_profit": ${num(e.priceProfit)}, "n_trades": ${e.nTrades}, """ +
+        s""""cash_profit": ${num(e.cashProfit)}}"""
+    val foldRows = folds.map { f =>
+      s"""{"fold": ${f.fold}, "train_bars": ${f.trainBars}, """ +
+        s""""test_bars": ${f.testBars}, """ +
+        s""""in_sample": ${evalJson(f.inSample)}, """ +
+        s""""out_of_sample": ${evalJson(f.outOfSample)}, """ +
+        s""""champion": ${graft.ml.OptimizerStats.parametersJson(
+          championParams(f.champion, sizing))}}"""
+    }.mkString("[", ", ", "]")
+    def mean(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sum / xs.size
+    s"""{"optimizer_type": "ga_backtest_walkforward", """ +
+      s""""total_time_elapsed": ${num(totalSeconds)}, """ +
+      s""""folds": $foldRows, """ +
+      s""""mean_in_sample_profit": ${num(mean(folds.map(_.inSample.cashProfit)))}, """ +
+      s""""mean_out_of_sample_profit": ${num(mean(folds.map(_.outOfSample.cashProfit)))}}"""
+  }
 }

@@ -264,8 +264,20 @@ object OlapEtl {
       strategyName: String, freq: String, paramsJson: String,
       factPath: String): DataFrame = {
     import spark.implicits._
-    val updates = Seq((experimentKey, strategyName, freq, paramsJson))
-      .toDF("experiment_key", "strategy_name", "freq", "params")
+    loadFactStrategyParamsRows(spark,
+      Seq((experimentKey, strategyName, freq, paramsJson))
+        .toDF("experiment_key", "strategy_name", "freq", "params"),
+      factPath)
+  }
+
+  /** Multi-row face of [[loadFactStrategyParams]]: a batch of
+    * (experiment_key, strategy_name, freq, params) rows — e.g. the
+    * walk-forward fold champions from
+    * `StrategyOptimizer.walkForwardFactRows` — lands as ONE
+    * SnapshotStore upsert/commit, not one commit per row.
+    */
+  def loadFactStrategyParamsRows(spark: SparkSession, updates: DataFrame,
+      factPath: String): DataFrame = {
     val merged = upsert(SnapshotStore.read(spark, factPath), updates,
       Seq("experiment_key", "strategy_name"))
     SnapshotStore.commit(merged, factPath)

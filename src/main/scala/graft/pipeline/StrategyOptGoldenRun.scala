@@ -34,6 +34,15 @@ object StrategyOptGoldenRun {
   val GaConfig: GeneticSearch.Config =
     GeneticSearch.Config(populationSize = 12, generations = 6, seed = 42L)
 
+  /** Walk-forward GA scale: each fold is a full [[GaConfig]]-style
+    * search, so the per-fold budget stays smaller (3 folds × ~18
+    * evaluations) to keep the committed artifact cheap to regenerate.
+    */
+  val WfConfig: GeneticSearch.Config =
+    GeneticSearch.Config(populationSize = 6, generations = 2, seed = 42L)
+
+  val WfFolds = 3
+
   /** Deterministic momentum-walk bar fixture: 3 symbols × 1200 bars.
     * Price follows an AR(1)-trend random walk and the prediction is an
     * imperfect momentum forecast (trend × horizon + noise), so the
@@ -84,6 +93,26 @@ object StrategyOptGoldenRun {
     println(f"strategy GA golden written to $outDir%s (champion profit=" +
       f"${result.bestEval.cashProfit}%.2f over ${result.bestEval.nTrades}%d trades, " +
       f"${result.uniqueEvaluations}%d unique evals, $totalSec%.1f s)")
+
+    // walk-forward leg: fold champions + out-of-sample verdicts, then
+    // the same champions END-TO-END through the OLAP loader into a
+    // SnapshotStore-committed fact_strategy_params (transactional
+    // manifest-swap commit; the golden artifact pins the stats JSON,
+    // StrategyOptimizerSpec replays the walk and the loader round-trip)
+    val t1 = System.nanoTime()
+    val folds = StrategyOptimizer.walkForward(fixtureBars(spark),
+      base = Backtest.Params(), cfg = WfConfig, folds = WfFolds)
+    val wfSec = (System.nanoTime() - t1) / 1e9
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/graft_backtest_ga_walkforward_stats.json"),
+      StrategyOptimizer.walkForwardStatsJson(folds, wfSec))
+    val factPath = java.nio.file.Files
+      .createTempDirectory("wf_fact_strategy").toString
+    val fact = graft.olap.OlapEtl.loadFactStrategyParamsRows(spark,
+      StrategyOptimizer.walkForwardFactRows(spark, "exp_golden_wf", "1h", folds),
+      factPath)
+    println(f"walk-forward golden written (${folds.size}%d folds, " +
+      f"${fact.count()}%d fact_strategy_params rows, $wfSec%.1f s)")
     spark.stop()
   }
 }

@@ -116,10 +116,16 @@ class StrategyOptimizerSpec extends AnyFunSuite {
     }
   }
 
+  // ONE shared seeded walk-forward run (the committed walk-forward
+  // golden's exact config — both tests below read it)
+  private lazy val wfRun: Seq[FoldResult] = walkForward(
+    StrategyOptGoldenRun.fixtureBars(spark),
+    cfg = StrategyOptGoldenRun.WfConfig, folds = StrategyOptGoldenRun.WfFolds)
+
   test("walkForward: expanding train windows, disjoint test slices, out-of-sample verdict") {
     val bars = StrategyOptGoldenRun.fixtureBars(spark) // 3 symbols × 1200 bars
-    val cfg = GeneticSearch.Config(populationSize = 6, generations = 2, seed = 42L)
-    val fr = walkForward(bars, cfg = cfg, folds = 3)
+    val cfg = StrategyOptGoldenRun.WfConfig
+    val fr = wfRun
     assert(fr.map(_.fold) == Seq(1, 2, 3))
     // expanding train (300/600/900 bars per symbol), equal disjoint test
     // slices covering the rest of the feed
@@ -159,5 +165,52 @@ class StrategyOptimizerSpec extends AnyFunSuite {
     val again = graft.olap.OlapEtl.loadFactStrategyParams(spark,
       "ga_backtest_golden", "heuristic_tp_sl", "1h", json, factPath)
     assert(again.count() == 1)
+  }
+
+  test("committed walk-forward golden replays; fold champions round-trip through fact_strategy_params") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stats = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("golden/backtest/graft_backtest_ga_walkforward_stats.json")))
+    assert(stats.get("optimizer_type").asText() == "ga_backtest_walkforward")
+    val folds = stats.get("folds")
+    assert(folds.size() == wfRun.size)
+    wfRun.zipWithIndex.foreach { case (f, i) =>
+      val j = folds.get(i)
+      assert(j.get("fold").asInt() == f.fold)
+      assert(j.get("train_bars").asLong() == f.trainBars &&
+        j.get("test_bars").asLong() == f.testBars)
+      assert(j.get("in_sample").get("cash_profit").asDouble() == f.inSample.cashProfit,
+        s"fold ${f.fold} in-sample profit drifted")
+      assert(j.get("out_of_sample").get("cash_profit").asDouble() == f.outOfSample.cashProfit &&
+        j.get("out_of_sample").get("n_trades").asLong() == f.outOfSample.nTrades,
+        s"fold ${f.fold} out-of-sample verdict drifted")
+      val champ = championParams(f.champion, Sizing())
+      assert(j.get("champion").size() == champ.size)
+      champ.foreach { case (k, v) =>
+        assert(j.get("champion").get(k).asDouble() == v,
+          s"fold ${f.fold} champion $k drifted")
+      }
+    }
+    // end-to-end loader leg: fold champions → ONE SnapshotStore-committed
+    // upsert into fact_strategy_params, payload flattens back exactly
+    val factPath = java.nio.file.Files.createTempDirectory("wf_fact").toString
+    val fact = graft.olap.OlapEtl.loadFactStrategyParamsRows(spark,
+      StrategyOptimizer.walkForwardFactRows(spark, "exp_wf", "1h", wfRun),
+      factPath)
+    assert(fact.count() == wfRun.size)
+    val kv = graft.olap.OlapEtl.configKv(fact, "strategy_name", "params")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    wfRun.foreach { f =>
+      val champ = championParams(f.champion, Sizing())
+      champ.foreach { case (k, v) =>
+        assert(kv((s"wf_fold_${f.fold}_champion", k)).toDouble == v,
+          s"fact payload drifted for fold ${f.fold} / $k")
+      }
+    }
+    // upsert grain: a re-load of the same fold champions stays 3 rows
+    val again = graft.olap.OlapEtl.loadFactStrategyParamsRows(spark,
+      StrategyOptimizer.walkForwardFactRows(spark, "exp_wf", "1h", wfRun),
+      factPath)
+    assert(again.count() == wfRun.size)
   }
 }

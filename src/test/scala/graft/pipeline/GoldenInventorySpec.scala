@@ -69,11 +69,12 @@ class GoldenInventorySpec extends AnyFunSuite {
         s"missing=${(expected -- onDisk).toSeq.sorted.take(5)}")
   }
 
-  test("golden/backtest holds exactly the strategy-GA artifact pair") {
+  test("golden/backtest holds exactly the strategy-GA artifact trio") {
     // read (and exactly replayed) by StrategyOptimizerSpec
     val expected = Set(
       "graft_backtest_ga_optimization_parameters.json",
-      "graft_backtest_ga_optimization_stats.json")
+      "graft_backtest_ga_optimization_stats.json",
+      "graft_backtest_ga_walkforward_stats.json")
     val onDisk = listAll("golden/backtest")
     assert(onDisk == expected,
       s"unexpected=${(onDisk -- expected).toSeq.sorted.take(5)} " +
