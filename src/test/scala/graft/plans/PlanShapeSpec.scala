@@ -245,6 +245,46 @@ class PlanShapeSpec extends AnyFunSuite {
       s"columns not pruned:\n$p")
   }
 
+  test("q114 strategy grid: one symbol exchange per param set, no global sort, union of aggregates") {
+    val p = plan(graft.SparkEntry.queries("q114_strategy_grid")(spark, sf))
+    assert(p.contains("Union"), s"expected the three-set union:\n$p")
+    // each param set is an independent distributed backtest: exactly one
+    // repartition(symbol) hash exchange per set, nothing else keyed
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
+      s"expected one symbol exchange per param set:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"per-symbol sort must stay in-partition:\n$p")
+    assert(!p.contains("Window"), s"the state machine IS the fold — no window:\n$p")
+    // the corpus-wide profit sums fold partially before the single-
+    // partition gather (3 rows cross the wire per set, not trades)
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      s"expected partial+final aggregation per set:\n$p")
+  }
+
+  test("q115 mergeable digest: UDAF partials below the exchange, verdict side broadcast") {
+    val p = plan(graft.SparkEntry.queries("q115_tdigest_mergeable")(spark, sf))
+    // the t-digest UDAF must partial-aggregate map-side (sketches cross
+    // the wire, not values) — typed Aggregator buffers plan as
+    // ObjectHashAggregate partial+final
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"digest must partial-aggregate before the exchange:\n$p")
+    // the groups×ps sketch relation broadcasts back onto events (q61's
+    // contract-check shape) — never a sort-merge
+    assert(p.contains("BroadcastHashJoin"), s"sketch relation must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge for a 15-row side:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n$p")
+  }
+
+  test("q116 strategy fact: champion pick is a TakeOrdered, flatten is one Generate") {
+    val p = plan(graft.SparkEntry.queries("q116_strategy_fact")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"argmax over 3 rows must be a TakeOrdered, not a window/global sort:\n$p")
+    assert(!p.contains("Window") && !p.contains("Exchange rangepartitioning"),
+      s"no window / range exchange for the champion pick:\n$p")
+    assert("Generate".r.findAllIn(p).size == 1,
+      s"expected exactly one flatten Generate:\n$p")
+  }
+
   test("q111 trade metrics: aggregates the persisted trades, no recompute") {
     val p = plan(graft.SparkEntry.queries("q111_fact_trade_metrics")(spark, sf))
     assert(p.contains("InMemoryTableScan"),
