@@ -729,7 +729,11 @@ object SparkEntry {
     * returned value vs the sketch's rank-error `bound` (a Column over
     * `n`/`p`). Distributed: the #groups × #ps sketch rows broadcast
     * back onto the events, one grouped count pass — no per-group value
-    * buffering anywhere, so the check itself holds at 100 TB.
+    * buffering anywhere, so the check itself holds at 100 TB. NULL
+    * values are excluded from `n` exactly as the sketches exclude them
+    * (approx_percentile ignores nulls; `TDigest.grouped` filters them)
+    * — counting them would inflate the rank target p·n against
+    * rle/rlt sums that can never see a null.
     */
   private def sketchRankVerdict(ev: DataFrame, stacked: DataFrame,
       bound: Column): DataFrame = {
@@ -738,6 +742,7 @@ object SparkEntry {
       .when(target > col("rle"), target - col("rle"))
       .otherwise(lit(0.0))
     ev.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
       .join(broadcast(stacked), "event_type")
       .groupBy(col("event_type"), col("p"))
       .agg(
@@ -749,16 +754,17 @@ object SparkEntry {
         (err <= bound).as("within_bound"))
   }
 
-  private val q61Sql =
-    """SELECT event_type, CAST(p AS DOUBLE) AS p,
-      | CAST(COUNT(*) AS BIGINT) AS n,
-      | CAST(COUNT(*) AS DOUBLE) / CAST(10000.0 AS DOUBLE)
-      |   + CAST(1.0 AS DOUBLE) AS err_bound_ranks,
-      | TRUE AS within_bound
-      |FROM events
-      |CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
-      |            (CAST(0.99 AS DOUBLE))) t(p)
-      |GROUP BY event_type, p""".stripMargin
+  private def q61Sql =
+    s"""SELECT event_type, CAST(p AS DOUBLE) AS p,
+       | CAST(COUNT(*) AS BIGINT) AS n,
+       | CAST(COUNT(*) AS DOUBLE) / CAST(${Q61Accuracy}.0 AS DOUBLE)
+       |   + CAST(1.0 AS DOUBLE) AS err_bound_ranks,
+       | TRUE AS within_bound
+       |FROM events
+       |CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+       |            (CAST(0.99 AS DOUBLE))) t(p)
+       |WHERE value IS NOT NULL
+       |GROUP BY event_type, p""".stripMargin
 
   private val Q113Compression = 20.0
 
@@ -868,17 +874,18 @@ object SparkEntry {
       lit(4.0) * lit(2.0) * col("n") * col("p") * (lit(1.0) - col("p"))
         / lit(Q115Compression) + lit(2.0))
 
-  private val q115Sql =
-    """SELECT event_type, CAST(p AS DOUBLE) AS p,
-      | CAST(COUNT(*) AS BIGINT) AS n,
-      | CAST(4.0 AS DOUBLE) * CAST(2.0 AS DOUBLE) * COUNT(*) * p
-      |   * (CAST(1.0 AS DOUBLE) - p) / CAST(100.0 AS DOUBLE)
-      |   + CAST(2.0 AS DOUBLE) AS err_bound_ranks,
-      | TRUE AS within_bound
-      |FROM events
-      |CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
-      |            (CAST(0.99 AS DOUBLE))) t(p)
-      |GROUP BY event_type, p""".stripMargin
+  private def q115Sql =
+    s"""SELECT event_type, CAST(p AS DOUBLE) AS p,
+       | CAST(COUNT(*) AS BIGINT) AS n,
+       | CAST(4.0 AS DOUBLE) * CAST(2.0 AS DOUBLE) * COUNT(*) * p
+       |   * (CAST(1.0 AS DOUBLE) - p) / CAST($Q115Compression AS DOUBLE)
+       |   + CAST(2.0 AS DOUBLE) AS err_bound_ranks,
+       | TRUE AS within_bound
+       |FROM events
+       |CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+       |            (CAST(0.99 AS DOUBLE))) t(p)
+       |WHERE value IS NOT NULL
+       |GROUP BY event_type, p""".stripMargin
 
   /** Nested experiment config synthesized per event row — shared input
     * shape for q62/q63 (the testdata has no nested-JSON column, so both
@@ -3244,21 +3251,32 @@ object SparkEntry {
     import graft.streaming.StreamOps
     val ps = Q115Ps
     val agg = new graft.metrics.TDigest.QuantilesAgg(ps, Q115Compression)
-    val src = t(s, dir, "events").select(col("event_type").as("key"),
-      unix_micros(col("ts")).as("ts"), col("value"), col("event_id"))
-    val capped = src.limit(maxTicks + 1).count() > maxTicks
-    val base = if (capped) src.orderBy(col("ts"), col("event_id")).limit(maxTicks)
-      else src
-    val raw = base.as[(String, Long, Double, Long)].collect()
+    // QuantileTick.ts is epoch MILLIS (the streamingQuantiles watermark
+    // contract — a micros feed would shrink event-time idle budgets
+    // 1000×); nulls are excluded exactly as the digests exclude them
+    val src = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("key"),
+        (unix_micros(col("ts")) / 1000L).cast("long").as("ts"),
+        col("value"), col("event_id"))
+    // ONE scan in the uncapped (normal) case: collect the cap probe
+    // directly and only re-collect a deterministic sorted prefix when
+    // the cap actually binds
+    val probe = src.limit(maxTicks + 1).as[(String, Long, Double, Long)].collect()
+    val raw = (if (probe.length <= maxTicks) probe
+      else src.orderBy(col("ts"), col("event_id")).limit(maxTicks)
+        .as[(String, Long, Double, Long)].collect())
       .sortBy(r => (r._2, r._4)) // (ts, event_id): total, data-deterministic
     val ticks = raw.map(r => StreamOps.QuantileTick(r._1, r._2, r._3))
+    // ONE chunk-size definition: the stream feed and the driver replay
+    // must fold identical micro-batch boundaries
+    val per = math.max(1, (ticks.length + chunks - 1) / chunks)
     val mem = MemoryStream[StreamOps.QuantileTick]
     val name = s"qdiff_${math.abs(dir.hashCode)}"
     val q = StreamOps.streamingQuantiles(mem.toDS(), ps, Q115Compression)
       .writeStream.outputMode("update").format("memory").queryName(name).start()
     val streamRows =
       try {
-        val per = math.max(1, (ticks.length + chunks - 1) / chunks)
         ticks.grouped(per).foreach { c =>
           mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
         }
@@ -3268,12 +3286,14 @@ object SparkEntry {
     val bufs = scala.collection.mutable.Map.empty[String, graft.metrics.TDigest.Buf]
     val ns = scala.collection.mutable.Map.empty[String, Long]
     val replay = scala.collection.mutable.ArrayBuffer.empty[StreamOps.QuantileRow]
-    val per = math.max(1, (ticks.length + chunks - 1) / chunks)
     ticks.grouped(per).foreach { chunk =>
       chunk.groupBy(_.key).foreach { case (k, ks) =>
         var buf = bufs.getOrElse(k, graft.metrics.TDigest.Buf(Array.empty, Array.empty))
         ks.sortBy(t => (t.ts, t.value)).foreach(t => buf = agg.reduce(buf, t.value))
-        bufs(k) = buf
+        // COMPACT at the batch boundary exactly like the group step's
+        // persisted state: the reduce buffer's capacity tail affects
+        // compress cadence, so replay state must round-trip the same way
+        bufs(k) = graft.metrics.TDigest.compact(buf)
         val n = ns.getOrElse(k, 0L) + ks.length
         ns(k) = n
         replay += StreamOps.QuantileRow(k, n, closed = false, agg.finish(buf))
@@ -3318,6 +3338,7 @@ object SparkEntry {
       stacked: DataFrame, boundFn: (Double, Long) => Double)
       : (Long, Long, Double, Double, Double) = {
     val ranks = t(s, dir, "events").select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull) // match sketchRankVerdict's n
       .join(broadcast(stacked), "event_type")
       .groupBy(col("event_type"), col("p"))
       .agg(

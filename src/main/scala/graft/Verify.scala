@@ -87,7 +87,7 @@ object Verify {
           System.err.println(s"[verify] percentile differential failed: ${e.getMessage}")
           rows += s""""q61_percentiles_approx": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
         }
-      if (selected("q115_tdigest_mergeable"))
+      if (selected("q115_tdigest_mergeable")) {
         try {
           // same rank-denominated fields as q61, under the t-digest bound
           // 8·n·p(1−p)/δ + 2 (see SparkEntry.q115's scaladoc)
@@ -101,7 +101,6 @@ object Verify {
           System.err.println(s"[verify] t-digest differential failed: ${e.getMessage}")
           rows += s""""q115_tdigest_mergeable": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
         }
-      if (selected("q115_tdigest_mergeable"))
         try {
           // batch≡streaming for the quantile family: full emission
           // history == driver replay (exact), final counts == batch,
@@ -116,6 +115,7 @@ object Verify {
           System.err.println(s"[verify] streaming quantiles differential failed: ${e.getMessage}")
           rows += s""""q115_streaming_quantiles": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
         }
+      }
       Files.writeString(Paths.get(s"$outDir/differential.json"),
         rows.mkString("{", ",\n ", "}"))
     }

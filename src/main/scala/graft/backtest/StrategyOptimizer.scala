@@ -158,9 +158,13 @@ object StrategyOptimizer {
 
   /** One walk-forward fold: the champion found on everything BEFORE the
     * fold window, and its performance ON the window it never saw.
+    * Carries the `sizing` the fold optimized under — the serialization
+    * faces (stats JSON, fact rows) must derive order_size from it, not
+    * from a default the caller would have to re-thread correctly.
     */
   final case class FoldResult(fold: Int, trainBars: Long, testBars: Long,
-      champion: Strategy, inSample: Eval, outOfSample: Eval)
+      champion: Strategy, inSample: Eval, outOfSample: Eval,
+      sizing: Sizing)
 
   /** Walk-forward validation — the overfit guard the reference's demo
     * lacks (`optimizer_ga.py` optimizes and reports on the SAME 2014
@@ -200,7 +204,7 @@ object StrategyOptimizer {
         val test = persisted.filter(col("ts") >= lo && col("ts") < hi)
         val r = optimize(train, base, cfg, sizing)
         FoldResult(k, trainCum(k), sliceCounts(k), r.best, r.bestEval,
-          evaluate(test, r.best, sizing))
+          evaluate(test, r.best, sizing), sizing)
       }
     } finally persisted.unpersist()
   }
@@ -257,13 +261,13 @@ object StrategyOptimizer {
     * upsert/commit for the whole walk, not one commit per fold.
     */
   def walkForwardFactRows(spark: org.apache.spark.sql.SparkSession,
-      experimentKey: String, freq: String, folds: Seq[FoldResult],
-      sizing: Sizing = Sizing()): org.apache.spark.sql.DataFrame = {
+      experimentKey: String, freq: String, folds: Seq[FoldResult])
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     folds.map { f =>
       (experimentKey, s"wf_fold_${f.fold}_champion", freq,
         graft.ml.OptimizerStats.parametersJson(
-          championParams(f.champion, sizing)))
+          championParams(f.champion, f.sizing)))
     }.toDF("experiment_key", "strategy_name", "freq", "params")
   }
 
@@ -274,8 +278,8 @@ object StrategyOptimizer {
     * [[championParams]], so the stats file and the
     * `fact_strategy_params` payloads cross-check key-for-key.
     */
-  def walkForwardStatsJson(folds: Seq[FoldResult], totalSeconds: Double,
-      sizing: Sizing = Sizing()): String = {
+  def walkForwardStatsJson(folds: Seq[FoldResult],
+      totalSeconds: Double): String = {
     def evalJson(e: Eval): String =
       s"""{"price_profit": ${num(e.priceProfit)}, "n_trades": ${e.nTrades}, """ +
         s""""cash_profit": ${num(e.cashProfit)}}"""
@@ -285,7 +289,7 @@ object StrategyOptimizer {
         s""""in_sample": ${evalJson(f.inSample)}, """ +
         s""""out_of_sample": ${evalJson(f.outOfSample)}, """ +
         s""""champion": ${graft.ml.OptimizerStats.parametersJson(
-          championParams(f.champion, sizing))}}"""
+          championParams(f.champion, f.sizing))}}"""
     }.mkString("[", ", ", "]")
     def mean(xs: Seq[Double]): Double =
       if (xs.isEmpty) 0.0 else xs.sum / xs.size

@@ -703,10 +703,12 @@ object StreamOps {
     *
     * Batch ≡ streaming contract (recorded per round in
     * differential.json via `SparkEntry.streamingQuantilesDifferential`):
-    * in-batch rows fold in (ts, value) order, so the full emission
-    * history is a deterministic function of the chunk boundaries — a
-    * driver-side replay of the same chunks through the same
-    * `QuantilesAgg` reproduces every row bit-for-bit — and the final
+    * in-batch rows fold in (ts, value) order and state round-trips
+    * COMPACTED between batches (capacity-tail slots never persist), so
+    * the full emission history is a deterministic function of the chunk
+    * boundaries — a driver-side replay of the same chunks through the
+    * same `QuantilesAgg`, compacting at each boundary, reproduces every
+    * row bit-for-bit — and the final
     * digest per key obeys the same rank bound as q115 (the VALUES are
     * merge-tree-specific; stream vs batch-UDAF trees differ, their
     * shared contract is the bound).
@@ -768,7 +770,11 @@ object StreamOps {
         batch.foreach(t => buf = agg.reduce(buf, t.value))
         val n = prev.n + batch.size
         val maxSeen = math.max(prev.maxSeenTs, batch.map(_.ts).max)
-        state.update(QuantState(buf.means, buf.weights, n, maxSeen))
+        // compact: the reduce buffer carries capacity-tail slots that
+        // must not leak into persisted state (a restored Buf treats the
+        // full array as live)
+        val c = TDigest.compact(buf)
+        state.update(QuantState(c.means, c.weights, n, maxSeen))
         eviction match {
           case NeverEvict => ()
           case ProcessingTimeIdle(d) => state.setTimeoutDuration(d.toMillis)

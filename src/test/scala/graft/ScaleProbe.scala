@@ -32,14 +32,19 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val base = graft.io.Sources.table(spark, "/root/testdata/sf0.1", "events")
 
-    def replicate(factor: Int, outDir: String): Unit = {
+    // shards: scan-parallel file count for big replicas (the r13 layout
+    // lesson — replicated rows compress so well that a naive write
+    // collapses into 1-2 input splits and the probe times a single
+    // decompressing core, not the kernel)
+    def replicate(factor: Int, outDir: String, shards: Option[Int] = None): Unit = {
       val reps = spark.range(factor).withColumnRenamed("id", "rep")
-      base.crossJoin(reps)
+      val rows = base.crossJoin(reps)
         .select(
           (col("event_id") + col("rep") * 100000000L).as("event_id"),
           col("ts"),
           (col("user_id") + col("rep") * 10000L).as("user_id"),
           col("event_type"), col("value"), col("props"))
+      shards.fold(rows)(rows.repartition(_))
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
     if (want("events") || want("r4")) {
@@ -292,17 +297,8 @@ object ScaleProbe {
     }
 
     if (want("r13e")) {
-      if (!new java.io.File("/tmp/scale1000/events.parquet").exists) {
-        val reps = spark.range(1000).withColumnRenamed("id", "rep")
-        base.crossJoin(reps)
-          .select(
-            (col("event_id") + col("rep") * 100000000L).as("event_id"),
-            col("ts"),
-            (col("user_id") + col("rep") * 10000L).as("user_id"),
-            col("event_type"), col("value"), col("props"))
-          .repartition(512)
-          .write.mode("overwrite").parquet("/tmp/scale1000/events.parquet")
-      }
+      if (!new java.io.File("/tmp/scale1000/events.parquet").exists)
+        replicate(1000, "/tmp/scale1000", shards = Some(512))
       val qs = Seq("q61_percentiles_approx", "q106_minmax_norm",
         "q107_daily_targets", "q108_mc_welford", "q109_delta_rescale",
         "q110_fact_predictions", "q113_tdigest_values", "q114_strategy_grid")
@@ -336,6 +332,52 @@ object ScaleProbe {
           f"$q=${(System.nanoTime() - t0) / 1e9}%.2f"
         }
         println(s"SCALE-R13Q $dir: ${times.mkString(" ")}")
+      }
+    }
+
+    // round-14 promoted kernels: q115 (mergeable digest UDAF — axis =
+    // rows; map-side partials are O(compression) per task and the
+    // exchange carries SKETCHES, never values, so the wire cost is flat
+    // in n) and q116 (q114's three walks + a TakeOrdered over 3 rows +
+    // one Generate — rides the backtest row axis r13q already pinned).
+    // The digest CONTRACT must hold at every scale, not just the
+    // timing: tdigestDifferential re-checks the rank bound at the
+    // 1000× point. streamingQuantiles scales on the tick axis with
+    // O(compression) state per key — timed through the MemoryStream
+    // differential (driver-fed by construction; the kernel under test
+    // is the per-batch group-state fold).
+    if (want("r14")) {
+      if (!new java.io.File("/tmp/scale10/events.parquet").exists) replicate(10, "/tmp/scale10")
+      if (!new java.io.File("/tmp/scale100/events.parquet").exists) replicate(100, "/tmp/scale100")
+      if (!new java.io.File("/tmp/scale1000/events.parquet").exists)
+        replicate(1000, "/tmp/scale1000", shards = Some(512))
+      val qs = Seq("q115_tdigest_mergeable", "q116_strategy_fact")
+      qs.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+        .write.mode("overwrite").format("noop").save())
+      for (dir <- Seq("/root/testdata/sf0.1", "/tmp/scale10", "/tmp/scale100")) {
+        val times = qs.map { q =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+          f"$q=${(System.nanoTime() - t0) / 1e9}%.2f"
+        }
+        println(s"SCALE-R14 $dir: ${times.mkString(" ")}")
+      }
+      val t115 = System.nanoTime()
+      SparkEntry.queries("q115_tdigest_mergeable")(spark, "/tmp/scale1000")
+        .write.mode("overwrite").format("noop").save()
+      println(f"SCALE-R14 /tmp/scale1000 (100M rows): " +
+        f"q115=${(System.nanoTime() - t115) / 1e9}%.2f")
+      val (checks, viols, _, _, maxOver) =
+        SparkEntry.tdigestDifferential(spark, "/tmp/scale1000")
+      println(f"SCALE-R14 q115 bound at 100M rows (20M values/group): " +
+        f"checks=$checks viols=$viols maxOver=$maxOver%.3f")
+      for ((dir, label) <- Seq(("/root/testdata/sf0.1", "100k"), ("/tmp/scale10", "1M"))) {
+        val t1 = System.nanoTime()
+        val (ticks, keys, fm, nm, v, mo) =
+          SparkEntry.streamingQuantilesDifferential(spark, dir, chunks = 10)
+        println(f"SCALE-R14 streamingQuantiles $label: ticks=$ticks keys=$keys " +
+          f"fold=$fm n=$nm viols=$v maxOver=$mo%.3f " +
+          f"t=${(System.nanoTime() - t1) / 1e9}%.2f s")
       }
     }
 

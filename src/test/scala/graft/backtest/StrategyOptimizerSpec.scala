@@ -184,7 +184,7 @@ class StrategyOptimizerSpec extends AnyFunSuite {
       assert(j.get("out_of_sample").get("cash_profit").asDouble() == f.outOfSample.cashProfit &&
         j.get("out_of_sample").get("n_trades").asLong() == f.outOfSample.nTrades,
         s"fold ${f.fold} out-of-sample verdict drifted")
-      val champ = championParams(f.champion, Sizing())
+      val champ = championParams(f.champion, f.sizing)
       assert(j.get("champion").size() == champ.size)
       champ.foreach { case (k, v) =>
         assert(j.get("champion").get(k).asDouble() == v,
@@ -201,7 +201,7 @@ class StrategyOptimizerSpec extends AnyFunSuite {
     val kv = graft.olap.OlapEtl.configKv(fact, "strategy_name", "params")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
     wfRun.foreach { f =>
-      val champ = championParams(f.champion, Sizing())
+      val champ = championParams(f.champion, f.sizing)
       champ.foreach { case (k, v) =>
         assert(kv((s"wf_fold_${f.fold}_champion", k)).toDouble == v,
           s"fact payload drifted for fold ${f.fold} / $k")

@@ -48,7 +48,7 @@ class StreamingQuantilesSpec extends AnyFunSuite {
       chunk.groupBy(_.key).foreach { case (k, ks) =>
         var buf = bufs.getOrElse(k, TDigest.Buf(Array.empty, Array.empty))
         ks.sortBy(t => (t.ts, t.value)).foreach(t => buf = agg.reduce(buf, t.value))
-        bufs(k) = buf
+        bufs(k) = TDigest.compact(buf) // mirror the group step's persisted state
         val n = ns.getOrElse(k, 0L) + ks.length
         ns(k) = n
         replay += StreamOps.QuantileRow(k, n, closed = false, agg.finish(buf))
