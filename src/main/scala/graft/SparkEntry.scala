@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -886,6 +886,60 @@ object SparkEntry {
        |            (CAST(0.99 AS DOUBLE))) t(p)
        |WHERE value IS NOT NULL
        |GROUP BY event_type, p""".stripMargin
+
+  /** t-digest ROLLUP — the sketch-column warehouse pattern as a driver
+    * query, completing q115: percentiles answered from PRE-AGGREGATED
+    * per-day digests, never from raw values. Level 1
+    * (`TDigest.DigestAgg`) builds one storable digest struct per
+    * (event_type, day) — at 100 TB this is the ingest-time
+    * materialization, one sketch row per key×grain; level 2
+    * (`TDigest.MergeDigestsAgg`) merge-compresses the stored digests
+    * per event_type, touching O(grains · δ·log W) doubles instead of
+    * the 10¹⁰ raw values a rescan would. A two-level rollup is just
+    * another merge tree over the same k₁-capped centroids, so q115's
+    * rank bound applies unchanged and the driver row is the same
+    * contract-as-data verdict ([[sketchRankVerdict]]);
+    * `MergeInvarianceSpec` pins the verdict across grain widths
+    * (hour/day/week) and shuffle partitionings.
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    q117Verdict(s, dir, 86400000000L) // stored grain: one digest per day
+
+  /** q117's verdict at an arbitrary stored-grain width (the
+    * grain-invariance spec sweeps hour/day/week through this). */
+  private[graft] def q117Verdict(s: SparkSession, dir: String,
+      grainUs: Long): DataFrame =
+    sketchRankVerdict(t(s, dir, "events"),
+      stackSketch(q117Rollup(s, dir, grainUs), Q115Ps),
+      lit(4.0) * lit(2.0) * col("n") * col("p") * (lit(1.0) - col("p"))
+        / lit(Q115Compression) + lit(2.0))
+
+  /** The two-level digest rollup behind q117: values → per-(key, grain)
+    * digest structs → merged per-key quantiles (labels match
+    * `Quantiles.label`, the stackSketch shape). `grainUs` is the bucket
+    * width in epoch-µs.
+    */
+  private[graft] def q117Rollup(s: SparkSession, dir: String,
+      grainUs: Long): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) / grainUs).cast("long").as("grain"),
+        col("value"))
+    val mk = udaf(new graft.metrics.TDigest.DigestAgg(Q115Compression),
+      Encoders.scalaDouble)
+    val grains = ev.groupBy(col("event_type"), col("grain"))
+      .agg(mk(col("value")).as("digest"))
+    // a product input encoder makes the udaf take the case-class FIELDS
+    // as separate argument columns — pass the struct's members
+    val roll = udaf(
+      new graft.metrics.TDigest.MergeDigestsAgg(Q115Ps, Q115Compression),
+      Encoders.product[graft.metrics.TDigest.Digest])
+    val rolled = grains.groupBy(col("event_type"))
+      .agg(roll(col("digest.means"), col("digest.weights")).as("__qs"))
+    Q115Ps.zipWithIndex.foldLeft(rolled) { case (d, (p, i)) =>
+      d.withColumn(graft.metrics.Quantiles.label(p), element_at(col("__qs"), i + 1))
+    }.drop("__qs")
+  }
 
   /** Nested experiment config synthesized per event row — shared input
     * shape for q62/q63 (the testdata has no nested-JSON column, so both
@@ -3668,7 +3722,8 @@ object SparkEntry {
     "q113_tdigest_values" -> (q113 _),
     "q114_strategy_grid" -> (q114 _),
     "q115_tdigest_mergeable" -> (q115 _),
-    "q116_strategy_fact" -> (q116 _)
+    "q116_strategy_fact" -> (q116 _),
+    "q117_tdigest_rollup" -> (q117 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3789,6 +3844,9 @@ object SparkEntry {
     // Same pattern for the mergeable t-digest UDAF (q115): the t-digest
     // rank bound 8·n·p(1−p)/δ + 2 asserted TRUE per (group, p).
     "q115_tdigest_mergeable" -> q115Sql,
+    // q117 rolls per-day digests up to the same per-group contract —
+    // identical oracle: the bound does not depend on the merge tree.
+    "q117_tdigest_rollup" -> q115Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
     // at any SF, no data-pinned literals.

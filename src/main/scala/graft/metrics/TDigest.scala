@@ -174,6 +174,55 @@ object TDigest {
     override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
   }
 
+  /** A FINISHED digest as a storable column value (struct<means,
+    * weights>): the sketch-column warehouse pattern — persist one
+    * digest per (key, time-grain) at ingest, then answer any later
+    * percentile question by re-aggregating digests with
+    * [[MergeDigestsAgg]] instead of rescanning 10¹⁰ raw values. Always
+    * exact-length (no capacity tail).
+    */
+  case class Digest(means: Array[Double], weights: Array[Double])
+
+  /** Values → storable [[Digest]] (the ingest-side half of the rollup
+    * pattern). Same mergeable fold as [[QuantilesAgg]]; `finish`
+    * compresses and trims.
+    */
+  class DigestAgg(compression: Double = 100.0, maxUnmerged: Int = 256)
+    extends Aggregator[Double, Buf, Digest] with Serializable {
+    private val inner = new QuantilesAgg(Nil, compression, maxUnmerged)
+    override def zero: Buf = inner.zero
+    override def reduce(b: Buf, x: Double): Buf = inner.reduce(b, x)
+    override def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
+    override def finish(b: Buf): Digest = {
+      val (cm, cw) = compress(live(b.means, b.used), live(b.weights, b.used),
+        compression)
+      Digest(cm, cw)
+    }
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Digest] = Encoders.product[Digest]
+  }
+
+  /** Stored [[Digest]] columns → quantiles (the query-side half): each
+    * reduce step merge-compresses a whole pre-aggregated digest into
+    * the buffer, so re-aggregating a year of hourly sketches touches
+    * O(grains · δ·log W) doubles, never the raw values. The result is
+    * one more merge tree over the same centroids — q115's rank bound
+    * (whose factor-2 slack absorbs merge-tree degradation) applies
+    * unchanged, and `MergeInvarianceSpec` pins it across grain widths.
+    */
+  class MergeDigestsAgg(ps: Seq[Double], compression: Double = 100.0)
+    extends Aggregator[Digest, Buf, Seq[Double]] with Serializable {
+    private val inner = new QuantilesAgg(ps, compression)
+    override def zero: Buf = inner.zero
+    override def reduce(b: Buf, d: Digest): Buf =
+      inner.merge(b, Buf(d.means, d.weights))
+    override def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
+    override def finish(b: Buf): Seq[Double] = inner.finish(b)
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+  }
+
   /** One step of the DETERMINISTIC ascending-input t-digest fold (the
     * q113 value-exact face): a new unit-weight point merges into the
     * LAST centroid when [[compress]]'s k₁ size bound — computed against

@@ -351,7 +351,8 @@ object ScaleProbe {
       if (!new java.io.File("/tmp/scale100/events.parquet").exists) replicate(100, "/tmp/scale100")
       if (!new java.io.File("/tmp/scale1000/events.parquet").exists)
         replicate(1000, "/tmp/scale1000", shards = Some(512))
-      val qs = Seq("q115_tdigest_mergeable", "q116_strategy_fact")
+      val qs = Seq("q115_tdigest_mergeable", "q116_strategy_fact",
+        "q117_tdigest_rollup")
       qs.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
         .write.mode("overwrite").format("noop").save())
       for (dir <- Seq("/root/testdata/sf0.1", "/tmp/scale10", "/tmp/scale100")) {
@@ -362,11 +363,13 @@ object ScaleProbe {
         }
         println(s"SCALE-R14 $dir: ${times.mkString(" ")}")
       }
-      val t115 = System.nanoTime()
-      SparkEntry.queries("q115_tdigest_mergeable")(spark, "/tmp/scale1000")
-        .write.mode("overwrite").format("noop").save()
-      println(f"SCALE-R14 /tmp/scale1000 (100M rows): " +
-        f"q115=${(System.nanoTime() - t115) / 1e9}%.2f")
+      for (q <- Seq("q115_tdigest_mergeable", "q117_tdigest_rollup")) {
+        val t115 = System.nanoTime()
+        SparkEntry.queries(q)(spark, "/tmp/scale1000")
+          .write.mode("overwrite").format("noop").save()
+        println(f"SCALE-R14 /tmp/scale1000 (100M rows): " +
+          f"$q=${(System.nanoTime() - t115) / 1e9}%.2f")
+      }
       val (checks, viols, _, _, maxOver) =
         SparkEntry.tdigestDifferential(spark, "/tmp/scale1000")
       println(f"SCALE-R14 q115 bound at 100M rows (20M values/group): " +

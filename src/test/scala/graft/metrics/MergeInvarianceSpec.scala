@@ -47,6 +47,57 @@ class MergeInvarianceSpec extends AnyFunSuite {
     }
   }
 
+  test("q117 rollup verdict holds and is identical across grain widths (hour/day/week)") {
+    // a two-level rollup is just another merge tree: the verdict
+    // columns may not depend on the grain the digests were stored at
+    val runs = Seq(3600000000L, 86400000000L, 7L * 86400000000L).map { grain =>
+      grain -> SparkEntry.q117Verdict(spark, sfDir, grain).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
+    runs.foreach { case (g, rows) =>
+      assert(rows.nonEmpty, s"grain=$g empty")
+      assert(rows.forall(_._5), s"grain=$g bound violation: ${rows.filterNot(_._5)}")
+    }
+    val ref = runs.head._2
+    runs.tail.foreach { case (g, rows) =>
+      assert(rows == ref, s"verdict rows differ at grain=$g")
+    }
+    assert(SparkEntry.q117Rollup(spark, sfDir, 3600000000L).columns.toSeq ==
+      Seq("event_type", "p50", "p90", "p99"))
+  }
+
+  test("kernel: digests merged from stored per-chunk sketches stay within the bound") {
+    val rnd = new scala.util.Random(29)
+    val values = Array.fill(30000)(math.exp(rnd.nextGaussian() * 1.2))
+    val ps = Seq(0.5, 0.9, 0.99, 0.999)
+    val compression = 100.0
+    val mk = new TDigest.DigestAgg(compression)
+    val roll = new TDigest.MergeDigestsAgg(ps, compression)
+    for (chunkSize <- Seq(100, 1000, 30000)) {
+      // level 1: one stored digest per chunk; level 2: merge them all
+      val digests = values.grouped(chunkSize).map { c =>
+        mk.finish(c.foldLeft(mk.zero)(mk.reduce))
+      }.toSeq
+      val qs = roll.finish(digests.foldLeft(roll.zero)(roll.reduce))
+      val sorted = values.sorted
+      val n = values.length
+      ps.zip(qs).foreach { case (p, v) =>
+        val rle = sorted.count(_ <= v).toLong
+        val rlt = sorted.count(_ < v).toLong
+        val target = p * n
+        val err =
+          if (target < rlt + 1) (rlt + 1) - target
+          else if (target > rle) target - rle
+          else 0.0
+        val bound = 8.0 * n * p * (1.0 - p) / compression + 2.0
+        assert(err <= bound,
+          s"chunkSize=$chunkSize p=$p err=$err > bound=$bound (est=$v)")
+      }
+    }
+  }
+
   test("kernel: rank error stays within 8·n·p(1−p)/δ + 2 across input partitionings") {
     // TDigestSpec's skewed shape (log-normal two-group), tail p = 0.999
     // included: tail capacity 4·n·q(1−q)/δ < 1 means near-singleton

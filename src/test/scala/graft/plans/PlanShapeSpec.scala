@@ -285,6 +285,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly one flatten Generate:\n$p")
   }
 
+  test("q117 rollup: two digest-aggregate levels, sketches on the wire, verdict broadcast") {
+    val p = plan(graft.SparkEntry.queries("q117_tdigest_rollup")(spark, sf))
+    // level 1 (values → per-grain digests) and level 2 (digest merge)
+    // both partial-aggregate: ≥ 4 ObjectHashAggregate nodes — raw
+    // values never cross an exchange, stored sketches do
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final at both rollup levels:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"verdict side must broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n$p")
+  }
+
   test("q111 trade metrics: aggregates the persisted trades, no recompute") {
     val p = plan(graft.SparkEntry.queries("q111_fact_trade_metrics")(spark, sf))
     assert(p.contains("InMemoryTableScan"),
