@@ -3336,27 +3336,13 @@ object SparkEntry {
         }
         s.table(name).as[StreamOps.QuantileRow].collect().toSeq
       } finally q.stop()
-    // driver-side replay of the same chunk sequence through the same fold
-    val bufs = scala.collection.mutable.Map.empty[String, graft.metrics.TDigest.Buf]
-    val ns = scala.collection.mutable.Map.empty[String, Long]
-    val replay = scala.collection.mutable.ArrayBuffer.empty[StreamOps.QuantileRow]
-    ticks.grouped(per).foreach { chunk =>
-      chunk.groupBy(_.key).foreach { case (k, ks) =>
-        var buf = bufs.getOrElse(k, graft.metrics.TDigest.Buf(Array.empty, Array.empty))
-        ks.sortBy(t => (t.ts, t.value)).foreach(t => buf = agg.reduce(buf, t.value))
-        // COMPACT at the batch boundary exactly like the group step's
-        // persisted state: the reduce buffer's capacity tail affects
-        // compress cadence, so replay state must round-trip the same way
-        bufs(k) = graft.metrics.TDigest.compact(buf)
-        val n = ns.getOrElse(k, 0L) + ks.length
-        ns(k) = n
-        replay += StreamOps.QuantileRow(k, n, closed = false, agg.finish(buf))
-      }
-    }
+    // the ONE reference fold both this differential and the spec use
+    val replay = StreamOps.replayQuantileChunks(
+      ticks.grouped(per).map(_.toSeq), agg)
     def sorted(rs: Seq[StreamOps.QuantileRow]) =
       rs.sortBy(r => (r.key, r.n)).map(r =>
         (r.key, r.n, r.closed, r.quantiles.toList))
-    val foldMatch = sorted(streamRows) == sorted(replay.toSeq)
+    val foldMatch = sorted(streamRows) == sorted(replay)
     // final digest per key: count parity + q115's rank contract
     val valuesByKey = raw.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._3).sorted }
     var nMatch = streamRows.nonEmpty

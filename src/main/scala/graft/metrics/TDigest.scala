@@ -53,6 +53,45 @@ object TDigest {
   private def live(a: Array[Double], used: Int): Array[Double] =
     if (a.length == used) a else java.util.Arrays.copyOf(a, used)
 
+  /** The live prefix of `b`, compressed — the one trimming idiom every
+    * finish/compress site shares. */
+  private def compressed(b: Buf,
+      compression: Double): (Array[Double], Array[Double]) =
+    compress(live(b.means, b.used), live(b.weights, b.used), compression)
+
+  /** Append one WEIGHTED point with amortized-O(1) buffering: in-place
+    * while there is room, geometric capacity growth up to
+    * `maxUnmerged`, then one compress that leaves append room
+    * proportional to the centroid count (the k₁ rule keeps
+    * O(δ·log W) centroids — a fixed cap would degrade to one full
+    * compress PER APPEND once centroids exceed it; measured 25 µs/row
+    * at W=1M before this, ~0.5 µs/row after). Shared by the raw-value
+    * UDAF (w=1) and the digest rollup (w=centroid weight), so both
+    * amortize identically — small stored digests in particular must
+    * not pay a full compress per digest.
+    */
+  private[metrics] def appendPoint(b: Buf, x: Double, w: Double,
+      compression: Double, maxUnmerged: Int): Buf = {
+    if (b.used < b.means.length) {
+      b.means(b.used) = x
+      b.weights(b.used) = w
+      Buf(b.means, b.weights, b.used + 1)
+    } else if (b.means.length < maxUnmerged) {
+      val cap = math.min(maxUnmerged, math.max(8, b.means.length * 2))
+      val m = java.util.Arrays.copyOf(b.means, cap)
+      val wts = java.util.Arrays.copyOf(b.weights, cap)
+      m(b.used) = x; wts(b.used) = w
+      Buf(m, wts, b.used + 1)
+    } else {
+      val (cm, cw) = compressed(b, compression)
+      val cap = math.max(maxUnmerged, 2 * cm.length)
+      val m = java.util.Arrays.copyOf(cm, cap)
+      val wts = java.util.Arrays.copyOf(cw, cap)
+      m(cm.length) = x; wts(cm.length) = w
+      Buf(m, wts, cm.length + 1)
+    }
+  }
+
   /** Merge-compress (mean, weight) pairs to the k₁ bound. */
   def compress(means: Array[Double], weights: Array[Double],
       compression: Double): (Array[Double], Array[Double]) = {
@@ -121,39 +160,9 @@ object TDigest {
 
     override def zero: Buf = Buf(Array.emptyDoubleArray, Array.emptyDoubleArray, 0)
 
-    /** O(1) in-place append; when the buffer fills to `maxUnmerged` it
-      * compresses and keeps appending after the centroids. Capacity
-      * grows geometrically so small groups never pay for big ones.
-      */
-    override def reduce(b: Buf, x: Double): Buf = {
-      if (b.used < b.means.length) {
-        b.means(b.used) = x
-        b.weights(b.used) = 1.0
-        Buf(b.means, b.weights, b.used + 1)
-      } else if (b.means.length < maxUnmerged) {
-        val cap = math.min(maxUnmerged, math.max(8, b.means.length * 2))
-        val m = java.util.Arrays.copyOf(b.means, cap)
-        val w = java.util.Arrays.copyOf(b.weights, cap)
-        m(b.used) = x; w(b.used) = 1.0
-        Buf(m, w, b.used + 1)
-      } else {
-        val (cm, cw) = compress(live(b.means, b.used), live(b.weights, b.used),
-          compression)
-        // append room PROPORTIONAL to the centroid count: the k₁ size
-        // rule keeps O(δ·log W) centroids (tail capacities shrink like
-        // q(1−q), so singleton tails accumulate logarithmically in the
-        // total weight) — a fixed cap of maxUnmerged would fill up and
-        // degrade to one full compress PER ROW once centroids exceed it
-        // (measured: 25 µs/row at W=1M before this; ~0.5 µs/row after).
-        // Amortized: one O(N log N) compress per ~N appends = O(log N)
-        // per row; buffer memory stays O(δ·log W) per group.
-        val cap = math.max(maxUnmerged, 2 * cm.length)
-        val m = java.util.Arrays.copyOf(cm, cap)
-        val w = java.util.Arrays.copyOf(cw, cap)
-        m(cm.length) = x; w(cm.length) = 1.0
-        Buf(m, w, cm.length + 1)
-      }
-    }
+    /** Amortized-O(1) in-place append — see [[appendPoint]]. */
+    override def reduce(b: Buf, x: Double): Buf =
+      appendPoint(b, x, 1.0, compression, maxUnmerged)
 
     override def merge(a: Buf, b: Buf): Buf = {
       if (a.used == 0) return b
@@ -165,8 +174,7 @@ object TDigest {
     }
 
     override def finish(b: Buf): Seq[Double] = {
-      val (cm, cw) = compress(live(b.means, b.used), live(b.weights, b.used),
-        compression)
+      val (cm, cw) = compressed(b, compression)
       ps.map(p => quantile(cm, cw, p))
     }
 
@@ -194,8 +202,7 @@ object TDigest {
     override def reduce(b: Buf, x: Double): Buf = inner.reduce(b, x)
     override def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
     override def finish(b: Buf): Digest = {
-      val (cm, cw) = compress(live(b.means, b.used), live(b.weights, b.used),
-        compression)
+      val (cm, cw) = compressed(b, compression)
       Digest(cm, cw)
     }
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
@@ -210,12 +217,23 @@ object TDigest {
     * (whose factor-2 slack absorbs merge-tree degradation) applies
     * unchanged, and `MergeInvarianceSpec` pins it across grain widths.
     */
-  class MergeDigestsAgg(ps: Seq[Double], compression: Double = 100.0)
+  class MergeDigestsAgg(ps: Seq[Double], compression: Double = 100.0,
+      maxUnmerged: Int = 256)
     extends Aggregator[Digest, Buf, Seq[Double]] with Serializable {
-    private val inner = new QuantilesAgg(ps, compression)
+    private val inner = new QuantilesAgg(ps, compression, maxUnmerged)
     override def zero: Buf = inner.zero
-    override def reduce(b: Buf, d: Digest): Buf =
-      inner.merge(b, Buf(d.means, d.weights))
+    /** Buffered centroid appends, NOT a compress per digest: small
+      * stored digests (fine grains, few values per bucket — the common
+      * ingest shape) must amortize exactly like raw values do. */
+    override def reduce(b: Buf, d: Digest): Buf = {
+      var buf = b
+      var i = 0
+      while (i < d.means.length) {
+        buf = appendPoint(buf, d.means(i), d.weights(i), compression, maxUnmerged)
+        i += 1
+      }
+      buf
+    }
     override def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
     override def finish(b: Buf): Seq[Double] = inner.finish(b)
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]

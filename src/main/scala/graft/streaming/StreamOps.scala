@@ -740,6 +740,34 @@ object StreamOps {
       }
   }
 
+  /** Driver-side REFERENCE replay of [[streamingQuantiles]]: fold the
+    * same chunk sequence through the same `QuantilesAgg`, compacting
+    * state at each batch boundary exactly as the group step persists it
+    * (capacity tails affect compress cadence, so they must round-trip
+    * identically). The q115 differential and `StreamingQuantilesSpec`
+    * both diff the stream's emission history against THIS fold — one
+    * definition, so the bit-for-bit contract cannot drift between the
+    * two checks.
+    */
+  def replayQuantileChunks(chunks: Iterator[Seq[QuantileTick]],
+      agg: graft.metrics.TDigest.QuantilesAgg): Seq[QuantileRow] = {
+    import graft.metrics.TDigest
+    val bufs = scala.collection.mutable.Map.empty[String, TDigest.Buf]
+    val ns = scala.collection.mutable.Map.empty[String, Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[QuantileRow]
+    chunks.foreach { chunk =>
+      chunk.groupBy(_.key).foreach { case (k, ks) =>
+        var buf = bufs.getOrElse(k, TDigest.Buf(Array.empty, Array.empty))
+        ks.sortBy(t => (t.ts, t.value)).foreach(t => buf = agg.reduce(buf, t.value))
+        bufs(k) = TDigest.compact(buf)
+        val n = ns.getOrElse(k, 0L) + ks.length
+        ns(k) = n
+        out += QuantileRow(k, n, closed = false, agg.finish(buf))
+      }
+    }
+    out.toSeq
+  }
+
   /** Per-group step of [[streamingQuantiles]], named so the
     * timeout/eviction branch is unit-testable with `TestGroupState`
     * (the r11 lesson — don't drive stateful timeouts through

@@ -48,12 +48,14 @@ object DigestProbe {
         ev.filter(col("value").isNotNull).groupBy(col("event_type"))
           .agg(digest(col("value")).as("qs"))
           .write.mode("overwrite").format("noop").save())
+    // same row set as the UDAF timing (null-filtered) — the comparison
+    // isolates aggregate cost, not scan cardinality
     time("built-in approx_percentile")(
-      ev.groupBy(col("event_type"))
+      ev.filter(col("value").isNotNull).groupBy(col("event_type"))
         .agg(approx_percentile(col("value"), lit(0.5), lit(10000)))
         .write.mode("overwrite").format("noop").save())
     time("percentile_approx SQL (sketch only)")(
-      ev.groupBy(col("event_type"))
+      ev.filter(col("value").isNotNull).groupBy(col("event_type"))
         .agg(expr("approx_percentile(value, array(0.5,0.9,0.99), 10000)"))
         .write.mode("overwrite").format("noop").save())
     time("TDigest.grouped")(

@@ -39,24 +39,12 @@ class StreamingQuantilesSpec extends AnyFunSuite {
         }
         s.table("sq_e2e").as[StreamOps.QuantileRow].collect().toSeq
       } finally q.stop()
-    // driver-side replay: same chunks, same fold
-    val agg = mkAgg
-    val bufs = scala.collection.mutable.Map.empty[String, TDigest.Buf]
-    val ns = scala.collection.mutable.Map.empty[String, Long]
-    val replay = scala.collection.mutable.ArrayBuffer.empty[StreamOps.QuantileRow]
-    ticks.grouped(1000).foreach { chunk =>
-      chunk.groupBy(_.key).foreach { case (k, ks) =>
-        var buf = bufs.getOrElse(k, TDigest.Buf(Array.empty, Array.empty))
-        ks.sortBy(t => (t.ts, t.value)).foreach(t => buf = agg.reduce(buf, t.value))
-        bufs(k) = TDigest.compact(buf) // mirror the group step's persisted state
-        val n = ns.getOrElse(k, 0L) + ks.length
-        ns(k) = n
-        replay += StreamOps.QuantileRow(k, n, closed = false, agg.finish(buf))
-      }
-    }
+    // driver-side replay: same chunks through the ONE shared reference fold
+    val replay = StreamOps.replayQuantileChunks(
+      ticks.grouped(1000).map(_.toSeq), mkAgg)
     def norm(rs: Seq[StreamOps.QuantileRow]) =
       rs.sortBy(r => (r.key, r.n)).map(r => (r.key, r.n, r.closed, r.quantiles.toList))
-    assert(norm(streamed) == norm(replay.toSeq))
+    assert(norm(streamed) == norm(replay))
     // 2 keys × 3 chunks of live updates, none closed
     assert(streamed.size == 6 && streamed.forall(!_.closed))
     // final digests obey the q115 rank bound vs the exact values
