@@ -1427,6 +1427,76 @@ object SparkEntry {
       | COUNT(*) AS n_lines
       |FROM lineitem GROUP BY l_suppkey""".stripMargin
 
+  private val Q118Rsd = 0.05
+
+  /** HLL++ count-distinct contract — the SCALE path q55 deliberately is
+    * not, completing the sketch-contract family (q61 GK / q115 t-digest
+    * / q117 rollup): `countDistinct` shuffles every distinct (group,
+    * value) pair (exact — the oracle reference), while
+    * `approx_count_distinct` keeps ONE mergeable HLL++ sketch per group
+    * (O(1/rsd²) registers, map-side partials, register-wise-max merge —
+    * THE count-distinct at 100 TB, where a hot group's distinct set
+    * would not fit a reducer). Sketch estimates are engine-specific, so
+    * the driver row emits the CONTRACT as data: per group,
+    * |estimate − exact| ≤ 6·rsd·exact + 1 (+1 integer slack). Six
+    * standard deviations of the documented relative error because the
+    * contract is ALL-groups: across k groups the worst deviation grows
+    * like √(2·ln k)·σ (≈3.7σ at the sf0.1 grain of 1000 suppliers —
+    * measured 2.6σ worst), so a per-group 4σ bound would thin out
+    * exactly as the data grows; 6σ keeps uniform headroom through
+    * k ~ 10⁶ groups while remaining a real constraint (HLL++'s
+    * small-cardinality linear-counting regime sits far inside it);
+    * the oracle asserts TRUE, so a bound violation is a hash FAIL.
+    * Unlike the t-digest, HLL merging is LOSSLESS, so the estimate
+    * itself is partition-independent — `MergeInvarianceSpec` pins the
+    * estimate (not just the verdict) identical from 1 to 200 shuffle
+    * partitions. [[hllDifferential]] records the quantitative margin in
+    * differential.json.
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    q118Verdict(s, dir).select(
+      col("l_suppkey"), col("n_exact"), col("err_bound"), col("within_bound"))
+
+  /** q118 plus the raw estimate column (spec/differential face — the
+    * estimate is partition-independent but not oracle-matchable). */
+  private[graft] def q118Verdict(s: SparkSession, dir: String): DataFrame = {
+    val bound = lit(6.0) * lit(Q118Rsd) * col("n_exact") + lit(1.0)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), Q118Rsd).as("n_approx"))
+      .select(col("l_suppkey"), col("n_exact"), col("n_approx"),
+        bound.as("err_bound"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") <= bound)
+          .as("within_bound"))
+  }
+
+  private def q118Sql =
+    s"""SELECT l_suppkey,
+       | COUNT(DISTINCT l_partkey) AS n_exact,
+       | CAST(6.0 AS DOUBLE) * CAST($Q118Rsd AS DOUBLE)
+       |   * COUNT(DISTINCT l_partkey)
+       |   + CAST(1.0 AS DOUBLE) AS err_bound,
+       | TRUE AS within_bound
+       |FROM lineitem GROUP BY l_suppkey""".stripMargin
+
+  /** Quantitative HLL verdict for differential.json: margin of the
+    * worst group vs the 6·rsd·exact + 1 bound. */
+  def hllDifferential(s: SparkSession, dir: String): (Long, Long, Double) = {
+    val rows = q118Verdict(s, dir)
+      .select(col("n_exact"), col("n_approx"), col("err_bound")).collect()
+    var checks = 0L; var viols = 0L; var maxOver = 0.0
+    rows.foreach { r =>
+      val err = math.abs(r.getLong(1) - r.getLong(0)).toDouble
+      val bound = r.getDouble(2)
+      checks += 1
+      if (err > bound) viols += 1
+      maxOver = math.max(maxOver, err / bound)
+    }
+    (checks, viols, maxOver)
+  }
+
   /** W4 strided windows: keep every 3rd row per series. */
   private def q38(s: SparkSession, dir: String): DataFrame =
     Windows.strided(
@@ -3709,7 +3779,8 @@ object SparkEntry {
     "q114_strategy_grid" -> (q114 _),
     "q115_tdigest_mergeable" -> (q115 _),
     "q116_strategy_fact" -> (q116 _),
-    "q117_tdigest_rollup" -> (q117 _)
+    "q117_tdigest_rollup" -> (q117 _),
+    "q118_hll_contract" -> (q118 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3833,6 +3904,9 @@ object SparkEntry {
     // q117 rolls per-day digests up to the same per-group contract —
     // identical oracle: the bound does not depend on the merge tree.
     "q117_tdigest_rollup" -> q115Sql,
+    // HLL++ count-distinct contract: |estimate − exact| ≤ 6·rsd·exact+1
+    // asserted TRUE per group (the q61/q115 pattern for cardinality).
+    "q118_hll_contract" -> q118Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
     // at any SF, no data-pinned literals.

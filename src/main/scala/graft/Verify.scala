@@ -56,7 +56,8 @@ object Verify {
     // SparkEntry.backtestDifferential) stays as a second, independent
     // check — check_oracle.py folds it in as extra rows.
     if (selected("q46_backtest_trades") || selected("q47_backtest_summary") ||
-        selected("q61_percentiles_approx") || selected("q115_tdigest_mergeable")) {
+        selected("q61_percentiles_approx") || selected("q115_tdigest_mergeable") ||
+        selected("q118_hll_contract")) {
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       if (selected("q46_backtest_trades") || selected("q47_backtest_summary"))
         try {
@@ -116,6 +117,17 @@ object Verify {
           rows += s""""q115_streaming_quantiles": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
         }
       }
+      if (selected("q118_hll_contract"))
+        try {
+          // HLL++ margin vs the 6·rsd·exact + 1 bound (see q118 scaladoc)
+          val (checks, viols, maxOver) = SparkEntry.hllDifferential(spark, sfDir)
+          rows += s""""q118_hll_contract": {"diff_match": ${viols == 0 && checks > 0}, """ +
+            s""""groups": $checks, "violations": $viols, """ +
+            s""""max_err_over_bound": $maxOver}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] HLL differential failed: ${e.getMessage}")
+          rows += s""""q118_hll_contract": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+        }
       Files.writeString(Paths.get(s"$outDir/differential.json"),
         rows.mkString("{", ",\n ", "}"))
     }

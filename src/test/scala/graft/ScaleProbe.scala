@@ -382,6 +382,23 @@ object ScaleProbe {
           f"fold=$fm n=$nm viols=$v maxOver=$mo%.3f " +
           f"t=${(System.nanoTime() - t1) / 1e9}%.2f s")
       }
+      // q118 on the r13 lineitem replicas (distinct counts are invariant
+      // under replication, so the axis is scan + partial-dedup volume;
+      // the HLL sketch side never shuffles values — registers only)
+      if (new java.io.File("/tmp/li1000/lineitem.parquet").exists) {
+        SparkEntry.queries("q118_hll_contract")(spark, "/root/testdata/sf0.01")
+          .write.mode("overwrite").format("noop").save()
+        for (dir <- Seq("/root/testdata/sf0.1", "/tmp/li100", "/tmp/li1000")) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries("q118_hll_contract")(spark, dir)
+            .write.mode("overwrite").format("noop").save()
+          println(f"SCALE-R14 $dir: q118_hll_contract=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
+        val (checks, viols, maxOver) =
+          SparkEntry.hllDifferential(spark, "/tmp/li1000")
+        println(f"SCALE-R14 q118 bound at 600M rows: " +
+          f"groups=$checks viols=$viols maxOver=$maxOver%.3f")
+      }
     }
 
     if (want("r13")) {

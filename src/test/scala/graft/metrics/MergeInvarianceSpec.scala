@@ -68,6 +68,28 @@ class MergeInvarianceSpec extends AnyFunSuite {
       Seq("event_type", "p50", "p90", "p99"))
   }
 
+  test("q118 HLL: the ESTIMATE (not just the verdict) is identical from 1 to 200 shuffle partitions") {
+    // HLL merging is lossless (register-wise max) — unlike the
+    // t-digest, partitioning may not move even the estimate
+    val runs = Seq("1", "7", "200").map { sp =>
+      sp -> withShufflePartitions(sp) {
+        SparkEntry.q118Verdict(spark, sfDir)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getBoolean(4)))
+          .sortBy(_._1).toSeq
+      }
+    }
+    runs.foreach { case (sp, rows) =>
+      assert(rows.nonEmpty, s"sp=$sp produced no rows")
+      assert(rows.forall(_._5), s"sp=$sp bound violation: ${rows.filterNot(_._5)}")
+    }
+    val ref = runs.head._2
+    runs.tail.foreach { case (sp, rows) =>
+      assert(rows == ref, s"HLL rows differ at sp=$sp (merge must be lossless)")
+    }
+  }
+
   test("kernel: digests merged from stored per-chunk sketches stay within the bound") {
     val rnd = new scala.util.Random(29)
     val values = Array.fill(30000)(math.exp(rnd.nextGaussian() * 1.2))

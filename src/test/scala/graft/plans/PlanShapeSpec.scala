@@ -297,6 +297,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n$p")
   }
 
+  test("q118 HLL contract: sketch partials below the exchange, no global sort") {
+    val p = plan(graft.SparkEntry.queries("q118_hll_contract")(spark, sf))
+    // the HLL sketch must partial-aggregate map-side (registers cross
+    // the wire); the exact side rides the same keyed exchanges
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+    assert(p.contains("approx_count_distinct") || p.contains("hllsketch") ||
+      p.contains("HyperLogLog"), s"HLL aggregate missing:\n$p")
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("Window"),
+      s"no global sort / window:\n$p")
+  }
+
   test("q111 trade metrics: aggregates the persisted trades, no recompute") {
     val p = plan(graft.SparkEntry.queries("q111_fact_trade_metrics")(spark, sf))
     assert(p.contains("InMemoryTableScan"),
