@@ -61,9 +61,11 @@ object Sources {
     }
     maxRows.foreach(n => df = df.limit(n))
     // Case-insensitive DATE_TIME detection; keep FIRST occurrence only
-    // (duplicate-column drop, data_handler.py:47-51).
-    val lowerTs = tsColumn.toLowerCase
-    val tsMatches = df.columns.filter(_.toLowerCase == lowerTs)
+    // (duplicate-column drop, data_handler.py:47-51). Locale.ROOT: a
+    // cluster executor under a Turkish default locale folds "TIME" to
+    // "tıme" (dotless ı) and the header match silently fails.
+    val lowerTs = tsColumn.toLowerCase(java.util.Locale.ROOT)
+    val tsMatches = df.columns.filter(_.toLowerCase(java.util.Locale.ROOT) == lowerTs)
     val keepTs = tsMatches.headOption
     val cols = df.columns.zipWithIndex.collect {
       case (c, i) if keepTs.contains(c) && df.columns.indexOf(c) == i =>

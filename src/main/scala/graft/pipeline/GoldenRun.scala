@@ -162,7 +162,13 @@ object GoldenRun {
       val hi = math.max(open, close) + 0.0004 * math.abs(rnd.nextGaussian())
       val lo = math.min(open, close) - 0.0004 * math.abs(rnd.nextGaussian())
       val ts = t0.plusHours(i.toLong).toString.replace('T', ' ') + ":00"
-      sb.append(f"${ts.take(19)},$open%.5f,$lo%.5f,$hi%.5f,$close%.5f\n")
+      // Locale.ROOT: the f-interpolator formats %.5f with the DEFAULT
+      // locale — a comma-decimal host would write "1,10000" and corrupt
+      // the CSV fixture
+      sb.append(String.format(java.util.Locale.ROOT,
+        "%s,%.5f,%.5f,%.5f,%.5f\n",
+        ts.take(19), Double.box(open), Double.box(lo), Double.box(hi),
+        Double.box(close)))
       i += 1
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
