@@ -1497,6 +1497,192 @@ object SparkEntry {
     (checks, viols, maxOver)
   }
 
+  private val Q119P = 12 // 4096 one-byte registers, rsd ≈ 1.625%
+
+  /** The hand-rolled HLL's rsd at [[Q119P]], interpolated verbatim into
+    * the oracle SQL so both engines evaluate the identical double. */
+  private val Q119Rsd = graft.metrics.Hll.rsd(Q119P)
+
+  /** HLL sketch-column rollup — the cardinality half of q117's
+    * warehouse pattern, on the hand-rolled register sketch
+    * (`metrics.Hll`) rather than the engine built-in: level 1
+    * aggregates one storable 4096-byte sketch per (l_suppkey, 30-day
+    * ship grain) — the ingest-time artifact a 100 TB warehouse would
+    * persist — and level 2 answers the per-supplier distinct-part
+    * question by register-max rollup of the STORED sketches, never
+    * rescanning raw values. Two verdicts ride as data (oracle asserts
+    * both TRUE, so either failing is a hash FAIL):
+    *
+    *  - `within_bound`: |rollup estimate − exact| ≤ 6·rsd·exact + 1 —
+    *    the q118 contract form (6σ for the same all-groups reason).
+    *  - `rollup_lossless`: the rolled-up estimate EQUALS a one-level
+    *    `DistinctAgg` straight over the raw values — register max is
+    *    lossless/idempotent, so rollup cannot degrade the sketch (the
+    *    t-digest rollup q117 can only promise a bound here; the HLL
+    *    promises identity). `MergeInvarianceSpec` additionally pins the
+    *    estimate across shuffle partitionings and grain widths.
+    *
+    * [[hllRollupDifferential]] records the quantitative margin in
+    * differential.json.
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    q119Verdict(s, dir).select(
+      col("l_suppkey"), col("n_grains"), col("n_exact"),
+      col("err_bound"), col("within_bound"), col("rollup_lossless"))
+
+  /** The q119 stored-grain width: one sketch per (supplier, 30 days) —
+    * epoch-µs integer buckets, the q19/q117 tz-safe idiom (calendar
+    * truncation works in the session timezone on both engines). */
+  private val Q119GrainUs = 30L * 86400L * 1000000L
+
+  /** q119 plus the raw estimate columns, at an arbitrary stored-grain
+    * width (spec/differential face; the grain-invariance spec sweeps
+    * widths through this — losslessness must hold at every grain). */
+  private[graft] def q119Verdict(s: SparkSession, dir: String,
+      grainUs: Long = Q119GrainUs): DataFrame = {
+    import graft.metrics.Hll
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"),
+        (unix_micros(col("l_shipdate")) / grainUs).cast("long").as("grain"))
+    val mk = udaf(new Hll.SketchAgg(Q119P), Encoders.scalaLong)
+    val grains = li.groupBy(col("l_suppkey"), col("grain"))
+      .agg(mk(col("l_partkey")).as("sk"))
+    val roll = udaf(new Hll.MergeSketchesAgg(Q119P),
+      Encoders.product[Hll.Sketch])
+    val rolled = grains.groupBy(col("l_suppkey"))
+      .agg(roll(col("sk.regs")).as("est_rollup"),
+        count(lit(1)).as("n_grains"))
+    val direct = udaf(new Hll.DistinctAgg(Q119P), Encoders.scalaLong)
+    val exact = li.groupBy(col("l_suppkey"))
+      .agg(direct(col("l_partkey")).as("est_direct"),
+        countDistinct(col("l_partkey")).as("n_exact"))
+    val bound = lit(6.0) * lit(Q119Rsd) * col("n_exact") + lit(1.0)
+    rolled.join(exact, "l_suppkey")
+      .select(col("l_suppkey"), col("n_grains"), col("n_exact"),
+        col("est_rollup"), col("est_direct"),
+        bound.as("err_bound"),
+        (abs(col("est_rollup") - col("n_exact")).cast("double") <= bound)
+          .as("within_bound"),
+        (col("est_rollup") === col("est_direct")).as("rollup_lossless"))
+  }
+
+  private def q119Sql =
+    s"""SELECT l_suppkey,
+       | COUNT(DISTINCT epoch_us(l_shipdate) // $Q119GrainUs) AS n_grains,
+       | COUNT(DISTINCT l_partkey) AS n_exact,
+       | CAST(6.0 AS DOUBLE) * CAST($Q119Rsd AS DOUBLE)
+       |   * COUNT(DISTINCT l_partkey)
+       |   + CAST(1.0 AS DOUBLE) AS err_bound,
+       | TRUE AS within_bound,
+       | TRUE AS rollup_lossless
+       |FROM lineitem GROUP BY l_suppkey""".stripMargin
+
+  /** Quantitative q119 verdict for differential.json: worst-group
+    * margin vs the bound, plus the lossless-identity count. */
+  def hllRollupDifferential(s: SparkSession, dir: String)
+      : (Long, Long, Double, Boolean) = {
+    val rows = q119Verdict(s, dir)
+      .select(col("n_exact"), col("est_rollup"), col("err_bound"),
+        col("rollup_lossless")).collect()
+    var checks = 0L; var viols = 0L; var maxOver = 0.0; var lossless = true
+    rows.foreach { r =>
+      val err = math.abs(r.getLong(1) - r.getLong(0)).toDouble
+      val bound = r.getDouble(2)
+      checks += 1
+      if (err > bound) viols += 1
+      if (!r.getBoolean(3)) lossless = false
+      maxOver = math.max(maxOver, err / bound)
+    }
+    (checks, viols, maxOver, lossless)
+  }
+
+  /** The q120 A/B split point: orders strictly before vs from this date
+    * (mid-range of the 1992–1998 o_orderdate span, so both snapshots
+    * and their overlap are substantial at every SF). */
+  private val Q120Pivot = "1995-06-01"
+
+  /** HLL set algebra over STORED sketches — the corpus-overlap /
+    * decontamination-coverage estimate at 100 TB scale: per order
+    * priority, the customer sets of two order-date snapshots (A =
+    * before [[Q120Pivot]], B = from it) are sketched independently;
+    * union cardinality comes from register-max of the two stored
+    * sketches (no raw-data access — the merge IS the union set, the
+    * property q119 pins as lossless), and intersection follows by
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B). The
+    * exact side needs only conditional COUNT(DISTINCT)s (I–E is exact
+    * on exact counts), so the oracle is plain SQL. Verdicts as data:
+    *
+    *  - `union_within`: the merged-sketch estimate obeys the q118/q119
+    *    6·rsd·exact + 1 bound against the exact union count.
+    *  - `inter_within`: the I–E estimate errs by at most the sum of
+    *    three sketch deviations; with independent ~rsd·nᵢ terms the
+    *    combined σ is rsd·√(a²+b²+u²), bounded at 6σ (+3 integer slack
+    *    for the three roundings). Shared-hash sketches are positively
+    *    correlated — deviations partially CANCEL in a+b−u — so this
+    *    independence-based bound is conservative in practice.
+    *
+    * At warehouse scale both inputs are sketch columns fetched from the
+    * q119-style rollup table: estimating train∩benchmark contamination
+    * overlap costs O(2^p) per pair, not a distinct-pair join.
+    */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    import graft.metrics.Hll
+    val ord = t(s, dir, "orders")
+    val isA = col("o_orderdate") < utcDay(Q120Pivot) // tz-pinned instant
+    val mk = udaf(new Hll.SketchAgg(Q119P), Encoders.scalaLong)
+    val skA = ord.filter(isA).groupBy(col("o_orderpriority"))
+      .agg(mk(col("o_custkey")).as("sk_a"))
+    val skB = ord.filter(!isA).groupBy(col("o_orderpriority"))
+      .agg(mk(col("o_custkey")).as("sk_b"))
+    val exact = ord.groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(when(isA, col("o_custkey"))).as("a_exact"),
+        countDistinct(when(!isA, col("o_custkey"))).as("b_exact"),
+        countDistinct(col("o_custkey")).as("union_exact"))
+    val est = udf((regs: Array[Byte]) => Hll.estimate(regs))
+    val estUnion = udf((a: Array[Byte], b: Array[Byte]) =>
+      Hll.estimate(Hll.merged(a, b)))
+    val boundU = lit(6.0) * lit(Q119Rsd) * col("union_exact") + lit(1.0)
+    val boundI = lit(6.0) * lit(Q119Rsd) *
+      sqrt((col("a_exact") * col("a_exact") + col("b_exact") * col("b_exact")
+        + col("union_exact") * col("union_exact")).cast("double")) + lit(3.0)
+    exact.join(skA, "o_orderpriority").join(skB, "o_orderpriority")
+      .select(col("o_orderpriority"), col("a_exact"), col("b_exact"),
+        col("union_exact"),
+        (col("a_exact") + col("b_exact") - col("union_exact")).as("inter_exact"),
+        est(col("sk_a.regs")).as("est_a"),
+        est(col("sk_b.regs")).as("est_b"),
+        estUnion(col("sk_a.regs"), col("sk_b.regs")).as("est_union"),
+        boundU.as("err_bound_union"), boundI.as("err_bound_inter"))
+      .select(col("o_orderpriority"), col("a_exact"), col("b_exact"),
+        col("union_exact"), col("inter_exact"),
+        col("err_bound_union"), col("err_bound_inter"),
+        (abs(col("est_union") - col("union_exact")).cast("double")
+          <= col("err_bound_union")).as("union_within"),
+        (abs((col("est_a") + col("est_b") - col("est_union"))
+          - col("inter_exact")).cast("double")
+          <= col("err_bound_inter")).as("inter_within"))
+  }
+
+  private def q120Sql =
+    s"""SELECT o_orderpriority, a_exact, b_exact, union_exact,
+       | a_exact + b_exact - union_exact AS inter_exact,
+       | CAST(6.0 AS DOUBLE) * CAST($Q119Rsd AS DOUBLE) * union_exact
+       |   + CAST(1.0 AS DOUBLE) AS err_bound_union,
+       | CAST(6.0 AS DOUBLE) * CAST($Q119Rsd AS DOUBLE)
+       |   * SQRT(CAST(a_exact * a_exact + b_exact * b_exact
+       |               + union_exact * union_exact AS DOUBLE))
+       |   + CAST(3.0 AS DOUBLE) AS err_bound_inter,
+       | TRUE AS union_within,
+       | TRUE AS inter_within
+       |FROM (SELECT o_orderpriority,
+       |  COUNT(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '$Q120Pivot'
+       |    THEN o_custkey END) AS a_exact,
+       |  COUNT(DISTINCT CASE WHEN NOT (o_orderdate < TIMESTAMP '$Q120Pivot')
+       |    THEN o_custkey END) AS b_exact,
+       |  COUNT(DISTINCT o_custkey) AS union_exact
+       |FROM orders GROUP BY o_orderpriority)""".stripMargin
+
   /** W4 strided windows: keep every 3rd row per series. */
   private def q38(s: SparkSession, dir: String): DataFrame =
     Windows.strided(
@@ -3440,6 +3626,128 @@ object SparkEntry {
       violations, maxOver)
   }
 
+  /** Quantitative q120 verdict for differential.json: worst-group
+    * margins of the union estimate vs 6·rsd·exact + 1 and the
+    * inclusion–exclusion intersection estimate vs
+    * 6·rsd·√(a²+b²+u²) + 3. Recomputes the estimates from the same
+    * sketches the query builds (the driver row carries only booleans).
+    */
+  def hllSetopsDifferential(s: SparkSession, dir: String)
+      : (Long, Long, Double, Double) = {
+    import graft.metrics.Hll
+    val rows = q120(s, dir).collect()
+    // re-derive the estimate errors from the verdict row's exact counts
+    // is impossible (booleans only), so walk the sketch path again
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        (col("o_orderdate") < utcDay(Q120Pivot)).as("is_a"),
+        col("o_custkey"))
+      .collect()
+      .groupBy(_.getString(0))
+    var checks = 0L; var viols = 0L; var maxU = 0.0; var maxI = 0.0
+    ord.foreach { case (_, rs) =>
+      val aIds = rs.filter(_.getBoolean(1)).map(_.getLong(2))
+      val bIds = rs.filterNot(_.getBoolean(1)).map(_.getLong(2))
+      val ra = Hll.emptyRegs(Q119P); aIds.foreach(Hll.add(ra, Q119P, _))
+      val rb = Hll.emptyRegs(Q119P); bIds.foreach(Hll.add(rb, Q119P, _))
+      val estA = Hll.estimate(ra); val estB = Hll.estimate(rb)
+      val estU = Hll.estimate(Hll.merged(ra, rb))
+      val aE = aIds.distinct.length.toLong
+      val bE = bIds.distinct.length.toLong
+      val uE = (aIds ++ bIds).distinct.length.toLong
+      val iE = aE + bE - uE
+      val boundU = 6.0 * Q119Rsd * uE + 1.0
+      val boundI = 6.0 * Q119Rsd *
+        math.sqrt((aE * aE + bE * bE + uE * uE).toDouble) + 3.0
+      val errU = math.abs(estU - uE).toDouble
+      val errI = math.abs((estA + estB - estU) - iE).toDouble
+      checks += 1
+      if (errU > boundU || errI > boundI) viols += 1
+      maxU = math.max(maxU, errU / boundU)
+      maxI = math.max(maxI, errI / boundI)
+    }
+    require(rows.forall(r => r.getBoolean(7) && r.getBoolean(8)),
+      "q120 verdict row disagrees with the differential walk")
+    (checks, viols, maxU, maxI)
+  }
+
+  /** Batch≡streaming differential for the cardinality family (the
+    * q115 pattern, with a STRONGER terminal verdict): the events feed,
+    * keyed by event_type with user_id as the counted entity, replays
+    * through `StreamOps.streamingDistinct` in `chunks` deterministic
+    * micro-batches, and three verdicts are recorded:
+    *
+    *  1. `foldMatch` — the stream's full emission history equals the
+    *     driver replay of the same chunks, bit-for-bit.
+    *  2. `estMatch` — each key's TERMINAL streaming estimate EXACTLY
+    *     equals the batch `Hll.DistinctAgg` aggregate: register-max
+    *     folding is order/partition/chunking-insensitive, so stream
+    *     and batch must agree to the bit, not merely within a bound
+    *     (the t-digest family's merge trees can only share a bound —
+    *     this is the algebraic payoff of a lossless sketch).
+    *  3. the estimate obeys the q118/q119 6·rsd·exact + 1 contract per
+    *     key against the exact distinct count.
+    *
+    * Returns (ticks, keys, foldMatch, estMatch, violations,
+    * maxErrOverBound).
+    */
+  def streamingDistinctDifferential(s: SparkSession, dir: String,
+      chunks: Int = 3, maxTicks: Int = 2000000)
+      : (Long, Long, Boolean, Boolean, Long, Double) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.streaming.StreamOps
+    val p = Q119P
+    val src = t(s, dir, "events")
+      .select(col("event_type").as("key"),
+        (unix_micros(col("ts")) / 1000L).cast("long").as("ts"),
+        col("user_id"), col("event_id"))
+    val probe = src.limit(maxTicks + 1).as[(String, Long, Long, Long)].collect()
+    val raw = (if (probe.length <= maxTicks) probe
+      else src.orderBy(col("ts"), col("event_id")).limit(maxTicks)
+        .as[(String, Long, Long, Long)].collect())
+      .sortBy(r => (r._2, r._4)) // (ts, event_id): total, data-deterministic
+    val ticks = raw.map(r => StreamOps.DistinctTick(r._1, r._2, r._3))
+    val per = math.max(1, (ticks.length + chunks - 1) / chunks)
+    val mem = MemoryStream[StreamOps.DistinctTick]
+    val name = s"ddiff_${math.abs(dir.hashCode)}"
+    val q = StreamOps.streamingDistinct(mem.toDS(), p)
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    val streamRows =
+      try {
+        ticks.grouped(per).foreach { c =>
+          mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+        }
+        s.table(name).as[StreamOps.DistinctRow].collect().toSeq
+      } finally q.stop()
+    val replay = StreamOps.replayDistinctChunks(
+      ticks.grouped(per).map(_.toSeq), p)
+    def sorted(rs: Seq[StreamOps.DistinctRow]) =
+      rs.sortBy(r => (r.key, r.n)).map(r => (r.key, r.n, r.closed, r.estimate))
+    val foldMatch = sorted(streamRows) == sorted(replay)
+    // batch reference: the same fold as ONE aggregate over all rows,
+    // plus the exact distinct count for the contract check
+    val idsByKey = raw.groupBy(_._1)
+    var estMatch = streamRows.nonEmpty
+    var violations = 0L
+    var maxOver = 0.0
+    streamRows.groupBy(_.key).foreach { case (k, rs) =>
+      val fin = rs.maxBy(_.n)
+      val regs = graft.metrics.Hll.emptyRegs(p)
+      idsByKey(k).foreach(r => graft.metrics.Hll.add(regs, p, r._3))
+      val batchEst = graft.metrics.Hll.estimate(regs)
+      if (fin.estimate != batchEst) estMatch = false
+      val exact = idsByKey(k).map(_._3).distinct.length
+      val bound = 6.0 * Q119Rsd * exact + 1.0
+      val err = math.abs(fin.estimate - exact).toDouble
+      if (err > bound) violations += 1
+      maxOver = math.max(maxOver, err / bound)
+    }
+    (ticks.length.toLong, idsByKey.size.toLong, foldMatch, estMatch,
+      violations, maxOver)
+  }
+
   /** Shared driver-side fold of [[sketchRankVerdict]]'s rank intervals:
     * returns (checks, violations, maxErrRanks, maxBoundRanks,
     * maxErrOverBound) under `boundFn(p, n)`.
@@ -3780,7 +4088,9 @@ object SparkEntry {
     "q115_tdigest_mergeable" -> (q115 _),
     "q116_strategy_fact" -> (q116 _),
     "q117_tdigest_rollup" -> (q117 _),
-    "q118_hll_contract" -> (q118 _)
+    "q118_hll_contract" -> (q118 _),
+    "q119_hll_rollup" -> (q119 _),
+    "q120_hll_setops" -> (q120 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3907,6 +4217,8 @@ object SparkEntry {
     // HLL++ count-distinct contract: |estimate − exact| ≤ 6·rsd·exact+1
     // asserted TRUE per group (the q61/q115 pattern for cardinality).
     "q118_hll_contract" -> q118Sql,
+    "q119_hll_rollup" -> q119Sql,
+    "q120_hll_setops" -> q120Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
     // at any SF, no data-pinned literals.

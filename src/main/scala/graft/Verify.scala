@@ -57,7 +57,8 @@ object Verify {
     // check — check_oracle.py folds it in as extra rows.
     if (selected("q46_backtest_trades") || selected("q47_backtest_summary") ||
         selected("q61_percentiles_approx") || selected("q115_tdigest_mergeable") ||
-        selected("q118_hll_contract")) {
+        selected("q118_hll_contract") || selected("q119_hll_rollup") ||
+        selected("q120_hll_setops")) {
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       if (selected("q46_backtest_trades") || selected("q47_backtest_summary"))
         try {
@@ -128,6 +129,46 @@ object Verify {
           System.err.println(s"[verify] HLL differential failed: ${e.getMessage}")
           rows += s""""q118_hll_contract": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
         }
+      if (selected("q120_hll_setops"))
+        try {
+          // union + inclusion–exclusion intersection margins (q120)
+          val (checks, viols, maxU, maxI) =
+            SparkEntry.hllSetopsDifferential(spark, sfDir)
+          rows += s""""q120_hll_setops": {"diff_match": ${viols == 0 && checks > 0}, """ +
+            s""""groups": $checks, "violations": $viols, """ +
+            s""""max_union_over_bound": $maxU, "max_inter_over_bound": $maxI}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] HLL set-ops differential failed: ${e.getMessage}")
+          rows += s""""q120_hll_setops": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+        }
+      if (selected("q119_hll_rollup")) {
+        try {
+          // rollup margin vs the 6·rsd·exact + 1 bound, plus the
+          // lossless rollup≡direct identity (see q119 scaladoc)
+          val (checks, viols, maxOver, lossless) =
+            SparkEntry.hllRollupDifferential(spark, sfDir)
+          rows += s""""q119_hll_rollup": {"diff_match": ${viols == 0 && checks > 0 && lossless}, """ +
+            s""""groups": $checks, "violations": $viols, """ +
+            s""""max_err_over_bound": $maxOver, "rollup_lossless": $lossless}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] HLL rollup differential failed: ${e.getMessage}")
+          rows += s""""q119_hll_rollup": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+        }
+        try {
+          // batch≡streaming for the cardinality family: emission
+          // history == driver replay, terminal estimate == batch
+          // aggregate EXACTLY (lossless merge), contract per key
+          val (ticks, keys, foldMatch, estMatch, viols, maxOver) =
+            SparkEntry.streamingDistinctDifferential(spark, sfDir)
+          rows += s""""q119_streaming_distinct": {"diff_match": ${foldMatch && estMatch && viols == 0 && keys > 0}, """ +
+            s""""ticks": $ticks, "keys": $keys, "fold_match": $foldMatch, """ +
+            s""""est_match": $estMatch, "violations": $viols, """ +
+            s""""max_err_over_bound": $maxOver}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] streaming distinct differential failed: ${e.getMessage}")
+          rows += s""""q119_streaming_distinct": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+        }
+      }
       Files.writeString(Paths.get(s"$outDir/differential.json"),
         rows.mkString("{", ",\n ", "}"))
     }

@@ -818,6 +818,133 @@ object StreamOps {
     }
   }
 
+  case class DistinctTick(key: String, ts: Long, id: Long)
+
+  /** Streaming state for [[streamingDistinct]]: one fixed-size HLL
+    * register array (2^p bytes — O(1) per key regardless of
+    * cardinality, the property that makes per-key distinct counting
+    * viable as unbounded streaming state at all), the rows-seen count,
+    * and the key's max event time (the [[IndState]]/[[QuantState]]
+    * monotone-arming pattern). No capacity-tail subtlety here: the
+    * register array has no append room to trim, so state round-trips
+    * byte-identical by construction. */
+  final case class HllState(regs: Array[Byte], n: Long, maxSeenTs: Long)
+
+  /** One live cardinality emission: the key's HLL distinct estimate
+    * over everything seen so far (`closed=false`), or the terminal
+    * estimate on idle eviction (`closed=true`). */
+  case class DistinctRow(key: String, n: Long, closed: Boolean,
+      estimate: Long)
+
+  /** Streaming distinct counts — the §2.10 face of the cardinality
+    * family (q55 exact / q118 HLL++ contract / q119 sketch rollup):
+    * one `flatMapGroupsWithState` group per key folding the SAME
+    * register fold as the batch path (`Hll.add` — q119's aggregators),
+    * so the streaming state is exactly a batch partial aggregate that
+    * never finalizes. Emits the key's current estimate on every batch
+    * that touches it (Update mode), and a terminal `closed=true` row on
+    * idle eviction (same [[EventTimeIdle]]/[[ProcessingTimeIdle]]
+    * semantics and monotone watermark-clamped arming as
+    * [[streamingQuantiles]]).
+    *
+    * Batch ≡ streaming contract (recorded per round in
+    * differential.json via `SparkEntry.streamingDistinctDifferential`):
+    * register-max folding is commutative, associative, and IDEMPOTENT,
+    * so — unlike the t-digest, whose values are merge-tree-specific and
+    * share only a rank bound across trees — the terminal streaming
+    * estimate EXACTLY equals the batch `Hll.DistinctAgg` result for any
+    * chunking, ordering, or partitioning of the same rows. The full
+    * emission history is additionally pinned bit-for-bit against
+    * [[replayDistinctChunks]] (history depends on chunk boundaries
+    * through `n` and emission cadence, not through the sketch).
+    */
+  def streamingDistinct(ticks: Dataset[DistinctTick], p: Int = 12,
+      eviction: IdleEviction = NeverEvict): Dataset[DistinctRow] = {
+    import ticks.sparkSession.implicits._
+    val timeoutConf = eviction match {
+      case NeverEvict => GroupStateTimeout.NoTimeout()
+      case _: ProcessingTimeIdle => GroupStateTimeout.ProcessingTimeTimeout()
+      case _: EventTimeIdle => GroupStateTimeout.EventTimeTimeout()
+    }
+    // DistinctTick.ts is epoch MILLIS, the shared watermark contract
+    val src = eviction match {
+      case EventTimeIdle(_, lateness) =>
+        ticks.withColumn("__evt", timestamp_millis(col("ts")))
+          .withWatermark("__evt", s"${math.max(0L, lateness.toMillis)} milliseconds")
+          .as[DistinctTick]
+      case _ => ticks
+    }
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState[HllState, DistinctRow](
+        OutputMode.Update(), timeoutConf) {
+        (key: String, rows: Iterator[DistinctTick], state: GroupState[HllState]) =>
+          distinctGroupStep(key, rows, state, p, eviction)
+      }
+  }
+
+  /** Per-group step of [[streamingDistinct]], named so the
+    * timeout/eviction branch is unit-testable with `TestGroupState`
+    * (the r11 lesson — don't drive stateful timeouts through
+    * MemoryStream). */
+  def distinctGroupStep(key: String, rows: Iterator[DistinctTick],
+      state: GroupState[HllState], p: Int,
+      eviction: IdleEviction): Iterator[DistinctRow] = {
+    import graft.metrics.Hll
+    if (state.hasTimedOut) {
+      val terminal = state.getOption.collect { case h if h.n > 0 =>
+        DistinctRow(key, h.n, closed = true, Hll.estimate(h.regs))
+      }
+      state.remove()
+      terminal.iterator
+    } else {
+      val batch = rows.toSeq
+      if (batch.isEmpty) Iterator.empty
+      else {
+        val prev = state.getOption
+          .getOrElse(HllState(Hll.emptyRegs(p), 0L, Long.MinValue))
+        // no in-batch sort needed: register max is order-insensitive,
+        // so the fold RESULT is total-order-free by algebra (the
+        // quantile face has to sort; this one provably does not)
+        batch.foreach(t => Hll.add(prev.regs, p, t.id))
+        val n = prev.n + batch.size
+        val maxSeen = math.max(prev.maxSeenTs, batch.map(_.ts).max)
+        state.update(HllState(prev.regs, n, maxSeen))
+        eviction match {
+          case NeverEvict => ()
+          case ProcessingTimeIdle(d) => state.setTimeoutDuration(d.toMillis)
+          case EventTimeIdle(d, _) =>
+            state.setTimeoutTimestamp(
+              math.max(maxSeen + d.toMillis,
+                state.getCurrentWatermarkMs() + 1L))
+        }
+        Iterator.single(
+          DistinctRow(key, n, closed = false, Hll.estimate(prev.regs)))
+      }
+    }
+  }
+
+  /** Driver-side REFERENCE replay of [[streamingDistinct]]: fold the
+    * same chunk sequence through the same register fold. The
+    * differential and `StreamingDistinctSpec` both diff the stream's
+    * emission history against THIS — one definition, no drift. */
+  def replayDistinctChunks(chunks: Iterator[Seq[DistinctTick]],
+      p: Int): Seq[DistinctRow] = {
+    import graft.metrics.Hll
+    val regs = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    val ns = scala.collection.mutable.Map.empty[String, Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[DistinctRow]
+    chunks.foreach { chunk =>
+      chunk.groupBy(_.key).toSeq.sortBy(_._1).foreach { case (k, ks) =>
+        val r = regs.getOrElseUpdate(k, Hll.emptyRegs(p))
+        ks.foreach(t => Hll.add(r, p, t.id))
+        val n = ns.getOrElse(k, 0L) + ks.length
+        ns(k) = n
+        out += DistinctRow(k, n, closed = false, Hll.estimate(r))
+      }
+    }
+    out.toSeq
+  }
+
   /** Stateful per-key accumulator via flatMapGroupsWithState — the
     * streaming analog of the backtest's per-series position state:
     * arbitrary state survives across micro-batches, one state object per

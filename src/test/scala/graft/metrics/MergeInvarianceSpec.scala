@@ -90,6 +90,57 @@ class MergeInvarianceSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 hand-rolled HLL: rollup estimate identical across partitionings AND grain widths") {
+    // two invariances at once, both consequences of lossless register
+    // max: (a) shuffle partitioning moves the merge tree — estimates
+    // may not move; (b) the stored-grain width changes WHICH sketches
+    // exist — the rolled-up registers are the same set's registers
+    // regardless, so est_rollup, est_direct, and every verdict column
+    // must be bit-identical across hour/day/30-day grains too
+    val day = 86400000000L
+    val runs =
+      Seq(("sp1", "1", day), ("sp200", "200", day),
+          ("hour", "4", 3600000000L), ("month", "4", 30L * day)).map {
+        case (label, sp, grain) =>
+          label -> withShufflePartitions(sp) {
+            SparkEntry.q119Verdict(spark, sfDir, grain)
+              .drop("n_grains") // the one legitimately grain-dependent column
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                r.getLong(3), r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))
+              .sortBy(_._1).toSeq
+          }
+      }
+    runs.foreach { case (label, rows) =>
+      assert(rows.nonEmpty, s"$label produced no rows")
+      assert(rows.forall(_._6), s"$label bound violation: ${rows.filterNot(_._6)}")
+      assert(rows.forall(_._7), s"$label rollup != direct: ${rows.filterNot(_._7)}")
+    }
+    val ref = runs.head._2
+    runs.tail.foreach { case (label, rows) =>
+      assert(rows == ref, s"q119 rows differ at $label (merge must be lossless)")
+    }
+  }
+
+  test("q120 set algebra: estimates and verdicts identical from 1 to 200 shuffle partitions") {
+    val runs = Seq("1", "200").map { sp =>
+      sp -> withShufflePartitions(sp) {
+        SparkEntry.queries("q120_hll_setops")(spark, sfDir)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getDouble(5), r.getDouble(6),
+            r.getBoolean(7), r.getBoolean(8)))
+          .sortBy(_._1).toSeq
+      }
+    }
+    runs.foreach { case (sp, rows) =>
+      assert(rows.nonEmpty, s"sp=$sp produced no rows")
+      assert(rows.forall(r => r._8 && r._9),
+        s"sp=$sp verdict violation: ${rows.filterNot(r => r._8 && r._9)}")
+    }
+    assert(runs.head._2 == runs.last._2, "q120 rows differ across partitionings")
+  }
+
   test("kernel: digests merged from stored per-chunk sketches stay within the bound") {
     val rnd = new scala.util.Random(29)
     val values = Array.fill(30000)(math.exp(rnd.nextGaussian() * 1.2))

@@ -77,6 +77,13 @@ class AqeRobustnessSpec extends AnyFunSuite {
         s"q115 digest lost map-side partials under AQE:\n$p115")
       assert(p115.contains("BroadcastHashJoin") && !p115.contains("SortMergeJoin"),
         s"q115 sketch relation stopped broadcasting under AQE:\n$p115")
+
+      val p119 = finalPlan(graft.SparkEntry.queries("q119_hll_rollup")(spark, sf))
+      assert(p119.contains("partial_sketchagg") &&
+        p119.contains("partial_mergesketchesagg"),
+        s"q119 rollup lost map-side partials under AQE:\n$p119")
+      assert(p119.contains("BroadcastHashJoin") && !p119.contains("SortMergeJoin"),
+        s"q119 verdict join degraded under AQE:\n$p119")
     }
   }
 

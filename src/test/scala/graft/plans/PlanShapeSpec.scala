@@ -309,6 +309,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no global sort / window:\n$p")
   }
 
+  test("q119 HLL rollup: partials at both levels, registers on the wire, verdict broadcast") {
+    val p = plan(graft.SparkEntry.queries("q119_hll_rollup")(spark, sf))
+    // level 1 (values → per-grain sketches) and level 2 (register-max
+    // rollup) both partial-aggregate map-side: raw l_partkey values
+    // never cross the level-2 exchange, 4096-byte registers do
+    assert(p.contains("partial_sketchagg"),
+      s"level-1 sketch must partial-aggregate map-side:\n$p")
+    assert(p.contains("partial_mergesketchesagg"),
+      s"level-2 rollup must partial-merge map-side:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 6,
+      s"expected partial+final at both levels plus the exact branch:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"verdict side must broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("Window"),
+      s"no global sort / window:\n$p")
+  }
+
+  test("q120 HLL set ops: two sketch branches broadcast onto the exact side, no SMJ") {
+    val p = plan(graft.SparkEntry.queries("q120_hll_setops")(spark, sf))
+    assert("partial_sketchagg".r.findAllIn(p).size >= 2,
+      s"both snapshot sketches must partial-aggregate map-side:\n$p")
+    // the exact side is one pass of conditional COUNT(DISTINCT)s —
+    // Expand + two-phase distinct aggregation, not three scans
+    assert(p.contains("Expand"),
+      s"exact side must use the Expand multi-distinct plan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2 &&
+      !p.contains("SortMergeJoin"),
+      s"5-row sketch relations must broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n$p")
+  }
+
   test("q111 trade metrics: aggregates the persisted trades, no recompute") {
     val p = plan(graft.SparkEntry.queries("q111_fact_trade_metrics")(spark, sf))
     assert(p.contains("InMemoryTableScan"),
