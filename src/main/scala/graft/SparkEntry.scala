@@ -1624,6 +1624,12 @@ object SparkEntry {
     * At warehouse scale both inputs are sketch columns fetched from the
     * q119-style rollup table: estimating train∩benchmark contamination
     * overlap costs O(2^p) per pair, not a distinct-pair join.
+    *
+    * Shape note: the sketch relations inner-join onto the exact side,
+    * which assumes every priority has orders on BOTH sides of the
+    * pivot — true by construction of the TPC-H o_orderdate span at
+    * every SF (the pivot sits mid-range; each of the 5 priorities draws
+    * uniformly from the full span).
     */
   private def q120(s: SparkSession, dir: String): DataFrame = {
     import graft.metrics.Hll
@@ -3631,6 +3637,10 @@ object SparkEntry {
     * inclusion–exclusion intersection estimate vs
     * 6·rsd·√(a²+b²+u²) + 3. Recomputes the estimates from the same
     * sketches the query builds (the driver row carries only booleans).
+    * Verify-scale only: the walk collects the orders projection to the
+    * driver (≤150k rows at sf0.1) — at probe/warehouse scale use the
+    * fully distributed q120 verdict columns instead (ScaleProbe r14b
+    * counts violations that way at 150M rows).
     */
   def hllSetopsDifferential(s: SparkSession, dir: String)
       : (Long, Long, Double, Double) = {

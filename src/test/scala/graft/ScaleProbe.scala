@@ -401,6 +401,72 @@ object ScaleProbe {
       }
     }
 
+    if (want("r14b")) {
+      // the HLL family: q119 rides the r13 lineitem axis (replication
+      // keeps distinct counts and grain buckets invariant — the axis is
+      // scan + map-side register-fold volume; only 4096-byte registers
+      // ever cross an exchange), q120 rides an orders axis of the same
+      // uniform sharded layout, and streamingDistinct mirrors the
+      // streamingQuantiles ticks axis
+      Seq("q119_hll_rollup", "q120_hll_setops").foreach(q =>
+        SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+          .write.mode("overwrite").format("noop").save())
+      // self-sufficient replica builders (same sharded layout as r13)
+      locally {
+        val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+          .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey"),
+            col("l_quantity"), col("l_shipdate"))
+        val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        for ((factor, shards, dir) <- Seq((100, 64, "/tmp/li100"), (1000, 512, "/tmp/li1000"))) {
+          if (!new java.io.File(s"$dir/lineitem.parquet").exists) {
+            val reps = spark.range(factor).withColumnRenamed("id", "rep")
+            li.crossJoin(reps).drop("rep").repartition(shards)
+              .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+            ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+          }
+        }
+      }
+      if (!new java.io.File("/tmp/scale10/events.parquet").exists)
+        replicate(10, "/tmp/scale10")
+      if (new java.io.File("/tmp/li1000/lineitem.parquet").exists) {
+        for (dir <- Seq("/root/testdata/sf0.1", "/tmp/li100", "/tmp/li1000")) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries("q119_hll_rollup")(spark, dir)
+            .write.mode("overwrite").format("noop").save()
+          println(f"SCALE-R14B $dir: q119_hll_rollup=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
+        val (checks, viols, maxOver, lossless) =
+          SparkEntry.hllRollupDifferential(spark, "/tmp/li1000")
+        println(f"SCALE-R14B q119 bound at 600M rows: groups=$checks " +
+          f"viols=$viols maxOver=$maxOver%.3f lossless=$lossless")
+      }
+      val ordScale = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      for ((factor, shards, dir) <- Seq((100, 64, "/tmp/ord100"), (1000, 512, "/tmp/ord1000"))) {
+        if (!new java.io.File(s"$dir/orders.parquet").exists) {
+          val reps = spark.range(factor).withColumnRenamed("id", "rep")
+          ordScale.crossJoin(reps).drop("rep").repartition(shards)
+            .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        }
+      }
+      for (dir <- Seq("/root/testdata/sf0.1", "/tmp/ord100", "/tmp/ord1000")) {
+        val t0 = System.nanoTime()
+        val bad = SparkEntry.queries("q120_hll_setops")(spark, dir)
+          .filter(!col("union_within") || !col("inter_within")).count()
+        println(f"SCALE-R14B $dir: q120_hll_setops=${(System.nanoTime() - t0) / 1e9}%.2f " +
+          f"violations=$bad")
+      }
+      for ((dir, label) <- Seq(("/root/testdata/sf0.1", "100k"), ("/tmp/scale10", "1M"))) {
+        if (new java.io.File(s"${dir.stripSuffix("/")}/events.parquet").exists) {
+          val t1 = System.nanoTime()
+          val (ticks, keys, fm, em, v, mo) =
+            SparkEntry.streamingDistinctDifferential(spark, dir, chunks = 10)
+          println(f"SCALE-R14B streamingDistinct $label: ticks=$ticks keys=$keys " +
+            f"fold=$fm est=$em viols=$v maxOver=$mo%.3f " +
+            f"t=${(System.nanoTime() - t1) / 1e9}%.2f s")
+        }
+      }
+    }
+
     if (want("r13")) {
       // Replica LAYOUT matters as much as row count: replicated rows
       // compress so well that a naive write packs 600M rows into ~129MB
