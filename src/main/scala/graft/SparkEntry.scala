@@ -1552,12 +1552,21 @@ object SparkEntry {
     val rolled = grains.groupBy(col("l_suppkey"))
       .agg(roll(col("sk.regs")).as("est_rollup"),
         count(lit(1)).as("n_grains"))
-    val direct = udaf(new Hll.DistinctAgg(Q119P), Encoders.scalaLong)
+    val directAgg = udaf(new Hll.DistinctAgg(Q119P), Encoders.scalaLong)
+    // the one-level sketch and the exact count aggregate SEPARATELY:
+    // planned together, Catalyst's distinct rewrite keys the UDAF's
+    // partials by (group, distinct-value) to ride the countDistinct
+    // dedup — one 2^p-byte register buffer PER DISTINCT PAIR (~500k ×
+    // 4 KB at sf0.1) instead of per group, measured 18.6 s warm vs
+    // ~1.5 s split (a 100 TB query would never co-plan a per-group
+    // sketch with an exact distinct anyway — the sketch exists to
+    // avoid it; the exact branch here is the oracle reference only)
+    val direct = li.groupBy(col("l_suppkey"))
+      .agg(directAgg(col("l_partkey")).as("est_direct"))
     val exact = li.groupBy(col("l_suppkey"))
-      .agg(direct(col("l_partkey")).as("est_direct"),
-        countDistinct(col("l_partkey")).as("n_exact"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
     val bound = lit(6.0) * lit(Q119Rsd) * col("n_exact") + lit(1.0)
-    rolled.join(exact, "l_suppkey")
+    rolled.join(direct, "l_suppkey").join(exact, "l_suppkey")
       .select(col("l_suppkey"), col("n_grains"), col("n_exact"),
         col("est_rollup"), col("est_direct"),
         bound.as("err_bound"),
