@@ -108,4 +108,27 @@ class HllSpec extends AnyFunSuite {
       Hll.mergeInto(Hll.emptyRegs(12), Hll.emptyRegs(11))
     }
   }
+
+  test("sketch columns survive a parquet round-trip: persisted rollup == live rollup") {
+    // the warehouse pattern q119 demonstrates in-plan, across QUERIES:
+    // ingest writes per-grain sketches to a parquet table; a later
+    // session reads them back and rolls up — the estimate must equal
+    // the one-level aggregate over raw values exactly (binary column,
+    // lossless merge, no re-encode drift)
+    import spark.implicits._
+    val rows = (1L to 20000L).map(i => (i % 5, i % 40, i * 131L))
+    val df = spark.createDataset(rows).toDF("g", "grain", "id")
+    val mk = udaf(new Hll.SketchAgg(P), Encoders.scalaLong)
+    val dir = java.nio.file.Files.createTempDirectory("hll-rt").toString
+    df.groupBy(col("g"), col("grain")).agg(mk(col("id")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val roll = udaf(new Hll.MergeSketchesAgg(P), Encoders.product[Hll.Sketch])
+    val persisted = spark.read.parquet(dir)
+      .groupBy(col("g")).agg(roll(col("sk.regs")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = udaf(new Hll.DistinctAgg(P), Encoders.scalaLong)
+    val live = df.groupBy(col("g")).agg(direct(col("id")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(persisted == live)
+  }
 }

@@ -115,4 +115,36 @@ class TDigestSpec extends AnyFunSuite {
     val (m2, w2) = TDigest.sortedDigest(Seq(1.0, 3.0), 1e9) // force 2 centroids
     assert(TDigest.quantile(m2, w2, 0.0) == 1.0 && TDigest.quantile(m2, w2, 1.0) == 3.0)
   }
+
+  test("digest columns survive a parquet round-trip bit-for-bit") {
+    // the q117 warehouse pattern across QUERIES: per-grain digest
+    // structs written to parquet and read back by a later session must
+    // carry the IDENTICAL centroid lists (struct<array<double>,
+    // array<double>> columns, no re-encode drift) — rollup equality
+    // then follows from MergeInvarianceSpec's merge-tree pins, so the
+    // round-trip is the only new variable this test isolates (comparing
+    // rollups directly would re-test fold order, which is
+    // merge-tree-specific by design for the t-digest)
+    import org.apache.spark.sql.Encoders
+    val withGrain = skewed.withColumn("grain",
+      (monotonically_increasing_id() % 8).cast("long"))
+    val mk = udaf(new TDigest.DigestAgg(100.0), Encoders.scalaDouble)
+    // persist: the digests are merge-tree-specific, so the written copy
+    // and the compared copy must come from ONE materialization
+    val grains = withGrain.groupBy(col("g"), col("grain"))
+      .agg(mk(col("v")).as("digest")).persist()
+    val dir = java.nio.file.Files.createTempDirectory("td-rt").toString
+    grains.write.mode("overwrite").parquet(dir)
+    def structs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("g"), col("grain"), col("digest.means"), col("digest.weights"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Double](2).toList, r.getSeq[Double](3).toList))
+      .sortBy(t => (t._1, t._2)).toSeq
+    try {
+      val live = structs(grains)
+      val persisted = structs(spark.read.parquet(dir))
+      assert(live.nonEmpty && persisted == live)
+    } finally grains.unpersist()
+  }
 }
