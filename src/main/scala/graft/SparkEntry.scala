@@ -1640,7 +1640,18 @@ object SparkEntry {
     * every SF (the pivot sits mid-range; each of the 5 priorities draws
     * uniformly from the full span).
     */
-  private def q120(s: SparkSession, dir: String): DataFrame = {
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    q120Verdict(s, dir)
+      .select(col("o_orderpriority"), col("a_exact"), col("b_exact"),
+        col("union_exact"), col("inter_exact"),
+        col("err_bound_union"), col("err_bound_inter"),
+        col("union_within"), col("inter_within"))
+
+  /** q120 plus the raw estimate columns (the q119Verdict pattern:
+    * [[hllSetopsDifferential]] reads margins from THIS one distributed
+    * execution; the estimates themselves are partition-invariant but
+    * not oracle-matchable, so the driver row keeps booleans only). */
+  private[graft] def q120Verdict(s: SparkSession, dir: String): DataFrame = {
     import graft.metrics.Hll
     val ord = t(s, dir, "orders")
     val isA = col("o_orderdate") < utcDay(Q120Pivot) // tz-pinned instant
@@ -1671,6 +1682,7 @@ object SparkEntry {
         boundU.as("err_bound_union"), boundI.as("err_bound_inter"))
       .select(col("o_orderpriority"), col("a_exact"), col("b_exact"),
         col("union_exact"), col("inter_exact"),
+        col("est_a"), col("est_b"), col("est_union"),
         col("err_bound_union"), col("err_bound_inter"),
         (abs(col("est_union") - col("union_exact")).cast("double")
           <= col("err_bound_union")).as("union_within"),
@@ -3567,12 +3579,49 @@ object SparkEntry {
     * scale). Returns (ticks, keys, foldMatch, nMatch, violations,
     * maxErrOverBound).
     */
+  /** Deterministic capped feed collect shared by the streaming
+    * differentials: ONE scan in the uncapped (normal) case — the cap
+    * probe is collected directly, and only when the cap binds is a
+    * deterministic (ts, event_id)-prefix re-collected. Rows return
+    * sorted by `key` ((ts, event_id): total, data-deterministic).
+    */
+  private def cappedSortedFeed[T](src: Dataset[T], maxTicks: Int,
+      key: T => (Long, Long))(
+      implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
+    val probe = src.limit(maxTicks + 1).collect()
+    (if (probe.length <= maxTicks) probe
+     else src.orderBy(col("ts"), col("event_id")).limit(maxTicks).collect())
+      .sortBy(key)
+  }
+
+  /** Feed `ticks` through a streaming face in `per`-sized deterministic
+    * micro-batches (MemoryStream → Update-mode memory sink) and return
+    * the full emission history — the chunk scaffolding shared by both
+    * streaming differentials so the cap/boundary handling cannot drift
+    * between the quantile and cardinality families.
+    */
+  private def runStreamChunks[T, R](s: SparkSession, ticks: Seq[T],
+      per: Int, name: String,
+      build: Dataset[T] => Dataset[R])(
+      implicit te: org.apache.spark.sql.Encoder[T],
+      re: org.apache.spark.sql.Encoder[R]): Seq[R] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[T]
+    val q = build(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try {
+      ticks.grouped(per).foreach { c =>
+        mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      s.table(name).as[R].collect().toSeq
+    } finally q.stop()
+  }
+
   def streamingQuantilesDifferential(s: SparkSession, dir: String,
       chunks: Int = 3, maxTicks: Int = 2000000)
       : (Long, Long, Boolean, Boolean, Long, Double) = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     import graft.streaming.StreamOps
     val ps = Q115Ps
     val agg = new graft.metrics.TDigest.QuantilesAgg(ps, Q115Compression)
@@ -3584,29 +3633,17 @@ object SparkEntry {
       .select(col("event_type").as("key"),
         (unix_micros(col("ts")) / 1000L).cast("long").as("ts"),
         col("value"), col("event_id"))
-    // ONE scan in the uncapped (normal) case: collect the cap probe
-    // directly and only re-collect a deterministic sorted prefix when
-    // the cap actually binds
-    val probe = src.limit(maxTicks + 1).as[(String, Long, Double, Long)].collect()
-    val raw = (if (probe.length <= maxTicks) probe
-      else src.orderBy(col("ts"), col("event_id")).limit(maxTicks)
-        .as[(String, Long, Double, Long)].collect())
-      .sortBy(r => (r._2, r._4)) // (ts, event_id): total, data-deterministic
+      .as[(String, Long, Double, Long)]
+    val raw = cappedSortedFeed(src, maxTicks,
+      (r: (String, Long, Double, Long)) => (r._2, r._4))
     val ticks = raw.map(r => StreamOps.QuantileTick(r._1, r._2, r._3))
     // ONE chunk-size definition: the stream feed and the driver replay
     // must fold identical micro-batch boundaries
     val per = math.max(1, (ticks.length + chunks - 1) / chunks)
-    val mem = MemoryStream[StreamOps.QuantileTick]
-    val name = s"qdiff_${math.abs(dir.hashCode)}"
-    val q = StreamOps.streamingQuantiles(mem.toDS(), ps, Q115Compression)
-      .writeStream.outputMode("update").format("memory").queryName(name).start()
-    val streamRows =
-      try {
-        ticks.grouped(per).foreach { c =>
-          mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
-        }
-        s.table(name).as[StreamOps.QuantileRow].collect().toSeq
-      } finally q.stop()
+    val streamRows = runStreamChunks(s, ticks.toSeq, per,
+      s"qdiff_${math.abs(dir.hashCode)}",
+      (in: Dataset[StreamOps.QuantileTick]) =>
+        StreamOps.streamingQuantiles(in, ps, Q115Compression))
     // the ONE reference fold both this differential and the spec use
     val replay = StreamOps.replayQuantileChunks(
       ticks.grouped(per).map(_.toSeq), agg)
@@ -3644,49 +3681,28 @@ object SparkEntry {
   /** Quantitative q120 verdict for differential.json: worst-group
     * margins of the union estimate vs 6·rsd·exact + 1 and the
     * inclusion–exclusion intersection estimate vs
-    * 6·rsd·√(a²+b²+u²) + 3. Recomputes the estimates from the same
-    * sketches the query builds (the driver row carries only booleans).
-    * Verify-scale only: the walk collects the orders projection to the
-    * driver (≤150k rows at sf0.1) — at probe/warehouse scale use the
-    * fully distributed q120 verdict columns instead (ScaleProbe r14b
-    * counts violations that way at 150M rows).
+    * 6·rsd·√(a²+b²+u²) + 3 — read straight off ONE distributed
+    * [[q120Verdict]] execution (only the 5 priority rows reach the
+    * driver; works unchanged at any scale).
     */
   def hllSetopsDifferential(s: SparkSession, dir: String)
       : (Long, Long, Double, Double) = {
-    import graft.metrics.Hll
-    val rows = q120(s, dir).collect()
-    // re-derive the estimate errors from the verdict row's exact counts
-    // is impossible (booleans only), so walk the sketch path again
-    val ord = t(s, dir, "orders")
-      .select(col("o_orderpriority"),
-        (col("o_orderdate") < utcDay(Q120Pivot)).as("is_a"),
-        col("o_custkey"))
-      .collect()
-      .groupBy(_.getString(0))
+    val rows = q120Verdict(s, dir).select(
+      col("union_exact"), col("inter_exact"),
+      col("est_a"), col("est_b"), col("est_union"),
+      col("err_bound_union"), col("err_bound_inter"),
+      col("union_within"), col("inter_within")).collect()
     var checks = 0L; var viols = 0L; var maxU = 0.0; var maxI = 0.0
-    ord.foreach { case (_, rs) =>
-      val aIds = rs.filter(_.getBoolean(1)).map(_.getLong(2))
-      val bIds = rs.filterNot(_.getBoolean(1)).map(_.getLong(2))
-      val ra = Hll.emptyRegs(Q119P); aIds.foreach(Hll.add(ra, Q119P, _))
-      val rb = Hll.emptyRegs(Q119P); bIds.foreach(Hll.add(rb, Q119P, _))
-      val estA = Hll.estimate(ra); val estB = Hll.estimate(rb)
-      val estU = Hll.estimate(Hll.merged(ra, rb))
-      val aE = aIds.distinct.length.toLong
-      val bE = bIds.distinct.length.toLong
-      val uE = (aIds ++ bIds).distinct.length.toLong
-      val iE = aE + bE - uE
-      val boundU = 6.0 * Q119Rsd * uE + 1.0
-      val boundI = 6.0 * Q119Rsd *
-        math.sqrt((aE * aE + bE * bE + uE * uE).toDouble) + 3.0
-      val errU = math.abs(estU - uE).toDouble
-      val errI = math.abs((estA + estB - estU) - iE).toDouble
+    rows.foreach { r =>
+      val errU = math.abs(r.getLong(4) - r.getLong(0)).toDouble
+      val errI =
+        math.abs((r.getLong(2) + r.getLong(3) - r.getLong(4)) - r.getLong(1))
+          .toDouble
       checks += 1
-      if (errU > boundU || errI > boundI) viols += 1
-      maxU = math.max(maxU, errU / boundU)
-      maxI = math.max(maxI, errI / boundI)
+      if (!r.getBoolean(7) || !r.getBoolean(8)) viols += 1
+      maxU = math.max(maxU, errU / r.getDouble(5))
+      maxI = math.max(maxI, errI / r.getDouble(6))
     }
-    require(rows.forall(r => r.getBoolean(7) && r.getBoolean(8)),
-      "q120 verdict row disagrees with the differential walk")
     (checks, viols, maxU, maxI)
   }
 
@@ -3713,33 +3729,22 @@ object SparkEntry {
   def streamingDistinctDifferential(s: SparkSession, dir: String,
       chunks: Int = 3, maxTicks: Int = 2000000)
       : (Long, Long, Boolean, Boolean, Long, Double) = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     import graft.streaming.StreamOps
     val p = Q119P
     val src = t(s, dir, "events")
       .select(col("event_type").as("key"),
         (unix_micros(col("ts")) / 1000L).cast("long").as("ts"),
         col("user_id"), col("event_id"))
-    val probe = src.limit(maxTicks + 1).as[(String, Long, Long, Long)].collect()
-    val raw = (if (probe.length <= maxTicks) probe
-      else src.orderBy(col("ts"), col("event_id")).limit(maxTicks)
-        .as[(String, Long, Long, Long)].collect())
-      .sortBy(r => (r._2, r._4)) // (ts, event_id): total, data-deterministic
+      .as[(String, Long, Long, Long)]
+    val raw = cappedSortedFeed(src, maxTicks,
+      (r: (String, Long, Long, Long)) => (r._2, r._4))
     val ticks = raw.map(r => StreamOps.DistinctTick(r._1, r._2, r._3))
     val per = math.max(1, (ticks.length + chunks - 1) / chunks)
-    val mem = MemoryStream[StreamOps.DistinctTick]
-    val name = s"ddiff_${math.abs(dir.hashCode)}"
-    val q = StreamOps.streamingDistinct(mem.toDS(), p)
-      .writeStream.outputMode("update").format("memory").queryName(name).start()
-    val streamRows =
-      try {
-        ticks.grouped(per).foreach { c =>
-          mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
-        }
-        s.table(name).as[StreamOps.DistinctRow].collect().toSeq
-      } finally q.stop()
+    val streamRows = runStreamChunks(s, ticks.toSeq, per,
+      s"ddiff_${math.abs(dir.hashCode)}",
+      (in: Dataset[StreamOps.DistinctTick]) =>
+        StreamOps.streamingDistinct(in, p))
     val replay = StreamOps.replayDistinctChunks(
       ticks.grouped(per).map(_.toSeq), p)
     def sorted(rs: Seq[StreamOps.DistinctRow]) =

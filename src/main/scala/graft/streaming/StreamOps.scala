@@ -897,17 +897,23 @@ object StreamOps {
       state.remove()
       terminal.iterator
     } else {
-      val batch = rows.toSeq
-      if (batch.isEmpty) Iterator.empty
+      if (rows.isEmpty) Iterator.empty
       else {
         val prev = state.getOption
           .getOrElse(HllState(Hll.emptyRegs(p), 0L, Long.MinValue))
-        // no in-batch sort needed: register max is order-insensitive,
-        // so the fold RESULT is total-order-free by algebra (the
-        // quantile face has to sort; this one provably does not)
-        batch.foreach(t => Hll.add(prev.regs, p, t.id))
-        val n = prev.n + batch.size
-        val maxSeen = math.max(prev.maxSeenTs, batch.map(_.ts).max)
+        // ONE pass over the iterator, nothing buffered: register max is
+        // order-insensitive, so the fold RESULT is total-order-free by
+        // algebra (the quantile face has to sort and therefore buffer;
+        // this one provably does not — per-key memory stays O(2^p)
+        // regardless of micro-batch size)
+        var added = 0L
+        var maxSeen = prev.maxSeenTs
+        rows.foreach { t =>
+          Hll.add(prev.regs, p, t.id)
+          added += 1
+          if (t.ts > maxSeen) maxSeen = t.ts
+        }
+        val n = prev.n + added
         state.update(HllState(prev.regs, n, maxSeen))
         eviction match {
           case NeverEvict => ()

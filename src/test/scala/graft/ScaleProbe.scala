@@ -47,6 +47,25 @@ object ScaleProbe {
       shards.fold(rows)(rows.repartition(_))
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
+
+    // lineitem replicas on the scan-parallel sharded layout (see the
+    // r13 layout lesson below) — ONE builder shared by every round's
+    // section so the "same layout" premise cannot drift; orders rides
+    // along unreplicated (q83's interval side / q120's exact side)
+    def ensureLiReplicas(): Unit = {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey"),
+          col("l_quantity"), col("l_shipdate"))
+      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      for ((factor, shards, dir) <- Seq((100, 64, "/tmp/li100"), (1000, 512, "/tmp/li1000"))) {
+        if (!new java.io.File(s"$dir/lineitem.parquet").exists) {
+          val reps = spark.range(factor).withColumnRenamed("id", "rep")
+          li.crossJoin(reps).drop("rep").repartition(shards)
+            .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+          ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        }
+      }
+    }
     if (want("events") || want("r4")) {
       replicate(10, "/tmp/scale10")
       replicate(100, "/tmp/scale100")
@@ -411,21 +430,7 @@ object ScaleProbe {
       Seq("q119_hll_rollup", "q120_hll_setops").foreach(q =>
         SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
           .write.mode("overwrite").format("noop").save())
-      // self-sufficient replica builders (same sharded layout as r13)
-      locally {
-        val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-          .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey"),
-            col("l_quantity"), col("l_shipdate"))
-        val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
-        for ((factor, shards, dir) <- Seq((100, 64, "/tmp/li100"), (1000, 512, "/tmp/li1000"))) {
-          if (!new java.io.File(s"$dir/lineitem.parquet").exists) {
-            val reps = spark.range(factor).withColumnRenamed("id", "rep")
-            li.crossJoin(reps).drop("rep").repartition(shards)
-              .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-            ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
-          }
-        }
-      }
+      ensureLiReplicas()
       if (!new java.io.File("/tmp/scale10/events.parquet").exists)
         replicate(10, "/tmp/scale10")
       if (new java.io.File("/tmp/li1000/lineitem.parquet").exists) {
@@ -474,19 +479,9 @@ object ScaleProbe {
       // bottlenecks on a single decompressing core and measures the
       // file layout, not the kernel (observed: q83's 1000× point sat at
       // 100% of ONE core for 20+ min). A 100 TB table is never one
-      // file; write the replicas with scan-parallel file counts.
-      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-        .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey"),
-          col("l_quantity"), col("l_shipdate"))
-      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
-      for ((factor, shards, dir) <- Seq((100, 64, "/tmp/li100"), (1000, 512, "/tmp/li1000"))) {
-        if (!new java.io.File(s"$dir/lineitem.parquet").exists) {
-          val reps = spark.range(factor).withColumnRenamed("id", "rep")
-          li.crossJoin(reps).drop("rep").repartition(shards)
-            .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-          ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
-        }
-      }
+      // file; write the replicas with scan-parallel file counts
+      // (ensureLiReplicas above — shared with r14b).
+      ensureLiReplicas()
       // dedicated docs replicas on the SAME uniform layout (docs100r,
       // not the standing /tmp/docs100) so the 100×→1000× exponent
       // compares kernels, not file counts

@@ -119,16 +119,18 @@ class HllSpec extends AnyFunSuite {
     val rows = (1L to 20000L).map(i => (i % 5, i % 40, i * 131L))
     val df = spark.createDataset(rows).toDF("g", "grain", "id")
     val mk = udaf(new Hll.SketchAgg(P), Encoders.scalaLong)
-    val dir = java.nio.file.Files.createTempDirectory("hll-rt").toString
-    df.groupBy(col("g"), col("grain")).agg(mk(col("id")).as("sk"))
-      .write.mode("overwrite").parquet(dir)
-    val roll = udaf(new Hll.MergeSketchesAgg(P), Encoders.product[Hll.Sketch])
-    val persisted = spark.read.parquet(dir)
-      .groupBy(col("g")).agg(roll(col("sk.regs")).as("est"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val direct = udaf(new Hll.DistinctAgg(P), Encoders.scalaLong)
-    val live = df.groupBy(col("g")).agg(direct(col("id")).as("est"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(persisted == live)
+    val dir = java.nio.file.Files.createTempDirectory("hll-rt")
+    try {
+      df.groupBy(col("g"), col("grain")).agg(mk(col("id")).as("sk"))
+        .write.mode("overwrite").parquet(dir.toString)
+      val roll = udaf(new Hll.MergeSketchesAgg(P), Encoders.product[Hll.Sketch])
+      val persisted = spark.read.parquet(dir.toString)
+        .groupBy(col("g")).agg(roll(col("sk.regs")).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val direct = udaf(new Hll.DistinctAgg(P), Encoders.scalaLong)
+      val live = df.groupBy(col("g")).agg(direct(col("id")).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(persisted == live)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 }

@@ -133,8 +133,8 @@ class TDigestSpec extends AnyFunSuite {
     // and the compared copy must come from ONE materialization
     val grains = withGrain.groupBy(col("g"), col("grain"))
       .agg(mk(col("v")).as("digest")).persist()
-    val dir = java.nio.file.Files.createTempDirectory("td-rt").toString
-    grains.write.mode("overwrite").parquet(dir)
+    val dir = java.nio.file.Files.createTempDirectory("td-rt")
+    grains.write.mode("overwrite").parquet(dir.toString)
     def structs(df: org.apache.spark.sql.DataFrame) = df
       .select(col("g"), col("grain"), col("digest.means"), col("digest.weights"))
       .collect()
@@ -143,8 +143,11 @@ class TDigestSpec extends AnyFunSuite {
       .sortBy(t => (t._1, t._2)).toSeq
     try {
       val live = structs(grains)
-      val persisted = structs(spark.read.parquet(dir))
+      val persisted = structs(spark.read.parquet(dir.toString))
       assert(live.nonEmpty && persisted == live)
-    } finally grains.unpersist()
+    } finally {
+      grains.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
   }
 }
