@@ -1200,6 +1200,31 @@ object SparkEntry {
       |      FROM events)
       |GROUP BY 1""".stripMargin
 
+  /** Deterministic per-group k-sample (`Splits.hashSample`): exactly 5
+    * reproducible exemplar docs per language, ranked by md5 priority —
+    * the fixed-COUNT sibling of q59's fixed-RATE hash splits and the
+    * curation samplers (q79 rate, q100 cap). The sample is a pure
+    * function of the id set, so the row set is EXACT (no contract
+    * columns; the oracle recomputes it as a window QUALIFY). The scale
+    * shape is the point: the mergeable `HashTopKAgg` partial-aggregates
+    * map-side — each task ships ≤ k (priority, id) pairs per group —
+    * where the oracle's own row_number formulation would shuffle the
+    * full corpus on the group key first (plan pinned: no Window, one
+    * group exchange, one Generate).
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Splits.hashSample(
+      t(s, dir, "documents").select(col("lang"), col("doc_id")),
+      Seq("lang"), "doc_id", 5)
+
+  private val q121Sql =
+    """SELECT lang, rn AS sample_rank, doc_id
+      |FROM (SELECT lang, doc_id,
+      |        ROW_NUMBER() OVER (PARTITION BY lang
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn <= 5""".stripMargin
+
   /** J5 JSON config extraction + aggregate. */
   private def q23(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -4114,7 +4139,8 @@ object SparkEntry {
     "q117_tdigest_rollup" -> (q117 _),
     "q118_hll_contract" -> (q118 _),
     "q119_hll_rollup" -> (q119 _),
-    "q120_hll_setops" -> (q120 _)
+    "q120_hll_setops" -> (q120 _),
+    "q121_hash_sample" -> (q121 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4243,6 +4269,7 @@ object SparkEntry {
     "q118_hll_contract" -> q118Sql,
     "q119_hll_rollup" -> q119Sql,
     "q120_hll_setops" -> q120Sql,
+    "q121_hash_sample" -> q121Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
     // at any SF, no data-pinned literals.

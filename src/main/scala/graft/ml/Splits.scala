@@ -1,6 +1,7 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting for training pipelines: a row's split
@@ -37,5 +38,100 @@ object Splits {
       "train" -> tagged.filter(col("__split") === "train").drop("__split"),
       "validation" -> tagged.filter(col("__split") === "validation").drop("__split"),
       "test" -> tagged.filter(col("__split") === "test").drop("__split"))
+  }
+
+  /** Top-k buffer for [[HashTopKAgg]]: priorities ascending, the id
+    * array parallel to it; both always ≤ k entries. */
+  final case class TopKBuf(prios: Array[String], ids: Array[Long])
+
+  /** Deterministic, MERGEABLE per-group k-sample: keep the k ids with
+    * the lexicographically smallest md5-derived priority ((priority,
+    * id) ties totally ordered). This is the fixed-COUNT sibling of
+    * [[assignSplit]]'s fixed-RATE buckets and the curation samplers
+    * (q79 mixture rate, q100 cluster cap) — "give me exactly k
+    * reproducible exemplars per group" — with the same engine-agnostic
+    * determinism: the sample is a pure function of the key SET, stable
+    * across runs, partitionings, and engines (the oracle recomputes it
+    * as a plain window QUALIFY).
+    *
+    * Scale shape: as a typed Aggregator it partial-aggregates map-side
+    * — each task ships at most k (priority, id) pairs per group —
+    * where the equivalent `row_number` window would shuffle the FULL
+    * corpus on the group key before discarding all but k rows per
+    * group. Insertion into the sorted ≤k buffer is O(k) per row worst
+    * case but O(1) amortized on random-hash input (most rows fail the
+    * max-priority gate immediately).
+    */
+  class HashTopKAgg(k: Int)
+    extends Aggregator[(String, Long), TopKBuf, Seq[Long]]
+    with Serializable {
+    require(k > 0, s"sample size must be positive, got $k")
+
+    override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+
+    private def lt(p1: String, i1: Long, p2: String, i2: Long): Boolean = {
+      val c = p1.compareTo(p2)
+      c < 0 || (c == 0 && i1 < i2)
+    }
+
+    private def insert(b: TopKBuf, p: String, id: Long): TopKBuf = {
+      val n = b.prios.length
+      if (n == k && !lt(p, id, b.prios(n - 1), b.ids(n - 1))) return b
+      // binary search for the insertion point in the sorted prefix
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (lt(b.prios(mid), b.ids(mid), p, id)) lo = mid + 1 else hi = mid
+      }
+      val m = math.min(n + 1, k)
+      val ps = new Array[String](m); val is = new Array[Long](m)
+      System.arraycopy(b.prios, 0, ps, 0, lo)
+      System.arraycopy(b.ids, 0, is, 0, lo)
+      ps(lo) = p; is(lo) = id
+      val tail = m - lo - 1
+      if (tail > 0) {
+        System.arraycopy(b.prios, lo, ps, lo + 1, tail)
+        System.arraycopy(b.ids, lo, is, lo + 1, tail)
+      }
+      TopKBuf(ps, is)
+    }
+
+    override def reduce(b: TopKBuf, row: (String, Long)): TopKBuf =
+      insert(b, row._1, row._2)
+
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      var out = a
+      var i = 0
+      while (i < b.prios.length) {
+        out = insert(out, b.prios(i), b.ids(i))
+        i += 1
+      }
+      out
+    }
+
+    /** Sample ids in priority order (rank 1 = smallest priority). */
+    override def finish(b: TopKBuf): Seq[Long] = b.ids.toSeq
+
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Per-group deterministic k-sample as a DataFrame: one row per kept
+    * id with its rank (1 = smallest priority). Priority = md5 of the id
+    * rendered as a string — reproducible in any engine with md5.
+    */
+  def hashSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    val agg = udaf(new HashTopKAgg(k), Encoders.tuple(
+      Encoders.STRING, Encoders.scalaLong))
+    df.select(groupCols.map(col) :+
+        md5(col(idCol).cast("string")).as("__prio") :+ col(idCol): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("__prio"), col(idCol)).as("__sample"))
+      .select(groupCols.map(col) :+ posexplode(col("__sample")): _*)
+      .select(groupCols.map(col)
+        :+ (col("pos") + lit(1)).cast("long").as("sample_rank")
+        :+ col("col").as(idCol): _*)
   }
 }

@@ -241,6 +241,18 @@ object ScaleProbe {
     // factor — the adversarial case for candidate generation: a naive
     // all-pairs LSH would blow up quadratically). Shared by docs + r4.
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    // dedicated docs replicas on the SAME uniform sharded layout
+    // (docs100r, not the standing /tmp/docs100) so 100×→1000× exponents
+    // compare kernels, not file counts; shared by r13 and r14b
+    def replicateDocsSharded(factor: Int, shards: Int, outDir: String): Unit =
+      if (!new java.io.File(s"$outDir/documents.parquet").exists) {
+        val reps = spark.range(factor).withColumnRenamed("id", "rep")
+        docs.crossJoin(reps)
+          .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+          .repartition(shards)
+          .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      }
     def replicateDocs(factor: Int, outDir: String): Unit = {
       val reps = spark.range(factor).withColumnRenamed("id", "rep")
       docs.crossJoin(reps)
@@ -470,6 +482,18 @@ object ScaleProbe {
             f"t=${(System.nanoTime() - t1) / 1e9}%.2f s")
         }
       }
+      // q121 on the sharded docs axis (50k/5M/50M docs): the map-side
+      // top-k must stay scan-shaped — each task ships <= k pairs/group
+      replicateDocsSharded(100, 64, "/tmp/docs100r")
+      replicateDocsSharded(1000, 512, "/tmp/docs1000")
+      SparkEntry.queries("q121_hash_sample")(spark, "/root/testdata/sf0.01")
+        .write.mode("overwrite").format("noop").save()
+      for (dir <- Seq("/root/testdata/sf0.1", "/tmp/docs100r", "/tmp/docs1000")) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q121_hash_sample")(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        println(f"SCALE-R14B $dir: q121_hash_sample=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
     }
 
     if (want("r13")) {
@@ -482,18 +506,6 @@ object ScaleProbe {
       // file; write the replicas with scan-parallel file counts
       // (ensureLiReplicas above — shared with r14b).
       ensureLiReplicas()
-      // dedicated docs replicas on the SAME uniform layout (docs100r,
-      // not the standing /tmp/docs100) so the 100×→1000× exponent
-      // compares kernels, not file counts
-      def replicateDocsSharded(factor: Int, shards: Int, outDir: String): Unit =
-        if (!new java.io.File(s"$outDir/documents.parquet").exists) {
-          val reps = spark.range(factor).withColumnRenamed("id", "rep")
-          docs.crossJoin(reps)
-            .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
-              col("text"), col("lang"), col("source"), col("n_chars"))
-            .repartition(shards)
-            .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-        }
       replicateDocsSharded(100, 64, "/tmp/docs100r")
       replicateDocsSharded(1000, 512, "/tmp/docs1000")
 

@@ -47,4 +47,50 @@ class SplitsSpec extends AnyFunSuite {
       .agg(Metrics.firstDiffLoss($"p", $"t", $"pd", $"td", 2.0)).head().getDouble(0)
     assert(math.abs(l - (0.5 + 2.0 * 0.2)) < 1e-12)
   }
+
+  test("hashSample == the window-reference sample, at 1/4/32 partitions") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{row_number, md5}
+    val df = (1L to 5000L).map(i => (s"g${i % 7}", i)).toDF("g", "id")
+    // the oracle formulation: full shuffle + row_number (what the
+    // aggregator must reproduce exactly, id tie-break included)
+    val w = Window.partitionBy($"g")
+      .orderBy(md5($"id".cast("string")), $"id")
+    val expect = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"g", $"rn".cast("long"), $"id").as[(String, Long, Long)]
+      .collect().toSeq.sorted
+    for (parts <- Seq(1, 4, 32)) {
+      val got = Splits.hashSample(df.repartition(parts), Seq("g"), "id", 5)
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("HashTopKAgg kernel: mergeable, duplicate-tolerant, k-capped") {
+    val agg = new Splits.HashTopKAgg(3)
+    def prio(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = (1L to 200L).map(i => (prio(i), i))
+    // sequential fold == split-fold-merge, any split point
+    val whole = rows.foldLeft(agg.zero)(agg.reduce)
+    for (cut <- Seq(1, 50, 199)) {
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == agg.finish(whole), s"cut=$cut")
+    }
+    assert(agg.finish(whole).size == 3)
+    // reference: smallest 3 priorities
+    assert(agg.finish(whole) == rows.sortBy(r => (r._1, r._2)).take(3).map(_._2))
+    // duplicate ROWS each take a slot, exactly like the row_number
+    // reference (ranks are per row, not per distinct id) — fold order
+    // still cannot matter
+    val dup = (rows ++ rows).sortBy(r => (r._1, r._2)).take(3).map(_._2)
+    assert(agg.finish((rows ++ rows).foldLeft(agg.zero)(agg.reduce)) == dup)
+    // fewer rows than k: all kept
+    val tiny = rows.take(2).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(tiny).size == 2)
+  }
 }

@@ -340,6 +340,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n$p")
   }
 
+  test("q121 hash sample: map-side top-k partials, one group exchange, NO window") {
+    val p = plan(graft.SparkEntry.queries("q121_hash_sample")(spark, sf))
+    // the whole point vs the oracle's row_number formulation: each task
+    // ships <= k pairs per group, the corpus never shuffles whole
+    assert(p.contains("partial_hashtopkagg"),
+      s"top-k must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window") && !p.contains("Exchange rangepartitioning"),
+      s"sample must not window/global-sort the corpus:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one group-key exchange:\n$p")
+    assert("Generate".r.findAllIn(p).size == 1,
+      s"expected exactly one posexplode Generate:\n$p")
+  }
+
   test("q111 trade metrics: aggregates the persisted trades, no recompute") {
     val p = plan(graft.SparkEntry.queries("q111_fact_trade_metrics")(spark, sf))
     assert(p.contains("InMemoryTableScan"),
