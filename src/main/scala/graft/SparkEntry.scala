@@ -1222,7 +1222,7 @@ object SparkEntry {
       |FROM (SELECT lang, doc_id,
       |        ROW_NUMBER() OVER (PARTITION BY lang
       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-      |      FROM documents)
+      |      FROM documents WHERE doc_id IS NOT NULL)
       |WHERE rn <= 5""".stripMargin
 
   /** J5 JSON config extraction + aggregate. */

@@ -120,18 +120,27 @@ object Splits {
   /** Per-group deterministic k-sample as a DataFrame: one row per kept
     * id with its rank (1 = smallest priority). Priority = md5 of the id
     * rendered as a string — reproducible in any engine with md5.
+    *
+    * NULL ids are dropped first (a null identity is not sampleable —
+    * the `TDigest.grouped` null contract; md5(NULL) would otherwise NPE
+    * inside the typed aggregator), so a group whose ids are all NULL
+    * produces no sample rows. The generator outputs are internally
+    * aliased, so group columns named `pos`/`col` are safe.
     */
   def hashSample(df: DataFrame, groupCols: Seq[String], idCol: String,
       k: Int): DataFrame = {
+    require(!groupCols.contains(idCol), s"idCol $idCol is also a group column")
     val agg = udaf(new HashTopKAgg(k), Encoders.tuple(
       Encoders.STRING, Encoders.scalaLong))
-    df.select(groupCols.map(col) :+
+    df.filter(col(idCol).isNotNull)
+      .select(groupCols.map(col) :+
         md5(col(idCol).cast("string")).as("__prio") :+ col(idCol): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(agg(col("__prio"), col(idCol)).as("__sample"))
-      .select(groupCols.map(col) :+ posexplode(col("__sample")): _*)
       .select(groupCols.map(col)
-        :+ (col("pos") + lit(1)).cast("long").as("sample_rank")
-        :+ col("col").as(idCol): _*)
+        :+ posexplode(col("__sample")).as(Seq("__pos", "__sid")): _*)
+      .select(groupCols.map(col)
+        :+ (col("__pos") + lit(1)).cast("long").as("sample_rank")
+        :+ col("__sid").as(idCol): _*)
   }
 }

@@ -482,7 +482,7 @@ object ScaleProbe {
             f"t=${(System.nanoTime() - t1) / 1e9}%.2f s")
         }
       }
-      // q121 on the sharded docs axis (50k/5M/50M docs): the map-side
+      // q121 on the sharded docs axis (5k/500k/5M docs): the map-side
       // top-k must stay scan-shaped — each task ships <= k pairs/group
       replicateDocsSharded(100, 64, "/tmp/docs100r")
       replicateDocsSharded(1000, 512, "/tmp/docs1000")

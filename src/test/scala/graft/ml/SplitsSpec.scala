@@ -93,4 +93,20 @@ class SplitsSpec extends AnyFunSuite {
     val tiny = rows.take(2).foldLeft(agg.zero)(agg.reduce)
     assert(agg.finish(tiny).size == 2)
   }
+
+  test("hashSample: null ids dropped, hostile column names survive") {
+    // null identities are not sampleable (documented contract); group
+    // columns named after the generator outputs must not collide
+    val df = Seq(("col", Some(1L)), ("col", None), ("pos", Some(2L)),
+        ("pos", Some(3L)), ("pos", None))
+      .toDF("col", "id")
+    val byCol = Splits.hashSample(df, Seq("col"), "id", 5)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(byCol.map(_._1).count(_ == "col") == 1) // the null id dropped
+    assert(byCol.map(_._1).count(_ == "pos") == 2)
+    assert(byCol.forall(_._2 >= 1))
+    // a group with ONLY null ids vanishes
+    val allNull = Seq(("g", None: Option[Long])).toDF("g", "id")
+    assert(Splits.hashSample(allNull, Seq("g"), "id", 3).count() == 0)
+  }
 }
