@@ -285,6 +285,55 @@ object OlapEtl {
     SnapshotStore.read(spark, factPath).get
   }
 
+  /** Sketch-column fact loader — the warehouse landing of the
+    * q117/q119 rollup pattern (the reference's star stores only exact
+    * scalar aggregates, `olap_schema_postgres.sql`; this is the scale
+    * face): one row per (series_key, grain) carrying BOTH mergeable
+    * sketch families — the t-digest centroid struct for any later
+    * quantile question, the HLL register array for any later
+    * distinct-count question — plus the exact row count, upserted on
+    * the grain key and SnapshotStore-committed (version-monotonic,
+    * publish-locked). Ingest each grain once; every later
+    * percentile/distinct query over any key + time range is a
+    * centroid/register rollup over this table, never a rescan of raw
+    * events — at 100 TB the events are cold storage, the fact is KBs
+    * per grain.
+    *
+    * Grain semantics are RECOMPUTE-REPLACE: re-loading a grain replaces
+    * its row wholesale (the `upsert` MERGE), so a grain must be loaded
+    * from that grain's complete rows — the idempotent backfill
+    * contract, spec-pinned in `SketchFactSpec` along with the rollup
+    * consistency properties (HLL rollup ≡ direct estimate EXACTLY,
+    * digest rollup within the q115 rank bound). Rows with NULL
+    * `valueCol` are excluded entirely (the digest null contract; the
+    * count and id sketch follow the same definition so the three
+    * columns describe one row set).
+    */
+  def loadFactSketches(spark: SparkSession, events: DataFrame,
+      seriesCol: String, tsCol: String, valueCol: String, idCol: String,
+      grainUs: Long, factPath: String,
+      compression: Double = 100.0, p: Int = 12): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val mkDigest = org.apache.spark.sql.functions.udaf(
+      new graft.metrics.TDigest.DigestAgg(compression), Encoders.scalaDouble)
+    val mkHll = org.apache.spark.sql.functions.udaf(
+      new graft.metrics.Hll.SketchAgg(p), Encoders.scalaLong)
+    val updates = events
+      .filter(col(valueCol).isNotNull)
+      .select(col(seriesCol).as("series_key"),
+        (unix_micros(col(tsCol)) / grainUs).cast("long").as("grain"),
+        col(valueCol).as("__v"), col(idCol).as("__id"))
+      .groupBy(col("series_key"), col("grain"))
+      .agg(mkDigest(col("__v")).as("value_digest"),
+        mkHll(col("__id")).as("id_sketch"),
+        count(lit(1)).as("n_rows"))
+    val merged = upsert(SnapshotStore.read(spark, factPath), updates,
+      Seq("series_key", "grain"))
+    SnapshotStore.commit(merged, factPath)
+    SnapshotStore.gc(factPath)
+    SnapshotStore.read(spark, factPath).get
+  }
+
   /** The Metabase config-flatten view analog (J5): explode a JSON config
     * column into (key, value) rows (`olap_metabase_helpers.sql:4-23`).
     * One level only — for nested configs use [[deepConfigKv]].

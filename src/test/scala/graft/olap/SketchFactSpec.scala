@@ -1,0 +1,150 @@
+package graft.olap
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.metrics.{Hll, TDigest}
+
+/** The sketch-column warehouse end-to-end (`OlapEtl.loadFactSketches`):
+  * grains ingested in separate committed batches must answer later
+  * quantile / distinct questions from the STORED table alone —
+  * register rollup EXACTLY equal to a direct aggregate (lossless HLL),
+  * digest rollup within the q115 rank bound, recompute-replace
+  * idempotent under backfill re-loads, and range queries answerable by
+  * grain pruning on the fact.
+  */
+class SketchFactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val GrainUs = 3600000000L // 1 hour
+  private val P = 12
+  private val Compression = 100.0
+  private val Ps = Seq(0.5, 0.9, 0.99)
+
+  // two keys × 20 hourly grains × 120 rows/grain, skewed values,
+  // duplicate-heavy ids (the sketch families must count sets and rank
+  // values, not rows)
+  private lazy val events: DataFrame = {
+    val rnd = new scala.util.Random(41)
+    (0 until 4800).map { i =>
+      val key = if (i % 2 == 0) "a" else "b"
+      val grain = (i / 240).toLong // 0..19
+      val tsUs = grain * GrainUs + (i % 240).toLong * 1000000L
+      (key, tsUs, math.exp(rnd.nextGaussian() * 1.3), (rnd.nextInt(300) + 1).toLong)
+    }.toDF("k", "ts_us", "v", "uid")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+  }
+
+  // INTEGER grain (matching the loader's cast): bare unix_micros/GrainUs
+  // is double division in Spark SQL, and a double-valued between() slices
+  // grains mid-row — the loader's recompute-replace contract then gets a
+  // PARTIAL grain, which is exactly the misuse the scaladoc warns about
+  private def grainOf = (unix_micros(col("ts")) / GrainUs).cast("long")
+
+  private def load(slice: DataFrame, path: String): DataFrame =
+    OlapEtl.loadFactSketches(spark, slice, "k", "ts", "v", "uid",
+      GrainUs, path, Compression, P)
+
+  /** Temp fact path, deleted after the body (the round-trip specs'
+    * no-garbage convention). */
+  private def withFact[A](tag: String)(body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(tag)
+    try body(dir.toString + "/fact")
+    finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  private def rollup(fact: DataFrame): Map[String, (Seq[Double], Long, Long)] = {
+    val roll = udaf(new TDigest.MergeDigestsAgg(Ps, Compression),
+      Encoders.product[TDigest.Digest])
+    val hll = udaf(new Hll.MergeSketchesAgg(P), Encoders.product[Hll.Sketch])
+    fact.groupBy(col("series_key"))
+      .agg(roll(col("value_digest.means"), col("value_digest.weights")).as("qs"),
+        hll(col("id_sketch.regs")).as("est"), sum(col("n_rows")).as("n"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getSeq[Double](1).toSeq, r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  private def rankErrOk(values: Array[Double], p: Double, v: Double): Boolean = {
+    val n = values.length
+    val rle = values.count(_ <= v).toLong
+    val rlt = values.count(_ < v).toLong
+    val target = p * n
+    val err =
+      if (target < rlt + 1) (rlt + 1) - target
+      else if (target > rle) target - rle else 0.0
+    err <= 8.0 * n * p * (1.0 - p) / Compression + 2.0
+  }
+
+  test("batched grain loads answer from the stored table: HLL exact-equal, digest in-bound, counts exact") {
+    withFact("sketchfact") { path =>
+    // ingest in two committed batches on a grain boundary (grains are
+    // recompute-replace, so each batch carries its grains' FULL rows)
+    load(events.filter(grainOf < 10), path)
+    val fact = load(events.filter(grainOf >= 10), path)
+    assert(fact.count() == 40) // 2 keys × 20 grains
+    val got = rollup(fact)
+    val raw = events.select("k", "v", "uid").collect()
+      .groupBy(_.getString(0))
+    raw.foreach { case (k, rows) =>
+      val (qs, est, n) = got(k)
+      assert(n == rows.length, s"key=$k row count")
+      // HLL: stored-register rollup == direct aggregate, BIT-EXACT
+      val regs = Hll.emptyRegs(P)
+      rows.foreach(r => Hll.add(regs, P, r.getLong(2)))
+      assert(est == Hll.estimate(regs), s"key=$k HLL rollup != direct")
+      // digest: stored-centroid rollup obeys the q115 rank bound
+      val values = rows.map(_.getDouble(1)).sorted
+      Ps.zip(qs).foreach { case (p, v) =>
+        assert(rankErrOk(values, p, v), s"key=$k p=$p est=$v out of bound")
+      }
+    }
+    // version-monotonic commits: two loads → at least two versions seen
+    assert(SnapshotStore.currentVersion(path).isDefined)
+    }
+  }
+
+  test("backfill re-load is idempotent where the algebra promises it; digest stays in-bound") {
+    withFact("sketchfact2") { path =>
+    load(events, path)
+    val before = rollup(SnapshotStore.read(spark, path).get)
+    // re-load a grain range from the SAME complete rows (a backfill):
+    // the HLL estimate and the exact count must not move AT ALL
+    // (registers are a pure function of the id set); the recomputed
+    // DIGESTS are merge-tree-specific, so their quantile VALUES may
+    // legitimately shift — the invariant is the rank bound, not the
+    // bits (the same contract q115 pins across partitionings)
+    val fact = load(events.filter(grainOf.between(5, 12)), path)
+    assert(fact.count() == 40)
+    val after = rollup(fact)
+    val values = events.select("k", "v").collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    after.foreach { case (k, (qs, est, n)) =>
+      assert((est, n) == ((before(k)._2, before(k)._3)),
+        s"key=$k backfill moved the HLL estimate or count")
+      Ps.zip(qs).foreach { case (p, v) =>
+        assert(rankErrOk(values(k), p, v), s"key=$k p=$p after backfill")
+      }
+    }
+    }
+  }
+
+  test("range queries prune on the stored grain: rollup over grains 0-9 == direct over that slice") {
+    withFact("sketchfact3") { path =>
+    load(events, path)
+    val fact = SnapshotStore.read(spark, path).get.filter(col("grain") < 10)
+    val got = rollup(fact)
+    val slice = events.filter(grainOf < 10)
+      .select("k", "uid").collect().groupBy(_.getString(0))
+    slice.foreach { case (k, rows) =>
+      val regs = Hll.emptyRegs(P)
+      rows.foreach(r => Hll.add(regs, P, r.getLong(1)))
+      assert(got(k)._2 == Hll.estimate(regs), s"key=$k range rollup != direct")
+      assert(got(k)._3 == rows.length)
+    }
+    }
+  }
+}
