@@ -1222,7 +1222,8 @@ object SparkEntry {
       |FROM (SELECT lang, doc_id,
       |        ROW_NUMBER() OVER (PARTITION BY lang
       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-      |      FROM documents WHERE doc_id IS NOT NULL)
+      |      FROM (SELECT DISTINCT lang, doc_id FROM documents
+      |            WHERE doc_id IS NOT NULL))
       |WHERE rn <= 5""".stripMargin
 
   /** J5 JSON config extraction + aggregate. */
@@ -3795,6 +3796,56 @@ object SparkEntry {
     }
     (ticks.length.toLong, idsByKey.size.toLong, foldMatch, estMatch,
       violations, maxOver)
+  }
+
+  /** Batch≡streaming differential for the sampling family: the events
+    * feed (event_type keys, user_id identities) replays through
+    * `StreamOps.streamingSample` (q121's mergeable top-k as group
+    * state) in deterministic micro-batches. Two verdicts, both EXACT —
+    * top-k-by-(md5, id) membership is decided by a total order and
+    * nothing else, so like the HLL face (and unlike the t-digest's
+    * bound) the stream owes bit-equality:
+    *
+    *  1. `foldMatch` — full emission history == the driver chunk
+    *     replay.
+    *  2. `sampleMatch` — each key's terminal sample == the batch
+    *     top-k over all of the key's rows, order-free.
+    *
+    * Returns (ticks, keys, foldMatch, sampleMatch).
+    */
+  def streamingSampleDifferential(s: SparkSession, dir: String,
+      chunks: Int = 3, maxTicks: Int = 2000000, k: Int = 5)
+      : (Long, Long, Boolean, Boolean) = {
+    import s.implicits._
+    import graft.streaming.StreamOps
+    val src = t(s, dir, "events")
+      .select(col("event_type").as("key"),
+        (unix_micros(col("ts")) / 1000L).cast("long").as("ts"),
+        col("user_id"), col("event_id"))
+      .as[(String, Long, Long, Long)]
+    val raw = cappedSortedFeed(src, maxTicks,
+      (r: (String, Long, Long, Long)) => (r._2, r._4))
+    val ticks = raw.map(r => StreamOps.SampleTick(r._1, r._2, r._3))
+    val per = math.max(1, (ticks.length + chunks - 1) / chunks)
+    val streamRows = runStreamChunks(s, ticks.toSeq, per,
+      s"sdiff_${math.abs(dir.hashCode)}",
+      (in: Dataset[StreamOps.SampleTick]) => StreamOps.streamingSample(in, k))
+    val agg = new graft.ml.Splits.HashTopKAgg(k)
+    val replay = StreamOps.replaySampleChunks(
+      ticks.grouped(per).map(_.toSeq), agg)
+    def sorted(rs: Seq[StreamOps.SampleRow]) =
+      rs.sortBy(r => (r.key, r.n)).map(r => (r.key, r.n, r.closed, r.sample.toList))
+    val foldMatch = sorted(streamRows) == sorted(replay)
+    val idsByKey = raw.groupBy(_._1)
+    var sampleMatch = streamRows.nonEmpty
+    streamRows.groupBy(_.key).foreach { case (kk, rs) =>
+      val fin = rs.maxBy(_.n)
+      val batch = idsByKey(kk).map(_._3)
+        .map(id => (StreamOps.samplePriority(id), id))
+        .foldLeft(agg.zero)(agg.reduce)
+      if (fin.sample.toList != agg.finish(batch).toList) sampleMatch = false
+    }
+    (ticks.length.toLong, idsByKey.size.toLong, foldMatch, sampleMatch)
   }
 
   /** Shared driver-side fold of [[sketchRankVerdict]]'s rank intervals:

@@ -58,7 +58,7 @@ object Verify {
     if (selected("q46_backtest_trades") || selected("q47_backtest_summary") ||
         selected("q61_percentiles_approx") || selected("q115_tdigest_mergeable") ||
         selected("q118_hll_contract") || selected("q119_hll_rollup") ||
-        selected("q120_hll_setops")) {
+        selected("q120_hll_setops") || selected("q121_hash_sample")) {
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       if (selected("q46_backtest_trades") || selected("q47_backtest_summary"))
         try {
@@ -128,6 +128,19 @@ object Verify {
         } catch { case e: Throwable =>
           System.err.println(s"[verify] HLL differential failed: ${e.getMessage}")
           rows += s""""q118_hll_contract": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+        }
+      if (selected("q121_hash_sample"))
+        try {
+          // batch≡streaming for the sampling family: BOTH verdicts are
+          // exact equalities (top-k membership is a total order)
+          val (ticks, keys, foldMatch, sampleMatch) =
+            SparkEntry.streamingSampleDifferential(spark, sfDir)
+          rows += s""""q121_streaming_sample": {"diff_match": ${foldMatch && sampleMatch && keys > 0}, """ +
+            s""""ticks": $ticks, "keys": $keys, "fold_match": $foldMatch, """ +
+            s""""sample_match": $sampleMatch}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] streaming sample differential failed: ${e.getMessage}")
+          rows += s""""q121_streaming_sample": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
         }
       if (selected("q120_hll_setops"))
         try {

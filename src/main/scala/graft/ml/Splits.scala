@@ -44,15 +44,16 @@ object Splits {
     * array parallel to it; both always ≤ k entries. */
   final case class TopKBuf(prios: Array[String], ids: Array[Long])
 
-  /** Deterministic, MERGEABLE per-group k-sample: keep the k ids with
-    * the lexicographically smallest md5-derived priority ((priority,
-    * id) ties totally ordered). This is the fixed-COUNT sibling of
+  /** Deterministic, MERGEABLE per-group k-sample: keep the k DISTINCT
+    * ids with the lexicographically smallest md5-derived priority
+    * ((priority, id) ties totally ordered; duplicate ids are one
+    * candidate — set semantics). This is the fixed-COUNT sibling of
     * [[assignSplit]]'s fixed-RATE buckets and the curation samplers
     * (q79 mixture rate, q100 cluster cap) — "give me exactly k
     * reproducible exemplars per group" — with the same engine-agnostic
     * determinism: the sample is a pure function of the key SET, stable
-    * across runs, partitionings, and engines (the oracle recomputes it
-    * as a plain window QUALIFY).
+    * across runs, partitionings, duplication, and engines (the oracle
+    * recomputes it as a window QUALIFY over the distinct ids).
     *
     * Scale shape: as a typed Aggregator it partial-aggregates map-side
     * — each task ships at most k (priority, id) pairs per group —
@@ -83,6 +84,12 @@ object Splits {
         val mid = (lo + hi) >>> 1
         if (lt(b.prios(mid), b.ids(mid), p, id)) lo = mid + 1 else hi = mid
       }
+      // SET semantics: an id already in the sample is a no-op, so the
+      // sample is a pure function of the distinct id set — duplicate
+      // rows cannot crowd the sample (a recurring-identity stream would
+      // otherwise converge to k copies of the min-priority id), and the
+      // streaming face is idempotent under at-least-once re-delivery
+      if (lo < n && b.prios(lo) == p && b.ids(lo) == id) return b
       val m = math.min(n + 1, k)
       val ps = new Array[String](m); val is = new Array[Long](m)
       System.arraycopy(b.prios, 0, ps, 0, lo)

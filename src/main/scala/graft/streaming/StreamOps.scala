@@ -929,6 +929,132 @@ object StreamOps {
     }
   }
 
+  case class SampleTick(key: String, ts: Long, id: Long)
+
+  /** Streaming state for [[streamingSample]]: the ≤k (priority, id)
+    * top-k buffer (`Splits.TopKBuf`'s parallel arrays), the rows-seen
+    * count, and the key's max event time (the monotone-arming
+    * pattern). O(k) per key regardless of stream length. */
+  final case class SampleState(prios: Array[String], ids: Array[Long],
+      n: Long, maxSeenTs: Long)
+
+  /** One sample emission: the key's current deterministic k-sample in
+    * priority order (`closed=false` live, `closed=true` terminal on
+    * idle eviction). */
+  case class SampleRow(key: String, n: Long, closed: Boolean,
+      sample: Seq[Long])
+
+  /** Streaming deterministic k-sample — the §2.10 face of the sampling
+    * family (q59 fixed-rate splits / q121 fixed-count hash sample):
+    * one `flatMapGroupsWithState` group per key folding the SAME
+    * mergeable top-k as the batch path (`Splits.HashTopKAgg.reduce` —
+    * q121's UDAF), i.e. reproducible exemplar harvesting from an
+    * unbounded feed with O(k) state per key. Like the HLL face — and
+    * unlike the t-digest's — the fold is order- and
+    * chunking-insensitive (a deterministic total order on (md5
+    * priority, id) decides membership, nothing else), so the terminal
+    * streaming sample EXACTLY equals the batch `hashSample` row set
+    * for any micro-batching of the same rows; the differential
+    * (`SparkEntry.streamingSampleDifferential`) pins that equality plus
+    * the bit-for-bit emission-history replay.
+    */
+  def streamingSample(ticks: Dataset[SampleTick], k: Int,
+      eviction: IdleEviction = NeverEvict): Dataset[SampleRow] = {
+    import ticks.sparkSession.implicits._
+    val agg = new graft.ml.Splits.HashTopKAgg(k)
+    val timeoutConf = eviction match {
+      case NeverEvict => GroupStateTimeout.NoTimeout()
+      case _: ProcessingTimeIdle => GroupStateTimeout.ProcessingTimeTimeout()
+      case _: EventTimeIdle => GroupStateTimeout.EventTimeTimeout()
+    }
+    val src = eviction match {
+      case EventTimeIdle(_, lateness) =>
+        ticks.withColumn("__evt", timestamp_millis(col("ts")))
+          .withWatermark("__evt", s"${math.max(0L, lateness.toMillis)} milliseconds")
+          .as[SampleTick]
+      case _ => ticks
+    }
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState[SampleState, SampleRow](
+        OutputMode.Update(), timeoutConf) {
+        (key: String, rows: Iterator[SampleTick], state: GroupState[SampleState]) =>
+          sampleGroupStep(key, rows, state, agg, eviction)
+      }
+  }
+
+  /** The md5 priority [[streamingSample]] folds on — ONE definition
+    * with the batch path (`Splits.hashSample`'s `md5(cast(id))`), so
+    * stream and batch cannot disagree on membership. */
+  def samplePriority(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(String.valueOf(id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = "0123456789abcdef"
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach { b =>
+      sb.append(hex.charAt((b >> 4) & 0xF)); sb.append(hex.charAt(b & 0xF))
+    }
+    sb.toString
+  }
+
+  /** Per-group step of [[streamingSample]] (TestGroupState-testable). */
+  def sampleGroupStep(key: String, rows: Iterator[SampleTick],
+      state: GroupState[SampleState], agg: graft.ml.Splits.HashTopKAgg,
+      eviction: IdleEviction): Iterator[SampleRow] = {
+    import graft.ml.Splits
+    if (state.hasTimedOut) {
+      val terminal = state.getOption.collect { case s if s.n > 0 =>
+        SampleRow(key, s.n, closed = true, s.ids.toSeq)
+      }
+      state.remove()
+      terminal.iterator
+    } else {
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val prev = state.getOption
+          .getOrElse(SampleState(Array.empty, Array.empty, 0L, Long.MinValue))
+        var buf = Splits.TopKBuf(prev.prios, prev.ids)
+        var added = 0L
+        var maxSeen = prev.maxSeenTs
+        rows.foreach { t =>
+          buf = agg.reduce(buf, (samplePriority(t.id), t.id))
+          added += 1
+          if (t.ts > maxSeen) maxSeen = t.ts
+        }
+        val n = prev.n + added
+        state.update(SampleState(buf.prios, buf.ids, n, maxSeen))
+        eviction match {
+          case NeverEvict => ()
+          case ProcessingTimeIdle(d) => state.setTimeoutDuration(d.toMillis)
+          case EventTimeIdle(d, _) =>
+            state.setTimeoutTimestamp(
+              math.max(maxSeen + d.toMillis,
+                state.getCurrentWatermarkMs() + 1L))
+        }
+        Iterator.single(SampleRow(key, n, closed = false, buf.ids.toSeq))
+      }
+    }
+  }
+
+  /** Driver-side REFERENCE replay of [[streamingSample]] chunk feeds. */
+  def replaySampleChunks(chunks: Iterator[Seq[SampleTick]],
+      agg: graft.ml.Splits.HashTopKAgg): Seq[SampleRow] = {
+    import graft.ml.Splits
+    val bufs = scala.collection.mutable.Map.empty[String, Splits.TopKBuf]
+    val ns = scala.collection.mutable.Map.empty[String, Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[SampleRow]
+    chunks.foreach { chunk =>
+      chunk.groupBy(_.key).toSeq.sortBy(_._1).foreach { case (k, ks) =>
+        var buf = bufs.getOrElse(k, Splits.TopKBuf(Array.empty, Array.empty))
+        ks.foreach(t => buf = agg.reduce(buf, (samplePriority(t.id), t.id)))
+        bufs(k) = buf
+        val n = ns.getOrElse(k, 0L) + ks.length
+        ns(k) = n
+        out += SampleRow(k, n, closed = false, buf.ids.toSeq)
+      }
+    }
+    out.toSeq
+  }
+
   /** Driver-side REFERENCE replay of [[streamingDistinct]]: fold the
     * same chunk sequence through the same register fold. The
     * differential and `StreamingDistinctSpec` both diff the stream's

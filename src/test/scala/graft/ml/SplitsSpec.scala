@@ -84,11 +84,13 @@ class SplitsSpec extends AnyFunSuite {
     assert(agg.finish(whole).size == 3)
     // reference: smallest 3 priorities
     assert(agg.finish(whole) == rows.sortBy(r => (r._1, r._2)).take(3).map(_._2))
-    // duplicate ROWS each take a slot, exactly like the row_number
-    // reference (ranks are per row, not per distinct id) — fold order
-    // still cannot matter
-    val dup = (rows ++ rows).sortBy(r => (r._1, r._2)).take(3).map(_._2)
-    assert(agg.finish((rows ++ rows).foldLeft(agg.zero)(agg.reduce)) == dup)
+    // SET semantics: duplicate rows are one candidate — folding the
+    // doubled multiset (or merging a buffer with itself) changes
+    // nothing, which is what makes the streaming face idempotent under
+    // at-least-once re-delivery
+    assert(agg.finish((rows ++ rows).foldLeft(agg.zero)(agg.reduce)) ==
+      agg.finish(whole))
+    assert(agg.finish(agg.merge(whole, whole)) == agg.finish(whole))
     // fewer rows than k: all kept
     val tiny = rows.take(2).foldLeft(agg.zero)(agg.reduce)
     assert(agg.finish(tiny).size == 2)
