@@ -482,6 +482,15 @@ object ScaleProbe {
             f"t=${(System.nanoTime() - t1) / 1e9}%.2f s")
         }
       }
+      for ((dir, label) <- Seq(("/root/testdata/sf0.1", "100k"), ("/tmp/scale10", "1M"))) {
+        if (new java.io.File(s"${dir.stripSuffix("/")}/events.parquet").exists) {
+          val t1 = System.nanoTime()
+          val (ticks, keys, fm, sm) =
+            SparkEntry.streamingSampleDifferential(spark, dir, chunks = 10)
+          println(f"SCALE-R14B streamingSample $label: ticks=$ticks keys=$keys " +
+            f"fold=$fm sample=$sm t=${(System.nanoTime() - t1) / 1e9}%.2f s")
+        }
+      }
       // q121 on the sharded docs axis (5k/500k/5M docs): the map-side
       // top-k must stay scan-shaped — each task ships <= k pairs/group
       replicateDocsSharded(100, 64, "/tmp/docs100r")
