@@ -3228,7 +3228,31 @@ object SparkEntry {
   def clearTradesCache(): Unit = {
     tradesCache.values.foreach(_.unpersist(blocking = false))
     tradesCache.clear()
+    feedCache.clear()
   }
+
+  /** One collected (key, ts-millis, user_id, event_id) feed per
+    * (session, dir, cap), shared by the distinct/sample streaming
+    * differentials — a full Verify run collects the events feed ONCE
+    * instead of once per family. Bounded (≤ maxTicks rows per entry)
+    * and cleared by [[clearTradesCache]] (Verify's shutdown hook).
+    */
+  private val feedCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), Array[(String, Long, Long, Long)]]
+
+  private def eventsIdFeed(s: SparkSession, dir: String,
+      maxTicks: Int): Array[(String, Long, Long, Long)] =
+    feedCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir, maxTicks), {
+        import s.implicits._
+        val src = t(s, dir, "events")
+          .select(col("event_type").as("key"),
+            (unix_micros(col("ts")) / 1000L).cast("long").as("ts"),
+            col("user_id"), col("event_id"))
+          .as[(String, Long, Long, Long)]
+        cappedSortedFeed(src, maxTicks,
+          (r: (String, Long, Long, Long)) => (r._2, r._4))
+      })
 
   private val BtParams = Backtest.Params(threshold = 10.0, tp = 20.0, sl = 10.0)
 
@@ -3758,13 +3782,7 @@ object SparkEntry {
     import s.implicits._
     import graft.streaming.StreamOps
     val p = Q119P
-    val src = t(s, dir, "events")
-      .select(col("event_type").as("key"),
-        (unix_micros(col("ts")) / 1000L).cast("long").as("ts"),
-        col("user_id"), col("event_id"))
-      .as[(String, Long, Long, Long)]
-    val raw = cappedSortedFeed(src, maxTicks,
-      (r: (String, Long, Long, Long)) => (r._2, r._4))
+    val raw = eventsIdFeed(s, dir, maxTicks)
     val ticks = raw.map(r => StreamOps.DistinctTick(r._1, r._2, r._3))
     val per = math.max(1, (ticks.length + chunks - 1) / chunks)
     val streamRows = runStreamChunks(s, ticks.toSeq, per,
@@ -3818,13 +3836,7 @@ object SparkEntry {
       : (Long, Long, Boolean, Boolean) = {
     import s.implicits._
     import graft.streaming.StreamOps
-    val src = t(s, dir, "events")
-      .select(col("event_type").as("key"),
-        (unix_micros(col("ts")) / 1000L).cast("long").as("ts"),
-        col("user_id"), col("event_id"))
-      .as[(String, Long, Long, Long)]
-    val raw = cappedSortedFeed(src, maxTicks,
-      (r: (String, Long, Long, Long)) => (r._2, r._4))
+    val raw = eventsIdFeed(s, dir, maxTicks)
     val ticks = raw.map(r => StreamOps.SampleTick(r._1, r._2, r._3))
     val per = math.max(1, (ticks.length + chunks - 1) / chunks)
     val streamRows = runStreamChunks(s, ticks.toSeq, per,

@@ -52,27 +52,41 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // q46/q47 are hash-exact against the BacktestOracle replay SQL since
-    // r12; the batch≡streaming differential verdict recorded here (see
-    // SparkEntry.backtestDifferential) stays as a second, independent
-    // check — check_oracle.py folds it in as extra rows.
-    if (selected("q46_backtest_trades") || selected("q47_backtest_summary") ||
-        selected("q61_percentiles_approx") || selected("q115_tdigest_mergeable") ||
-        selected("q118_hll_contract") || selected("q119_hll_rollup") ||
-        selected("q120_hll_setops") || selected("q121_hash_sample")) {
+    // r12; the differential verdicts recorded here (batch≡streaming
+    // replays, rank/cardinality contract margins) stay as second,
+    // independent checks — check_oracle.py folds them in as extra rows.
+    val diffGate = Seq("q46_backtest_trades", "q47_backtest_summary",
+      "q61_percentiles_approx", "q115_tdigest_mergeable",
+      "q118_hll_contract", "q119_hll_rollup", "q120_hll_setops",
+      "q121_hash_sample")
+    if (diffGate.exists(selected)) {
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
-      if (selected("q46_backtest_trades") || selected("q47_backtest_summary"))
+      // ONE definition of the success/failure row shape: `body` returns
+      // the JSON payloads keyed per differential row; any Throwable
+      // becomes a {"diff_match": false, "err": …} row per key plus one
+      // stderr line — so the err-row behavior cannot drift per family.
+      def diffRows(label: String, keys: String*)(body: => Seq[String]): Unit =
         try {
-          val (b, st, tm, sm) = SparkEntry.backtestDifferential(spark, sfDir)
-          rows += s""""q46_backtest_trades": {"diff_match": $tm, "batch_trades": $b, "stream_trades": $st}"""
-          rows += s""""q47_backtest_summary": {"diff_match": $sm, "batch_trades": $b, "stream_trades": $st}"""
+          val payloads = body
+          require(payloads.length == keys.length,
+            s"$label: ${payloads.length} payloads for ${keys.length} keys")
+          keys.zip(payloads).foreach { case (k, payload) =>
+            rows += s""""$k": $payload"""
+          }
         } catch { case e: Throwable =>
-          System.err.println(s"[verify] backtest differential failed: ${e.getMessage}")
+          System.err.println(s"[verify] $label differential failed: ${e.getMessage}")
           val err = q(String.valueOf(e.getMessage))
-          rows += s""""q46_backtest_trades": {"diff_match": false, "err": $err}"""
-          rows += s""""q47_backtest_summary": {"diff_match": false, "err": $err}"""
+          keys.foreach(k => rows += s""""$k": {"diff_match": false, "err": $err}""")
+        }
+      if (selected("q46_backtest_trades") || selected("q47_backtest_summary"))
+        diffRows("backtest", "q46_backtest_trades", "q47_backtest_summary") {
+          val (b, st, tm, sm) = SparkEntry.backtestDifferential(spark, sfDir)
+          Seq(
+            s"""{"diff_match": $tm, "batch_trades": $b, "stream_trades": $st}""",
+            s"""{"diff_match": $sm, "batch_trades": $b, "stream_trades": $st}""")
         }
       if (selected("q61_percentiles_approx"))
-        try {
+        diffRows("percentile", "q61_percentiles_approx") {
           // the ENFORCED contract is absolute ranks (n/accuracy + 1), so
           // the fields are rank-denominated; max_err_over_bound <= 1.0 is
           // exactly the zero-violations verdict — no source-reading needed
@@ -81,105 +95,81 @@ object Verify {
           // an error FRACTION above nominal is not a violation)
           val (checks, viols, maxErrRanks, maxBoundRanks, maxErrOverBound, nominal) =
             SparkEntry.percentileDifferential(spark, sfDir)
-          rows += s""""q61_percentiles_approx": {"diff_match": ${viols == 0 && checks > 0}, """ +
+          Seq(s"""{"diff_match": ${viols == 0 && checks > 0}, """ +
             s""""rank_checks": $checks, "violations": $viols, """ +
             s""""max_err_ranks": $maxErrRanks, "err_bound_ranks": $maxBoundRanks, """ +
-            s""""max_err_over_bound": $maxErrOverBound, "nominal_frac": $nominal}"""
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] percentile differential failed: ${e.getMessage}")
-          rows += s""""q61_percentiles_approx": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+            s""""max_err_over_bound": $maxErrOverBound, "nominal_frac": $nominal}""")
         }
       if (selected("q115_tdigest_mergeable")) {
-        try {
+        diffRows("t-digest", "q115_tdigest_mergeable") {
           // same rank-denominated fields as q61, under the t-digest bound
           // 8·n·p(1−p)/δ + 2 (see SparkEntry.q115's scaladoc)
           val (checks, viols, maxErrRanks, maxBoundRanks, maxErrOverBound) =
             SparkEntry.tdigestDifferential(spark, sfDir)
-          rows += s""""q115_tdigest_mergeable": {"diff_match": ${viols == 0 && checks > 0}, """ +
+          Seq(s"""{"diff_match": ${viols == 0 && checks > 0}, """ +
             s""""rank_checks": $checks, "violations": $viols, """ +
             s""""max_err_ranks": $maxErrRanks, "err_bound_ranks": $maxBoundRanks, """ +
-            s""""max_err_over_bound": $maxErrOverBound}"""
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] t-digest differential failed: ${e.getMessage}")
-          rows += s""""q115_tdigest_mergeable": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+            s""""max_err_over_bound": $maxErrOverBound}""")
         }
-        try {
+        diffRows("streaming quantiles", "q115_streaming_quantiles") {
           // batch≡streaming for the quantile family: full emission
           // history == driver replay (exact), final counts == batch,
           // final stream digest within q115's rank bound
           val (ticks, keys, foldMatch, nMatch, viols, maxOver) =
             SparkEntry.streamingQuantilesDifferential(spark, sfDir)
-          rows += s""""q115_streaming_quantiles": {"diff_match": ${foldMatch && nMatch && viols == 0 && keys > 0}, """ +
+          Seq(s"""{"diff_match": ${foldMatch && nMatch && viols == 0 && keys > 0}, """ +
             s""""ticks": $ticks, "keys": $keys, "fold_match": $foldMatch, """ +
             s""""n_match": $nMatch, "violations": $viols, """ +
-            s""""max_err_over_bound": $maxOver}"""
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] streaming quantiles differential failed: ${e.getMessage}")
-          rows += s""""q115_streaming_quantiles": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+            s""""max_err_over_bound": $maxOver}""")
         }
       }
       if (selected("q118_hll_contract"))
-        try {
+        diffRows("HLL", "q118_hll_contract") {
           // HLL++ margin vs the 6·rsd·exact + 1 bound (see q118 scaladoc)
           val (checks, viols, maxOver) = SparkEntry.hllDifferential(spark, sfDir)
-          rows += s""""q118_hll_contract": {"diff_match": ${viols == 0 && checks > 0}, """ +
+          Seq(s"""{"diff_match": ${viols == 0 && checks > 0}, """ +
             s""""groups": $checks, "violations": $viols, """ +
-            s""""max_err_over_bound": $maxOver}"""
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] HLL differential failed: ${e.getMessage}")
-          rows += s""""q118_hll_contract": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+            s""""max_err_over_bound": $maxOver}""")
         }
       if (selected("q121_hash_sample"))
-        try {
+        diffRows("streaming sample", "q121_streaming_sample") {
           // batch≡streaming for the sampling family: BOTH verdicts are
           // exact equalities (top-k membership is a total order)
           val (ticks, keys, foldMatch, sampleMatch) =
             SparkEntry.streamingSampleDifferential(spark, sfDir)
-          rows += s""""q121_streaming_sample": {"diff_match": ${foldMatch && sampleMatch && keys > 0}, """ +
+          Seq(s"""{"diff_match": ${foldMatch && sampleMatch && keys > 0}, """ +
             s""""ticks": $ticks, "keys": $keys, "fold_match": $foldMatch, """ +
-            s""""sample_match": $sampleMatch}"""
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] streaming sample differential failed: ${e.getMessage}")
-          rows += s""""q121_streaming_sample": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+            s""""sample_match": $sampleMatch}""")
         }
       if (selected("q120_hll_setops"))
-        try {
+        diffRows("HLL set-ops", "q120_hll_setops") {
           // union + inclusion–exclusion intersection margins (q120)
           val (checks, viols, maxU, maxI) =
             SparkEntry.hllSetopsDifferential(spark, sfDir)
-          rows += s""""q120_hll_setops": {"diff_match": ${viols == 0 && checks > 0}, """ +
+          Seq(s"""{"diff_match": ${viols == 0 && checks > 0}, """ +
             s""""groups": $checks, "violations": $viols, """ +
-            s""""max_union_over_bound": $maxU, "max_inter_over_bound": $maxI}"""
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] HLL set-ops differential failed: ${e.getMessage}")
-          rows += s""""q120_hll_setops": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+            s""""max_union_over_bound": $maxU, "max_inter_over_bound": $maxI}""")
         }
       if (selected("q119_hll_rollup")) {
-        try {
+        diffRows("HLL rollup", "q119_hll_rollup") {
           // rollup margin vs the 6·rsd·exact + 1 bound, plus the
           // lossless rollup≡direct identity (see q119 scaladoc)
           val (checks, viols, maxOver, lossless) =
             SparkEntry.hllRollupDifferential(spark, sfDir)
-          rows += s""""q119_hll_rollup": {"diff_match": ${viols == 0 && checks > 0 && lossless}, """ +
+          Seq(s"""{"diff_match": ${viols == 0 && checks > 0 && lossless}, """ +
             s""""groups": $checks, "violations": $viols, """ +
-            s""""max_err_over_bound": $maxOver, "rollup_lossless": $lossless}"""
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] HLL rollup differential failed: ${e.getMessage}")
-          rows += s""""q119_hll_rollup": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+            s""""max_err_over_bound": $maxOver, "rollup_lossless": $lossless}""")
         }
-        try {
+        diffRows("streaming distinct", "q119_streaming_distinct") {
           // batch≡streaming for the cardinality family: emission
           // history == driver replay, terminal estimate == batch
           // aggregate EXACTLY (lossless merge), contract per key
           val (ticks, keys, foldMatch, estMatch, viols, maxOver) =
             SparkEntry.streamingDistinctDifferential(spark, sfDir)
-          rows += s""""q119_streaming_distinct": {"diff_match": ${foldMatch && estMatch && viols == 0 && keys > 0}, """ +
+          Seq(s"""{"diff_match": ${foldMatch && estMatch && viols == 0 && keys > 0}, """ +
             s""""ticks": $ticks, "keys": $keys, "fold_match": $foldMatch, """ +
             s""""est_match": $estMatch, "violations": $viols, """ +
-            s""""max_err_over_bound": $maxOver}"""
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] streaming distinct differential failed: ${e.getMessage}")
-          rows += s""""q119_streaming_distinct": {"diff_match": false, "err": ${q(String.valueOf(e.getMessage))}}"""
+            s""""max_err_over_bound": $maxOver}""")
         }
       }
       Files.writeString(Paths.get(s"$outDir/differential.json"),

@@ -304,10 +304,11 @@ object OlapEtl {
     * from that grain's complete rows — the idempotent backfill
     * contract, spec-pinned in `SketchFactSpec` along with the rollup
     * consistency properties (HLL rollup ≡ direct estimate EXACTLY,
-    * digest rollup within the q115 rank bound). Rows with NULL
-    * `valueCol` are excluded entirely (the digest null contract; the
-    * count and id sketch follow the same definition so the three
-    * columns describe one row set).
+    * digest rollup within the q115 rank bound). Rows with a NULL
+    * `valueCol` OR a NULL `idCol` are excluded entirely (the
+    * digest/sample null contract — a null id would also crash the
+    * typed HLL aggregator's Long deserializer), so the three sketch
+    * columns describe ONE fully-non-null row set.
     */
   def loadFactSketches(spark: SparkSession, events: DataFrame,
       seriesCol: String, tsCol: String, valueCol: String, idCol: String,
@@ -319,7 +320,7 @@ object OlapEtl {
     val mkHll = org.apache.spark.sql.functions.udaf(
       new graft.metrics.Hll.SketchAgg(p), Encoders.scalaLong)
     val updates = events
-      .filter(col(valueCol).isNotNull)
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(col(seriesCol).as("series_key"),
         (unix_micros(col(tsCol)) / grainUs).cast("long").as("grain"),
         col(valueCol).as("__v"), col(idCol).as("__id"))

@@ -48,10 +48,19 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
 
-    // lineitem replicas on the scan-parallel sharded layout (see the
-    // r13 layout lesson below) — ONE builder shared by every round's
-    // section so the "same layout" premise cannot drift; orders rides
-    // along unreplicated (q83's interval side / q120's exact side)
+    // THE row-replication idiom for scan-parallel sharded replicas (the
+    // r13 layout lesson below) — one definition for every table/round,
+    // so the "same layout" premise cannot drift between probe sections
+    def replicateSharded(src: org.apache.spark.sql.DataFrame, factor: Int,
+        shards: Int, outFile: String): Unit =
+      if (!new java.io.File(outFile).exists) {
+        val reps = spark.range(factor).withColumnRenamed("id", "rep")
+        src.crossJoin(reps).drop("rep").repartition(shards)
+          .write.mode("overwrite").parquet(outFile)
+      }
+
+    // lineitem replicas; orders rides along unreplicated (q83's
+    // interval side / q120's exact side)
     def ensureLiReplicas(): Unit = {
       val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
         .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey"),
@@ -59,9 +68,7 @@ object ScaleProbe {
       val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
       for ((factor, shards, dir) <- Seq((100, 64, "/tmp/li100"), (1000, 512, "/tmp/li1000"))) {
         if (!new java.io.File(s"$dir/lineitem.parquet").exists) {
-          val reps = spark.range(factor).withColumnRenamed("id", "rep")
-          li.crossJoin(reps).drop("rep").repartition(shards)
-            .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+          replicateSharded(li, factor, shards, s"$dir/lineitem.parquet")
           ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
         }
       }
@@ -458,13 +465,8 @@ object ScaleProbe {
           f"viols=$viols maxOver=$maxOver%.3f lossless=$lossless")
       }
       val ordScale = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
-      for ((factor, shards, dir) <- Seq((100, 64, "/tmp/ord100"), (1000, 512, "/tmp/ord1000"))) {
-        if (!new java.io.File(s"$dir/orders.parquet").exists) {
-          val reps = spark.range(factor).withColumnRenamed("id", "rep")
-          ordScale.crossJoin(reps).drop("rep").repartition(shards)
-            .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-        }
-      }
+      for ((factor, shards, dir) <- Seq((100, 64, "/tmp/ord100"), (1000, 512, "/tmp/ord1000")))
+        replicateSharded(ordScale, factor, shards, s"$dir/orders.parquet")
       for (dir <- Seq("/root/testdata/sf0.1", "/tmp/ord100", "/tmp/ord1000")) {
         val t0 = System.nanoTime()
         val bad = SparkEntry.queries("q120_hll_setops")(spark, dir)

@@ -132,6 +132,22 @@ class SketchFactSpec extends AnyFunSuite {
     }
   }
 
+  test("null value OR null id rows are excluded as one row set (no typed-aggregator crash)") {
+    withFact("sketchfact4") { path =>
+      val withNulls = Seq(
+        ("a", 0L, Some(1.0), Some(10L)),
+        ("a", 1000000L, None, Some(11L)),   // null value → dropped
+        ("a", 2000000L, Some(3.0), None),   // null id → dropped (would NPE the Long encoder)
+        ("a", 3000000L, Some(4.0), Some(12L)))
+        .toDF("k", "ts_us", "v", "uid")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      val fact = load(withNulls, path)
+      val row = fact.collect()
+      assert(row.length == 1 && row.head.getAs[Long]("n_rows") == 2,
+        s"expected one grain row over the 2 fully-non-null rows: ${row.toList}")
+    }
+  }
+
   test("range queries prune on the stored grain: rollup over grains 0-9 == direct over that slice") {
     withFact("sketchfact3") { path =>
     load(events, path)
