@@ -367,28 +367,32 @@ object StreamOps {
     * under unbounded/churning symbol cardinality, with the backtest's
     * semantics protected by two rules:
     *
-    *   - only a FLAT position evicts: a fired timeout on a symbol with
-    *     an open trade keeps the state and re-arms, so a live trade can
-    *     never be forgotten mid-flight;
+    *   - only a FLAT position with no LIVE cap entries evicts: a fired
+    *     timeout on a symbol with an open trade — or (under
+    *     [[ProcessingTimeIdle]], r15) with an entry timestamp still
+    *     inside capWindow of the symbol's own max event time — keeps
+    *     the state and re-arms, so neither a live trade nor a
+    *     still-countable A11 cap entry can be forgotten mid-flight;
     *   - the idle timeout must be ≥ `params.capWindow`: a flat state
     *     carries only the A11 trailing entry timestamps, all of which
     *     the next bar would filter out after capWindow of quiet anyway.
     *
-    * Exactness depends on the clock the timeout measures. For
-    * [[EventTimeIdle]] the guarantee is unconditional: the timeout is
-    * armed off the symbol's own max EVENT time (ceiling-rounded to ms,
-    * so ≥-capWindow comparisons stay sound at sub-ms boundaries) and
-    * fires only when the watermark — also event time — passes it, so a
-    * flat state is evicted only after ≥ capWindow of event-time quiet:
-    * evict-then-resume is EXACTLY the never-evict behavior
-    * (spec-pinned), not an approximation. For [[ProcessingTimeIdle]]
-    * the timeout measures WALL-CLOCK idle while capWindow is event
-    * time, so the equivalence holds only when processing time tracks
-    * event time (a live feed); on a stalled or faster-than-realtime
-    * replay, wall-clock idle can exceed the timeout while event time
-    * advances less than capWindow, dropping cap entries the next bar
-    * would still count. Replayed/backfilled feeds must use
-    * [[EventTimeIdle]] (or [[NeverEvict]]).
+    * Under [[EventTimeIdle]] the evict≡never-evict guarantee is
+    * unconditional by clock alignment: the timeout is armed off the
+    * symbol's own max EVENT time (ceiling-rounded to ms, so ≥-capWindow
+    * comparisons stay sound at sub-ms boundaries) and fires only when
+    * the watermark — also event time — passes it, so a flat state is
+    * evicted only after ≥ capWindow of event-time quiet. Under
+    * [[ProcessingTimeIdle]] the timeout measures WALL-CLOCK idle while
+    * capWindow is event time, so a stalled or backfilled feed can idle
+    * past the timeout while event time advanced less than capWindow;
+    * since r15 the timeout branch re-checks entry liveness against
+    * `maxSeenTs` and retains such state, so evict-then-resume is
+    * EXACTLY the never-evict behavior under EVERY policy (spec-pinned
+    * in `EvictionCapSafetySpec`). The wall-clock cost: a key whose
+    * final bars include an in-window entry is retained until new bars
+    * age it out — prefer [[EventTimeIdle]] when GC of such keys
+    * matters.
     *
     * State-schema note: `BtState` gained `maxSeenTs` in r13 (the
     * monotone-eviction fix). Spark's state-store schema check rejects a
@@ -427,9 +431,10 @@ object StreamOps {
       eviction: IdleEviction): Unit = eviction match {
     case NeverEvict => ()
     case ProcessingTimeIdle(t) =>
-      // necessary but NOT sufficient: t is wall-clock while capWindow is
-      // event time — see the streamingBacktest scaladoc for when the
-      // evict≡never-evict equivalence actually holds under this policy
+      // t is wall-clock while capWindow is event time, so this bound
+      // alone cannot make eviction safe on a stalled feed — the timeout
+      // branch additionally re-checks entry liveness against maxSeenTs
+      // (r15) and retains flat state whose cap entries are still live
       require(t.toMillis * 1000L >= params.capWindow,
         s"idle timeout ($t) must be >= capWindow (${params.capWindow} us) " +
           "so flat-state eviction preserves the trade-cap semantics")
@@ -464,9 +469,36 @@ object StreamOps {
     }
     if (state.hasTimedOut) {
       val st = state.getOption.getOrElse(Backtest.BtState())
-      if (st.open) {
-        // never forget a live trade: keep the state, re-arm from the
-        // current clock/watermark and wait for the feed to resume
+      // cap-safety (r15): a ProcessingTimeIdle timeout measures
+      // WALL-CLOCK quiet, which proves nothing about EVENT time — a
+      // stalled or backfilled feed can idle past the timeout while the
+      // data has advanced less than capWindow, so a flat state whose
+      // entries list is still live relative to the symbol's own max
+      // event time (maxSeenTs) must be retained: evicting it would let
+      // the resume bar open a trade the A11 cap forbids. Entries only
+      // age via NEW bars (stepBar prunes to bar.ts - capWindow), so
+      // under wall-clock eviction a key whose final bars include an
+      // in-window entry is retained indefinitely — the price of
+      // correctness when event-time age is unknowable; use
+      // EventTimeIdle for deterministic GC of such keys. EventTimeIdle
+      // needs no liveness check: its timeout fires only once the
+      // watermark passes maxSeenTs + timeout (timeout >= capWindow,
+      // require'd), so every surviving entry is already older than
+      // capWindow relative to any bar the watermark still admits —
+      // evict-then-resume ≡ never-evict exactly (spec-pinned).
+      // >= not >: stepBar's cap filter keeps e >= bar.ts - capWindow,
+      // and a non-decreasing feed may redeliver a bar at exactly
+      // maxSeenTs, for which an entry at maxSeenTs - capWindow still
+      // counts — evict only entries STRICTLY older than that.
+      val capLive = eviction match {
+        case ProcessingTimeIdle(_) =>
+          st.entries.exists(e => e + params.capWindow >= st.maxSeenTs)
+        case _ => false
+      }
+      if (st.open || capLive) {
+        // never forget a live trade or a live cap entry: keep the
+        // state, re-arm from the current clock/watermark and wait for
+        // the feed to resume
         eviction match {
           case ProcessingTimeIdle(d) => state.setTimeoutDuration(d.toMillis)
           case EventTimeIdle(d, _) =>

@@ -546,10 +546,22 @@ class StreamOpsSpec extends AnyFunSuite {
     // prices flat (no SL/TP), pred >> close = immediate long entry
     def quietBar(ts: Long) = Backtest.Bar("x", ts, 100.0, 100.5, 99.5, 100.0, 100.0)
     def entryBar(ts: Long) = Backtest.Bar("x", ts, 100.0, 100.5, 99.5, 100.0, 105.0)
-    // flat state, timeout fires → evicted
-    val s1 = st(Optional.of(Backtest.BtState(entries = List(5L))), timedOut = true)
+    // flat state with only EXPIRED cap entries (strictly older than
+    // capWindow relative to the symbol's max event time), timeout
+    // fires → evicted (the GC keeps its value)
+    val s1 = st(Optional.of(Backtest.BtState(entries = List(5L),
+      maxSeenTs = 5L + p.capWindow + 1L)), timedOut = true)
     assert(StreamOps.backtestGroupStep("x", Iterator.empty, s1, p, idle).isEmpty
       && s1.isRemoved)
+    // flat state with a LIVE cap entry (within capWindow of maxSeenTs):
+    // wall-clock idle proves nothing about event time → retained and
+    // re-armed (r15 cap-safety; exhaustive stalled-feed equivalence in
+    // EvictionCapSafetySpec)
+    val s1b = st(Optional.of(Backtest.BtState(entries = List(5L),
+      maxSeenTs = 5L + p.capWindow)), timedOut = true)
+    assert(StreamOps.backtestGroupStep("x", Iterator.empty, s1b, p, idle).isEmpty)
+    assert(!s1b.isRemoved && s1b.exists && s1b.getTimeoutTimestampMs.isPresent,
+      "a live cap entry must survive a wall-clock idle timeout")
     // OPEN position, timeout fires → state retained and re-armed, no emit
     val openSt = Backtest.BtState(open = true, dir = "long", entryTs = 1L,
       entryPrice = 100.0)
