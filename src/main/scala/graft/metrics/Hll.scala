@@ -60,8 +60,16 @@ object Hll {
 
   def emptyRegs(p: Int): Array[Byte] = new Array[Byte](1 << p)
 
-  /** Fold one value into `regs` in place. */
+  /** Fold one value into `regs` in place. `regs` must have been built
+    * at the SAME p: a checkpointed/stored sketch from a different
+    * precision would otherwise index silently wrong (smaller p) or
+    * throw an opaque ArrayIndexOutOfBounds (larger p) — a config
+    * change over a streaming checkpoint must fail loudly here, exactly
+    * like [[mergeInto]] does. */
   def add(regs: Array[Byte], p: Int, x: Long): Unit = {
+    require(regs.length == (1 << p),
+      s"HLL register width mismatch: array has ${regs.length} registers " +
+        s"but p=$p implies ${1 << p} — was this sketch built at a different p?")
     val h = hash64(x)
     val idx = (h >>> (64 - p)).toInt
     val w = h << p
@@ -187,5 +195,49 @@ object Hll {
     override def finish(b: Regs): Long = inner.finish(b)
     override def bufferEncoder: Encoder[Regs] = Encoders.product[Regs]
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Register-max merge restricted to rows tagged `level` — the
+    * one-scan shape for queries that aggregate BOTH levels of a
+    * GROUPING SETS sketch relation into one output row (q119): a plain
+    * level filter before each consumer splits the plan into per-branch
+    * scans (Catalyst pushes group-key filters below the aggregate, so
+    * the exchanges stop being reusable); folding the level check into
+    * the aggregator keeps both columns in ONE downstream aggregation
+    * over one scan. Rows at other levels fold as no-ops.
+    */
+  class LevelMergeAgg(p: Int, level: Int)
+    extends Aggregator[(Array[Byte], Int), Regs, Long] with Serializable {
+    private val inner = new DistinctAgg(p)
+    override def zero: Regs = inner.zero
+    override def reduce(b: Regs, in: (Array[Byte], Int)): Regs =
+      if (in._2 != level) b
+      else if (b.regs.length == 0)
+        Regs(java.util.Arrays.copyOf(in._1, in._1.length))
+      else { mergeInto(b.regs, in._1); b }
+    override def merge(a: Regs, b: Regs): Regs = inner.merge(a, b)
+    override def finish(b: Regs): Long = inner.finish(b)
+    override def bufferEncoder: Encoder[Regs] = Encoders.product[Regs]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Stored [[Sketch]] columns → a merged storable [[Sketch]] (sketch
+    * in, sketch out — [[MergeSketchesAgg]] finishes to an estimate;
+    * this one re-materializes): the multi-level-rollup and
+    * merge-on-collision ingest face (`OlapEtl.loadFactSketches` merge
+    * mode — hourly micro-batch sketches folding into a daily grain row
+    * without re-reading the grain's history). Register max is lossless
+    * and idempotent, so any rollup tree over the same inputs yields
+    * the bit-identical sketch. */
+  class RollupSketchesAgg(p: Int) extends Aggregator[Sketch, Regs, Sketch]
+    with Serializable {
+    private val inner = new MergeSketchesAgg(p)
+    override def zero: Regs = inner.zero
+    override def reduce(b: Regs, s: Sketch): Regs = inner.reduce(b, s)
+    override def merge(a: Regs, b: Regs): Regs = inner.merge(a, b)
+    override def finish(b: Regs): Sketch =
+      Sketch(if (b.regs.length == 0) emptyRegs(p) else b.regs)
+    override def bufferEncoder: Encoder[Regs] = Encoders.product[Regs]
+    override def outputEncoder: Encoder[Sketch] = Encoders.product[Sketch]
   }
 }

@@ -241,6 +241,30 @@ object TDigest {
       ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Stored [[Digest]] columns → a merged storable [[Digest]] (digest
+    * in, digest out — [[MergeDigestsAgg]] finishes to quantiles; this
+    * one re-materializes): the multi-level-rollup and
+    * merge-on-collision ingest face (`OlapEtl.loadFactSketches` merge
+    * mode — hourly micro-batch digests folding into a daily grain row
+    * without re-reading the grain's history). The result is one more
+    * merge tree over the same k₁-capped centroids, so the q115 rank
+    * bound (whose factor-2 slack absorbs merge-tree degradation)
+    * applies to any question later answered from the merged digest.
+    */
+  class RollupDigestsAgg(compression: Double = 100.0, maxUnmerged: Int = 256)
+    extends Aggregator[Digest, Buf, Digest] with Serializable {
+    private val inner = new MergeDigestsAgg(Nil, compression, maxUnmerged)
+    override def zero: Buf = inner.zero
+    override def reduce(b: Buf, d: Digest): Buf = inner.reduce(b, d)
+    override def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
+    override def finish(b: Buf): Digest = {
+      val (cm, cw) = compressed(b, compression)
+      Digest(cm, cw)
+    }
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Digest] = Encoders.product[Digest]
+  }
+
   /** One step of the DETERMINISTIC ascending-input t-digest fold (the
     * q113 value-exact face): a new unit-weight point merges into the
     * LAST centroid when [[compress]]'s k₁ size bound — computed against
