@@ -299,21 +299,44 @@ object OlapEtl {
     * events — at 100 TB the events are cold storage, the fact is KBs
     * per grain.
     *
-    * Grain semantics are RECOMPUTE-REPLACE: re-loading a grain replaces
-    * its row wholesale (the `upsert` MERGE), so a grain must be loaded
-    * from that grain's complete rows — the idempotent backfill
-    * contract, spec-pinned in `SketchFactSpec` along with the rollup
-    * consistency properties (HLL rollup ≡ direct estimate EXACTLY,
-    * digest rollup within the q115 rank bound). Rows with a NULL
-    * `valueCol` OR a NULL `idCol` are excluded entirely (the
-    * digest/sample null contract — a null id would also crash the
-    * typed HLL aggregator's Long deserializer), so the three sketch
-    * columns describe ONE fully-non-null row set.
+    * Grain semantics are selected by `mode`:
+    *
+    *   - [[ReplaceGrain]] (default) — RECOMPUTE-REPLACE: re-loading a
+    *     grain replaces its row wholesale (the `upsert` MERGE), so a
+    *     grain must be loaded from that grain's complete rows. The
+    *     contract is IDEMPOTENT: replaying the same batch (at-least-once
+    *     delivery, a backfill re-run) lands the same row — spec-pinned
+    *     in `SketchFactSpec` along with the rollup consistency
+    *     properties (HLL rollup ≡ direct estimate EXACTLY, digest
+    *     rollup within the q115 rank bound).
+    *   - [[MergeGrain]] (r15) — MERGE-ON-COLLISION: a batch carrying a
+    *     PARTIAL grain (an hourly micro-batch landing into a daily
+    *     grain) folds into the existing row instead of replacing it —
+    *     register-max for the HLL (lossless), centroid merge for the
+    *     t-digest (the q115 bound survives, it is one more merge
+    *     tree), `n_rows` sums. Only the batch's OWN grain keys are
+    *     re-aggregated (semi/anti split) — untouched stored rows pass
+    *     through byte-identical, so an idle grain's digest never
+    *     drifts through gratuitous recompression. At 100 TB this is
+    *     the only viable ingest cadence: a grain's full history is
+    *     never re-read and the fact is never re-folded wholesale.
+    *     NOT idempotent — n_rows double-counts a replayed batch and
+    *     the digest double-weights it (the HLL alone is replay-immune),
+    *     so merge-mode feeds need exactly-once batch semantics
+    *     (SnapshotStore's version-monotonic commit gives a natural
+    *     batch fence). Incremental-ingest ≡ one-shot equivalence is
+    *     spec-pinned in `SketchFactSpec`.
+    *
+    * Rows with a NULL `valueCol` OR a NULL `idCol` are excluded
+    * entirely (the digest/sample null contract — a null id would also
+    * crash the typed HLL aggregator's Long deserializer), so the three
+    * sketch columns describe ONE fully-non-null row set.
     */
   def loadFactSketches(spark: SparkSession, events: DataFrame,
       seriesCol: String, tsCol: String, valueCol: String, idCol: String,
       grainUs: Long, factPath: String,
-      compression: Double = 100.0, p: Int = 12): DataFrame = {
+      compression: Double = 100.0, p: Int = 12,
+      mode: SketchIngestMode = ReplaceGrain): DataFrame = {
     import org.apache.spark.sql.Encoders
     val mkDigest = org.apache.spark.sql.functions.udaf(
       new graft.metrics.TDigest.DigestAgg(compression), Encoders.scalaDouble)
@@ -328,12 +351,52 @@ object OlapEtl {
       .agg(mkDigest(col("__v")).as("value_digest"),
         mkHll(col("__id")).as("id_sketch"),
         count(lit(1)).as("n_rows"))
-    val merged = upsert(SnapshotStore.read(spark, factPath), updates,
-      Seq("series_key", "grain"))
+    val existing = SnapshotStore.read(spark, factPath)
+    val merged = (mode, existing) match {
+      case (ReplaceGrain, _) | (MergeGrain, None) =>
+        upsert(existing, updates, Seq("series_key", "grain"))
+      case (MergeGrain, Some(e)) =>
+        // fold ONLY the colliding grain rows (semi/anti split on the
+        // batch's grain keys): untouched stored rows pass through
+        // BYTE-IDENTICAL — digest recompression is not bit-stable, so
+        // re-aggregating every grain per micro-batch would drift
+        // year-old digests through thousands of gratuitous compress
+        // passes (and re-shuffle the whole fact each batch, against
+        // the mode's no-full-recompute economics). The batch's key
+        // relation is micro-batch-sized → both joins broadcast.
+        val rollDigest = org.apache.spark.sql.functions.udaf(
+          new graft.metrics.TDigest.RollupDigestsAgg(compression),
+          Encoders.product[graft.metrics.TDigest.Digest])
+        val rollHll = org.apache.spark.sql.functions.udaf(
+          new graft.metrics.Hll.RollupSketchesAgg(p),
+          Encoders.product[graft.metrics.Hll.Sketch])
+        val keyCols = Seq("series_key", "grain")
+        val updKeys = broadcast(updates.select(col("series_key"), col("grain")))
+        val untouched = e.join(updKeys, keyCols, "left_anti")
+        val folded = e.join(updKeys, keyCols, "left_semi")
+          .unionByName(updates)
+          .groupBy(col("series_key"), col("grain"))
+          .agg(
+            rollDigest(col("value_digest.means"), col("value_digest.weights"))
+              .as("value_digest"),
+            rollHll(col("id_sketch.regs")).as("id_sketch"),
+            sum(col("n_rows")).as("n_rows"))
+        untouched.unionByName(folded)
+    }
     SnapshotStore.commit(merged, factPath)
     SnapshotStore.gc(factPath)
     SnapshotStore.read(spark, factPath).get
   }
+
+  /** Grain-collision semantics for [[loadFactSketches]]. */
+  sealed trait SketchIngestMode
+  /** Recompute-replace: a batch carries a grain's COMPLETE rows;
+    * re-loading replaces the grain row wholesale (idempotent backfill). */
+  case object ReplaceGrain extends SketchIngestMode
+  /** Merge-on-collision: a batch may carry a PARTIAL grain; collisions
+    * fold (register-max / centroid-merge / n_rows sum). Micro-batch
+    * safe, replay-unsafe — see [[loadFactSketches]]. */
+  case object MergeGrain extends SketchIngestMode
 
   /** The Metabase config-flatten view analog (J5): explode a JSON config
     * column into (key, value) rows (`olap_metabase_helpers.sql:4-23`).

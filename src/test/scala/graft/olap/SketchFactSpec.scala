@@ -148,6 +148,81 @@ class SketchFactSpec extends AnyFunSuite {
     }
   }
 
+  test("merge-on-collision: partial-batch incremental ingest ≡ one-shot full ingest") {
+    withFact("sketchfact5") { onePath =>
+    withFact("sketchfact6") { incPath =>
+    val oneShot = load(events, onePath)
+    // hourly-micro-batch simulation: each grain's rows arrive in THREE
+    // partial batches (split by a row attribute, not a grain boundary —
+    // exactly what ReplaceGrain forbids), folded with MergeGrain
+    def inc(part: Int) = events.filter(pmod(col("uid"), lit(3)) === part)
+    (0 until 3).foreach { part =>
+      OlapEtl.loadFactSketches(spark, inc(part), "k", "ts", "v", "uid",
+        GrainUs, incPath, Compression, P, OlapEtl.MergeGrain)
+    }
+    val incremental = SnapshotStore.read(spark, incPath).get
+    assert(incremental.count() == oneShot.count())
+    // per-grain row: n_rows exact-equal, HLL registers BIT-EXACT equal
+    // (register max is lossless — incremental cannot degrade it)
+    def perGrain(df: DataFrame) =
+      df.select(col("series_key"), col("grain"),
+        col("n_rows"), col("id_sketch.regs")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getAs[Array[Byte]](3).toSeq))).toMap
+    val a = perGrain(oneShot)
+    val b = perGrain(incremental)
+    assert(a.keySet == b.keySet)
+    a.foreach { case (kg, (n, regs)) =>
+      assert(b(kg)._1 == n, s"grain $kg n_rows diverged under merge ingest")
+      assert(b(kg)._2 == regs, s"grain $kg HLL registers diverged (merge must be lossless)")
+    }
+    // digest: merged grains are one more merge tree — the q115 bound
+    // holds for the table-level rollup over the incremental fact
+    val got = rollup(incremental)
+    val values = events.select("k", "v").collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    got.foreach { case (k, (qs, _, n)) =>
+      assert(n == values(k).length)
+      Ps.zip(qs).foreach { case (p, v) =>
+        assert(rankErrOk(values(k), p, v), s"key=$k p=$p incremental digest out of bound")
+      }
+    }
+    // untouched grains pass through BYTE-IDENTICAL: a merge batch
+    // touching only grains >= 10 must not move one bit of grains 0-9
+    // (digest recompression is not bit-stable, so a pass-through that
+    // re-aggregated everything would silently drift idle digests)
+    withFact("sketchfact8") { idlePath =>
+      OlapEtl.loadFactSketches(spark, events.filter(grainOf < 10), "k", "ts",
+        "v", "uid", GrainUs, idlePath, Compression, P, OlapEtl.MergeGrain)
+      def lowGrains() = SnapshotStore.read(spark, idlePath).get
+        .filter(col("grain") < 10)
+        .select(col("series_key"), col("grain"), col("n_rows"),
+          col("id_sketch.regs"), col("value_digest.means"),
+          col("value_digest.weights")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getAs[Array[Byte]](3).toSeq,
+            r.getAs[Seq[Double]](4), r.getAs[Seq[Double]](5)))).toMap
+      val before = lowGrains()
+      OlapEtl.loadFactSketches(spark, events.filter(grainOf >= 10), "k", "ts",
+        "v", "uid", GrainUs, idlePath, Compression, P, OlapEtl.MergeGrain)
+      assert(lowGrains() == before,
+        "a merge batch over other grains moved bits in untouched grain rows")
+    }
+    // counterexample guard: the same partial batches through the
+    // DEFAULT ReplaceGrain mode must NOT reconstruct the full counts
+    // (each load replaces the grain with the batch's slice) — pinning
+    // that merge mode is genuinely needed for partial batches
+    withFact("sketchfact7") { repPath =>
+      (0 until 3).foreach(part => load(inc(part), repPath))
+      val lastOnly = SnapshotStore.read(spark, repPath).get
+        .agg(sum(col("n_rows"))).collect().head.getLong(0)
+      assert(lastOnly < events.count(),
+        "ReplaceGrain unexpectedly accumulated partial batches — merge mode is moot?")
+    }
+    }
+    }
+  }
+
   test("range queries prune on the stored grain: rollup over grains 0-9 == direct over that slice") {
     withFact("sketchfact3") { path =>
     load(events, path)
