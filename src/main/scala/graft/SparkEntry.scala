@@ -1571,15 +1571,34 @@ object SparkEntry {
       .select(col("l_suppkey"), col("l_partkey"),
         (unix_micros(col("l_shipdate")) / grainUs).cast("long").as("grain"))
     val mk = udaf(new Hll.SketchAgg(Q119P), Encoders.scalaLong)
-    val grains = li.groupBy(col("l_suppkey"), col("grain"))
-      .agg(mk(col("l_partkey")).as("sk"))
-    val roll = udaf(new Hll.MergeSketchesAgg(Q119P),
-      Encoders.product[Hll.Sketch])
-    val rolled = grains.groupBy(col("l_suppkey"))
-      .agg(roll(col("sk.regs")).as("est_rollup"),
-        count(lit(1)).as("n_grains"))
-    val directAgg = udaf(new Hll.DistinctAgg(Q119P), Encoders.scalaLong)
-    // the one-level sketch and the exact count aggregate SEPARATELY:
+    // ONE scan + one Expand for BOTH sketch relations (r15): the
+    // per-(suppkey, grain) stored sketches and the one-level
+    // per-suppkey direct sketch are the two levels of a GROUPING SETS
+    // aggregation. The second-level consumer must NOT branch-and-filter
+    // on the level (Catalyst pushes a group-key filter below the
+    // aggregate, splitting the plan into two full scans again —
+    // measured); instead both output columns come from ONE downstream
+    // aggregation whose level check lives INSIDE the aggregator
+    // (`Hll.LevelMergeAgg`): level-0 rows fold into est_rollup (the
+    // stored-sketch rollup), the single level-1 row passes through as
+    // est_direct (still a genuinely one-level fold over raw values —
+    // it was built by sketchagg at the Expand's level-1 copy, never
+    // from the level-0 sketches, so the lossless identity it verifies
+    // is not circular).
+    val sets = li
+      .groupingSets(
+        Seq(Seq(col("l_suppkey"), col("grain")), Seq(col("l_suppkey"))),
+        col("l_suppkey"), col("grain"))
+      .agg(mk(col("l_partkey")).as("sk"),
+        grouping(col("grain")).cast("int").as("__lvl"))
+    val lvlIn = Encoders.tuple(Encoders.BINARY, Encoders.scalaInt)
+    val lvl0 = udaf(new Hll.LevelMergeAgg(Q119P, 0), lvlIn)
+    val lvl1 = udaf(new Hll.LevelMergeAgg(Q119P, 1), lvlIn)
+    val rolled = sets.groupBy(col("l_suppkey"))
+      .agg(lvl0(col("sk.regs"), col("__lvl")).as("est_rollup"),
+        lvl1(col("sk.regs"), col("__lvl")).as("est_direct"),
+        sum(when(col("__lvl") === 0, 1L).otherwise(0L)).as("n_grains"))
+    // the sketch levels and the exact count aggregate SEPARATELY:
     // planned together, Catalyst's distinct rewrite keys the UDAF's
     // partials by (group, distinct-value) to ride the countDistinct
     // dedup — one 2^p-byte register buffer PER DISTINCT PAIR (~500k ×
@@ -1587,12 +1606,10 @@ object SparkEntry {
     // ~1.5 s split (a 100 TB query would never co-plan a per-group
     // sketch with an exact distinct anyway — the sketch exists to
     // avoid it; the exact branch here is the oracle reference only)
-    val direct = li.groupBy(col("l_suppkey"))
-      .agg(directAgg(col("l_partkey")).as("est_direct"))
     val exact = li.groupBy(col("l_suppkey"))
       .agg(countDistinct(col("l_partkey")).as("n_exact"))
     val bound = lit(6.0) * lit(Q119Rsd) * col("n_exact") + lit(1.0)
-    rolled.join(direct, "l_suppkey").join(exact, "l_suppkey")
+    rolled.join(exact, "l_suppkey")
       .select(col("l_suppkey"), col("n_grains"), col("n_exact"),
         col("est_rollup"), col("est_direct"),
         bound.as("err_bound"),
@@ -1660,18 +1677,21 @@ object SparkEntry {
     * q119-style rollup table: estimating train∩benchmark contamination
     * overlap costs O(2^p) per pair, not a distinct-pair join.
     *
-    * Shape note: the sketch relations inner-join onto the exact side,
-    * which assumes every priority has orders on BOTH sides of the
-    * pivot — true by construction of the TPC-H o_orderdate span at
-    * every SF (the pivot sits mid-range; each of the 5 priorities draws
-    * uniformly from the full span).
+    * Shape note: the sketch relations LEFT-join onto the exact side
+    * and the coverage assumption — every priority has orders on BOTH
+    * sides of the pivot (true by construction of the TPC-H o_orderdate
+    * span at every SF: the pivot sits mid-range and each priority
+    * draws uniformly from the full span) — is ASSERTED as the
+    * `sides_covered` column rather than silently shrinking the output:
+    * a data-shape change fails as a named FALSE (and FALSE verdicts),
+    * not as an opaque row-count/hash diff.
     */
   private def q120(s: SparkSession, dir: String): DataFrame =
     q120Verdict(s, dir)
       .select(col("o_orderpriority"), col("a_exact"), col("b_exact"),
         col("union_exact"), col("inter_exact"),
         col("err_bound_union"), col("err_bound_inter"),
-        col("union_within"), col("inter_within"))
+        col("sides_covered"), col("union_within"), col("inter_within"))
 
   /** q120 plus the raw estimate columns (the q119Verdict pattern:
     * [[hllSetopsDifferential]] reads margins from THIS one distributed
@@ -1698,23 +1718,31 @@ object SparkEntry {
     val boundI = lit(6.0) * lit(Q119Rsd) *
       sqrt((col("a_exact") * col("a_exact") + col("b_exact") * col("b_exact")
         + col("union_exact") * col("union_exact")).cast("double")) + lit(3.0)
-    exact.join(skA, "o_orderpriority").join(skB, "o_orderpriority")
+    // LEFT joins + an asserted coverage column: a priority missing on
+    // either side of the pivot must surface as a named FALSE, never as
+    // a silently dropped row (ADVICE r14). The estimates guard on
+    // coverage so the estimate UDFs never see a null register array.
+    val covered = col("sk_a").isNotNull && col("sk_b").isNotNull
+    exact.join(skA, Seq("o_orderpriority"), "left")
+      .join(skB, Seq("o_orderpriority"), "left")
       .select(col("o_orderpriority"), col("a_exact"), col("b_exact"),
         col("union_exact"),
         (col("a_exact") + col("b_exact") - col("union_exact")).as("inter_exact"),
-        est(col("sk_a.regs")).as("est_a"),
-        est(col("sk_b.regs")).as("est_b"),
-        estUnion(col("sk_a.regs"), col("sk_b.regs")).as("est_union"),
+        covered.as("sides_covered"),
+        when(covered, est(col("sk_a.regs"))).as("est_a"),
+        when(covered, est(col("sk_b.regs"))).as("est_b"),
+        when(covered, estUnion(col("sk_a.regs"), col("sk_b.regs")))
+          .as("est_union"),
         boundU.as("err_bound_union"), boundI.as("err_bound_inter"))
       .select(col("o_orderpriority"), col("a_exact"), col("b_exact"),
-        col("union_exact"), col("inter_exact"),
+        col("union_exact"), col("inter_exact"), col("sides_covered"),
         col("est_a"), col("est_b"), col("est_union"),
         col("err_bound_union"), col("err_bound_inter"),
-        (abs(col("est_union") - col("union_exact")).cast("double")
-          <= col("err_bound_union")).as("union_within"),
-        (abs((col("est_a") + col("est_b") - col("est_union"))
+        coalesce(abs(col("est_union") - col("union_exact")).cast("double")
+          <= col("err_bound_union"), lit(false)).as("union_within"),
+        coalesce(abs((col("est_a") + col("est_b") - col("est_union"))
           - col("inter_exact")).cast("double")
-          <= col("err_bound_inter")).as("inter_within"))
+          <= col("err_bound_inter"), lit(false)).as("inter_within"))
   }
 
   private def q120Sql =
@@ -1726,6 +1754,7 @@ object SparkEntry {
        |   * SQRT(CAST(a_exact * a_exact + b_exact * b_exact
        |               + union_exact * union_exact AS DOUBLE))
        |   + CAST(3.0 AS DOUBLE) AS err_bound_inter,
+       | TRUE AS sides_covered,
        | TRUE AS union_within,
        | TRUE AS inter_within
        |FROM (SELECT o_orderpriority,
@@ -3229,6 +3258,13 @@ object SparkEntry {
     tradesCache.values.foreach(_.unpersist(blocking = false))
     tradesCache.clear()
     feedCache.clear()
+    // q122's committed fact tables live under per-(session, dir) temp
+    // dirs — delete the whole temp root (…/graft-q122-fact*/fact)
+    factCache.values.foreach { p =>
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(p).getParentFile)
+    }
+    factCache.clear()
   }
 
   /** One collected (key, ts-millis, user_id, event_id) feed per
@@ -3238,12 +3274,16 @@ object SparkEntry {
     * and cleared by [[clearTradesCache]] (Verify's shutdown hook).
     */
   private val feedCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Int), Array[(String, Long, Long, Long)]]
+    .empty[(SparkSession, String, Int), Array[(String, Long, Long, Long)]]
 
   private def eventsIdFeed(s: SparkSession, dir: String,
       maxTicks: Int): Array[(String, Long, Long, Long)] =
+    // keyed on the session OBJECT (the tradesCache pattern, same
+    // clearTradesCache lifecycle) — an identityHashCode key could
+    // collide across sessions and serve a feed collected under another
+    // session's catalog/config (ADVICE r14)
     feedCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, maxTicks), {
+      (s, dir, maxTicks), {
         import s.implicits._
         val src = t(s, dir, "events")
           .select(col("event_type").as("key"),
@@ -3632,15 +3672,21 @@ object SparkEntry {
   /** Deterministic capped feed collect shared by the streaming
     * differentials: ONE scan in the uncapped (normal) case — the cap
     * probe is collected directly, and only when the cap binds is a
-    * deterministic (ts, event_id)-prefix re-collected. Rows return
-    * sorted by `key` ((ts, event_id): total, data-deterministic).
+    * deterministic prefix re-collected, ordered by `sortCols`. The
+    * caller's `key` MUST extract exactly the `sortCols` values in the
+    * same order (the driver-side sortBy and the capped re-collect's
+    * orderBy must agree, or the prefix and its ordering diverge) —
+    * passing them together keeps that coupling in one signature
+    * (ADVICE r14: the pair was previously hardcoded to (ts, event_id)
+    * while `key` was caller-supplied).
     */
   private def cappedSortedFeed[T](src: Dataset[T], maxTicks: Int,
-      key: T => (Long, Long))(
+      key: T => (Long, Long),
+      sortCols: Seq[String] = Seq("ts", "event_id"))(
       implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
     val probe = src.limit(maxTicks + 1).collect()
     (if (probe.length <= maxTicks) probe
-     else src.orderBy(col("ts"), col("event_id")).limit(maxTicks).collect())
+     else src.orderBy(sortCols.map(col): _*).limit(maxTicks).collect())
       .sortBy(key)
   }
 
@@ -3754,6 +3800,197 @@ object SparkEntry {
       maxI = math.max(maxI, errI / r.getDouble(6))
     }
     (checks, viols, maxU, maxI)
+  }
+
+  /** q122's stored-grain width: one sketch row per (event_type, day).
+    * private[graft]: ScaleProbe's read-vs-rescan comparison must
+    * baseline the SAME slice these define, not re-derived copies. */
+  private[graft] val Q122GrainUs = 86400000000L
+  private val Q122Ps = Seq(0.5, 0.99)
+  /** The read-range bounds, INTEGER epoch days (tz-safe like q119's
+    * grains): 2024-01-10 .. 2024-01-19 inclusive — a strict interior
+    * slice of the testdata's 30-day span, so the pruning is real at
+    * every SF. */
+  private[graft] val Q122GrainLo: Long = java.time.LocalDate.of(2024, 1, 10).toEpochDay
+  private[graft] val Q122GrainHi: Long = java.time.LocalDate.of(2024, 1, 19).toEpochDay
+
+  /** Sketch-fact READ face — the query a warehouse user actually runs
+    * against the [[graft.olap.OlapEtl.loadFactSketches]] landing,
+    * closing the loop q117/q119 opened (they pin the rollup ALGEBRA
+    * over raw tables; this answers a real percentile + distinct-count
+    * question for a key/time-range FROM the committed fact): ingest
+    * one digest+HLL row per (event_type, day) via the loader
+    * (SnapshotStore-committed — at 100 TB this half already ran at
+    * ingest time and the events are cold storage), then answer
+    * "p50/p99 of value and distinct users for days 10–19" by a
+    * grain-PRUNED scan of the fact — the `grain BETWEEN` predicate
+    * reaches the parquet scan as a pushed filter (PlanShapeSpec-pinned;
+    * no raw-events access anywhere on the estimate side) — rolled up
+    * with `MergeDigestsAgg`/`MergeSketchesAgg`. Verdicts ride as data
+    * against exact aggregates over the same raw slice (oracle asserts
+    * all TRUE):
+    *
+    *  - `within_p50`/`within_p99`: the q115/q117 rank contract,
+    *    8·n·p(1−p)/δ + 2 — a two-level rollup is one more merge tree
+    *    over the same k₁-capped centroids;
+    *  - `id_within`: the q118/q119 cardinality contract,
+    *    6·rsd·exact + 1 — register-max rollup is lossless;
+    *  - `nrows_match`: Σ n_rows over the pruned grains EQUALS the
+    *    exact row count of the raw slice — the fact's exact column is
+    *    exact, or the loader's grain bucketing drifted.
+    *
+    * [[sketchFactReadDifferential]] records the quantitative margins in
+    * differential.json.
+    */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    q122Verdict(s, dir).select(
+      col("series_key"), col("n_exact"), col("id_exact"),
+      col("err_bound_p50"), col("err_bound_p99"), col("id_err_bound"),
+      col("nrows_match"), col("within_p50"), col("within_p99"),
+      col("id_within"))
+
+  /** One committed q122 fact table per (session, dir) — the ingest is
+    * the warehouse's one-time cost, so a Verify run (query dump + the
+    * differential re-run) and Bench's warm loops must not pay it per
+    * call, nor leave one orphaned temp dir each (review r15 finding).
+    * Cleared — and the temp dirs deleted — by [[clearTradesCache]]. */
+  private val factCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Ingest leg of q122: land the per-(event_type, day) sketch fact in
+    * a SnapshotStore table (memoized per session+dir) and return its
+    * path. Split out so the plan-shape spec can pin the READ plan in
+    * isolation. */
+  private[graft] def q122Ingest(s: SparkSession, dir: String): String =
+    factCache.getOrElseUpdate((s, dir), {
+      val factPath = java.nio.file.Files
+        .createTempDirectory("graft-q122-fact").toString + "/fact"
+      graft.olap.OlapEtl.loadFactSketches(s, t(s, dir, "events"),
+        "event_type", "ts", "value", "user_id", Q122GrainUs, factPath,
+        Q115Compression, Q119P)
+      factPath
+    })
+
+  /** READ leg of q122: grain-pruned scan of the committed fact →
+    * per-key rollup. Touches ONLY the fact table — the raw events never
+    * appear in this plan (the PlanShapeSpec pin). */
+  private[graft] def q122Estimate(s: SparkSession, factPath: String): DataFrame = {
+    val fact = graft.olap.SnapshotStore.read(s, factPath).get
+      .filter(col("grain").between(Q122GrainLo, Q122GrainHi))
+    val roll = udaf(
+      new graft.metrics.TDigest.MergeDigestsAgg(Q122Ps, Q115Compression),
+      Encoders.product[graft.metrics.TDigest.Digest])
+    val hll = udaf(new graft.metrics.Hll.MergeSketchesAgg(Q119P),
+      Encoders.product[graft.metrics.Hll.Sketch])
+    fact.groupBy(col("series_key"))
+      .agg(
+        roll(col("value_digest.means"), col("value_digest.weights")).as("__qs"),
+        hll(col("id_sketch.regs")).as("id_est"),
+        sum(col("n_rows")).as("n_fact"))
+      .select(col("series_key"),
+        element_at(col("__qs"), 1).as("qv50"),
+        element_at(col("__qs"), 2).as("qv99"),
+        col("id_est"), col("n_fact"))
+  }
+
+  /** q122 with the raw estimate columns (differential face — the
+    * sketch values are merge-tree-specific, so the driver row keeps
+    * bounds + booleans only). The verdict join is the
+    * [[sketchRankVerdict]] shape widened to two ps + the cardinality
+    * columns: the 5-row estimate relation broadcasts back onto ONE
+    * grouped pass over the raw slice. */
+  private[graft] def q122Verdict(s: SparkSession, dir: String): DataFrame = {
+    val factPath = q122Ingest(s, dir)
+    val est = q122Estimate(s, factPath)
+    val ev = t(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id").isNotNull)
+      .filter((unix_micros(col("ts")) / Q122GrainUs).cast("long")
+        .between(Q122GrainLo, Q122GrainHi))
+      .select(col("event_type").as("series_key"), col("value"), col("user_id"))
+    // the joined estimate columns are constant per series_key, so they
+    // ride as GROUP KEYS (deterministic — no first() on a shuffle)
+    val agg = ev.join(broadcast(est), "series_key")
+      .groupBy(col("series_key"), col("qv50"), col("qv99"),
+        col("id_est"), col("n_fact"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        countDistinct(col("user_id")).as("id_exact"),
+        sum(when(col("value") <= col("qv50"), 1L).otherwise(0L)).as("rle50"),
+        sum(when(col("value") < col("qv50"), 1L).otherwise(0L)).as("rlt50"),
+        sum(when(col("value") <= col("qv99"), 1L).otherwise(0L)).as("rle99"),
+        sum(when(col("value") < col("qv99"), 1L).otherwise(0L)).as("rlt99"))
+    def rankErr(p: Double, rle: Column, rlt: Column): Column = {
+      val target = lit(p) * col("n_exact")
+      when(target < rlt + lit(1L), rlt + lit(1L) - target)
+        .when(target > rle, target - rle)
+        .otherwise(lit(0.0))
+    }
+    def qBound(p: Double): Column =
+      lit(8.0) * col("n_exact") * lit(p * (1.0 - p)) / lit(Q115Compression) +
+        lit(2.0)
+    val idBound = lit(6.0) * lit(Q119Rsd) * col("id_exact") + lit(1.0)
+    agg.select(col("series_key"), col("n_exact"), col("id_exact"),
+      col("qv50"), col("qv99"), col("id_est"), col("n_fact"),
+      rankErr(0.5, col("rle50"), col("rlt50")).as("rank_err_p50"),
+      rankErr(0.99, col("rle99"), col("rlt99")).as("rank_err_p99"),
+      qBound(0.5).as("err_bound_p50"),
+      qBound(0.99).as("err_bound_p99"),
+      idBound.as("id_err_bound"),
+      (col("n_fact") === col("n_exact")).as("nrows_match"),
+      (rankErr(0.5, col("rle50"), col("rlt50")) <= qBound(0.5)).as("within_p50"),
+      (rankErr(0.99, col("rle99"), col("rlt99")) <= qBound(0.99)).as("within_p99"),
+      (abs(col("id_est") - col("id_exact")).cast("double") <= idBound)
+        .as("id_within"))
+  }
+
+  private def q122Sql = {
+    val pq50 = 0.5 * (1.0 - 0.5)
+    val pq99 = 0.99 * (1.0 - 0.99)
+    s"""SELECT event_type AS series_key,
+       | COUNT(*) AS n_exact,
+       | COUNT(DISTINCT user_id) AS id_exact,
+       | CAST(8.0 AS DOUBLE) * COUNT(*) * CAST($pq50 AS DOUBLE)
+       |   / CAST($Q115Compression AS DOUBLE) + CAST(2.0 AS DOUBLE)
+       |   AS err_bound_p50,
+       | CAST(8.0 AS DOUBLE) * COUNT(*) * CAST($pq99 AS DOUBLE)
+       |   / CAST($Q115Compression AS DOUBLE) + CAST(2.0 AS DOUBLE)
+       |   AS err_bound_p99,
+       | CAST(6.0 AS DOUBLE) * CAST($Q119Rsd AS DOUBLE)
+       |   * COUNT(DISTINCT user_id) + CAST(1.0 AS DOUBLE) AS id_err_bound,
+       | TRUE AS nrows_match,
+       | TRUE AS within_p50,
+       | TRUE AS within_p99,
+       | TRUE AS id_within
+       |FROM events
+       |WHERE value IS NOT NULL AND user_id IS NOT NULL
+       |  AND epoch_us(ts) // $Q122GrainUs BETWEEN $Q122GrainLo AND $Q122GrainHi
+       |GROUP BY event_type""".stripMargin
+  }
+
+  /** Quantitative q122 verdict for differential.json: worst-key margins
+    * of both rank contracts and the cardinality contract, plus the
+    * exact-count identity. Returns (keys, violations, maxRankOverBound,
+    * maxHllOverBound, nrowsAllMatch). */
+  def sketchFactReadDifferential(s: SparkSession, dir: String)
+      : (Long, Long, Double, Double, Boolean) = {
+    val rows = q122Verdict(s, dir).select(
+      col("rank_err_p50"), col("rank_err_p99"),
+      col("err_bound_p50"), col("err_bound_p99"),
+      col("id_est"), col("id_exact"), col("id_err_bound"),
+      col("nrows_match"), col("within_p50"), col("within_p99"),
+      col("id_within")).collect()
+    var keys = 0L; var viols = 0L
+    var maxRank = 0.0; var maxHll = 0.0; var nrowsAll = true
+    rows.foreach { r =>
+      keys += 1
+      if (!r.getBoolean(8) || !r.getBoolean(9) || !r.getBoolean(10)) viols += 1
+      if (!r.getBoolean(7)) nrowsAll = false
+      maxRank = math.max(maxRank,
+        math.max(r.getDouble(0) / r.getDouble(2), r.getDouble(1) / r.getDouble(3)))
+      maxHll = math.max(maxHll,
+        math.abs(r.getLong(4) - r.getLong(5)).toDouble / r.getDouble(6))
+    }
+    (keys, viols, maxRank, maxHll, nrowsAll)
   }
 
   /** Batch≡streaming differential for the cardinality family (the
@@ -4203,7 +4440,8 @@ object SparkEntry {
     "q118_hll_contract" -> (q118 _),
     "q119_hll_rollup" -> (q119 _),
     "q120_hll_setops" -> (q120 _),
-    "q121_hash_sample" -> (q121 _)
+    "q121_hash_sample" -> (q121 _),
+    "q122_sketch_fact_read" -> (q122 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4333,6 +4571,7 @@ object SparkEntry {
     "q119_hll_rollup" -> q119Sql,
     "q120_hll_setops" -> q120Sql,
     "q121_hash_sample" -> q121Sql,
+    "q122_sketch_fact_read" -> q122Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
     // at any SF, no data-pinned literals.

@@ -58,7 +58,7 @@ object Verify {
     val diffGate = Seq("q46_backtest_trades", "q47_backtest_summary",
       "q61_percentiles_approx", "q115_tdigest_mergeable",
       "q118_hll_contract", "q119_hll_rollup", "q120_hll_setops",
-      "q121_hash_sample")
+      "q121_hash_sample", "q122_sketch_fact_read")
     if (diffGate.exists(selected)) {
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       // ONE definition of the success/failure row shape: `body` returns
@@ -140,6 +140,18 @@ object Verify {
           Seq(s"""{"diff_match": ${foldMatch && sampleMatch && keys > 0}, """ +
             s""""ticks": $ticks, "keys": $keys, "fold_match": $foldMatch, """ +
             s""""sample_match": $sampleMatch}""")
+        }
+      if (selected("q122_sketch_fact_read"))
+        diffRows("sketch-fact read", "q122_sketch_fact_read") {
+          // warehouse read path: rank + cardinality contract margins
+          // answered from the COMMITTED fact (grain-pruned), plus the
+          // exact-count identity Σ n_rows == raw slice count
+          val (keys, viols, maxRank, maxHll, nrowsAll) =
+            SparkEntry.sketchFactReadDifferential(spark, sfDir)
+          Seq(s"""{"diff_match": ${viols == 0 && keys > 0 && nrowsAll}, """ +
+            s""""keys": $keys, "violations": $viols, """ +
+            s""""max_rank_over_bound": $maxRank, """ +
+            s""""max_hll_over_bound": $maxHll, "nrows_match": $nrowsAll}""")
         }
       if (selected("q120_hll_setops"))
         diffRows("HLL set-ops", "q120_hll_setops") {

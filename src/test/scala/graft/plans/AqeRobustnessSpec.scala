@@ -80,10 +80,56 @@ class AqeRobustnessSpec extends AnyFunSuite {
 
       val p119 = finalPlan(graft.SparkEntry.queries("q119_hll_rollup")(spark, sf))
       assert(p119.contains("partial_sketchagg") &&
-        p119.contains("partial_mergesketchesagg"),
+        p119.contains("partial_levelmergeagg"),
         s"q119 rollup lost map-side partials under AQE:\n$p119")
       assert(p119.contains("BroadcastHashJoin") && !p119.contains("SortMergeJoin"),
         s"q119 verdict join degraded under AQE:\n$p119")
+      // r15 one-scan discipline must survive AQE: both sketch levels
+      // ride one lineitem scan (the second scan is the exact branch)
+      assert("Scan parquet".r.findAllIn(p119).size == 2,
+        s"q119 sketch side stopped sharing one scan under AQE:\n$p119")
+    }
+  }
+
+  test("q117/q120/q122 sketch families keep partials and broadcasts under AQE") {
+    withAqe {
+      // q117: the two-level digest rollup — partials below BOTH
+      // exchanges (values → per-grain digests, digests → per-key
+      // quantiles), verdict relation broadcast, no global sort
+      val p117 = finalPlan(graft.SparkEntry.queries("q117_tdigest_rollup")(spark, sf))
+      assert(p117.contains("partial_digestagg") &&
+        p117.contains("partial_mergedigestsagg"),
+        s"q117 rollup lost map-side partials under AQE:\n$p117")
+      assert(p117.contains("BroadcastHashJoin") && !p117.contains("SortMergeJoin"),
+        s"q117 verdict join degraded under AQE:\n$p117")
+      assert(!p117.contains("Exchange rangepartitioning") && !p117.contains("Window"),
+        s"q117 grew a sort/window under AQE:\n$p117")
+
+      // q120: three-aggregate join — both 5-row sketch relations stay
+      // broadcast, the exact side keeps its Expand multi-distinct
+      // plan, and AQE must not degrade anything to a nested loop
+      val p120 = finalPlan(graft.SparkEntry.queries("q120_hll_setops")(spark, sf))
+      assert("partial_sketchagg".r.findAllIn(p120).size >= 2,
+        s"q120 snapshot sketches lost map-side partials under AQE:\n$p120")
+      assert("BroadcastHashJoin".r.findAllIn(p120).size == 2 &&
+        !p120.contains("SortMergeJoin") &&
+        !p120.contains("BroadcastNestedLoopJoin"),
+        s"q120 joins degraded under AQE:\n$p120")
+      assert(p120.contains("Expand"),
+        s"q120 exact side lost the Expand multi-distinct plan under AQE:\n$p120")
+
+      // q122: the warehouse READ face — grain pruning still reaches
+      // the fact scan and the estimate side still never touches raw
+      // events when AQE re-plans
+      val factPath = graft.SparkEntry.q122Ingest(spark, sf)
+      val p122 = finalPlan(graft.SparkEntry.q122Estimate(spark, factPath))
+      assert(p122.contains("GreaterThanOrEqual(grain,") &&
+        p122.contains("LessThanOrEqual(grain,") &&
+        !p122.contains("events.parquet"),
+        s"q122 grain pruning (both bounds) / fact isolation broke under AQE:\n$p122")
+      assert(p122.contains("partial_mergedigestsagg") &&
+        p122.contains("partial_mergesketchesagg"),
+        s"q122 rollup lost map-side partials under AQE:\n$p122")
     }
   }
 

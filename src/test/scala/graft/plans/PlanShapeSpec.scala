@@ -309,19 +309,50 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no global sort / window:\n$p")
   }
 
-  test("q119 HLL rollup: partials at both levels, registers on the wire, verdict broadcast") {
+  test("q119 HLL rollup: ONE scan for both sketch levels, partials map-side, verdict broadcast") {
     val p = plan(graft.SparkEntry.queries("q119_hll_rollup")(spark, sf))
-    // level 1 (values → per-grain sketches) and level 2 (register-max
-    // rollup) both partial-aggregate map-side: raw l_partkey values
-    // never cross the level-2 exchange, 4096-byte registers do
+    // level 1 (values → per-grain + per-supp sketches, one GROUPING
+    // SETS pass) and level 2 (level-filtered register-max) both
+    // partial-aggregate map-side: raw l_partkey values never cross the
+    // level-2 exchange, 4096-byte registers do
     assert(p.contains("partial_sketchagg"),
       s"level-1 sketch must partial-aggregate map-side:\n$p")
-    assert(p.contains("partial_mergesketchesagg"),
+    assert(p.contains("partial_levelmergeagg"),
       s"level-2 rollup must partial-merge map-side:\n$p")
-    assert("ObjectHashAggregate".r.findAllIn(p).size >= 6,
-      s"expected partial+final at both levels plus the exact branch:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 4,
+      s"expected exactly partial+final at both sketch levels:\n$p")
+    // r15 one-scan discipline: the whole sketch side (rollup + direct)
+    // reads lineitem ONCE via grouping sets + in-aggregator level
+    // routing; the only other scan is the exact (oracle-reference)
+    // countDistinct branch
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"sketch side must share one lineitem scan (plus the exact branch):\n$p")
+    assert(p.contains("Expand"),
+      s"grouping-sets Expand missing — the two levels stopped sharing a scan:\n$p")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       s"verdict side must broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("Window"),
+      s"no global sort / window:\n$p")
+  }
+
+  test("q122 sketch-fact READ: grain pruning reaches the fact scan; no raw-events access") {
+    val factPath = graft.SparkEntry.q122Ingest(spark, sf)
+    val p = plan(graft.SparkEntry.q122Estimate(spark, factPath))
+    // the whole point of the warehouse fact: the estimate side answers
+    // from the committed sketch table with the grain range PUSHED into
+    // the parquet reader — the raw events table appears nowhere
+    assert(p.contains("GreaterThanOrEqual(grain,") &&
+      p.contains("LessThanOrEqual(grain,"),
+      s"grain range not pushed to the fact scan:\n$p")
+    assert(!p.contains("events.parquet"),
+      s"estimate side must never touch raw events:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"estimate side reads exactly the fact table:\n$p")
+    // both sketch families partial-aggregate map-side (centroids and
+    // registers cross the wire, not re-expanded values)
+    assert(p.contains("partial_mergedigestsagg") &&
+      p.contains("partial_mergesketchesagg"),
+      s"rollup aggregators must partial-merge map-side:\n$p")
     assert(!p.contains("Exchange rangepartitioning") && !p.contains("Window"),
       s"no global sort / window:\n$p")
   }
