@@ -507,6 +507,123 @@ object ScaleProbe {
       }
     }
 
+    if (want("r15")) {
+      // the KEY axis (r14 probed ticks — flat): the 100 TB state-store
+      // risk for the streaming sketch faces is key cardinality ×
+      // per-key state (t-digest ≈ centroids×16 B compacted, HLL 4 KiB
+      // registers, sample O(k)). Constant 2M ticks spread over 10k →
+      // 1M keys, driven through REAL micro-batch queries (noop sink),
+      // recording per-batch latency and the state store's own
+      // numRowsTotal / memoryUsedBytes. Expectation: state memory
+      // linear in keys (it IS per-key state — the design point is the
+      // per-key constant, not sublinearity), batch latency linear in
+      // ticks + touched keys, nothing super-linear anywhere.
+      import graft.streaming.StreamOps
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val totalTicks = 2000000
+      val chunks = 4
+      // `measured` tags the printed row. JIT/codegen warmup dominates
+      // early runs of each face in a fresh JVM (an initial ordered
+      // sweep measured 187 s → 18 s for IDENTICAL per-tick work purely
+      // by run position; a driver-side microbench of the same fold —
+      // `QuantStateBench`, 10k keys × 50 ticks/key/batch — does the
+      // kernel + TestGroupState cycle in 0.3-0.5 s/batch, so the wall
+      // numbers here are harness-dominated), so: one GLOBAL warmup of
+      // both faces first, then every case measured twice (ascending
+      // then descending key order) — the grid row is the MIN of the
+      // two, the stable floor under GC/JIT noise.
+      def keyProbe[T, R](label: String, keys: Int, measured: Boolean,
+          mk: Int => T,
+          build: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.Dataset[R])(
+          implicit te: org.apache.spark.sql.Encoder[T]): Unit = {
+        val mem = MemoryStream[T]
+        val q = build(mem.toDS()).writeStream
+          .outputMode("update").format("noop").start()
+        try {
+          val per = totalTicks / chunks
+          var lastBatchS = 0.0
+          val t0 = System.nanoTime()
+          (0 until chunks).foreach { c =>
+            val batch = (0 until per).map(i => mk(c * per + i))
+            val tb = System.nanoTime()
+            mem.addData(batch: _*)
+            q.processAllAvailable()
+            lastBatchS = (System.nanoTime() - tb) / 1e9
+          }
+          val so = q.lastProgress.stateOperators.head
+          val tag = if (measured) "" else " (warm-up pass, not the grid row)"
+          println(f"SCALE-R15 $label keys=$keys: " +
+            f"total=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+            f"lastBatch=$lastBatchS%.2f s stateRows=${so.numRowsTotal} " +
+            f"stateMem=${so.memoryUsedBytes / 1048576.0}%.1f MiB$tag")
+        } finally q.stop()
+      }
+      def qCase(k: Int, measured: Boolean): Unit =
+        keyProbe[StreamOps.QuantileTick, StreamOps.QuantileRow](
+          "streamingQuantiles", k, measured,
+          i => StreamOps.QuantileTick("k" + (i % k), i.toLong,
+            ((i * 2654435761L) % 100000).toDouble),
+          in => StreamOps.streamingQuantiles(in, Seq(0.5, 0.99)))
+      def dCase(k: Int, measured: Boolean): Unit =
+        keyProbe[StreamOps.DistinctTick, StreamOps.DistinctRow](
+          "streamingDistinct", k, measured,
+          i => StreamOps.DistinctTick("k" + (i % k), i.toLong,
+            (i * 2654435761L) % 500000L),
+          in => StreamOps.streamingDistinct(in))
+      // global JIT/codegen warmup: both faces once, unmeasured
+      qCase(50000, measured = false); dCase(50000, measured = false)
+      for (k <- Seq(10000, 100000, 1000000)) {
+        qCase(k, measured = true); dCase(k, measured = true)
+      }
+      for (k <- Seq(1000000, 100000, 10000)) {
+        qCase(k, measured = true); dCase(k, measured = true)
+      }
+    }
+
+    if (want("r15b")) {
+      // the warehouse payoff, quantified (q122's 100 TB story): answer
+      // "p50/p99 of value + distinct users for a 10-day range" once
+      // from the COMMITTED sketch fact (grain-pruned scan + rollup of
+      // KB-sized sketch rows) and once from the raw events (scan +
+      // aggregate), on the ×100 events replica (10M rows). Ingest is
+      // the one-time cost the warehouse already paid; the read path is
+      // what every later question costs. At 100 TB the raw side is a
+      // cold-storage rescan and the ratio below is the whole point.
+      if (!new java.io.File("/tmp/scale100/events.parquet").exists)
+        replicate(100, "/tmp/scale100")
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      // warm both paths at sf0.01 (codegen/classloading off the clock)
+      val warmFact = SparkEntry.q122Ingest(spark, "/root/testdata/sf0.01")
+      SparkEntry.q122Estimate(spark, warmFact)
+        .write.mode("overwrite").format("noop").save()
+      // the SAME slice q122 reads — shared constants, not re-derived
+      // copies (a moved read range must move this baseline with it)
+      def rawAnswer(dir: String): Unit =
+        graft.io.Sources.table(spark, dir, "events")
+          .filter(col("value").isNotNull && col("user_id").isNotNull)
+          .filter((unix_micros(col("ts")) / SparkEntry.Q122GrainUs).cast("long")
+            .between(SparkEntry.Q122GrainLo, SparkEntry.Q122GrainHi))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("id_exact"),
+            percentile_approx(col("value"),
+              array(lit(0.5), lit(0.99)), lit(10000)).as("qs"))
+          .write.mode("overwrite").format("noop").save()
+      rawAnswer("/root/testdata/sf0.01") // warm the raw path too
+      var factPath = ""
+      val tIngest = timed { factPath = SparkEntry.q122Ingest(spark, "/tmp/scale100") }
+      val tRead = timed(SparkEntry.q122Estimate(spark, factPath)
+        .write.mode("overwrite").format("noop").save())
+      val tRaw = timed(rawAnswer("/tmp/scale100"))
+      println(f"SCALE-R15B sketch-fact read @10M rows: ingest(once)=$tIngest%.2f s " +
+        f"read-from-fact=$tRead%.2f s raw-rescan=$tRaw%.2f s " +
+        f"ratio=${tRaw / tRead}%.1fx")
+    }
+
     if (want("r13")) {
       // Replica LAYOUT matters as much as row count: replicated rows
       // compress so well that a naive write packs 600M rows into ~129MB
