@@ -1571,34 +1571,25 @@ object SparkEntry {
       .select(col("l_suppkey"), col("l_partkey"),
         (unix_micros(col("l_shipdate")) / grainUs).cast("long").as("grain"))
     val mk = udaf(new Hll.SketchAgg(Q119P), Encoders.scalaLong)
-    // ONE scan + one Expand for BOTH sketch relations (r15): the
-    // per-(suppkey, grain) stored sketches and the one-level
-    // per-suppkey direct sketch are the two levels of a GROUPING SETS
-    // aggregation. The second-level consumer must NOT branch-and-filter
-    // on the level (Catalyst pushes a group-key filter below the
-    // aggregate, splitting the plan into two full scans again —
-    // measured); instead both output columns come from ONE downstream
-    // aggregation whose level check lives INSIDE the aggregator
-    // (`Hll.LevelMergeAgg`): level-0 rows fold into est_rollup (the
-    // stored-sketch rollup), the single level-1 row passes through as
-    // est_direct (still a genuinely one-level fold over raw values —
-    // it was built by sketchagg at the Expand's level-1 copy, never
-    // from the level-0 sketches, so the lossless identity it verifies
-    // is not circular).
-    val sets = li
-      .groupingSets(
-        Seq(Seq(col("l_suppkey"), col("grain")), Seq(col("l_suppkey"))),
-        col("l_suppkey"), col("grain"))
-      .agg(mk(col("l_partkey")).as("sk"),
-        grouping(col("grain")).cast("int").as("__lvl"))
-    val lvlIn = Encoders.tuple(Encoders.BINARY, Encoders.scalaInt)
-    val lvl0 = udaf(new Hll.LevelMergeAgg(Q119P, 0), lvlIn)
-    val lvl1 = udaf(new Hll.LevelMergeAgg(Q119P, 1), lvlIn)
-    val rolled = sets.groupBy(col("l_suppkey"))
-      .agg(lvl0(col("sk.regs"), col("__lvl")).as("est_rollup"),
-        lvl1(col("sk.regs"), col("__lvl")).as("est_direct"),
-        sum(when(col("__lvl") === 0, 1L).otherwise(0L)).as("n_grains"))
-    // the sketch levels and the exact count aggregate SEPARATELY:
+    // DELIBERATELY two scans for grains + direct (r15 measured): a
+    // one-scan GROUPING SETS formulation (both levels out of one
+    // Expand, routed by an in-aggregator level filter) was built,
+    // plan-verified (1 scan) — and REJECTED by the scale grid: 93.8 s
+    // at ×100 / 230.6 s at ×1000 vs 15.8/81.7 for this shape. Expand
+    // doubles the rows entering the register-fold partial aggregate,
+    // whose ~86k × 4 KB map per task already rides the
+    // ObjectHashAggregate fallback — the fold, not the 3-column
+    // parquet scan, is the bottleneck, so "sharing the scan" buys
+    // nothing and pays 2× fold volume (SCALE-R15C, PLANS.md).
+    val grains = li.groupBy(col("l_suppkey"), col("grain"))
+      .agg(mk(col("l_partkey")).as("sk"))
+    val roll = udaf(new Hll.MergeSketchesAgg(Q119P),
+      Encoders.product[Hll.Sketch])
+    val rolled = grains.groupBy(col("l_suppkey"))
+      .agg(roll(col("sk.regs")).as("est_rollup"),
+        count(lit(1)).as("n_grains"))
+    val directAgg = udaf(new Hll.DistinctAgg(Q119P), Encoders.scalaLong)
+    // the one-level sketch and the exact count aggregate SEPARATELY:
     // planned together, Catalyst's distinct rewrite keys the UDAF's
     // partials by (group, distinct-value) to ride the countDistinct
     // dedup — one 2^p-byte register buffer PER DISTINCT PAIR (~500k ×
@@ -1606,10 +1597,12 @@ object SparkEntry {
     // ~1.5 s split (a 100 TB query would never co-plan a per-group
     // sketch with an exact distinct anyway — the sketch exists to
     // avoid it; the exact branch here is the oracle reference only)
+    val direct = li.groupBy(col("l_suppkey"))
+      .agg(directAgg(col("l_partkey")).as("est_direct"))
     val exact = li.groupBy(col("l_suppkey"))
       .agg(countDistinct(col("l_partkey")).as("n_exact"))
     val bound = lit(6.0) * lit(Q119Rsd) * col("n_exact") + lit(1.0)
-    rolled.join(exact, "l_suppkey")
+    rolled.join(direct, "l_suppkey").join(exact, "l_suppkey")
       .select(col("l_suppkey"), col("n_grains"), col("n_exact"),
         col("est_rollup"), col("est_direct"),
         bound.as("err_bound"),

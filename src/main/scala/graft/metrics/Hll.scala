@@ -197,30 +197,6 @@ object Hll {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
-  /** Register-max merge restricted to rows tagged `level` — the
-    * one-scan shape for queries that aggregate BOTH levels of a
-    * GROUPING SETS sketch relation into one output row (q119): a plain
-    * level filter before each consumer splits the plan into per-branch
-    * scans (Catalyst pushes group-key filters below the aggregate, so
-    * the exchanges stop being reusable); folding the level check into
-    * the aggregator keeps both columns in ONE downstream aggregation
-    * over one scan. Rows at other levels fold as no-ops.
-    */
-  class LevelMergeAgg(p: Int, level: Int)
-    extends Aggregator[(Array[Byte], Int), Regs, Long] with Serializable {
-    private val inner = new DistinctAgg(p)
-    override def zero: Regs = inner.zero
-    override def reduce(b: Regs, in: (Array[Byte], Int)): Regs =
-      if (in._2 != level) b
-      else if (b.regs.length == 0)
-        Regs(java.util.Arrays.copyOf(in._1, in._1.length))
-      else { mergeInto(b.regs, in._1); b }
-    override def merge(a: Regs, b: Regs): Regs = inner.merge(a, b)
-    override def finish(b: Regs): Long = inner.finish(b)
-    override def bufferEncoder: Encoder[Regs] = Encoders.product[Regs]
-    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
-  }
-
   /** Stored [[Sketch]] columns → a merged storable [[Sketch]] (sketch
     * in, sketch out — [[MergeSketchesAgg]] finishes to an estimate;
     * this one re-materializes): the multi-level-rollup and

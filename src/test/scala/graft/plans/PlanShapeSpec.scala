@@ -309,26 +309,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no global sort / window:\n$p")
   }
 
-  test("q119 HLL rollup: ONE scan for both sketch levels, partials map-side, verdict broadcast") {
+  test("q119 HLL rollup: partials at both levels, registers on the wire, verdict broadcast") {
     val p = plan(graft.SparkEntry.queries("q119_hll_rollup")(spark, sf))
-    // level 1 (values → per-grain + per-supp sketches, one GROUPING
-    // SETS pass) and level 2 (level-filtered register-max) both
-    // partial-aggregate map-side: raw l_partkey values never cross the
-    // level-2 exchange, 4096-byte registers do
+    // level 1 (values → per-grain sketches) and level 2 (register-max
+    // rollup) both partial-aggregate map-side: raw l_partkey values
+    // never cross the level-2 exchange, 4096-byte registers do
     assert(p.contains("partial_sketchagg"),
       s"level-1 sketch must partial-aggregate map-side:\n$p")
-    assert(p.contains("partial_levelmergeagg"),
+    assert(p.contains("partial_mergesketchesagg"),
       s"level-2 rollup must partial-merge map-side:\n$p")
-    assert("ObjectHashAggregate".r.findAllIn(p).size == 4,
-      s"expected exactly partial+final at both sketch levels:\n$p")
-    // r15 one-scan discipline: the whole sketch side (rollup + direct)
-    // reads lineitem ONCE via grouping sets + in-aggregator level
-    // routing; the only other scan is the exact (oracle-reference)
-    // countDistinct branch
-    assert("Scan parquet".r.findAllIn(p).size == 2,
-      s"sketch side must share one lineitem scan (plus the exact branch):\n$p")
-    assert(p.contains("Expand"),
-      s"grouping-sets Expand missing — the two levels stopped sharing a scan:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 6,
+      s"expected partial+final at both levels plus the direct branch:\n$p")
+    // DELIBERATELY three scans (grains, direct, exact): the one-scan
+    // grouping-sets variant was measured 2.8-5.9× slower at the
+    // ×100/×1000 grid points — Expand doubles the rows entering the
+    // register-fold partial aggregate, which (not the scan) is the
+    // bottleneck (SCALE-R15C). This pin keeps the count from silently
+    // regrowing OR a well-meaning 'one-scan' refactor landing unprobed.
+    assert("Scan parquet".r.findAllIn(p).size == 3 && !p.contains("Expand"),
+      s"q119 must keep the measured two-scan sketch side + exact branch:\n$p")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       s"verdict side must broadcast:\n$p")
     assert(!p.contains("Exchange rangepartitioning") && !p.contains("Window"),
