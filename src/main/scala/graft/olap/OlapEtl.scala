@@ -320,12 +320,15 @@ object OlapEtl {
     *     drifts through gratuitous recompression. At 100 TB this is
     *     the only viable ingest cadence: a grain's full history is
     *     never re-read and the fact is never re-folded wholesale.
-    *     NOT idempotent — n_rows double-counts a replayed batch and
-    *     the digest double-weights it (the HLL alone is replay-immune),
-    *     so merge-mode feeds need exactly-once batch semantics
-    *     (SnapshotStore's version-monotonic commit gives a natural
-    *     batch fence). Incremental-ingest ≡ one-shot equivalence is
-    *     spec-pinned in `SketchFactSpec`.
+    *     NOT idempotent on its own — n_rows double-counts a replayed
+    *     batch and the digest double-weights it (the HLL alone is
+    *     replay-immune) — so merge-mode feeds need exactly-once batch
+    *     semantics: [[sketchFactBatchWriter]] provides them for
+    *     Structured Streaming via the batchId fence committed
+    *     atomically with the snapshot (`fence` here, r15); direct
+    *     callers outside a streaming query carry that contract
+    *     themselves. Incremental-ingest ≡ one-shot equivalence and
+    *     replay no-op-ness are spec-pinned in `SketchFactSpec`.
     *
     * Rows with a NULL `valueCol` OR a NULL `idCol` are excluded
     * entirely (the digest/sample null contract — a null id would also
@@ -336,7 +339,8 @@ object OlapEtl {
       seriesCol: String, tsCol: String, valueCol: String, idCol: String,
       grainUs: Long, factPath: String,
       compression: Double = 100.0, p: Int = 12,
-      mode: SketchIngestMode = ReplaceGrain): DataFrame = {
+      mode: SketchIngestMode = ReplaceGrain,
+      fence: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
     val mkDigest = org.apache.spark.sql.functions.udaf(
       new graft.metrics.TDigest.DigestAgg(compression), Encoders.scalaDouble)
@@ -383,9 +387,43 @@ object OlapEtl {
             sum(col("n_rows")).as("n_rows"))
         untouched.unionByName(folded)
     }
-    SnapshotStore.commit(merged, factPath)
+    SnapshotStore.commit(merged, factPath, fence)
     SnapshotStore.gc(factPath)
     SnapshotStore.read(spark, factPath).get
+  }
+
+  /** Exactly-once streaming ingest for the sketch fact — the
+    * `foreachBatch` sink that closes [[MergeGrain]]'s disclosed
+    * replay-unsafety: each micro-batch folds into the fact in merge
+    * mode FENCED by the stream's monotone batchId, committed with the
+    * snapshot in one atomic manifest rename
+    * ([[SnapshotStore.currentFence]]). An at-least-once redelivery
+    * (failure replay re-runs `foreachBatch` with the SAME batchId) is
+    * a no-op: the fast path probes the committed fence and skips; the
+    * probe-then-commit race collapses inside the publish lock, where a
+    * non-advancing fence is refused ([[SnapshotStore.StaleFenceException]],
+    * swallowed here as "already applied"). This is the public
+    * idempotent-sink pattern (Delta's txnVersion): the fence is valid
+    * for ONE streaming query lineage — restarting from a FRESH
+    * checkpoint restarts batchIds at 0, so a new query must target a
+    * new factPath (or the operator resets the fence deliberately),
+    * exactly the txnAppId discipline.
+    *
+    * Usage: `events.writeStream.foreachBatch(
+    *   OlapEtl.sketchFactBatchWriter(...)).start()`.
+    */
+  def sketchFactBatchWriter(seriesCol: String, tsCol: String,
+      valueCol: String, idCol: String, grainUs: Long, factPath: String,
+      compression: Double = 100.0, p: Int = 12)
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    if (!SnapshotStore.currentFence(factPath).exists(_ >= batchId)) {
+      try {
+        loadFactSketches(batch.sparkSession, batch, seriesCol, tsCol,
+          valueCol, idCol, grainUs, factPath, compression, p,
+          MergeGrain, fence = Some(batchId))
+        ()
+      } catch { case _: SnapshotStore.StaleFenceException => () }
+    }
   }
 
   /** Grain-collision semantics for [[loadFactSketches]]. */

@@ -45,16 +45,37 @@ object SnapshotStore {
     */
   final case class Staged(tablePath: String, version: String)
 
+  /** The manifest line's tokens: version name, plus the optional ingest
+    * fence (r15). One line, one atomic rename — the fence can never be
+    * torn from the version it was committed with. */
+  private def manifestTokens(tablePath: String): Array[String] = {
+    val m = Paths.get(tablePath, ManifestName)
+    if (Files.isRegularFile(m)) Files.readString(m).trim.split("\\s+")
+    else Array.empty
+  }
+
   /** The snapshot directory name the manifest currently points at, if
     * the table exists and has a committed version.
     */
   def currentVersion(tablePath: String): Option[String] = {
-    val m = Paths.get(tablePath, ManifestName)
-    if (Files.isRegularFile(m)) {
-      val v = Files.readString(m).trim
-      if (v.nonEmpty && Files.isDirectory(Paths.get(tablePath, v))) Some(v)
-      else None
-    } else None
+    val toks = manifestTokens(tablePath)
+    toks.headOption.filter(v =>
+      v.nonEmpty && Files.isDirectory(Paths.get(tablePath, v)))
+  }
+
+  /** The ingest fence committed WITH the current version (the second
+    * manifest token), if any — the exactly-once token for streaming
+    * micro-batch sinks: a Structured Streaming `foreachBatch` replay
+    * re-delivers the same batchId, and a fence at-or-above it means the
+    * batch's effect is already in the committed snapshot (the public
+    * idempotent-sink pattern Delta's txnAppId/txnVersion popularized).
+    * Absent on tables committed without a fence (format-compatible:
+    * the manifest's first token is still the bare version name). */
+  def currentFence(tablePath: String): Option[Long] = {
+    val toks = manifestTokens(tablePath)
+    if (toks.length >= 2 && currentVersion(tablePath).isDefined)
+      toks(1).toLongOption
+    else None
   }
 
   /** Read the current committed snapshot; None if never committed. */
@@ -119,7 +140,19 @@ object SnapshotStore {
     * B's committed batch. The loser must restage on top of the new
     * current version (re-running [[commit]] does exactly that).
     */
-  def publish(staged: Staged): Unit = withPublishLock(staged.tablePath) {
+  def publish(staged: Staged): Unit = publish(staged, None)
+
+  /** Fence-carrying publish (r15): commits the manifest line
+    * "version fence" in the same atomic rename. Fence-monotonic under
+    * the publish lock: a publish whose fence is at or below the
+    * committed one is refused — the exactly-once check for replayed
+    * micro-batches is check-and-swap inside ONE critical section, not
+    * caller-side check-then-act. Callers treat the refusal as "already
+    * applied, skip" ([[graft.olap.OlapEtl.sketchFactBatchWriter]]'s
+    * normal replay path probes [[currentFence]] first and only races
+    * here). */
+  def publish(staged: Staged, fence: Option[Long]): Unit =
+      withPublishLock(staged.tablePath) {
     val dir = Paths.get(staged.tablePath)
     require(Files.isDirectory(dir.resolve(staged.version)),
       s"staged snapshot ${staged.version} missing under ${staged.tablePath}")
@@ -134,12 +167,17 @@ object SnapshotStore {
             s"committed v$curN at ${staged.tablePath} — another writer committed " +
             "first; restage against the current snapshot and retry")
       }
+    for (f <- fence; cur <- currentFence(staged.tablePath))
+      if (f <= cur) throw new StaleFenceException(
+        s"fenced publish refused: batch fence $f is not above the committed " +
+          s"fence $cur at ${staged.tablePath} — the batch's effect is already " +
+          "in the snapshot (replayed micro-batch); skip it")
     // tmp lives in the SAME directory as the manifest: same filesystem,
     // so ATOMIC_MOVE is a true rename (the ParityRun r12 lesson — a
     // default-tmpdir stage can silently fall back to copy+delete)
     val tmp = Files.createTempFile(dir, s".manifest-${staged.version}-", ".tmp")
     try {
-      Files.writeString(tmp, staged.version)
+      Files.writeString(tmp, staged.version + fence.fold("")(f => s" $f"))
       try Files.move(tmp, dir.resolve(ManifestName),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       catch { case e: AtomicMoveNotSupportedException =>
@@ -180,10 +218,20 @@ object SnapshotStore {
     }
   }
 
+  /** A fenced publish refused because the fence is not above the
+    * committed one — the "this micro-batch was already applied" signal
+    * (distinct from the stale-VERSION IllegalStateException, which
+    * means a concurrent writer and calls for a restage-and-retry). */
+  final class StaleFenceException(msg: String) extends IllegalStateException(msg)
+
   /** stage + publish; returns the committed version name. */
-  def commit(df: DataFrame, tablePath: String): String = {
+  def commit(df: DataFrame, tablePath: String): String =
+    commit(df, tablePath, None)
+
+  /** stage + fenced publish (see [[publish(staged:Staged,fence:Option[Long])*]]). */
+  def commit(df: DataFrame, tablePath: String, fence: Option[Long]): String = {
     val staged = stage(df, tablePath)
-    publish(staged)
+    publish(staged, fence)
     staged.version
   }
 

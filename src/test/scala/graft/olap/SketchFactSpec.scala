@@ -223,6 +223,79 @@ class SketchFactSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming merge ingest (foreachBatch + batchId fence) is exactly-once under redelivery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withFact("sketchfact9") { oneShotPath =>
+    withFact("sketchfact10") { path =>
+      val oneShot = load(events, oneShotPath)
+      val writer = OlapEtl.sketchFactBatchWriter("k", "ts", "v", "uid",
+        GrainUs, path, Compression, P)
+      // e2e: three PARTIAL micro-batches (split by uid, crossing every
+      // grain — the shape ReplaceGrain forbids) through a real
+      // foreachBatch sink
+      val raw = events.select(col("k"), unix_micros(col("ts")).as("ts_us"),
+        col("v"), col("uid")).as[(String, Long, Double, Long)].collect()
+      val mem = MemoryStream[(String, Long, Double, Long)]
+      val q = mem.toDS().toDF("k", "ts_us", "v", "uid")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+        .writeStream.foreachBatch(writer).start()
+      try {
+        (0 until 3).foreach { part =>
+          mem.addData(raw.filter(_._4 % 3 == part).toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val fact = SnapshotStore.read(spark, path).get
+      assert(fact.count() == oneShot.count())
+      assert(SnapshotStore.currentFence(path).contains(2L),
+        "three micro-batches must leave the fence at batchId 2")
+      def totals(df: DataFrame) = df.agg(sum(col("n_rows"))).collect().head.getLong(0)
+      assert(totals(fact) == events.count())
+      // at-least-once REDELIVERY: re-invoking the sink with an
+      // already-fenced batchId must be a complete no-op — same version,
+      // same fence, not one row double-counted
+      val vBefore = SnapshotStore.currentVersion(path)
+      val replayDf = events.filter(pmod(col("uid"), lit(3)) === 2)
+      writer(replayDf, 2L) // the batch that just committed
+      writer(replayDf, 0L) // an older one
+      assert(SnapshotStore.currentVersion(path) == vBefore &&
+        SnapshotStore.currentFence(path).contains(2L),
+        "replayed batchIds must not advance the table")
+      assert(totals(SnapshotStore.read(spark, path).get) == events.count(),
+        "a redelivered micro-batch was double-counted")
+      // a genuinely NEW batch still lands
+      writer(replayDf.limit(0), 3L)
+      assert(SnapshotStore.currentFence(path).contains(3L))
+    }
+    }
+  }
+
+  test("fence plumbing: atomic with the version, monotone under the publish lock, absent without") {
+    withFact("sketchfact11") { path =>
+      val df = Seq((1L, "a")).toDF("id", "s")
+      SnapshotStore.commit(df, path)
+      assert(SnapshotStore.currentFence(path).isEmpty,
+        "unfenced commits must read back with no fence (format back-compat)")
+      SnapshotStore.commit(df, path, Some(5L))
+      assert(SnapshotStore.currentFence(path).contains(5L) &&
+        SnapshotStore.read(spark, path).get.count() == 1)
+      // non-advancing fence refused as the dedicated exception type
+      intercept[SnapshotStore.StaleFenceException] {
+        SnapshotStore.commit(df, path, Some(5L))
+      }
+      intercept[SnapshotStore.StaleFenceException] {
+        SnapshotStore.commit(df, path, Some(4L))
+      }
+      // the refused stage must not have torn anything: table still
+      // readable at the fenced version
+      assert(SnapshotStore.currentFence(path).contains(5L) &&
+        SnapshotStore.read(spark, path).get.count() == 1)
+      SnapshotStore.commit(df, path, Some(6L))
+      assert(SnapshotStore.currentFence(path).contains(6L))
+    }
+  }
+
   test("range queries prune on the stored grain: rollup over grains 0-9 == direct over that slice") {
     withFact("sketchfact3") { path =>
     load(events, path)
