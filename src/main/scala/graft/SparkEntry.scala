@@ -3780,17 +3780,23 @@ object SparkEntry {
       col("union_exact"), col("inter_exact"),
       col("est_a"), col("est_b"), col("est_union"),
       col("err_bound_union"), col("err_bound_inter"),
-      col("union_within"), col("inter_within")).collect()
+      col("union_within"), col("inter_within"), col("sides_covered")).collect()
     var checks = 0L; var viols = 0L; var maxU = 0.0; var maxI = 0.0
     rows.foreach { r =>
-      val errU = math.abs(r.getLong(4) - r.getLong(0)).toDouble
-      val errI =
-        math.abs((r.getLong(2) + r.getLong(3) - r.getLong(4)) - r.getLong(1))
-          .toDouble
       checks += 1
-      if (!r.getBoolean(7) || !r.getBoolean(8)) viols += 1
-      maxU = math.max(maxU, errU / r.getDouble(5))
-      maxI = math.max(maxI, errI / r.getDouble(6))
+      if (!r.getBoolean(9)) {
+        // uncovered priority: estimates are NULL by design — count the
+        // named failure, don't NPE on the margin arithmetic
+        viols += 1
+      } else {
+        val errU = math.abs(r.getLong(4) - r.getLong(0)).toDouble
+        val errI =
+          math.abs((r.getLong(2) + r.getLong(3) - r.getLong(4)) - r.getLong(1))
+            .toDouble
+        if (!r.getBoolean(7) || !r.getBoolean(8)) viols += 1
+        maxU = math.max(maxU, errU / r.getDouble(5))
+        maxI = math.max(maxI, errI / r.getDouble(6))
+      }
     }
     (checks, viols, maxU, maxI)
   }

@@ -356,6 +356,10 @@ object OlapEtl {
         mkHll(col("__id")).as("id_sketch"),
         count(lit(1)).as("n_rows"))
     val existing = SnapshotStore.read(spark, factPath)
+    // the merge branch references the aggregated batch TWICE (key
+    // relation + union side) — persist it so each micro-batch pays its
+    // groupBy + digest/HLL fold once, not twice (review r15 finding)
+    var pinned: Option[DataFrame] = None
     val merged = (mode, existing) match {
       case (ReplaceGrain, _) | (MergeGrain, None) =>
         upsert(existing, updates, Seq("series_key", "grain"))
@@ -374,11 +378,14 @@ object OlapEtl {
         val rollHll = org.apache.spark.sql.functions.udaf(
           new graft.metrics.Hll.RollupSketchesAgg(p),
           Encoders.product[graft.metrics.Hll.Sketch])
+        val upd = updates
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned = Some(upd)
         val keyCols = Seq("series_key", "grain")
-        val updKeys = broadcast(updates.select(col("series_key"), col("grain")))
+        val updKeys = broadcast(upd.select(col("series_key"), col("grain")))
         val untouched = e.join(updKeys, keyCols, "left_anti")
         val folded = e.join(updKeys, keyCols, "left_semi")
-          .unionByName(updates)
+          .unionByName(upd)
           .groupBy(col("series_key"), col("grain"))
           .agg(
             rollDigest(col("value_digest.means"), col("value_digest.weights"))
@@ -387,7 +394,9 @@ object OlapEtl {
             sum(col("n_rows")).as("n_rows"))
         untouched.unionByName(folded)
     }
-    SnapshotStore.commit(merged, factPath, fence)
+    try {
+      SnapshotStore.commit(merged, factPath, fence)
+    } finally pinned.foreach(_.unpersist(blocking = false))
     SnapshotStore.gc(factPath)
     SnapshotStore.read(spark, factPath).get
   }
@@ -416,13 +425,29 @@ object OlapEtl {
       valueCol: String, idCol: String, grainUs: Long, factPath: String,
       compression: Double = 100.0, p: Int = 12)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
-    if (!SnapshotStore.currentFence(factPath).exists(_ >= batchId)) {
+    def applied = SnapshotStore.currentFence(factPath).exists(_ >= batchId)
+    var attempts = 0
+    var done = applied
+    while (!done) {
+      attempts += 1
       try {
         loadFactSketches(batch.sparkSession, batch, seriesCol, tsCol,
           valueCol, idCol, grainUs, factPath, compression, p,
           MergeGrain, fence = Some(batchId))
-        ()
-      } catch { case _: SnapshotStore.StaleFenceException => () }
+        done = true
+      } catch {
+        // the batch's effect is already committed (replay that lost
+        // the probe-then-commit race): a no-op, as advertised
+        case _: SnapshotStore.StaleFenceException => done = true
+        // a concurrent writer (zombie duplicate of this batch, or an
+        // interleaved backfill) committed a newer VERSION first — the
+        // version check fires before the fence check, so re-probe the
+        // fence: if the duplicate already landed this batchId we're
+        // done; otherwise restage against the new snapshot and retry
+        case e: SnapshotStore.StaleVersionException =>
+          if (applied) done = true
+          else if (attempts >= 3) throw e
+      }
     }
   }
 

@@ -150,7 +150,15 @@ object SnapshotStore {
     * caller-side check-then-act. Callers treat the refusal as "already
     * applied, skip" ([[graft.olap.OlapEtl.sketchFactBatchWriter]]'s
     * normal replay path probes [[currentFence]] first and only races
-    * here). */
+    * here). An UNFENCED publish CARRIES the committed fence forward
+    * (the Delta-txnVersion discipline): a one-off backfill interleaved
+    * with a streaming sink must not erase the sink's replay protection
+    * — dropping the fence would let the next redelivered batchId fold
+    * twice. Refused publishes (stale fence OR stale version) delete
+    * their staged directory before throwing: an orphan below the
+    * current version would otherwise consume one of [[gc]]'s keep
+    * slots and evict the true predecessor from under in-flight
+    * readers. */
   def publish(staged: Staged, fence: Option[Long]): Unit =
       withPublishLock(staged.tablePath) {
     val dir = Paths.get(staged.tablePath)
@@ -159,25 +167,31 @@ object SnapshotStore {
     val stagedN = VersionRe.findFirstMatchIn(staged.version).map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(
         s"malformed staged version name: ${staged.version}"))
+    def refuse(e: Exception): Nothing = {
+      deleteRecursively(dir.resolve(staged.version))
+      throw e
+    }
     currentVersion(staged.tablePath)
       .flatMap(v => VersionRe.findFirstMatchIn(v).map(_.group(1).toLong))
       .foreach { curN =>
-        if (stagedN <= curN) throw new IllegalStateException(
+        if (stagedN <= curN) refuse(new StaleVersionException(
           s"stale publish refused: staged ${staged.version} is not newer than " +
             s"committed v$curN at ${staged.tablePath} — another writer committed " +
-            "first; restage against the current snapshot and retry")
+            "first; restage against the current snapshot and retry"))
       }
-    for (f <- fence; cur <- currentFence(staged.tablePath))
-      if (f <= cur) throw new StaleFenceException(
+    val committedFence = currentFence(staged.tablePath)
+    for (f <- fence; cur <- committedFence)
+      if (f <= cur) refuse(new StaleFenceException(
         s"fenced publish refused: batch fence $f is not above the committed " +
           s"fence $cur at ${staged.tablePath} — the batch's effect is already " +
-          "in the snapshot (replayed micro-batch); skip it")
+          "in the snapshot (replayed micro-batch); skip it"))
+    val carried = fence.orElse(committedFence)
     // tmp lives in the SAME directory as the manifest: same filesystem,
     // so ATOMIC_MOVE is a true rename (the ParityRun r12 lesson — a
     // default-tmpdir stage can silently fall back to copy+delete)
     val tmp = Files.createTempFile(dir, s".manifest-${staged.version}-", ".tmp")
     try {
-      Files.writeString(tmp, staged.version + fence.fold("")(f => s" $f"))
+      Files.writeString(tmp, staged.version + carried.fold("")(f => s" $f"))
       try Files.move(tmp, dir.resolve(ManifestName),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       catch { case e: AtomicMoveNotSupportedException =>
@@ -220,9 +234,15 @@ object SnapshotStore {
 
   /** A fenced publish refused because the fence is not above the
     * committed one — the "this micro-batch was already applied" signal
-    * (distinct from the stale-VERSION IllegalStateException, which
-    * means a concurrent writer and calls for a restage-and-retry). */
+    * (distinct from [[StaleVersionException]], which means a concurrent
+    * writer and calls for a restage-and-retry). */
   final class StaleFenceException(msg: String) extends IllegalStateException(msg)
+
+  /** A publish refused because another writer committed a newer version
+    * first — restage against the current snapshot and retry (typed so
+    * an idempotent sink can tell "lost a race, re-check the fence" from
+    * a genuine invariant failure). */
+  final class StaleVersionException(msg: String) extends IllegalStateException(msg)
 
   /** stage + publish; returns the committed version name. */
   def commit(df: DataFrame, tablePath: String): String =

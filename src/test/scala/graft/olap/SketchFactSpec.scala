@@ -280,6 +280,15 @@ class SketchFactSpec extends AnyFunSuite {
       SnapshotStore.commit(df, path, Some(5L))
       assert(SnapshotStore.currentFence(path).contains(5L) &&
         SnapshotStore.read(spark, path).get.count() == 1)
+      // an UNFENCED commit (a backfill interleaved with the streaming
+      // sink) must CARRY the fence forward, not erase the sink's
+      // replay protection
+      SnapshotStore.commit(df, path)
+      assert(SnapshotStore.currentFence(path).contains(5L),
+        "an unfenced commit erased the ingest fence")
+      def versionDirCount() = new java.io.File(path).listFiles()
+        .count(f => f.isDirectory && f.getName.matches("v\\d+"))
+      val dirsBefore = versionDirCount()
       // non-advancing fence refused as the dedicated exception type
       intercept[SnapshotStore.StaleFenceException] {
         SnapshotStore.commit(df, path, Some(5L))
@@ -287,8 +296,13 @@ class SketchFactSpec extends AnyFunSuite {
       intercept[SnapshotStore.StaleFenceException] {
         SnapshotStore.commit(df, path, Some(4L))
       }
-      // the refused stage must not have torn anything: table still
-      // readable at the fenced version
+      // refused publishes must clean up their staged snapshot dirs —
+      // orphans below the current version would consume gc's keep
+      // slots and evict the true predecessor under in-flight readers
+      assert(versionDirCount() == dirsBefore,
+        "a refused publish leaked its staged version directory")
+      // and must not have torn anything: table still readable at the
+      // fenced version
       assert(SnapshotStore.currentFence(path).contains(5L) &&
         SnapshotStore.read(spark, path).get.count() == 1)
       SnapshotStore.commit(df, path, Some(6L))
