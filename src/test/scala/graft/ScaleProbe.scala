@@ -624,6 +624,49 @@ object ScaleProbe {
         f"ratio=${tRaw / tRead}%.1fx")
     }
 
+    if (want("r15d")) {
+      // merge-ingest CADENCE: 20 time-ordered micro-batches (~1.5 days
+      // each, day grains, 1000 synthetic series) through the fenced
+      // sink's core path (loadFactSketches MergeGrain), timing each
+      // batch as the fact grows, plus one REPLAYED batchId mid-stream
+      // (must be a ~free fence no-op). Expectation, stated up front and
+      // honestly: per-batch time grows with |fact| because SnapshotStore
+      // rewrites the FULL snapshot per commit — the disclosed
+      // no-Delta/Iceberg container boundary — NOT because of the merge
+      // algebra (the semi/anti split folds only colliding grains; a
+      // lakehouse table format would rewrite only those files). The
+      // probe pins the SHAPE of that cost so the boundary is measured,
+      // not hand-waved.
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-r15d").toString + "/fact"
+      val ev = graft.io.Sources.table(spark, "/root/testdata/sf0.1", "events")
+        .withColumn("series",
+          concat(col("event_type"), lit("_"), pmod(col("user_id"), lit(200))))
+      val writer = graft.olap.OlapEtl.sketchFactBatchWriter(
+        "series", "ts", "value", "event_id", 86400000000L, dir)
+      val day0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+      def slice(b: Int) = ev.filter(
+        ((unix_micros(col("ts")) / 86400000000L) - lit(day0) >= b * 1.5) &&
+        ((unix_micros(col("ts")) / 86400000000L) - lit(day0) < (b + 1) * 1.5))
+      val times = (0 until 20).map { b =>
+        val t0 = System.nanoTime()
+        writer(slice(b), b.toLong)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val factRows = graft.olap.SnapshotStore.read(spark, dir).get.count()
+      val tReplay = {
+        val t0 = System.nanoTime()
+        writer(slice(10), 10L) // already-fenced batchId → no-op
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SCALE-R15D merge-ingest cadence (fact grows to $factRows rows): " +
+        f"batch1=${times(1)}%.2f s batch5=${times(5)}%.2f s " +
+        f"batch10=${times(10)}%.2f s batch19=${times(19)}%.2f s " +
+        f"replayed-batch no-op=$tReplay%.3f s")
+      println("SCALE-R15D all batches: " +
+        times.zipWithIndex.map { case (t, i) => f"b$i=$t%.2f" }.mkString(" "))
+    }
+
     if (want("r13")) {
       // Replica LAYOUT matters as much as row count: replicated rows
       // compress so well that a naive write packs 600M rows into ~129MB
