@@ -401,6 +401,24 @@ object OlapEtl {
     SnapshotStore.read(spark, factPath).get
   }
 
+  /** Land PRE-AGGREGATED sketch-grain rows (schema: series_key, grain,
+    * value_digest struct, id_sketch struct, n_rows) into the fact —
+    * the sink half of [[graft.streaming.StreamOps.streamingSketchGrains]],
+    * where the grains arrive already complete (watermark-closed
+    * windows), so the recompute-replace upsert applies and is
+    * IDEMPOTENT: a redelivered micro-batch re-lands identical rows.
+    * No fence needed — append-mode emission + replace upsert is the
+    * replay-safe pairing, exactly as ReplaceGrain backfills are.
+    */
+  def loadFactSketchRows(spark: SparkSession, grainRows: DataFrame,
+      factPath: String): DataFrame = {
+    val merged = upsert(SnapshotStore.read(spark, factPath), grainRows,
+      Seq("series_key", "grain"))
+    SnapshotStore.commit(merged, factPath)
+    SnapshotStore.gc(factPath)
+    SnapshotStore.read(spark, factPath).get
+  }
+
   /** Exactly-once streaming ingest for the sketch fact — the
     * `foreachBatch` sink that closes [[MergeGrain]]'s disclosed
     * replay-unsafety: each micro-batch folds into the fact in merge

@@ -1109,6 +1109,64 @@ object StreamOps {
     out.toSeq
   }
 
+  /** One fact-bound tick: event time in epoch MICROS (unlike the
+    * millis-denominated telemetry faces — the warehouse grain
+    * arithmetic is µs, `OlapEtl.loadFactSketches`'s contract), the
+    * sketched value, and the counted entity id. */
+  case class FactTick(key: String, ts: Long, value: Double, id: Long)
+
+  /** The STREAMING half of the sketch-fact warehouse ingest — the
+    * ingest-cadence alternative to [[graft.olap.OlapEtl.sketchFactBatchWriter]]
+    * with a strictly stronger replay story: instead of folding partial
+    * batches into stored grains (merge mode + batchId fence), the
+    * stream aggregates each grain to COMPLETION inside Spark's own
+    * windowed state — one epoch-aligned tumbling window per
+    * (key, grain), digest + HLL + count built by the SAME aggregators
+    * as the batch loader — and, in Append mode, emits a grain exactly
+    * once, when the watermark closes its window. Closed grains are
+    * complete by the watermark contract, so the sink is the plain
+    * recompute-replace upsert ([[graft.olap.OlapEtl.loadFactSketchRows]])
+    * and a redelivered micro-batch re-lands byte-identical rows —
+    * idempotent with NO fence. The trade vs the fenced merge sink: the
+    * warehouse sees a grain only after its window closes (watermark
+    * latency) rather than within the grain, and open-window state
+    * lives in the state store (one digest buffer + 2^p registers per
+    * open (key, grain) — bounded by keys × grains-per-lateness, the
+    * SCALE-R15 per-key constants).
+    *
+    * Usage: `streamingSketchGrains(ticks, grainUs, lateness)
+    * .writeStream.outputMode("append").foreachBatch((df, _) =>
+    * OlapEtl.loadFactSketchRows(df.sparkSession, df, factPath): Unit)`.
+    * Output schema == the fact's: (series_key, grain, value_digest,
+    * id_sketch, n_rows).
+    */
+  def streamingSketchGrains(ticks: Dataset[FactTick], grainUs: Long,
+      lateness: scala.concurrent.duration.Duration,
+      compression: Double = 100.0, p: Int = 12): DataFrame = {
+    require(grainUs > 0 && grainUs % 1000000L == 0,
+      s"grainUs must be a positive whole number of seconds in µs (got " +
+        s"$grainUs): window() has second granularity, and a sub-second " +
+        "grain would silently misalign the epoch-day arithmetic")
+    val mkDigest = udaf(
+      new graft.metrics.TDigest.DigestAgg(compression),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val mkHll = udaf(new graft.metrics.Hll.SketchAgg(p),
+      org.apache.spark.sql.Encoders.scalaLong)
+    ticks
+      .withColumn("__evt", timestamp_micros(col("ts")))
+      .withWatermark("__evt", s"${math.max(0L, lateness.toMillis)} milliseconds")
+      .groupBy(col("key").as("series_key"),
+        window(col("__evt"), s"${grainUs / 1000000L} seconds"))
+      .agg(mkDigest(col("value")).as("value_digest"),
+        mkHll(col("id")).as("id_sketch"),
+        count(lit(1)).as("n_rows"))
+      // epoch-aligned tumbling windows: window.start / grainUs IS the
+      // loader's integer grain (same µs arithmetic, tz-free)
+      .select(col("series_key"),
+        (unix_micros(col("window.start")) / grainUs).cast("long").as("grain"),
+        col("value_digest"), col("id_sketch"), col("n_rows"))
+  }
+
   /** Stateful per-key accumulator via flatMapGroupsWithState — the
     * streaming analog of the backtest's per-series position state:
     * arbitrary state survives across micro-batches, one state object per
