@@ -3903,7 +3903,7 @@ object SparkEntry {
     val est = q122Estimate(s, factPath)
     val ev = t(s, dir, "events")
       .filter(col("value").isNotNull && col("user_id").isNotNull)
-      .filter((unix_micros(col("ts")) / Q122GrainUs).cast("long")
+      .filter(graft.olap.OlapEtl.grainCol(col("ts"), Q122GrainUs)
         .between(Q122GrainLo, Q122GrainHi))
       .select(col("event_type").as("series_key"), col("value"), col("user_id"))
     // the joined estimate columns are constant per series_key, so they

@@ -342,20 +342,21 @@ object OlapEtl {
       mode: SketchIngestMode = ReplaceGrain,
       fence: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val mkDigest = org.apache.spark.sql.functions.udaf(
-      new graft.metrics.TDigest.DigestAgg(compression), Encoders.scalaDouble)
-    val mkHll = org.apache.spark.sql.functions.udaf(
-      new graft.metrics.Hll.SketchAgg(p), Encoders.scalaLong)
+    val aggs = sketchAggExprs(col("__v"), col("__id"), compression, p)
     val updates = events
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(col(seriesCol).as("series_key"),
-        (unix_micros(col(tsCol)) / grainUs).cast("long").as("grain"),
+        grainCol(col(tsCol), grainUs).as("grain"),
         col(valueCol).as("__v"), col(idCol).as("__id"))
       .groupBy(col("series_key"), col("grain"))
-      .agg(mkDigest(col("__v")).as("value_digest"),
-        mkHll(col("__id")).as("id_sketch"),
-        count(lit(1)).as("n_rows"))
-    val existing = SnapshotStore.read(spark, factPath)
+      .agg(aggs.head, aggs.tail: _*)
+    // CAS base: the version this ingest's merge plan READS — publish
+    // refuses if another writer moved the table meanwhile (a lost
+    // update would otherwise silently drop that writer's batch AND,
+    // fence-carried, mark it applied; r15 review). Pin the read to the
+    // SAME version the CAS names.
+    val base = SnapshotStore.currentVersion(factPath)
+    val existing = base.map(v => spark.read.parquet(s"$factPath/$v"))
     // the merge branch references the aggregated batch TWICE (key
     // relation + union side) — persist it so each micro-batch pays its
     // groupBy + digest/HLL fold once, not twice (review r15 finding)
@@ -395,10 +396,37 @@ object OlapEtl {
         untouched.unionByName(folded)
     }
     try {
-      SnapshotStore.commit(merged, factPath, fence)
+      SnapshotStore.commitCas(merged, factPath, fence, base)
     } finally pinned.foreach(_.unpersist(blocking = false))
     SnapshotStore.gc(factPath)
     SnapshotStore.read(spark, factPath).get
+  }
+
+  /** The fact's grain bucketing — ONE definition shared by the batch
+    * loader, the read faces, and the streaming window arithmetic
+    * (`floor`, matching both DuckDB's `//` and epoch-aligned
+    * `window()` starts; a truncate-toward-zero here would diverge for
+    * pre-1970 event times and break the batch ≡ streaming grain
+    * contract — r15 review). */
+  private[graft] def grainCol(ts: org.apache.spark.sql.Column,
+      grainUs: Long): org.apache.spark.sql.Column =
+    floor(unix_micros(ts) / grainUs).cast("long")
+
+  /** The sketch fact's aggregate trio (digest struct, HLL struct, exact
+    * count) — ONE definition shared by [[loadFactSketches]] and
+    * [[graft.streaming.StreamOps.streamingSketchGrains]], so the two
+    * ingest cadences cannot drift apart expression-by-expression. */
+  private[graft] def sketchAggExprs(value: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column, compression: Double, p: Int)
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.Encoders
+    val mkDigest = org.apache.spark.sql.functions.udaf(
+      new graft.metrics.TDigest.DigestAgg(compression), Encoders.scalaDouble)
+    val mkHll = org.apache.spark.sql.functions.udaf(
+      new graft.metrics.Hll.SketchAgg(p), Encoders.scalaLong)
+    Seq(mkDigest(value).as("value_digest"),
+      mkHll(id).as("id_sketch"),
+      count(lit(1)).as("n_rows"))
   }
 
   /** Land PRE-AGGREGATED sketch-grain rows (schema: series_key, grain,
@@ -412,9 +440,13 @@ object OlapEtl {
     */
   def loadFactSketchRows(spark: SparkSession, grainRows: DataFrame,
       factPath: String): DataFrame = {
-    val merged = upsert(SnapshotStore.read(spark, factPath), grainRows,
-      Seq("series_key", "grain"))
-    SnapshotStore.commit(merged, factPath)
+    // CAS on the base version read by the upsert plan (same rationale
+    // as loadFactSketches — a concurrent backfill must surface as a
+    // typed retryable conflict, never as a silent lost update)
+    val base = SnapshotStore.currentVersion(factPath)
+    val merged = upsert(base.map(v => spark.read.parquet(s"$factPath/$v")),
+      grainRows, Seq("series_key", "grain"))
+    SnapshotStore.commitCas(merged, factPath, None, base)
     SnapshotStore.gc(factPath)
     SnapshotStore.read(spark, factPath).get
   }
@@ -433,8 +465,10 @@ object OlapEtl {
     * idempotent-sink pattern (Delta's txnVersion): the fence is valid
     * for ONE streaming query lineage — restarting from a FRESH
     * checkpoint restarts batchIds at 0, so a new query must target a
-    * new factPath (or the operator resets the fence deliberately),
-    * exactly the txnAppId discipline.
+    * new factPath or deliberately call [[SnapshotStore.clearFence]]
+    * between lineages (fence carry-forward means there is
+    * intentionally no implicit reset), exactly the txnAppId
+    * discipline.
     *
     * Usage: `events.writeStream.foreachBatch(
     *   OlapEtl.sketchFactBatchWriter(...)).start()`.

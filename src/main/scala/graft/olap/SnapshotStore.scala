@@ -160,19 +160,55 @@ object SnapshotStore {
     * slots and evict the true predecessor from under in-flight
     * readers. */
   def publish(staged: Staged, fence: Option[Long]): Unit =
-      withPublishLock(staged.tablePath) {
+    publishImpl(staged, fence, cas = false, expectedBase = None)
+
+  /** Compare-and-swap publish (r15 review): refuses unless the table's
+    * CURRENT version equals `expectedBase` — the version the caller's
+    * snapshot was COMPUTED from. The plain monotonic check alone cannot
+    * see a lost update: two writers staging from the same base both
+    * stage "newer" version numbers, and whichever publishes second
+    * silently erases the first's rows (and, fence-carried, marks the
+    * erased batch as applied). CAS turns that interleave into a typed
+    * [[StaleVersionException]] the loser handles by re-reading and
+    * restaging ([[graft.olap.OlapEtl.sketchFactBatchWriter]]'s retry
+    * loop). Single-writer ETLs (the reference serializes its loaders
+    * in one process) may keep the plain [[publish]].
+    */
+  def publishCas(staged: Staged, fence: Option[Long],
+      expectedBase: Option[String]): Unit =
+    publishImpl(staged, fence, cas = true, expectedBase = expectedBase)
+
+  private def publishImpl(staged: Staged, fence: Option[Long], cas: Boolean,
+      expectedBase: Option[String]): Unit = withPublishLock(staged.tablePath) {
     val dir = Paths.get(staged.tablePath)
-    require(Files.isDirectory(dir.resolve(staged.version)),
-      s"staged snapshot ${staged.version} missing under ${staged.tablePath}")
+    def refuse(e: Exception): Nothing = {
+      // clean up our OWN staged dir so a refusal cannot leak an orphan
+      // into gc's keep window — but NEVER delete the directory the
+      // manifest currently points at (publishing an already-committed
+      // Staged twice, e.g. a caller retry after a timed-out publish
+      // that actually succeeded, must refuse non-destructively)
+      if (!currentVersion(staged.tablePath).contains(staged.version))
+        deleteRecursively(dir.resolve(staged.version))
+      throw e
+    }
+    if (!Files.isDirectory(dir.resolve(staged.version)))
+      // a completed-but-unpublished dir at/below current can be gc'd by
+      // a faster writer's commit — that IS a lost race, so surface it
+      // as the retryable type, not an opaque require failure
+      throw new StaleVersionException(
+        s"staged snapshot ${staged.version} missing under ${staged.tablePath} " +
+          "— a concurrent writer committed and gc collected the staged dir; " +
+          "restage against the current snapshot and retry")
     val stagedN = VersionRe.findFirstMatchIn(staged.version).map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(
         s"malformed staged version name: ${staged.version}"))
-    def refuse(e: Exception): Nothing = {
-      deleteRecursively(dir.resolve(staged.version))
-      throw e
-    }
-    currentVersion(staged.tablePath)
-      .flatMap(v => VersionRe.findFirstMatchIn(v).map(_.group(1).toLong))
+    val cur = currentVersion(staged.tablePath)
+    if (cas && cur != expectedBase) refuse(new StaleVersionException(
+      s"CAS publish refused: table at ${staged.tablePath} is at " +
+        s"${cur.getOrElse("<none>")} but the snapshot was computed from " +
+        s"${expectedBase.getOrElse("<none>")} — a concurrent writer committed; " +
+        "re-read, restage, retry"))
+    cur.flatMap(v => VersionRe.findFirstMatchIn(v).map(_.group(1).toLong))
       .foreach { curN =>
         if (stagedN <= curN) refuse(new StaleVersionException(
           s"stale publish refused: staged ${staged.version} is not newer than " +
@@ -180,10 +216,10 @@ object SnapshotStore {
             "first; restage against the current snapshot and retry"))
       }
     val committedFence = currentFence(staged.tablePath)
-    for (f <- fence; cur <- committedFence)
-      if (f <= cur) refuse(new StaleFenceException(
+    for (f <- fence; curF <- committedFence)
+      if (f <= curF) refuse(new StaleFenceException(
         s"fenced publish refused: batch fence $f is not above the committed " +
-          s"fence $cur at ${staged.tablePath} — the batch's effect is already " +
+          s"fence $curF at ${staged.tablePath} — the batch's effect is already " +
           "in the snapshot (replayed micro-batch); skip it"))
     val carried = fence.orElse(committedFence)
     // tmp lives in the SAME directory as the manifest: same filesystem,
@@ -255,6 +291,37 @@ object SnapshotStore {
     staged.version
   }
 
+  /** stage + CAS publish (see [[publishCas]]): `expectedBase` is the
+    * committed version the caller READ when computing `df` (None = the
+    * table did not exist yet). */
+  def commitCas(df: DataFrame, tablePath: String, fence: Option[Long],
+      expectedBase: Option[String]): String = {
+    val staged = stage(df, tablePath)
+    publishCas(staged, fence, expectedBase)
+    staged.version
+  }
+
+  /** Operator escape hatch: atomically rewrite the manifest WITHOUT its
+    * ingest fence, keeping the current version. Needed when a streaming
+    * query restarts from a FRESH checkpoint against an existing fenced
+    * table (batchIds restart at 0, so a carried fence would silently
+    * skip the new lineage's first batches) — fence carry-forward
+    * otherwise leaves no API path to lower or clear it. Deliberate,
+    * destructive-to-replay-protection: call it only between query
+    * lineages.
+    */
+  def clearFence(tablePath: String): Unit = withPublishLock(tablePath) {
+    currentVersion(tablePath).foreach { v =>
+      val dir = Paths.get(tablePath)
+      val tmp = Files.createTempFile(dir, s".manifest-$v-", ".tmp")
+      try {
+        Files.writeString(tmp, v)
+        Files.move(tmp, dir.resolve(ManifestName),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      } finally Files.deleteIfExists(tmp)
+    }
+  }
+
   /** Remove snapshot directories no reader can legitimately resolve,
     * keeping the newest `keep` versions up to and INCLUDING the current
     * one (staged-ahead versions newer than the manifest are kept too —
@@ -267,7 +334,15 @@ object SnapshotStore {
     if (!Files.isDirectory(dir) || cur.isEmpty) return Seq.empty
     val versions = versionDirs(dir)
     val retained = versions.filter(_._1 <= cur.get).takeRight(keep).map(_._1).toSet
-    val doomed = versions.filter(v => v._1 <= cur.get && !retained.contains(v._1))
+    val doomed = versions.filter { case (n, p) =>
+      // skip dirs still being WRITTEN (no parquet _SUCCESS marker yet):
+      // a slow writer's in-flight stage can sit at/below current once a
+      // faster writer commits, and dooming it would crash that writer
+      // mid-write with an untyped IO error instead of the typed
+      // lost-race refusal it gets at publish time (r15 review)
+      n <= cur.get && !retained.contains(n) &&
+        Files.exists(p.resolve("_SUCCESS"))
+    }
     doomed.foreach { case (_, p) => deleteRecursively(p) }
     doomed.map(_._2.getFileName.toString)
   }

@@ -1147,23 +1147,21 @@ object StreamOps {
       s"grainUs must be a positive whole number of seconds in µs (got " +
         s"$grainUs): window() has second granularity, and a sub-second " +
         "grain would silently misalign the epoch-day arithmetic")
-    val mkDigest = udaf(
-      new graft.metrics.TDigest.DigestAgg(compression),
-      org.apache.spark.sql.Encoders.scalaDouble)
-    val mkHll = udaf(new graft.metrics.Hll.SketchAgg(p),
-      org.apache.spark.sql.Encoders.scalaLong)
+    // the aggregate trio and the grain arithmetic are the batch
+    // loader's OWN definitions (`OlapEtl.sketchAggExprs`/`grainCol`),
+    // so the two ingest cadences cannot drift expression-by-expression
+    // — grainCol floors, matching epoch-aligned window() starts for
+    // pre-1970 event times too
+    val aggs = graft.olap.OlapEtl.sketchAggExprs(
+      col("value"), col("id"), compression, p)
     ticks
       .withColumn("__evt", timestamp_micros(col("ts")))
       .withWatermark("__evt", s"${math.max(0L, lateness.toMillis)} milliseconds")
       .groupBy(col("key").as("series_key"),
         window(col("__evt"), s"${grainUs / 1000000L} seconds"))
-      .agg(mkDigest(col("value")).as("value_digest"),
-        mkHll(col("id")).as("id_sketch"),
-        count(lit(1)).as("n_rows"))
-      // epoch-aligned tumbling windows: window.start / grainUs IS the
-      // loader's integer grain (same µs arithmetic, tz-free)
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("series_key"),
-        (unix_micros(col("window.start")) / grainUs).cast("long").as("grain"),
+        graft.olap.OlapEtl.grainCol(col("window.start"), grainUs).as("grain"),
         col("value_digest"), col("id_sketch"), col("n_rows"))
   }
 

@@ -605,7 +605,7 @@ object ScaleProbe {
       def rawAnswer(dir: String): Unit =
         graft.io.Sources.table(spark, dir, "events")
           .filter(col("value").isNotNull && col("user_id").isNotNull)
-          .filter((unix_micros(col("ts")) / SparkEntry.Q122GrainUs).cast("long")
+          .filter(graft.olap.OlapEtl.grainCol(col("ts"), SparkEntry.Q122GrainUs)
             .between(SparkEntry.Q122GrainLo, SparkEntry.Q122GrainHi))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),

@@ -37,11 +37,12 @@ class SketchFactSpec extends AnyFunSuite {
       .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
   }
 
-  // INTEGER grain (matching the loader's cast): bare unix_micros/GrainUs
-  // is double division in Spark SQL, and a double-valued between() slices
-  // grains mid-row — the loader's recompute-replace contract then gets a
-  // PARTIAL grain, which is exactly the misuse the scaladoc warns about
-  private def grainOf = (unix_micros(col("ts")) / GrainUs).cast("long")
+  // INTEGER grain — the loader's own definition (floor; bare
+  // unix_micros/GrainUs is double division in Spark SQL, and a
+  // double-valued between() slices grains mid-row — the loader's
+  // recompute-replace contract then gets a PARTIAL grain, which is
+  // exactly the misuse the scaladoc warns about)
+  private def grainOf = OlapEtl.grainCol(col("ts"), GrainUs)
 
   private def load(slice: DataFrame, path: String): DataFrame =
     OlapEtl.loadFactSketches(spark, slice, "k", "ts", "v", "uid",

@@ -82,10 +82,14 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(readVals(p) == Seq(2))
   }
 
-  test("publishing a missing staged version is refused") {
+  test("publishing a missing staged version is refused with the RETRYABLE type") {
     val p = freshTable()
     SnapshotStore.commit(df(1), p)
-    intercept[IllegalArgumentException] {
+    // r15: a vanished staged dir means a faster writer committed and
+    // gc collected it — that is a lost race, so the refusal is the
+    // same typed signal as a stale version (restage and retry), not an
+    // opaque argument error a retry loop would rethrow
+    intercept[SnapshotStore.StaleVersionException] {
       SnapshotStore.publish(SnapshotStore.Staged(p, "v99"))
     }
   }
@@ -116,6 +120,75 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(Files.isDirectory(Paths.get(p, stagedAhead.version))) // ahead kept
     SnapshotStore.publish(stagedAhead)                      // still publishable
     assert(readVals(p) == Seq(42))
+  }
+
+  test("re-publishing an already-committed Staged refuses WITHOUT deleting the live snapshot") {
+    val p = freshTable()
+    val st = SnapshotStore.stage(df(1, 2), p)
+    SnapshotStore.publish(st)
+    // caller-side retry after a timed-out publish that actually
+    // succeeded: must refuse (stagedN == curN) but leave the table —
+    // which the manifest still points at — fully readable
+    intercept[SnapshotStore.StaleVersionException] { SnapshotStore.publish(st) }
+    assert(readVals(p) == Seq(1, 2),
+      "a repeated publish destroyed the live committed snapshot")
+  }
+
+  test("CAS publish: the lost-update interleave is refused, not silently absorbed") {
+    val p = freshTable()
+    SnapshotStore.commit(df(1), p) // v0 — the shared base
+    val base = SnapshotStore.currentVersion(p)
+    // writer A and writer B both compute their snapshots FROM v0
+    val a = SnapshotStore.read(spark, p).get.union(df(2))
+    val b = SnapshotStore.read(spark, p).get.union(df(3))
+    SnapshotStore.commitCas(a, p, None, base) // A wins
+    assert(readVals(p) == Seq(1, 2))
+    // B's snapshot lacks A's row; the plain monotonic check would let
+    // it publish (its staged number is newer) and silently erase row 2
+    // — CAS refuses with the retryable type instead
+    intercept[SnapshotStore.StaleVersionException] {
+      SnapshotStore.commitCas(b, p, None, base)
+    }
+    assert(readVals(p) == Seq(1, 2), "the lost update leaked through")
+    // B re-reads and restages against the NEW current — now accepted
+    val base2 = SnapshotStore.currentVersion(p)
+    SnapshotStore.commitCas(
+      SnapshotStore.read(spark, p).get.union(df(3)), p, None, base2)
+    assert(readVals(p) == Seq(1, 2, 3))
+  }
+
+  test("clearFence: the deliberate between-lineages reset, atomic and version-preserving") {
+    val p = freshTable()
+    SnapshotStore.commit(df(1), p, Some(7L))
+    assert(SnapshotStore.currentFence(p).contains(7L))
+    val v = SnapshotStore.currentVersion(p)
+    SnapshotStore.clearFence(p)
+    assert(SnapshotStore.currentFence(p).isEmpty &&
+      SnapshotStore.currentVersion(p) == v && readVals(p) == Seq(1),
+      "clearFence must drop ONLY the fence")
+    // a fresh lineage's batch 0 can land again
+    SnapshotStore.commit(df(2), p, Some(0L))
+    assert(SnapshotStore.currentFence(p).contains(0L))
+  }
+
+  test("gc never deletes an in-flight stage (no _SUCCESS marker yet)") {
+    val p = freshTable()
+    (0 to 3).foreach(i => SnapshotStore.commit(df(i), p)) // v0..v3, current v3
+    // simulate a slow writer mid-write at/below current: a version dir
+    // whose parquet job has not finished (no _SUCCESS marker) — its
+    // number fell behind because faster writers committed past it
+    Files.delete(Paths.get(p, "v0", "_SUCCESS"))
+    Files.delete(Paths.get(p, "v1", "_SUCCESS"))
+    val deleted = SnapshotStore.gc(p, keep = 2)
+    assert(!deleted.contains("v0") && !deleted.contains("v1") &&
+      Files.isDirectory(Paths.get(p, "v0")) && Files.isDirectory(Paths.get(p, "v1")),
+      s"gc deleted a dir still being written (no _SUCCESS): $deleted")
+    // once the write completes (_SUCCESS lands), the SAME dirs collect
+    Files.createFile(Paths.get(p, "v0", "_SUCCESS"))
+    Files.createFile(Paths.get(p, "v1", "_SUCCESS"))
+    val deleted2 = SnapshotStore.gc(p, keep = 2)
+    assert(deleted2.contains("v0") && deleted2.contains("v1"),
+      s"completed old versions must still collect: $deleted2")
   }
 
   test("loadFactPerformance survives a simulated crash between its stage and publish") {

@@ -88,15 +88,19 @@ class StreamingSketchGrainsSpec extends AnyFunSuite {
             .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
           "k", "ts", "v", "uid", DayUs, batchPath, 100.0, P)
         def byGrain(df: DataFrame) = df.select(col("series_key"), col("grain"),
-          col("n_rows"), col("id_sketch.regs"), col("value_digest.weights"))
+          col("n_rows"), col("id_sketch.regs"), col("value_digest.weights"),
+          col("value_digest.means"))
           .collect()
           .map(r => (r.getString(0), r.getLong(1)) ->
             ((r.getLong(2), r.getAs[Array[Byte]](3).toSeq,
-              r.getAs[Seq[Double]](4).sum))).toMap
+              r.getAs[Seq[Double]](4).sum,
+              // the FULL digest bits ride along so the idempotence leg
+              // can assert the replay moved nothing, digest included
+              (r.getAs[Seq[Double]](5), r.getAs[Seq[Double]](4))))).toMap
         val a = byGrain(batchFact)
         val b = byGrain(fact)
         assert(a.keySet == b.keySet)
-        a.foreach { case (kg, (n, regs, _)) =>
+        a.foreach { case (kg, (n, regs, _, _)) =>
           assert(b(kg)._1 == n, s"grain $kg n_rows diverged")
           assert(b(kg)._2 == regs, s"grain $kg HLL registers diverged (bit-equal expected)")
           assert(math.rint(b(kg)._3).toLong == n,
@@ -110,9 +114,8 @@ class StreamingSketchGrainsSpec extends AnyFunSuite {
           spark.sparkContext.parallelize(landed), fact.schema)
         OlapEtl.loadFactSketchRows(spark, replay, factPath)
         val after = byGrain(SnapshotStore.read(spark, factPath).get)
-        assert(after.keySet == before.keySet &&
-          after.forall { case (k, v) => (before(k)._1, before(k)._2) == ((v._1, v._2)) },
-          "redelivered grain rows changed the fact")
+        assert(after == before,
+          "redelivered grain rows changed the fact (count, registers, or digest bits)")
       } finally q.stop()
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
