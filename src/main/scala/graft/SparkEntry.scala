@@ -3992,6 +3992,89 @@ object SparkEntry {
     (keys, viols, maxRank, maxHll, nrowsAll)
   }
 
+  /** Batch ≡ streaming differential for the windowed grain-ingest face
+    * (`StreamOps.streamingSketchGrains` → `OlapEtl.loadFactSketchRows`):
+    * the actual sfDir events feed replays through a real MemoryStream
+    * query in ts-ordered chunks, each watermark-closed grain lands in a
+    * temp fact via the replace-upsert sink, and the landed table is
+    * compared against the BATCH loader over the same closed rows:
+    *
+    *  1. `complete` — the landed grain set is exactly the data's grains
+    *     strictly below the feed's final (still-open) grain: nothing
+    *     early, nothing missing (the watermark completeness gate).
+    *  2. `nMatch` — per-grain exact row counts equal.
+    *  3. `hllMatch` — per-grain HLL registers BIT-equal (register folds
+    *     are tree-insensitive, so streaming ≡ batch exactly).
+    *  4. `wMatch` — per-grain digest weights carry the full row count
+    *     (digest VALUES are merge-tree-specific between the windowed
+    *     incremental fold and the batch fold; their shared invariants
+    *     are the weight mass here and the q115 rank bound pinned at the
+    *     rollup level).
+    *
+    * Returns (ticks, grains, complete, nMatch, hllMatch, wMatch).
+    */
+  def streamingGrainsDifferential(s: SparkSession, dir: String,
+      chunks: Int = 3, maxTicks: Int = 2000000)
+      : (Long, Long, Boolean, Boolean, Boolean, Boolean) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val src = t(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type").as("key"), unix_micros(col("ts")).as("ts"),
+        col("value"), col("user_id").as("id"), col("event_id"))
+      .as[(String, Long, Double, Long, Long)]
+    val raw = cappedSortedFeed(src, maxTicks,
+      (r: (String, Long, Double, Long, Long)) => (r._2, r._5))
+    val ticks = raw.map(r => StreamOps.FactTick(r._1, r._2, r._3, r._4))
+    val per = math.max(1, (ticks.length + chunks - 1) / chunks)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-grains-diff")
+    try {
+      val streamPath = tmp.toString + "/stream"
+      val mem = MemoryStream[StreamOps.FactTick]
+      val q = StreamOps.streamingSketchGrains(mem.toDS(), Q122GrainUs,
+          scala.concurrent.duration.Duration.Zero)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          if (!df.isEmpty) {
+            graft.olap.OlapEtl.loadFactSketchRows(s, df, streamPath)
+            ()
+          }
+        }
+        .start()
+      try {
+        ticks.grouped(per).foreach { c =>
+          mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      // the still-open grain at feed end (lateness 0: watermark = max ts)
+      val lastGrain = math.floorDiv(raw.map(_._2).max, Q122GrainUs)
+      val closed = ticks.filter(t => math.floorDiv(t.ts, Q122GrainUs) < lastGrain)
+      val batchPath = tmp.toString + "/batch"
+      val batchFact = graft.olap.OlapEtl.loadFactSketches(s,
+        closed.toSeq.toDF("k", "ts_us", "v", "id")
+          .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+        "k", "ts", "v", "id", Q122GrainUs, batchPath,
+        Q115Compression, Q119P)
+      def byGrain(df: DataFrame) = df.select(col("series_key"), col("grain"),
+        col("n_rows"), col("id_sketch.regs"), col("value_digest.weights"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getAs[Array[Byte]](3).toSeq,
+            r.getAs[Seq[Double]](4).sum))).toMap
+      val a = byGrain(batchFact)
+      val b = graft.olap.SnapshotStore.read(s, streamPath)
+        .map(byGrain).getOrElse(Map.empty)
+      val complete = a.keySet == b.keySet
+      val nMatch = complete && a.forall { case (k, (n, _, _)) => b(k)._1 == n }
+      val hllMatch = complete && a.forall { case (k, (_, regs, _)) => b(k)._2 == regs }
+      val wMatch = complete &&
+        b.forall { case (_, (n, _, w)) => math.rint(w).toLong == n }
+      (ticks.length.toLong, b.size.toLong, complete, nMatch, hllMatch, wMatch)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
+
   /** Batch≡streaming differential for the cardinality family (the
     * q115 pattern, with a STRONGER terminal verdict): the events feed,
     * keyed by event_type with user_id as the counted entity, replays

@@ -142,6 +142,20 @@ object Verify {
             s""""sample_match": $sampleMatch}""")
         }
       if (selected("q122_sketch_fact_read"))
+        diffRows("streaming grains", "q122_streaming_grains") {
+          // batch ≡ streaming for the windowed grain-ingest cadence:
+          // watermark-closed grains land complete (nothing early,
+          // nothing missing), per-grain counts exact and HLL registers
+          // BIT-equal to the batch loader; digest weights carry the
+          // full row count
+          val (ticks, grains, complete, nMatch, hllMatch, wMatch) =
+            SparkEntry.streamingGrainsDifferential(spark, sfDir)
+          Seq(s"""{"diff_match": ${complete && nMatch && hllMatch && wMatch && grains > 0}, """ +
+            s""""ticks": $ticks, "grains": $grains, "complete": $complete, """ +
+            s""""n_match": $nMatch, "hll_match": $hllMatch, """ +
+            s""""digest_weights_match": $wMatch}""")
+        }
+      if (selected("q122_sketch_fact_read"))
         diffRows("sketch-fact read", "q122_sketch_fact_read") {
           // warehouse read path: rank + cardinality contract margins
           // answered from the COMMITTED fact (grain-pruned), plus the
