@@ -340,7 +340,8 @@ object OlapEtl {
       grainUs: Long, factPath: String,
       compression: Double = 100.0, p: Int = 12,
       mode: SketchIngestMode = ReplaceGrain,
-      fence: Option[Long] = None): DataFrame = {
+      fence: Option[Long] = None,
+      lineage: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
     val aggs = sketchAggExprs(col("__v"), col("__id"), compression, p)
     val updates = events
@@ -396,10 +397,39 @@ object OlapEtl {
         untouched.unionByName(folded)
     }
     try {
-      SnapshotStore.commitCas(merged, factPath, fence, base)
+      SnapshotStore.commitCas(merged, factPath, fence, lineage, base)
+    } catch {
+      // the merge plan reads the PINNED base version dir; under
+      // concurrent writers two quick commits by a faster writer can gc
+      // that dir while this plan still executes, surfacing as an
+      // untyped FileNotFound buried in a SparkException — translate it
+      // to the typed retryable signal the sink's retry loop handles
+      // (r16 advisory), but only when the table really moved past our
+      // base (a genuine FNF on a stable table must stay loud)
+      case e: Throwable if hasFileNotFoundCause(e) &&
+          SnapshotStore.currentVersion(factPath) != base =>
+        throw new SnapshotStore.StaleVersionException(
+          s"base snapshot ${base.getOrElse("<none>")} at $factPath was " +
+            "collected mid-merge (concurrent writer committed past it and " +
+            s"gc ran); restage against the current snapshot and retry " +
+            s"[${e.getClass.getSimpleName}: ${e.getMessage}]")
     } finally pinned.foreach(_.unpersist(blocking = false))
     SnapshotStore.gc(factPath)
     SnapshotStore.read(spark, factPath).get
+  }
+
+  /** True when `t`'s cause chain contains a FileNotFound (Spark wraps
+    * scan-time FNFs several layers deep). */
+  private def hasFileNotFoundCause(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var hops = 0
+    while (c != null && hops < 20) {
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+        c.getClass.getSimpleName.contains("FileNotFound")) return true
+      c = c.getCause
+      hops += 1
+    }
+    false
   }
 
   /** The fact's grain bucketing — ONE definition shared by the batch
@@ -475,9 +505,27 @@ object OlapEtl {
     */
   def sketchFactBatchWriter(seriesCol: String, tsCol: String,
       valueCol: String, idCol: String, grainUs: Long, factPath: String,
-      compression: Double = 100.0, p: Int = 12)
+      compression: Double = 100.0, p: Int = 12,
+      lineage: Option[String] = None)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
-    def applied = SnapshotStore.currentFence(factPath).exists(_ >= batchId)
+    // lineage-scoped probe (r16): "already applied" only holds when the
+    // committed fence belongs to THIS query lineage — a fresh
+    // checkpoint renumbers batchIds from 0, and an unscoped probe
+    // would silently swallow the new lineage's batches. A declared
+    // lineage that mismatches the committed one is raised loudly here
+    // (and again, authoritatively, inside the publish lock).
+    def lineageConflict = lineage.exists(l =>
+      SnapshotStore.currentLineage(factPath).exists(_ != l))
+    def applied = {
+      val fenced = SnapshotStore.currentFence(factPath).exists(_ >= batchId)
+      if (fenced && lineageConflict)
+        throw new SnapshotStore.FenceLineageException(
+          s"batch $batchId of lineage ${lineage.get} hit a committed fence " +
+            s"owned by lineage ${SnapshotStore.currentLineage(factPath).get} " +
+            s"at $factPath — call SnapshotStore.clearFence between query " +
+            "lineages, or point the new query at a new table")
+      fenced
+    }
     var attempts = 0
     var done = applied
     while (!done) {
@@ -485,7 +533,7 @@ object OlapEtl {
       try {
         loadFactSketches(batch.sparkSession, batch, seriesCol, tsCol,
           valueCol, idCol, grainUs, factPath, compression, p,
-          MergeGrain, fence = Some(batchId))
+          MergeGrain, fence = Some(batchId), lineage = lineage)
         done = true
       } catch {
         // the batch's effect is already committed (replay that lost

@@ -78,6 +78,22 @@ object SnapshotStore {
     else None
   }
 
+  /** The fence's owning query lineage (the third manifest token, r16) —
+    * the `txnAppId` half of Delta's (txnAppId, txnVersion) idempotence
+    * key. Without it the fence is table-global: a streaming query
+    * restarted from a FRESH checkpoint re-numbers its batchIds from 0,
+    * and a bare fence comparison silently swallows the new lineage's
+    * batches as "already applied" — data loss with no error. A fenced
+    * publish that declares a lineage DIFFERENT from the committed one
+    * is refused loudly ([[FenceLineageException]]) instead, forcing the
+    * operator through the deliberate [[clearFence]] reset. Absent on
+    * tables fenced without a lineage (format-compatible). */
+  def currentLineage(tablePath: String): Option[String] = {
+    val toks = manifestTokens(tablePath)
+    if (toks.length >= 3 && currentVersion(tablePath).isDefined) Some(toks(2))
+    else None
+  }
+
   /** Read the current committed snapshot; None if never committed. */
   def read(spark: SparkSession, tablePath: String): Option[DataFrame] =
     currentVersion(tablePath).map(v => spark.read.parquet(s"$tablePath/$v"))
@@ -85,7 +101,7 @@ object SnapshotStore {
   /** Children of `dir` (closed stream — `Files.list` leaks an fd if the
     * stream is abandoned mid-iteration).
     */
-  private def children(dir: Path): Seq[Path] =
+  private[olap] def children(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val s = Files.list(dir)
@@ -160,7 +176,8 @@ object SnapshotStore {
     * slots and evict the true predecessor from under in-flight
     * readers. */
   def publish(staged: Staged, fence: Option[Long]): Unit =
-    publishImpl(staged, fence, cas = false, expectedBase = None)
+    publishImpl(staged, fence, None, cas = false, expectedBase = None,
+      freshStage = false)
 
   /** Compare-and-swap publish (r15 review): refuses unless the table's
     * CURRENT version equals `expectedBase` — the version the caller's
@@ -176,18 +193,44 @@ object SnapshotStore {
     */
   def publishCas(staged: Staged, fence: Option[Long],
       expectedBase: Option[String]): Unit =
-    publishImpl(staged, fence, cas = true, expectedBase = expectedBase)
+    publishImpl(staged, fence, None, cas = true, expectedBase = expectedBase,
+      freshStage = false)
 
-  private def publishImpl(staged: Staged, fence: Option[Long], cas: Boolean,
-      expectedBase: Option[String]): Unit = withPublishLock(staged.tablePath) {
+  /** Lineage-scoped CAS publish (r16): `lineage` identifies the fence's
+    * owning streaming-query checkpoint (see [[currentLineage]]). */
+  def publishCas(staged: Staged, fence: Option[Long], lineage: Option[String],
+      expectedBase: Option[String]): Unit =
+    publishImpl(staged, fence, lineage, cas = true, expectedBase = expectedBase,
+      freshStage = false)
+
+  private def publishImpl(staged: Staged, fence: Option[Long],
+      lineage: Option[String], cas: Boolean, expectedBase: Option[String],
+      freshStage: Boolean): Unit = withPublishLock(staged.tablePath) {
     val dir = Paths.get(staged.tablePath)
+    require(lineage.forall(l => l.nonEmpty && !l.exists(_.isWhitespace)),
+      s"lineage token must be non-empty and whitespace-free, got $lineage " +
+        "(it rides as one manifest token)")
+    val stagedN = VersionRe.findFirstMatchIn(staged.version).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed staged version name: ${staged.version}"))
     def refuse(e: Exception): Nothing = {
       // clean up our OWN staged dir so a refusal cannot leak an orphan
-      // into gc's keep window — but NEVER delete the directory the
-      // manifest currently points at (publishing an already-committed
-      // Staged twice, e.g. a caller retry after a timed-out publish
-      // that actually succeeded, must refuse non-destructively)
-      if (!currentVersion(staged.tablePath).contains(staged.version))
+      // into gc's keep window — but ONLY when the dir is provably
+      // never-committed: either this publish call staged it itself
+      // (commit/commitCas — the Staged cannot have been published
+      // before its own publish leg), or its number is ABOVE the
+      // committed current version (versions are monotone, so a dir
+      // above current was never current). Deleting on any other
+      // refusal is the r16 advisory hazard: re-publishing an
+      // already-committed Staged (caller retry after a timed-out
+      // publish that succeeded) AFTER a concurrent writer committed a
+      // newer version would delete a PREDECESSOR version still inside
+      // gc's keep window, under in-flight readers.
+      val curN = currentVersion(staged.tablePath)
+        .flatMap(v => VersionRe.findFirstMatchIn(v).map(_.group(1).toLong))
+      val neverCommitted = freshStage || curN.forall(stagedN > _)
+      if (neverCommitted &&
+          !currentVersion(staged.tablePath).contains(staged.version))
         deleteRecursively(dir.resolve(staged.version))
       throw e
     }
@@ -199,9 +242,6 @@ object SnapshotStore {
         s"staged snapshot ${staged.version} missing under ${staged.tablePath} " +
           "— a concurrent writer committed and gc collected the staged dir; " +
           "restage against the current snapshot and retry")
-    val stagedN = VersionRe.findFirstMatchIn(staged.version).map(_.group(1).toLong)
-      .getOrElse(throw new IllegalArgumentException(
-        s"malformed staged version name: ${staged.version}"))
     val cur = currentVersion(staged.tablePath)
     if (cas && cur != expectedBase) refuse(new StaleVersionException(
       s"CAS publish refused: table at ${staged.tablePath} is at " +
@@ -216,25 +256,60 @@ object SnapshotStore {
             "first; restage against the current snapshot and retry"))
       }
     val committedFence = currentFence(staged.tablePath)
+    val committedLineage = currentLineage(staged.tablePath)
+    // lineage scoping (r16): a fenced publish declaring a lineage
+    // DIFFERENT from the committed fence's owner is a different
+    // streaming-query checkpoint (fresh checkpoint = batchIds restart
+    // at 0). Whatever its fence number, folding it through the bare
+    // monotone check either silently swallows its batches (f <= curF,
+    // "already applied") or silently adopts the fence (f > curF) —
+    // both hide a real operator decision, so refuse LOUDLY and point
+    // at clearFence, the deliberate between-lineages reset.
+    for (l <- lineage; curL <- committedLineage)
+      if (fence.isDefined && l != curL) refuse(new FenceLineageException(
+        s"fenced publish refused: lineage '$l' does not match the committed " +
+          s"fence's lineage '$curL' at ${staged.tablePath} — a different " +
+          "streaming-query checkpoint is writing this table (fresh " +
+          "checkpoints renumber batchIds from 0, so fence comparison across " +
+          "lineages is meaningless); call SnapshotStore.clearFence between " +
+          "query lineages, or point the new query at a new table"))
     for (f <- fence; curF <- committedFence)
       if (f <= curF) refuse(new StaleFenceException(
         s"fenced publish refused: batch fence $f is not above the committed " +
           s"fence $curF at ${staged.tablePath} — the batch's effect is already " +
           "in the snapshot (replayed micro-batch); skip it"))
     val carried = fence.orElse(committedFence)
-    // tmp lives in the SAME directory as the manifest: same filesystem,
-    // so ATOMIC_MOVE is a true rename (the ParityRun r12 lesson — a
-    // default-tmpdir stage can silently fall back to copy+delete)
-    val tmp = Files.createTempFile(dir, s".manifest-${staged.version}-", ".tmp")
+    // an unfenced publish carries BOTH fence and lineage forward; a
+    // fenced one writes its own lineage (or keeps the committed owner
+    // when it declares none — legacy unscoped callers must not strip
+    // the scoping a lineage-aware sink committed)
+    val carriedLineage =
+      if (fence.isDefined) lineage.orElse(committedLineage) else committedLineage
+    writeManifestAtomic(dir, staged.version,
+      staged.version + carried.fold("")(f => s" $f") +
+        (if (carried.isDefined) carriedLineage.fold("")(l => s" $l") else ""))
+  }
+
+  /** Write-tmp-then-ATOMIC_MOVE manifest replacement, shared by
+    * [[publishImpl]] and [[clearFence]] (r16 — clearFence previously
+    * lacked publish's clear refusal on AtomicMoveNotSupported). The tmp
+    * lives in the SAME directory as the manifest: same filesystem, so
+    * ATOMIC_MOVE is a true rename (the ParityRun r12 lesson — a
+    * default-tmpdir stage can silently fall back to copy+delete). A
+    * platform that cannot do the atomic move fails the publish rather
+    * than tear the manifest. */
+  private[olap] def writeManifestAtomic(dir: Path, tag: String,
+      content: String): Unit = {
+    val tmp = Files.createTempFile(dir, s".manifest-$tag-", ".tmp")
     try {
-      Files.writeString(tmp, staged.version + carried.fold("")(f => s" $f"))
+      Files.writeString(tmp, content)
       try Files.move(tmp, dir.resolve(ManifestName),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       catch { case e: AtomicMoveNotSupportedException =>
         // refuse a non-atomic fallback: a torn manifest is exactly the
         // failure mode this store exists to prevent
         throw new IllegalStateException(
-          s"filesystem at ${staged.tablePath} cannot atomically replace the manifest", e)
+          s"filesystem at $dir cannot atomically replace the manifest", e)
       }
     } finally Files.deleteIfExists(tmp)
   }
@@ -253,7 +328,7 @@ object SnapshotStore {
     */
   private val publishMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def withPublishLock[A](tablePath: String)(body: => A): A = {
+  private[olap] def withPublishLock[A](tablePath: String)(body: => A): A = {
     val key = Paths.get(tablePath).toAbsolutePath.normalize.toString
     val monitor = publishMonitors.computeIfAbsent(key, _ => new Object)
     monitor.synchronized {
@@ -280,6 +355,16 @@ object SnapshotStore {
     * a genuine invariant failure). */
   final class StaleVersionException(msg: String) extends IllegalStateException(msg)
 
+  /** A fenced publish refused because its lineage token differs from
+    * the committed fence's owner (r16): a DIFFERENT streaming-query
+    * checkpoint is writing the table, so fence comparison is
+    * meaningless and silently skipping would LOSE the new lineage's
+    * batches. Deliberately not a subtype of [[StaleFenceException]] /
+    * [[StaleVersionException]] — idempotent-sink retry loops must NOT
+    * swallow it; the fix is operator action ([[clearFence]] between
+    * lineages), not a retry. */
+  final class FenceLineageException(msg: String) extends IllegalStateException(msg)
+
   /** stage + publish; returns the committed version name. */
   def commit(df: DataFrame, tablePath: String): String =
     commit(df, tablePath, None)
@@ -287,7 +372,10 @@ object SnapshotStore {
   /** stage + fenced publish (see [[publish(staged:Staged,fence:Option[Long])*]]). */
   def commit(df: DataFrame, tablePath: String, fence: Option[Long]): String = {
     val staged = stage(df, tablePath)
-    publish(staged, fence)
+    // freshStage: the Staged was created inside THIS call, so a refusal
+    // may always delete its dir — it cannot be a committed predecessor
+    publishImpl(staged, fence, None, cas = false, expectedBase = None,
+      freshStage = true)
     staged.version
   }
 
@@ -295,9 +383,15 @@ object SnapshotStore {
     * committed version the caller READ when computing `df` (None = the
     * table did not exist yet). */
   def commitCas(df: DataFrame, tablePath: String, fence: Option[Long],
-      expectedBase: Option[String]): String = {
+      expectedBase: Option[String]): String =
+    commitCas(df, tablePath, fence, None, expectedBase)
+
+  /** Lineage-scoped CAS commit (see [[currentLineage]]). */
+  def commitCas(df: DataFrame, tablePath: String, fence: Option[Long],
+      lineage: Option[String], expectedBase: Option[String]): String = {
     val staged = stage(df, tablePath)
-    publishCas(staged, fence, expectedBase)
+    publishImpl(staged, fence, lineage, cas = true,
+      expectedBase = expectedBase, freshStage = true)
     staged.version
   }
 
@@ -312,13 +406,10 @@ object SnapshotStore {
     */
   def clearFence(tablePath: String): Unit = withPublishLock(tablePath) {
     currentVersion(tablePath).foreach { v =>
-      val dir = Paths.get(tablePath)
-      val tmp = Files.createTempFile(dir, s".manifest-$v-", ".tmp")
-      try {
-        Files.writeString(tmp, v)
-        Files.move(tmp, dir.resolve(ManifestName),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      } finally Files.deleteIfExists(tmp)
+      // drops the fence AND its lineage token — the next fenced lineage
+      // starts clean (shared atomic writer: same rename discipline and
+      // same loud AtomicMoveNotSupported refusal as publish, r16)
+      writeManifestAtomic(Paths.get(tablePath), v, v)
     }
   }
 
@@ -327,27 +418,34 @@ object SnapshotStore {
     * one (staged-ahead versions newer than the manifest are kept too —
     * they may be mid-publish). Returns the deleted directory names.
     */
-  def gc(tablePath: String, keep: Int = 2): Seq[String] = {
+  def gc(tablePath: String, keep: Int = 2,
+      staleStageGraceMs: Long = 24L * 3600L * 1000L): Seq[String] = {
     require(keep >= 1, s"gc must keep at least the current version, got $keep")
     val dir = Paths.get(tablePath)
     val cur = currentVersion(tablePath).map(v => VersionRe.findFirstMatchIn(v).get.group(1).toLong)
     if (!Files.isDirectory(dir) || cur.isEmpty) return Seq.empty
     val versions = versionDirs(dir)
     val retained = versions.filter(_._1 <= cur.get).takeRight(keep).map(_._1).toSet
+    val now = System.currentTimeMillis()
     val doomed = versions.filter { case (n, p) =>
       // skip dirs still being WRITTEN (no parquet _SUCCESS marker yet):
       // a slow writer's in-flight stage can sit at/below current once a
       // faster writer commits, and dooming it would crash that writer
       // mid-write with an untyped IO error instead of the typed
-      // lost-race refusal it gets at publish time (r15 review)
+      // lost-race refusal it gets at publish time (r15 review). But a
+      // writer that CRASHED mid-stage leaves a _SUCCESS-less dir
+      // forever (and _SUCCESS emission is configurable off), so dirs
+      // past `staleStageGraceMs` of mtime-age collect anyway — no
+      // in-flight stage legitimately runs that long (r16 advisory).
       n <= cur.get && !retained.contains(n) &&
-        Files.exists(p.resolve("_SUCCESS"))
+        (Files.exists(p.resolve("_SUCCESS")) ||
+          now - Files.getLastModifiedTime(p).toMillis > staleStageGraceMs)
     }
     doomed.foreach { case (_, p) => deleteRecursively(p) }
     doomed.map(_._2.getFileName.toString)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[olap] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) children(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }

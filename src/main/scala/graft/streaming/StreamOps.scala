@@ -555,13 +555,23 @@ object StreamOps {
     * is emitted per bar as it arrives, with warm-up rows emitting
     * nulls exactly like the batch kernel.
     *
-    * `idleTimeout`: optional processing-time eviction of series whose
-    * feed has gone quiet — with unbounded/churning key cardinality the
-    * per-series state would otherwise accumulate forever. An evicted
-    * series that later resumes restarts its warm-up (EMA/Wilder
-    * recursions are re-seeded), exactly as a fresh key would; the
-    * bounded-key parity use keeps the `None` default (never evict, the
-    * batch≡streaming contract over any pause).
+    * `idleTimeout`: optional eviction of series whose feed has gone
+    * quiet — with unbounded/churning key cardinality the per-series
+    * state would otherwise accumulate forever. An evicted series that
+    * later resumes restarts its warm-up (EMA/Wilder recursions are
+    * re-seeded), exactly as a fresh key would; the bounded-key parity
+    * use keeps the `None` default (never evict, the batch≡streaming
+    * contract over any pause).
+    *
+    * `Some(d)` here means WALL-CLOCK eviction ([[ProcessingTimeIdle]] —
+    * kept for source compatibility, and spec-pinned as such). Prefer
+    * the [[EventTimeIdle]] policy through the eviction-policy overload
+    * for new code: its eviction point is a function of the DATA, so
+    * checkpoint-restore replays evict at identical bar boundaries, and
+    * on the backtest face it is the policy whose state stays GC-able
+    * under the r15 cap-entry retention rule (ProcessingTimeIdle
+    * retains a key with a live cap entry indefinitely — the documented
+    * price of trade-for-trade replay correctness).
     */
   def streamingIndicators(bars: Dataset[IndicatorBar],
       conf: graft.ts.TechIndicators.RecursiveConfig = graft.ts.TechIndicators.RecursiveConfig(),

@@ -191,6 +191,74 @@ class SnapshotStoreSpec extends AnyFunSuite {
       s"completed old versions must still collect: $deleted2")
   }
 
+  test("retrying a committed publish after a NEWER concurrent commit never deletes the predecessor") {
+    val p = freshTable()
+    // writer A commits v0 via stage+publish, but its publish call times
+    // out CLIENT-side after succeeding — A still holds the Staged
+    val st = SnapshotStore.stage(df(1), p)
+    SnapshotStore.publish(st)
+    // a concurrent writer commits v1; v0 is now the predecessor inside
+    // gc's keep window, possibly under in-flight readers
+    SnapshotStore.commit(df(2), p)
+    // A's retry must refuse — and must NOT delete v0 (r16 advisory: the
+    // old cleanup guarded only the CURRENT manifest target, so this
+    // exact interleave deleted a committed predecessor)
+    intercept[SnapshotStore.StaleVersionException] { SnapshotStore.publish(st) }
+    assert(Files.isDirectory(Paths.get(p, "v0")),
+      "retrying a committed publish deleted the predecessor version dir")
+    assert(readVals(p) == Seq(2))
+  }
+
+  test("fence lineage: a different query lineage is refused LOUDLY, never silently skipped") {
+    val p = freshTable()
+    // lineage A lands batches 0..5 (fence 5)
+    SnapshotStore.commitCas(df(1), p, Some(5L), Some("runA"),
+      SnapshotStore.currentVersion(p))
+    assert(SnapshotStore.currentLineage(p).contains("runA"))
+    // lineage B restarts from a FRESH checkpoint: batch 0 again. The
+    // bare fence check would swallow it as "already applied" — with
+    // lineage scoping it raises the dedicated loud type instead
+    intercept[SnapshotStore.FenceLineageException] {
+      SnapshotStore.commitCas(df(2), p, Some(0L), Some("runB"),
+        SnapshotStore.currentVersion(p))
+    }
+    assert(readVals(p) == Seq(1), "the refused lineage-B publish landed")
+    // same lineage, replayed batch → the normal skip signal, unchanged
+    intercept[SnapshotStore.StaleFenceException] {
+      SnapshotStore.commitCas(df(3), p, Some(5L), Some("runA"),
+        SnapshotStore.currentVersion(p))
+    }
+    // an UNFENCED commit carries fence AND lineage forward
+    SnapshotStore.commit(df(4), p)
+    assert(SnapshotStore.currentFence(p).contains(5L) &&
+      SnapshotStore.currentLineage(p).contains("runA"),
+      "an unfenced commit stripped the fence's lineage")
+    // the deliberate reset clears both; lineage B's batch 0 then lands
+    SnapshotStore.clearFence(p)
+    assert(SnapshotStore.currentLineage(p).isEmpty)
+    SnapshotStore.commitCas(df(5), p, Some(0L), Some("runB"),
+      SnapshotStore.currentVersion(p))
+    assert(SnapshotStore.currentFence(p).contains(0L) &&
+      SnapshotStore.currentLineage(p).contains("runB"))
+  }
+
+  test("gc collects a crashed stage (_SUCCESS-less) once it is older than the grace period") {
+    val p = freshTable()
+    (0 to 3).foreach(i => SnapshotStore.commit(df(i), p)) // v0..v3
+    Files.delete(Paths.get(p, "v0", "_SUCCESS"))          // crashed mid-stage
+    // young: protected (could be a live slow writer)
+    assert(!SnapshotStore.gc(p, keep = 2).contains("v0"))
+    // age it past the grace period: collects (r16 advisory — without
+    // the cutoff a crashed stage survives forever, and a pipeline with
+    // _SUCCESS markers disabled would make gc a permanent no-op)
+    Files.setLastModifiedTime(Paths.get(p, "v0"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600L * 1000L))
+    val deleted = SnapshotStore.gc(p, keep = 2)
+    assert(deleted.contains("v0") && !Files.isDirectory(Paths.get(p, "v0")),
+      s"aged crashed stage must collect: $deleted")
+  }
+
   test("loadFactPerformance survives a simulated crash between its stage and publish") {
     val p = freshTable()
     val results = Seq(("Train MAE H1", 0.1, 0.01, 0.09, 0.11))

@@ -503,6 +503,14 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(s1.isUpdated && s1.getTimeoutTimestampMs.isPresent,
       "idleTimeout did not arm a processing-time timeout")
     assert(s1.getTimeoutTimestampMs.get == 1000L + 10.minutes.toMillis)
+    // r16 pin: the Option[Duration] convenience MEANS wall-clock
+    // ProcessingTimeIdle — kept for source compat; EventTimeIdle is the
+    // recommended policy for new code (constructor scaladoc says why)
+    val viaPolicy = freshState(Optional.empty(), timedOut = false)
+    StreamOps.indicatorGroupStep("x", (1L to 20L).map(bar).iterator,
+      viaPolicy, conf, StreamOps.ProcessingTimeIdle(10.minutes)).toVector
+    assert(viaPolicy.getTimeoutTimestampMs == s1.getTimeoutTimestampMs,
+      "Some(d) convenience must be exactly ProcessingTimeIdle(d)")
     val carried = s1.get
     // the timeout fires: the handler must evict and emit nothing
     val s2 = freshState(Optional.of(carried), timedOut = true)
