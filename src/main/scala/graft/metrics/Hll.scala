@@ -91,12 +91,269 @@ object Hll {
   }
 
   /** Register max as a fresh array (functional merge for set algebra
-    * over STORED sketches — q120's union). */
+    * over STORED sketches — q120's union). DENSE-only face (length
+    * carries p); encoded/possibly-sparse sketches go through
+    * [[encMerge]] with an explicit p. */
   def merged(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    // dense tripwire: a dense register array is 2^p bytes (encoded /
+    // possibly-sparse sketches go through encMerge with an explicit p)
+    require(java.lang.Long.bitCount(a.length.toLong) == 1 &&
+      a.length == b.length,
+      s"merged() is the dense face (got lengths ${a.length}/${b.length}) — " +
+        "use encMerge(a, b, p) for encoded sketches")
     val out = java.util.Arrays.copyOf(a, a.length)
     mergeInto(out, b)
     out
   }
+
+  // ---------------------------------------------------------------------
+  // Sparse encoding (r16 — Heule, Nunkesser, Hall 2013 §5.3, the
+  // HyperLogLog++ sparse representation, re-derived for this register
+  // layout): below [[sparseMax]] populated registers a sketch is a
+  // sorted list of (register index, rank) pairs instead of 2^p mostly-
+  // zero bytes. The LONG TAIL of low-cardinality keys then pays O(k)
+  // bytes instead of a fixed 4 KiB — the dominant term in per-key
+  // streaming state (SCALE-R15 measured 5.6 GiB at 1M keys dense) and
+  // in the per-(key, grain) sketch fact. The encoding is LOSSLESS and
+  // canonical (a pure function of the register content), so every
+  // estimate, merge, and bit-equality contract is unchanged: estimates
+  // decode to the identical dense array before the float loop.
+  //
+  // Wire format, distinguished from dense by LENGTH (a dense array is
+  // exactly 2^p ≥ 16 bytes; a sparse one is 1 + 3k with k ≤ 2^p/8, so
+  // max 1 + 3·2^p/8 < 2^p for every p ≥ 4 — no collision):
+  //   byte 0:        marker 0x01 (room for future encodings)
+  //   bytes 1+3i:    register index, big-endian u16 (p ≤ 16)
+  //   bytes 3+3i:    rank (1..64-p+1)
+  // entries sorted by index, unique. Length 0 stays "no input yet".
+  // ---------------------------------------------------------------------
+
+  private val SparseMarker: Byte = 1
+
+  /** Max populated registers before a sparse sketch upgrades to dense:
+    * past m/8 the 3-byte-per-entry list approaches dense size and
+    * insertion cost stops paying for itself. */
+  def sparseMax(p: Int): Int = (1 << p) / 8
+
+  /** Sparse encoding supported for 4 ≤ p ≤ 16 (u16 index); outside
+    * that, everything stays dense. */
+  private def sparseCapable(p: Int): Boolean = p >= 4 && p <= 16
+
+  /** Encoding discrimination is BY LENGTH AGAINST p — content alone is
+    * ambiguous (a sparse length 1+3k can itself be a power of two, and
+    * a dense array can begin with byte 0x01), so every encoding-aware
+    * entry point carries p. A non-empty encoding that is not exactly
+    * 2^p bytes is sparse; the marker byte is a format tripwire, not
+    * the discriminator. */
+  def isSparse(enc: Array[Byte], p: Int): Boolean = {
+    val sparse = enc.length > 0 && enc.length != (1 << p)
+    if (sparse) require(enc.length % 3 == 1 && enc(0) == SparseMarker,
+      s"unrecognized HLL encoding: length ${enc.length} at p=$p")
+    sparse
+  }
+
+  private def sparseCount(enc: Array[Byte]): Int = (enc.length - 1) / 3
+
+  private def sparseIdx(enc: Array[Byte], i: Int): Int =
+    ((enc(1 + 3 * i) & 0xFF) << 8) | (enc(2 + 3 * i) & 0xFF)
+
+  private def sparseRank(enc: Array[Byte], i: Int): Byte = enc(3 + 3 * i)
+
+  /** Binary search over sparse entries: entry position if found, else
+    * -(insertionPoint) - 1 (java.util.Arrays convention). */
+  private def sparseFind(enc: Array[Byte], idx: Int): Int = {
+    var lo = 0
+    var hi = sparseCount(enc) - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = sparseIdx(enc, mid)
+      if (v < idx) lo = mid + 1
+      else if (v > idx) hi = mid - 1
+      else return mid
+    }
+    -(lo + 1)
+  }
+
+  /** Decode any encoding to a FRESH dense register array. */
+  def toDense(enc: Array[Byte], p: Int): Array[Byte] =
+    if (isSparse(enc, p)) {
+      val out = emptyRegs(p)
+      var i = 0
+      val k = sparseCount(enc)
+      while (i < k) { out(sparseIdx(enc, i)) = sparseRank(enc, i); i += 1 }
+      out
+    } else if (enc.length == 0) emptyRegs(p)
+    else {
+      require(enc.length == (1 << p),
+        s"HLL register width mismatch: ${enc.length} vs p=$p")
+      java.util.Arrays.copyOf(enc, enc.length)
+    }
+
+  private def copyEnc(enc: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOf(enc, enc.length)
+
+  /** Canonical stored form — a pure function of the register CONTENT
+    * (not of the fold path): sparse when ≤ [[sparseMax]] registers are
+    * populated, dense otherwise. Two ingest paths reaching the same
+    * register content therefore store the same bytes, which is what
+    * keeps the bit-equality contracts (q119's rollup ≡ direct, the
+    * SketchFactSpec incremental ≡ one-shot leg) meaningful across
+    * encodings. */
+  def canonical(enc: Array[Byte], p: Int): Array[Byte] = {
+    if (enc.length == 0) return enc
+    if (!sparseCapable(p)) return toDenseInPlace(enc, p)
+    if (isSparse(enc, p)) {
+      // sparse arrays are maintained sorted/unique — already canonical
+      if (sparseCount(enc) <= sparseMax(p)) enc else toDense(enc, p)
+    } else {
+      require(enc.length == (1 << p),
+        s"HLL register width mismatch: ${enc.length} vs p=$p")
+      var nnz = 0
+      var i = 0
+      while (i < enc.length) { if (enc(i) != 0) nnz += 1; i += 1 }
+      if (nnz > sparseMax(p)) enc
+      else {
+        val out = new Array[Byte](1 + 3 * nnz)
+        out(0) = SparseMarker
+        var j = 0
+        i = 0
+        while (i < enc.length) {
+          if (enc(i) != 0) {
+            out(1 + 3 * j) = ((i >> 8) & 0xFF).toByte
+            out(2 + 3 * j) = (i & 0xFF).toByte
+            out(3 + 3 * j) = enc(i)
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  private def toDenseInPlace(enc: Array[Byte], p: Int): Array[Byte] =
+    if (isSparse(enc, p)) toDense(enc, p) else enc
+
+  /** Fold one value into an ENCODED sketch: dense folds in place
+    * (returns the same array — the [[add]] hot path, unchanged); a
+    * sparse sketch inserts/updates its entry, upgrading to dense past
+    * [[sparseMax]]; an empty (length-0) encoding starts sparse. The
+    * caller must treat the RETURN value as the new sketch. */
+  def encAdd(enc: Array[Byte], p: Int, x: Long): Array[Byte] = {
+    if (enc.length == (1 << p)) { add(enc, p, x); return enc }
+    if (enc.length == 0) {
+      if (!sparseCapable(p)) { val d = emptyRegs(p); add(d, p, x); return d }
+      val h = hash64(x)
+      val idx = (h >>> (64 - p)).toInt
+      val r = rankOf(h, p)
+      val out = new Array[Byte](4)
+      out(0) = SparseMarker
+      out(1) = ((idx >> 8) & 0xFF).toByte
+      out(2) = (idx & 0xFF).toByte
+      out(3) = r
+      return out
+    }
+    require(isSparse(enc, p),
+      s"unrecognized HLL encoding: length ${enc.length} at p=$p")
+    val h = hash64(x)
+    val idx = (h >>> (64 - p)).toInt
+    val r = rankOf(h, p)
+    val pos = sparseFind(enc, idx)
+    if (pos >= 0) {
+      if (r > sparseRank(enc, pos)) enc(3 + 3 * pos) = r
+      enc
+    } else if (sparseCount(enc) >= sparseMax(p)) {
+      val d = toDense(enc, p)
+      if (r > d(idx)) d(idx) = r
+      d
+    } else {
+      val ins = -(pos + 1)
+      val out = new Array[Byte](enc.length + 3)
+      System.arraycopy(enc, 0, out, 0, 1 + 3 * ins)
+      out(1 + 3 * ins) = ((idx >> 8) & 0xFF).toByte
+      out(2 + 3 * ins) = (idx & 0xFF).toByte
+      out(3 + 3 * ins) = r
+      System.arraycopy(enc, 1 + 3 * ins, out, 4 + 3 * ins,
+        enc.length - 1 - 3 * ins)
+      out
+    }
+  }
+
+  private def rankOf(h: Long, p: Int): Byte = {
+    val w = h << p
+    val rho = (if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1
+    math.min(rho, 64 - p + 1).toByte
+  }
+
+  /** Merge two ENCODED sketches (register-wise max). May mutate and
+    * return either argument — aggregation-buffer semantics, exactly
+    * like the dense [[mergeInto]]. Empty operands pass the other side
+    * through. */
+  def encMerge(a: Array[Byte], b: Array[Byte], p: Int): Array[Byte] = {
+    if (a.length == 0) return b
+    if (b.length == 0) return a
+    val aS = isSparse(a, p)
+    val bS = isSparse(b, p)
+    if (!aS && !bS) { mergeInto(a, b); a }
+    else if (!aS) { mergeSparseIntoDense(a, b); a }
+    else if (!bS) { mergeSparseIntoDense(b, a); b }
+    else {
+      // sorted-list union with rank max; densify past the threshold
+      val ka = sparseCount(a)
+      val kb = sparseCount(b)
+      if (ka + kb > sparseMax(p)) {
+        val d = toDense(a, p)
+        mergeSparseIntoDense(d, b)
+        // union may still fit sparse (heavy index overlap) — canonical
+        // form is decided by CONTENT, not by this transient; callers
+        // that store go through canonical()
+        d
+      } else {
+        val out = new Array[Byte](1 + 3 * (ka + kb))
+        out(0) = SparseMarker
+        var i = 0; var j = 0; var n = 0
+        while (i < ka || j < kb) {
+          val takeA =
+            j >= kb || (i < ka && sparseIdx(a, i) <= sparseIdx(b, j))
+          val (idx, r) =
+            if (takeA && j < kb && i < ka && sparseIdx(a, i) == sparseIdx(b, j)) {
+              val m = (sparseIdx(a, i),
+                if (sparseRank(a, i) >= sparseRank(b, j)) sparseRank(a, i)
+                else sparseRank(b, j))
+              i += 1; j += 1; m
+            } else if (takeA) { val m = (sparseIdx(a, i), sparseRank(a, i)); i += 1; m }
+            else { val m = (sparseIdx(b, j), sparseRank(b, j)); j += 1; m }
+          out(1 + 3 * n) = ((idx >> 8) & 0xFF).toByte
+          out(2 + 3 * n) = (idx & 0xFF).toByte
+          out(3 + 3 * n) = r
+          n += 1
+        }
+        if (n == ka + kb) out
+        else java.util.Arrays.copyOf(out, 1 + 3 * n) // overlaps collapsed
+      }
+    }
+  }
+
+  private def mergeSparseIntoDense(dst: Array[Byte], sparse: Array[Byte]): Unit = {
+    val k = sparseCount(sparse)
+    var i = 0
+    while (i < k) {
+      val idx = sparseIdx(sparse, i)
+      val r = sparseRank(sparse, i)
+      if (r > dst(idx)) dst(idx) = r
+      i += 1
+    }
+  }
+
+  /** Cardinality estimate of any encoding. Sparse decodes to dense
+    * FIRST so the float summation order — hence the estimate — is
+    * bit-identical to the dense path (the q119 rollup ≡ direct
+    * equality is an exact-equality contract; an O(k) shortcut with a
+    * different summation order could drift it by an ulp). */
+  def encEstimate(enc: Array[Byte], p: Int): Long =
+    if (isSparse(enc, p)) estimate(toDense(enc, p))
+    else if (enc.length == 0) 0L
+    else estimate(enc)
 
   private def alpha(m: Int): Double = m match {
     case 16 => 0.673
@@ -111,6 +368,9 @@ object Hll {
     * realistic cardinalities and omitted. Deterministic: a pure
     * function of the register array. */
   def estimate(regs: Array[Byte]): Long = {
+    require(java.lang.Long.bitCount(regs.length.toLong) == 1,
+      s"estimate() is the dense face (got length ${regs.length}) — " +
+        "use encEstimate(enc, p) for encoded sketches")
     val m = regs.length
     var sum = 0.0
     var zeros = 0
@@ -138,32 +398,28 @@ object Hll {
     * later distinct questions by register-max rollup. */
   final case class Sketch(regs: Array[Byte])
 
-  private def foldLong(b: Regs, x: Long, p: Int): Regs = {
-    val r = if (b.regs.length == 0) emptyRegs(p) else b.regs
-    add(r, p, x)
-    Regs(r)
-  }
-
-  private def foldMerge(a: Regs, b: Regs): Regs =
-    if (a.regs.length == 0) b
-    else if (b.regs.length == 0) a
-    else { mergeInto(a.regs, b.regs); a }
-
   /** Long column → distinct-count estimate, one sketch per group.
-    * Map-side partials ship 2^p bytes; merge is register max. */
+    * The buffer starts SPARSE (r16) and upgrades to dense past
+    * [[sparseMax]] populated registers, so map-side partials for
+    * low-cardinality groups ship O(k) bytes instead of a fixed 2^p —
+    * estimates are unchanged (lossless encoding, identical float
+    * path). Merge is register max under either encoding. */
   class DistinctAgg(p: Int) extends Aggregator[Long, Regs, Long]
     with Serializable {
     override def zero: Regs = Regs(Array.emptyByteArray)
-    override def reduce(b: Regs, x: Long): Regs = foldLong(b, x, p)
-    override def merge(a: Regs, b: Regs): Regs = foldMerge(a, b)
-    override def finish(b: Regs): Long =
-      if (b.regs.length == 0) 0L else estimate(b.regs)
+    override def reduce(b: Regs, x: Long): Regs = Regs(encAdd(b.regs, p, x))
+    override def merge(a: Regs, b: Regs): Regs =
+      Regs(encMerge(a.regs, b.regs, p))
+    override def finish(b: Regs): Long = encEstimate(b.regs, p)
     override def bufferEncoder: Encoder[Regs] = Encoders.product[Regs]
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
   /** Long column → storable [[Sketch]] (the ingest-side half of the
-    * rollup pattern). */
+    * rollup pattern). Stored form is [[canonical]] — sparse below the
+    * threshold, dense above; a pure function of the register content,
+    * so any two fold paths over the same value set store the same
+    * bytes (the bit-equality contracts survive the encoding). */
   class SketchAgg(p: Int) extends Aggregator[Long, Regs, Sketch]
     with Serializable {
     private val inner = new DistinctAgg(p)
@@ -171,7 +427,8 @@ object Hll {
     override def reduce(b: Regs, x: Long): Regs = inner.reduce(b, x)
     override def merge(a: Regs, b: Regs): Regs = inner.merge(a, b)
     override def finish(b: Regs): Sketch =
-      Sketch(if (b.regs.length == 0) emptyRegs(p) else b.regs)
+      Sketch(canonical(
+        if (b.regs.length == 0) emptyRegs(p) else b.regs, p))
     override def bufferEncoder: Encoder[Regs] = Encoders.product[Regs]
     override def outputEncoder: Encoder[Sketch] = Encoders.product[Sketch]
   }
@@ -180,17 +437,24 @@ object Hll {
     * query-side half): register-max rollup, never the raw values.
     * Because the merge is lossless, the result is BIT-IDENTICAL to a
     * one-level [[DistinctAgg]] over the raw data — q119 emits that
-    * equality as a verdict column. */
+    * equality as a verdict column. Accepts sparse, dense, and mixed
+    * stored encodings. */
   class MergeSketchesAgg(p: Int) extends Aggregator[Sketch, Regs, Long]
     with Serializable {
     private val inner = new DistinctAgg(p)
     override def zero: Regs = inner.zero
-    /** Copies on first adopt: the in-place merges that follow must
-      * never mutate a caller-retained input sketch array. */
+    /** Copies on adopt/mutation: the in-place merges must never mutate
+      * a caller-retained input sketch array. A dense input is only at
+      * risk when the buffer is sparse or empty (encMerge would fold
+      * INTO the dense side); a read-only pass needs no copy. */
     override def reduce(b: Regs, s: Sketch): Regs =
-      if (b.regs.length == 0)
-        Regs(java.util.Arrays.copyOf(s.regs, s.regs.length))
-      else { mergeInto(b.regs, s.regs); b }
+      if (b.regs.length == 0) Regs(copyEnc(s.regs))
+      else {
+        val sIn =
+          if (isSparse(b.regs, p) && !isSparse(s.regs, p)) copyEnc(s.regs)
+          else s.regs
+        Regs(encMerge(b.regs, sIn, p))
+      }
     override def merge(a: Regs, b: Regs): Regs = inner.merge(a, b)
     override def finish(b: Regs): Long = inner.finish(b)
     override def bufferEncoder: Encoder[Regs] = Encoders.product[Regs]
@@ -204,7 +468,7 @@ object Hll {
     * mode — hourly micro-batch sketches folding into a daily grain row
     * without re-reading the grain's history). Register max is lossless
     * and idempotent, so any rollup tree over the same inputs yields
-    * the bit-identical sketch. */
+    * the bit-identical [[canonical]] sketch. */
   class RollupSketchesAgg(p: Int) extends Aggregator[Sketch, Regs, Sketch]
     with Serializable {
     private val inner = new MergeSketchesAgg(p)
@@ -212,7 +476,8 @@ object Hll {
     override def reduce(b: Regs, s: Sketch): Regs = inner.reduce(b, s)
     override def merge(a: Regs, b: Regs): Regs = inner.merge(a, b)
     override def finish(b: Regs): Sketch =
-      Sketch(if (b.regs.length == 0) emptyRegs(p) else b.regs)
+      Sketch(canonical(
+        if (b.regs.length == 0) emptyRegs(p) else b.regs, p))
     override def bufferEncoder: Encoder[Regs] = Encoders.product[Regs]
     override def outputEncoder: Encoder[Sketch] = Encoders.product[Sketch]
   }

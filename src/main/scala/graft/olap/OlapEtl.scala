@@ -341,16 +341,178 @@ object OlapEtl {
       compression: Double = 100.0, p: Int = 12,
       mode: SketchIngestMode = ReplaceGrain,
       fence: Option[Long] = None,
-      lineage: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.Encoders
+      lineage: Option[String] = None,
+      layout: PartitionedSnapshotStore.Layout = PartitionedSnapshotStore.Layout())
+      : DataFrame = {
+    loadFactSketches(spark, events, Seq(seriesCol), tsCol, valueCol, idCol,
+      grainUs, factPath, compression, p, mode, fence, lineage, layout)
+  }
+
+  /** Composite-key face (r16): real warehouse series keys are often
+    * composite — (event_type, region), (supplier, part-class). A
+    * multi-column key lands as ONE `series_key` STRUCT column
+    * (struct equality drives the grain upsert, struct hashing drives
+    * the partition buckets), so the fact schema stays fixed at
+    * (series_key, grain, value_digest, id_sketch, n_rows) whatever the
+    * key arity; a single-column key stays the bare column — the
+    * degenerate case is byte-identical to pre-r16 tables (q122
+    * unchanged). */
+  def loadFactSketches(spark: SparkSession, events: DataFrame,
+      seriesCols: Seq[String], tsCol: String, valueCol: String,
+      idCol: String, grainUs: Long, factPath: String, compression: Double,
+      p: Int, mode: SketchIngestMode, fence: Option[Long],
+      lineage: Option[String], layout: PartitionedSnapshotStore.Layout)
+      : DataFrame = {
     val aggs = sketchAggExprs(col("__v"), col("__id"), compression, p)
     val updates = events
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
-      .select(col(seriesCol).as("series_key"),
+      .select(seriesKeyCol(seriesCols).as("series_key"),
         grainCol(col(tsCol), grainUs).as("grain"),
         col(valueCol).as("__v"), col(idCol).as("__id"))
       .groupBy(col("series_key"), col("grain"))
       .agg(aggs.head, aggs.tail: _*)
+    commitSketchUpdates(spark, updates, factPath, mode, compression, p,
+      fence, lineage, layout)
+  }
+
+  /** The fact's series-key expression: one column stays bare (the
+    * pre-r16 shape), several pack into a struct named by the source
+    * columns (readable back as `series_key.<name>`). */
+  private[graft] def seriesKeyCol(seriesCols: Seq[String])
+      : org.apache.spark.sql.Column = {
+    require(seriesCols.nonEmpty, "at least one series-key column")
+    if (seriesCols.size == 1) col(seriesCols.head)
+    else struct(seriesCols.map(col): _*)
+  }
+
+  /** Shared commit leg of the sketch-fact loaders: lands an aggregated
+    * grain-row `updates` relation into the fact under `mode`'s
+    * collision semantics, on whichever snapshot layout the table
+    * already has — partitioned manifest-of-files
+    * ([[PartitionedSnapshotStore]], the default for NEW tables: a
+    * merge commit stages only the colliding grain buckets, so
+    * per-batch cost is O(batch), not O(|fact|) — the r15 disclosed
+    * boundary, closed) or the legacy monolithic [[SnapshotStore]]
+    * layout (pre-r16 tables keep working; their commit stays the
+    * documented full-snapshot rewrite). CAS + fence + lineage
+    * semantics are identical on both paths.
+    */
+  private def commitSketchUpdates(spark: SparkSession, updates: DataFrame,
+      factPath: String, mode: SketchIngestMode, compression: Double, p: Int,
+      fence: Option[Long], lineage: Option[String],
+      layout: PartitionedSnapshotStore.Layout): DataFrame = {
+    val legacyMonolithic =
+      !PartitionedSnapshotStore.isPartitioned(factPath) &&
+        SnapshotStore.currentVersion(factPath).isDefined
+    if (legacyMonolithic)
+      commitSketchUpdatesMonolithic(spark, updates, factPath, mode,
+        compression, p, fence, lineage)
+    else
+      commitSketchUpdatesPartitioned(spark, updates, factPath, mode,
+        compression, p, fence, lineage, layout)
+  }
+
+  /** The grain-bucket fold of a [[MergeGrain]] collision: register-max
+    * for the HLL (lossless), centroid merge for the t-digest (the q115
+    * bound survives — one more merge tree), n_rows sums. ONE
+    * definition for both snapshot layouts. */
+  private def collisionFold(rows: DataFrame, compression: Double, p: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rollDigest = org.apache.spark.sql.functions.udaf(
+      new graft.metrics.TDigest.RollupDigestsAgg(compression),
+      Encoders.product[graft.metrics.TDigest.Digest])
+    val rollHll = org.apache.spark.sql.functions.udaf(
+      new graft.metrics.Hll.RollupSketchesAgg(p),
+      Encoders.product[graft.metrics.Hll.Sketch])
+    rows.groupBy(col("series_key"), col("grain"))
+      .agg(
+        rollDigest(col("value_digest.means"), col("value_digest.weights"))
+          .as("value_digest"),
+        rollHll(col("id_sketch.regs")).as("id_sketch"),
+        sum(col("n_rows")).as("n_rows"))
+  }
+
+  private def commitSketchUpdatesPartitioned(spark: SparkSession,
+      updates: DataFrame, factPath: String, mode: SketchIngestMode,
+      compression: Double, p: Int, fence: Option[Long],
+      lineage: Option[String], layout: PartitionedSnapshotStore.Layout)
+      : DataFrame = {
+    val ptn = PartitionedSnapshotStore
+    val base = ptn.current(factPath)
+    // the bucket function is a TABLE property — later loads must use
+    // the committed layout, whatever the caller passed
+    val lay = base.map(_.layout).getOrElse(layout)
+    def bExpr = ptn.bucketExpr(col("series_key"), col("grain"), lay)
+    val keyCols = Seq("series_key", "grain")
+    // the batch relation is referenced up to three times (dirty-bucket
+    // collect, key relation, union side) — persist so each micro-batch
+    // pays its groupBy + digest/HLL fold once (the r15 finding)
+    val upd = updates.withColumn(ptn.BucketCol, bExpr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dirty = upd.select(col(ptn.BucketCol)).distinct()
+        .collect().map(_.getLong(0)).toSet
+      // read ONLY the colliding buckets' files — this, not the fold,
+      // is what makes per-batch cost independent of |fact|
+      val dirtyParts = base.toSeq.flatMap(_.parts)
+        .filter(e => dirty.contains(e.bucket))
+      val stored =
+        if (dirtyParts.isEmpty) None
+        else Some(spark.read
+          .parquet(dirtyParts.map(e => s"$factPath/${e.relPath}"): _*)
+          .withColumn(ptn.BucketCol, bExpr))
+      val newData = (mode, stored) match {
+        case (_, None) => upd
+        case (ReplaceGrain, Some(e)) =>
+          // recompute-replace within the dirty buckets: stored rows
+          // for the batch's grain keys drop, everything else in the
+          // bucket passes through (values byte-identical)
+          e.join(broadcast(upd.select(keyCols.map(col): _*)),
+            keyCols, "left_anti").unionByName(upd)
+        case (MergeGrain, Some(e)) =>
+          // fold ONLY the colliding grain rows (semi/anti split):
+          // untouched rows — in clean buckets, at the FILE level;
+          // within dirty buckets, value-identical pass-through
+          // (digest recompression is not bit-stable, so gratuitous
+          // re-aggregation would drift idle digests)
+          val updKeys = broadcast(upd.select(keyCols.map(col): _*))
+          val untouched = e.join(updKeys, keyCols, "left_anti")
+          val folded = collisionFold(
+            e.join(updKeys, keyCols, "left_semi").drop(ptn.BucketCol)
+              .unionByName(upd.drop(ptn.BucketCol)),
+            compression, p).withColumn(ptn.BucketCol, bExpr)
+          untouched.unionByName(folded)
+      }
+      try {
+        ptn.commitBuckets(spark, factPath, newData, dirty, lay, fence,
+          lineage, base.map(_.version))
+      } catch {
+        // the fold reads the PINNED base manifest's files; a faster
+        // writer's commits + gc can collect them mid-plan — translate
+        // the buried FileNotFound to the typed retryable signal (same
+        // discipline as the monolithic path)
+        case e: Throwable if hasFileNotFoundCause(e) &&
+            ptn.current(factPath).map(_.version) != base.map(_.version) =>
+          throw new SnapshotStore.StaleVersionException(
+            s"base manifest ${base.map(_.version).getOrElse(-1L)} at " +
+              s"$factPath was collected mid-merge (concurrent writer " +
+              "committed past it and gc ran); recompute against the " +
+              s"current manifest and retry " +
+              s"[${e.getClass.getSimpleName}: ${e.getMessage}]")
+      }
+    } finally upd.unpersist(blocking = false)
+    ptn.gc(factPath)
+    SnapshotStore.read(spark, factPath).get
+  }
+
+  /** Pre-r16 monolithic-layout commit (kept verbatim for existing
+    * tables): the whole merged relation restages as one snapshot —
+    * the disclosed O(|fact|)-per-commit path. */
+  private def commitSketchUpdatesMonolithic(spark: SparkSession,
+      updates: DataFrame, factPath: String, mode: SketchIngestMode,
+      compression: Double, p: Int, fence: Option[Long],
+      lineage: Option[String]): DataFrame = {
     // CAS base: the version this ingest's merge plan READS — publish
     // refuses if another writer moved the table meanwhile (a lost
     // update would otherwise silently drop that writer's batch AND,
@@ -358,54 +520,25 @@ object OlapEtl {
     // SAME version the CAS names.
     val base = SnapshotStore.currentVersion(factPath)
     val existing = base.map(v => spark.read.parquet(s"$factPath/$v"))
-    // the merge branch references the aggregated batch TWICE (key
-    // relation + union side) — persist it so each micro-batch pays its
-    // groupBy + digest/HLL fold once, not twice (review r15 finding)
     var pinned: Option[DataFrame] = None
     val merged = (mode, existing) match {
       case (ReplaceGrain, _) | (MergeGrain, None) =>
         upsert(existing, updates, Seq("series_key", "grain"))
       case (MergeGrain, Some(e)) =>
-        // fold ONLY the colliding grain rows (semi/anti split on the
-        // batch's grain keys): untouched stored rows pass through
-        // BYTE-IDENTICAL — digest recompression is not bit-stable, so
-        // re-aggregating every grain per micro-batch would drift
-        // year-old digests through thousands of gratuitous compress
-        // passes (and re-shuffle the whole fact each batch, against
-        // the mode's no-full-recompute economics). The batch's key
-        // relation is micro-batch-sized → both joins broadcast.
-        val rollDigest = org.apache.spark.sql.functions.udaf(
-          new graft.metrics.TDigest.RollupDigestsAgg(compression),
-          Encoders.product[graft.metrics.TDigest.Digest])
-        val rollHll = org.apache.spark.sql.functions.udaf(
-          new graft.metrics.Hll.RollupSketchesAgg(p),
-          Encoders.product[graft.metrics.Hll.Sketch])
         val upd = updates
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pinned = Some(upd)
         val keyCols = Seq("series_key", "grain")
         val updKeys = broadcast(upd.select(col("series_key"), col("grain")))
         val untouched = e.join(updKeys, keyCols, "left_anti")
-        val folded = e.join(updKeys, keyCols, "left_semi")
-          .unionByName(upd)
-          .groupBy(col("series_key"), col("grain"))
-          .agg(
-            rollDigest(col("value_digest.means"), col("value_digest.weights"))
-              .as("value_digest"),
-            rollHll(col("id_sketch.regs")).as("id_sketch"),
-            sum(col("n_rows")).as("n_rows"))
+        val folded = collisionFold(
+          e.join(updKeys, keyCols, "left_semi").unionByName(upd),
+          compression, p)
         untouched.unionByName(folded)
     }
     try {
       SnapshotStore.commitCas(merged, factPath, fence, lineage, base)
     } catch {
-      // the merge plan reads the PINNED base version dir; under
-      // concurrent writers two quick commits by a faster writer can gc
-      // that dir while this plan still executes, surfacing as an
-      // untyped FileNotFound buried in a SparkException — translate it
-      // to the typed retryable signal the sink's retry loop handles
-      // (r16 advisory), but only when the table really moved past our
-      // base (a genuine FNF on a stable table must stay loud)
       case e: Throwable if hasFileNotFoundCause(e) &&
           SnapshotStore.currentVersion(factPath) != base =>
         throw new SnapshotStore.StaleVersionException(
@@ -469,15 +602,75 @@ object OlapEtl {
     * replay-safe pairing, exactly as ReplaceGrain backfills are.
     */
   def loadFactSketchRows(spark: SparkSession, grainRows: DataFrame,
-      factPath: String): DataFrame = {
-    // CAS on the base version read by the upsert plan (same rationale
-    // as loadFactSketches — a concurrent backfill must surface as a
-    // typed retryable conflict, never as a silent lost update)
-    val base = SnapshotStore.currentVersion(factPath)
-    val merged = upsert(base.map(v => spark.read.parquet(s"$factPath/$v")),
-      grainRows, Seq("series_key", "grain"))
-    SnapshotStore.commitCas(merged, factPath, None, base)
-    SnapshotStore.gc(factPath)
+      factPath: String,
+      layout: PartitionedSnapshotStore.Layout = PartitionedSnapshotStore.Layout())
+      : DataFrame =
+    // recompute-replace through the shared commit leg: CAS'd against
+    // the base the upsert plan read (a concurrent backfill surfaces as
+    // a typed retryable conflict, never a silent lost update), and on
+    // the partitioned layout only the landed grains' buckets restage
+    commitSketchUpdates(spark, grainRows, factPath, ReplaceGrain,
+      compression = 100.0, p = 12, fence = None, lineage = None, layout)
+
+  /** Sketch-fact COMPACTION — the warehouse lifecycle operator (r16):
+    * re-grain fine rows (days) into coarse rows (weeks/months) so a
+    * long-lived fact stays O(keys × coarse-grains) instead of growing
+    * one row per fine grain forever. Pure sketch algebra, no raw-data
+    * access: HLL registers merge losslessly (the compacted sketch is
+    * BIT-IDENTICAL to one ingested directly at the coarse grain),
+    * t-digests centroid-merge (one more merge tree — the q115 rank
+    * bound holds at the coarse rollup level), `n_rows` sums exactly.
+    * Committed as a normal CAS'd publish: a concurrent ingest commit
+    * surfaces as the typed retryable [[SnapshotStore.StaleVersionException]],
+    * and an unfenced commit CARRIES the streaming fence/lineage
+    * forward (compaction interleaved with a fenced sink must not
+    * erase its replay protection).
+    *
+    * `toGrainUs` must be a multiple of `fromGrainUs` (day→week, not
+    * day→10h): a non-nesting re-grain would split fine grains across
+    * coarse rows, which sketch rows cannot express. The stored `grain`
+    * column is re-based to `floor(ts / toGrainUs)` — the caller's
+    * read-range arithmetic must use the new grain width afterwards.
+    * `toGrainUs == fromGrainUs` is the identity compaction and leaves
+    * every row bit-identical (greedy t-digest recompression of an
+    * already-compressed digest is a no-op — spec-pinned), which is
+    * what makes accidental re-compaction harmless. Returns the
+    * compacted committed table.
+    */
+  def compactFactSketches(spark: SparkSession, factPath: String,
+      fromGrainUs: Long, toGrainUs: Long,
+      compression: Double = 100.0, p: Int = 12): DataFrame = {
+    require(fromGrainUs >= 1L && toGrainUs >= fromGrainUs &&
+      toGrainUs % fromGrainUs == 0L,
+      s"compaction must coarsen by an integer factor: from=$fromGrainUs " +
+        s"to=$toGrainUs")
+    val ratio = toGrainUs / fromGrainUs
+    val cur = SnapshotStore.read(spark, factPath).getOrElse(
+      throw new IllegalStateException(
+        s"no committed sketch fact at $factPath to compact"))
+    // floor-div re-grain (double division + floor, exactly grainCol's
+    // semantics — truncation would mis-bucket pre-1970 grains)
+    val regrained = cur.withColumn("grain",
+      floor(col("grain") / lit(ratio)).cast("long"))
+    val compacted = collisionFold(regrained, compression, p)
+    if (PartitionedSnapshotStore.isPartitioned(factPath)) {
+      val ptn = PartitionedSnapshotStore
+      val base = ptn.current(factPath).get
+      val withBucket = compacted.withColumn(ptn.BucketCol,
+        ptn.bucketExpr(col("series_key"), col("grain"), base.layout))
+      // every bucket is dirty by definition: old entries all drop, the
+      // compacted rows land in their (new-grain) buckets
+      val newBuckets = withBucket.select(col(ptn.BucketCol)).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val dirty = base.parts.map(_.bucket).toSet ++ newBuckets
+      ptn.commitBuckets(spark, factPath, withBucket, dirty, base.layout,
+        fence = None, lineage = None, expectedBase = Some(base.version))
+      ptn.gc(factPath)
+    } else {
+      val base = SnapshotStore.currentVersion(factPath)
+      SnapshotStore.commitCas(compacted, factPath, None, base)
+      SnapshotStore.gc(factPath)
+    }
     SnapshotStore.read(spark, factPath).get
   }
 
@@ -506,7 +699,15 @@ object OlapEtl {
   def sketchFactBatchWriter(seriesCol: String, tsCol: String,
       valueCol: String, idCol: String, grainUs: Long, factPath: String,
       compression: Double = 100.0, p: Int = 12,
-      lineage: Option[String] = None)
+      lineage: Option[String] = None): (DataFrame, Long) => Unit =
+    sketchFactBatchWriter(Seq(seriesCol), tsCol, valueCol, idCol, grainUs,
+      factPath, compression, p, lineage)
+
+  /** Composite-key face of the fenced sink (see the struct-key
+    * contract at the keyed [[loadFactSketches]]). */
+  def sketchFactBatchWriter(seriesCols: Seq[String], tsCol: String,
+      valueCol: String, idCol: String, grainUs: Long, factPath: String,
+      compression: Double, p: Int, lineage: Option[String])
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     // lineage-scoped probe (r16): "already applied" only holds when the
     // committed fence belongs to THIS query lineage — a fresh
@@ -531,9 +732,10 @@ object OlapEtl {
     while (!done) {
       attempts += 1
       try {
-        loadFactSketches(batch.sparkSession, batch, seriesCol, tsCol,
+        loadFactSketches(batch.sparkSession, batch, seriesCols, tsCol,
           valueCol, idCol, grainUs, factPath, compression, p,
-          MergeGrain, fence = Some(batchId), lineage = lineage)
+          MergeGrain, Some(batchId), lineage,
+          PartitionedSnapshotStore.Layout())
         done = true
       } catch {
         // the batch's effect is already committed (replay that lost

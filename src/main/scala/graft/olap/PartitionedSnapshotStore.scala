@@ -1,0 +1,355 @@
+package graft.olap
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-of-files snapshot commits for the sketch-column fact —
+  * the partitioned layout that kills [[SnapshotStore]]'s disclosed
+  * O(|fact|) full-snapshot rewrite per merge commit (PLANS
+  * SCALE-R15D; the in-container analog of Delta/Iceberg file-level
+  * commits, which the reference — Postgres row-level transactions,
+  * `olap/etl_migrate_v2.py:292-397` — gets from its storage engine).
+  *
+  * The monolithic store re-stages the FULL table per commit, so a
+  * micro-batch merge ingest acquires an O(|fact|) term once the fact
+  * dwarfs a batch — at 100 TB the term IS the cost. Here the table is
+  * a set of immutable partition files keyed by (series-hash ×
+  * grain-range) bucket, named by an immutable manifest; a
+  * [[OlapEtl.MergeGrain]] commit stages ONLY the buckets its batch
+  * collides with, re-lists the untouched buckets' files VERBATIM in
+  * the next manifest, and the commit point stays one atomic pointer
+  * rename. Per-batch ingest cost is then O(batch + dirty buckets),
+  * independent of table size (ScaleProbe SCALE-R16).
+  *
+  * Layout under `tablePath/`:
+  *   - `part/s<uuid>/__bucket=<b>/`  immutable parquet partition dirs
+  *     (one per dirty bucket per commit — `partitionBy` output);
+  *   - `manifest-m<N>`   immutable manifest files: line 1
+  *     `m<N>[ <fence>[ <lineage>]]` (exactly the monolithic token
+  *     grammar), line 2 `layout <grainsPerBucket> <seriesBuckets>`
+  *     (the bucketing function is a TABLE property — a drifting
+  *     bucket function would scatter one grain over two buckets and
+  *     break collision detection), then one
+  *     `bucket \t relPath \t grainMin \t grainMax \t rows` line per
+  *     live partition file;
+  *   - `_MANIFEST`   the pointer: one line `m<N>`, swapped by the
+  *     same tmp-file + ATOMIC_MOVE rename as the monolithic store.
+  *
+  * Readers resolve pointer → manifest → files; every object on that
+  * path is immutable, so a reader mid-scan is isolated from any
+  * number of later commits. Crash anywhere before the pointer swap
+  * leaves the table on the previous manifest; orphaned stage dirs
+  * and superseded manifests are [[gc]]'d (never-referenced dirs only
+  * past an mtime grace, exactly the monolithic store's crashed-stage
+  * discipline). Fence / lineage / CAS semantics are SHARED with the
+  * monolithic store ([[SnapshotStore.admitFence]]) — the exactly-once
+  * contract cannot drift between layouts.
+  */
+object PartitionedSnapshotStore {
+
+  private val PointerName = "_MANIFEST"
+  private val ManifestRe = "^m(\\d+)$".r
+  val BucketCol = "__bucket"
+
+  /** One immutable partition file: its bucket, path relative to the
+    * table root, the grain range it covers (manifest-level pruning for
+    * [[readRange]]), and its row count (observability + gc audit). */
+  final case class PartEntry(bucket: Long, relPath: String,
+      grainMin: Long, grainMax: Long, rows: Long)
+
+  /** The bucketing function's parameters — fixed at table creation
+    * (line 2 of every manifest). `grainsPerBucket` sets how many
+    * consecutive grains share a file (time-ordered ingest then dirties
+    * only the newest bucket(s) per batch); `seriesBuckets` sub-splits
+    * each grain range by a series-key hash so single files stay
+    * bounded at high key cardinality. */
+  final case class Layout(grainsPerBucket: Long = 32L, seriesBuckets: Int = 1) {
+    require(grainsPerBucket >= 1L && seriesBuckets >= 1,
+      s"layout must be positive, got $this")
+  }
+
+  final case class Manifest(version: Long, fence: Option[Long],
+      lineage: Option[String], layout: Layout, parts: Seq[PartEntry])
+
+  /** The bucket id expression for a row: series-hash sub-bucket within
+    * a grain-range bucket. `xxhash64` is deterministic across
+    * partitions, sessions, and Spark versions — the bucket function
+    * must be a pure function of the key, forever. floor-div (not
+    * truncate) so pre-1970 grains bucket consistently with
+    * [[OlapEtl.grainCol]]'s floor semantics. */
+  def bucketExpr(seriesKey: Column, grain: Column, layout: Layout): Column =
+    floor(grain / lit(layout.grainsPerBucket)).cast("long") *
+      lit(layout.seriesBuckets.toLong) +
+      pmod(xxhash64(seriesKey), lit(layout.seriesBuckets.toLong))
+
+  /** True when `tablePath` holds a partitioned-layout table (pointer
+    * token `m<N>`; the monolithic store's is `v<N>`). */
+  def isPartitioned(tablePath: String): Boolean = {
+    val p = Paths.get(tablePath, PointerName)
+    Files.isRegularFile(p) &&
+      ManifestRe.matches(Files.readString(p).trim.split("\\s+").head)
+  }
+
+  /** The current committed manifest, if any. */
+  def current(tablePath: String): Option[Manifest] = {
+    val p = Paths.get(tablePath, PointerName)
+    if (!Files.isRegularFile(p)) return None
+    val tok = Files.readString(p).trim.split("\\s+").head
+    ManifestRe.findFirstMatchIn(tok).flatMap { m =>
+      readManifestFile(Paths.get(tablePath, s"manifest-$tok"), m.group(1).toLong)
+    }
+  }
+
+  /** Next manifest version: claims past any leftover manifest file
+    * from a publisher that crashed between manifest write and pointer
+    * swap (CREATE_NEW on a reused number would throw). */
+  private def nextManifestVersion(dir: Path, cur: Option[Manifest]): Long = {
+    val existing = SnapshotStore.children(dir)
+      .flatMap(p => ManifestRe.findFirstMatchIn(p.getFileName.toString
+        .stripPrefix("manifest-")).map(_.group(1).toLong))
+    (existing ++ cur.map(_.version)).foldLeft(-1L)(math.max) + 1L
+  }
+
+  private def readManifestFile(f: Path, version: Long): Option[Manifest] = {
+    if (!Files.isRegularFile(f)) return None
+    val lines = Files.readAllLines(f)
+    if (lines.size < 2) return None
+    val head = lines.get(0).trim.split("\\s+")
+    val fence = if (head.length >= 2) head(1).toLongOption else None
+    val lineage = if (head.length >= 3) Some(head(2)) else None
+    val lay = lines.get(1).trim.split("\\s+")
+    require(lay.length == 3 && lay(0) == "layout",
+      s"malformed manifest layout line in $f: ${lines.get(1)}")
+    val layout = Layout(lay(1).toLong, lay(2).toInt)
+    val parts = (2 until lines.size).iterator.map(_.toInt)
+      .map(i => lines.get(i)).filter(_.nonEmpty).map { ln =>
+        val c = ln.split("\t")
+        PartEntry(c(0).toLong, c(1), c(2).toLong, c(3).toLong, c(4).toLong)
+      }.toSeq
+    Some(Manifest(version, fence, lineage, layout, parts))
+  }
+
+  /** Read the whole committed table (None if never committed or the
+    * committed manifest lists no live partitions). One multi-path
+    * parquet relation — still a single `FileSourceScan`, so pushed
+    * filters and column pruning behave exactly as on the monolithic
+    * layout. */
+  def read(spark: SparkSession, tablePath: String): Option[DataFrame] =
+    current(tablePath).filter(_.parts.nonEmpty).map { m =>
+      spark.read.parquet(m.parts.map(e => s"$tablePath/${e.relPath}"): _*)
+    }
+
+  /** Read only the partition files whose grain range intersects
+    * [lo, hi] — manifest-level FILE pruning on top of parquet
+    * row-group pruning (the caller still applies its own
+    * `grain BETWEEN` filter for row-level exactness). At 100 TB this
+    * is the difference between listing/opening every file of the fact
+    * and touching O(range) of them. */
+  def readRange(spark: SparkSession, tablePath: String, grainLo: Long,
+      grainHi: Long): Option[DataFrame] =
+    current(tablePath).filter(_.parts.nonEmpty).map { m =>
+      val live = m.parts.filter(e => e.grainMax >= grainLo && e.grainMin <= grainHi)
+      if (live.isEmpty)
+        // no intersecting file: preserve schema via an empty slice of
+        // the full relation (never-scanned — Catalyst folds the scan
+        // away under `false`)
+        read(spark, tablePath).get.filter(lit(false))
+      else spark.read.parquet(live.map(e => s"$tablePath/${e.relPath}"): _*)
+    }
+
+  /** Commit `newBucketData` as the FULL replacement contents of the
+    * buckets in `dirtyBuckets`, leaving every other bucket's files
+    * untouched (re-listed verbatim in the new manifest).
+    *
+    * `newBucketData` must carry [[BucketCol]] (the [[bucketExpr]]
+    * value) plus a `grain` column; rows outside `dirtyBuckets` are the
+    * caller's bug (they would land in files the manifest then
+    * double-lists with the bucket's surviving old file — a `require`
+    * guards it cheaply from the stats pass). A dirty bucket with no
+    * rows in `newBucketData` simply disappears from the manifest.
+    *
+    * CAS discipline identical to the monolithic store: `expectedBase`
+    * is the manifest VERSION the caller read when computing the new
+    * bucket contents; a concurrent commit refuses with
+    * [[SnapshotStore.StaleVersionException]] (re-read, recompute,
+    * retry). Fence/lineage admission is [[SnapshotStore.admitFence]],
+    * shared. Returns the committed manifest version.
+    */
+  def commitBuckets(spark: SparkSession, tablePath: String,
+      newBucketData: DataFrame, dirtyBuckets: Set[Long], layout: Layout,
+      fence: Option[Long], lineage: Option[String],
+      expectedBase: Option[Long]): Long = {
+    require(lineage.forall(l => l.nonEmpty && !l.exists(_.isWhitespace)),
+      s"lineage token must be non-empty and whitespace-free, got $lineage")
+    val dir = Paths.get(tablePath)
+    Files.createDirectories(dir.resolve("part"))
+    // stage OUTSIDE the lock: the parquet write is the long leg, and
+    // the staged files are invisible until the pointer swap
+    val stageRel = s"part/s${java.util.UUID.randomUUID().toString.take(12)}"
+    // one shuffle of dirty-bucket-sized data → one file per bucket
+    // (without it every input task writes a sliver of every bucket)
+    newBucketData.repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).parquet(s"$tablePath/$stageRel")
+    // per-bucket stats from the STAGED files (reading back what was
+    // written, not what was asked: the entries must describe the files)
+    // an EMPTY staged write (a fence-advancing empty micro-batch, or a
+    // replace that emptied its buckets) leaves no bucket subdirs — and
+    // a parquet read over zero files cannot infer a schema
+    val stagedEmpty = !SnapshotStore
+      .children(Paths.get(tablePath, stageRel))
+      .exists(p => p.getFileName.toString.startsWith(s"$BucketCol="))
+    // partition-value inference may type small bucket ids as INT —
+    // normalize to long before the collect
+    val stats =
+      if (stagedEmpty) Map.empty[Long, (Long, Long, Long)]
+      else spark.read.parquet(s"$tablePath/$stageRel")
+        .groupBy(col(BucketCol).cast("long").as(BucketCol))
+        .agg(min(col("grain")).as("gmin"), max(col("grain")).as("gmax"),
+          count(lit(1)).as("rows"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val stray = stats.keySet.diff(dirtyBuckets)
+    require(stray.isEmpty,
+      s"commitBuckets: data landed in buckets $stray not declared dirty — " +
+        "the manifest would double-list those buckets")
+    val newEntries = stats.toSeq.sortBy(_._1).map { case (b, (gmin, gmax, n)) =>
+      PartEntry(b, s"$stageRel/$BucketCol=$b", gmin, gmax, n)
+    }
+    SnapshotStore.withPublishLock(tablePath) {
+      def refuse(e: Exception): Nothing = {
+        // the stage dir was created by THIS call — never committed
+        SnapshotStore.deleteRecursively(dir.resolve(stageRel))
+        throw e
+      }
+      val cur = current(tablePath)
+      if (cur.map(_.version) != expectedBase)
+        refuse(new SnapshotStore.StaleVersionException(
+          s"CAS publish refused: table at $tablePath is at manifest " +
+            s"${cur.map(_.version).getOrElse("<none>")} but the bucket data " +
+            s"was computed from ${expectedBase.getOrElse("<none>")} — a " +
+            "concurrent writer committed; re-read, recompute, retry"))
+      for (c <- cur)
+        require(c.layout == layout,
+          s"bucket layout is a table property: committed ${c.layout}, " +
+            s"caller passed $layout — a drifting bucket function would " +
+            "scatter grains across buckets and break collision detection")
+      val (carriedFence, carriedLineage) = SnapshotStore.admitFence(tablePath,
+        cur.flatMap(_.fence), cur.flatMap(_.lineage), fence, lineage, refuse)
+      val newV = nextManifestVersion(dir, cur)
+      val keptParts = cur.toSeq.flatMap(_.parts)
+        .filterNot(e => dirtyBuckets.contains(e.bucket))
+      val sb = new StringBuilder
+      sb.append(s"m$newV")
+        .append(SnapshotStore.fenceSuffix(carriedFence, carriedLineage))
+        .append('\n')
+      sb.append(s"layout ${layout.grainsPerBucket} ${layout.seriesBuckets}\n")
+      (keptParts ++ newEntries).sortBy(e => (e.bucket, e.relPath)).foreach { e =>
+        sb.append(s"${e.bucket}\t${e.relPath}\t${e.grainMin}\t${e.grainMax}\t${e.rows}\n")
+      }
+      // manifest file durable FIRST (immutable once named), then the
+      // pointer swap is the single atomic commit point
+      Files.write(dir.resolve(s"manifest-m$newV"),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      SnapshotStore.writeManifestAtomic(dir, s"m$newV", s"m$newV")
+      newV
+    }
+  }
+
+  /** The deliberate between-lineages fence reset
+    * ([[SnapshotStore.clearFence]] semantics): commits a NEW manifest
+    * with the same layout and the same partition files, minus the
+    * fence and lineage tokens. A version bump (not an in-place edit)
+    * — manifest files are immutable, and in-flight readers of the old
+    * manifest stay isolated. */
+  def clearFence(tablePath: String): Unit =
+    SnapshotStore.withPublishLock(tablePath) {
+      current(tablePath).filter(_.fence.isDefined).foreach { cur =>
+        val dir = Paths.get(tablePath)
+        val newV = nextManifestVersion(dir, Some(cur))
+        val sb = new StringBuilder
+        sb.append(s"m$newV\n")
+        sb.append(s"layout ${cur.layout.grainsPerBucket} ${cur.layout.seriesBuckets}\n")
+        cur.parts.sortBy(e => (e.bucket, e.relPath)).foreach { e =>
+          sb.append(s"${e.bucket}\t${e.relPath}\t${e.grainMin}\t${e.grainMax}\t${e.rows}\n")
+        }
+        Files.write(dir.resolve(s"manifest-m$newV"),
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        SnapshotStore.writeManifestAtomic(dir, s"m$newV", s"m$newV")
+      }
+    }
+
+  /** Remove superseded manifests and the partition files ONLY they
+    * referenced, keeping the newest `keep` committed manifests for
+    * in-flight readers. Files referenced by NO manifest at all (a
+    * crashed stage, or a commit racing this gc) collect only past
+    * `graceMs` of mtime-age — same discipline as the monolithic
+    * store's _SUCCESS-less rule. Returns deleted paths (relative). */
+  def gc(tablePath: String, keep: Int = 2,
+      graceMs: Long = 24L * 3600L * 1000L): Seq[String] = {
+    require(keep >= 1, s"gc must keep at least the current manifest, got $keep")
+    val dir = Paths.get(tablePath)
+    val cur = current(tablePath).getOrElse(return Seq.empty)
+    val manifests = SnapshotStore.children(dir)
+      .flatMap { p =>
+        ManifestRe.findFirstMatchIn(
+          p.getFileName.toString.stripPrefix("manifest-"))
+          .map(m => (m.group(1).toLong, p))
+      }.sortBy(_._1)
+    val keptVersions = manifests.map(_._1)
+      .filter(_ <= cur.version).takeRight(keep).toSet
+    val now = System.currentTimeMillis()
+    // a manifest ABOVE the pointer is a publish between manifest write
+    // and pointer swap — in-flight (keep) unless well past the grace
+    val (keptM, doomedM) = manifests.partition { case (v, p) =>
+      keptVersions.contains(v) ||
+        (v > cur.version && now - Files.getLastModifiedTime(p).toMillis <= graceMs)
+    }
+    val referenced = keptM.flatMap { case (v, p) =>
+      readManifestFile(p, v).toSeq.flatMap(_.parts.map(_.relPath))
+    }.toSet
+    val doomedRefs = doomedM.flatMap { case (v, p) =>
+      readManifestFile(p, v).toSeq.flatMap(_.parts.map(_.relPath))
+    }.toSet
+    val deleted = Seq.newBuilder[String]
+    // partition dirs: part/s<uuid>/__bucket=<b>
+    val touchedStageDirs = Set.newBuilder[Path]
+    for (stageDir <- SnapshotStore.children(dir.resolve("part"));
+         sub <- SnapshotStore.children(stageDir)) {
+      val rel = s"part/${stageDir.getFileName}/${sub.getFileName}"
+      val refKept = referenced.contains(rel)
+      val refDoomedOnly = !refKept && doomedRefs.contains(rel)
+      val orphanAged = !refKept && !refDoomedOnly &&
+        now - Files.getLastModifiedTime(sub).toMillis > graceMs
+      if (refDoomedOnly || orphanAged) {
+        SnapshotStore.deleteRecursively(sub)
+        touchedStageDirs += stageDir
+        deleted += rel
+      }
+    }
+    // empty stage dirs (+ their _SUCCESS/metadata stragglers) collect
+    // once every bucket subdir is gone — immediately when THIS pass
+    // emptied them (deleting entries refreshes the parent's mtime, so
+    // an age test there would never fire), by age otherwise (a fully
+    // empty but YOUNG dir may be a stager's racing mkdir)
+    val touched = touchedStageDirs.result()
+    for (stageDir <- SnapshotStore.children(dir.resolve("part"))) {
+      val emptiedNow = touched.contains(stageDir)
+      val noSubdirs = !SnapshotStore.children(stageDir)
+        .exists(p => Files.isDirectory(p))
+      if (noSubdirs && (emptiedNow ||
+          now - Files.getLastModifiedTime(stageDir).toMillis > graceMs)) {
+        SnapshotStore.deleteRecursively(stageDir)
+        deleted += s"part/${stageDir.getFileName}"
+      }
+    }
+    doomedM.foreach { case (_, p) =>
+      Files.deleteIfExists(p)
+      deleted += p.getFileName.toString
+    }
+    deleted.result()
+  }
+}

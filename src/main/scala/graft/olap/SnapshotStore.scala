@@ -55,12 +55,20 @@ object SnapshotStore {
   }
 
   /** The snapshot directory name the manifest currently points at, if
-    * the table exists and has a committed version.
+    * the table exists and has a committed version. On a
+    * partitioned-layout table ([[PartitionedSnapshotStore]]) this is
+    * the manifest token `m<N>` — same opaque-token contract (compare
+    * for equality, never dereference as a directory).
     */
   def currentVersion(tablePath: String): Option[String] = {
     val toks = manifestTokens(tablePath)
-    toks.headOption.filter(v =>
-      v.nonEmpty && Files.isDirectory(Paths.get(tablePath, v)))
+    toks.headOption.flatMap {
+      case v if VersionRe.matches(v) =>
+        Some(v).filter(_ => Files.isDirectory(Paths.get(tablePath, v)))
+      case m if m.startsWith("m") =>
+        PartitionedSnapshotStore.current(tablePath).map(mf => s"m${mf.version}")
+      case _ => None
+    }
   }
 
   /** The ingest fence committed WITH the current version (the second
@@ -72,6 +80,8 @@ object SnapshotStore {
     * Absent on tables committed without a fence (format-compatible:
     * the manifest's first token is still the bare version name). */
   def currentFence(tablePath: String): Option[Long] = {
+    if (PartitionedSnapshotStore.isPartitioned(tablePath))
+      return PartitionedSnapshotStore.current(tablePath).flatMap(_.fence)
     val toks = manifestTokens(tablePath)
     if (toks.length >= 2 && currentVersion(tablePath).isDefined)
       toks(1).toLongOption
@@ -89,14 +99,22 @@ object SnapshotStore {
     * operator through the deliberate [[clearFence]] reset. Absent on
     * tables fenced without a lineage (format-compatible). */
   def currentLineage(tablePath: String): Option[String] = {
+    if (PartitionedSnapshotStore.isPartitioned(tablePath))
+      return PartitionedSnapshotStore.current(tablePath).flatMap(_.lineage)
     val toks = manifestTokens(tablePath)
     if (toks.length >= 3 && currentVersion(tablePath).isDefined) Some(toks(2))
     else None
   }
 
-  /** Read the current committed snapshot; None if never committed. */
+  /** Read the current committed snapshot; None if never committed.
+    * Layout-transparent: partitioned-layout tables resolve through
+    * their manifest-of-files (every read face and spec works on either
+    * layout unchanged). */
   def read(spark: SparkSession, tablePath: String): Option[DataFrame] =
-    currentVersion(tablePath).map(v => spark.read.parquet(s"$tablePath/$v"))
+    if (PartitionedSnapshotStore.isPartitioned(tablePath))
+      PartitionedSnapshotStore.read(spark, tablePath)
+    else
+      currentVersion(tablePath).map(v => spark.read.parquet(s"$tablePath/$v"))
 
   /** Children of `dir` (closed stream — `Files.list` leaks an fd if the
     * stream is abandoned mid-iteration).
@@ -255,39 +273,59 @@ object SnapshotStore {
             s"committed v$curN at ${staged.tablePath} — another writer committed " +
             "first; restage against the current snapshot and retry"))
       }
-    val committedFence = currentFence(staged.tablePath)
-    val committedLineage = currentLineage(staged.tablePath)
-    // lineage scoping (r16): a fenced publish declaring a lineage
-    // DIFFERENT from the committed fence's owner is a different
-    // streaming-query checkpoint (fresh checkpoint = batchIds restart
-    // at 0). Whatever its fence number, folding it through the bare
-    // monotone check either silently swallows its batches (f <= curF,
-    // "already applied") or silently adopts the fence (f > curF) —
-    // both hide a real operator decision, so refuse LOUDLY and point
-    // at clearFence, the deliberate between-lineages reset.
+    val (carried, carriedLineage) = admitFence(staged.tablePath,
+      currentFence(staged.tablePath), currentLineage(staged.tablePath),
+      fence, lineage, refuse)
+    writeManifestAtomic(dir, staged.version,
+      staged.version + fenceSuffix(carried, carriedLineage))
+  }
+
+  /** The manifest's fence tokens: " <fence>[ <lineage>]" (lineage only
+    * rides with a fence). */
+  private[olap] def fenceSuffix(fence: Option[Long],
+      lineage: Option[String]): String =
+    fence.fold("")(f => s" $f" + lineage.fold("")(l => s" $l"))
+
+  /** Shared fence/lineage admission for BOTH snapshot layouts (the
+    * monolithic [[publishImpl]] and
+    * [[PartitionedSnapshotStore.commitBuckets]]): decides whether the
+    * publish may proceed and what fence/lineage the new manifest
+    * carries, refusing through `refuse` (which owns staged-dir
+    * cleanup) so the two stores cannot drift on the exactly-once
+    * semantics.
+    *
+    * Rules: a fenced publish whose declared lineage differs from the
+    * committed fence's owner is a DIFFERENT streaming-query checkpoint
+    * (fresh checkpoints renumber batchIds from 0) — whatever its fence
+    * number, folding it through the bare monotone check either
+    * silently swallows its batches (f <= curF, "already applied") or
+    * silently adopts the fence (f > curF); both hide a real operator
+    * decision, so refuse LOUDLY ([[FenceLineageException]]) and point
+    * at [[clearFence]]. A non-advancing fence within one lineage is
+    * the replayed-micro-batch skip signal ([[StaleFenceException]]).
+    * An unfenced publish carries fence AND lineage forward; a fenced
+    * one writes its own lineage (keeping the committed owner when it
+    * declares none — legacy unscoped callers must not strip scoping).
+    */
+  private[olap] def admitFence(where: String,
+      committedFence: Option[Long], committedLineage: Option[String],
+      fence: Option[Long], lineage: Option[String],
+      refuse: Exception => Nothing): (Option[Long], Option[String]) = {
     for (l <- lineage; curL <- committedLineage)
       if (fence.isDefined && l != curL) refuse(new FenceLineageException(
         s"fenced publish refused: lineage '$l' does not match the committed " +
-          s"fence's lineage '$curL' at ${staged.tablePath} — a different " +
-          "streaming-query checkpoint is writing this table (fresh " +
-          "checkpoints renumber batchIds from 0, so fence comparison across " +
-          "lineages is meaningless); call SnapshotStore.clearFence between " +
-          "query lineages, or point the new query at a new table"))
+          s"fence's lineage '$curL' at $where — a different streaming-query " +
+          "checkpoint is writing this table (fresh checkpoints renumber " +
+          "batchIds from 0, so fence comparison across lineages is " +
+          "meaningless); call SnapshotStore.clearFence between query " +
+          "lineages, or point the new query at a new table"))
     for (f <- fence; curF <- committedFence)
       if (f <= curF) refuse(new StaleFenceException(
         s"fenced publish refused: batch fence $f is not above the committed " +
-          s"fence $curF at ${staged.tablePath} — the batch's effect is already " +
+          s"fence $curF at $where — the batch's effect is already " +
           "in the snapshot (replayed micro-batch); skip it"))
-    val carried = fence.orElse(committedFence)
-    // an unfenced publish carries BOTH fence and lineage forward; a
-    // fenced one writes its own lineage (or keeps the committed owner
-    // when it declares none — legacy unscoped callers must not strip
-    // the scoping a lineage-aware sink committed)
-    val carriedLineage =
-      if (fence.isDefined) lineage.orElse(committedLineage) else committedLineage
-    writeManifestAtomic(dir, staged.version,
-      staged.version + carried.fold("")(f => s" $f") +
-        (if (carried.isDefined) carriedLineage.fold("")(l => s" $l") else ""))
+    (fence.orElse(committedFence),
+      if (fence.isDefined) lineage.orElse(committedLineage) else committedLineage)
   }
 
   /** Write-tmp-then-ATOMIC_MOVE manifest replacement, shared by
@@ -404,12 +442,17 @@ object SnapshotStore {
     * destructive-to-replay-protection: call it only between query
     * lineages.
     */
-  def clearFence(tablePath: String): Unit = withPublishLock(tablePath) {
-    currentVersion(tablePath).foreach { v =>
-      // drops the fence AND its lineage token — the next fenced lineage
-      // starts clean (shared atomic writer: same rename discipline and
-      // same loud AtomicMoveNotSupported refusal as publish, r16)
-      writeManifestAtomic(Paths.get(tablePath), v, v)
+  def clearFence(tablePath: String): Unit = {
+    if (PartitionedSnapshotStore.isPartitioned(tablePath))
+      return PartitionedSnapshotStore.clearFence(tablePath)
+    withPublishLock(tablePath) {
+      currentVersion(tablePath).foreach { v =>
+        // drops the fence AND its lineage token — the next fenced
+        // lineage starts clean (shared atomic writer: same rename
+        // discipline and same loud AtomicMoveNotSupported refusal as
+        // publish, r16)
+        writeManifestAtomic(Paths.get(tablePath), v, v)
+      }
     }
   }
 
@@ -420,6 +463,8 @@ object SnapshotStore {
     */
   def gc(tablePath: String, keep: Int = 2,
       staleStageGraceMs: Long = 24L * 3600L * 1000L): Seq[String] = {
+    if (PartitionedSnapshotStore.isPartitioned(tablePath))
+      return PartitionedSnapshotStore.gc(tablePath, keep, staleStageGraceMs)
     require(keep >= 1, s"gc must keep at least the current version, got $keep")
     val dir = Paths.get(tablePath)
     val cur = currentVersion(tablePath).map(v => VersionRe.findFirstMatchIn(v).get.group(1).toLong)

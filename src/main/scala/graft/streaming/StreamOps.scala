@@ -862,14 +862,15 @@ object StreamOps {
 
   case class DistinctTick(key: String, ts: Long, id: Long)
 
-  /** Streaming state for [[streamingDistinct]]: one fixed-size HLL
-    * register array (2^p bytes — O(1) per key regardless of
-    * cardinality, the property that makes per-key distinct counting
-    * viable as unbounded streaming state at all), the rows-seen count,
-    * and the key's max event time (the [[IndState]]/[[QuantState]]
-    * monotone-arming pattern). No capacity-tail subtlety here: the
-    * register array has no append room to trim, so state round-trips
-    * byte-identical by construction. */
+  /** Streaming state for [[streamingDistinct]]: one ENCODED HLL
+    * register array — sparse (O(k) bytes, r16) below
+    * `Hll.sparseMax(p)` populated registers, dense (2^p bytes) above,
+    * so per-key state is bounded by 2^p and the long tail of
+    * low-cardinality keys pays only for what it has seen — plus the
+    * rows-seen count and the key's max event time (the
+    * [[IndState]]/[[QuantState]] monotone-arming pattern). No
+    * capacity-tail subtlety: both encodings carry no append room, so
+    * state round-trips byte-identical by construction. */
   final case class HllState(regs: Array[Byte], n: Long, maxSeenTs: Long)
 
   /** One live cardinality emission: the key's HLL distinct estimate
@@ -934,7 +935,7 @@ object StreamOps {
     import graft.metrics.Hll
     if (state.hasTimedOut) {
       val terminal = state.getOption.collect { case h if h.n > 0 =>
-        DistinctRow(key, h.n, closed = true, Hll.estimate(h.regs))
+        DistinctRow(key, h.n, closed = true, Hll.encEstimate(h.regs, p))
       }
       state.remove()
       terminal.iterator
@@ -942,21 +943,28 @@ object StreamOps {
       if (rows.isEmpty) Iterator.empty
       else {
         val prev = state.getOption
-          .getOrElse(HllState(Hll.emptyRegs(p), 0L, Long.MinValue))
+          .getOrElse(HllState(Array.emptyByteArray, 0L, Long.MinValue))
         // ONE pass over the iterator, nothing buffered: register max is
         // order-insensitive, so the fold RESULT is total-order-free by
         // algebra (the quantile face has to sort and therefore buffer;
-        // this one provably does not — per-key memory stays O(2^p)
-        // regardless of micro-batch size)
+        // this one provably does not — per-key memory stays O(k) while
+        // the sketch is sparse (r16) and caps at O(2^p) dense,
+        // regardless of micro-batch size). Low-cardinality keys — the
+        // long tail at realistic key distributions — now persist a few
+        // dozen bytes of state instead of a fixed 4 KiB; a pre-r16
+        // checkpoint's dense arrays keep folding unchanged (encAdd is
+        // encoding-transparent) and estimates are bit-identical either
+        // way (lossless encoding, same float path).
+        var enc = prev.regs
         var added = 0L
         var maxSeen = prev.maxSeenTs
         rows.foreach { t =>
-          Hll.add(prev.regs, p, t.id)
+          enc = Hll.encAdd(enc, p, t.id)
           added += 1
           if (t.ts > maxSeen) maxSeen = t.ts
         }
         val n = prev.n + added
-        state.update(HllState(prev.regs, n, maxSeen))
+        state.update(HllState(enc, n, maxSeen))
         eviction match {
           case NeverEvict => ()
           case ProcessingTimeIdle(d) => state.setTimeoutDuration(d.toMillis)
@@ -966,7 +974,7 @@ object StreamOps {
                 state.getCurrentWatermarkMs() + 1L))
         }
         Iterator.single(
-          DistinctRow(key, n, closed = false, Hll.estimate(prev.regs)))
+          DistinctRow(key, n, closed = false, Hll.encEstimate(enc, p)))
       }
     }
   }
@@ -1152,22 +1160,35 @@ object StreamOps {
     */
   def streamingSketchGrains(ticks: Dataset[FactTick], grainUs: Long,
       lateness: scala.concurrent.duration.Duration,
-      compression: Double = 100.0, p: Int = 12): DataFrame = {
+      compression: Double = 100.0, p: Int = 12): DataFrame =
+    streamingSketchGrains(ticks.toDF(), Seq("key"), "ts", "value", "id",
+      grainUs, lateness, compression, p)
+
+  /** Composite-key, column-named face (r16): the same watermark-closed
+    * grain ingest over an arbitrary streaming DataFrame — multi-column
+    * series keys pack into the `series_key` struct exactly as in the
+    * batch loader (`OlapEtl.seriesKeyCol`), so both cadences accept
+    * the same key shapes. `tsCol` is epoch MICROS (the warehouse grain
+    * contract). */
+  def streamingSketchGrains(events: DataFrame, seriesCols: Seq[String],
+      tsCol: String, valueCol: String, idCol: String, grainUs: Long,
+      lateness: scala.concurrent.duration.Duration,
+      compression: Double, p: Int): DataFrame = {
     require(grainUs > 0 && grainUs % 1000000L == 0,
       s"grainUs must be a positive whole number of seconds in µs (got " +
         s"$grainUs): window() has second granularity, and a sub-second " +
         "grain would silently misalign the epoch-day arithmetic")
-    // the aggregate trio and the grain arithmetic are the batch
-    // loader's OWN definitions (`OlapEtl.sketchAggExprs`/`grainCol`),
-    // so the two ingest cadences cannot drift expression-by-expression
-    // — grainCol floors, matching epoch-aligned window() starts for
-    // pre-1970 event times too
+    // the aggregate trio, the grain arithmetic, and the key packing are
+    // the batch loader's OWN definitions (`OlapEtl.sketchAggExprs` /
+    // `grainCol` / `seriesKeyCol`), so the two ingest cadences cannot
+    // drift expression-by-expression — grainCol floors, matching
+    // epoch-aligned window() starts for pre-1970 event times too
     val aggs = graft.olap.OlapEtl.sketchAggExprs(
-      col("value"), col("id"), compression, p)
-    ticks
-      .withColumn("__evt", timestamp_micros(col("ts")))
+      col(valueCol), col(idCol), compression, p)
+    events
+      .withColumn("__evt", timestamp_micros(col(tsCol)))
       .withWatermark("__evt", s"${math.max(0L, lateness.toMillis)} milliseconds")
-      .groupBy(col("key").as("series_key"),
+      .groupBy(graft.olap.OlapEtl.seriesKeyCol(seriesCols).as("series_key"),
         window(col("__evt"), s"${grainUs / 1000000L} seconds"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("series_key"),

