@@ -1704,9 +1704,14 @@ object SparkEntry {
         countDistinct(when(isA, col("o_custkey"))).as("a_exact"),
         countDistinct(when(!isA, col("o_custkey"))).as("b_exact"),
         countDistinct(col("o_custkey")).as("union_exact"))
-    val est = udf((regs: Array[Byte]) => Hll.estimate(regs))
+    // stored sketches may be sparse-encoded (r16) — the encoding-aware
+    // faces decode to the identical dense registers, so estimates are
+    // bit-unchanged
+    val est = udf((regs: Array[Byte]) => Hll.encEstimate(regs, Q119P))
     val estUnion = udf((a: Array[Byte], b: Array[Byte]) =>
-      Hll.estimate(Hll.merged(a, b)))
+      Hll.encEstimate(Hll.encMerge(
+        java.util.Arrays.copyOf(a, a.length),
+        java.util.Arrays.copyOf(b, b.length), Q119P), Q119P))
     val boundU = lit(6.0) * lit(Q119Rsd) * col("union_exact") + lit(1.0)
     val boundI = lit(6.0) * lit(Q119Rsd) *
       sqrt((col("a_exact") * col("a_exact") + col("b_exact") * col("b_exact")
@@ -3251,13 +3256,18 @@ object SparkEntry {
     tradesCache.values.foreach(_.unpersist(blocking = false))
     tradesCache.clear()
     feedCache.clear()
-    // q122's committed fact tables live under per-(session, dir) temp
-    // dirs — delete the whole temp root (…/graft-q122-fact*/fact)
+    // q122/q123's committed fact tables live under per-(session, dir)
+    // temp dirs — delete the whole temp roots (…/graft-q12*-fact*/fact)
     factCache.values.foreach { p =>
       org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(p).getParentFile)
     }
     factCache.clear()
+    q123Cache.values.foreach { case (p, _) =>
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(p).getParentFile)
+    }
+    q123Cache.clear()
   }
 
   /** One collected (key, ts-millis, user_id, event_id) feed per
@@ -3874,7 +3884,14 @@ object SparkEntry {
     * per-key rollup. Touches ONLY the fact table — the raw events never
     * appear in this plan (the PlanShapeSpec pin). */
   private[graft] def q122Estimate(s: SparkSession, factPath: String): DataFrame = {
-    val fact = graft.olap.SnapshotStore.read(s, factPath).get
+    // manifest-level FILE pruning first (r16: the partitioned fact's
+    // manifest carries each file's grain range, so out-of-range files
+    // are never even listed — at 100 TB that is O(range) file opens,
+    // not O(|fact|)), then the row-level BETWEEN still pushes into the
+    // scan (the PlanShapeSpec pin, unchanged)
+    val fact = graft.olap.PartitionedSnapshotStore
+      .readRange(s, factPath, Q122GrainLo, Q122GrainHi)
+      .orElse(graft.olap.SnapshotStore.read(s, factPath)).get
       .filter(col("grain").between(Q122GrainLo, Q122GrainHi))
     val roll = udaf(
       new graft.metrics.TDigest.MergeDigestsAgg(Q122Ps, Q115Compression),
@@ -3898,8 +3915,13 @@ object SparkEntry {
     * [[sketchRankVerdict]] shape widened to two ps + the cardinality
     * columns: the 5-row estimate relation broadcasts back onto ONE
     * grouped pass over the raw slice. */
-  private[graft] def q122Verdict(s: SparkSession, dir: String): DataFrame = {
-    val factPath = q122Ingest(s, dir)
+  private[graft] def q122Verdict(s: SparkSession, dir: String): DataFrame =
+    sketchFactVerdict(s, dir, q122Ingest(s, dir))
+
+  /** The q122 verdict machinery, fact-path-parametric (r16): q123 runs
+    * the SAME read-and-verify over its compacted fact. */
+  private def sketchFactVerdict(s: SparkSession, dir: String,
+      factPath: String): DataFrame = {
     val est = q122Estimate(s, factPath)
     val ev = t(s, dir, "events")
       .filter(col("value").isNotNull && col("user_id").isNotNull)
@@ -3966,6 +3988,72 @@ object SparkEntry {
        |GROUP BY event_type""".stripMargin
   }
 
+  /** One compacted q123 fact per (session, dir): the HOUR-grain ingest
+    * + hour→day compaction is the lifecycle's one-time cost (memoized
+    * like [[q122Ingest]]; temp dirs cleaned by [[clearTradesCache]]).
+    * Also captures the PRE-compaction fine-grain HLL rollup per key
+    * over the read range — the reference for the lossless verdict. */
+  private val q123Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Map[String, Long])]
+
+  private[graft] def q123Ingest(s: SparkSession, dir: String)
+      : (String, Map[String, Long]) =
+    q123Cache.getOrElseUpdate((s, dir), {
+      val factPath = java.nio.file.Files
+        .createTempDirectory("graft-q123-fact").toString + "/fact"
+      val hourUs = Q122GrainUs / 24L
+      graft.olap.OlapEtl.loadFactSketches(s, t(s, dir, "events"),
+        "event_type", "ts", "value", "user_id", hourUs, factPath,
+        Q115Compression, Q119P)
+      // fine-grain (hourly) rollup over the SAME time range the read
+      // face will query, BEFORE compaction — day d covers hour grains
+      // [24d, 24d+23]
+      val hll = udaf(new graft.metrics.Hll.MergeSketchesAgg(Q119P),
+        Encoders.product[graft.metrics.Hll.Sketch])
+      val fine = graft.olap.SnapshotStore.read(s, factPath).get
+        .filter(col("grain").between(Q122GrainLo * 24L, Q122GrainHi * 24L + 23L))
+        .groupBy(col("series_key")).agg(hll(col("id_sketch.regs")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.olap.OlapEtl.compactFactSketches(s, factPath, hourUs,
+        Q122GrainUs, Q115Compression, Q119P)
+      (factPath, fine)
+    })
+
+  /** q123: the sketch-fact COMPACTION lifecycle as a driver query —
+    * ingest the events at HOUR grains (24× finer than q122's day
+    * fact), compact hour→day with
+    * [[graft.olap.OlapEtl.compactFactSketches]] (pure sketch algebra:
+    * register-max HLL, centroid-merged digests, summed counts — no
+    * raw-data access), then answer q122's p50/p99 + distinct-users
+    * range question from the COMPACTED fact. Verdicts as data (oracle
+    * asserts all TRUE): the q115 rank bounds and q118/q119 cardinality
+    * bound at the post-compaction rollup level, Σ n_rows ≡ exact count
+    * over the raw slice, and `compact_lossless` — the compacted fact's
+    * per-key distinct estimate EXACTLY equals the pre-compaction
+    * hourly rollup's (register max loses nothing across the re-grain;
+    * the digest's contract is the rank bound, carried by within_p*).
+    */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (factPath, fine) = q123Ingest(s, dir)
+    val fineDf = fine.toSeq.toDF("series_key", "fine_est")
+    sketchFactVerdict(s, dir, factPath)
+      .join(broadcast(fineDf), Seq("series_key"), "left")
+      .select(
+        col("series_key"), col("n_exact"), col("id_exact"),
+        col("err_bound_p50"), col("err_bound_p99"), col("id_err_bound"),
+        col("nrows_match"), col("within_p50"), col("within_p99"),
+        col("id_within"),
+        coalesce(col("id_est") === col("fine_est"), lit(false))
+          .as("compact_lossless"))
+  }
+
+  /** q122's oracle (same raw slice, same bounds) plus the lossless
+    * verdict column — all four booleans must come back TRUE. */
+  private def q123Sql =
+    q122Sql.replace(" TRUE AS id_within",
+      " TRUE AS id_within,\n TRUE AS compact_lossless")
+
   /** Quantitative q122 verdict for differential.json: worst-key margins
     * of both rank contracts and the cardinality contract, plus the
     * exact-count identity. Returns (keys, violations, maxRankOverBound,
@@ -3990,6 +4078,36 @@ object SparkEntry {
         math.abs(r.getLong(4) - r.getLong(5)).toDouble / r.getDouble(6))
     }
     (keys, viols, maxRank, maxHll, nrowsAll)
+  }
+
+  /** Quantitative q123 verdict for differential.json: the q122 margins
+    * re-measured over the COMPACTED fact, plus the lossless identity —
+    * every key's post-compaction HLL rollup estimate equals the
+    * pre-compaction hourly rollup's. Returns (keys, violations,
+    * maxRankOverBound, maxHllOverBound, nrowsAllMatch, losslessAll). */
+  def sketchCompactionDifferential(s: SparkSession, dir: String)
+      : (Long, Long, Double, Double, Boolean, Boolean) = {
+    val (factPath, fine) = q123Ingest(s, dir)
+    val rows = sketchFactVerdict(s, dir, factPath).select(
+      col("rank_err_p50"), col("rank_err_p99"),
+      col("err_bound_p50"), col("err_bound_p99"),
+      col("id_est"), col("id_exact"), col("id_err_bound"),
+      col("nrows_match"), col("within_p50"), col("within_p99"),
+      col("id_within"), col("series_key")).collect()
+    var keys = 0L; var viols = 0L
+    var maxRank = 0.0; var maxHll = 0.0
+    var nrowsAll = true; var losslessAll = rows.nonEmpty
+    rows.foreach { r =>
+      keys += 1
+      if (!r.getBoolean(8) || !r.getBoolean(9) || !r.getBoolean(10)) viols += 1
+      if (!r.getBoolean(7)) nrowsAll = false
+      if (!fine.get(r.getString(11)).contains(r.getLong(4))) losslessAll = false
+      maxRank = math.max(maxRank,
+        math.max(r.getDouble(0) / r.getDouble(2), r.getDouble(1) / r.getDouble(3)))
+      maxHll = math.max(maxHll,
+        math.abs(r.getLong(4) - r.getLong(5)).toDouble / r.getDouble(6))
+    }
+    (keys, viols, maxRank, maxHll, nrowsAll, losslessAll)
   }
 
   /** Batch ≡ streaming differential for the windowed grain-ingest face
@@ -4523,7 +4641,8 @@ object SparkEntry {
     "q119_hll_rollup" -> (q119 _),
     "q120_hll_setops" -> (q120 _),
     "q121_hash_sample" -> (q121 _),
-    "q122_sketch_fact_read" -> (q122 _)
+    "q122_sketch_fact_read" -> (q122 _),
+    "q123_sketch_compaction" -> (q123 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4654,6 +4773,7 @@ object SparkEntry {
     "q120_hll_setops" -> q120Sql,
     "q121_hash_sample" -> q121Sql,
     "q122_sketch_fact_read" -> q122Sql,
+    "q123_sketch_compaction" -> q123Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
     // at any SF, no data-pinned literals.

@@ -58,7 +58,8 @@ object Verify {
     val diffGate = Seq("q46_backtest_trades", "q47_backtest_summary",
       "q61_percentiles_approx", "q115_tdigest_mergeable",
       "q118_hll_contract", "q119_hll_rollup", "q120_hll_setops",
-      "q121_hash_sample", "q122_sketch_fact_read")
+      "q121_hash_sample", "q122_sketch_fact_read",
+      "q123_sketch_compaction")
     if (diffGate.exists(selected)) {
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       // ONE definition of the success/failure row shape: `body` returns
@@ -166,6 +167,20 @@ object Verify {
             s""""keys": $keys, "violations": $viols, """ +
             s""""max_rank_over_bound": $maxRank, """ +
             s""""max_hll_over_bound": $maxHll, "nrows_match": $nrowsAll}""")
+        }
+      if (selected("q123_sketch_compaction"))
+        diffRows("sketch compaction", "q123_sketch_compaction") {
+          // compaction lifecycle: the q122 margins re-measured over the
+          // hour→day COMPACTED fact, plus the lossless identity (every
+          // key's post-compaction HLL rollup == the pre-compaction
+          // hourly rollup — register max loses nothing in the re-grain)
+          val (keys, viols, maxRank, maxHll, nrowsAll, lossless) =
+            SparkEntry.sketchCompactionDifferential(spark, sfDir)
+          Seq(s"""{"diff_match": ${viols == 0 && keys > 0 && nrowsAll && lossless}, """ +
+            s""""keys": $keys, "violations": $viols, """ +
+            s""""max_rank_over_bound": $maxRank, """ +
+            s""""max_hll_over_bound": $maxHll, "nrows_match": $nrowsAll, """ +
+            s""""compact_lossless": $lossless}""")
         }
       if (selected("q120_hll_setops"))
         diffRows("HLL set-ops", "q120_hll_setops") {

@@ -356,6 +356,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no global sort / window:\n$p")
   }
 
+  test("q123 compacted-fact READ: same pruned one-scan shape as q122 (r16)") {
+    val (factPath, _) = graft.SparkEntry.q123Ingest(spark, sf)
+    val p = plan(graft.SparkEntry.q122Estimate(spark, factPath))
+    // compaction must not cost the read face anything: the compacted
+    // fact answers with the identical grain-pruned single-scan rollup
+    assert(p.contains("GreaterThanOrEqual(grain,") &&
+      p.contains("LessThanOrEqual(grain,"),
+      s"grain range not pushed to the compacted-fact scan:\n$p")
+    assert(!p.contains("events.parquet"),
+      s"estimate side must never touch raw events:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"estimate side reads exactly the compacted fact:\n$p")
+    assert(p.contains("partial_mergedigestsagg") &&
+      p.contains("partial_mergesketchesagg"),
+      s"rollup aggregators must partial-merge map-side:\n$p")
+  }
+
   test("q120 HLL set ops: two sketch branches broadcast onto the exact side, no SMJ") {
     val p = plan(graft.SparkEntry.queries("q120_hll_setops")(spark, sf))
     assert("partial_sketchagg".r.findAllIn(p).size >= 2,
