@@ -667,6 +667,127 @@ object ScaleProbe {
         times.zipWithIndex.map { case (t, i) => f"b$i=$t%.2f" }.mkString(" "))
     }
 
+    if (want("r16")) {
+      // THE r15 disclosed boundary, measured closed: merge-ingest a
+      // constant-size micro-batch into facts 10×/100×/1000× the batch,
+      // on BOTH snapshot layouts. The monolithic store rewrites the
+      // full snapshot per commit → per-batch cost grows with |fact|;
+      // the partitioned manifest-of-files store restages only the
+      // colliding grain bucket → per-batch cost must stay FLAT. Same
+      // merge algebra, same fold, same fence machinery — the layout is
+      // the only variable.
+      import graft.olap.{OlapEtl, PartitionedSnapshotStore, SnapshotStore}
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val GrainUs = 86400000000L // day grains
+      val Series = 5000
+      val RowsPerSeriesDay = 20
+      // synthetic events: `part` splits a day's rows into two halves so
+      // the measured merge batch is a genuine PARTIAL grain (MergeGrain
+      // shape), uids disjoint from the first half
+      def ev(dayLo: Int, dayHi: Int, part: Int) = {
+        val days = dayHi - dayLo + 1
+        spark.range(days.toLong * Series * (RowsPerSeriesDay / 2))
+          .select(
+            concat(lit("s"), (col("id") % Series)).as("series"),
+            timestamp_micros(
+              (lit(dayLo.toLong) + floor(col("id") / Series).cast("long") % days)
+                * lit(GrainUs) +
+                (col("id") % 86400L) * 1000000L + lit(part.toLong)).as("ts"),
+            (col("id") % 1000L).cast("double").as("value"),
+            (col("id") * 3L + part).as("event_id")) // parts id-disjoint
+      }
+      def grow(path: String, days: Int, layoutDefault: Boolean): Unit = {
+        // one-shot ReplaceGrain history build (constant commits either
+        // way — the probe times the MERGE batch, not the backfill)
+        OlapEtl.loadFactSketches(spark, ev(0, days - 1, 0), "series", "ts",
+          "value", "event_id", GrainUs, path,
+          layout = PartitionedSnapshotStore.Layout(grainsPerBucket = 32L))
+      }
+      val results = Seq(20, 200, 2000).zipWithIndex.map { case (days, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"r16-$days")
+        val ptnPath = s"$tmp/ptn"
+        val monoPath = s"$tmp/mono"
+        grow(ptnPath, days, layoutDefault = true)
+        // monolithic contrast table: seed v0 via SnapshotStore.commit
+        // (the legacy layout), then the loader keeps that layout
+        SnapshotStore.commit(
+          SnapshotStore.read(spark, ptnPath).get, monoPath)
+        def mergeBatch(path: String, part: Int): Double = timed {
+          OlapEtl.loadFactSketches(spark, ev(days - 1, days - 1, part),
+            "series", "ts", "value", "event_id", GrainUs, path,
+            mode = OlapEtl.MergeGrain)
+        }
+        // first merge at the smallest size is codegen warmup for both
+        // paths (unmeasured); each grid row is a fresh partial batch
+        if (i == 0) { mergeBatch(ptnPath, 1); mergeBatch(monoPath, 1) }
+        val tPtn = mergeBatch(ptnPath, 2)
+        val tMono = mergeBatch(monoPath, 2)
+        val factRows = days.toLong * Series
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+        (days, factRows, tPtn, tMono)
+      }
+      println(s"SCALE-R16 merge one micro-batch ($Series grain rows) into a fact of N grain rows:")
+      results.foreach { case (days, rows, tPtn, tMono) =>
+        println(f"SCALE-R16 fact=${rows}%7d rows (${days}%4d days): " +
+          f"partitioned=$tPtn%6.2f s monolithic=$tMono%6.2f s " +
+          f"ratio=${tMono / tPtn}%.1fx")
+      }
+      val flat = results.last._3 / results.head._3
+      println(f"SCALE-R16 partitioned growth 10→1000 days: ${flat}%.2fx " +
+        "(FLAT expected; monolithic grows with |fact|)")
+    }
+
+    if (want("r16b")) {
+      // sparse-HLL state (r16): re-measure SCALE-R15's streamingDistinct
+      // key-axis points — the r15 grid recorded 5.6 GiB of state at 1M
+      // keys because every key paid dense 4 KiB registers regardless of
+      // cardinality. With the sparse encoding a key's state is O(ids
+      // seen), so the same 2M-tick feed must land at a small fraction;
+      // the skewed case (100 hot keys carrying 10% of ticks, 1M cold
+      // keys the rest — the realistic long-tail shape) shows the mixed
+      // regime: hot keys upgrade to dense, the tail stays tiny.
+      import graft.streaming.StreamOps
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val totalTicks = 2000000
+      val chunks = 4
+      def run(label: String, keys: Int, measured: Boolean,
+          keyOf: Int => String): Unit = {
+        val mem = MemoryStream[StreamOps.DistinctTick]
+        val q = StreamOps.streamingDistinct(mem.toDS()).writeStream
+          .outputMode("update").format("noop").start()
+        try {
+          val per = totalTicks / chunks
+          val t0 = System.nanoTime()
+          (0 until chunks).foreach { c =>
+            mem.addData((0 until per).map { i =>
+              val n = c * per + i
+              StreamOps.DistinctTick(keyOf(n), n.toLong,
+                (n * 2654435761L) % 500000L)
+            }: _*)
+            q.processAllAvailable()
+          }
+          val so = q.lastProgress.stateOperators.head
+          val tag = if (measured) "" else " (warm-up)"
+          println(f"SCALE-R16B $label keys=$keys: " +
+            f"total=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+            f"stateRows=${so.numRowsTotal} " +
+            f"stateMem=${so.memoryUsedBytes / 1048576.0}%.1f MiB$tag")
+        } finally q.stop()
+      }
+      run("uniform", 50000, measured = false, i => "k" + (i % 50000))
+      for (k <- Seq(10000, 100000, 1000000))
+        run("uniform", k, measured = true, i => "k" + (i % k))
+      // skew: tick i goes to a hot key when i % 10 == 0 (10% of ticks
+      // over 100 keys → ~2k ids/key, dense), else to the 1M-key tail
+      // (~1.8 ids/key, sparse)
+      run("skewed-hot100", 1000100, measured = true,
+        i => if (i % 10 == 0) "h" + (i % 100) else "c" + (i % 1000000))
+    }
+
     if (want("r13")) {
       // Replica LAYOUT matters as much as row count: replicated rows
       // compress so well that a naive write packs 600M rows into ~129MB

@@ -27,6 +27,9 @@ echo "== Verify + DuckDB oracle (sf0.01, DRIVER-LIKE env: +05:30 tz, default shu
 SPARK_GRAFT_DRIVERLIKE=1 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_driverlike" >/dev/null 2>&1
 python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gate_driverlike | tail -1
 
+echo "== bench artifacts: committed run matches its provenance =="
+python3 tools/check_bench_provenance.py
+
 echo "== Entry smoke (driver checks rows > 0) =="
 tools/runmain.sh graft.EntrySmoke 2>/dev/null | grep ENTRYROWS
 
