@@ -503,7 +503,11 @@ object OlapEtl {
       }
     } finally upd.unpersist(blocking = false)
     ptn.gc(factPath)
-    SnapshotStore.read(spark, factPath).get
+    // a committed manifest with ZERO parts (first batch empty, or all
+    // rows null-filtered) reads back as None — return an empty frame
+    // with the fact schema instead of crashing the sink (review r16)
+    SnapshotStore.read(spark, factPath)
+      .getOrElse(updates.limit(0))
   }
 
   /** Pre-r16 monolithic-layout commit (kept verbatim for existing
@@ -656,15 +660,21 @@ object OlapEtl {
     if (PartitionedSnapshotStore.isPartitioned(factPath)) {
       val ptn = PartitionedSnapshotStore
       val base = ptn.current(factPath).get
+      // the whole-fact rollup fold is compaction's dominant cost and
+      // the plan is referenced twice (bucket collect + staged write) —
+      // persist so it runs once (review r16, the r15 loader lesson)
       val withBucket = compacted.withColumn(ptn.BucketCol,
         ptn.bucketExpr(col("series_key"), col("grain"), base.layout))
-      // every bucket is dirty by definition: old entries all drop, the
-      // compacted rows land in their (new-grain) buckets
-      val newBuckets = withBucket.select(col(ptn.BucketCol)).distinct()
-        .collect().map(_.getLong(0)).toSet
-      val dirty = base.parts.map(_.bucket).toSet ++ newBuckets
-      ptn.commitBuckets(spark, factPath, withBucket, dirty, base.layout,
-        fence = None, lineage = None, expectedBase = Some(base.version))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // every bucket is dirty by definition: old entries all drop,
+        // the compacted rows land in their (new-grain) buckets
+        val newBuckets = withBucket.select(col(ptn.BucketCol)).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val dirty = base.parts.map(_.bucket).toSet ++ newBuckets
+        ptn.commitBuckets(spark, factPath, withBucket, dirty, base.layout,
+          fence = None, lineage = None, expectedBase = Some(base.version))
+      } finally withBucket.unpersist(blocking = false)
       ptn.gc(factPath)
     } else {
       val base = SnapshotStore.currentVersion(factPath)

@@ -210,19 +210,22 @@ object PartitionedSnapshotStore {
         .collect()
         .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
         .toMap
+    // EVERY refusal below must clean up the freshly staged dir — it
+    // was created by THIS call, never committed, and leaving it costs
+    // a 24h orphan-grace of disk (review r16: the requires previously
+    // bypassed the CAS/fence refusals' cleanup)
+    def refuse(e: Exception): Nothing = {
+      SnapshotStore.deleteRecursively(dir.resolve(stageRel))
+      throw e
+    }
     val stray = stats.keySet.diff(dirtyBuckets)
-    require(stray.isEmpty,
+    if (stray.nonEmpty) refuse(new IllegalArgumentException(
       s"commitBuckets: data landed in buckets $stray not declared dirty — " +
-        "the manifest would double-list those buckets")
+        "the manifest would double-list those buckets"))
     val newEntries = stats.toSeq.sortBy(_._1).map { case (b, (gmin, gmax, n)) =>
       PartEntry(b, s"$stageRel/$BucketCol=$b", gmin, gmax, n)
     }
     SnapshotStore.withPublishLock(tablePath) {
-      def refuse(e: Exception): Nothing = {
-        // the stage dir was created by THIS call — never committed
-        SnapshotStore.deleteRecursively(dir.resolve(stageRel))
-        throw e
-      }
       val cur = current(tablePath)
       if (cur.map(_.version) != expectedBase)
         refuse(new SnapshotStore.StaleVersionException(
@@ -231,10 +234,10 @@ object PartitionedSnapshotStore {
             s"was computed from ${expectedBase.getOrElse("<none>")} — a " +
             "concurrent writer committed; re-read, recompute, retry"))
       for (c <- cur)
-        require(c.layout == layout,
+        if (c.layout != layout) refuse(new IllegalArgumentException(
           s"bucket layout is a table property: committed ${c.layout}, " +
             s"caller passed $layout — a drifting bucket function would " +
-            "scatter grains across buckets and break collision detection")
+            "scatter grains across buckets and break collision detection"))
       val (carriedFence, carriedLineage) = SnapshotStore.admitFence(tablePath,
         cur.flatMap(_.fence), cur.flatMap(_.lineage), fence, lineage, refuse)
       val newV = nextManifestVersion(dir, cur)

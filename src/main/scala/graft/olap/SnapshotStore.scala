@@ -252,6 +252,18 @@ object SnapshotStore {
         deleteRecursively(dir.resolve(staged.version))
       throw e
     }
+    // cross-layout tripwire (review r16): a monolithic publish against
+    // a PARTITIONED-layout table would silently overwrite the shared
+    // pointer with "v<N>" — orphaning every partition file AND erasing
+    // the fence/lineage (the monotone check cannot see it: "m3" parses
+    // to no version number). Refuse loudly; the staged v-dir is junk in
+    // a partitioned table either way, so refuse's cleanup applies.
+    if (PartitionedSnapshotStore.isPartitioned(staged.tablePath))
+      refuse(new IllegalStateException(
+        s"table at ${staged.tablePath} uses the partitioned " +
+          "manifest-of-files layout — commit through " +
+          "PartitionedSnapshotStore.commitBuckets, not the monolithic " +
+          "publish (which would orphan the partitioned data)"))
     if (!Files.isDirectory(dir.resolve(staged.version)))
       // a completed-but-unpublished dir at/below current can be gc'd by
       // a faster writer's commit — that IS a lost race, so surface it

@@ -698,7 +698,7 @@ object ScaleProbe {
             (col("id") % 1000L).cast("double").as("value"),
             (col("id") * 3L + part).as("event_id")) // parts id-disjoint
       }
-      def grow(path: String, days: Int, layoutDefault: Boolean): Unit = {
+      def grow(path: String, days: Int): Unit = {
         // one-shot ReplaceGrain history build (constant commits either
         // way — the probe times the MERGE batch, not the backfill)
         OlapEtl.loadFactSketches(spark, ev(0, days - 1, 0), "series", "ts",
@@ -709,7 +709,7 @@ object ScaleProbe {
         val tmp = java.nio.file.Files.createTempDirectory(s"r16-$days")
         val ptnPath = s"$tmp/ptn"
         val monoPath = s"$tmp/mono"
-        grow(ptnPath, days, layoutDefault = true)
+        grow(ptnPath, days)
         // monolithic contrast table: seed v0 via SnapshotStore.commit
         // (the legacy layout), then the loader keeps that layout
         SnapshotStore.commit(
@@ -786,6 +786,41 @@ object ScaleProbe {
       // (~1.8 ids/key, sparse)
       run("skewed-hot100", 1000100, measured = true,
         i => if (i % 10 == 0) "h" + (i % 100) else "c" + (i % 1000000))
+    }
+
+    if (want("r16c")) {
+      // q123's lifecycle at ×100 (10M events): hour-grain ingest (the
+      // one-time fine-grain cost), hour→day compaction (the rare
+      // lifecycle op — O(|fact|) by design, it rewrites the table), and
+      // the post-compaction range read (what every later question
+      // costs; must stay in q122's read-path class). Uses q123's own
+      // constants so a moved read range moves this probe with it.
+      import graft.olap.{OlapEtl, SnapshotStore}
+      if (!new java.io.File("/tmp/scale100/events.parquet").exists)
+        replicate(100, "/tmp/scale100")
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      // warm codegen on sf0.01 first
+      SparkEntry.q123Ingest(spark, "/root/testdata/sf0.01")
+      val dir = java.nio.file.Files.createTempDirectory("graft-r16c")
+      try {
+        val factPath = dir.toString + "/fact"
+        val hourUs = SparkEntry.Q122GrainUs / 24L
+        val tIngest = timed(OlapEtl.loadFactSketches(spark,
+          graft.io.Sources.table(spark, "/tmp/scale100", "events"),
+          "event_type", "ts", "value", "user_id", hourUs, factPath))
+        val fineRows = SnapshotStore.read(spark, factPath).get.count()
+        val tCompact = timed(OlapEtl.compactFactSketches(spark, factPath,
+          hourUs, SparkEntry.Q122GrainUs))
+        val dayRows = SnapshotStore.read(spark, factPath).get.count()
+        val tRead = timed(SparkEntry.q122Estimate(spark, factPath)
+          .write.mode("overwrite").format("noop").save())
+        println(f"SCALE-R16C q123 lifecycle @10M events: " +
+          f"hour-ingest(once)=$tIngest%.2f s ($fineRows rows) " +
+          f"compact(hour→day)=$tCompact%.2f s (→ $dayRows rows) " +
+          f"read-from-compacted=$tRead%.2f s")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
 
     if (want("r13")) {

@@ -154,10 +154,37 @@ class PartitionedSnapshotStoreSpec extends AnyFunSuite {
     val p = freshTable()
     val d = rows(("a", 1L, 1L))
     ptn.commitBuckets(spark, p, d, buckets(d), lay, None, None, None)
+    val stageDirsBefore = SnapshotStore.children(Paths.get(p, "part")).size
     intercept[IllegalArgumentException] {
       ptn.commitBuckets(spark, p, d, buckets(d),
         ptn.Layout(grainsPerBucket = 99L), None, None, Some(0L))
     }
+    // the refused commit cleaned up its own stage dir (review r16: the
+    // layout/stray requires must not bypass the refusal cleanup)
+    assert(SnapshotStore.children(Paths.get(p, "part")).size == stageDirsBefore,
+      "a layout refusal leaked its stage dir")
+  }
+
+  test("cross-layout tripwire: a monolithic publish against a partitioned table refuses loudly") {
+    val p = freshTable()
+    val d = rows(("a", 1L, 1L))
+    ptn.commitBuckets(spark, p, d, buckets(d), lay, Some(3L), Some("runX"), None)
+    // a legacy caller commits monolithically at the same path — without
+    // the tripwire this would overwrite the pointer with "v0", orphan
+    // every partition file, and erase the fence+lineage silently
+    val ex = intercept[IllegalStateException] {
+      SnapshotStore.commit(Seq(9).toDF("x"), p)
+    }
+    assert(ex.getMessage.contains("partitioned"), ex.getMessage)
+    assert(SnapshotStore.currentVersion(p).contains("m0") &&
+      SnapshotStore.currentFence(p).contains(3L) &&
+      SnapshotStore.currentLineage(p).contains("runX") &&
+      readPairs(p) == Set(("a", 1L, 1L)),
+      "the refused monolithic publish damaged the partitioned table")
+    // and its junk staged v-dir was cleaned up
+    assert(!SnapshotStore.children(Paths.get(p))
+      .exists(_.getFileName.toString.matches("v\\d+")),
+      "the refused monolithic publish left a v-dir in the partitioned table")
   }
 
   test("gc: superseded-only files collect, shared files survive, young orphans are protected") {

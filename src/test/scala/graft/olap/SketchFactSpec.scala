@@ -311,6 +311,24 @@ class SketchFactSpec extends AnyFunSuite {
     }
   }
 
+  test("an EMPTY first micro-batch advances the fence without crashing (zero-part manifest, r16)") {
+    withFact("sketchfact14") { path =>
+      val writer = OlapEtl.sketchFactBatchWriter("k", "ts", "v", "uid",
+        GrainUs, path, Compression, P)
+      // first batch of the stream is empty: the committed manifest has
+      // ZERO parts — the loader must return an empty typed frame, not
+      // crash on None.get (review r16), and the fence must still land
+      writer(events.limit(0), 0L)
+      assert(SnapshotStore.currentFence(path).contains(0L))
+      assert(SnapshotStore.read(spark, path).isEmpty,
+        "a zero-part manifest should read back as no data")
+      // the next real batch lands normally on the same table
+      writer(events.filter(grainOf < 2), 1L)
+      assert(SnapshotStore.read(spark, path).get.count() == 4) // 2 keys × 2 grains
+      assert(SnapshotStore.currentFence(path).contains(1L))
+    }
+  }
+
   test("composite series keys (r16): a two-column key lands as a struct through loader, sink, and rollup") {
     withFact("sketchfact12") { path =>
       // (event_type, region)-shaped key: k is the type, k2 the region

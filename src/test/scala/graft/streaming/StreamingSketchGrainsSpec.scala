@@ -126,8 +126,10 @@ class StreamingSketchGrainsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("sketchgrains2")
     try {
       val factPath = dir.toString + "/fact"
-      // (type, region) composite key as separate source columns
-      val mem = MemoryStream[(String, String, Long, Double, Long)]
+      // (type, region) composite key as separate source columns; the
+      // value rides as Option so the feed carries NULL rows — the face
+      // must apply the batch loader's null contract (review r16)
+      val mem = MemoryStream[(String, String, Long, Option[Double], Long)]
       val grains = StreamOps.streamingSketchGrains(
         mem.toDS().toDF("typ", "region", "ts", "v", "uid"),
         Seq("typ", "region"), "ts", "v", "uid", DayUs, 0.seconds, 100.0, P)
@@ -140,8 +142,9 @@ class StreamingSketchGrainsSpec extends AnyFunSuite {
         }.start()
       val rows = (0 until 1800).map { i =>
         val day = Day0 + i / 600
+        // every 7th row is a NULL value: both cadences must drop it
         ("t" + (i % 2), "r" + (i % 3), day * DayUs + (i % 600).toLong * 1000000L,
-          math.cos(i.toDouble), (i % 53).toLong)
+          if (i % 7 == 0) None else Some(math.cos(i.toDouble)), (i % 53).toLong)
       }
       try {
         rows.grouped(600).foreach { day =>
