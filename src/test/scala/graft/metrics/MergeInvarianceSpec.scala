@@ -122,6 +122,50 @@ class MergeInvarianceSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse×dense×mixed stored sketches (r16): rollup invariant across encodings + parquet round-trip") {
+    // the r16 sparse encoding must be INVISIBLE to every merge
+    // invariance: build per-grain sketches at a grain fine enough that
+    // most store SPARSE and coarse enough that some go DENSE, persist
+    // through parquet (both encodings in one binary column), and roll
+    // up MIXED — the estimate must equal the all-dense direct
+    // aggregate exactly, under 1 and 200 shuffle partitions
+    import org.apache.spark.sql.Encoders
+    import graft.metrics.Hll
+    val P = 12
+    val events = graft.io.Sources.table(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull)
+    val mk = udaf(new Hll.SketchAgg(P), Encoders.scalaLong)
+    val hourUs = 3600000000L
+    val perGrain = events.select(col("event_type"),
+        (unix_micros(col("ts")) / hourUs).cast("long").as("grain"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("grain"))
+      .agg(mk(col("user_id")).as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("mi-sparse")
+    try {
+      perGrain.write.mode("overwrite").parquet(dir.toString)
+      val stored = spark.read.parquet(dir.toString)
+      val lens = stored.select(length(col("sk.regs"))).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(lens.exists(_ < (1 << P)),
+        s"expected some SPARSE stored sketches at hour grains, lengths=$lens")
+      val roll = udaf(new Hll.MergeSketchesAgg(P), Encoders.product[Hll.Sketch])
+      val direct = udaf(new Hll.DistinctAgg(P), Encoders.scalaLong)
+      val want = events.groupBy(col("event_type"))
+        .agg(direct(col("user_id")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Seq("1", "200").foreach { sp =>
+        val got = withShufflePartitions(sp) {
+          stored.groupBy(col("event_type"))
+            .agg(roll(col("sk.regs")).as("est"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        assert(got == want,
+          s"sp=$sp: mixed-encoding rollup != all-dense direct aggregate")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("q120 set algebra: estimates and verdicts identical from 1 to 200 shuffle partitions") {
     val runs = Seq("1", "200").map { sp =>
       sp -> withShufflePartitions(sp) {

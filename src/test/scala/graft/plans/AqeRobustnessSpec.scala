@@ -126,6 +126,18 @@ class AqeRobustnessSpec extends AnyFunSuite {
       assert(p122.contains("partial_mergedigestsagg") &&
         p122.contains("partial_mergesketchesagg"),
         s"q122 rollup lost map-side partials under AQE:\n$p122")
+
+      // q123 (r16): the COMPACTED fact answers with the identical
+      // pruned one-scan rollup shape when AQE re-plans
+      val (compactPath, _) = graft.SparkEntry.q123Ingest(spark, sf)
+      val p123 = finalPlan(graft.SparkEntry.q122Estimate(spark, compactPath))
+      assert(p123.contains("GreaterThanOrEqual(grain,") &&
+        p123.contains("LessThanOrEqual(grain,") &&
+        !p123.contains("events.parquet"),
+        s"q123 grain pruning / fact isolation broke under AQE:\n$p123")
+      assert(p123.contains("partial_mergedigestsagg") &&
+        p123.contains("partial_mergesketchesagg"),
+        s"q123 rollup lost map-side partials under AQE:\n$p123")
     }
   }
 
