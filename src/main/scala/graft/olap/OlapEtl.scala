@@ -365,7 +365,13 @@ object OlapEtl {
       : DataFrame = {
     val aggs = sketchAggExprs(col("__v"), col("__id"), compression, p)
     val updates = events
-      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      // the null contract (scaladoc): value/id nulls can't be sketched;
+      // a NULL timestamp has no derivable grain (r16 review — it would
+      // NPE the partitioned path's bucket collect), so all three
+      // exclude the row and the sketch columns describe ONE
+      // fully-non-null row set
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull &&
+        col(tsCol).isNotNull)
       .select(seriesKeyCol(seriesCols).as("series_key"),
         grainCol(col(tsCol), grainUs).as("grain"),
         col(valueCol).as("__v"), col(idCol).as("__id"))
@@ -384,6 +390,17 @@ object OlapEtl {
     if (seriesCols.size == 1) col(seriesCols.head)
     else struct(seriesCols.map(col): _*)
   }
+
+  /** NULL-SAFE (series_key, grain) join condition for the grain
+    * collision splits: a NULL series key is a legitimate group (the
+    * window-based [[upsert]] groups NULLs and replaces), so the
+    * semi/anti splits must match it too — plain `usingColumns`
+    * equality passes a stored NULL-key row through the anti join and
+    * DUPLICATES it on every backfill (r16 review). */
+  private def grainKeyCond(left: DataFrame, right: DataFrame)
+      : org.apache.spark.sql.Column =
+    (left("series_key") <=> right("series_key")) &&
+      (left("grain") <=> right("grain"))
 
   /** Shared commit leg of the sketch-fact loaders: lands an aggregated
     * grain-row `updates` relation into the fact under `mode`'s
@@ -467,9 +484,11 @@ object OlapEtl {
         case (ReplaceGrain, Some(e)) =>
           // recompute-replace within the dirty buckets: stored rows
           // for the batch's grain keys drop, everything else in the
-          // bucket passes through (values byte-identical)
-          e.join(broadcast(upd.select(keyCols.map(col): _*)),
-            keyCols, "left_anti").unionByName(upd)
+          // bucket passes through (values byte-identical); null-safe
+          // so a NULL-key grain replaces instead of duplicating
+          val updKeys = broadcast(upd.select(keyCols.map(col): _*))
+          e.join(updKeys, grainKeyCond(e, updKeys), "left_anti")
+            .unionByName(upd)
         case (MergeGrain, Some(e)) =>
           // fold ONLY the colliding grain rows (semi/anti split):
           // untouched rows — in clean buckets, at the FILE level;
@@ -477,9 +496,10 @@ object OlapEtl {
           // (digest recompression is not bit-stable, so gratuitous
           // re-aggregation would drift idle digests)
           val updKeys = broadcast(upd.select(keyCols.map(col): _*))
-          val untouched = e.join(updKeys, keyCols, "left_anti")
+          val untouched = e.join(updKeys, grainKeyCond(e, updKeys), "left_anti")
           val folded = collisionFold(
-            e.join(updKeys, keyCols, "left_semi").drop(ptn.BucketCol)
+            e.join(updKeys, grainKeyCond(e, updKeys), "left_semi")
+              .drop(ptn.BucketCol)
               .unionByName(upd.drop(ptn.BucketCol)),
             compression, p).withColumn(ptn.BucketCol, bExpr)
           untouched.unionByName(folded)
@@ -532,11 +552,11 @@ object OlapEtl {
         val upd = updates
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pinned = Some(upd)
-        val keyCols = Seq("series_key", "grain")
         val updKeys = broadcast(upd.select(col("series_key"), col("grain")))
-        val untouched = e.join(updKeys, keyCols, "left_anti")
+        val untouched = e.join(updKeys, grainKeyCond(e, updKeys), "left_anti")
         val folded = collisionFold(
-          e.join(updKeys, keyCols, "left_semi").unionByName(upd),
+          e.join(updKeys, grainKeyCond(e, updKeys), "left_semi")
+            .unionByName(upd),
           compression, p)
         untouched.unionByName(folded)
     }
@@ -649,21 +669,28 @@ object OlapEtl {
       s"compaction must coarsen by an integer factor: from=$fromGrainUs " +
         s"to=$toGrainUs")
     val ratio = toGrainUs / fromGrainUs
-    val cur = SnapshotStore.read(spark, factPath).getOrElse(
-      throw new IllegalStateException(
-        s"no committed sketch fact at $factPath to compact"))
-    // floor-div re-grain (double division + floor, exactly grainCol's
-    // semantics — truncation would mis-bucket pre-1970 grains)
-    val regrained = cur.withColumn("grain",
-      floor(col("grain") / lit(ratio)).cast("long"))
-    val compacted = collisionFold(regrained, compression, p)
+    // CAS discipline (r16 review): capture the base FIRST and pin the
+    // fold's read to that exact manifest/version — resolving the table
+    // before naming the base leaves a window where a concurrent ingest
+    // commit passes the CAS check and is silently erased by the
+    // compacted publish (the precise lost update CAS exists to refuse)
+    def regrain(cur: DataFrame): DataFrame =
+      // floor-div re-grain (double division + floor, exactly
+      // grainCol's semantics — truncation would mis-bucket pre-1970
+      // grains)
+      collisionFold(cur.withColumn("grain",
+        floor(col("grain") / lit(ratio)).cast("long")), compression, p)
     if (PartitionedSnapshotStore.isPartitioned(factPath)) {
       val ptn = PartitionedSnapshotStore
-      val base = ptn.current(factPath).get
+      val base = ptn.current(factPath).getOrElse(
+        throw new IllegalStateException(
+          s"no committed sketch fact at $factPath to compact"))
+      val cur = spark.read.parquet(
+        base.parts.map(e => s"$factPath/${e.relPath}"): _*)
       // the whole-fact rollup fold is compaction's dominant cost and
       // the plan is referenced twice (bucket collect + staged write) —
       // persist so it runs once (review r16, the r15 loader lesson)
-      val withBucket = compacted.withColumn(ptn.BucketCol,
+      val withBucket = regrain(cur).withColumn(ptn.BucketCol,
         ptn.bucketExpr(col("series_key"), col("grain"), base.layout))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -677,8 +704,11 @@ object OlapEtl {
       } finally withBucket.unpersist(blocking = false)
       ptn.gc(factPath)
     } else {
-      val base = SnapshotStore.currentVersion(factPath)
-      SnapshotStore.commitCas(compacted, factPath, None, base)
+      val base = SnapshotStore.currentVersion(factPath).getOrElse(
+        throw new IllegalStateException(
+          s"no committed sketch fact at $factPath to compact"))
+      val cur = spark.read.parquet(s"$factPath/$base")
+      SnapshotStore.commitCas(regrain(cur), factPath, None, Some(base))
       SnapshotStore.gc(factPath)
     }
     SnapshotStore.read(spark, factPath).get

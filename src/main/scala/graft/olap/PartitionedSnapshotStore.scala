@@ -151,10 +151,14 @@ object PartitionedSnapshotStore {
     current(tablePath).filter(_.parts.nonEmpty).map { m =>
       val live = m.parts.filter(e => e.grainMax >= grainLo && e.grainMin <= grainHi)
       if (live.isEmpty)
-        // no intersecting file: preserve schema via an empty slice of
-        // the full relation (never-scanned — Catalyst folds the scan
-        // away under `false`)
-        read(spark, tablePath).get.filter(lit(false))
+        // no intersecting file: preserve schema via an empty slice
+        // over THIS manifest's files (never-scanned — Catalyst folds
+        // the scan away under `false`). Built from the manifest in
+        // hand, not a second pointer resolve — a concurrent commit+gc
+        // between the two reads could make the re-resolve return None
+        // and crash a pure reader (r16 review).
+        spark.read.parquet(m.parts.map(e => s"$tablePath/${e.relPath}"): _*)
+          .filter(lit(false))
       else spark.read.parquet(live.map(e => s"$tablePath/${e.relPath}"): _*)
     }
 

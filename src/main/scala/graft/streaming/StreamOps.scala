@@ -1186,10 +1186,12 @@ object StreamOps {
     val aggs = graft.olap.OlapEtl.sketchAggExprs(
       col(valueCol), col(idCol), compression, p)
     events
-      // the batch loader's null contract (one fully-non-null row set):
-      // without it the cadences drift on nullable feeds — n_rows would
-      // count rows the batch fact excludes (review r16)
-      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      // the batch loader's null contract (one fully-non-null row set,
+      // and no derivable grain without a timestamp): without it the
+      // cadences drift on nullable feeds — n_rows would count rows the
+      // batch fact excludes (review r16)
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull &&
+        col(tsCol).isNotNull)
       .withColumn("__evt", timestamp_micros(col(tsCol)))
       .withWatermark("__evt", s"${math.max(0L, lateness.toMillis)} milliseconds")
       .groupBy(graft.olap.OlapEtl.seriesKeyCol(seriesCols).as("series_key"),

@@ -311,6 +311,36 @@ class SketchFactSpec extends AnyFunSuite {
     }
   }
 
+  test("null-safe grain keys (r16): NULL series key replaces/merges, never duplicates; NULL ts is excluded") {
+    withFact("sketchfact15") { path =>
+      val ev = Seq(
+        (Option("a"), Option(1000000L), 1.0, 1L),
+        (Option.empty[String], Option(2000000L), 2.0, 2L), // null key: legit group
+        (Option.empty[String], Option(3000000L), 3.0, 3L),
+        (Option("a"), Option.empty[Long], 4.0, 4L))        // null ts: no grain → excluded
+        .toDF("k", "ts_us", "v", "uid")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      def load2(mode: OlapEtl.SketchIngestMode) =
+        OlapEtl.loadFactSketches(spark, ev, "k", "ts", "v", "uid", GrainUs,
+          path, Compression, P, mode)
+      load2(OlapEtl.ReplaceGrain)
+      def snap() = SnapshotStore.read(spark, path).get
+        .select(col("series_key"), col("n_rows")).collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      assert(snap() == Map(Some("a") -> 1L, None -> 2L),
+        "expected one 'a' grain row and one NULL-key grain row; null-ts excluded")
+      // idempotent backfill: the NULL-key grain must REPLACE, not
+      // duplicate (the r16 null-unsafe anti-join hazard)
+      load2(OlapEtl.ReplaceGrain)
+      assert(snap() == Map(Some("a") -> 1L, None -> 2L),
+        "a NULL-key grain duplicated on an idempotent backfill")
+      // merge mode folds INTO the null-key grain (counts sum)
+      load2(OlapEtl.MergeGrain)
+      assert(snap() == Map(Some("a") -> 2L, None -> 4L),
+        "merge mode did not fold the NULL-key grain")
+    }
+  }
+
   test("an EMPTY first micro-batch advances the fence without crashing (zero-part manifest, r16)") {
     withFact("sketchfact14") { path =>
       val writer = OlapEtl.sketchFactBatchWriter("k", "ts", "v", "uid",

@@ -9,6 +9,7 @@ Exits non-zero with a diff message on mismatch; prints one OK line on
 success. Run by gate.sh and by hand after committing a bench triple.
 """
 import json
+import re
 import sys
 
 TOL_S = 0.011  # artifacts round to milliseconds
@@ -22,11 +23,20 @@ def fail(msg: str) -> None:
 def main() -> None:
     full = json.load(open("bench_full.json"))
     prov = json.load(open("bench_provenance.json"))
-    committed = [r for r in prov.get("runs", [])
-                 if "committed" in r.get("label", "")]
+
+    def is_committed(r):
+        # dedicated boolean field preferred; the label fallback is a
+        # WORD match so 'uncommitted'/'not committed' can never select
+        if "committed" in r:
+            return bool(r["committed"])
+        label = r.get("label", "")
+        return (re.search(r"(?<![a-z])committed", label) is not None
+                and "not committed" not in label)
+
+    committed = [r for r in prov.get("runs", []) if is_committed(r)]
     if len(committed) != 1:
-        fail(f"provenance must label exactly one run 'committed', "
-             f"found {len(committed)}")
+        fail(f"provenance must mark exactly one run committed "
+             f"(boolean field or label word), found {len(committed)}")
     run = committed[0]
     pairs = [
         ("value", "cold_total_s"),
