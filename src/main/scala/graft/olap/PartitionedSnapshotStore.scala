@@ -140,6 +140,20 @@ object PartitionedSnapshotStore {
       spark.read.parquet(m.parts.map(e => s"$tablePath/${e.relPath}"): _*)
     }
 
+  /** TIME-TRAVEL read (r16): resolve a SPECIFIC manifest version —
+    * the training-data-lineage face ("read the exact corpus snapshot
+    * run X trained on"). Valid while the manifest survives [[gc]]'s
+    * keep window (manifests and their files are immutable, so a kept
+    * version reads bit-identically forever); a collected version
+    * returns None rather than a torn view. Pin versions you need
+    * reproducible by gc'ing with a larger `keep`. */
+  def readAt(spark: SparkSession, tablePath: String, version: Long)
+      : Option[DataFrame] =
+    readManifestFile(Paths.get(tablePath, s"manifest-m$version"), version)
+      .filter(_.parts.nonEmpty)
+      .map(m => spark.read.parquet(
+        m.parts.map(e => s"$tablePath/${e.relPath}"): _*))
+
   /** Read only the partition files whose grain range intersects
     * [lo, hi] — manifest-level FILE pruning on top of parquet
     * row-group pruning (the caller still applies its own

@@ -788,6 +788,48 @@ object ScaleProbe {
         i => if (i % 10 == 0) "h" + (i % 100) else "c" + (i % 1000000))
     }
 
+    if (want("r16d")) {
+      // commit-HISTORY depth: a year of hourly merge commits is ~9k
+      // manifest swaps — commit latency must be flat in commit COUNT
+      // (manifest size is O(buckets), not O(commits); superseded
+      // manifests and their exclusive files gc away), and the on-disk
+      // file count must stabilize at O(buckets × keep), not grow with
+      // history. 300 sequential merge commits on a small fact, gc
+      // every commit (the loader's own cadence).
+      import graft.olap.{OlapEtl, PartitionedSnapshotStore, SnapshotStore}
+      val dir = java.nio.file.Files.createTempDirectory("graft-r16d")
+      try {
+        val path = dir.toString + "/fact"
+        import spark.implicits._
+        def batch(i: Int) = (0 until 200).map { j =>
+          ("s" + (j % 20), (i.toLong * 3600L + j) * 1000000L,
+            j.toDouble, (i * 200 + j).toLong)
+        }.toDF("k", "ts_us", "v", "uid")
+          .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+        val times = (0 until 300).map { i =>
+          val t0 = System.nanoTime()
+          OlapEtl.loadFactSketches(spark, batch(i), "k", "ts", "v", "uid",
+            3600000000L, path, mode = OlapEtl.MergeGrain)
+          (System.nanoTime() - t0) / 1e9
+        }
+        def countFiles(p: java.nio.file.Path): Long = {
+          val s = java.nio.file.Files.walk(p)
+          try s.count() finally s.close()
+        }
+        val files = countFiles(java.nio.file.Paths.get(path))
+        val manifests = new java.io.File(path).listFiles()
+          .count(_.getName.startsWith("manifest-"))
+        val m = PartitionedSnapshotStore.current(path).get
+        def avg(xs: Seq[Double]) = xs.sum / xs.size
+        println(f"SCALE-R16D 300 merge commits (20 series, hour grains): " +
+          f"commit b0-9=${avg(times.take(10))}%.2f s " +
+          f"b145-154=${avg(times.slice(145, 155))}%.2f s " +
+          f"b290-299=${avg(times.takeRight(10))}%.2f s " +
+          f"| on-disk: version=m${m.version} manifests=$manifests " +
+          f"buckets=${m.parts.size} fs-entries=$files")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+
     if (want("r16c")) {
       // q123's lifecycle at ×100 (10M events): hour-grain ingest (the
       // one-time fine-grain cost), hour→day compaction (the rare

@@ -243,6 +243,27 @@ class PartitionedSnapshotStoreSpec extends AnyFunSuite {
     assert(readPairs(p) == Set(("a", 2L, 99L)))
   }
 
+  test("readAt time travel: kept versions read bit-identically; collected versions return None") {
+    val p = freshTable()
+    val d1 = rows(("a", 2L, 1L))
+    ptn.commitBuckets(spark, p, d1, buckets(d1), lay, None, None, None)    // m0
+    ptn.commitBuckets(spark, p, rows(("a", 2L, 2L)), Set(0L), lay,
+      None, None, Some(0L))                                               // m1
+    ptn.commitBuckets(spark, p, rows(("a", 2L, 3L)), Set(0L), lay,
+      None, None, Some(1L))                                               // m2
+    // within the keep window every version resolves to ITS contents
+    // (training-data lineage: the snapshot run X read is reproducible)
+    assert(ptn.readAt(spark, p, 1L).get.select("payload").as[Long]
+      .collect().toSeq == Seq(2L))
+    assert(ptn.readAt(spark, p, 2L).get.select("payload").as[Long]
+      .collect().toSeq == Seq(3L))
+    // gc(keep=2) collects m0; its readAt becomes None, not a torn view
+    ptn.gc(p, keep = 2)
+    assert(ptn.readAt(spark, p, 0L).isEmpty,
+      "a collected version must read as None")
+    assert(ptn.readAt(spark, p, 1L).isDefined, "kept predecessor still reads")
+  }
+
   test("readRange prunes at the FILE level from manifest grain ranges") {
     val p = freshTable()
     val d = rows(("a", 2L, 1L), ("a", 12L, 2L), ("a", 22L, 3L),
