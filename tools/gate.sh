@@ -34,10 +34,19 @@ echo "== Entry smoke (driver checks rows > 0) =="
 tools/runmain.sh graft.EntrySmoke 2>/dev/null | grep ENTRYROWS
 
 echo "== Bench (sf0.1) =="
+# the gate's bench is a SMOKE leg (sbt-hosted, contended by the gate
+# itself) — graft.Bench writes bench_full.json as a side effect, and
+# leaving that run in place is exactly how the r15 committed artifact
+# drifted from its provenance. Preserve the committed artifact.
+[ -f bench_full.json ] && cp bench_full.json /tmp/gate_bench_full.bak
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 \
   | grep -oE '\{"metric".*' | python3 -c "
 import json, sys
 d = json.loads(sys.stdin.read())
 print(f\"total {d['value']:.1f}s over {len(d['queries'])} queries\")"
+if [ -f /tmp/gate_bench_full.bak ]; then
+  mv /tmp/gate_bench_full.bak bench_full.json
+  echo "(committed bench_full.json restored — the smoke run is not the artifact)"
+fi
 
 echo "== gate PASSED =="
