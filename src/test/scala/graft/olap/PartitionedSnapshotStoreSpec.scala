@@ -284,6 +284,48 @@ class PartitionedSnapshotStoreSpec extends AnyFunSuite {
     assert(none.count() == 0L && none.columns.contains("payload"))
   }
 
+  test("seriesBuckets > 1: a grain range splits by key hash; a merge dirties only its keys' sub-buckets") {
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("ptnsub")
+    try {
+      val path = dir.toString + "/fact"
+      val GrainUs = 3600000000L
+      val layout = ptn.Layout(grainsPerBucket = 48L, seriesBuckets = 4)
+      def ev(keys: Seq[String]) = keys.flatMap { k =>
+        (0 until 240).map(i =>
+          (k, (i / 10).toLong * GrainUs + (i % 10) * 1000000L,
+            i.toDouble, (i * 31).toLong))
+      }.toDF("k", "ts_us", "v", "uid")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      val allKeys = (0 until 8).map("s" + _)
+      OlapEtl.loadFactSketches(spark, ev(allKeys), "k", "ts", "v", "uid",
+        GrainUs, path, 100.0, 12, OlapEtl.MergeGrain, None, None, layout)
+      val m0 = ptn.current(path).get
+      // all grains are in grain-bucket 0 (24 grains < 48); 8 keys hash
+      // across the 4 sub-buckets — more than one sub-bucket exists
+      assert(m0.layout == layout)
+      assert(m0.parts.size > 1 && m0.parts.forall(e => e.bucket >= 0 && e.bucket < 4),
+        s"expected hash sub-buckets of grain range 0, got ${m0.parts.map(_.bucket)}")
+      // a merge batch touching ONE key restages only that key's
+      // sub-bucket — the others keep their exact files
+      val oneKey = allKeys.head
+      OlapEtl.loadFactSketches(spark, ev(Seq(oneKey)), "k", "ts", "v", "uid",
+        GrainUs, path, 100.0, 12, OlapEtl.MergeGrain, None, None, layout)
+      val m1 = ptn.current(path).get
+      val touched = m1.parts.filterNot(e =>
+        m0.parts.exists(o => o.bucket == e.bucket && o.relPath == e.relPath))
+      assert(touched.map(_.bucket).distinct.size == 1,
+        s"a one-key merge restaged more than its sub-bucket: $touched")
+      // correctness across sub-buckets: per-key counts doubled for the
+      // merged key only
+      val counts = SnapshotStore.read(spark, path).get
+        .groupBy(col("series_key")).agg(sum(col("n_rows")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts(oneKey) == 480L &&
+        allKeys.tail.forall(counts(_) == 240L), s"counts drifted: $counts")
+    } finally FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("concurrent CAS commits from one base: exactly one wins, the loser's retry converges") {
     // the real interleave (two threads, same base manifest), not a
     // sequential simulation: the publish lock serializes the
