@@ -3822,6 +3822,13 @@ object SparkEntry {
     * every SF. */
   private[graft] val Q122GrainLo: Long = java.time.LocalDate.of(2024, 1, 10).toEpochDay
   private[graft] val Q122GrainHi: Long = java.time.LocalDate.of(2024, 1, 19).toEpochDay
+  /** q123's fact keeps HOUR units after hour→day compaction (the r17
+    * grain representation: compaction preserves ingest units, coarse
+    * rows sit at window starts) — the same day range as q122, spelled
+    * in epoch-hours and day-ALIGNED on both ends (lo ≡ 0, hi ≡ 23 mod
+    * 24), as the mixed-grain read contract requires. */
+  private[graft] val Q123GrainLo: Long = Q122GrainLo * 24L
+  private[graft] val Q123GrainHi: Long = Q122GrainHi * 24L + 23L
 
   /** Sketch-fact READ face — the query a warehouse user actually runs
     * against the [[graft.olap.OlapEtl.loadFactSketches]] landing,
@@ -3883,16 +3890,28 @@ object SparkEntry {
   /** READ leg of q122: grain-pruned scan of the committed fact →
     * per-key rollup. Touches ONLY the fact table — the raw events never
     * appear in this plan (the PlanShapeSpec pin). */
-  private[graft] def q122Estimate(s: SparkSession, factPath: String): DataFrame = {
+  private[graft] def q122Estimate(s: SparkSession, factPath: String): DataFrame =
+    q122Estimate(s, factPath, Q122GrainLo, Q122GrainHi)
+
+  /** q123's read face: the identical rollup over the compacted fact,
+    * whose grain column stays in HOUR units (window-start day rows). */
+  private[graft] def q123Estimate(s: SparkSession, factPath: String): DataFrame =
+    q122Estimate(s, factPath, Q123GrainLo, Q123GrainHi)
+
+  /** Bound-parametric read leg: `lo`/`hi` in the FACT's grain units
+    * (q122's day-grain fact takes epoch-days; q123's hour-ingested,
+    * day-compacted fact takes epoch-hours — same wall-clock range). */
+  private[graft] def q122Estimate(s: SparkSession, factPath: String,
+      lo: Long, hi: Long): DataFrame = {
     // manifest-level FILE pruning first (r16: the partitioned fact's
     // manifest carries each file's grain range, so out-of-range files
     // are never even listed — at 100 TB that is O(range) file opens,
     // not O(|fact|)), then the row-level BETWEEN still pushes into the
     // scan (the PlanShapeSpec pin, unchanged)
     val fact = graft.olap.PartitionedSnapshotStore
-      .readRange(s, factPath, Q122GrainLo, Q122GrainHi)
+      .readRange(s, factPath, lo, hi)
       .orElse(graft.olap.SnapshotStore.read(s, factPath)).get
-      .filter(col("grain").between(Q122GrainLo, Q122GrainHi))
+      .filter(col("grain").between(lo, hi))
     val roll = udaf(
       new graft.metrics.TDigest.MergeDigestsAgg(Q122Ps, Q115Compression),
       Encoders.product[graft.metrics.TDigest.Digest])
@@ -3916,13 +3935,16 @@ object SparkEntry {
     * columns: the 5-row estimate relation broadcasts back onto ONE
     * grouped pass over the raw slice. */
   private[graft] def q122Verdict(s: SparkSession, dir: String): DataFrame =
-    sketchFactVerdict(s, dir, q122Ingest(s, dir))
+    sketchFactVerdict(s, dir, q122Ingest(s, dir), Q122GrainLo, Q122GrainHi)
 
-  /** The q122 verdict machinery, fact-path-parametric (r16): q123 runs
-    * the SAME read-and-verify over its compacted fact. */
+  /** The q122 verdict machinery, fact-path-parametric (r16) and
+    * fact-bound-parametric (r17): q123 runs the SAME read-and-verify
+    * over its compacted fact, whose grain units are hours. The exact
+    * side always slices raw events by DAY (both bound pairs name the
+    * same wall-clock range). */
   private def sketchFactVerdict(s: SparkSession, dir: String,
-      factPath: String): DataFrame = {
-    val est = q122Estimate(s, factPath)
+      factPath: String, factLo: Long, factHi: Long): DataFrame = {
+    val est = q122Estimate(s, factPath, factLo, factHi)
     val ev = t(s, dir, "events")
       .filter(col("value").isNotNull && col("user_id").isNotNull)
       .filter(graft.olap.OlapEtl.grainCol(col("ts"), Q122GrainUs)
@@ -4007,11 +4029,11 @@ object SparkEntry {
         Q115Compression, Q119P)
       // fine-grain (hourly) rollup over the SAME time range the read
       // face will query, BEFORE compaction — day d covers hour grains
-      // [24d, 24d+23]
+      // [24d, 24d+23], i.e. exactly [Q123GrainLo, Q123GrainHi]
       val hll = udaf(new graft.metrics.Hll.MergeSketchesAgg(Q119P),
         Encoders.product[graft.metrics.Hll.Sketch])
       val fine = graft.olap.SnapshotStore.read(s, factPath).get
-        .filter(col("grain").between(Q122GrainLo * 24L, Q122GrainHi * 24L + 23L))
+        .filter(col("grain").between(Q123GrainLo, Q123GrainHi))
         .groupBy(col("series_key")).agg(hll(col("id_sketch.regs")).as("est"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       graft.olap.OlapEtl.compactFactSketches(s, factPath, hourUs,
@@ -4037,7 +4059,7 @@ object SparkEntry {
     import s.implicits._
     val (factPath, fine) = q123Ingest(s, dir)
     val fineDf = fine.toSeq.toDF("series_key", "fine_est")
-    sketchFactVerdict(s, dir, factPath)
+    sketchFactVerdict(s, dir, factPath, Q123GrainLo, Q123GrainHi)
       .join(broadcast(fineDf), Seq("series_key"), "left")
       .select(
         col("series_key"), col("n_exact"), col("id_exact"),
@@ -4050,9 +4072,16 @@ object SparkEntry {
 
   /** q122's oracle (same raw slice, same bounds) plus the lossless
     * verdict column — all four booleans must come back TRUE. */
-  private def q123Sql =
-    q122Sql.replace(" TRUE AS id_within",
+  private def q123Sql = {
+    val out = q122Sql.replace(" TRUE AS id_within",
       " TRUE AS id_within,\n TRUE AS compact_lossless")
+    // text surgery on q122Sql: a reformat there would make the replace
+    // a silent no-op and drop the lossless column from the oracle,
+    // surfacing only as a downstream schema mismatch (r16 advisory)
+    require(out != q122Sql,
+      "q123Sql anchor ' TRUE AS id_within' no longer present in q122Sql")
+    out
+  }
 
   /** Quantitative q122 verdict for differential.json: worst-key margins
     * of both rank contracts and the cardinality contract, plus the
@@ -4088,7 +4117,8 @@ object SparkEntry {
   def sketchCompactionDifferential(s: SparkSession, dir: String)
       : (Long, Long, Double, Double, Boolean, Boolean) = {
     val (factPath, fine) = q123Ingest(s, dir)
-    val rows = sketchFactVerdict(s, dir, factPath).select(
+    val rows = sketchFactVerdict(s, dir, factPath, Q123GrainLo, Q123GrainHi)
+      .select(
       col("rank_err_p50"), col("rank_err_p99"),
       col("err_bound_p50"), col("err_bound_p99"),
       col("id_est"), col("id_exact"), col("id_err_bound"),

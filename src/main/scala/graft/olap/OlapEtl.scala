@@ -636,82 +636,188 @@ object OlapEtl {
     commitSketchUpdates(spark, grainRows, factPath, ReplaceGrain,
       compression = 100.0, p = 12, fence = None, lineage = None, layout)
 
-  /** Sketch-fact COMPACTION — the warehouse lifecycle operator (r16):
-    * re-grain fine rows (days) into coarse rows (weeks/months) so a
-    * long-lived fact stays O(keys × coarse-grains) instead of growing
-    * one row per fine grain forever. Pure sketch algebra, no raw-data
-    * access: HLL registers merge losslessly (the compacted sketch is
-    * BIT-IDENTICAL to one ingested directly at the coarse grain),
-    * t-digests centroid-merge (one more merge tree — the q115 rank
-    * bound holds at the coarse rollup level), `n_rows` sums exactly.
-    * Committed as a normal CAS'd publish: a concurrent ingest commit
-    * surfaces as the typed retryable [[SnapshotStore.StaleVersionException]],
-    * and an unfenced commit CARRIES the streaming fence/lineage
-    * forward (compaction interleaved with a fenced sink must not
-    * erase its replay protection).
+  /** Sketch-fact COMPACTION — the warehouse lifecycle operator (r16;
+    * range-scoped r17): re-grain fine rows (hours) into coarse rows
+    * (days/weeks) so a long-lived fact stays O(keys × coarse-grains)
+    * instead of growing one row per fine grain forever. Pure sketch
+    * algebra, no raw-data access: HLL registers merge losslessly (the
+    * compacted sketch is BIT-IDENTICAL to one ingested directly at the
+    * coarse grain), t-digests centroid-merge (one more merge tree —
+    * the q115 rank bound holds at the coarse rollup level), `n_rows`
+    * sums exactly. Committed as a normal CAS'd publish: a concurrent
+    * ingest commit surfaces as the typed retryable
+    * [[SnapshotStore.StaleVersionException]], and an unfenced commit
+    * CARRIES the streaming fence/lineage forward (compaction
+    * interleaved with a fenced sink must not erase its replay
+    * protection).
     *
     * `toGrainUs` must be a multiple of `fromGrainUs` (day→week, not
     * day→10h): a non-nesting re-grain would split fine grains across
-    * coarse rows, which sketch rows cannot express. The stored `grain`
-    * column is re-based to `floor(ts / toGrainUs)` — the caller's
-    * read-range arithmetic must use the new grain width afterwards.
+    * coarse rows, which sketch rows cannot express.
+    *
+    * GRAIN REPRESENTATION (r17, the mixed-grain contract): the stored
+    * `grain` column stays in the table's ORIGINAL ingest units forever
+    * — a compacted coarse row sits at its window-START grain,
+    * `floor(g / ratio) * ratio` (ratio = toGrainUs/fromGrainUs), and
+    * covers fine grains `[start, start + ratio)`. Compaction is then
+    * TRANSPARENT to readers: the same `grain BETWEEN lo AND hi` range
+    * question answers identically before and after, provided the
+    * bounds are coarse-ALIGNED wherever they land in compacted
+    * territory (`lo % ratio == 0`, and `hi` either ≥ the boundary or
+    * ≡ ratio−1 mod ratio) — a misaligned bound inside a coarse window
+    * would ask a sub-window question the coarse row cannot split.
+    * Manifest-level file pruning ([[PartitionedSnapshotStore.readRange]])
+    * inherits the same contract: part ranges hold window starts, so
+    * aligned bounds prune exactly. (Pre-r17 this function re-based
+    * grains to coarse UNITS, which made mixed-grain facts
+    * unrepresentable — fine and coarse values collided numerically —
+    * and forced every reader to switch units after compaction.)
+    *
+    * `upToGrain` (r17) scopes the lifecycle op to the AGED range: only
+    * fine rows with `grain < upToGrain` (original units; must be
+    * ratio-aligned) compact, the hot tail stays fine-grained, and on
+    * the partitioned layout ONLY the buckets the aged range lives in
+    * restage — recurring cost is O(aged window), independent of total
+    * fact size (the untouched buckets' files re-list verbatim in the
+    * new manifest). A boundary that ages no files is a true no-op (no
+    * new manifest version). `upToGrain = None` compacts the whole
+    * fact (every bucket dirty — O(|fact|), the one-shot migration
+    * shape). On the legacy monolithic layout the commit is O(|fact|)
+    * either way (documented layout property), but the fold itself
+    * still touches only the aged rows.
+    *
     * `toGrainUs == fromGrainUs` is the identity compaction and leaves
     * every row bit-identical (greedy t-digest recompression of an
     * already-compressed digest is a no-op — spec-pinned), which is
-    * what makes accidental re-compaction harmless. Returns the
+    * what makes accidental re-compaction harmless; re-running a scoped
+    * compaction over an already-compacted range is likewise harmless —
+    * window-start grains re-grain to themselves (`floor` fixes
+    * ratio-aligned values) and fold as singleton groups. Returns the
     * compacted committed table.
     */
   def compactFactSketches(spark: SparkSession, factPath: String,
       fromGrainUs: Long, toGrainUs: Long,
-      compression: Double = 100.0, p: Int = 12): DataFrame = {
+      compression: Double = 100.0, p: Int = 12,
+      upToGrain: Option[Long] = None): DataFrame = {
     require(fromGrainUs >= 1L && toGrainUs >= fromGrainUs &&
       toGrainUs % fromGrainUs == 0L,
       s"compaction must coarsen by an integer factor: from=$fromGrainUs " +
         s"to=$toGrainUs")
     val ratio = toGrainUs / fromGrainUs
+    upToGrain.foreach(b => require(b % ratio == 0L,
+      s"scoped-compaction boundary must be coarse-aligned " +
+        s"(upToGrain % $ratio == 0, got $b) — a misaligned boundary " +
+        "would split one coarse window across the compacted/fine zones"))
     // CAS discipline (r16 review): capture the base FIRST and pin the
     // fold's read to that exact manifest/version — resolving the table
     // before naming the base leaves a window where a concurrent ingest
     // commit passes the CAS check and is silently erased by the
     // compacted publish (the precise lost update CAS exists to refuse)
-    def regrain(cur: DataFrame): DataFrame =
-      // floor-div re-grain (double division + floor, exactly
-      // grainCol's semantics — truncation would mis-bucket pre-1970
-      // grains)
-      collisionFold(cur.withColumn("grain",
-        floor(col("grain") / lit(ratio)).cast("long")), compression, p)
+    def regrain(aged: DataFrame): DataFrame =
+      // window-START re-grain (floor-div then re-scale — floor, not
+      // truncate, so pre-1970 grains keep grainCol's semantics; exact
+      // for |grain| < 2^53, see the bucketExpr precision contract)
+      collisionFold(aged.withColumn("grain",
+        (floor(col("grain") / lit(ratio)) * lit(ratio)).cast("long")),
+        compression, p)
     if (PartitionedSnapshotStore.isPartitioned(factPath)) {
       val ptn = PartitionedSnapshotStore
       val base = ptn.current(factPath).getOrElse(
         throw new IllegalStateException(
           s"no committed sketch fact at $factPath to compact"))
-      val cur = spark.read.parquet(
-        base.parts.map(e => s"$factPath/${e.relPath}"): _*)
-      // the whole-fact rollup fold is compaction's dominant cost and
-      // the plan is referenced twice (bucket collect + staged write) —
-      // persist so it runs once (review r16, the r15 loader lesson)
-      val withBucket = regrain(cur).withColumn(ptn.BucketCol,
-        ptn.bucketExpr(col("series_key"), col("grain"), base.layout))
+      // file-level aging: a part whose whole grain range is at/above
+      // the boundary re-lists VERBATIM (never read, never rewritten) —
+      // this, not the fold, is what makes the scoped op O(aged window)
+      val agedParts = upToGrain.fold(base.parts)(b =>
+        base.parts.filter(_.grainMin < b))
+      if (agedParts.isEmpty)
+        return SnapshotStore.read(spark, factPath).getOrElse(
+          throw new IllegalStateException(
+            s"committed sketch fact at $factPath has no partitions"))
+      val agedDf = spark.read.parquet(
+        agedParts.map(e => s"$factPath/${e.relPath}"): _*)
+      // a boundary-straddling file contributes its aged rows to the
+      // fold; its young rows pass through VALUE-identical (gratuitous
+      // re-aggregation would drift idle digests)
+      val (toFold, youngPass) = upToGrain match {
+        case Some(b) => (agedDf.filter(col("grain") < b),
+          Some(agedDf.filter(col("grain") >= b)))
+        case None => (agedDf, None)
+      }
+      def bExpr = ptn.bucketExpr(col("series_key"), col("grain"), base.layout)
+      // the rollup fold is the dominant cost and the plan is referenced
+      // twice (bucket collect + staged write) — persist so it runs once
+      val coarse = regrain(toFold).withColumn(ptn.BucketCol, bExpr)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // every bucket is dirty by definition: old entries all drop,
-        // the compacted rows land in their (new-grain) buckets
-        val newBuckets = withBucket.select(col(ptn.BucketCol)).distinct()
+        val coarseBuckets = coarse.select(col(ptn.BucketCol)).distinct()
           .collect().map(_.getLong(0)).toSet
-        val dirty = base.parts.map(_.bucket).toSet ++ newBuckets
-        ptn.commitBuckets(spark, factPath, withBucket, dirty, base.layout,
+        val agedBuckets = agedParts.map(_.bucket).toSet
+        // a coarse window-start can bucket BELOW its fine rows' files
+        // (grainsPerBucket need not align with ratio): those landing
+        // buckets restage too, their existing rows passing through
+        val extraParts = base.parts.filter(e =>
+          !agedBuckets.contains(e.bucket) && coarseBuckets.contains(e.bucket))
+        val extraDf =
+          if (extraParts.isEmpty) None
+          else Some(spark.read.parquet(
+            extraParts.map(e => s"$factPath/${e.relPath}"): _*))
+        val passThrough = (youngPass.toSeq ++ extraDf.toSeq)
+          .reduceOption(_.unionByName(_)).map(_.withColumn(ptn.BucketCol, bExpr))
+        val newData = passThrough.fold(coarse: DataFrame)(coarse.unionByName(_))
+        val dirty = agedBuckets ++ coarseBuckets
+        ptn.commitBuckets(spark, factPath, newData, dirty, base.layout,
           fence = None, lineage = None, expectedBase = Some(base.version))
-      } finally withBucket.unpersist(blocking = false)
+      } finally coarse.unpersist(blocking = false)
       ptn.gc(factPath)
     } else {
       val base = SnapshotStore.currentVersion(factPath).getOrElse(
         throw new IllegalStateException(
           s"no committed sketch fact at $factPath to compact"))
       val cur = spark.read.parquet(s"$factPath/$base")
-      SnapshotStore.commitCas(regrain(cur), factPath, None, Some(base))
+      val merged = upToGrain match {
+        case None => regrain(cur)
+        case Some(b) => regrain(cur.filter(col("grain") < b))
+          .unionByName(cur.filter(col("grain") >= b))
+      }
+      SnapshotStore.commitCas(merged, factPath, None, Some(base))
       SnapshotStore.gc(factPath)
     }
     SnapshotStore.read(spark, factPath).get
+  }
+
+  /** One-time MONOLITHIC → partitioned migration for a sketch fact
+    * (r17): pre-r16 tables route to the legacy layout forever
+    * ([[commitSketchUpdates]]) and pay its measured O(|fact|)
+    * full-snapshot rewrite on every merge commit (SCALE-R16's bending
+    * line); this re-commits the CURRENT snapshot as partitioned
+    * manifest m0 — one final O(|fact|) write, after which every merge
+    * ingest restages only its dirty buckets (the flat line). Fence and
+    * lineage carry bit-for-bit, so a fenced streaming sink keeps its
+    * replay protection across the layout change; CAS against the
+    * monolithic version the snapshot was read at turns a concurrent
+    * ingest into the typed retryable
+    * [[SnapshotStore.StaleVersionException]]. Already-partitioned
+    * tables return unchanged (idempotent). The legacy `v<N>` dirs
+    * stay for in-flight readers until [[SnapshotStore.gc]]'s grace
+    * (clock started at the swap) collects them.
+    */
+  def migrateFactToPartitioned(spark: SparkSession, factPath: String,
+      layout: PartitionedSnapshotStore.Layout = PartitionedSnapshotStore.Layout())
+      : DataFrame = {
+    val ptn = PartitionedSnapshotStore
+    if (!ptn.isPartitioned(factPath)) {
+      val base = SnapshotStore.currentVersion(factPath).getOrElse(
+        throw new IllegalStateException(
+          s"no committed sketch fact at $factPath to migrate"))
+      val data = spark.read.parquet(s"$factPath/$base")
+        .withColumn(ptn.BucketCol,
+          ptn.bucketExpr(col("series_key"), col("grain"), layout))
+      ptn.migrateFromMonolithic(spark, factPath, data, layout, base)
+    }
+    SnapshotStore.read(spark, factPath).getOrElse(
+      throw new IllegalStateException(
+        s"migrated table at $factPath has no readable snapshot"))
   }
 
   /** Exactly-once streaming ingest for the sketch fact — the

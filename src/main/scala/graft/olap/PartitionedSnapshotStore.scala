@@ -77,7 +77,16 @@ object PartitionedSnapshotStore {
     * partitions, sessions, and Spark versions — the bucket function
     * must be a pure function of the key, forever. floor-div (not
     * truncate) so pre-1970 grains bucket consistently with
-    * [[OlapEtl.grainCol]]'s floor semantics. */
+    * [[OlapEtl.grainCol]]'s floor semantics.
+    *
+    * Precision contract: Spark's `/` on longs promotes to double, so
+    * the floor-div is exact only for |grain| < 2^53 (and likewise for
+    * the bucket-id product against 2^63). Grains are epoch-scaled
+    * integers — epoch-µs/day ≈ 2×10^4, epoch-seconds ≈ 2×10^9, even
+    * raw epoch-µs ≈ 2×10^15 ≪ 2^53 — so every realistic grain is far
+    * inside the exact range; the bound is documented rather than
+    * branched on because the function's output on all reachable inputs
+    * must never change (committed tables bucket with it forever). */
   def bucketExpr(seriesKey: Column, grain: Column, layout: Layout): Column =
     floor(grain / lit(layout.grainsPerBucket)).cast("long") *
       lit(layout.seriesBuckets.toLong) +
@@ -110,6 +119,21 @@ object PartitionedSnapshotStore {
         .stripPrefix("manifest-")).map(_.group(1).toLong))
     (existing ++ cur.map(_.version)).foldLeft(-1L)(math.max) + 1L
   }
+
+  /** Lenient manifest read for [[gc]]'s racing listing: gc runs outside
+    * the publish lock, and a concurrent publisher's manifest file is
+    * written with a plain (non-atomic) `Files.write` BEFORE the pointer
+    * swap — so gc can observe a half-written file whose layout line or
+    * part rows do not parse yet (r16 advisory). Treat any unreadable
+    * manifest as IN-FLIGHT (None → its version is neither kept-by-name
+    * nor doomed; its files stay under the orphan grace), never throw
+    * from an otherwise-committed ingest's post-commit gc leg. The
+    * strict [[readManifestFile]] stays for [[current]]/[[readAt]],
+    * where the manifest is durably committed before the pointer names
+    * it and a parse failure IS corruption worth raising. */
+  private def readManifestLenient(f: Path, version: Long): Option[Manifest] =
+    try readManifestFile(f, version)
+    catch { case scala.util.control.NonFatal(_) => None }
 
   private def readManifestFile(f: Path, version: Long): Option[Manifest] = {
     if (!Files.isRegularFile(f)) return None
@@ -194,23 +218,23 @@ object PartitionedSnapshotStore {
     * retry). Fence/lineage admission is [[SnapshotStore.admitFence]],
     * shared. Returns the committed manifest version.
     */
-  def commitBuckets(spark: SparkSession, tablePath: String,
-      newBucketData: DataFrame, dirtyBuckets: Set[Long], layout: Layout,
-      fence: Option[Long], lineage: Option[String],
-      expectedBase: Option[Long]): Long = {
-    require(lineage.forall(l => l.nonEmpty && !l.exists(_.isWhitespace)),
-      s"lineage token must be non-empty and whitespace-free, got $lineage")
+  /** Stage `data` (carrying [[BucketCol]] + `grain`) as one immutable
+    * partition dir per bucket under `part/`, OUTSIDE any lock (the
+    * parquet write is the long leg, and staged files are invisible
+    * until a pointer swap names them). Returns the stage dir's relPath
+    * and per-bucket (grainMin, grainMax, rows) stats read back from
+    * the STAGED files — the manifest entries must describe the files,
+    * not what was asked. Shared by [[commitBuckets]] and
+    * [[migrateFromMonolithic]]. */
+  private def stageBucketFiles(spark: SparkSession, tablePath: String,
+      data: DataFrame): (String, Map[Long, (Long, Long, Long)]) = {
     val dir = Paths.get(tablePath)
     Files.createDirectories(dir.resolve("part"))
-    // stage OUTSIDE the lock: the parquet write is the long leg, and
-    // the staged files are invisible until the pointer swap
     val stageRel = s"part/s${java.util.UUID.randomUUID().toString.take(12)}"
-    // one shuffle of dirty-bucket-sized data → one file per bucket
-    // (without it every input task writes a sliver of every bucket)
-    newBucketData.repartition(col(BucketCol))
+    // one shuffle of staged-sized data → one file per bucket (without
+    // it every input task writes a sliver of every bucket)
+    data.repartition(col(BucketCol))
       .write.partitionBy(BucketCol).parquet(s"$tablePath/$stageRel")
-    // per-bucket stats from the STAGED files (reading back what was
-    // written, not what was asked: the entries must describe the files)
     // an EMPTY staged write (a fence-advancing empty micro-batch, or a
     // replace that emptied its buckets) leaves no bucket subdirs — and
     // a parquet read over zero files cannot infer a schema
@@ -228,6 +252,31 @@ object PartitionedSnapshotStore {
         .collect()
         .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
         .toMap
+    (stageRel, stats)
+  }
+
+  /** The manifest body for `layout` + `parts` (sorted), under version
+    * tag `m<v>` with the given fence suffix — ONE serializer for every
+    * manifest writer so the grammar cannot drift. */
+  private def manifestBody(newV: Long, fenceSuffix: String, layout: Layout,
+      parts: Seq[PartEntry]): String = {
+    val sb = new StringBuilder
+    sb.append(s"m$newV").append(fenceSuffix).append('\n')
+    sb.append(s"layout ${layout.grainsPerBucket} ${layout.seriesBuckets}\n")
+    parts.sortBy(e => (e.bucket, e.relPath)).foreach { e =>
+      sb.append(s"${e.bucket}\t${e.relPath}\t${e.grainMin}\t${e.grainMax}\t${e.rows}\n")
+    }
+    sb.toString
+  }
+
+  def commitBuckets(spark: SparkSession, tablePath: String,
+      newBucketData: DataFrame, dirtyBuckets: Set[Long], layout: Layout,
+      fence: Option[Long], lineage: Option[String],
+      expectedBase: Option[Long]): Long = {
+    require(lineage.forall(l => l.nonEmpty && !l.exists(_.isWhitespace)),
+      s"lineage token must be non-empty and whitespace-free, got $lineage")
+    val dir = Paths.get(tablePath)
+    val (stageRel, stats) = stageBucketFiles(spark, tablePath, newBucketData)
     // EVERY refusal below must clean up the freshly staged dir — it
     // was created by THIS call, never committed, and leaving it costs
     // a 24h orphan-grace of disk (review r16: the requires previously
@@ -261,20 +310,84 @@ object PartitionedSnapshotStore {
       val newV = nextManifestVersion(dir, cur)
       val keptParts = cur.toSeq.flatMap(_.parts)
         .filterNot(e => dirtyBuckets.contains(e.bucket))
-      val sb = new StringBuilder
-      sb.append(s"m$newV")
-        .append(SnapshotStore.fenceSuffix(carriedFence, carriedLineage))
-        .append('\n')
-      sb.append(s"layout ${layout.grainsPerBucket} ${layout.seriesBuckets}\n")
-      (keptParts ++ newEntries).sortBy(e => (e.bucket, e.relPath)).foreach { e =>
-        sb.append(s"${e.bucket}\t${e.relPath}\t${e.grainMin}\t${e.grainMax}\t${e.rows}\n")
-      }
       // manifest file durable FIRST (immutable once named), then the
       // pointer swap is the single atomic commit point
       Files.write(dir.resolve(s"manifest-m$newV"),
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        manifestBody(newV,
+          SnapshotStore.fenceSuffix(carriedFence, carriedLineage),
+          layout, keptParts ++ newEntries)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       SnapshotStore.writeManifestAtomic(dir, s"m$newV", s"m$newV")
+      newV
+    }
+  }
+
+  /** One-time MONOLITHIC → partitioned layout migration commit (r17):
+    * publishes `bucketData` (the committed monolithic snapshot with
+    * [[BucketCol]] attached) as manifest m0 of a partitioned table,
+    * carrying the monolithic manifest's fence and lineage tokens
+    * BIT-FOR-BIT — a streaming sink's replay protection survives the
+    * layout change. Pre-r16 tables routed to the legacy layout forever
+    * and kept paying its measured O(|fact|) rewrite per merge commit
+    * (SCALE-R16); after this one O(|fact|) migration every later merge
+    * rides the flat per-batch line.
+    *
+    * CAS discipline: `expectedBase` is the monolithic version name
+    * (`v<N>`) the caller READ when computing `bucketData`; a
+    * concurrent monolithic commit refuses with the retryable
+    * [[SnapshotStore.StaleVersionException]], and a concurrent
+    * migration (the table already partitioned under the lock) refuses
+    * as already-migrated. The pointer swap is the single atomic
+    * switch: readers resolve `v<N>` or `m0`, never a mix. The legacy
+    * `v<N>` directories stay on disk for in-flight readers; their
+    * mtimes are stamped at the swap so [[gc]]'s grace clock starts at
+    * MIGRATION time, after which gc collects them like any superseded
+    * snapshot. Returns the committed manifest version (0 unless a
+    * crashed earlier migration left manifest files to claim past).
+    */
+  def migrateFromMonolithic(spark: SparkSession, tablePath: String,
+      bucketData: DataFrame, layout: Layout, expectedBase: String): Long = {
+    val dir = Paths.get(tablePath)
+    val (stageRel, stats) = stageBucketFiles(spark, tablePath, bucketData)
+    def refuse(e: Exception): Nothing = {
+      SnapshotStore.deleteRecursively(dir.resolve(stageRel))
+      throw e
+    }
+    val entries = stats.toSeq.sortBy(_._1).map { case (b, (gmin, gmax, n)) =>
+      PartEntry(b, s"$stageRel/$BucketCol=$b", gmin, gmax, n)
+    }
+    SnapshotStore.withPublishLock(tablePath) {
+      if (isPartitioned(tablePath)) refuse(new IllegalStateException(
+        s"table at $tablePath is already on the partitioned layout — " +
+          "a concurrent migration won; re-read through the facade"))
+      val curV = SnapshotStore.currentVersion(tablePath)
+      if (!curV.contains(expectedBase)) refuse(
+        new SnapshotStore.StaleVersionException(
+          s"migration refused: table at $tablePath is at " +
+            s"${curV.getOrElse("<none>")} but the bucket data was staged " +
+            s"from $expectedBase — a concurrent monolithic writer " +
+            "committed; re-read, restage, retry"))
+      // same-version fence/lineage read is race-free under the lock
+      val fence = SnapshotStore.currentFence(tablePath)
+      val lineage = SnapshotStore.currentLineage(tablePath)
+      val newV = nextManifestVersion(dir, None)
+      Files.write(dir.resolve(s"manifest-m$newV"),
+        manifestBody(newV, SnapshotStore.fenceSuffix(fence, lineage),
+          layout, entries)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      SnapshotStore.writeManifestAtomic(dir, s"m$newV", s"m$newV")
+      // start the legacy dirs' grace clock at the swap (their natural
+      // mtimes predate the migration by the table's whole history)
+      val now = java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis())
+      SnapshotStore.children(dir)
+        .filter(p => Files.isDirectory(p) &&
+          "^v\\d+$".r.matches(p.getFileName.toString))
+        .foreach(p =>
+          try Files.setLastModifiedTime(p, now)
+          catch { case _: java.io.IOException => () })
       newV
     }
   }
@@ -323,17 +436,27 @@ object PartitionedSnapshotStore {
     val keptVersions = manifests.map(_._1)
       .filter(_ <= cur.version).takeRight(keep).toSet
     val now = System.currentTimeMillis()
+    // racing a concurrent gc's deletes (gc takes no lock): a listed
+    // path can vanish before its mtime probe — treat it as freshly
+    // young (skip this pass; whoever deleted it already handled it)
+    def mtimeOf(p: Path): Long =
+      try Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException => now }
     // a manifest ABOVE the pointer is a publish between manifest write
     // and pointer swap — in-flight (keep) unless well past the grace
     val (keptM, doomedM) = manifests.partition { case (v, p) =>
       keptVersions.contains(v) ||
-        (v > cur.version && now - Files.getLastModifiedTime(p).toMillis <= graceMs)
+        (v > cur.version && now - mtimeOf(p) <= graceMs)
     }
+    // lenient reads throughout gc: an in-flight publisher's manifest
+    // can be half-written (see readManifestLenient) — unreadable kept
+    // manifests contribute no references (their files ride the orphan
+    // grace), unreadable doomed ones delete with their refs aging out
     val referenced = keptM.flatMap { case (v, p) =>
-      readManifestFile(p, v).toSeq.flatMap(_.parts.map(_.relPath))
+      readManifestLenient(p, v).toSeq.flatMap(_.parts.map(_.relPath))
     }.toSet
     val doomedRefs = doomedM.flatMap { case (v, p) =>
-      readManifestFile(p, v).toSeq.flatMap(_.parts.map(_.relPath))
+      readManifestLenient(p, v).toSeq.flatMap(_.parts.map(_.relPath))
     }.toSet
     val deleted = Seq.newBuilder[String]
     // partition dirs: part/s<uuid>/__bucket=<b>
@@ -344,7 +467,7 @@ object PartitionedSnapshotStore {
       val refKept = referenced.contains(rel)
       val refDoomedOnly = !refKept && doomedRefs.contains(rel)
       val orphanAged = !refKept && !refDoomedOnly &&
-        now - Files.getLastModifiedTime(sub).toMillis > graceMs
+        now - mtimeOf(sub) > graceMs
       if (refDoomedOnly || orphanAged) {
         SnapshotStore.deleteRecursively(sub)
         touchedStageDirs += stageDir
@@ -362,13 +485,24 @@ object PartitionedSnapshotStore {
       val noSubdirs = !SnapshotStore.children(stageDir)
         .exists(p => Files.isDirectory(p))
       if (noSubdirs && (emptiedNow ||
-          now - Files.getLastModifiedTime(stageDir).toMillis > graceMs)) {
+          now - mtimeOf(stageDir) > graceMs)) {
         SnapshotStore.deleteRecursively(stageDir)
         deleted += s"part/${stageDir.getFileName}"
       }
     }
     doomedM.foreach { case (_, p) =>
       Files.deleteIfExists(p)
+      deleted += p.getFileName.toString
+    }
+    // legacy monolithic snapshot dirs on a MIGRATED table (r17): no
+    // manifest references them (manifests name only part/ files), but
+    // in-flight pre-migration readers may still be scanning — keep for
+    // the grace window, whose clock [[migrateFromMonolithic]] started
+    // at the pointer swap by stamping their mtimes
+    for (p <- SnapshotStore.children(dir)
+         if Files.isDirectory(p) && "^v\\d+$".r.matches(p.getFileName.toString)
+         if now - mtimeOf(p) > graceMs) {
+      SnapshotStore.deleteRecursively(p)
       deleted += p.getFileName.toString
     }
     deleted.result()

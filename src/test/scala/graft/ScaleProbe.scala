@@ -856,7 +856,8 @@ object ScaleProbe {
         val tCompact = timed(OlapEtl.compactFactSketches(spark, factPath,
           hourUs, SparkEntry.Q122GrainUs))
         val dayRows = SnapshotStore.read(spark, factPath).get.count()
-        val tRead = timed(SparkEntry.q122Estimate(spark, factPath)
+        // hour-unit bounds (r17: compaction preserves ingest units)
+        val tRead = timed(SparkEntry.q123Estimate(spark, factPath)
           .write.mode("overwrite").format("noop").save())
         println(f"SCALE-R16C q123 lifecycle @10M events: " +
           f"hour-ingest(once)=$tIngest%.2f s ($fineRows rows) " +

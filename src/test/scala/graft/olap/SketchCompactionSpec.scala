@@ -6,15 +6,22 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.metrics.{Hll, TDigest}
 
-/** `OlapEtl.compactFactSketches` (r16): day rows re-grain into
-  * week/month rows by pure sketch algebra. Contracts pinned here —
-  * compacted ≡ direct coarse ingest (HLL bit-equal by losslessness,
-  * n_rows exact, digest within the q115 rank bound at the rollup
-  * level), identity re-compaction is bit-stable (greedy t-digest
-  * recompression of an already-compressed digest is a no-op), the
-  * compacted fact still answers grain-range questions with the
-  * pruning pushed to the scan, and the commit carries a live
-  * streaming fence forward instead of erasing it.
+/** `OlapEtl.compactFactSketches` (r16; range-scoped r17): fine rows
+  * re-grain into coarse window-START rows by pure sketch algebra,
+  * grain units preserved (the r17 mixed-grain representation).
+  * Contracts pinned here — compacted ≡ direct coarse ingest (HLL
+  * bit-equal by losslessness, n_rows exact, digest within the q115
+  * rank bound at the rollup level), identity re-compaction is
+  * bit-stable (greedy t-digest recompression of an already-compressed
+  * digest is a no-op), the compacted fact still answers grain-range
+  * questions with the pruning pushed to the scan, the commit carries
+  * a live streaming fence forward instead of erasing it — and the
+  * scoped lifecycle op (r17): only the aged range folds, untouched
+  * buckets keep their EXACT files, the mixed-grain fact answers
+  * aligned range questions across the boundary identically to the
+  * uncompacted fact, scoped-then-rest ≡ one full compaction, a
+  * boundary that ages nothing is a true no-op, and the legacy
+  * monolithic layout folds the same rows.
   */
 class SketchCompactionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -77,12 +84,17 @@ class SketchCompactionSpec extends AnyFunSuite {
           "uid", DayUs, coarsePath, Compression, P)
         val a = rowsOf(compacted)
         val b = rowsOf(direct)
-        assert(a.keySet == b.keySet && a.nonEmpty,
+        // r17 grain representation: the compacted fact keeps HOUR units
+        // (day rows at window starts 24·d); the direct day-grain ingest
+        // is a different table whose unit IS days — same windows, so
+        // the keys map by the ratio
+        assert(a.keySet == b.keySet.map(kg => (kg._1, kg._2 * 24L)) && a.nonEmpty,
           s"grain sets diverged: ${a.keySet.size} vs ${b.keySet.size}")
         a.foreach { case (kg, (n, regs, _, w)) =>
-          assert(b(kg)._1 == n, s"grain $kg n_rows diverged")
+          val direct = b((kg._1, kg._2 / 24L))
+          assert(direct._1 == n, s"grain $kg n_rows diverged")
           // lossless register-max + canonical encoding: BIT-equal
-          assert(b(kg)._2 == regs, s"grain $kg HLL bytes diverged")
+          assert(direct._2 == regs, s"grain $kg HLL bytes diverged")
           // digest weights carry the full mass even though centroid
           // positions are merge-tree-specific
           assert(math.rint(w.sum).toLong == n, s"grain $kg digest weight")
@@ -127,8 +139,10 @@ class SketchCompactionSpec extends AnyFunSuite {
         HourUs, path, Compression, P)
       OlapEtl.compactFactSketches(spark, path, HourUs, DayUs, Compression, P)
       // q122's read shape over the compacted table: days 2..5 inclusive
+      // — spelled in the fact's HOUR units (day-aligned bounds, the
+      // mixed-grain contract): [48, 143]
       val fact = SnapshotStore.read(spark, path).get
-        .filter(col("grain").between(2L, 5L))
+        .filter(col("grain").between(48L, 143L))
       val hll = udaf(new Hll.MergeSketchesAgg(P), Encoders.product[Hll.Sketch])
       val got = fact.groupBy(col("series_key"))
         .agg(hll(col("id_sketch.regs")).as("est"),
@@ -148,9 +162,193 @@ class SketchCompactionSpec extends AnyFunSuite {
       // parquet scan — compaction must not cost the pruning pin
       val plan = fact.queryExecution.executedPlan.toString
       assert(plan.contains("PushedFilters") &&
-        plan.contains("GreaterThanOrEqual(grain,2)") &&
-        plan.contains("LessThanOrEqual(grain,5)"),
+        plan.contains("GreaterThanOrEqual(grain,48)") &&
+        plan.contains("LessThanOrEqual(grain,143)"),
         s"grain BETWEEN not pushed into the compacted-fact scan:\n$plan")
+    }
+  }
+
+  // ---- range-scoped compaction (r17): the recurring lifecycle op ----
+
+  // grainsPerBucket = 24 aligns buckets with days for exact-file
+  // assertions (one bucket per coarse window; the operator itself
+  // handles any alignment — see the straddling-layout test below)
+  private val Lay24 = PartitionedSnapshotStore.Layout(grainsPerBucket = 24L)
+
+  private def directHll(rows: Array[org.apache.spark.sql.Row]): Long = {
+    var enc = Array.emptyByteArray
+    rows.foreach(r => enc = Hll.encAdd(enc, P, r.getLong(1)))
+    Hll.encEstimate(enc, P)
+  }
+
+  test("scoped compaction folds ONLY the aged range; untouched buckets keep exact files; hot tail bit-identical") {
+    withFact("cmp6") { path =>
+      OlapEtl.loadFactSketches(spark, events, Seq("k"), "ts", "v", "uid",
+        HourUs, path, Compression, P, OlapEtl.ReplaceGrain, None, None, Lay24)
+      val ptn = PartitionedSnapshotStore
+      val m0 = ptn.current(path).get
+      val before = rowsOf(SnapshotStore.read(spark, path).get)
+      // age days 0..4 (hour grains < 120); days 5..9 stay fine
+      OlapEtl.compactFactSketches(spark, path, HourUs, DayUs, Compression, P,
+        upToGrain = Some(120L))
+      val m1 = ptn.current(path).get
+      // file-level pass-through: every bucket at/above the boundary
+      // (bucket = day under Lay24) re-lists the IDENTICAL relPath
+      val hotBefore = m0.parts.filter(_.bucket >= 5L).map(e => e.bucket -> e.relPath)
+      val hotAfter = m1.parts.filter(_.bucket >= 5L).map(e => e.bucket -> e.relPath)
+      assert(hotAfter == hotBefore && hotBefore.size == 5,
+        s"hot buckets were restaged: $hotBefore vs $hotAfter")
+      val after = rowsOf(SnapshotStore.read(spark, path).get)
+      // hot-tail rows BIT-identical (files untouched)
+      before.filter(_._1._2 >= 120L).foreach { case (kg, row) =>
+        assert(after(kg) == row, s"hot row $kg changed under scoped compaction")
+      }
+      // aged zone: exactly the day rows at window starts 0,24,...,96,
+      // each ≡ a direct fold of its day's raw rows (HLL exact by
+      // losslessness, counts exact)
+      val agedAfter = after.filter(_._1._2 < 120L)
+      assert(agedAfter.keySet ==
+        (for (k <- Seq("a", "b"); d <- 0 until 5) yield (k, d * 24L)).toSet)
+      agedAfter.foreach { case ((k, g), (n, regs, _, _)) =>
+        val raw = events.filter(col("k") === k &&
+            OlapEtl.grainCol(col("ts"), HourUs).between(g, g + 23L))
+          .select(col("k"), col("uid")).collect()
+        assert(n == raw.length, s"aged ($k,$g) n_rows")
+        val enc = {
+          var e = Array.emptyByteArray
+          raw.foreach(r => e = Hll.encAdd(e, P, r.getLong(1)))
+          e
+        }
+        assert(Hll.encEstimate(regs.toArray, P) == Hll.encEstimate(enc, P),
+          s"aged ($k,$g) HLL estimate diverged from a direct day fold")
+      }
+    }
+  }
+
+  test("mixed-grain fact answers an aligned range question across the boundary identically to the uncompacted fact") {
+    withFact("cmp7") { path =>
+      OlapEtl.loadFactSketches(spark, events, Seq("k"), "ts", "v", "uid",
+        HourUs, path, Compression, P, OlapEtl.ReplaceGrain, None, None, Lay24)
+      def ask(lo: Long, hi: Long): Map[String, (Long, Long)] = {
+        val hll = udaf(new Hll.MergeSketchesAgg(P), Encoders.product[Hll.Sketch])
+        // manifest-level file pruning + row-level BETWEEN — exactly the
+        // q122/q123 read shape
+        PartitionedSnapshotStore.readRange(spark, path, lo, hi).get
+          .filter(col("grain").between(lo, hi))
+          .groupBy(col("series_key"))
+          .agg(hll(col("id_sketch.regs")).as("est"), sum(col("n_rows")).as("n"))
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      }
+      // day-ALIGNED lo in (what will become) compacted territory, fine
+      // hi in the hot tail: days 3..4 coarse + hours 120..150 fine
+      val preAnswer = ask(72L, 150L)
+      OlapEtl.compactFactSketches(spark, path, HourUs, DayUs, Compression, P,
+        upToGrain = Some(120L))
+      val postAnswer = ask(72L, 150L)
+      assert(postAnswer == preAnswer && preAnswer.keySet == Set("a", "b"),
+        s"compaction changed an aligned range answer: $preAnswer vs $postAnswer")
+      // and the answer is right: direct fold over the raw slice
+      preAnswer.foreach { case (k, (est, n)) =>
+        val raw = events.filter(col("k") === k &&
+            OlapEtl.grainCol(col("ts"), HourUs).between(72L, 150L))
+          .select(col("k"), col("uid")).collect()
+        assert(n == raw.length && est == directHll(raw),
+          s"key $k mixed-grain answer diverged from the raw slice")
+      }
+    }
+  }
+
+  test("scoped-then-rest ≡ one full compaction: HLL bit-equal, n_rows exact, digest mass intact") {
+    withFact("cmp8") { scopedPath =>
+      withFact("cmp9") { fullPath =>
+        for (p <- Seq(scopedPath, fullPath))
+          OlapEtl.loadFactSketches(spark, events, Seq("k"), "ts", "v", "uid",
+            HourUs, p, Compression, P, OlapEtl.ReplaceGrain, None, None, Lay24)
+        OlapEtl.compactFactSketches(spark, scopedPath, HourUs, DayUs,
+          Compression, P, upToGrain = Some(120L))
+        OlapEtl.compactFactSketches(spark, scopedPath, HourUs, DayUs,
+          Compression, P) // the rest (re-grains the already-coarse rows to themselves)
+        OlapEtl.compactFactSketches(spark, fullPath, HourUs, DayUs, Compression, P)
+        val a = rowsOf(SnapshotStore.read(spark, scopedPath).get)
+        val b = rowsOf(SnapshotStore.read(spark, fullPath).get)
+        assert(a.keySet == b.keySet && a.nonEmpty,
+          s"scoped-then-rest grain set diverged: ${a.keySet} vs ${b.keySet}")
+        a.foreach { case (kg, (n, regs, _, w)) =>
+          assert(b(kg)._1 == n, s"grain $kg n_rows diverged")
+          assert(b(kg)._2 == regs, s"grain $kg HLL bytes diverged")
+          // digests ride different merge trees (scoped folds day 0-4 in
+          // pass 1, identity-folds them in pass 2) — mass is the contract
+          assert(math.rint(w.sum).toLong == n &&
+            math.rint(b(kg)._4.sum).toLong == n, s"grain $kg digest mass")
+        }
+      }
+    }
+  }
+
+  test("a boundary that ages no files is a true no-op; a misaligned boundary is refused") {
+    withFact("cmp10") { path =>
+      OlapEtl.loadFactSketches(spark, events, Seq("k"), "ts", "v", "uid",
+        HourUs, path, Compression, P, OlapEtl.ReplaceGrain, None, None, Lay24)
+      val v0 = PartitionedSnapshotStore.current(path).get.version
+      val before = rowsOf(SnapshotStore.read(spark, path).get)
+      OlapEtl.compactFactSketches(spark, path, HourUs, DayUs, Compression, P,
+        upToGrain = Some(0L))
+      assert(PartitionedSnapshotStore.current(path).get.version == v0,
+        "no-op scoped compaction committed a new manifest")
+      assert(rowsOf(SnapshotStore.read(spark, path).get) == before)
+      intercept[IllegalArgumentException] {
+        OlapEtl.compactFactSketches(spark, path, HourUs, DayUs, Compression, P,
+          upToGrain = Some(121L)) // 121 % 24 != 0
+      }
+    }
+  }
+
+  test("scoped compaction under a straddling bucket layout: young rows in aged buckets pass through value-identical") {
+    withFact("cmp11") { path =>
+      // grainsPerBucket = 32 does NOT align with ratio 24: bucket 3
+      // holds hours 96..127, straddling the boundary 120 — its young
+      // rows (120..127) must pass through while its aged rows fold
+      OlapEtl.loadFactSketches(spark, events, Seq("k"), "ts", "v", "uid",
+        HourUs, path, Compression, P, OlapEtl.ReplaceGrain, None, None,
+        PartitionedSnapshotStore.Layout(grainsPerBucket = 32L))
+      val before = rowsOf(SnapshotStore.read(spark, path).get)
+      OlapEtl.compactFactSketches(spark, path, HourUs, DayUs, Compression, P,
+        upToGrain = Some(120L))
+      val after = rowsOf(SnapshotStore.read(spark, path).get)
+      // young rows — including those inside the straddling bucket —
+      // BIT-identical (pass-through re-writes the same values; HLL
+      // canonical, digest untouched, counts untouched)
+      before.filter(_._1._2 >= 120L).foreach { case (kg, row) =>
+        assert(after(kg) == row, s"young row $kg drifted through the restage")
+      }
+      assert(after.keySet.filter(_._2 < 120L) ==
+        (for (k <- Seq("a", "b"); d <- 0 until 5) yield (k, d * 24L)).toSet)
+      // total mass conserved
+      assert(after.values.map(_._1).sum == before.values.map(_._1).sum)
+    }
+  }
+
+  test("scoped compaction on the legacy monolithic layout folds the same rows") {
+    withFact("cmp12") { ptnPath =>
+      withFact("cmp13") { monoPath =>
+        OlapEtl.loadFactSketches(spark, events, Seq("k"), "ts", "v", "uid",
+          HourUs, ptnPath, Compression, P, OlapEtl.ReplaceGrain, None, None, Lay24)
+        // seed the legacy layout from the same rows (the SCALE-R16 idiom)
+        SnapshotStore.commit(SnapshotStore.read(spark, ptnPath).get
+          .select("series_key", "grain", "value_digest", "id_sketch", "n_rows"),
+          monoPath)
+        OlapEtl.compactFactSketches(spark, ptnPath, HourUs, DayUs,
+          Compression, P, upToGrain = Some(120L))
+        OlapEtl.compactFactSketches(spark, monoPath, HourUs, DayUs,
+          Compression, P, upToGrain = Some(120L))
+        val a = rowsOf(SnapshotStore.read(spark, ptnPath).get)
+        val b = rowsOf(SnapshotStore.read(spark, monoPath).get)
+        assert(a.keySet == b.keySet && a.nonEmpty)
+        a.foreach { case (kg, (n, regs, _, _)) =>
+          assert(b(kg)._1 == n && b(kg)._2 == regs,
+            s"layouts diverged on scoped compaction at $kg")
+        }
+      }
     }
   }
 

@@ -130,7 +130,7 @@ class AqeRobustnessSpec extends AnyFunSuite {
       // q123 (r16): the COMPACTED fact answers with the identical
       // pruned one-scan rollup shape when AQE re-plans
       val (compactPath, _) = graft.SparkEntry.q123Ingest(spark, sf)
-      val p123 = finalPlan(graft.SparkEntry.q122Estimate(spark, compactPath))
+      val p123 = finalPlan(graft.SparkEntry.q123Estimate(spark, compactPath))
       assert(p123.contains("GreaterThanOrEqual(grain,") &&
         p123.contains("LessThanOrEqual(grain,") &&
         !p123.contains("events.parquet"),

@@ -358,7 +358,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q123 compacted-fact READ: same pruned one-scan shape as q122 (r16)") {
     val (factPath, _) = graft.SparkEntry.q123Ingest(spark, sf)
-    val p = plan(graft.SparkEntry.q122Estimate(spark, factPath))
+    // hour-unit bounds (r17: the compacted fact keeps its ingest units)
+    val p = plan(graft.SparkEntry.q123Estimate(spark, factPath))
     // compaction must not cost the read face anything: the compacted
     // fact answers with the identical grain-pruned single-scan rollup
     assert(p.contains("GreaterThanOrEqual(grain,") &&
