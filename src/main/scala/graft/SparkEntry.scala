@@ -3256,8 +3256,15 @@ object SparkEntry {
     tradesCache.values.foreach(_.unpersist(blocking = false))
     tradesCache.clear()
     feedCache.clear()
-    // q122/q123's committed fact tables live under per-(session, dir)
-    // temp dirs — delete the whole temp roots (…/graft-q12*-fact*/fact)
+    deleteTempFactDirs()
+  }
+
+  /** q122/q123's committed fact tables live under per-(session, dir)
+    * temp dirs — delete the whole temp roots (the graft-q12x-fact
+    * parents, not just the fact subdirs) and evict the cache entries.
+    * Pure filesystem work (no Spark calls), so it is safe from the JVM
+    * shutdown hook below. */
+  private[graft] def deleteTempFactDirs(): Unit = {
     factCache.values.foreach { p =>
       org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(p).getParentFile)
@@ -3268,6 +3275,18 @@ object SparkEntry {
         .deleteQuietly(new java.io.File(p).getParentFile)
     }
     q123Cache.clear()
+  }
+
+  /** JVM-exit safety net (r17, carried r15/r16 nit): a host that never
+    * calls [[clearTradesCache]] (an interrupted Bench, an ad-hoc
+    * session) would otherwise leave one committed temp fact per
+    * (session, dir) on disk. Registered once at object init; the
+    * in-session lifecycle contract (call clearTradesCache between
+    * rounds) is unchanged. */
+  private[graft] val tempFactCleanupHook: Thread = {
+    val t = new Thread(() => deleteTempFactDirs(), "graft-temp-fact-cleanup")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
   }
 
   /** One collected (key, ts-millis, user_id, event_id) feed per
@@ -4010,19 +4029,21 @@ object SparkEntry {
        |GROUP BY event_type""".stripMargin
   }
 
-  /** One compacted q123 fact per (session, dir): the HOUR-grain ingest
-    * + hour→day compaction is the lifecycle's one-time cost (memoized
-    * like [[q122Ingest]]; temp dirs cleaned by [[clearTradesCache]]).
-    * Also captures the PRE-compaction fine-grain HLL rollup per key
-    * over the read range — the reference for the lossless verdict. */
+  /** One compacted fact per (session, dir, query): the HOUR-grain
+    * ingest + hour→day compaction (q123: whole-table; q124: scoped to
+    * the aged range below [[Q124BoundaryGrain]]) is the lifecycle's
+    * one-time cost (memoized like [[q122Ingest]]; temp dirs cleaned by
+    * [[clearTradesCache]] and the shutdown hook). Also captures the
+    * PRE-compaction fine-grain HLL rollup per key over the read range
+    * — the reference for the lossless verdict. */
   private val q123Cache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (String, Map[String, Long])]
+    .empty[(SparkSession, String, String), (String, Map[String, Long])]
 
-  private[graft] def q123Ingest(s: SparkSession, dir: String)
-      : (String, Map[String, Long]) =
-    q123Cache.getOrElseUpdate((s, dir), {
+  private def compactedHourFact(s: SparkSession, dir: String, tag: String,
+      upToGrain: Option[Long]): (String, Map[String, Long]) =
+    q123Cache.getOrElseUpdate((s, dir, tag), {
       val factPath = java.nio.file.Files
-        .createTempDirectory("graft-q123-fact").toString + "/fact"
+        .createTempDirectory(s"graft-$tag-fact").toString + "/fact"
       val hourUs = Q122GrainUs / 24L
       graft.olap.OlapEtl.loadFactSketches(s, t(s, dir, "events"),
         "event_type", "ts", "value", "user_id", hourUs, factPath,
@@ -4037,9 +4058,24 @@ object SparkEntry {
         .groupBy(col("series_key")).agg(hll(col("id_sketch.regs")).as("est"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       graft.olap.OlapEtl.compactFactSketches(s, factPath, hourUs,
-        Q122GrainUs, Q115Compression, Q119P)
+        Q122GrainUs, Q115Compression, Q119P, upToGrain)
       (factPath, fine)
     })
+
+  private[graft] def q123Ingest(s: SparkSession, dir: String)
+      : (String, Map[String, Long]) =
+    compactedHourFact(s, dir, "q123", None)
+
+  /** q124's scoped-compaction boundary: 2024-01-15 in the fact's HOUR
+    * units, day-aligned. Days before it age into coarse day rows; the
+    * hot tail (including half the q122 read range) stays hourly — the
+    * read range straddles the boundary by construction. */
+  private[graft] val Q124BoundaryGrain: Long =
+    java.time.LocalDate.of(2024, 1, 15).toEpochDay * 24L
+
+  private[graft] def q124Ingest(s: SparkSession, dir: String)
+      : (String, Map[String, Long]) =
+    compactedHourFact(s, dir, "q124", Some(Q124BoundaryGrain))
 
   /** q123: the sketch-fact COMPACTION lifecycle as a driver query —
     * ingest the events at HOUR grains (24× finer than q122's day
@@ -4055,9 +4091,32 @@ object SparkEntry {
     * hourly rollup's (register max loses nothing across the re-grain;
     * the digest's contract is the rank bound, carried by within_p*).
     */
-  private def q123(s: SparkSession, dir: String): DataFrame = {
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    compactionVerdictQuery(s, dir, q123Ingest(s, dir), "compact_lossless")
+
+  /** q124: the RANGE-SCOPED compaction lifecycle as a driver query
+    * (r17) — ingest at HOUR grains, age only the days below
+    * [[Q124BoundaryGrain]] into coarse day rows
+    * (`compactFactSketches(upToGrain)`: only the aged buckets restage,
+    * the hot tail's files re-list verbatim), then answer q122's range
+    * question over the resulting MIXED-grain fact — the read range
+    * straddles the boundary (days 10–14 coarse, 15–19 still hourly),
+    * exercising the r17 grain-representation contract end-to-end.
+    * Verdicts as data (oracle asserts all TRUE): the q122 rank and
+    * cardinality bounds, Σ n_rows ≡ exact count across the boundary,
+    * and `scoped_lossless` — the mixed fact's per-key distinct
+    * estimate EXACTLY equals the pre-compaction hourly rollup's.
+    */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    compactionVerdictQuery(s, dir, q124Ingest(s, dir), "scoped_lossless")
+
+  /** Shared q123/q124 body: the q122 verdict over a (fully or
+    * partially) compacted hour-unit fact plus the lossless-identity
+    * column against the captured pre-compaction rollup. */
+  private def compactionVerdictQuery(s: SparkSession, dir: String,
+      ingested: (String, Map[String, Long]), losslessName: String): DataFrame = {
     import s.implicits._
-    val (factPath, fine) = q123Ingest(s, dir)
+    val (factPath, fine) = ingested
     val fineDf = fine.toSeq.toDF("series_key", "fine_est")
     sketchFactVerdict(s, dir, factPath, Q123GrainLo, Q123GrainHi)
       .join(broadcast(fineDf), Seq("series_key"), "left")
@@ -4067,7 +4126,7 @@ object SparkEntry {
         col("nrows_match"), col("within_p50"), col("within_p99"),
         col("id_within"),
         coalesce(col("id_est") === col("fine_est"), lit(false))
-          .as("compact_lossless"))
+          .as(losslessName))
   }
 
   /** q122's oracle (same raw slice, same bounds) plus the lossless
@@ -4080,6 +4139,17 @@ object SparkEntry {
     // surfacing only as a downstream schema mismatch (r16 advisory)
     require(out != q122Sql,
       "q123Sql anchor ' TRUE AS id_within' no longer present in q122Sql")
+    out
+  }
+
+  /** q124's oracle: q122's raw slice and bounds plus the scoped
+    * lossless verdict — the mixed-grain fact must answer the straddling
+    * range question with every contract column TRUE. */
+  private def q124Sql = {
+    val out = q122Sql.replace(" TRUE AS id_within",
+      " TRUE AS id_within,\n TRUE AS scoped_lossless")
+    require(out != q122Sql,
+      "q124Sql anchor ' TRUE AS id_within' no longer present in q122Sql")
     out
   }
 
@@ -4115,8 +4185,21 @@ object SparkEntry {
     * pre-compaction hourly rollup's. Returns (keys, violations,
     * maxRankOverBound, maxHllOverBound, nrowsAllMatch, losslessAll). */
   def sketchCompactionDifferential(s: SparkSession, dir: String)
+      : (Long, Long, Double, Double, Boolean, Boolean) =
+    compactionDifferentialFor(s, dir, q123Ingest(s, dir))
+
+  /** q124's margins: the q123 differential re-measured over the
+    * SCOPED-compaction mixed-grain fact (read range straddling the
+    * boundary), lossless identity against the pre-compaction hourly
+    * rollup. */
+  def sketchScopedCompactionDifferential(s: SparkSession, dir: String)
+      : (Long, Long, Double, Double, Boolean, Boolean) =
+    compactionDifferentialFor(s, dir, q124Ingest(s, dir))
+
+  private def compactionDifferentialFor(s: SparkSession, dir: String,
+      ingested: (String, Map[String, Long]))
       : (Long, Long, Double, Double, Boolean, Boolean) = {
-    val (factPath, fine) = q123Ingest(s, dir)
+    val (factPath, fine) = ingested
     val rows = sketchFactVerdict(s, dir, factPath, Q123GrainLo, Q123GrainHi)
       .select(
       col("rank_err_p50"), col("rank_err_p99"),
@@ -4672,7 +4755,8 @@ object SparkEntry {
     "q120_hll_setops" -> (q120 _),
     "q121_hash_sample" -> (q121 _),
     "q122_sketch_fact_read" -> (q122 _),
-    "q123_sketch_compaction" -> (q123 _)
+    "q123_sketch_compaction" -> (q123 _),
+    "q124_scoped_compaction" -> (q124 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4804,6 +4888,7 @@ object SparkEntry {
     "q121_hash_sample" -> q121Sql,
     "q122_sketch_fact_read" -> q122Sql,
     "q123_sketch_compaction" -> q123Sql,
+    "q124_scoped_compaction" -> q124Sql,
     // PQ family: generated SQL re-derives the mirrorable kmeans fits and
     // the ADC scoring term-by-term (graft.oracle.PqOracle) — hash-exact
     // at any SF, no data-pinned literals.

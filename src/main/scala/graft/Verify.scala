@@ -59,7 +59,7 @@ object Verify {
       "q61_percentiles_approx", "q115_tdigest_mergeable",
       "q118_hll_contract", "q119_hll_rollup", "q120_hll_setops",
       "q121_hash_sample", "q122_sketch_fact_read",
-      "q123_sketch_compaction")
+      "q123_sketch_compaction", "q124_scoped_compaction")
     if (diffGate.exists(selected)) {
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       // ONE definition of the success/failure row shape: `body` returns
@@ -181,6 +181,20 @@ object Verify {
             s""""max_rank_over_bound": $maxRank, """ +
             s""""max_hll_over_bound": $maxHll, "nrows_match": $nrowsAll, """ +
             s""""compact_lossless": $lossless}""")
+        }
+      if (selected("q124_scoped_compaction"))
+        diffRows("scoped compaction", "q124_scoped_compaction") {
+          // range-scoped lifecycle op (r17): the q122 margins measured
+          // over a MIXED-grain fact whose read range straddles the
+          // compaction boundary, plus the lossless identity against
+          // the pre-compaction hourly rollup
+          val (keys, viols, maxRank, maxHll, nrowsAll, lossless) =
+            SparkEntry.sketchScopedCompactionDifferential(spark, sfDir)
+          Seq(s"""{"diff_match": ${viols == 0 && keys > 0 && nrowsAll && lossless}, """ +
+            s""""keys": $keys, "violations": $viols, """ +
+            s""""max_rank_over_bound": $maxRank, """ +
+            s""""max_hll_over_bound": $maxHll, "nrows_match": $nrowsAll, """ +
+            s""""scoped_lossless": $lossless}""")
         }
       if (selected("q120_hll_setops"))
         diffRows("HLL set-ops", "q120_hll_setops") {

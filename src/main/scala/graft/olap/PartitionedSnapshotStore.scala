@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   *     grammar), line 2 `layout <grainsPerBucket> <seriesBuckets>`
   *     (the bucketing function is a TABLE property — a drifting
   *     bucket function would scatter one grain over two buckets and
-  *     break collision detection), then one
+  *     break collision detection), an optional line 3
+  *     `schema \t <StructType json>` (r17 — makes an
+  *     empty-intersection [[readRange]] O(1) instead of O(live files)
+  *     footer reads), then one
   *     `bucket \t relPath \t grainMin \t grainMax \t rows` line per
   *     live partition file;
   *   - `_MANIFEST`   the pointer: one line `m<N>`, swapped by the
@@ -49,6 +52,7 @@ import org.apache.spark.sql.functions._
 object PartitionedSnapshotStore {
 
   private val PointerName = "_MANIFEST"
+  private val PinsName = "_PINS"
   private val ManifestRe = "^m(\\d+)$".r
   val BucketCol = "__bucket"
 
@@ -69,8 +73,16 @@ object PartitionedSnapshotStore {
       s"layout must be positive, got $this")
   }
 
+  /** `schema` (r17): the fact's read schema recorded in the manifest
+    * (line 3, `schema \t <StructType json>`), so an empty-intersection
+    * [[readRange]] builds its empty-but-typed result from the manifest
+    * alone — the pre-r17 fallback constructed a parquet relation over
+    * ALL live files just to infer the schema, O(live files) footer
+    * reads on a miss. None on pre-r17 manifests (fallback kept). */
   final case class Manifest(version: Long, fence: Option[Long],
-      lineage: Option[String], layout: Layout, parts: Seq[PartEntry])
+      lineage: Option[String], layout: Layout,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      parts: Seq[PartEntry])
 
   /** The bucket id expression for a row: series-hash sub-bucket within
     * a grain-range bucket. `xxhash64` is deterministic across
@@ -146,12 +158,22 @@ object PartitionedSnapshotStore {
     require(lay.length == 3 && lay(0) == "layout",
       s"malformed manifest layout line in $f: ${lines.get(1)}")
     val layout = Layout(lay(1).toLong, lay(2).toInt)
-    val parts = (2 until lines.size).iterator.map(_.toInt)
+    // optional r17 schema line (JSON never contains a raw tab or
+    // newline — escapes ride as backslash sequences); absent on
+    // pre-r17 manifests
+    val hasSchema = lines.size > 2 && lines.get(2).startsWith("schema\t")
+    val schema =
+      if (hasSchema)
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(lines.get(2).substring("schema\t".length))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else None
+    val parts = ((if (hasSchema) 3 else 2) until lines.size).iterator
       .map(i => lines.get(i)).filter(_.nonEmpty).map { ln =>
         val c = ln.split("\t")
         PartEntry(c(0).toLong, c(1), c(2).toLong, c(3).toLong, c(4).toLong)
       }.toSeq
-    Some(Manifest(version, fence, lineage, layout, parts))
+    Some(Manifest(version, fence, lineage, layout, schema, parts))
   }
 
   /** Read the whole committed table (None if never committed or the
@@ -166,11 +188,11 @@ object PartitionedSnapshotStore {
 
   /** TIME-TRAVEL read (r16): resolve a SPECIFIC manifest version —
     * the training-data-lineage face ("read the exact corpus snapshot
-    * run X trained on"). Valid while the manifest survives [[gc]]'s
-    * keep window (manifests and their files are immutable, so a kept
-    * version reads bit-identically forever); a collected version
-    * returns None rather than a torn view. Pin versions you need
-    * reproducible by gc'ing with a larger `keep`. */
+    * run X trained on"). Valid while the manifest survives [[gc]] —
+    * inside the keep window, or held indefinitely by a durable [[pin]]
+    * (manifests and their files are immutable, so a kept version reads
+    * bit-identically forever); a collected version returns None rather
+    * than a torn view. */
   def readAt(spark: SparkSession, tablePath: String, version: Long)
       : Option[DataFrame] =
     readManifestFile(Paths.get(tablePath, s"manifest-m$version"), version)
@@ -188,15 +210,24 @@ object PartitionedSnapshotStore {
       grainHi: Long): Option[DataFrame] =
     current(tablePath).filter(_.parts.nonEmpty).map { m =>
       val live = m.parts.filter(e => e.grainMax >= grainLo && e.grainMin <= grainHi)
-      if (live.isEmpty)
-        // no intersecting file: preserve schema via an empty slice
-        // over THIS manifest's files (never-scanned — Catalyst folds
-        // the scan away under `false`). Built from the manifest in
-        // hand, not a second pointer resolve — a concurrent commit+gc
-        // between the two reads could make the re-resolve return None
-        // and crash a pure reader (r16 review).
-        spark.read.parquet(m.parts.map(e => s"$tablePath/${e.relPath}"): _*)
-          .filter(lit(false))
+      if (live.isEmpty) m.schema match {
+        // r17: the manifest's schema line makes a miss O(1) — an empty
+        // LocalRelation, zero parquet footers opened (at 100 TB-class
+        // file counts the pre-r17 relation construction below did
+        // O(live files) schema work just to return nothing)
+        case Some(sc) =>
+          spark.createDataFrame(java.util.Collections.emptyList[
+            org.apache.spark.sql.Row](), sc)
+        // pre-r17 manifest without a schema line: preserve schema via
+        // an empty slice over THIS manifest's files (never-scanned —
+        // Catalyst folds the scan away under `false`). Built from the
+        // manifest in hand, not a second pointer resolve — a
+        // concurrent commit+gc between the two reads could make the
+        // re-resolve return None and crash a pure reader (r16 review).
+        case None =>
+          spark.read.parquet(m.parts.map(e => s"$tablePath/${e.relPath}"): _*)
+            .filter(lit(false))
+      }
       else spark.read.parquet(live.map(e => s"$tablePath/${e.relPath}"): _*)
     }
 
@@ -227,7 +258,8 @@ object PartitionedSnapshotStore {
     * not what was asked. Shared by [[commitBuckets]] and
     * [[migrateFromMonolithic]]. */
   private def stageBucketFiles(spark: SparkSession, tablePath: String,
-      data: DataFrame): (String, Map[Long, (Long, Long, Long)]) = {
+      data: DataFrame): (String, Map[Long, (Long, Long, Long)],
+        Option[org.apache.spark.sql.types.StructType]) = {
     val dir = Paths.get(tablePath)
     Files.createDirectories(dir.resolve("part"))
     val stageRel = s"part/s${java.util.UUID.randomUUID().toString.take(12)}"
@@ -243,26 +275,38 @@ object PartitionedSnapshotStore {
       .exists(p => p.getFileName.toString.startsWith(s"$BucketCol="))
     // partition-value inference may type small bucket ids as INT —
     // normalize to long before the collect
-    val stats =
-      if (stagedEmpty) Map.empty[Long, (Long, Long, Long)]
-      else spark.read.parquet(s"$tablePath/$stageRel")
-        .groupBy(col(BucketCol).cast("long").as(BucketCol))
-        .agg(min(col("grain")).as("gmin"), max(col("grain")).as("gmax"),
-          count(lit(1)).as("rows"))
-        .collect()
-        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
-        .toMap
-    (stageRel, stats)
+    val (stats, schema) =
+      if (stagedEmpty)
+        (Map.empty[Long, (Long, Long, Long)],
+          None: Option[org.apache.spark.sql.types.StructType])
+      else {
+        val back = spark.read.parquet(s"$tablePath/$stageRel")
+        val st = back
+          .groupBy(col(BucketCol).cast("long").as(BucketCol))
+          .agg(min(col("grain")).as("gmin"), max(col("grain")).as("gmax"),
+            count(lit(1)).as("rows"))
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        // the manifest's schema line records the READ-BACK schema (what
+        // a manifest-listed file scan yields — nullability included),
+        // minus the discovery-typed bucket partition column
+        (st, Some(org.apache.spark.sql.types.StructType(
+          back.schema.fields.filterNot(_.name == BucketCol))))
+      }
+    (stageRel, stats, schema)
   }
 
   /** The manifest body for `layout` + `parts` (sorted), under version
     * tag `m<v>` with the given fence suffix — ONE serializer for every
     * manifest writer so the grammar cannot drift. */
   private def manifestBody(newV: Long, fenceSuffix: String, layout: Layout,
+      schema: Option[org.apache.spark.sql.types.StructType],
       parts: Seq[PartEntry]): String = {
     val sb = new StringBuilder
     sb.append(s"m$newV").append(fenceSuffix).append('\n')
     sb.append(s"layout ${layout.grainsPerBucket} ${layout.seriesBuckets}\n")
+    schema.foreach(sc => sb.append("schema\t").append(sc.json).append('\n'))
     parts.sortBy(e => (e.bucket, e.relPath)).foreach { e =>
       sb.append(s"${e.bucket}\t${e.relPath}\t${e.grainMin}\t${e.grainMax}\t${e.rows}\n")
     }
@@ -276,7 +320,8 @@ object PartitionedSnapshotStore {
     require(lineage.forall(l => l.nonEmpty && !l.exists(_.isWhitespace)),
       s"lineage token must be non-empty and whitespace-free, got $lineage")
     val dir = Paths.get(tablePath)
-    val (stageRel, stats) = stageBucketFiles(spark, tablePath, newBucketData)
+    val (stageRel, stats, stagedSchema) =
+      stageBucketFiles(spark, tablePath, newBucketData)
     // EVERY refusal below must clean up the freshly staged dir — it
     // was created by THIS call, never committed, and leaving it costs
     // a 24h orphan-grace of disk (review r16: the requires previously
@@ -311,11 +356,14 @@ object PartitionedSnapshotStore {
       val keptParts = cur.toSeq.flatMap(_.parts)
         .filterNot(e => dirtyBuckets.contains(e.bucket))
       // manifest file durable FIRST (immutable once named), then the
-      // pointer swap is the single atomic commit point
+      // pointer swap is the single atomic commit point. Schema: this
+      // commit's staged read-back, else carried from the base (an
+      // empty fence-advancing batch must not strip it)
       Files.write(dir.resolve(s"manifest-m$newV"),
         manifestBody(newV,
           SnapshotStore.fenceSuffix(carriedFence, carriedLineage),
-          layout, keptParts ++ newEntries)
+          layout, stagedSchema.orElse(cur.flatMap(_.schema)),
+          keptParts ++ newEntries)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       SnapshotStore.writeManifestAtomic(dir, s"m$newV", s"m$newV")
@@ -349,7 +397,8 @@ object PartitionedSnapshotStore {
   def migrateFromMonolithic(spark: SparkSession, tablePath: String,
       bucketData: DataFrame, layout: Layout, expectedBase: String): Long = {
     val dir = Paths.get(tablePath)
-    val (stageRel, stats) = stageBucketFiles(spark, tablePath, bucketData)
+    val (stageRel, stats, stagedSchema) =
+      stageBucketFiles(spark, tablePath, bucketData)
     def refuse(e: Exception): Nothing = {
       SnapshotStore.deleteRecursively(dir.resolve(stageRel))
       throw e
@@ -374,7 +423,7 @@ object PartitionedSnapshotStore {
       val newV = nextManifestVersion(dir, None)
       Files.write(dir.resolve(s"manifest-m$newV"),
         manifestBody(newV, SnapshotStore.fenceSuffix(fence, lineage),
-          layout, entries)
+          layout, stagedSchema, entries)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       SnapshotStore.writeManifestAtomic(dir, s"m$newV", s"m$newV")
@@ -392,6 +441,75 @@ object PartitionedSnapshotStore {
     }
   }
 
+  /** Durable version PINS (r17): the training-data-lineage contract
+    * [[readAt]] needs to be real — "corpus version V is reproducible
+    * until explicitly released", regardless of how many commits and
+    * [[gc]] cycles pass. A pin is one `tag \t version` line in the
+    * table's `_PINS` file (tmp-file + ATOMIC_MOVE replace, so pins are
+    * crash-durable and readers never see a torn file); gc keeps a
+    * pinned version's manifest AND every partition file it references
+    * outside the `keep` window, forever, until [[unpin]] releases the
+    * tag (the version then collects on the next cycle like any
+    * superseded manifest). Tags are the operator-facing name ("run-42
+    * trained here"); pinning an unknown or already-collected version
+    * refuses loudly, as does re-pointing a live tag (unpin first —
+    * silently moving a lineage pin is exactly the mistake this file
+    * exists to prevent). */
+  def pins(tablePath: String): Map[String, Long] = {
+    val p = Paths.get(tablePath, PinsName)
+    if (!Files.isRegularFile(p)) return Map.empty
+    val lines = Files.readAllLines(p)
+    (0 until lines.size).iterator.map(lines.get).filter(_.nonEmpty).map { ln =>
+      val c = ln.split("\t")
+      c(0) -> c(1).toLong
+    }.toMap
+  }
+
+  /** Pin manifest `version` under `tag` (see [[pins]]). Idempotent for
+    * the same (tag, version); a live tag naming a DIFFERENT version
+    * refuses. */
+  def pin(tablePath: String, version: Long, tag: String): Unit = {
+    require(tag.nonEmpty && !tag.exists(_.isWhitespace),
+      s"pin tag must be non-empty and whitespace-free, got '$tag'")
+    SnapshotStore.withPublishLock(tablePath) {
+      if (!Files.isRegularFile(Paths.get(tablePath, s"manifest-m$version")))
+        throw new IllegalArgumentException(
+          s"cannot pin m$version at $tablePath: no such manifest " +
+            "(never committed, or already collected — pin before gc runs)")
+      val cur = pins(tablePath)
+      cur.get(tag) match {
+        case Some(v) if v == version => ()
+        case Some(v) => throw new IllegalArgumentException(
+          s"pin tag '$tag' already names m$v at $tablePath — unpin it " +
+            "first (a silently moved lineage pin is unreproducible)")
+        case None => writePins(tablePath, cur + (tag -> version))
+      }
+    }
+  }
+
+  /** Release `tag`'s pin; the version collects on the next [[gc]]
+    * unless still inside the keep window or pinned under another tag.
+    * Returns whether the tag existed. */
+  def unpin(tablePath: String, tag: String): Boolean =
+    SnapshotStore.withPublishLock(tablePath) {
+      val cur = pins(tablePath)
+      if (cur.contains(tag)) { writePins(tablePath, cur - tag); true }
+      else false
+    }
+
+  private def writePins(tablePath: String, m: Map[String, Long]): Unit = {
+    val dir = Paths.get(tablePath)
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"$t\t$v" }.mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(dir, ".pins-", ".tmp")
+    try {
+      Files.writeString(tmp, body)
+      Files.move(tmp, dir.resolve(PinsName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
+  }
+
   /** The deliberate between-lineages fence reset
     * ([[SnapshotStore.clearFence]] semantics): commits a NEW manifest
     * with the same layout and the same partition files, minus the
@@ -403,14 +521,9 @@ object PartitionedSnapshotStore {
       current(tablePath).filter(_.fence.isDefined).foreach { cur =>
         val dir = Paths.get(tablePath)
         val newV = nextManifestVersion(dir, Some(cur))
-        val sb = new StringBuilder
-        sb.append(s"m$newV\n")
-        sb.append(s"layout ${cur.layout.grainsPerBucket} ${cur.layout.seriesBuckets}\n")
-        cur.parts.sortBy(e => (e.bucket, e.relPath)).foreach { e =>
-          sb.append(s"${e.bucket}\t${e.relPath}\t${e.grainMin}\t${e.grainMax}\t${e.rows}\n")
-        }
         Files.write(dir.resolve(s"manifest-m$newV"),
-          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          manifestBody(newV, "", cur.layout, cur.schema, cur.parts)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
         SnapshotStore.writeManifestAtomic(dir, s"m$newV", s"m$newV")
       }
@@ -425,6 +538,17 @@ object PartitionedSnapshotStore {
   def gc(tablePath: String, keep: Int = 2,
       graceMs: Long = 24L * 3600L * 1000L): Seq[String] = {
     require(keep >= 1, s"gc must keep at least the current manifest, got $keep")
+    if (!Files.isDirectory(Paths.get(tablePath))) return Seq.empty
+    // under the publish lock (r17): serializes with [[pin]] — a pin
+    // admitted between a lock-free gc's pin read and its deletes would
+    // name a version this pass collects — and with publishers, so the
+    // lenient manifest parse below is defense-in-depth, not the only
+    // guard (r16 advisory). Deletes are bounded by O(buckets × keep).
+    SnapshotStore.withPublishLock(tablePath) { gcLocked(tablePath, keep, graceMs) }
+  }
+
+  private def gcLocked(tablePath: String, keep: Int,
+      graceMs: Long): Seq[String] = {
     val dir = Paths.get(tablePath)
     val cur = current(tablePath).getOrElse(return Seq.empty)
     val manifests = SnapshotStore.children(dir)
@@ -433,8 +557,13 @@ object PartitionedSnapshotStore {
           p.getFileName.toString.stripPrefix("manifest-"))
           .map(m => (m.group(1).toLong, p))
       }.sortBy(_._1)
+    // durable pins (r17) hold their versions outside the keep window;
+    // the atomic _PINS replace means this lock-free read sees a
+    // complete old or new pin set, never a torn one
+    val pinned = pins(tablePath).values.toSet
     val keptVersions = manifests.map(_._1)
-      .filter(_ <= cur.version).takeRight(keep).toSet
+      .filter(_ <= cur.version).takeRight(keep).toSet ++
+      pinned.intersect(manifests.map(_._1).toSet)
     val now = System.currentTimeMillis()
     // racing a concurrent gc's deletes (gc takes no lock): a listed
     // path can vanish before its mtime probe — treat it as freshly

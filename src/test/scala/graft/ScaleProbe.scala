@@ -866,6 +866,130 @@ object ScaleProbe {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
 
+    if (want("r17")) {
+      // RECURRING lifecycle cost (r17): scoped compaction of a FIXED
+      // 10-day aged window must stay flat as the TOTAL fact grows —
+      // only the window's buckets restage; untouched files re-list
+      // verbatim. The full-table compaction line is the contrast (every
+      // bucket dirty by definition, O(|fact|)). Steady state simulated
+      // by pre-compacting all history older than the measured window.
+      import graft.olap.{OlapEtl, PartitionedSnapshotStore, SnapshotStore}
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val HourUs = 3600000000L
+      val DayUs = 24L * HourUs
+      val Series = 200
+      def ev(dayLo: Int, dayHi: Int) = {
+        val hours = (dayHi - dayLo + 1) * 24
+        spark.range(hours.toLong * Series * 2)
+          .select(
+            concat(lit("s"), col("id") % Series).as("k"),
+            timestamp_micros(lit(dayLo.toLong) * DayUs +
+              floor(col("id") / (Series * 2)).cast("long") * HourUs +
+              (col("id") % 3600L) * 1000000L).as("ts"),
+            (col("id") % 1000L).cast("double").as("v"),
+            (col("id") * 7L + dayLo).as("uid"))
+      }
+      val results = Seq(20, 100, 500).map { days =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"r17-$days")
+        try {
+          val path = s"$tmp/fact"
+          OlapEtl.loadFactSketches(spark, ev(0, days - 1), "k", "ts", "v",
+            "uid", HourUs, path,
+            layout = PartitionedSnapshotStore.Layout(grainsPerBucket = 24L))
+          // steady state: history beyond the aged window already coarse
+          if (days > 20)
+            OlapEtl.compactFactSketches(spark, path, HourUs, DayUs,
+              upToGrain = Some((days - 20).toLong * 24L))
+          val factRows = SnapshotStore.read(spark, path).get.count()
+          // THE measured recurring op: age the next 10-day window
+          val tScoped = timed(OlapEtl.compactFactSketches(spark, path,
+            HourUs, DayUs, upToGrain = Some((days - 10).toLong * 24L)))
+          // contrast: whole-table compaction at the same fact size
+          val tFull = timed(OlapEtl.compactFactSketches(spark, path,
+            HourUs, DayUs))
+          (days, factRows, tScoped, tFull)
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
+      println(s"SCALE-R17 scoped compaction ($Series series, hour grains, " +
+        "fixed 10-day aged window) as the fact grows:")
+      results.foreach { case (d, rows, ts, tf) =>
+        println(f"SCALE-R17 fact=$d%4d days ($rows%8d rows): " +
+          f"scoped(10-day window)=$ts%6.2f s full-table=$tf%6.2f s " +
+          f"ratio=${tf / ts}%.1fx")
+      }
+      val flat = results.last._3 / results.head._3
+      println(f"SCALE-R17 scoped growth 20→500 days: ${flat}%.2fx " +
+        "(FLAT expected; full-table grows with |fact|)")
+    }
+
+    if (want("r17b")) {
+      // hot-bucket SKEW grid (r17): commitBuckets writes via
+      // repartition(bucket) — one task per dirty bucket — so at
+      // seriesBuckets=1 a grain-range's whole restage is single-task
+      // and its file carries every series (one hot key set inflates
+      // it). The grid measures ingest/merge commit latency, staged
+      // file-size balance, and range-read cost at seriesBuckets ∈
+      // {1, 4, 16} under a zipf-ish key law, backing the Layout
+      // scaladoc's sizing sentence with numbers.
+      import graft.olap.{OlapEtl, PartitionedSnapshotStore}
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val HourUs = 3600000000L
+      val Rows = 1000000L
+      // log-uniform ranks ≈ zipf: rank = floor(exp(u · ln 20k)); the
+      // head rank carries ~8% of all rows, ranks are hash-derived so
+      // the law is deterministic and part-disjoint ids stay mergeable
+      def ev(part: Int) = spark.range(Rows)
+        .select(
+          concat(lit("s"), floor(exp(
+            (pmod(xxhash64(col("id") + lit(part.toLong * Rows)), lit(1000000L))
+              .cast("double") / 1e6) * lit(math.log(20000.0)))).cast("long")).as("k"),
+          timestamp_micros((col("id") % 24L) * HourUs +
+            (col("id") % 3600L) * 1000000L + lit(part.toLong)).as("ts"),
+          (col("id") % 1000L).cast("double").as("v"),
+          (col("id") * 3L + part).as("uid"))
+      def dirBytes(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try {
+          var total = 0L
+          val it = s.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (java.nio.file.Files.isRegularFile(f))
+              total += java.nio.file.Files.size(f)
+          }
+          total
+        } finally s.close()
+      }
+      for (sb <- Seq(1, 4, 16)) {
+        val tmp = java.nio.file.Files.createTempDirectory(s"r17b-$sb")
+        try {
+          val path = s"$tmp/fact"
+          val lay = PartitionedSnapshotStore.Layout(
+            grainsPerBucket = 8L, seriesBuckets = sb)
+          val tIngest = timed(OlapEtl.loadFactSketches(spark, ev(0),
+            "k", "ts", "v", "uid", HourUs, path, layout = lay))
+          val tMerge = timed(OlapEtl.loadFactSketches(spark, ev(1),
+            "k", "ts", "v", "uid", HourUs, path,
+            mode = OlapEtl.MergeGrain))
+          val m = PartitionedSnapshotStore.current(path).get
+          val sizes = m.parts.map(e =>
+            dirBytes(java.nio.file.Paths.get(path, e.relPath))).sorted
+          val tRead = timed(
+            PartitionedSnapshotStore.readRange(spark, path, 0L, 7L).get
+              .agg(sum(col("n_rows"))).collect())
+          println(f"SCALE-R17B sb=$sb%2d: ingest=$tIngest%6.2f s " +
+            f"merge=$tMerge%6.2f s files=${m.parts.size}%3d " +
+            f"fileKiB p50=${sizes(sizes.size / 2) / 1024}%6d " +
+            f"max=${sizes.last / 1024}%6d " +
+            f"read(grains 0-7)=$tRead%5.2f s")
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
+    }
+
     if (want("r13")) {
       // Replica LAYOUT matters as much as row count: replicated rows
       // compress so well that a naive write packs 600M rows into ~129MB

@@ -284,6 +284,40 @@ class PartitionedSnapshotStoreSpec extends AnyFunSuite {
     assert(none.count() == 0L && none.columns.contains("payload"))
   }
 
+  test("readRange miss is O(1): schema from the manifest, zero files opened; pre-r17 manifests fall back") {
+    val p = freshTable()
+    val d = rows(("a", 2L, 1L), ("a", 12L, 2L))
+    ptn.commitBuckets(spark, p, d, buckets(d), lay, None, None, None)
+    val populatedSchema = SnapshotStore.read(spark, p).get.schema
+    assert(ptn.current(p).get.schema.contains(populatedSchema),
+      s"manifest schema line missing or diverged from the read-back schema: " +
+        s"${ptn.current(p).get.schema} vs $populatedSchema")
+    // filesystem tripwire: hide every partition file — a miss that
+    // opens ANY parquet footer now fails instead of silently costing
+    // O(live files)
+    val part = Paths.get(p, "part")
+    val hidden = Paths.get(p, "part-hidden")
+    Files.move(part, hidden)
+    try {
+      val none = ptn.readRange(spark, p, 1000L, 2000L).get
+      assert(none.schema == populatedSchema,
+        s"miss-path schema diverged: ${none.schema} vs $populatedSchema")
+      assert(none.count() == 0L && none.inputFiles.isEmpty)
+    } finally Files.move(hidden, part)
+    // pre-r17 manifest (no schema line): the all-files fallback still
+    // answers (files present, Catalyst folds the false-filtered scan)
+    val mf = Paths.get(p, "manifest-m0")
+    val stripped = {
+      val ls = Files.readAllLines(mf)
+      (0 until ls.size).map(ls.get).filterNot(_.startsWith("schema\t"))
+    }
+    Files.write(mf, String.join("\n", stripped: _*)
+      .concat("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(ptn.current(p).get.schema.isEmpty)
+    val none2 = ptn.readRange(spark, p, 1000L, 2000L).get
+    assert(none2.count() == 0L && none2.schema == populatedSchema)
+  }
+
   test("seriesBuckets > 1: a grain range splits by key hash; a merge dirties only its keys' sub-buckets") {
     import org.apache.commons.io.FileUtils
     val dir = java.nio.file.Files.createTempDirectory("ptnsub")

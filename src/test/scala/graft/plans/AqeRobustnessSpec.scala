@@ -138,6 +138,18 @@ class AqeRobustnessSpec extends AnyFunSuite {
       assert(p123.contains("partial_mergedigestsagg") &&
         p123.contains("partial_mergesketchesagg"),
         s"q123 rollup lost map-side partials under AQE:\n$p123")
+
+      // q124 (r17): the MIXED-grain fact (scoped compaction, read
+      // range straddling the boundary) keeps the same shape under AQE
+      val (mixedPath, _) = graft.SparkEntry.q124Ingest(spark, sf)
+      val p124 = finalPlan(graft.SparkEntry.q123Estimate(spark, mixedPath))
+      assert(p124.contains("GreaterThanOrEqual(grain,") &&
+        p124.contains("LessThanOrEqual(grain,") &&
+        !p124.contains("events.parquet"),
+        s"q124 grain pruning / fact isolation broke under AQE:\n$p124")
+      assert(p124.contains("partial_mergedigestsagg") &&
+        p124.contains("partial_mergesketchesagg"),
+        s"q124 rollup lost map-side partials under AQE:\n$p124")
     }
   }
 

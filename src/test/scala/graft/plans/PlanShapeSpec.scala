@@ -374,6 +374,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rollup aggregators must partial-merge map-side:\n$p")
   }
 
+  test("q124 mixed-grain READ: the straddling range over a scoped-compacted fact keeps the q122 shape (r17)") {
+    val (factPath, _) = graft.SparkEntry.q124Ingest(spark, sf)
+    val p = plan(graft.SparkEntry.q123Estimate(spark, factPath))
+    // the mixed fact (coarse day rows below the boundary, hourly rows
+    // above) answers with the identical grain-pruned single-scan rollup
+    assert(p.contains("GreaterThanOrEqual(grain,") &&
+      p.contains("LessThanOrEqual(grain,"),
+      s"grain range not pushed to the mixed-grain fact scan:\n$p")
+    assert(!p.contains("events.parquet"),
+      s"estimate side must never touch raw events:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"estimate side reads exactly the fact table:\n$p")
+    assert(p.contains("partial_mergedigestsagg") &&
+      p.contains("partial_mergesketchesagg"),
+      s"rollup aggregators must partial-merge map-side:\n$p")
+  }
+
   test("q120 HLL set ops: two sketch branches broadcast onto the exact side, no SMJ") {
     val p = plan(graft.SparkEntry.queries("q120_hll_setops")(spark, sf))
     assert("partial_sketchagg".r.findAllIn(p).size >= 2,
