@@ -726,10 +726,18 @@ object OlapEtl {
         throw new IllegalStateException(
           s"no committed sketch fact at $factPath to compact"))
       // file-level aging: a part whose whole grain range is at/above
-      // the boundary re-lists VERBATIM (never read, never rewritten) —
-      // this, not the fold, is what makes the scoped op O(aged window)
+      // the boundary — or at/below the PREVIOUS boundary (those rows
+      // are already coarse; the manifest's `compacted` high-water mark
+      // proves it) — re-lists VERBATIM (never read, never rewritten).
+      // This two-sided skip, not the fold, is what makes the RECURRING
+      // scoped op O(newly aged window) rather than O(aged history)
+      // (SCALE-R17: the one-sided first cut re-identity-folded every
+      // previously-coarse bucket each run). Caveats, documented on the
+      // Manifest: late fine rows merged below the previous boundary,
+      // or a CHANGED coarse grain, are settled only by a full pass.
+      val prevBoundary = base.compactedUpTo.getOrElse(Long.MinValue)
       val agedParts = upToGrain.fold(base.parts)(b =>
-        base.parts.filter(_.grainMin < b))
+        base.parts.filter(e => e.grainMin < b && e.grainMax >= prevBoundary))
       if (agedParts.isEmpty)
         return SnapshotStore.read(spark, factPath).getOrElse(
           throw new IllegalStateException(
@@ -766,8 +774,13 @@ object OlapEtl {
           .reduceOption(_.unionByName(_)).map(_.withColumn(ptn.BucketCol, bExpr))
         val newData = passThrough.fold(coarse: DataFrame)(coarse.unionByName(_))
         val dirty = agedBuckets ++ coarseBuckets
+        // a SCOPED pass advances the manifest's compaction high-water
+        // mark so the next pass skips the newly coarse range at the
+        // FILE level; a full pass leaves it (the property's alignment
+        // is tied to the scoped cadence's ratio)
         ptn.commitBuckets(spark, factPath, newData, dirty, base.layout,
-          fence = None, lineage = None, expectedBase = Some(base.version))
+          fence = None, lineage = None, expectedBase = Some(base.version),
+          compactedUpTo = upToGrain)
       } finally coarse.unpersist(blocking = false)
       ptn.gc(factPath)
     } else {

@@ -67,21 +67,48 @@ object PartitionedSnapshotStore {
     * consecutive grains share a file (time-ordered ingest then dirties
     * only the newest bucket(s) per batch); `seriesBuckets` sub-splits
     * each grain range by a series-key hash so single files stay
-    * bounded at high key cardinality. */
+    * bounded at high key cardinality.
+    *
+    * Sizing (SCALE-R17B, zipf-keyed 2M-row ingest): a commit writes
+    * ONE task and one file per dirty bucket, so at `seriesBuckets=1` a
+    * grain range's whole restage is single-task and its file carries
+    * every series (probe: max bucket file 3.1 MiB at sb=1 → 0.25 MiB
+    * at sb=16, commit latency flat-to-better, range reads unaffected —
+    * a grain range's sub-buckets are all pruned or all kept together).
+    * Raise `seriesBuckets` when one grain-range bucket's data
+    * approaches a single write task's comfortable size (≳ a few
+    * hundred MB) or a hot key set concentrates a bucket; it divides
+    * max file size ~linearly at no read cost. */
   final case class Layout(grainsPerBucket: Long = 32L, seriesBuckets: Int = 1) {
     require(grainsPerBucket >= 1L && seriesBuckets >= 1,
       s"layout must be positive, got $this")
   }
 
   /** `schema` (r17): the fact's read schema recorded in the manifest
-    * (line 3, `schema \t <StructType json>`), so an empty-intersection
-    * [[readRange]] builds its empty-but-typed result from the manifest
-    * alone — the pre-r17 fallback constructed a parquet relation over
-    * ALL live files just to infer the schema, O(live files) footer
-    * reads on a miss. None on pre-r17 manifests (fallback kept). */
+    * (optional property line `schema \t <StructType json>`), so an
+    * empty-intersection [[readRange]] builds its empty-but-typed
+    * result from the manifest alone — the pre-r17 fallback constructed
+    * a parquet relation over ALL live files just to infer the schema,
+    * O(live files) footer reads on a miss. None on pre-r17 manifests
+    * (fallback kept).
+    *
+    * `compactedUpTo` (r17): the high-water COMPACTION boundary
+    * (optional property line `compacted \t <grain>`, original grain
+    * units) — grains below it have already been aged into coarse
+    * window-start rows, so the next scoped
+    * [[OlapEtl.compactFactSketches]] processes only parts intersecting
+    * [compactedUpTo, newBoundary) and the RECURRING lifecycle cost is
+    * O(newly aged window), independent of how much history is already
+    * coarse (SCALE-R17's first cut re-folded the whole aged history
+    * every run — identity folds, correct but O(aged history)).
+    * Monotone; carried forward by non-compaction commits. Late fine
+    * rows merge-ingested BELOW the boundary stay correct for aligned
+    * reads (they simply coexist with the coarse rows) but are skipped
+    * by later scoped passes — a full compaction re-ages them. */
   final case class Manifest(version: Long, fence: Option[Long],
       lineage: Option[String], layout: Layout,
       schema: Option[org.apache.spark.sql.types.StructType],
+      compactedUpTo: Option[Long],
       parts: Seq[PartEntry])
 
   /** The bucket id expression for a row: series-hash sub-bucket within
@@ -158,22 +185,33 @@ object PartitionedSnapshotStore {
     require(lay.length == 3 && lay(0) == "layout",
       s"malformed manifest layout line in $f: ${lines.get(1)}")
     val layout = Layout(lay(1).toLong, lay(2).toInt)
-    // optional r17 schema line (JSON never contains a raw tab or
-    // newline — escapes ride as backslash sequences); absent on
-    // pre-r17 manifests
-    val hasSchema = lines.size > 2 && lines.get(2).startsWith("schema\t")
-    val schema =
-      if (hasSchema)
-        Some(org.apache.spark.sql.types.DataType
-          .fromJson(lines.get(2).substring("schema\t".length))
+    // optional r17 PROPERTY lines between the layout line and the part
+    // rows (part rows start with a numeric bucket id): `schema \t json`
+    // (JSON never contains a raw tab or newline — escapes ride as
+    // backslash sequences) and `compacted \t grain`. Absent on pre-r17
+    // manifests.
+    var i = 2
+    var schema: Option[org.apache.spark.sql.types.StructType] = None
+    var compactedUpTo: Option[Long] = None
+    var props = true
+    while (props && i < lines.size) {
+      val ln = lines.get(i)
+      if (ln.startsWith("schema\t")) {
+        schema = Some(org.apache.spark.sql.types.DataType
+          .fromJson(ln.substring("schema\t".length))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-      else None
-    val parts = ((if (hasSchema) 3 else 2) until lines.size).iterator
-      .map(i => lines.get(i)).filter(_.nonEmpty).map { ln =>
+        i += 1
+      } else if (ln.startsWith("compacted\t")) {
+        compactedUpTo = Some(ln.substring("compacted\t".length).toLong)
+        i += 1
+      } else props = false
+    }
+    val parts = (i until lines.size).iterator
+      .map(j => lines.get(j)).filter(_.nonEmpty).map { ln =>
         val c = ln.split("\t")
         PartEntry(c(0).toLong, c(1), c(2).toLong, c(3).toLong, c(4).toLong)
       }.toSeq
-    Some(Manifest(version, fence, lineage, layout, schema, parts))
+    Some(Manifest(version, fence, lineage, layout, schema, compactedUpTo, parts))
   }
 
   /** Read the whole committed table (None if never committed or the
@@ -302,11 +340,13 @@ object PartitionedSnapshotStore {
     * manifest writer so the grammar cannot drift. */
   private def manifestBody(newV: Long, fenceSuffix: String, layout: Layout,
       schema: Option[org.apache.spark.sql.types.StructType],
+      compactedUpTo: Option[Long],
       parts: Seq[PartEntry]): String = {
     val sb = new StringBuilder
     sb.append(s"m$newV").append(fenceSuffix).append('\n')
     sb.append(s"layout ${layout.grainsPerBucket} ${layout.seriesBuckets}\n")
     schema.foreach(sc => sb.append("schema\t").append(sc.json).append('\n'))
+    compactedUpTo.foreach(b => sb.append("compacted\t").append(b).append('\n'))
     parts.sortBy(e => (e.bucket, e.relPath)).foreach { e =>
       sb.append(s"${e.bucket}\t${e.relPath}\t${e.grainMin}\t${e.grainMax}\t${e.rows}\n")
     }
@@ -316,7 +356,8 @@ object PartitionedSnapshotStore {
   def commitBuckets(spark: SparkSession, tablePath: String,
       newBucketData: DataFrame, dirtyBuckets: Set[Long], layout: Layout,
       fence: Option[Long], lineage: Option[String],
-      expectedBase: Option[Long]): Long = {
+      expectedBase: Option[Long],
+      compactedUpTo: Option[Long] = None): Long = {
     require(lineage.forall(l => l.nonEmpty && !l.exists(_.isWhitespace)),
       s"lineage token must be non-empty and whitespace-free, got $lineage")
     val dir = Paths.get(tablePath)
@@ -358,12 +399,16 @@ object PartitionedSnapshotStore {
       // manifest file durable FIRST (immutable once named), then the
       // pointer swap is the single atomic commit point. Schema: this
       // commit's staged read-back, else carried from the base (an
-      // empty fence-advancing batch must not strip it)
+      // empty fence-advancing batch must not strip it). Compaction
+      // boundary: monotone max of caller's and the base's — carried
+      // forward by non-compaction commits (None).
+      val carriedUpTo = (compactedUpTo.toSeq ++
+        cur.flatMap(_.compactedUpTo).toSeq).maxOption
       Files.write(dir.resolve(s"manifest-m$newV"),
         manifestBody(newV,
           SnapshotStore.fenceSuffix(carriedFence, carriedLineage),
           layout, stagedSchema.orElse(cur.flatMap(_.schema)),
-          keptParts ++ newEntries)
+          carriedUpTo, keptParts ++ newEntries)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       SnapshotStore.writeManifestAtomic(dir, s"m$newV", s"m$newV")
@@ -423,7 +468,7 @@ object PartitionedSnapshotStore {
       val newV = nextManifestVersion(dir, None)
       Files.write(dir.resolve(s"manifest-m$newV"),
         manifestBody(newV, SnapshotStore.fenceSuffix(fence, lineage),
-          layout, stagedSchema, entries)
+          layout, stagedSchema, compactedUpTo = None, entries)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       SnapshotStore.writeManifestAtomic(dir, s"m$newV", s"m$newV")
@@ -522,7 +567,8 @@ object PartitionedSnapshotStore {
         val dir = Paths.get(tablePath)
         val newV = nextManifestVersion(dir, Some(cur))
         Files.write(dir.resolve(s"manifest-m$newV"),
-          manifestBody(newV, "", cur.layout, cur.schema, cur.parts)
+          manifestBody(newV, "", cur.layout, cur.schema, cur.compactedUpTo,
+            cur.parts)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
         SnapshotStore.writeManifestAtomic(dir, s"m$newV", s"m$newV")

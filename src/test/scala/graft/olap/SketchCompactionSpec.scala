@@ -285,6 +285,44 @@ class SketchCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("recurring scoped passes skip already-coarse history at the FILE level (manifest high-water mark)") {
+    withFact("cmp14") { path =>
+      OlapEtl.loadFactSketches(spark, events, Seq("k"), "ts", "v", "uid",
+        HourUs, path, Compression, P, OlapEtl.ReplaceGrain, None, None, Lay24)
+      val ptn = PartitionedSnapshotStore
+      OlapEtl.compactFactSketches(spark, path, HourUs, DayUs, Compression, P,
+        upToGrain = Some(120L))
+      val m1 = ptn.current(path).get
+      assert(m1.compactedUpTo.contains(120L),
+        "scoped pass did not record its boundary in the manifest")
+      val before = rowsOf(SnapshotStore.read(spark, path).get)
+      // the next aging window: only day 5's bucket restages — days 0-4
+      // are PROVEN coarse by the high-water mark and their files
+      // re-list verbatim (the first cut identity-folded them all:
+      // O(aged history) recurring cost, SCALE-R17)
+      OlapEtl.compactFactSketches(spark, path, HourUs, DayUs, Compression, P,
+        upToGrain = Some(144L))
+      val m2 = ptn.current(path).get
+      assert(m2.compactedUpTo.contains(144L))
+      (Seq(0L, 1L, 2L, 3L, 4L) ++ Seq(6L, 7L, 8L, 9L)).foreach { b =>
+        assert(m2.parts.filter(_.bucket == b).map(_.relPath) ==
+          m1.parts.filter(_.bucket == b).map(_.relPath),
+          s"bucket $b restaged by a scoped pass that should skip it")
+      }
+      assert(m2.parts.find(_.bucket == 5L).get.relPath !=
+        m1.parts.find(_.bucket == 5L).get.relPath,
+        "newly aged bucket 5 not restaged")
+      val after = rowsOf(SnapshotStore.read(spark, path).get)
+      // coarse history bit-identical; day 5 now one coarse row per key
+      before.filter(_._1._2 < 120L).foreach { case (kg, row) =>
+        assert(after(kg) == row, s"already-coarse row $kg changed")
+      }
+      assert(after.keySet.filter(g => g._2 >= 120L && g._2 < 144L) ==
+        Set(("a", 120L), ("b", 120L)))
+      assert(after.values.map(_._1).sum == before.values.map(_._1).sum)
+    }
+  }
+
   test("a boundary that ages no files is a true no-op; a misaligned boundary is refused") {
     withFact("cmp10") { path =>
       OlapEtl.loadFactSketches(spark, events, Seq("k"), "ts", "v", "uid",
