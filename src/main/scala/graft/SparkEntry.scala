@@ -4042,23 +4042,33 @@ object SparkEntry {
   private def compactedHourFact(s: SparkSession, dir: String, tag: String,
       upToGrain: Option[Long]): (String, Map[String, Long]) =
     q123Cache.getOrElseUpdate((s, dir, tag), {
+      // ONE hour-grain ingest + fine rollup per (session, dir), shared
+      // by q123 and q124 (r17 review: each tag re-ran the full ingest);
+      // the committed table is immutable files + a pointer, so a plain
+      // directory copy seeds each tag's own compaction victim
+      val (basePath, fine) = q123Cache.getOrElseUpdate((s, dir, "hour-base"), {
+        val factPath = java.nio.file.Files
+          .createTempDirectory("graft-hour-base-fact").toString + "/fact"
+        graft.olap.OlapEtl.loadFactSketches(s, t(s, dir, "events"),
+          "event_type", "ts", "value", "user_id", Q122GrainUs / 24L,
+          factPath, Q115Compression, Q119P)
+        // fine-grain (hourly) rollup over the SAME time range the read
+        // faces query, BEFORE any compaction — day d covers hour grains
+        // [24d, 24d+23], i.e. exactly [Q123GrainLo, Q123GrainHi]
+        val hll = udaf(new graft.metrics.Hll.MergeSketchesAgg(Q119P),
+          Encoders.product[graft.metrics.Hll.Sketch])
+        val fine = graft.olap.SnapshotStore.read(s, factPath).get
+          .filter(col("grain").between(Q123GrainLo, Q123GrainHi))
+          .groupBy(col("series_key")).agg(hll(col("id_sketch.regs")).as("est"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        (factPath, fine)
+      })
       val factPath = java.nio.file.Files
         .createTempDirectory(s"graft-$tag-fact").toString + "/fact"
-      val hourUs = Q122GrainUs / 24L
-      graft.olap.OlapEtl.loadFactSketches(s, t(s, dir, "events"),
-        "event_type", "ts", "value", "user_id", hourUs, factPath,
-        Q115Compression, Q119P)
-      // fine-grain (hourly) rollup over the SAME time range the read
-      // face will query, BEFORE compaction — day d covers hour grains
-      // [24d, 24d+23], i.e. exactly [Q123GrainLo, Q123GrainHi]
-      val hll = udaf(new graft.metrics.Hll.MergeSketchesAgg(Q119P),
-        Encoders.product[graft.metrics.Hll.Sketch])
-      val fine = graft.olap.SnapshotStore.read(s, factPath).get
-        .filter(col("grain").between(Q123GrainLo, Q123GrainHi))
-        .groupBy(col("series_key")).agg(hll(col("id_sketch.regs")).as("est"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      graft.olap.OlapEtl.compactFactSketches(s, factPath, hourUs,
-        Q122GrainUs, Q115Compression, Q119P, upToGrain)
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(basePath), new java.io.File(factPath))
+      graft.olap.OlapEtl.compactFactSketches(s, factPath,
+        Q122GrainUs / 24L, Q122GrainUs, Q115Compression, Q119P, upToGrain)
       (factPath, fine)
     })
 

@@ -742,38 +742,54 @@ object OlapEtl {
         return SnapshotStore.read(spark, factPath).getOrElse(
           throw new IllegalStateException(
             s"committed sketch fact at $factPath has no partitions"))
-      val agedDf = spark.read.parquet(
-        agedParts.map(e => s"$factPath/${e.relPath}"): _*)
-      // a boundary-straddling file contributes its aged rows to the
-      // fold; its young rows pass through VALUE-identical (gratuitous
-      // re-aggregation would drift idle digests)
-      val (toFold, youngPass) = upToGrain match {
-        case Some(b) => (agedDf.filter(col("grain") < b),
-          Some(agedDf.filter(col("grain") >= b)))
-        case None => (agedDf, None)
-      }
       def bExpr = ptn.bucketExpr(col("series_key"), col("grain"), base.layout)
-      // the rollup fold is the dominant cost and the plan is referenced
-      // twice (bucket collect + staged write) — persist so it runs once
-      val coarse = regrain(toFold).withColumn(ptn.BucketCol, bExpr)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val coarseBuckets = coarse.select(col(ptn.BucketCol)).distinct()
+      def readParts(parts: Seq[ptn.PartEntry]): DataFrame =
+        spark.read.parquet(parts.map(e => s"$factPath/${e.relPath}"): _*)
+      // FIXPOINT over the involved parts: a coarse window-start can
+      // bucket below its fine rows' files (grainsPerBucket need not
+      // align with ratio), and the landing bucket's EXISTING rows may
+      // include the very (key, window-start) row a late-data fold just
+      // produced — pulling the landing bucket's rows INTO the fold
+      // (instead of raw-unioning them alongside, the r17 review's
+      // duplicate-key hazard) lets collisions merge through the one
+      // collisionFold: already-coarse rows re-grain to themselves and
+      // identity-fold bit-stably (spec-pinned), colliding late rows
+      // merge, young rows (grain ≥ boundary) pass through untouched.
+      // Each pull can land new window starts in yet-earlier buckets
+      // (late strays re-aging), so iterate until no new bucket appears
+      // — monotone over a finite bucket set, ≤2 rounds in practice.
+      var involved = agedParts
+      var involvedBuckets = agedParts.map(_.bucket).toSet
+      var coarse: DataFrame = null
+      var coarseBuckets = Set.empty[Long]
+      var settled = false
+      while (!settled) {
+        if (coarse != null) coarse.unpersist(blocking = false)
+        val toFold = upToGrain.fold(readParts(involved))(b =>
+          readParts(involved).filter(col("grain") < b))
+        // the rollup fold is the dominant cost and the plan is
+        // referenced twice (bucket collect + staged write) — persist
+        coarse = regrain(toFold).withColumn(ptn.BucketCol, bExpr)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        coarseBuckets = coarse.select(col(ptn.BucketCol)).distinct()
           .collect().map(_.getLong(0)).toSet
-        val agedBuckets = agedParts.map(_.bucket).toSet
-        // a coarse window-start can bucket BELOW its fine rows' files
-        // (grainsPerBucket need not align with ratio): those landing
-        // buckets restage too, their existing rows passing through
-        val extraParts = base.parts.filter(e =>
-          !agedBuckets.contains(e.bucket) && coarseBuckets.contains(e.bucket))
-        val extraDf =
-          if (extraParts.isEmpty) None
-          else Some(spark.read.parquet(
-            extraParts.map(e => s"$factPath/${e.relPath}"): _*))
-        val passThrough = (youngPass.toSeq ++ extraDf.toSeq)
-          .reduceOption(_.unionByName(_)).map(_.withColumn(ptn.BucketCol, bExpr))
-        val newData = passThrough.fold(coarse: DataFrame)(coarse.unionByName(_))
-        val dirty = agedBuckets ++ coarseBuckets
+        val extra = base.parts.filter(e =>
+          !involvedBuckets.contains(e.bucket) && coarseBuckets.contains(e.bucket))
+        if (extra.isEmpty) settled = true
+        else {
+          involved = involved ++ extra
+          involvedBuckets = involvedBuckets ++ extra.map(_.bucket)
+        }
+      }
+      try {
+        // young rows in involved files (a straddling or landing bucket's
+        // hot tail) pass through VALUE-identical — gratuitous
+        // re-aggregation would drift idle digests
+        val youngPass = upToGrain.map(b =>
+          readParts(involved).filter(col("grain") >= b)
+            .withColumn(ptn.BucketCol, bExpr))
+        val newData = youngPass.fold(coarse: DataFrame)(coarse.unionByName(_))
+        val dirty = involvedBuckets ++ coarseBuckets
         // a SCOPED pass advances the manifest's compaction high-water
         // mark so the next pass skips the newly coarse range at the
         // FILE level; a full pass leaves it (the property's alignment
@@ -819,6 +835,7 @@ object OlapEtl {
       layout: PartitionedSnapshotStore.Layout = PartitionedSnapshotStore.Layout())
       : DataFrame = {
     val ptn = PartitionedSnapshotStore
+    var staged: Option[DataFrame] = None
     if (!ptn.isPartitioned(factPath)) {
       val base = SnapshotStore.currentVersion(factPath).getOrElse(
         throw new IllegalStateException(
@@ -826,11 +843,29 @@ object OlapEtl {
       val data = spark.read.parquet(s"$factPath/$base")
         .withColumn(ptn.BucketCol,
           ptn.bucketExpr(col("series_key"), col("grain"), layout))
-      ptn.migrateFromMonolithic(spark, factPath, data, layout, base)
+      staged = Some(data)
+      try ptn.migrateFromMonolithic(spark, factPath, data, layout, base)
+      catch {
+        // the stage scans the pinned base snapshot lazily; a concurrent
+        // monolithic writer's commits + gc can collect it mid-stage —
+        // translate the buried FileNotFound to the typed retryable
+        // signal, the same discipline as every other base-pinned path
+        case e: Throwable if hasFileNotFoundCause(e) &&
+            !SnapshotStore.currentVersion(factPath).contains(base) =>
+          throw new SnapshotStore.StaleVersionException(
+            s"base snapshot $base at $factPath was collected mid-migration " +
+              "(concurrent writer committed past it and gc ran); re-read " +
+              s"and retry [${e.getClass.getSimpleName}: ${e.getMessage}]")
+      }
     }
-    SnapshotStore.read(spark, factPath).getOrElse(
-      throw new IllegalStateException(
-        s"migrated table at $factPath has no readable snapshot"))
+    // a committed-but-EMPTY monolithic table migrates to a zero-part
+    // manifest, which reads back as None — the migration still
+    // succeeded (pointer swapped), so return an empty frame with the
+    // fact schema rather than throwing after the commit (r17 review)
+    SnapshotStore.read(spark, factPath)
+      .orElse(staged.map(_.drop(ptn.BucketCol).limit(0)))
+      .getOrElse(throw new IllegalStateException(
+        s"partitioned table at $factPath has no readable snapshot"))
   }
 
   /** Exactly-once streaming ingest for the sketch fact — the

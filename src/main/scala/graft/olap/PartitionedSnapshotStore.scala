@@ -159,15 +159,17 @@ object PartitionedSnapshotStore {
     (existing ++ cur.map(_.version)).foldLeft(-1L)(math.max) + 1L
   }
 
-  /** Lenient manifest read for [[gc]]'s racing listing: gc runs outside
-    * the publish lock, and a concurrent publisher's manifest file is
-    * written with a plain (non-atomic) `Files.write` BEFORE the pointer
-    * swap — so gc can observe a half-written file whose layout line or
-    * part rows do not parse yet (r16 advisory). Treat any unreadable
-    * manifest as IN-FLIGHT (None → its version is neither kept-by-name
-    * nor doomed; its files stay under the orphan grace), never throw
-    * from an otherwise-committed ingest's post-commit gc leg. The
-    * strict [[readManifestFile]] stays for [[current]]/[[readAt]],
+  /** Lenient manifest read for [[gc]]'s listing (r16 advisory): gc now
+    * holds the publish lock, so an in-flight publisher's half-written
+    * manifest can no longer be observed mid-write — this guard remains
+    * as defense-in-depth for what the lock cannot rule out: a
+    * publisher that CRASHED between its (plain, non-atomic)
+    * `Files.write` of the manifest and the pointer swap leaves a torn
+    * file on disk forever. Treat any unreadable manifest as IN-FLIGHT
+    * (None → its version is neither kept-by-name nor doomed; its files
+    * stay under the orphan grace) until the grace dooms it, never
+    * throw from an otherwise-committed ingest's post-commit gc leg.
+    * The strict [[readManifestFile]] stays for [[current]]/[[readAt]],
     * where the manifest is durably committed before the pointer names
     * it and a parse failure IS corruption worth raising. */
   private def readManifestLenient(f: Path, version: Long): Option[Manifest] =
@@ -604,16 +606,17 @@ object PartitionedSnapshotStore {
           .map(m => (m.group(1).toLong, p))
       }.sortBy(_._1)
     // durable pins (r17) hold their versions outside the keep window;
-    // the atomic _PINS replace means this lock-free read sees a
-    // complete old or new pin set, never a torn one
+    // [[pin]]/[[unpin]] write under the same publish lock this gc
+    // holds, so the set read here is exactly the set this pass honors
     val pinned = pins(tablePath).values.toSet
     val keptVersions = manifests.map(_._1)
       .filter(_ <= cur.version).takeRight(keep).toSet ++
       pinned.intersect(manifests.map(_._1).toSet)
     val now = System.currentTimeMillis()
-    // racing a concurrent gc's deletes (gc takes no lock): a listed
-    // path can vanish before its mtime probe — treat it as freshly
-    // young (skip this pass; whoever deleted it already handled it)
+    // a listed path can still vanish before its mtime probe (the lock
+    // serializes writers and gcs, not external cleanup like a temp-dir
+    // reaper) — treat a missing path as freshly young (skip this pass;
+    // whoever deleted it already handled it)
     def mtimeOf(p: Path): Long =
       try Files.getLastModifiedTime(p).toMillis
       catch { case _: java.io.IOException => now }

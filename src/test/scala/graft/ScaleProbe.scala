@@ -990,6 +990,56 @@ object ScaleProbe {
       }
     }
 
+    if (want("r17c")) {
+      // MIGRATION lands legacy tables on the flat line (r17): rebuild
+      // SCALE-R16's worst monolithic point (10M-row fact, constant 5k
+      // grain-row merge batch), measure the legacy merge cost, migrate
+      // with migrateFactToPartitioned, and re-measure the SAME batch
+      // shape — the post-migration point must land in SCALE-R16's
+      // partitioned band (~2.2–2.7 s), not on the monolithic slope.
+      import graft.olap.{OlapEtl, PartitionedSnapshotStore, SnapshotStore}
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val GrainUs = 86400000000L
+      val Series = 5000
+      def ev(dayLo: Int, dayHi: Int, part: Int) = {
+        val days = dayHi - dayLo + 1
+        spark.range(days.toLong * Series * 10)
+          .select(
+            concat(lit("s"), (col("id") % Series)).as("series"),
+            timestamp_micros(
+              (lit(dayLo.toLong) + floor(col("id") / Series).cast("long") % days)
+                * lit(GrainUs) +
+                (col("id") % 86400L) * 1000000L + lit(part.toLong)).as("ts"),
+            (col("id") % 1000L).cast("double").as("value"),
+            (col("id") * 3L + part).as("event_id"))
+      }
+      val days = 2000
+      val tmp = java.nio.file.Files.createTempDirectory("r17c")
+      try {
+        val ptnSeed = s"$tmp/seed"
+        val monoPath = s"$tmp/mono"
+        OlapEtl.loadFactSketches(spark, ev(0, days - 1, 0), "series", "ts",
+          "value", "event_id", GrainUs, ptnSeed,
+          layout = PartitionedSnapshotStore.Layout(grainsPerBucket = 32L))
+        SnapshotStore.commit(SnapshotStore.read(spark, ptnSeed).get, monoPath)
+        def mergeBatch(part: Int): Double = timed {
+          OlapEtl.loadFactSketches(spark, ev(days - 1, days - 1, part),
+            "series", "ts", "value", "event_id", GrainUs, monoPath,
+            mode = OlapEtl.MergeGrain)
+        }
+        mergeBatch(1) // warmup
+        val tMonoMerge = mergeBatch(2)
+        val tMigrate = timed(OlapEtl.migrateFactToPartitioned(spark, monoPath))
+        val tPtnMerge = mergeBatch(3)
+        println(f"SCALE-R17C migrate a ${days.toLong * Series}%8d-row monolithic fact: " +
+          f"legacy merge=$tMonoMerge%6.2f s migrate(once)=$tMigrate%6.2f s " +
+          f"post-migration merge=$tPtnMerge%6.2f s " +
+          f"(SCALE-R16 partitioned band: 2.2-2.7 s)")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+
     if (want("r13")) {
       // Replica LAYOUT matters as much as row count: replicated rows
       // compress so well that a naive write packs 600M rows into ~129MB

@@ -323,6 +323,56 @@ class SketchCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("late rows folding into a skipped coarse bucket MERGE with its row — never duplicate the key (r17 review)") {
+    withFact("cmp15") { path =>
+      // grainsPerBucket=16 misaligns with ratio 24: coarse window 48's
+      // start buckets into b3 (grains 48..63) while its fine hours
+      // 64..71 live in b4 — the landing-bucket hazard by construction
+      val lay16 = PartitionedSnapshotStore.Layout(grainsPerBucket = 16L)
+      val ev96 = events.filter(OlapEtl.grainCol(col("ts"), HourUs) < 96L)
+      OlapEtl.loadFactSketches(spark, ev96, Seq("k"), "ts", "v", "uid",
+        HourUs, path, Compression, P, OlapEtl.ReplaceGrain, None, None, lay16)
+      OlapEtl.compactFactSketches(spark, path, HourUs, DayUs, Compression, P,
+        upToGrain = Some(72L))
+      // LATE data below the committed boundary: fine hours 64..67 merge
+      // into bucket 4 after its day already aged
+      val late = spark.range(400).select(
+        (when(col("id") % 2 === 0, "a").otherwise("b")).as("k"),
+        timestamp_micros((lit(64L) + col("id") % 4L) * lit(HourUs) +
+          col("id") * 777L).as("ts"),
+        col("id").cast("double").as("v"),
+        (col("id") + 900000L).as("uid")) // ids disjoint from the base feed
+      OlapEtl.loadFactSketches(spark, late, Seq("k"), "ts", "v", "uid",
+        HourUs, path, Compression, P, OlapEtl.MergeGrain, None, None, lay16)
+      // next scoped pass: bucket 3 (all-coarse, below the high-water
+      // mark) is file-skipped UNTIL the late fold lands window 48 in it
+      // — the fixpoint pulls it in and the collision MERGES
+      OlapEtl.compactFactSketches(spark, path, HourUs, DayUs, Compression, P,
+        upToGrain = Some(96L))
+      val rows = SnapshotStore.read(spark, path).get
+        .select(col("series_key"), col("grain"), col("n_rows"),
+          col("id_sketch.regs")).collect()
+      // key uniqueness is THE assertion: the pre-fix union emitted two
+      // (k, 48) rows into the restaged bucket
+      val keyed = rows.groupBy(r => (r.getString(0), r.getLong(1)))
+      assert(keyed.values.forall(_.length == 1),
+        s"duplicate (key, grain) rows: ${keyed.filter(_._2.length > 1).keys}")
+      assert(keyed.keySet.map(_._2) == Set(0L, 24L, 48L, 72L))
+      // and the merged (k, 48) row carries base + late data
+      Seq("a", "b").foreach { k =>
+        val raw = events.filter(col("k") === k &&
+            OlapEtl.grainCol(col("ts"), HourUs).between(48L, 71L))
+          .select(col("k"), col("uid"))
+          .unionByName(late.filter(col("k") === k).select(col("k"), col("uid")))
+          .collect()
+        val r = keyed((k, 48L)).head
+        assert(r.getLong(2) == raw.length, s"($k,48) n_rows after late merge")
+        assert(Hll.encEstimate(r.getAs[Array[Byte]](3), P) == directHll(raw),
+          s"($k,48) HLL after late merge diverged from a direct fold")
+      }
+    }
+  }
+
   test("a boundary that ages no files is a true no-op; a misaligned boundary is refused") {
     withFact("cmp10") { path =>
       OlapEtl.loadFactSketches(spark, events, Seq("k"), "ts", "v", "uid",
