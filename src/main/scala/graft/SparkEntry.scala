@@ -4139,29 +4139,29 @@ object SparkEntry {
           .as(losslessName))
   }
 
-  /** q122's oracle (same raw slice, same bounds) plus the lossless
-    * verdict column — all four booleans must come back TRUE. */
-  private def q123Sql = {
+  /** q122's oracle (same raw slice, same bounds) plus one extra
+    * all-TRUE verdict column. Text surgery on q122Sql: a reformat there
+    * would make the replace a silent no-op and drop the lossless column
+    * from the oracle, surfacing only as a downstream schema mismatch —
+    * hence the anchor tripwire (r16 advisory), kept in ONE place for
+    * both derived oracles. */
+  private def q122SqlPlusVerdict(verdictCol: String) = {
     val out = q122Sql.replace(" TRUE AS id_within",
-      " TRUE AS id_within,\n TRUE AS compact_lossless")
-    // text surgery on q122Sql: a reformat there would make the replace
-    // a silent no-op and drop the lossless column from the oracle,
-    // surfacing only as a downstream schema mismatch (r16 advisory)
+      s" TRUE AS id_within,\n TRUE AS $verdictCol")
     require(out != q122Sql,
-      "q123Sql anchor ' TRUE AS id_within' no longer present in q122Sql")
+      s"$verdictCol oracle anchor ' TRUE AS id_within' no longer " +
+        "present in q122Sql")
     out
   }
 
-  /** q124's oracle: q122's raw slice and bounds plus the scoped
-    * lossless verdict — the mixed-grain fact must answer the straddling
-    * range question with every contract column TRUE. */
-  private def q124Sql = {
-    val out = q122Sql.replace(" TRUE AS id_within",
-      " TRUE AS id_within,\n TRUE AS scoped_lossless")
-    require(out != q122Sql,
-      "q124Sql anchor ' TRUE AS id_within' no longer present in q122Sql")
-    out
-  }
+  /** q122's bounds plus the compaction lossless verdict — all four
+    * booleans must come back TRUE. */
+  private def q123Sql = q122SqlPlusVerdict("compact_lossless")
+
+  /** q122's bounds plus the scoped lossless verdict — the mixed-grain
+    * fact must answer the straddling range question with every contract
+    * column TRUE. */
+  private def q124Sql = q122SqlPlusVerdict("scoped_lossless")
 
   /** Quantitative q122 verdict for differential.json: worst-key margins
     * of both rank contracts and the cardinality contract, plus the

@@ -763,25 +763,25 @@ object OlapEtl {
       var coarse: DataFrame = null
       var coarseBuckets = Set.empty[Long]
       var settled = false
-      while (!settled) {
-        if (coarse != null) coarse.unpersist(blocking = false)
-        val toFold = upToGrain.fold(readParts(involved))(b =>
-          readParts(involved).filter(col("grain") < b))
-        // the rollup fold is the dominant cost and the plan is
-        // referenced twice (bucket collect + staged write) — persist
-        coarse = regrain(toFold).withColumn(ptn.BucketCol, bExpr)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        coarseBuckets = coarse.select(col(ptn.BucketCol)).distinct()
-          .collect().map(_.getLong(0)).toSet
-        val extra = base.parts.filter(e =>
-          !involvedBuckets.contains(e.bucket) && coarseBuckets.contains(e.bucket))
-        if (extra.isEmpty) settled = true
-        else {
-          involved = involved ++ extra
-          involvedBuckets = involvedBuckets ++ extra.map(_.bucket)
-        }
-      }
       try {
+        while (!settled) {
+          if (coarse != null) coarse.unpersist(blocking = false)
+          val toFold = upToGrain.fold(readParts(involved))(b =>
+            readParts(involved).filter(col("grain") < b))
+          // the rollup fold is the dominant cost and the plan is
+          // referenced twice (bucket collect + staged write) — persist
+          coarse = regrain(toFold).withColumn(ptn.BucketCol, bExpr)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          coarseBuckets = coarse.select(col(ptn.BucketCol)).distinct()
+            .collect().map(_.getLong(0)).toSet
+          val extra = base.parts.filter(e =>
+            !involvedBuckets.contains(e.bucket) && coarseBuckets.contains(e.bucket))
+          if (extra.isEmpty) settled = true
+          else {
+            involved = involved ++ extra
+            involvedBuckets = involvedBuckets ++ extra.map(_.bucket)
+          }
+        }
         // young rows in involved files (a straddling or landing bucket's
         // hot tail) pass through VALUE-identical — gratuitous
         // re-aggregation would drift idle digests
@@ -797,7 +797,22 @@ object OlapEtl {
         ptn.commitBuckets(spark, factPath, newData, dirty, base.layout,
           fence = None, lineage = None, expectedBase = Some(base.version),
           compactedUpTo = upToGrain)
-      } finally coarse.unpersist(blocking = false)
+      } catch {
+        // the fixpoint's collects and the commit's stage all scan the
+        // PINNED base manifest's files; a concurrent ingest's commits +
+        // gc can collect them mid-compaction — translate the buried
+        // FileNotFound to the typed retryable signal the scaladoc
+        // promises (same discipline as every other base-pinned path)
+        case e: Throwable if hasFileNotFoundCause(e) &&
+            ptn.current(factPath).map(_.version) != Some(base.version) =>
+          throw new SnapshotStore.StaleVersionException(
+            s"base manifest ${base.version} at $factPath was collected " +
+              "mid-compaction (concurrent writer committed past it and " +
+              "gc ran); re-read and retry " +
+              s"[${e.getClass.getSimpleName}: ${e.getMessage}]")
+      } finally {
+        if (coarse != null) coarse.unpersist(blocking = false)
+      }
       ptn.gc(factPath)
     } else {
       val base = SnapshotStore.currentVersion(factPath).getOrElse(
@@ -809,7 +824,19 @@ object OlapEtl {
         case Some(b) => regrain(cur.filter(col("grain") < b))
           .unionByName(cur.filter(col("grain") >= b))
       }
-      SnapshotStore.commitCas(merged, factPath, None, Some(base))
+      try SnapshotStore.commitCas(merged, factPath, None, Some(base))
+      catch {
+        // same pinned-base FileNotFound translation as the partitioned
+        // branch: the stage scans v$base lazily, a concurrent writer's
+        // commits + gc can collect it mid-plan
+        case e: Throwable if hasFileNotFoundCause(e) &&
+            !SnapshotStore.currentVersion(factPath).contains(base) =>
+          throw new SnapshotStore.StaleVersionException(
+            s"base snapshot $base at $factPath was collected " +
+              "mid-compaction (concurrent writer committed past it and " +
+              "gc ran); re-read and retry " +
+              s"[${e.getClass.getSimpleName}: ${e.getMessage}]")
+      }
       SnapshotStore.gc(factPath)
     }
     SnapshotStore.read(spark, factPath).get
@@ -846,6 +873,11 @@ object OlapEtl {
       staged = Some(data)
       try ptn.migrateFromMonolithic(spark, factPath, data, layout, base)
       catch {
+        // a concurrent migration won while we staged (its refusal
+        // already cleaned our staged files) — idempotent success: fall
+        // through to read the winner's manifest, same contents
+        case _: IllegalStateException if ptn.isPartitioned(factPath) =>
+          staged = None
         // the stage scans the pinned base snapshot lazily; a concurrent
         // monolithic writer's commits + gc can collect it mid-stage —
         // translate the buried FileNotFound to the typed retryable
@@ -861,9 +893,16 @@ object OlapEtl {
     // a committed-but-EMPTY monolithic table migrates to a zero-part
     // manifest, which reads back as None — the migration still
     // succeeded (pointer swapped), so return an empty frame with the
-    // fact schema rather than throwing after the commit (r17 review)
+    // fact schema rather than throwing after the commit (r17 review).
+    // On RE-invocation over an already-migrated empty table there is no
+    // staged frame either — the manifest's schema line (always written
+    // by the migration commit) rebuilds the typed empty frame, keeping
+    // the call idempotent rather than throwing on a healthy table.
     SnapshotStore.read(spark, factPath)
       .orElse(staged.map(_.drop(ptn.BucketCol).limit(0)))
+      .orElse(ptn.current(factPath).flatMap(_.schema).map(sc =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), sc)))
       .getOrElse(throw new IllegalStateException(
         s"partitioned table at $factPath has no readable snapshot"))
   }

@@ -337,6 +337,18 @@ object PartitionedSnapshotStore {
     (stageRel, stats, schema)
   }
 
+  /** Last-resort schema for a manifest whose stage was EMPTY and whose
+    * base carries none (zero-part first commit, empty-fact migration):
+    * the INPUT plan's schema minus the bucket column. Weaker than the
+    * staged read-back (no parquet round-trip to pin nullability) but it
+    * keeps even an always-empty table TYPED for the miss-path /
+    * empty-read LocalRelation builders (r17 review: such tables
+    * previously had no schema anywhere and read as None forever). */
+  private def inputSchemaOf(data: DataFrame)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      data.schema.fields.filterNot(_.name == BucketCol))
+
   /** The manifest body for `layout` + `parts` (sorted), under version
     * tag `m<v>` with the given fence suffix — ONE serializer for every
     * manifest writer so the grammar cannot drift. */
@@ -401,15 +413,17 @@ object PartitionedSnapshotStore {
       // manifest file durable FIRST (immutable once named), then the
       // pointer swap is the single atomic commit point. Schema: this
       // commit's staged read-back, else carried from the base (an
-      // empty fence-advancing batch must not strip it). Compaction
-      // boundary: monotone max of caller's and the base's — carried
-      // forward by non-compaction commits (None).
+      // empty fence-advancing batch must not strip OR override it),
+      // else the input plan's (a zero-part FIRST commit still records
+      // one). Compaction boundary: monotone max of caller's and the
+      // base's — carried forward by non-compaction commits (None).
       val carriedUpTo = (compactedUpTo.toSeq ++
         cur.flatMap(_.compactedUpTo).toSeq).maxOption
       Files.write(dir.resolve(s"manifest-m$newV"),
         manifestBody(newV,
           SnapshotStore.fenceSuffix(carriedFence, carriedLineage),
-          layout, stagedSchema.orElse(cur.flatMap(_.schema)),
+          layout, stagedSchema.orElse(cur.flatMap(_.schema))
+            .orElse(Some(inputSchemaOf(newBucketData))),
           carriedUpTo, keptParts ++ newEntries)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -470,7 +484,10 @@ object PartitionedSnapshotStore {
       val newV = nextManifestVersion(dir, None)
       Files.write(dir.resolve(s"manifest-m$newV"),
         manifestBody(newV, SnapshotStore.fenceSuffix(fence, lineage),
-          layout, stagedSchema, compactedUpTo = None, entries)
+          // an EMPTY-fact migration still records a schema line (from
+          // the input plan) so the migrated table reads as typed-empty
+          layout, stagedSchema.orElse(Some(inputSchemaOf(bucketData))),
+          compactedUpTo = None, entries)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       SnapshotStore.writeManifestAtomic(dir, s"m$newV", s"m$newV")
@@ -480,7 +497,7 @@ object PartitionedSnapshotStore {
         .fromMillis(System.currentTimeMillis())
       SnapshotStore.children(dir)
         .filter(p => Files.isDirectory(p) &&
-          "^v\\d+$".r.matches(p.getFileName.toString))
+          SnapshotStore.VersionRe.matches(p.getFileName.toString))
         .foreach(p =>
           try Files.setLastModifiedTime(p, now)
           catch { case _: java.io.IOException => () })
@@ -678,7 +695,7 @@ object PartitionedSnapshotStore {
     // the grace window, whose clock [[migrateFromMonolithic]] started
     // at the pointer swap by stamping their mtimes
     for (p <- SnapshotStore.children(dir)
-         if Files.isDirectory(p) && "^v\\d+$".r.matches(p.getFileName.toString)
+         if Files.isDirectory(p) && SnapshotStore.VersionRe.matches(p.getFileName.toString)
          if now - mtimeOf(p) > graceMs) {
       SnapshotStore.deleteRecursively(p)
       deleted += p.getFileName.toString

@@ -38,7 +38,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SnapshotStore {
 
   private val ManifestName = "_MANIFEST"
-  private val VersionRe = "^v(\\d+)$".r
+  // single source of truth for the legacy snapshot-dir grammar — the
+  // partitioned store's migration/gc reuse it rather than re-inlining
+  private[olap] val VersionRe = "^v(\\d+)$".r
 
   /** A staged-but-unpublished snapshot: the data is durable, the table
     * still points at the previous version until [[publish]].

@@ -148,6 +148,32 @@ class MigrationSpec extends AnyFunSuite {
     }
   }
 
+  test("EMPTY-fact migration is idempotent: typed empty frame on the first call AND on re-invocation (r17 review)") {
+    withDir { path =>
+      withDir { donor =>
+        // a committed-but-empty monolithic table (donor supplies the
+        // fact schema; limit(0) keeps it while emptying the rows)
+        seedMonolithic(donor, events(0 until 2))
+        val emptyFact = SnapshotStore.read(spark, donor).get.limit(0)
+        SnapshotStore.commitCas(emptyFact, path, None, None, None)
+        val out1 = OlapEtl.migrateFactToPartitioned(spark, path, Lay)
+        assert(PartitionedSnapshotStore.isPartitioned(path))
+        assert(out1.isEmpty, "empty-fact migration returned rows")
+        // the zero-part manifest still records a schema line (input-plan
+        // fallback), so the table reads as TYPED empty forever…
+        assert(PartitionedSnapshotStore.current(path).get.schema.nonEmpty,
+          "empty-fact migration wrote a manifest with no schema line")
+        // …and a re-invocation on the already-migrated empty table is
+        // an idempotent typed-empty return, not a throw on a healthy
+        // table (pre-fix: IllegalStateException 'no readable snapshot')
+        val out2 = OlapEtl.migrateFactToPartitioned(spark, path, Lay)
+        assert(out2.isEmpty &&
+          out2.columns.sorted.sameElements(out1.columns.sorted),
+          "re-invocation on a migrated empty table was not idempotent")
+      }
+    }
+  }
+
   test("legacy v-dirs survive the default grace for in-flight readers, then gc on the swap-stamped clock; re-migration is a no-op") {
     withDir { path =>
       seedMonolithic(path, events(0 until 4))
