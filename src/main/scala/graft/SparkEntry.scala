@@ -717,11 +717,21 @@ object SparkEntry {
   /** (group, p₁..pₖ wide) sketch relation → stacked (event_type, p, av)
     * rows, one per (group, p) — the shape [[sketchRankVerdict]] joins
     * back onto the events.
+    *
+    * OPT-r17 (guide §2.4): spelled as ONE explode over the wide row, not
+    * a k-way `unionByName` of selects — Spark does not dedupe common
+    * subtrees, so the union form re-computed the ENTIRE sketch
+    * aggregation (and its scan of the raw feed) once per quantile:
+    * q115's plan carried 7 parquet scans, q61/q117 4 each. Same rows,
+    * same values (each branch read the same wide columns); the sketch
+    * now aggregates once.
     */
   private def stackSketch(wide: DataFrame, ps: Seq[Double]): DataFrame =
-    ps.map(p => wide.select(col("event_type"),
-        lit(p).as("p"), col(graft.metrics.Quantiles.label(p)).as("av")))
-      .reduce(_.unionByName(_))
+    wide.select(col("event_type"),
+        explode(array(ps.map(p => struct(lit(p).as("p"),
+          col(graft.metrics.Quantiles.label(p)).as("av"))): _*)).as("__pav"))
+      .select(col("event_type"), col("__pav.p").as("p"),
+        col("__pav.av").as("av"))
 
   /** Shared contract-as-data verdict for sketch-valued percentile
     * queries (q61/q115): sketch VALUES are merge-order-specific, so the
@@ -1487,10 +1497,21 @@ object SparkEntry {
     * estimate is partition-independent but not oracle-matchable). */
   private[graft] def q118Verdict(s: SparkSession, dir: String): DataFrame = {
     val bound = lit(6.0) * lit(Q118Rsd) * col("n_exact") + lit(1.0)
+    // OPT-r17 (guide §2.3): the exact and sketch branches share ONE
+    // dedup. Co-planning countDistinct with approx_count_distinct made
+    // Catalyst Expand every row twice (one replica per aggregate class)
+    // before the exchange; an explicit distinct on (supp, part) feeds
+    // both as plain aggregates — half the shuffled rows, map-side
+    // partial dedup. HLL++ register folds are duplicate-insensitive, so
+    // n_approx is bit-identical; count-over-distinct IS countDistinct
+    // (the isNotNull filter mirrors countDistinct's null exclusion).
     t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"))
+      .filter(col("l_partkey").isNotNull)
+      .distinct()
       .groupBy(col("l_suppkey"))
       .agg(
-        countDistinct(col("l_partkey")).as("n_exact"),
+        count(lit(1)).as("n_exact"),
         approx_count_distinct(col("l_partkey"), Q118Rsd).as("n_approx"))
       .select(col("l_suppkey"), col("n_exact"), col("n_approx"),
         bound.as("err_bound"),
@@ -1589,20 +1610,25 @@ object SparkEntry {
       .agg(roll(col("sk.regs")).as("est_rollup"),
         count(lit(1)).as("n_grains"))
     val directAgg = udaf(new Hll.DistinctAgg(Q119P), Encoders.scalaLong)
-    // the one-level sketch and the exact count aggregate SEPARATELY:
-    // planned together, Catalyst's distinct rewrite keys the UDAF's
-    // partials by (group, distinct-value) to ride the countDistinct
-    // dedup — one 2^p-byte register buffer PER DISTINCT PAIR (~500k ×
-    // 4 KB at sf0.1) instead of per group, measured 18.6 s warm vs
-    // ~1.5 s split (a 100 TB query would never co-plan a per-group
-    // sketch with an exact distinct anyway — the sketch exists to
-    // avoid it; the exact branch here is the oracle reference only)
-    val direct = li.groupBy(col("l_suppkey"))
-      .agg(directAgg(col("l_partkey")).as("est_direct"))
-    val exact = li.groupBy(col("l_suppkey"))
-      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    // OPT-r17 (guide §2.3/§2.4, refines the r15 split): the one-level
+    // sketch and the exact count share ONE explicit distinct relation.
+    // The r15 hazard was Catalyst's distinct REWRITE — co-planning the
+    // UDAF with countDistinct keyed the register partials by (group,
+    // distinct-value), one 4 KB buffer per pair (measured 18.6 s). An
+    // explicit .distinct() keeps both as PLAIN aggregates (no rewrite,
+    // one register buffer per group) while collapsing two full scans +
+    // two aggregation trees + one join into one of each. est_direct is
+    // bit-identical: the HLL register fold is duplicate-insensitive,
+    // so deduped input sets the same registers; count-over-distinct IS
+    // countDistinct (isNotNull mirrors its null exclusion).
+    val directExact = li.select(col("l_suppkey"), col("l_partkey"))
+      .filter(col("l_partkey").isNotNull)
+      .distinct()
+      .groupBy(col("l_suppkey"))
+      .agg(directAgg(col("l_partkey")).as("est_direct"),
+        count(lit(1)).as("n_exact"))
     val bound = lit(6.0) * lit(Q119Rsd) * col("n_exact") + lit(1.0)
-    rolled.join(direct, "l_suppkey").join(exact, "l_suppkey")
+    rolled.join(directExact, "l_suppkey")
       .select(col("l_suppkey"), col("n_grains"), col("n_exact"),
         col("est_rollup"), col("est_direct"),
         bound.as("err_bound"),
@@ -2298,13 +2324,27 @@ object SparkEntry {
       .select(col("o_orderkey"),
         datediff(to_date(col("o_orderdate")), epoch).cast("long").as("d_start"))
       .withColumn("d_end", col("d_start") + lit(1) + col("o_orderkey") % 7)
+    // OPT-r17 (guide §2.3 "aggregate before you shuffle"): the join and
+    // the final aggregate only need per-DAY totals of the fact, so the
+    // fact pre-aggregates to one row per distinct ship day (~2.5k rows
+    // at any SF — the day domain, not the row count) before the range
+    // join; the bucketed join then matches days×intervals instead of
+    // rows×intervals. Exact equivalence: COUNT(*) = Σ per-day counts
+    // and the dsum DECIMAL sum is associative, so regrouping by day
+    // first is identity; every day row joins exactly the intervals its
+    // rows did. Before: 600k-row broadcast-join probe + 1.5M-row
+    // aggregate at sf0.1 (and O(|fact|) join work at 100 TB).
     val pts = t(s, dir, "lineitem")
       .select(col("l_quantity"),
         datediff(to_date(col("l_shipdate")), epoch).cast("long").as("d_ship"))
+      .groupBy(col("d_ship"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("l_quantity").cast(DecimalType(18, 6))).as("__qty"))
     graft.joins.RangeJoin.pointInInterval(pts, ivs, "d_ship", "d_start", "d_end",
         bucketWidth = 4L)
       .groupBy(col("o_orderkey"))
-      .agg(count(lit(1)).as("n_ship"), dsum(col("l_quantity")).as("qty"))
+      .agg(sum(col("__n")).as("n_ship"),
+        sum(col("__qty")).cast("double").as("qty"))
   }
 
   private val q83Sql =
@@ -2524,7 +2564,11 @@ object SparkEntry {
     */
   private def q90(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    TextAnalysis.dsirScores(docs, docs.filter(col("lang") === "en"),
+    // OPT-r17: the target is the corpus' own English slice, so the
+    // flagged one-scan spelling applies — identical rows/scores to
+    // dsirScores(docs, docs.filter(lang='en'), ...) (see its scaladoc),
+    // one fewer tokenize+md5 corpus scan and no bucket-count join.
+    TextAnalysis.dsirScoresFlagged(docs, col("lang") === "en",
       "text", "doc_id", n = 2, buckets = 1024)
   }
 

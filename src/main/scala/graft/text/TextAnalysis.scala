@@ -226,8 +226,16 @@ object TextAnalysis {
     require(k > 0, "k must be positive")
     val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = terms.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
+    // OPT-r17 (guide §2.3/§2.4): document frequency is a plain count
+    // over `tf` — one row per (doc, term) already — NOT a second
+    // tokenize+explode scan with countDistinct. The union-of-lineage
+    // spelling re-scanned and re-exploded the corpus and paid the
+    // distinct-rewrite's (term, doc) expand exchange; this derives the
+    // identical df from the relation the query already aggregates.
+    // Kept as groupBy+join (not count-over-window by term): a stop-word
+    // term at corpus scale would land its whole window partition on one
+    // task, while the equi-join is the shape AQE skew-split handles.
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(countDistinct(col(idCol)).as("__n"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
@@ -362,22 +370,54 @@ object TextAnalysis {
   def dsirScores(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, n: Int = 2, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def bucketed(df: DataFrame) = df
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("__g"))
-      .withColumn("__b",
-        (conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long") % buckets).cast("int"))
-      .drop("__g")
-    val rawB = bucketed(raw)
-    val tgtB = bucketed(target)
+    val rawB = dsirBucketed(raw, textCol, idCol, n, buckets)
+    val tgtB = dsirBucketed(target, textCol, idCol, n, buckets)
     val rawCnt = rawB.groupBy("__b").agg(count(lit(1)).as("__rc"))
     val tgtCnt = tgtB.groupBy("__b").agg(count(lit(1)).as("__tc"))
     val joined = rawCnt.join(tgtCnt, Seq("__b"), "full_outer")
       .na.fill(0L, Seq("__rc", "__tc"))
-    // gram totals come from the ≤`buckets`-row count relation (every
-    // gram lands in exactly one bucket), NOT from re-tokenizing the
-    // corpora — r12: this removes two of the five tokenize+md5 corpus
-    // scans (the remaining three are inherent: target counts, raw
-    // counts, and the per-doc scoring pass that must see the ratios)
+    dsirScored(rawB, joined, idCol, buckets)
+  }
+
+  /** [[dsirScores]] when the target is a SUBSET of the scored corpus,
+    * named by a boolean flag (the common curation shape: "score every
+    * document against the high-quality slice"). Same rows, same scores
+    * as `dsirScores(corpus, corpus.filter(flag), ...)` by construction —
+    * per bucket, `count(when(flag))` over one pass IS the target count,
+    * and a target-only bucket cannot exist — but the raw and target
+    * bucket counts come from ONE tokenize+md5 scan instead of two
+    * (OPT-r17, guide §2.3: the counting pass carries a 1-bit flag
+    * instead of running twice; 3 corpus scans → 2, the floor for this
+    * operator — one counting pass, one scoring pass).
+    */
+  def dsirScoresFlagged(corpus: DataFrame, targetFlag: Column,
+      textCol: String, idCol: String, n: Int = 2,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val rawB = dsirBucketed(corpus.withColumn("__isT", targetFlag),
+      textCol, idCol, n, buckets, extra = Seq("__isT"))
+    val joined = rawB.groupBy("__b").agg(
+      count(lit(1)).as("__rc"),
+      count(when(col("__isT"), lit(1))).as("__tc"))
+    dsirScored(rawB.drop("__isT"), joined, idCol, buckets)
+  }
+
+  private def dsirBucketed(df: DataFrame, textCol: String, idCol: String,
+      n: Int, buckets: Int, extra: Seq[String] = Nil): DataFrame = df
+    .select((col(idCol) +: extra.map(col)) :+
+      explode(shingles(col(textCol), n)).as("__g"): _*)
+    .withColumn("__b",
+      (conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long") % buckets).cast("int"))
+    .drop("__g")
+
+  /** Shared DSIR tail: bucket counts → smoothed log-ratios (broadcast)
+    * → per-doc exact-decimal score over the bucketed gram stream.
+    * Gram totals come from the ≤`buckets`-row count relation (every
+    * gram lands in exactly one bucket), NOT from re-tokenizing the
+    * corpora (r12).
+    */
+  private def dsirScored(rawB: DataFrame, joined: DataFrame,
+      idCol: String, buckets: Int): DataFrame = {
     val totals = joined.agg(sum(col("__rc")).as("__tr"), sum(col("__tc")).as("__tt"))
     val ratios = joined
       .crossJoin(broadcast(totals))

@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: dump `explain("formatted")` for every SparkEntry query
+  * (or a comma-separated subset) into one file per query — the
+  * plan-audit artifact the optimization rounds commit under plans/.
+  *
+  * Usage: runMain graft.tools.PlanDump <outDir> <tag> [sfDir] [q1,q2,...]
+  * writes <outDir>/<name>_<tag>.txt. Same session config as Bench so the
+  * captured plans are the benched plans (AQE initial plan; the noop-run
+  * final plan may differ only by AQE coalescing).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = java.nio.file.Paths.get(args(0))
+    val tag = args(1)
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
+    java.nio.file.Files.createDirectories(outDir)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.exists(sel =>
+        q._1 == sel || q._1.startsWith(sel + "_"))))
+      .foreach { case (name, fn) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          catch { case e: Throwable => s"PLAN FAILED: ${e.getMessage}" }
+        java.nio.file.Files.writeString(outDir.resolve(s"${name}_$tag.txt"), plan)
+        println(s"[plandump] $name -> ${name}_$tag.txt (${plan.length} chars)")
+      }
+    graft.dedup.Dedup.clearCaches()
+    graft.similarity.Similarity.clearCaches()
+    graft.SparkEntry.clearTradesCache()
+    spark.stop()
+  }
+}

@@ -320,14 +320,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"level-2 rollup must partial-merge map-side:\n$p")
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 6,
       s"expected partial+final at both levels plus the direct branch:\n$p")
-    // DELIBERATELY three scans (grains, direct, exact): the one-scan
-    // grouping-sets variant was measured 2.8-5.9× slower at the
-    // ×100/×1000 grid points — Expand doubles the rows entering the
-    // register-fold partial aggregate, which (not the scan) is the
-    // bottleneck (SCALE-R15C). This pin keeps the count from silently
-    // regrowing OR a well-meaning 'one-scan' refactor landing unprobed.
-    assert("Scan parquet".r.findAllIn(p).size == 3 && !p.contains("Expand"),
-      s"q119 must keep the measured two-scan sketch side + exact branch:\n$p")
+    // TWO scans (grains; shared distinct feeding the direct sketch AND
+    // the exact count as PLAIN aggregates — OPT-r17). Still no Expand:
+    // the one-scan grouping-sets variant was measured 2.8-5.9× slower
+    // at the ×100/×1000 grid points because Expand doubles the rows
+    // entering the register-fold partial aggregate (SCALE-R15C), and
+    // the r15 distinct-REWRITE hazard (countDistinct co-planned with
+    // the UDAF keys register partials per (group, value) — 18.6 s) is
+    // excluded by the explicit .distinct(): the fold below it stays
+    // keyed by the group alone. This pin keeps both failure shapes out.
+    assert("Scan parquet".r.findAllIn(p).size == 2 && !p.contains("Expand"),
+      s"q119 must keep grains scan + one shared distinct scan:\n$p")
+    assert(p.contains("partial_distinctagg"),
+      s"direct sketch must partial-aggregate map-side over the distinct:\n$p")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       s"verdict side must broadcast:\n$p")
     assert(!p.contains("Exchange rangepartitioning") && !p.contains("Window"),
