@@ -1721,10 +1721,20 @@ object SparkEntry {
     val ord = t(s, dir, "orders")
     val isA = col("o_orderdate") < utcDay(Q120Pivot) // tz-pinned instant
     val mk = udaf(new Hll.SketchAgg(Q119P), Encoders.scalaLong)
-    val skA = ord.filter(isA).groupBy(col("o_orderpriority"))
-      .agg(mk(col("o_custkey")).as("sk_a"))
-    val skB = ord.filter(!isA).groupBy(col("o_orderpriority"))
-      .agg(mk(col("o_custkey")).as("sk_b"))
+    // OPT-r17 (guide §2.3/§2.4): ONE scan builds both side sketches —
+    // group by (priority, side-of-pivot) and pivot the ≤2 rows per
+    // priority back to columns with first(when). Register folds are
+    // order-independent and canonical bytes are content-pure, so each
+    // side's sketch is bit-identical to the filtered-scan spelling; a
+    // side with no rows still surfaces as NULL (rows whose date is NULL
+    // land in a side=NULL group no pivot arm selects — exactly the rows
+    // the two filters excluded). Was: two scans + two joins.
+    val skAB = ord.groupBy(col("o_orderpriority"), isA.as("__side"))
+      .agg(mk(col("o_custkey")).as("sk"))
+    val skP = skAB.groupBy(col("o_orderpriority"))
+      .agg(
+        first(when(col("__side") === true, col("sk")), ignoreNulls = true).as("sk_a"),
+        first(when(col("__side") === false, col("sk")), ignoreNulls = true).as("sk_b"))
     val exact = ord.groupBy(col("o_orderpriority"))
       .agg(
         countDistinct(when(isA, col("o_custkey"))).as("a_exact"),
@@ -1747,8 +1757,7 @@ object SparkEntry {
     // a silently dropped row (ADVICE r14). The estimates guard on
     // coverage so the estimate UDFs never see a null register array.
     val covered = col("sk_a").isNotNull && col("sk_b").isNotNull
-    exact.join(skA, Seq("o_orderpriority"), "left")
-      .join(skB, Seq("o_orderpriority"), "left")
+    exact.join(skP, Seq("o_orderpriority"), "left")
       .select(col("o_orderpriority"), col("a_exact"), col("b_exact"),
         col("union_exact"),
         (col("a_exact") + col("b_exact") - col("union_exact")).as("inter_exact"),
@@ -3480,16 +3489,27 @@ object SparkEntry {
     * driver row; the search loop is spec'd in `StrategyOptimizerSpec`.)
     */
   private def q114(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // OPT-r17 (guide §2.4): one sorted pass steps all 3 grid machines
+    // (Backtest.runGrid) — was 3 independent scan+shuffle+sort+walk
+    // pipelines union'd. Per-param trades are identical trade-for-trade
+    // (GridBacktestSpec), the dsum decimal aggregates are the same, and
+    // the grid-meta left join reinstates the zero-trade row the old
+    // global agg emitted (count/sums coalesced exactly as before).
     val bars = backtestBars(s, dir)
-    Q114Grid.map { case (id, p) =>
-      Backtest.run(bars, p).agg(
-          count(lit(1)).as("n_trades"),
-          coalesce(dsum(col("profit")), lit(0.0)).as("total_profit"),
-          coalesce(dsum(abs(col("profit"))), lit(0.0)).as("total_abs_profit"))
-        .select(lit(id).as("param_id"), lit(p.threshold).as("threshold"),
-          lit(p.tp).as("tp"), lit(p.sl).as("sl"),
-          col("n_trades"), col("total_profit"), col("total_abs_profit"))
-    }.reduce(_.unionByName(_))
+    val agg = Backtest.runGrid(bars, Q114Grid).toDF("param_id", "trade")
+      .groupBy(col("param_id"))
+      .agg(count(lit(1)).as("n_trades"),
+        dsum(col("trade.profit")).as("total_profit"),
+        dsum(abs(col("trade.profit"))).as("total_abs_profit"))
+    val meta = Q114Grid
+      .map { case (id, p) => (id, p.threshold, p.tp, p.sl) }
+      .toDF("param_id", "threshold", "tp", "sl")
+    meta.join(agg, Seq("param_id"), "left")
+      .select(col("param_id"), col("threshold"), col("tp"), col("sl"),
+        coalesce(col("n_trades"), lit(0L)).as("n_trades"),
+        coalesce(col("total_profit"), lit(0.0)).as("total_profit"),
+        coalesce(col("total_abs_profit"), lit(0.0)).as("total_abs_profit"))
   }
 
   private def q114Sql: String =

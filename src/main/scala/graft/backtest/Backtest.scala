@@ -114,6 +114,59 @@ object Backtest {
       .mapPartitions { iter => new TradeIterator(iter, params) }
   }
 
+  /** Evaluate MANY parameter sets in ONE pass over the sorted bar feed
+    * (OPT-r17, guide §2.4): a G-point grid previously ran G independent
+    * `run` pipelines — G scans, G symbol shuffles, G sorts of the SAME
+    * bars. The walk is a per-(symbol, params) state machine, so one
+    * sorted pass can step G machines per bar: same shuffle/sort cost as
+    * ONE backtest, same total stepBar work, and each machine sees the
+    * identical bar stream it saw standalone — trades are equal
+    * trade-for-trade to `run(bars, p)` per grid point (spec-pinned).
+    * Output is (paramId, trade).
+    */
+  def runGrid(bars: Dataset[Bar], grid: Seq[(Int, Params)]): Dataset[(Int, Trade)] = {
+    import bars.sparkSession.implicits._
+    require(grid.map(_._1).distinct.size == grid.size, "duplicate grid param ids")
+    val g = grid.toIndexedSeq
+    bars
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("ts"))
+      .mapPartitions { iter => new GridTradeIterator(iter, g) }
+  }
+
+  /** G state machines folded over one (symbol, ts)-sorted partition —
+    * each machine's view is exactly [[TradeIterator]]'s. All machines
+    * reset at a symbol boundary.
+    */
+  private final class GridTradeIterator(bars: Iterator[Bar],
+      grid: IndexedSeq[(Int, Params)]) extends Iterator[(Int, Trade)] {
+    private var pending: List[(Int, Trade)] = Nil
+    private var curSymbol: String = null
+    private val st = Array.fill(grid.length)(BtState())
+    private def step(bar: Bar): Unit = {
+      if (bar.symbol != curSymbol) {
+        curSymbol = bar.symbol
+        var i = 0
+        while (i < st.length) { st(i) = BtState(); i += 1 }
+      }
+      var i = 0
+      while (i < grid.length) {
+        val (next, closed) = stepBar(curSymbol, st(i), bar, grid(i)._2)
+        st(i) = next
+        closed.foreach(t => pending ::= (grid(i)._1 -> t))
+        i += 1
+      }
+    }
+    override def hasNext: Boolean = {
+      while (pending.isEmpty && bars.hasNext) step(bars.next())
+      pending.nonEmpty
+    }
+    override def next(): (Int, Trade) = {
+      if (!hasNext) throw new NoSuchElementException
+      val t = pending.head; pending = pending.tail; t
+    }
+  }
+
   /** Streaming one-pass fold of [[stepBar]] over a (symbol, ts)-sorted
     * partition; emits trades as they close. State resets at each symbol
     * boundary.
