@@ -235,7 +235,17 @@ object TextAnalysis {
     // Kept as groupBy+join (not count-over-window by term): a stop-word
     // term at corpus scale would land its whole window partition on one
     // task, while the equi-join is the shape AQE skew-split handles.
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    //
+    // The `tf >= 1` filter is a REUSE ANCHOR, not a row filter (count
+    // over a group is ≥ 1 by construction): without it the optimizer
+    // prunes `tf` out of this branch's copy of the aggregate
+    // (functions=[]), the two exchange subtrees stop being canonically
+    // equal, and AQE stage reuse cannot fire — the corpus would be
+    // tokenized and deduped twice. With it, the (doc, term) exchange is
+    // ONE shared stage (final plan carries a single file scan —
+    // pinned in PlanShapeSpec).
+    val dfreq = tf.filter(col("tf") >= 1L)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(countDistinct(col(idCol)).as("__n"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
@@ -296,6 +306,12 @@ object TextAnalysis {
       sep: String = ". ", dupSegMax: Double = 0.30,
       topBigramMax: Double = 0.20): DataFrame = {
     val segs = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    // OPT-r17 measured and REVERTED: carrying dup_seg_frac through the
+    // (doc, bigram) explode as a first() at both aggregation levels
+    // removed this second scan + join but ran 1.07 → 2.00 s at sf0.1 —
+    // the extra per-group first() buffer widens the partial-agg hash
+    // map over the exploded gram rows, which costs more than the
+    // map-only scan + broadcast join it saved. Two-scan shape kept.
     val segStats = df.select(col(idCol),
       round(lit(1.0) - size(array_distinct(segs)).cast("double") / size(segs), 6)
         .as("dup_seg_frac"))

@@ -245,20 +245,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"columns not pruned:\n$p")
   }
 
-  test("q114 strategy grid: one symbol exchange per param set, no global sort, union of aggregates") {
+  test("q114 strategy grid: ONE symbol exchange for the whole grid (OPT-r17), no global sort") {
     val p = plan(graft.SparkEntry.queries("q114_strategy_grid")(spark, sf))
-    assert(p.contains("Union"), s"expected the three-set union:\n$p")
-    // each param set is an independent distributed backtest: exactly one
-    // repartition(symbol) hash exchange per set, nothing else keyed
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
-      s"expected one symbol exchange per param set:\n$p")
+    // the whole grid walks in one sorted pass (Backtest.runGrid): the
+    // bars are scanned, shuffled and sorted ONCE, not once per param set
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected the single symbol exchange + the param_id agg exchange:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"grid must scan the bar feed exactly once:\n$p")
     assert(!p.contains("Exchange rangepartitioning"),
       s"per-symbol sort must stay in-partition:\n$p")
     assert(!p.contains("Window"), s"the state machine IS the fold — no window:\n$p")
-    // the corpus-wide profit sums fold partially before the single-
-    // partition gather (3 rows cross the wire per set, not trades)
-    assert("HashAggregate".r.findAllIn(p).size >= 6,
-      s"expected partial+final aggregation per set:\n$p")
+    // the per-param profit sums fold partially before the exchange
+    // (3 aggregate rows cross the wire, not trades)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation over the grid trades:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"grid-meta reinstatement join must broadcast:\n$p")
   }
 
   test("q115 mergeable digest: UDAF partials below the exchange, verdict side broadcast") {
@@ -396,17 +399,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rollup aggregators must partial-merge map-side:\n$p")
   }
 
-  test("q120 HLL set ops: two sketch branches broadcast onto the exact side, no SMJ") {
+  test("q120 HLL set ops: ONE scan builds both side sketches (OPT-r17), no SMJ") {
     val p = plan(graft.SparkEntry.queries("q120_hll_setops")(spark, sf))
-    assert("partial_sketchagg".r.findAllIn(p).size >= 2,
-      s"both snapshot sketches must partial-aggregate map-side:\n$p")
+    // both sides' sketches come from one (priority, side) aggregation,
+    // pivoted back with first(when) — 2 scans total (sketches + exact),
+    // one partial_sketchagg, one broadcast join
+    assert(p.contains("partial_sketchagg"),
+      s"side sketches must partial-aggregate map-side:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"expected one sketch scan + one exact scan:\n$p")
     // the exact side is one pass of conditional COUNT(DISTINCT)s —
     // Expand + two-phase distinct aggregation, not three scans
     assert(p.contains("Expand"),
       s"exact side must use the Expand multi-distinct plan:\n$p")
-    assert("BroadcastHashJoin".r.findAllIn(p).size == 2 &&
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1 &&
       !p.contains("SortMergeJoin"),
-      s"5-row sketch relations must broadcast:\n$p")
+      s"the pivoted sketch relation must broadcast:\n$p")
     assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n$p")
   }
 
@@ -422,6 +430,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly one group-key exchange:\n$p")
     assert("Generate".r.findAllIn(p).size == 1,
       s"expected exactly one posexplode Generate:\n$p")
+  }
+
+  test("q76 tfidf: tf exchange is ONE shared stage — corpus tokenized once (OPT-r17)") {
+    // runtime pin, not a static-plan pin: AQE stage reuse is decided at
+    // materialization, and it only fires while the dfreq branch's copy
+    // of the tf aggregate stays canonically identical (the `tf >= 1`
+    // reuse anchor in TextAnalysis.tfidfTopTerms keeps the optimizer
+    // from pruning the count out of that copy). One file scan in the
+    // FINAL plan ⇔ the tokenize+dedup pass ran once; the separate
+    // corpus-N scan is doc_id-only and pruned-column (asserted cheap).
+    val df = graft.SparkEntry.queries("q76_tfidf")(spark, sf)
+    df.collect()
+    val fin = plan(df).split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet \\[[^\\]]*\\]".r.findAllIn(fin).toList
+    val textScans = scans.filter(_.contains("text"))
+    assert(textScans.size == 1,
+      s"corpus must be tokenized exactly once (AQE reuse regressed):\n$fin")
+    assert(scans.filterNot(_.contains("text")).forall(_.contains("doc_id")),
+      s"non-text scans must be doc_id-only (the N count):\n$fin")
   }
 
   test("q111 trade metrics: aggregates the persisted trades, no recompute") {
