@@ -425,6 +425,13 @@ object TextAnalysis {
     .withColumn("__b",
       (conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long") % buckets).cast("int"))
     .drop("__g")
+    // no-op row-wise (grams are never null), but a REUSE ANCHOR like
+    // q76's: the scoring join pushes isnotnull(__b) into ITS copy of
+    // the counting subtree while the totals branch's copy has none —
+    // making the filter explicit keeps every copy canonically equal so
+    // AQE stage reuse runs the tokenize+count pass once, not twice
+    // (runtime-pinned in PlanShapeSpec).
+    .filter(col("__b").isNotNull)
 
   /** Shared DSIR tail: bucket counts → smoothed log-ratios (broadcast)
     * → per-doc exact-decimal score over the bucketed gram stream.

@@ -31,12 +31,23 @@ object PlanDump {
       .filter(q => only.forall(_.exists(sel =>
         q._1 == sel || q._1.startsWith(sel + "_"))))
       .foreach { case (name, fn) =>
+        // tag suffix "-final": EXECUTE the query and dump the AQE final
+        // plan (stage reuse, AQEShuffleRead, runtime join rewrites are
+        // only visible there), plus a scan-count summary line.
         val plan =
-          try fn(spark, sfDir).queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
-          catch { case e: Throwable => s"PLAN FAILED: ${e.getMessage}" }
+          try {
+            val df = fn(spark, sfDir)
+            if (tag.endsWith("-final")) {
+              df.collect()
+              val fin = df.queryExecution.executedPlan.toString
+                .split("== Initial Plan ==")(0)
+              val scans = "FileScan".r.findAllIn(fin).size
+              s"// final-plan FileScan count: $scans\n$fin"
+            } else df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+          } catch { case e: Throwable => s"PLAN FAILED: ${e.getMessage}" }
         java.nio.file.Files.writeString(outDir.resolve(s"${name}_$tag.txt"), plan)
-        println(s"[plandump] $name -> ${name}_$tag.txt (${plan.length} chars)")
+        println(s"[plandump] $name -> ${name}_$tag.txt (${plan.linesIterator.next()})")
       }
     graft.dedup.Dedup.clearCaches()
     graft.similarity.Similarity.clearCaches()

@@ -451,6 +451,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"non-text scans must be doc_id-only (the N count):\n$fin")
   }
 
+  test("q90 dsir: tokenize+count pass runs once at runtime (OPT-r17)") {
+    // two scans is this operator's floor (one counting pass, one
+    // scoring pass). Without dsirBucketed's explicit isnotnull(__b)
+    // anchor the scoring join pushes a null filter into only ITS copy
+    // of the counting subtree and the totals branch recomputes the
+    // whole tokenize+count pass — 3 scans (observed before the fix).
+    val df = graft.SparkEntry.queries("q90_dsir_scores")(spark, sf)
+    df.collect()
+    val fin = plan(df).split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(fin).size == 2,
+      s"dsir must tokenize the corpus exactly twice (count + score):\n$fin")
+  }
+
   test("q111 trade metrics: aggregates the persisted trades, no recompute") {
     val p = plan(graft.SparkEntry.queries("q111_fact_trade_metrics")(spark, sf))
     assert(p.contains("InMemoryTableScan"),
