@@ -203,6 +203,7 @@ object Bench {
     // drop persisted memo handles before shutdown — a long-lived harness
     // JVM (sbt session, multi-round driver) must not retain them
     graft.dedup.Dedup.clearCaches()
+    graft.text.TextAnalysis.clearCaches()
     graft.similarity.Similarity.clearCaches()
     SparkEntry.clearTradesCache()
     spark.stop()

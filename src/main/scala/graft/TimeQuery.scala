@@ -38,6 +38,7 @@ object TimeQuery {
       println(f"[timequery] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (cal=$cal%.3f)")
     }
     graft.dedup.Dedup.clearCaches()
+    graft.text.TextAnalysis.clearCaches()
     graft.similarity.Similarity.clearCaches()
     SparkEntry.clearTradesCache()
     spark.stop()

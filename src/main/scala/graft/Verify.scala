@@ -233,6 +233,7 @@ object Verify {
     // drop persisted memo handles before shutdown — a long-lived harness
     // JVM (multi-round driver) must not retain them
     graft.dedup.Dedup.clearCaches()
+    graft.text.TextAnalysis.clearCaches()
     graft.similarity.Similarity.clearCaches()
     SparkEntry.clearTradesCache()
     spark.stop()

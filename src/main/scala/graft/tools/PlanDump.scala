@@ -50,6 +50,7 @@ object PlanDump {
         println(s"[plandump] $name -> ${name}_$tag.txt (${plan.linesIterator.next()})")
       }
     graft.dedup.Dedup.clearCaches()
+    graft.text.TextAnalysis.clearCaches()
     graft.similarity.Similarity.clearCaches()
     graft.SparkEntry.clearTradesCache()
     spark.stop()

@@ -451,17 +451,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"non-text scans must be doc_id-only (the N count):\n$fin")
   }
 
-  test("q90 dsir: tokenize+count pass runs once at runtime (OPT-r17)") {
-    // two scans is this operator's floor (one counting pass, one
-    // scoring pass). Without dsirBucketed's explicit isnotnull(__b)
-    // anchor the scoring join pushes a null filter into only ITS copy
-    // of the counting subtree and the totals branch recomputes the
-    // whole tokenize+count pass — 3 scans (observed before the fix).
+  test("q90 dsir: gram stream persisted — corpus tokenized ONCE at cache build (OPT-r17)") {
+    // the bucketed gram stream feeds the counting pass, the totals
+    // fold and the scoring pass; persistGrams materializes it once and
+    // every consumer reads the cache (InMemoryTableScan). The FileScan
+    // lines in the final plan sit inside InMemoryRelation — the cache
+    // BUILD recipe, executed once — so the pin is on cache reads, not
+    // scan counts.
     val df = graft.SparkEntry.queries("q90_dsir_scores")(spark, sf)
     df.collect()
     val fin = plan(df).split("== Initial Plan ==")(0)
-    assert("FileScan".r.findAllIn(fin).size == 2,
-      s"dsir must tokenize the corpus exactly twice (count + score):\n$fin")
+    assert("InMemoryTableScan".r.findAllIn(fin).size >= 2,
+      s"count and score passes must read the persisted gram stream:\n$fin")
+    assert(fin.contains("InMemoryRelation"),
+      s"gram stream must be persisted (tokenize once):\n$fin")
+    graft.text.TextAnalysis.clearCaches()
   }
 
   test("q111 trade metrics: aggregates the persisted trades, no recompute") {
