@@ -133,6 +133,9 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // guide §1.5: label the jobs so an attached history/UI reader
+        // can map stages back to queries (protocol-neutral)
+        spark.sparkContext.setJobDescription(s"bench: $name")
         val t0 = System.nanoTime()
         try run(fn, sfDir) catch {
           case e: Throwable =>
@@ -175,6 +178,7 @@ object Bench {
     val settled = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => suspects.contains(q._1))
       .flatMap { case (name, fn) =>
+        spark.sparkContext.setJobDescription(s"bench-settle: $name")
         val t0 = System.nanoTime()
         // a query that crashes on the settle re-run must not publish its
         // time-to-crash as "the reproducible floor" — drop it (the
