@@ -88,8 +88,16 @@ object Bench {
       cals: String, sfDir: String): String = {
     val warmMap = warmed.toMap
     val settledMap = settled.toMap
+    // r18 (VERDICT r17 #3): the floor is min over EVERY honest
+    // measurement of the query — `settled ?? min(cold, warm)` let one
+    // slow settle re-run OVERRIDE a faster warm number (q123 published
+    // its 6.83 s settle while its warm pass ran ~1.0 s), so a settle
+    // pass taken under late-session pressure could only lower the
+    // floor's quality, never raise it. min(cold, warm, settled) is the
+    // reproducible floor the name promises.
     val floor = cold.map { case (n, c) =>
-      n -> settledMap.getOrElse(n, math.min(c, warmMap.getOrElse(n, c)))
+      val cw = math.min(c, warmMap.getOrElse(n, c))
+      n -> math.min(cw, settledMap.getOrElse(n, cw))
     }
     val head = s"""{"metric":"total","value":${r3(cold.map(_._2).sum)},""" +
       s""""value_warmed":${r3(warmed.map(_._2).sum)},""" +
@@ -131,8 +139,38 @@ object Bench {
     }
     // a set: a query failing in BOTH passes must not be double-counted
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def timedPass(): Seq[(String, Double)] =
+    // r18 session instrumentation (VERDICT r17 #4): the r17 round left
+    // two attribution questions open — a ~25% uniform slowdown the
+    // pass-boundary calmc probes could not see (they are 2 s snapshots,
+    // the host's co-tenant waves are minutes long), and a warm pass
+    // that degraded catastrophically late in the run (q54 0.65→33.7 s
+    // at 8 cores). Two additions, both OUTSIDE every per-query timer:
+    //  - a mid-pass calibration + storage-occupancy trace every 20
+    //    queries (reported in bench_full.json only — the driver line is
+    //    unchanged), so a wave or a cache pileup lands on a trace point
+    //    instead of being argued about after the fact;
+    //  - a System.gc() at each trace point: Spark's ContextCleaner only
+    //    reclaims dropped RDD blocks / broadcasts / shuffle files after
+    //    a driver GC, and a 119-query pass on a big heap may never GC —
+    //    unreachable blocks then stack up in the block manager and
+    //    later queries pay their eviction (the JMH-style forced-GC-
+    //    between-iterations discipline; no results are retained, every
+    //    query still computes from parquet).
+    val calTrace = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    val storageTrace = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    def storageUsedMb(): Double =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, rem) => max - rem }.sum / (1024.0 * 1024.0)
+    def maintenanceTick(label: String): Unit = {
+      System.gc()
+      calTrace += label -> calibrate()
+      storageTrace += label -> storageUsedMb()
+    }
+    def timedPass(pass: String): Seq[(String, Double)] = {
+      var i = 0
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        if (i % 20 == 0) maintenanceTick(s"$pass@$i")
+        i += 1
         // guide §1.5: label the jobs so an attached history/UI reader
         // can map stages back to queries (protocol-neutral)
         spark.sparkContext.setJobDescription(s"bench: $name")
@@ -145,6 +183,7 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    }
     // Pass 1 = first-touch at the target SF (same protocol as round 1's
     // headline `value`); pass 2 = steady-state after the target-SF data
     // and every full-scale codegen path are hot. Calibration brackets
@@ -155,10 +194,12 @@ object Bench {
     val nCal = math.min(cpus.toInt, Runtime.getRuntime.availableProcessors)
     val calPre = calibrate()
     val calmcPre = calibrateParallel(nCal)
-    val cold = timedPass()
+    val cold = timedPass("cold")
+    maintenanceTick("cold@end")
     val calMid = calibrate()
     val calmcMid = calibrateParallel(nCal)
-    val warmed = timedPass()
+    val warmed = timedPass("warm")
+    maintenanceTick("warm@end")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
     // SETTLE pass (r8 verdict: the committed BENCH_r08 artifact recorded
@@ -174,6 +215,7 @@ object Bench {
     // calmc_post brackets the settle pass like pre/mid bracket the
     // first two.
     val suspects = settleSuspects(cold, warmed.toMap, failed.toSet)
+    if (suspects.nonEmpty) maintenanceTick("settle@0")
     val calmcPost = if (suspects.nonEmpty) calibrateParallel(nCal) else calmcMid
     val settled = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => suspects.contains(q._1))
@@ -202,6 +244,8 @@ object Bench {
       if (settled.isEmpty) "" else s""","queries_settled":${js(settled, short = false)}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       s"""{"value":${r3(total)},"value_warmed":${r3(totalWarm)},"sf":"$sfDir",$cals,""" +
+        s""""cal_trace":${js(calTrace.toSeq, short = false)},""" +
+        s""""storage_mb":${js(storageTrace.toSeq, short = false)},""" +
         s""""queries":${js(cold, short = false)},"queries_warmed":${js(warmed, short = false)}$settledFull}""")
     println(line)
     // drop persisted memo handles before shutdown — a long-lived harness

@@ -745,6 +745,29 @@ object OlapEtl {
       def bExpr = ptn.bucketExpr(col("series_key"), col("grain"), base.layout)
       def readParts(parts: Seq[ptn.PartEntry]): DataFrame =
         spark.read.parquet(parts.map(e => s"$factPath/${e.relPath}"): _*)
+      if (upToGrain.isEmpty) {
+        // FULL pass (r18): every bucket is dirty by definition, so the
+        // fixpoint below — whose persist materializes the ENTIRE
+        // compacted fact and whose per-round distinct+collect exists
+        // only to DECLARE the dirty bucket set — is pure overhead here
+        // (at 100 TB that persist is a second full-fact write). One
+        // fold, one staged write, a replace-all manifest.
+        try ptn.commitBucketsReplaceAll(spark, factPath,
+          regrain(readParts(base.parts)).withColumn(ptn.BucketCol, bExpr),
+          base.layout, fence = None, lineage = None,
+          expectedBase = Some(base.version), compactedUpTo = None)
+        catch {
+          case e: Throwable if hasFileNotFoundCause(e) &&
+              ptn.current(factPath).map(_.version) != Some(base.version) =>
+            throw new SnapshotStore.StaleVersionException(
+              s"base manifest ${base.version} at $factPath was collected " +
+                "mid-compaction (concurrent writer committed past it and " +
+                "gc ran); re-read and retry " +
+                s"[${e.getClass.getSimpleName}: ${e.getMessage}]")
+        }
+        ptn.gc(factPath)
+        return SnapshotStore.read(spark, factPath).get
+      }
       // FIXPOINT over the involved parts: a coarse window-start can
       // bucket below its fine rows' files (grainsPerBucket need not
       // align with ratio), and the landing bucket's EXISTING rows may

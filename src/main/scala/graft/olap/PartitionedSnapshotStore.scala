@@ -371,7 +371,34 @@ object PartitionedSnapshotStore {
       newBucketData: DataFrame, dirtyBuckets: Set[Long], layout: Layout,
       fence: Option[Long], lineage: Option[String],
       expectedBase: Option[Long],
-      compactedUpTo: Option[Long] = None): Long = {
+      compactedUpTo: Option[Long] = None): Long =
+    commitCore(spark, tablePath, newBucketData, Some(dirtyBuckets), layout,
+      fence, lineage, expectedBase, compactedUpTo)
+
+  /** Full-table commit (r18): EVERY bucket is dirty by declaration —
+    * the new manifest lists only this commit's staged files and keeps
+    * none of the base's. Exists for whole-table rewrites (the full
+    * compaction pass, `upToGrain = None`), whose caller previously had
+    * to pre-compute the staged data's bucket set just to satisfy
+    * [[commitBuckets]]'s dirty declaration — one persist of the entire
+    * fact plus one distinct+collect job that the staged read-back then
+    * recomputed anyway. CAS/fence/lineage semantics identical. */
+  def commitBucketsReplaceAll(spark: SparkSession, tablePath: String,
+      newBucketData: DataFrame, layout: Layout,
+      fence: Option[Long], lineage: Option[String],
+      expectedBase: Option[Long],
+      compactedUpTo: Option[Long] = None): Long =
+    commitCore(spark, tablePath, newBucketData, None, layout,
+      fence, lineage, expectedBase, compactedUpTo)
+
+  /** Shared stage+CAS+manifest core: `dirtyBuckets = None` means a
+    * full-table replace (no stray check — every staged bucket is
+    * in-contract; no kept parts). */
+  private def commitCore(spark: SparkSession, tablePath: String,
+      newBucketData: DataFrame, dirtyBuckets: Option[Set[Long]],
+      layout: Layout, fence: Option[Long], lineage: Option[String],
+      expectedBase: Option[Long],
+      compactedUpTo: Option[Long]): Long = {
     require(lineage.forall(l => l.nonEmpty && !l.exists(_.isWhitespace)),
       s"lineage token must be non-empty and whitespace-free, got $lineage")
     val dir = Paths.get(tablePath)
@@ -385,7 +412,7 @@ object PartitionedSnapshotStore {
       SnapshotStore.deleteRecursively(dir.resolve(stageRel))
       throw e
     }
-    val stray = stats.keySet.diff(dirtyBuckets)
+    val stray = dirtyBuckets.fold(Set.empty[Long])(stats.keySet.diff)
     if (stray.nonEmpty) refuse(new IllegalArgumentException(
       s"commitBuckets: data landed in buckets $stray not declared dirty — " +
         "the manifest would double-list those buckets"))
@@ -408,8 +435,8 @@ object PartitionedSnapshotStore {
       val (carriedFence, carriedLineage) = SnapshotStore.admitFence(tablePath,
         cur.flatMap(_.fence), cur.flatMap(_.lineage), fence, lineage, refuse)
       val newV = nextManifestVersion(dir, cur)
-      val keptParts = cur.toSeq.flatMap(_.parts)
-        .filterNot(e => dirtyBuckets.contains(e.bucket))
+      val keptParts = dirtyBuckets.fold(Seq.empty[PartEntry])(dirty =>
+        cur.toSeq.flatMap(_.parts).filterNot(e => dirty.contains(e.bucket)))
       // manifest file durable FIRST (immutable once named), then the
       // pointer swap is the single atomic commit point. Schema: this
       // commit's staged read-back, else carried from the base (an

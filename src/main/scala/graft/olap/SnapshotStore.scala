@@ -508,4 +508,53 @@ object SnapshotStore {
     if (Files.isDirectory(p)) children(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+
+  /** Zero-copy table clone (r18, VERDICT r17 #1): seed `dstTablePath`
+    * with the SAME committed state as `srcTablePath` without moving any
+    * data bytes. Both snapshot layouts keep every committed object
+    * (parquet snapshot/partition files, immutable `manifest-m<N>`
+    * files) IMMUTABLE — mutation is only ever a pointer swap that
+    * REPLACES the `_MANIFEST` directory entry via atomic rename, never
+    * a write into an existing file — so the clone can share file
+    * bodies by hardlink: later commits/compactions/gc on either table
+    * create or unlink their OWN directory entries and cannot disturb
+    * the other's. (The r17 lifecycle used `FileUtils.copyDirectory`,
+    * i.e. driver-side serial I/O over the whole table per clone — the
+    * driver measured it as q123's 7.7× regression, and at 100 TB a
+    * physical copy is a non-starter; manifest-sharing via links is the
+    * Delta/Iceberg SHALLOW CLONE shape within container limits.)
+    *
+    * Excluded from the clone:
+    *  - `.publish.lock`: linking it would SHARE the flock inode, so a
+    *    publish on the clone would contend with (and falsely
+    *    serialize against) the source table's publishes;
+    *  - `.manifest-*.tmp` strays (mid-rename temp files, not state).
+    * The `_MANIFEST` pointer itself is COPIED (it is the one file
+    * whose directory entry is replaced in place; a fresh copy keeps
+    * the clone's pointer history fully independent).
+    * Falls back to a plain copy per file if the filesystem refuses
+    * links (cross-device dst). */
+  def cloneTable(srcTablePath: String, dstTablePath: String): Unit = {
+    val src = Paths.get(srcTablePath)
+    val dst = Paths.get(dstTablePath)
+    require(Files.isDirectory(src), s"no table directory at $srcTablePath")
+    Files.createDirectories(dst)
+    def walk(s: Path, d: Path): Unit = children(s).foreach { c =>
+      val name = c.getFileName.toString
+      if (name != ".publish.lock" &&
+          !(name.startsWith(".manifest-") && name.endsWith(".tmp"))) {
+        val t = d.resolve(name)
+        if (Files.isDirectory(c)) { Files.createDirectories(t); walk(c, t) }
+        else if (name == ManifestName)
+          Files.copy(c, t, StandardCopyOption.REPLACE_EXISTING)
+        else
+          try Files.createLink(t, c)
+          catch { case _: UnsupportedOperationException |
+                       _: java.nio.file.FileSystemException =>
+            Files.copy(c, t, StandardCopyOption.REPLACE_EXISTING)
+          }
+      }
+    }
+    walk(src, dst)
+  }
 }

@@ -63,17 +63,24 @@ class BenchSettleSpec extends AnyFunSuite {
     assert(line.contains(""""value_settled":"""))
   }
 
-  test("per-query values are the reproducible floor: settled ?? min(cold, warm)") {
+  test("per-query values are the reproducible floor: min(cold, warm, settled)") {
+    // r18 (VERDICT r17 #3): `settled ?? min(cold, warm)` let one slow
+    // settle re-run OVERRIDE a faster warm number — q123 published its
+    // 6.83 s settle while its warm pass ran ~1.0 s. A settle taken
+    // under late-session pressure can only LOWER the floor now.
     val line = Bench.driverLine(
-      Seq("q62_cluster" -> 7.73, "q10_returns" -> 0.30, "q55_cd" -> 1.20),
-      Seq("q62_cluster" -> 1.50, "q10_returns" -> 0.45, "q55_cd" -> 1.57),
-      Seq("q62_cluster" -> 0.70), cals, "sf")
-    assert(line.contains(""""q62":0.70""")) // settled wins over cold AND warm
-    assert(line.contains(""""q10":0.30""")) // min(cold, warm) when no settle
+      Seq("q62_cluster" -> 7.73, "q10_returns" -> 0.30, "q55_cd" -> 1.20,
+        "q123_compaction" -> 4.27),
+      Seq("q62_cluster" -> 1.50, "q10_returns" -> 0.45, "q55_cd" -> 1.57,
+        "q123_compaction" -> 1.02),
+      Seq("q62_cluster" -> 0.70, "q123_compaction" -> 4.91), cals, "sf")
+    assert(line.contains(""""q62":0.70"""))  // settled wins when fastest
+    assert(line.contains(""""q10":0.30"""))  // min(cold, warm) when no settle
     assert(line.contains(""""q55":1.20"""))
-    assert(line.contains(""""value":9.23"""))         // cold total stays honest
-    assert(line.contains(""""value_settled":2.20""")) // 0.70 + 0.30 + 1.20
-    assert(line.contains(""""settled":["q62"]"""))
+    assert(line.contains(""""q123":1.02""")) // warm beats a slower settle re-run
+    assert(line.contains(""""value":13.50"""))        // cold total stays honest
+    assert(line.contains(""""value_settled":3.22""")) // 0.70+0.30+1.20+1.02
+    assert(line.contains(""""settled":["q62","q123"]"""))
   }
 
   test("over-budget degradation keeps a settle marker, never drops it silently") {

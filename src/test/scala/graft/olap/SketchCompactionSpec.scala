@@ -73,6 +73,39 @@ class SketchCompactionSpec extends AnyFunSuite {
     err <= 8.0 * n * p * (1.0 - p) / Compression + 2.0
   }
 
+  test("cloneTable: compacting a hardlink clone leaves the base table bit-identical (r18 q123 shape)") {
+    withFact("clonebase") { basePath =>
+      withFact("clonedst") { clonePath =>
+        OlapEtl.loadFactSketches(spark, events, "k", "ts", "v", "uid",
+          HourUs, basePath, Compression, P)
+        val baseBefore = rowsOf(SnapshotStore.read(spark, basePath).get)
+        val baseVersion = SnapshotStore.currentVersion(basePath)
+        SnapshotStore.cloneTable(basePath, clonePath)
+        // the clone reads the identical committed state, with NO
+        // shared lock sidecar (a linked flock inode would falsely
+        // serialize the two tables' publishes)
+        assert(rowsOf(SnapshotStore.read(spark, clonePath).get) == baseBefore)
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(clonePath, ".publish.lock")))
+        // compact the CLONE (the q123/q124 lifecycle step) — including
+        // its commit and gc — then assert the base never moved: same
+        // manifest version, same rows, and every base part file intact
+        OlapEtl.compactFactSketches(spark, clonePath, HourUs, DayUs,
+          Compression, P)
+        val cloneRows = rowsOf(SnapshotStore.read(spark, clonePath).get)
+        assert(cloneRows.keySet.map(_._2).forall(_ % 24 == 0),
+          "clone's grains must all be day-window starts after compaction")
+        assert(SnapshotStore.currentVersion(basePath) == baseVersion)
+        assert(rowsOf(SnapshotStore.read(spark, basePath).get) == baseBefore)
+        PartitionedSnapshotStore.current(basePath).get.parts.foreach { e =>
+          assert(java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(basePath, e.relPath)),
+            s"base part ${e.relPath} lost by the clone's compaction/gc")
+        }
+      }
+    }
+  }
+
   test("compacted fact ≡ direct coarse ingest: HLL bit-equal, counts exact, digest in-bound") {
     withFact("cmp1") { finePath =>
       withFact("cmp2") { coarsePath =>
