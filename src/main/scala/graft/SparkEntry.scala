@@ -4837,6 +4837,132 @@ object SparkEntry {
     "q124_scoped_compaction" -> (q124 _)
   )
 
+  /** A/B alternates (r18, VERDICT r17 #5/#6): the PRE-r17 spellings of
+    * the sketch-family queries the r17 optimizer restructured, kept
+    * compilable so `graft.tools.AbCompare` can time old-vs-new shapes
+    * INTERLEAVED in one JVM — the only comparison this host's co-tenant
+    * waves can't fake. NOT part of [[queries]]: never benched, never
+    * oracle-checked as standalone entries; each alternate computes the
+    * same rows as its production query (that equivalence was the r17
+    * round's argument and is re-checked by AbCompare's row compare).
+    */
+  private[graft] def stackSketchUnion(wide: DataFrame, ps: Seq[Double]): DataFrame =
+    ps.map(p => wide.select(col("event_type"),
+        lit(p).as("p"), col(graft.metrics.Quantiles.label(p)).as("av")))
+      .reduce(_.unionByName(_))
+
+  private[graft] val abAlternates: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_union" -> ((s: SparkSession, dir: String) =>
+      sketchRankVerdict(t(s, dir, "events"),
+        stackSketchUnion(q61Approx(s, dir), Q61Ps),
+        col("n") / lit(Q61Accuracy.toDouble) + lit(1.0))),
+    "q115_union" -> ((s: SparkSession, dir: String) =>
+      sketchRankVerdict(t(s, dir, "events"),
+        stackSketchUnion(q115Digest(s, dir), Q115Ps),
+        lit(4.0) * lit(2.0) * col("n") * col("p") * (lit(1.0) - col("p"))
+          / lit(Q115Compression) + lit(2.0))),
+    "q117_union" -> ((s: SparkSession, dir: String) =>
+      sketchRankVerdict(t(s, dir, "events"),
+        stackSketchUnion(q117Rollup(s, dir, 86400000000L), Q115Ps),
+        lit(4.0) * lit(2.0) * col("n") * col("p") * (lit(1.0) - col("p"))
+          / lit(Q115Compression) + lit(2.0))),
+    "q114_3pass" -> ((s: SparkSession, dir: String) => {
+      val bars = backtestBars(s, dir)
+      Q114Grid.map { case (id, p) =>
+        Backtest.run(bars, p).agg(
+            count(lit(1)).as("n_trades"),
+            coalesce(dsum(col("profit")), lit(0.0)).as("total_profit"),
+            coalesce(dsum(abs(col("profit"))), lit(0.0)).as("total_abs_profit"))
+          .select(lit(id).as("param_id"), lit(p.threshold).as("threshold"),
+            lit(p.tp).as("tp"), lit(p.sl).as("sl"),
+            col("n_trades"), col("total_profit"), col("total_abs_profit"))
+      }.reduce(_.unionByName(_))
+    }),
+    "q118_coplanned" -> ((s: SparkSession, dir: String) => {
+      val bound = lit(6.0) * lit(Q118Rsd) * col("n_exact") + lit(1.0)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), Q118Rsd).as("n_approx"))
+        .select(col("l_suppkey"), col("n_exact"),
+          bound.as("err_bound"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") <= bound)
+            .as("within_bound"))
+    }),
+    "q119_3join" -> ((s: SparkSession, dir: String) => {
+      import graft.metrics.Hll
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"),
+          (unix_micros(col("l_shipdate")) / Q119GrainUs).cast("long").as("grain"))
+      val mk = udaf(new Hll.SketchAgg(Q119P), Encoders.scalaLong)
+      val grains = li.groupBy(col("l_suppkey"), col("grain"))
+        .agg(mk(col("l_partkey")).as("sk"))
+      val roll = udaf(new Hll.MergeSketchesAgg(Q119P),
+        Encoders.product[Hll.Sketch])
+      val rolled = grains.groupBy(col("l_suppkey"))
+        .agg(roll(col("sk.regs")).as("est_rollup"),
+          count(lit(1)).as("n_grains"))
+      val directAgg = udaf(new Hll.DistinctAgg(Q119P), Encoders.scalaLong)
+      val direct = li.groupBy(col("l_suppkey"))
+        .agg(directAgg(col("l_partkey")).as("est_direct"))
+      val exact = li.groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      val bound = lit(6.0) * lit(Q119Rsd) * col("n_exact") + lit(1.0)
+      rolled.join(direct, "l_suppkey").join(exact, "l_suppkey")
+        .select(col("l_suppkey"), col("n_grains"), col("n_exact"),
+          bound.as("err_bound"),
+          (abs(col("est_rollup") - col("n_exact")).cast("double") <= bound)
+            .as("within_bound"),
+          (col("est_rollup") === col("est_direct")).as("rollup_lossless"))
+    }),
+    "q120_2scan" -> ((s: SparkSession, dir: String) => {
+      import graft.metrics.Hll
+      val ord = t(s, dir, "orders")
+      val isA = col("o_orderdate") < utcDay(Q120Pivot)
+      val mk = udaf(new Hll.SketchAgg(Q119P), Encoders.scalaLong)
+      val skA = ord.filter(isA).groupBy(col("o_orderpriority"))
+        .agg(mk(col("o_custkey")).as("sk_a"))
+      val skB = ord.filter(!isA).groupBy(col("o_orderpriority"))
+        .agg(mk(col("o_custkey")).as("sk_b"))
+      val exact = ord.groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(when(isA, col("o_custkey"))).as("a_exact"),
+          countDistinct(when(!isA, col("o_custkey"))).as("b_exact"),
+          countDistinct(col("o_custkey")).as("union_exact"))
+      val est = udf((regs: Array[Byte]) => Hll.encEstimate(regs, Q119P))
+      val estUnion = udf((a: Array[Byte], b: Array[Byte]) =>
+        Hll.encEstimate(Hll.encMerge(
+          java.util.Arrays.copyOf(a, a.length),
+          java.util.Arrays.copyOf(b, b.length), Q119P), Q119P))
+      val boundU = lit(6.0) * lit(Q119Rsd) * col("union_exact") + lit(1.0)
+      val boundI = lit(6.0) * lit(Q119Rsd) *
+        sqrt((col("a_exact") * col("a_exact") + col("b_exact") * col("b_exact")
+          + col("union_exact") * col("union_exact")).cast("double")) + lit(3.0)
+      val covered = col("sk_a").isNotNull && col("sk_b").isNotNull
+      exact.join(skA, Seq("o_orderpriority"), "left")
+        .join(skB, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("a_exact"), col("b_exact"),
+          col("union_exact"),
+          (col("a_exact") + col("b_exact") - col("union_exact")).as("inter_exact"),
+          covered.as("sides_covered"),
+          when(covered, est(col("sk_a.regs"))).as("est_a"),
+          when(covered, est(col("sk_b.regs"))).as("est_b"),
+          when(covered, estUnion(col("sk_a.regs"), col("sk_b.regs")))
+            .as("est_union"),
+          boundU.as("err_bound_union"), boundI.as("err_bound_inter"))
+        .select(col("o_orderpriority"), col("a_exact"), col("b_exact"),
+          col("union_exact"), col("inter_exact"),
+          col("err_bound_union"), col("err_bound_inter"),
+          col("sides_covered"),
+          coalesce(abs(col("est_union") - col("union_exact")).cast("double")
+            <= col("err_bound_union"), lit(false)).as("union_within"),
+          coalesce(abs((col("est_a") + col("est_b") - col("est_union"))
+            - col("inter_exact")).cast("double")
+            <= col("err_bound_inter"), lit(false)).as("inter_within"))
+    })
+  )
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,

@@ -322,9 +322,10 @@ object Dedup {
     * Each phase is a groupBy + equi-join on node id — no cross joins, no
     * driver-side state; per-round lineage is truncated with
     * localCheckpoint. Convergence = edge set unchanged, detected EXACTLY
-    * with one symmetric-difference aggregation per round over the union
-    * of the two checkpointed edge sets (a (u,v) occurring once in the
-    * union is in exactly one set).
+    * inside the round's ONE materialization (r18): candidate and current
+    * edges are tagged 1/2 and grouped once on (u,v) — a group whose
+    * min tag equals its max is one-sided, so any such group means the
+    * sets differ; groups with min = 1 ARE the next (deduped) edge set.
     *
     * Convergence is REQUIRED: labels are read off the fixed-point star
     * edges, and a not-yet-star edge set would yield duplicated ids with
@@ -366,22 +367,33 @@ object Dedup {
       // smaller neighbors (and itself) to m = min of them. v > m whenever
       // v ≠ m, so both outputs stay canonical.
       val dmins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
-      val next = afterLarge.join(dmins, "u")
+      val nextRaw = afterLarge.join(dmins, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(dmins.select(col("u"), col("m").as("v")))
-        .distinct()
+      // OPT-r18 (VERDICT r17 #8, guide §2.4): ONE materialization job
+      // per round instead of two. The round previously checkpointed
+      // next (distinct = shuffle #1) and then ran a SECOND full
+      // shuffle+aggregation (union with edges, groupBy count) just to
+      // detect convergence. Fused: tag the candidate rows 1 and the
+      // current edges 2, group once on (u, v) — the group's min tag
+      // says "in new", its max says "in old", so
+      //   next       = groups with lo = 1   (the distinct is free)
+      //   converged  = no group missing a side (lo = hi anywhere means
+      //                new-only or old-only — the sets differ)
+      // Tag min/max survive duplicate candidate rows, which a
+      // sum-based tag would not. The checkpointed tagged relation is
+      // the ONLY job; the converged probe and next round's reads are
+      // cached-block scans over it. Labels, round counts and the
+      // convergence predicate are unchanged
+      // (ConnectedComponentsSpec's O(log n) pins still hold).
+      val tagged = nextRaw.withColumn("__s", lit(1))
+        .unionByName(edges.select(col("u"), col("v")).withColumn("__s", lit(2)))
+        .groupBy("u", "v")
+        .agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
         .localCheckpoint(true)
-      // EXACT convergence in ONE aggregation over the checkpointed
-      // union: both sides are distinct() outputs, so a (u,v) appearing
-      // ONCE in the union is in exactly one set — zero singletons ⇔ the
-      // edge set reached its fixed point. Exact by construction (no
-      // probabilistic signature to confirm), one job per round, and the
-      // union's inputs are both localCheckpoint-truncated so the scan
-      // is two cached block reads, not a lineage replay.
-      converged = next.unionByName(edges).groupBy("u", "v").count()
-        .filter(col("count") === 1).isEmpty
-      edges = next
+      converged = tagged.filter(col("__lo") === col("__hi")).isEmpty
+      edges = tagged.filter(col("__lo") === 1).select(col("u"), col("v"))
       iter += 1
     }
     require(converged,

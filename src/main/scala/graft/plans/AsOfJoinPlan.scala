@@ -199,16 +199,26 @@ object AsOfJoinNative {
       payloadCol: String, outName: String): DataFrame = {
     val spark = left.sparkSession
     register(spark)
-    // Plan barrier: children enter the node as LogicalRDD leaves (lazy
-    // localCheckpoint). A custom logical node is opaque to the analyzer's
+    // Plan barrier: children enter the node as LogicalRDD leaves. A
+    // custom logical node is opaque to the analyzer's
     // relation-deduplication and to transformUpWithNewOutput, so child
     // subtrees shared with other branches of the enclosing query (e.g.
     // self-union/except) would end up with conflicting re-minted
     // exprIds. LogicalRDD implements MultiInstanceRelation, so sharing
-    // is handled the same way as for any leaf relation. Inputs are
-    // locally persisted on first use — feed stable tables at scale.
-    val lPlan = left.localCheckpoint(false).queryExecution.analyzed
-    val rPlan = right.localCheckpoint(false).queryExecution.analyzed
+    // is handled the same way as for any leaf relation.
+    //
+    // OPT-r18 (guide §5; VERDICT r17 #2): the barrier was previously a
+    // lazy `localCheckpoint(false)`, which ALSO materialized every
+    // partition of BOTH inputs into block-manager storage on first use
+    // — pure overhead for inputs each consumed by exactly one exchange,
+    // and the blocks lingered until a driver GC (the prime suspect for
+    // the driver's q57 5.66 s at 32 cores in a cache-heavy session).
+    // `planBarrier` keeps the LogicalRDD isolation without any
+    // persistence; each side recomputes at most once per execution.
+    val lPlan = org.apache.spark.sql.GraftColumnBridge.planBarrier(left)
+      .queryExecution.analyzed
+    val rPlan = org.apache.spark.sql.GraftColumnBridge.planBarrier(right)
+      .queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))

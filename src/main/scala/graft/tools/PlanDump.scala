@@ -27,7 +27,12 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    // r18: A/B alternates (SparkEntry.abAlternates) dump too when named
+    // explicitly — the before/after plan evidence for shape decisions
+    (graft.SparkEntry.queries.toSeq ++
+        graft.SparkEntry.abAlternates.toSeq.filter(a =>
+          only.exists(_.contains(a._1))))
+      .sortBy(_._1)
       .filter(q => only.forall(_.exists(sel =>
         q._1 == sel || q._1.startsWith(sel + "_"))))
       .foreach { case (name, fn) =>

@@ -13,6 +13,26 @@ object GraftColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Plan barrier WITHOUT block-manager persistence (r18): the same
+    * LogicalRDD leaf a lazy `localCheckpoint` would produce —
+    * MultiInstanceRelation, so analyzer relation-dedup treats it like
+    * any leaf — but the wrapped RDD is the child plan's `toRdd`
+    * directly, NOT marked for checkpointing. `localCheckpoint(false)`
+    * additionally materializes every partition into storage blocks on
+    * first use; for an input consumed exactly once (e.g. each side of
+    * a custom join node feeding one exchange) that write is pure
+    * overhead and the blocks linger in the block manager until a
+    * driver GC (guide §5: cache only what is REUSED). Stats and
+    * constraints carry from the origin Dataset exactly as checkpoint's
+    * own LogicalRDD construction does.
+    */
+  def planBarrier(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      execution.LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
+        isStreaming = false))
+  }
+
   /** New session over an existing SparkContext with the given extensions
     * applied — extensions normally bind only at builder time, which
     * `getOrCreate` skips when a session is already active.
