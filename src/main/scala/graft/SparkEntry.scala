@@ -1497,14 +1497,21 @@ object SparkEntry {
     * estimate is partition-independent but not oracle-matchable). */
   private[graft] def q118Verdict(s: SparkSession, dir: String): DataFrame = {
     val bound = lit(6.0) * lit(Q118Rsd) * col("n_exact") + lit(1.0)
-    // OPT-r17 (guide §2.3): the exact and sketch branches share ONE
-    // dedup. Co-planning countDistinct with approx_count_distinct made
-    // Catalyst Expand every row twice (one replica per aggregate class)
-    // before the exchange; an explicit distinct on (supp, part) feeds
-    // both as plain aggregates — half the shuffled rows, map-side
-    // partial dedup. HLL++ register folds are duplicate-insensitive, so
-    // n_approx is bit-identical; count-over-distinct IS countDistinct
-    // (the isNotNull filter mirrors countDistinct's null exclusion).
+    // OPT-r17 (guide §2.3; mechanism corrected r18 — see
+    // plans/r18/q118_evidence.txt): the exact and sketch branches share
+    // ONE dedup. Co-planned, approx_count_distinct's 52-word HLL++
+    // partial buffer rode the (supp, part)-keyed exchange PER DISTINCT
+    // PAIR (54-column exchange); the explicit distinct dedups on a
+    // 2-column exchange and builds HLL state only after, per supplier
+    // (measured 27% faster, interleaved A/B). HLL++ register folds are
+    // duplicate-insensitive, so n_approx is bit-identical;
+    // count-over-distinct IS countDistinct (the isNotNull filter
+    // mirrors countDistinct's null exclusion). EDGE (ADVICE r17): a
+    // supplier whose partkeys are ALL NULL now drops from the output
+    // entirely, where the countDistinct spelling emitted it with
+    // n_exact = 0 — impossible on TPC-H data (l_partkey is NOT NULL)
+    // and matched by the oracle SQL, but a real change on data that
+    // deviates; q119 shares the spelling and the edge.
     t(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_partkey"))
       .filter(col("l_partkey").isNotNull)
