@@ -533,7 +533,12 @@ object SnapshotStore {
     * whose directory entry is replaced in place; a fresh copy keeps
     * the clone's pointer history fully independent).
     * Falls back to a plain copy per file if the filesystem refuses
-    * links (cross-device dst). */
+    * links (cross-device dst). The walk holds the SOURCE's publish
+    * lock: a concurrent commit+gc could otherwise collect a superseded
+    * snapshot between the directory listing and its link — the lock
+    * freezes pointer swaps and gc (both take it) for the clone's
+    * duration, so the cloned manifest's files are guaranteed present.
+    * Source commits merely queue behind the lock; they are not lost. */
   def cloneTable(srcTablePath: String, dstTablePath: String): Unit = {
     val src = Paths.get(srcTablePath)
     val dst = Paths.get(dstTablePath)
@@ -555,6 +560,6 @@ object SnapshotStore {
           }
       }
     }
-    walk(src, dst)
+    withPublishLock(srcTablePath) { walk(src, dst) }
   }
 }
